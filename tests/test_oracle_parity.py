@@ -1,0 +1,33 @@
+"""Runs every queries()/oracle_sql() pair side-by-side at sf0.01 — the same
+check the driver performs for CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_MED, duck_with_views
+from .parity import assert_parity
+
+
+def _pairs():
+    import uforwarder_spark  # noqa: F401
+    from uforwarder_spark.registry import ORACLES, QUERIES
+
+    return sorted(QUERIES), ORACLES
+
+
+KEYS, _ = _pairs()
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_parity(name, spark, duck):
+    from uforwarder_spark.registry import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, SF_MED)
+    spark_pdf = sdf.toPandas()
+    assert len(spark_pdf) >= 0
+    if name not in ORACLES:
+        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+    con = duck_with_views(duck, SF_MED)
+    duck_pdf = con.execute(ORACLES[name]).fetchdf()
+    assert_parity(spark_pdf, duck_pdf, name)

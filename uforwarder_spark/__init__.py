@@ -1,0 +1,10 @@
+"""PySpark-native engine with uber/uForwarder's data-processing semantics.
+
+Importing this package registers every operator into
+``uforwarder_spark.registry.QUERIES`` / ``ORACLES``.
+"""
+
+from . import registry  # noqa: F401
+from .plans import relational  # noqa: F401
+
+__all__ = ["registry"]

@@ -1,0 +1,79 @@
+"""Message model: the ``events`` table viewed as a Kafka-shaped message log.
+
+uForwarder's unit of work is a message identified by
+(cluster, topic, partition, offset) with headers and a payload
+(see reference ``uforwarder-core/.../worker/dispatcher/DispatcherMessage.java``
+and ``idl/.../kafka-consumer-proxy.proto``). We map the synthetic ``events``
+table onto that model with pure SQL expressions so every downstream operator
+is deterministic and DuckDB-oracle-checkable:
+
+    topic      := event_type                  (5 distinct topics)
+    part_id    := user_id % 8                 (per-topic partition id)
+    msg_offset := event_id                    (monotone within a partition)
+    ts         := ts                          (enqueue timestamp)
+    size_bytes := length(props) + 64          (payload size proxy)
+
+Dispatch outcomes (reference ``DispatcherResponse.Code``: OK / RETRY /
+DLQ / SKIP) are simulated deterministically from message identity:
+
+    SKIP  if event_id % 97 == 0                      (filtered by consumer)
+    DLQ   if topic == 'error' and event_id % 11 == 0 (poison pill)
+    RETRY if topic == 'error' or event_id % 13 == 0  (transient failure)
+    OK    otherwise
+
+    retry_count := event_id % 6 for RETRY/DLQ messages else 0
+    acked       := outcome in (OK, SKIP)  -- SKIP acks per AckManager skip path
+    latency_ms  := 5 + (event_id * 7) % 200  (simulated dispatch latency)
+
+SCALE: all columns are narrow map-side projections; at 100 TB the log would
+be parquet partitioned by (topic, date) so per-topic operators prune at the
+scan. No shuffle happens here, and no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+N_PARTITIONS = 8
+
+# The same definitions as ANSI SQL, reused verbatim by oracle_sql() in
+# __spark_entry__.py so Spark and DuckDB compute identical frames.
+MESSAGES_SQL_BODY = """
+SELECT
+  event_id                                            AS msg_offset,
+  event_type                                          AS topic,
+  user_id % 8                                         AS part_id,
+  ts                                                  AS ts,
+  CAST(length(props) + 64 AS BIGINT)                  AS size_bytes,
+  value                                               AS payload_value,
+  CASE
+    WHEN event_id % 97 = 0 THEN 'SKIP'
+    WHEN event_type = 'error' AND event_id % 11 = 0 THEN 'DLQ'
+    WHEN event_type = 'error' OR event_id % 13 = 0 THEN 'RETRY'
+    ELSE 'OK'
+  END                                                 AS outcome,
+  CASE
+    WHEN event_id % 97 = 0 THEN 0
+    WHEN event_type = 'error' OR event_id % 13 = 0 THEN event_id % 6
+    ELSE 0
+  END                                                 AS retry_count,
+  (event_id % 97 = 0) OR NOT (event_type = 'error' OR event_id % 13 = 0)
+                                                      AS acked,
+  CAST(5 + (event_id * 7) % 200 AS BIGINT)            AS latency_ms
+FROM events
+"""
+
+
+def messages_sql(events_rel: str = "events") -> str:
+    """The message-log projection as a SQL query string."""
+    return MESSAGES_SQL_BODY.replace("FROM events", f"FROM {events_rel}")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → message log. Pure projection; no shuffle, no UDFs."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(MESSAGES_SQL_BODY)

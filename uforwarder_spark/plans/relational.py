@@ -1,0 +1,340 @@
+"""C. Relational core — the query surface over the engine's tables.
+
+These exercise scan/filter/project, decimal-exact aggregation, multi-way
+broadcast joins, window functions, anti joins, and top-k — the building
+blocks every other operator composes.
+
+Exactness strategy (so the DuckDB oracle hash-matches bit-for-bit):
+money math is done in DECIMAL (exact, associative — immune to Spark's
+nondeterministic partition-order double summation), cast to DOUBLE only in
+the final projection; every top-k / rank has a unique-key tiebreaker.
+
+SCALE: dims (region/nation/customer/supplier/part) are broadcast —
+lineitem/orders never shuffle for those joins; aggregations are partial
+(map-side combine) before the single shuffle on the group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import load_table
+from ..registry import register
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+# --- C1 ------------------------------------------------------------------
+Q1_ORACLE = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))
+           * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)      AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*)       AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", Q1_ORACLE)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. Single scan → partial agg → 1 shuffle on
+    2 low-cardinality keys; filter + 7-column pruning pushed to parquet."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(8,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- C2 ------------------------------------------------------------------
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", Q3_ORACLE)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (o_orderpriority stands in for o_shippriority). customer is
+    broadcast; orders⋈lineitem shuffles once on orderkey. Deterministic
+    top-k via (revenue DESC, o_orderdate, l_orderkey) tiebreak."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("_rev"))
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- C3 ------------------------------------------------------------------
+Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5_local_supplier", Q5_ORACLE)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. region/nation/supplier/customer broadcast;
+    the only shuffle joins orders⋈lineitem on orderkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- C4 ------------------------------------------------------------------
+Q6_ORACLE = """
+SELECT
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", Q6_ORACLE)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: all four predicates + 3-column pruning push to the parquet
+    scan (verify via PushedFilters in .explain); single partial agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(8,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --- C5 ------------------------------------------------------------------
+TOP_CUSTOMERS_ORACLE = """
+WITH rev AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT n_name, c_name, total_rev, cust_rank FROM (
+  SELECT *, CAST(rank() OVER (PARTITION BY n_name
+                  ORDER BY total_rev DESC, c_custkey) AS INT) AS cust_rank
+  FROM rev
+) WHERE cust_rank <= 3
+"""
+
+
+@register("top_customers_window", TOP_CUSTOMERS_ORACLE)
+def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank per nation. Agg shuffles on custkey; the rank window
+    re-shuffles on n_name only (25 partitions — AQE coalesces)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("total_rev").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("cust_rank", F.rank().over(w).cast("int"))
+        .filter(F.col("cust_rank") <= 3)
+        .select("n_name", "c_name", "total_rev", "cust_rank")
+    )
+
+
+# --- C6 ------------------------------------------------------------------
+NO_LINEITEM_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+@register("orders_without_lineitems", NO_LINEITEM_ORACLE)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: orders with no lineitems. Single shuffle on orderkey;
+    lineitem side pruned to the join key column only."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+
+# --- C7 ------------------------------------------------------------------
+CUST_STATS_ORACLE = """
+SELECT
+  c_custkey, c_name,
+  count(o_orderkey)                                     AS n_orders,
+  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent,
+  count(CASE WHEN o_orderstatus = 'F' THEN 1 END)       AS n_finished
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+HAVING count(o_orderkey) >= 5
+"""
+
+
+@register("customer_order_stats", CUST_STATS_ORACLE)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + conditional agg + having. orders shuffles on custkey
+    once; customer is broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        F.broadcast(cust)
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+# --- C8 ------------------------------------------------------------------
+RUNNING_REV_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS order_date,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+  FROM orders GROUP BY o_orderdate
+)
+SELECT order_date,
+       CAST(day_rev AS DOUBLE) AS day_rev,
+       CAST(sum(day_rev) OVER (ORDER BY order_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_rev
+FROM daily
+"""
+
+
+@register("running_revenue", RUNNING_REV_ORACLE)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue by order date. Daily pre-agg shrinks the window
+    input to ~|dates| rows before the single-partition ordered window —
+    at 100 TB the window runs over ~2.5k rows, not 150B."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("order_date")).agg(
+        F.sum(_dec("o_totalprice")).alias("_day_rev")
+    )
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "order_date",
+        F.col("_day_rev").cast("double").alias("day_rev"),
+        F.sum("_day_rev").over(w).cast("double").alias("cum_rev"),
+    )
