@@ -31,6 +31,16 @@ def assert_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) ->
     )
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
+        # dtype KIND must agree pre-normalization: the driver hashes raw
+        # reprs, so DuckDB HUGEINT→object/float vs Spark int64 is a real
+        # mismatch even when values are numerically equal.
+        sk = spark_pdf[c].dtype.kind
+        dk = duck_pdf[c].dtype.kind
+        assert sk == dk, (
+            f"{name}.{c}: dtype kind {spark_pdf[c].dtype} (spark) != "
+            f"{duck_pdf[c].dtype} (oracle) — cast the oracle (e.g. HUGEINT→BIGINT)"
+        )
+    for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
         if np.issubdtype(sv.dtype, np.floating):
             both_nan = np.isnan(sv) & np.isnan(dv)

@@ -70,6 +70,16 @@ def messages_sql(events_rel: str = "events") -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros (the
+        # same truncation DuckDB applies, so oracle parity holds).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

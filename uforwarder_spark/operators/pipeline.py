@@ -1,0 +1,529 @@
+"""A. Message-pipeline operators — uForwarder's worker-side semantics
+re-expressed as Spark DataFrame plans over the message log.
+
+Reference parity is cited per operator (files under
+``/root/reference/uforwarder-core/src/main/java/com/uber/data/kafka/
+consumerproxy/worker`` unless noted). Everything here is pure built-in
+DataFrame ops — no UDFs at all — so Catalyst pushes filters into the
+parquet scan and whole-stage codegen covers every expression.
+
+SCALE: the work unit is (topic, part_id) — uForwarder's own shard unit —
+so every window/agg shuffles exactly once on those keys. At 100 TB the
+message log is parquet partitioned by (topic, date): topic predicates
+prune entire directories, and AQE coalesces the post-shuffle partitions.
+Skewed topics (one hot topic dominating) are handled by AQE skew-join
+plus the fact that all aggregations are partial (map-side combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..model import MESSAGES_SQL_BODY, messages
+from ..registry import register
+
+# Shared CTE so every oracle computes the identical message projection.
+MSG_CTE = f"WITH messages AS ({MESSAGES_SQL_BODY})"
+
+# Routing table: topic -> consumer callee uri (reference RoutingUtils /
+# DispatcherMessage: each job group carries a consumer service RPC uri).
+ROUTES = [
+    ("click", "grpc://consumer-clickstream"),
+    ("view", "grpc://consumer-clickstream"),
+    ("purchase", "grpc://consumer-billing"),
+    ("signup", "grpc://consumer-identity"),
+    ("error", "grpc://consumer-oncall"),
+]
+ROUTES_SQL = "(VALUES " + ", ".join(f"('{t}', '{u}')" for t, u in ROUTES) + ") AS routes(topic, callee_uri)"
+
+
+def _routes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ROUTES, ["topic", "callee_uri"])
+
+
+# --- A1 ------------------------------------------------------------------
+FETCH_ORACLE = f"""{MSG_CTE}
+SELECT msg_offset, topic, part_id, ts, size_bytes
+FROM messages
+WHERE topic = 'click' AND msg_offset >= 1000 AND msg_offset < 5000
+"""
+
+
+@register("fetch_offset_range", FETCH_ORACLE)
+def fetch_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OriginalTopicKafkaFetcher seek/poll (fetcher/OriginalTopicKafkaFetcher.java):
+    deliver exactly the messages of one topic inside an offset range.
+
+    SCALE: topic + offset predicates push down to the parquet scan
+    (min/max row-group stats prune); no shuffle at all."""
+    m = messages(spark, sf_dir)
+    return m.filter(
+        (F.col("topic") == "click") & (F.col("msg_offset") >= 1000) & (F.col("msg_offset") < 5000)
+    ).select("msg_offset", "topic", "part_id", "ts", "size_bytes")
+
+
+# --- A2 ------------------------------------------------------------------
+FILTER_ORACLE = f"""{MSG_CTE}
+SELECT msg_offset, topic, part_id, outcome, payload_value
+FROM messages
+WHERE topic IN ('click', 'view', 'purchase')
+  AND payload_value >= 1.0
+  AND outcome <> 'SKIP'
+"""
+
+
+@register("filter_messages", FILTER_ORACLE)
+def filter_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter / OriginalClusterFilter / CompositeFilter (filter/*.java):
+    drop messages failing attribute predicates before dispatch.
+
+    SCALE: pure pushed-down predicates; zero shuffle."""
+    m = messages(spark, sf_dir)
+    return m.filter(
+        F.col("topic").isin("click", "view", "purchase")
+        & (F.col("payload_value") >= 1.0)
+        & (F.col("outcome") != "SKIP")
+    ).select("msg_offset", "topic", "part_id", "outcome", "payload_value")
+
+
+# --- A3 ------------------------------------------------------------------
+ROUTE_ORACLE = f"""{MSG_CTE}
+SELECT callee_uri,
+       count(*)            AS n_msgs,
+       CAST(sum(size_bytes) AS BIGINT)     AS total_bytes
+FROM messages
+JOIN {ROUTES_SQL} USING (topic)
+GROUP BY callee_uri
+"""
+
+
+@register("route_messages", ROUTE_ORACLE)
+def route_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RoutingUtils + DispatcherImpl (common/RoutingUtils.java,
+    worker/dispatcher/DispatcherImpl.java): resolve each message's consumer
+    callee from its topic's routing config; account dispatch volume.
+
+    SCALE: routing table is O(topics) → broadcast join, no shuffle for the
+    join; single partial agg on callee."""
+    m = messages(spark, sf_dir)
+    routes = _routes_df(spark)
+    return (
+        m.join(F.broadcast(routes), "topic")
+        .groupBy("callee_uri")
+        .agg(F.count("*").alias("n_msgs"), F.sum("size_bytes").alias("total_bytes"))
+    )
+
+
+# --- A4 ------------------------------------------------------------------
+DEDUP_DISPATCH_ORACLE = f"""{MSG_CTE},
+attempts AS (
+  SELECT topic, part_id, msg_offset, 1 AS attempt FROM messages
+  UNION ALL
+  SELECT topic, part_id, msg_offset, 2 AS attempt FROM messages WHERE msg_offset % 10 = 0
+)
+SELECT topic,
+       count(*) AS n_attempts,
+       count(DISTINCT msg_offset) AS n_unique,
+       count(*) - count(DISTINCT msg_offset) AS n_duplicates
+FROM attempts
+GROUP BY topic
+"""
+
+
+@register("dedup_dispatch", DEDUP_DISPATCH_ORACLE)
+def dedup_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DedupHeaderInterceptor (dispatcher/grpc/DedupHeaderInterceptor.java):
+    redeliveries carry the same (group, topic, partition, offset) — dedupe
+    dispatches and account duplicates. Redelivery simulated for every 10th
+    offset.
+
+    SCALE: distinct-count shuffles once on topic; at scale the dedup key
+    (topic, part_id, msg_offset) is hash-partitioned so the distinct is
+    map-side partial first."""
+    m = messages(spark, sf_dir).select("topic", "part_id", "msg_offset")
+    attempts = m.withColumn("attempt", F.lit(1)).unionAll(
+        m.filter(F.col("msg_offset") % 10 == 0).withColumn("attempt", F.lit(2))
+    )
+    return attempts.groupBy("topic").agg(
+        F.count("*").alias("n_attempts"),
+        F.countDistinct("msg_offset").alias("n_unique"),
+        (F.count("*") - F.countDistinct("msg_offset")).alias("n_duplicates"),
+    )
+
+
+# --- A5 ------------------------------------------------------------------
+ACK_WATERMARK_ORACLE = f"""{MSG_CTE},
+flagged AS (
+  SELECT topic, part_id, msg_offset, acked,
+         sum(CASE WHEN acked THEN 0 ELSE 1 END)
+           OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS unacked_upto
+  FROM messages
+)
+SELECT topic, part_id,
+       max(CASE WHEN unacked_upto = 0 THEN msg_offset END) AS committed_offset,
+       max(msg_offset)                                     AS high_watermark,
+       count(*)                                            AS n_msgs,
+       CAST(sum(CASE WHEN acked THEN 1 ELSE 0 END) AS BIGINT)  AS n_acked
+FROM flagged
+GROUP BY topic, part_id
+"""
+
+
+@register("ack_commit_watermark", ACK_WATERMARK_ORACLE)
+def ack_commit_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AckTrackingQueue / LinkedAckTrackingQueue / AckManager
+    (processor/LinkedAckTrackingQueue.java): out-of-order acks commit only
+    the largest prefix-contiguous acked offset per partition; NULL if the
+    partition head is unacked.
+
+    SCALE: one shuffle on (topic, part_id) for the running-sum window;
+    the agg reuses the same partitioning (no second shuffle)."""
+    m = messages(spark, sf_dir)
+    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
+    flagged = m.withColumn(
+        "unacked_upto", F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w)
+    )
+    return flagged.groupBy("topic", "part_id").agg(
+        F.max(F.when(F.col("unacked_upto") == 0, F.col("msg_offset"))).alias("committed_offset"),
+        F.max("msg_offset").alias("high_watermark"),
+        F.count("*").alias("n_msgs"),
+        F.sum(F.when(F.col("acked"), 1).otherwise(0)).alias("n_acked"),
+    )
+
+
+# --- A6 ------------------------------------------------------------------
+HOL_ORACLE = f"""{MSG_CTE},
+heads AS (
+  SELECT topic, part_id,
+         min(CASE WHEN NOT acked THEN msg_offset END) AS head_offset,
+         count(*) AS n_msgs
+  FROM messages
+  GROUP BY topic, part_id
+)
+SELECT h.topic, h.part_id, h.head_offset,
+       count(CASE WHEN m.acked AND m.msg_offset > h.head_offset THEN 1 END)
+         AS acked_behind_head,
+       count(CASE WHEN m.acked AND m.msg_offset > h.head_offset THEN 1 END) >= 100
+         AS is_blocked
+FROM heads h
+JOIN messages m ON m.topic = h.topic AND m.part_id = h.part_id
+WHERE h.head_offset IS NOT NULL
+GROUP BY h.topic, h.part_id, h.head_offset
+"""
+
+
+@register("head_of_line_blocking", HOL_ORACLE)
+def head_of_line_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeadBlockingDetector (processor/HeadBlockingDetector.java): a
+    partition is head-of-line blocked when its oldest unacked (head)
+    message is stuck while many later messages completed.
+
+    SCALE: two aggs over the same (topic, part_id) partitioning — the
+    heads side is tiny (one row per partition) and broadcast back."""
+    m = messages(spark, sf_dir)
+    heads = (
+        m.groupBy("topic", "part_id")
+        .agg(F.min(F.when(~F.col("acked"), F.col("msg_offset"))).alias("head_offset"))
+        .filter(F.col("head_offset").isNotNull())
+    )
+    joined = m.join(F.broadcast(heads), ["topic", "part_id"])
+    acked_behind = F.count(
+        F.when(F.col("acked") & (F.col("msg_offset") > F.col("head_offset")), 1)
+    )
+    return joined.groupBy("topic", "part_id", "head_offset").agg(
+        acked_behind.alias("acked_behind_head"),
+        (acked_behind >= 100).alias("is_blocked"),
+    )
+
+
+# --- A7 ------------------------------------------------------------------
+INFLIGHT_LIMIT = 50
+INFLIGHT_ORACLE = f"""{MSG_CTE},
+pending AS (
+  SELECT topic, part_id, msg_offset,
+         row_number() OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS rn
+  FROM messages WHERE NOT acked
+)
+SELECT topic, part_id,
+       count(*)                                            AS n_pending,
+       CAST(sum(CASE WHEN rn <= {INFLIGHT_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(sum(CASE WHEN rn >  {INFLIGHT_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       max(CASE WHEN rn <= {INFLIGHT_LIMIT} THEN msg_offset END) AS last_admitted_offset
+FROM pending
+GROUP BY topic, part_id
+"""
+
+
+@register("inflight_limiter", INFLIGHT_ORACLE)
+def inflight_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongFixedInflightLimiter (limiter/LongFixedInflightLimiter.java):
+    admit at most N unacked messages per partition in offset order; the
+    rest block awaiting permits.
+
+    SCALE: row_number windows over the native (topic, part_id) shard —
+    one shuffle, then agg reuses the partitioning."""
+    m = messages(spark, sf_dir).filter(~F.col("acked"))
+    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
+    pending = m.withColumn("rn", F.row_number().over(w))
+    lim = INFLIGHT_LIMIT
+    return pending.groupBy("topic", "part_id").agg(
+        F.count("*").alias("n_pending"),
+        F.sum(F.when(F.col("rn") <= lim, 1).otherwise(0)).alias("n_admitted"),
+        F.sum(F.when(F.col("rn") > lim, 1).otherwise(0)).alias("n_blocked"),
+        F.max(F.when(F.col("rn") <= lim, F.col("msg_offset"))).alias("last_admitted_offset"),
+    )
+
+
+# --- A8 ------------------------------------------------------------------
+RATE_LIMIT = 10
+RATE_ORACLE = f"""{MSG_CTE},
+bucketed AS (
+  SELECT topic, msg_offset,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_epoch,
+         row_number() OVER (
+           PARTITION BY topic, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60
+           ORDER BY msg_offset) AS rn
+  FROM messages
+)
+SELECT topic,
+       count(*)                                        AS n_msgs,
+       CAST(sum(CASE WHEN rn <= {RATE_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN rn >  {RATE_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
+FROM bucketed
+GROUP BY topic
+"""
+
+
+@register("rate_limit_tokens", RATE_ORACLE)
+def rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket throttling (reference uses Guava RateLimiter inside the
+    processor, config ProcessorConfiguration.maxInboundCacheCount /
+    messageRateLimit): R tokens per topic per 1-minute window, granted in
+    offset order; excess is throttled.
+
+    SCALE: window keyed by (topic, minute) — high cardinality keys spread
+    evenly; row_number + agg share one shuffle."""
+    m = messages(spark, sf_dir)
+    window_epoch = F.expr("CAST(unix_timestamp(ts) DIV 60 AS BIGINT) * 60")
+    w = Window.partitionBy("topic", "window_epoch").orderBy("msg_offset")
+    bucketed = m.withColumn("window_epoch", window_epoch).withColumn("rn", F.row_number().over(w))
+    return bucketed.groupBy("topic").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(F.when(F.col("rn") <= RATE_LIMIT, 1).otherwise(0)).alias("n_allowed"),
+        F.sum(F.when(F.col("rn") > RATE_LIMIT, 1).otherwise(0)).alias("n_throttled"),
+    )
+
+
+# --- A9 ------------------------------------------------------------------
+RETRY_TIER_ORACLE = f"""{MSG_CTE}
+SELECT topic,
+       CASE WHEN retry_count <= 1 THEN 'retry_q_0'
+            WHEN retry_count <= 3 THEN 'retry_q_1'
+            ELSE 'retry_q_2' END AS retry_tier,
+       count(*)          AS n_msgs,
+       CAST(sum(retry_count) AS BIGINT)  AS total_retries,
+       min(msg_offset)   AS min_offset,
+       max(msg_offset)   AS max_offset
+FROM messages
+WHERE outcome = 'RETRY'
+GROUP BY topic, CASE WHEN retry_count <= 1 THEN 'retry_q_0'
+                     WHEN retry_count <= 3 THEN 'retry_q_1'
+                     ELSE 'retry_q_2' END
+"""
+
+
+@register("retry_tier_assignment", RETRY_TIER_ORACLE)
+def retry_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RetryUtils + RetryTopicKafkaFetcher (utils/RetryUtils.java,
+    fetcher/RetryTopicKafkaFetcher.java): tiered retry queues — a failed
+    message lands in the retry topic for its retry-count band.
+
+    SCALE: pushed-down outcome filter, single partial agg."""
+    m = messages(spark, sf_dir).filter(F.col("outcome") == "RETRY")
+    tier = (
+        F.when(F.col("retry_count") <= 1, "retry_q_0")
+        .when(F.col("retry_count") <= 3, "retry_q_1")
+        .otherwise("retry_q_2")
+    )
+    return m.withColumn("retry_tier", tier).groupBy("topic", "retry_tier").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("retry_count").alias("total_retries"),
+        F.min("msg_offset").alias("min_offset"),
+        F.max("msg_offset").alias("max_offset"),
+    )
+
+
+# --- A10 -----------------------------------------------------------------
+DLQ_ORACLE = f"""{MSG_CTE}
+SELECT topic,
+       count(*)        AS n_dlq,
+       CAST(sum(size_bytes) AS BIGINT) AS dlq_bytes,
+       min(msg_offset) AS min_offset,
+       max(msg_offset) AS max_offset
+FROM messages
+WHERE outcome = 'DLQ' OR (outcome = 'RETRY' AND retry_count >= 5)
+GROUP BY topic
+"""
+
+
+@register("dlq_messages", DLQ_ORACLE)
+def dlq_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DlqDispatchManager + DlqTopicKafkaFetcher
+    (processor/DlqDispatchManager.java): poison pills and retry-exhausted
+    messages produce to the dead-letter topic.
+
+    SCALE: pushed-down filter + single partial agg per topic."""
+    m = messages(spark, sf_dir).filter(
+        (F.col("outcome") == "DLQ") | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= 5))
+    )
+    return m.groupBy("topic").agg(
+        F.count("*").alias("n_dlq"),
+        F.sum("size_bytes").alias("dlq_bytes"),
+        F.min("msg_offset").alias("min_offset"),
+        F.max("msg_offset").alias("max_offset"),
+    )
+
+
+# --- A11 -----------------------------------------------------------------
+RESURRECT_ORACLE = f"""{MSG_CTE},
+merged AS (
+  SELECT topic, part_id, msg_offset, 'live' AS src FROM messages
+  WHERE outcome = 'OK'
+  UNION ALL
+  SELECT topic, part_id, msg_offset, 'resurrected' AS src FROM messages
+  WHERE outcome = 'DLQ' OR (outcome = 'RETRY' AND retry_count >= 5)
+)
+SELECT topic, part_id,
+       count(*)                                              AS n_total,
+       CAST(sum(CASE WHEN src = 'live' THEN 1 ELSE 0 END) AS BIGINT)        AS n_live,
+       CAST(sum(CASE WHEN src = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       min(CASE WHEN src = 'resurrected' THEN msg_offset END) AS first_resurrected_offset
+FROM merged
+GROUP BY topic, part_id
+"""
+
+
+@register("dlq_resurrection", RESURRECT_ORACLE)
+def dlq_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ purge/merge — resurrection (DlqTopicKafkaFetcher.java: DLQ
+    consumption replays dead messages back through the pipeline merged
+    with live traffic, preserving per-partition offset order).
+
+    SCALE: unionAll is metadata-only; one shuffle for the agg."""
+    m = messages(spark, sf_dir)
+    live = m.filter(F.col("outcome") == "OK").select(
+        "topic", "part_id", "msg_offset", F.lit("live").alias("src")
+    )
+    dead = m.filter(
+        (F.col("outcome") == "DLQ") | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= 5))
+    ).select("topic", "part_id", "msg_offset", F.lit("resurrected").alias("src"))
+    merged = live.unionAll(dead)
+    return merged.groupBy("topic", "part_id").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("src") == "live", 1).otherwise(0)).alias("n_live"),
+        F.sum(F.when(F.col("src") == "resurrected", 1).otherwise(0)).alias("n_resurrected"),
+        F.min(F.when(F.col("src") == "resurrected", F.col("msg_offset"))).alias(
+            "first_resurrected_offset"
+        ),
+    )
+
+
+# --- A12 -----------------------------------------------------------------
+LATENCY_ORACLE = f"""{MSG_CTE}
+SELECT topic,
+       round(quantile_cont(latency_ms, 0.50), 6) AS p50_ms,
+       round(quantile_cont(latency_ms, 0.95), 6) AS p95_ms,
+       round(quantile_cont(latency_ms, 0.99), 6) AS p99_ms,
+       count(*) AS n_samples
+FROM messages
+GROUP BY topic
+"""
+
+
+@register("latency_percentiles", LATENCY_ORACLE)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatencyTracker (dispatcher/LatencyTracker.java): dispatch latency
+    distribution per topic feeding the adaptive limiter.
+
+    SCALE: exact percentile here (matches the oracle); at 100 TB swap to
+    approx_percentile — same plan shape, sketch-mergeable map-side."""
+    m = messages(spark, sf_dir)
+    return m.groupBy("topic").agg(
+        F.round(F.expr("percentile(latency_ms, 0.50)"), 6).alias("p50_ms"),
+        F.round(F.expr("percentile(latency_ms, 0.95)"), 6).alias("p95_ms"),
+        F.round(F.expr("percentile(latency_ms, 0.99)"), 6).alias("p99_ms"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+# --- A13 -----------------------------------------------------------------
+THROUGHPUT_ORACLE = f"""{MSG_CTE}
+SELECT topic,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_epoch,
+       count(*)                  AS n_msgs,
+       CAST(sum(size_bytes) AS BIGINT)      AS total_bytes,
+       count(*) / 300.0          AS msgs_per_sec,
+       sum(size_bytes) / 300.0   AS bytes_per_sec
+FROM messages
+GROUP BY topic, (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
+"""
+
+
+@register("throughput_windows", THROUGHPUT_ORACLE)
+def throughput_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput / WindowedAggregator (controller/autoscalar/Throughput.java,
+    limiter/WindowedAggregator.java): per-topic msgs/s + bytes/s in 5-min
+    tumbling windows — the autoscaler's input signal.
+
+    SCALE: map-side partial agg on (topic, window) then one shuffle;
+    output is O(topics × windows), tiny."""
+    m = messages(spark, sf_dir)
+    window_epoch = F.expr("CAST(unix_timestamp(ts) DIV 300 AS BIGINT) * 300")
+    return (
+        m.withColumn("window_epoch", window_epoch)
+        .groupBy("topic", "window_epoch")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("size_bytes").alias("total_bytes"),
+            (F.count("*") / 300.0).alias("msgs_per_sec"),
+            (F.sum("size_bytes") / 300.0).alias("bytes_per_sec"),
+        )
+    )
+
+
+# --- A14 -----------------------------------------------------------------
+LAG_ORACLE = f"""{MSG_CTE},
+flagged AS (
+  SELECT topic, part_id, msg_offset, acked,
+         sum(CASE WHEN acked THEN 0 ELSE 1 END)
+           OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS unacked_upto
+  FROM messages
+)
+SELECT topic, part_id,
+       max(msg_offset) AS high_watermark,
+       max(CASE WHEN unacked_upto = 0 THEN msg_offset END) AS committed_offset,
+       CAST(sum(CASE WHEN unacked_upto > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lag_msgs
+FROM flagged
+GROUP BY topic, part_id
+"""
+
+
+@register("consumer_lag", LAG_ORACLE)
+def consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer lag (controller/rpc/ControllerWorkerService.java job status:
+    lag = high watermark − committed): messages past the commit point per
+    (topic, part_id).
+
+    SCALE: computed in the same single-shuffle window pass as A5 — lag is
+    just n_msgs − prefix-acked count, no second scan needed."""
+    m = messages(spark, sf_dir)
+    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
+    flagged = m.withColumn(
+        "unacked_upto", F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w)
+    )
+    return flagged.groupBy("topic", "part_id").agg(
+        F.max("msg_offset").alias("high_watermark"),
+        F.max(F.when(F.col("unacked_upto") == 0, F.col("msg_offset"))).alias("committed_offset"),
+        F.sum(F.when(F.col("unacked_upto") > 0, 1).otherwise(0)).alias("lag_msgs"),
+    )
