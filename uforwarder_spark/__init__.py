@@ -5,7 +5,8 @@ Importing this package registers every operator into
 """
 
 from . import registry  # noqa: F401
-from .operators import controller, pipeline  # noqa: F401
+from .functions import multimodal, text  # noqa: F401
+from .operators import controller, dedup, pipeline, similarity  # noqa: F401
 from .plans import relational  # noqa: F401
 
 __all__ = ["registry"]

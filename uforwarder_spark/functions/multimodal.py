@@ -1,0 +1,80 @@
+"""D12: multimodal-column plumbing — opaque binary payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic stub (`_fake_decode`); everything around it
+— binary column handling, metadata struct, output schema, Arrow batch
+shape, partitioning — is the real plumbing a decode/feature-extract
+stage needs.
+
+SCALE: mapInPandas streams Arrow batches through Python with bounded
+memory (spark.sql.execution.arrow.maxRecordsPerBatch); payload bytes
+never shuffle — the stage is a pure map, and downstream aggs see only
+the small extracted features. This is the pattern for image resize /
+frame sampling / audio features at 100 TB: partition by file locality,
+keep binaries out of shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import load_table
+from ..registry import register
+
+OUT_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, width int, height int, n_frames int, checksum string"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode: real impl would use PIL/ffmpeg (not in container).
+
+    Deterministic fake dimensions derived from payload size so tests and
+    the rows-only driver check are stable.
+    """
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        widths, heights, frames, checks = [], [], [], []
+        for payload in pdf["payload"]:
+            w, h, f = _fake_decode(payload)
+            widths.append(w)
+            heights.append(h)
+            frames.append(f)
+            checks.append(hashlib.md5(payload).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"],
+                "width": widths,
+                "height": heights,
+                "n_frames": frames,
+                "checksum": checks,
+            }
+        )
+
+
+@register("multimodal_meta")  # rows-only: binary decode is not SQL-expressible
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents' text bytes stand in for an
+    image/audio payload; typed metadata travels alongside; mapInPandas
+    runs the (stubbed) decode and emits features only."""
+    docs = load_table(spark, sf_dir, "documents")
+    bins = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+    return bins.mapInPandas(_decode_batches, schema=OUT_SCHEMA)

@@ -1,0 +1,227 @@
+"""D8–D11: text-analysis operators for a training-data pipeline —
+language ID, quality scoring, token counting, document fingerprinting.
+
+All computed with built-in JVM-side expressions (split / filter /
+transform / md5 / regexp) — zero Python UDFs — so at 100 TB every
+operator is a single embarrassingly-parallel map over the documents
+scan with no shuffle (outputs are per-doc).
+
+The token model shared by every text operator:
+    tokens := non-empty pieces of lower(text) split on [^a-z0-9]+
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import load_parallel
+from ..registry import register
+
+# Spark / DuckDB dialect twins for the shared token expression.
+TOKENS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
+_SW_SPARK = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_SW_DUCK = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_parallel(spark, sf_dir, "documents")
+
+
+# --- D8 ------------------------------------------------------------------
+LANG_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENS_DUCK} AS ts FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN len(ts) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(ts, x -> list_contains({_SW_DUCK}, x))) AS DOUBLE)
+                 / len(ts) END AS stop_ratio,
+       CASE WHEN len(ts) > 0
+             AND CAST(len(list_filter(ts, x -> list_contains({_SW_DUCK}, x))) AS DOUBLE)
+                 / len(ts) >= 0.05
+            THEN 'en' ELSE 'unk' END AS pred_lang
+FROM t
+"""
+
+
+@register("lang_id", LANG_ID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-heuristic language ID: the ratio of English
+    stopwords among tokens decides en vs unk (the classic cheap LID
+    pre-filter before a real model).
+
+    SCALE: stateless per-doc map, no shuffle; text column pruned to the
+    scan."""
+    docs = _docs(spark, sf_dir)
+    ratio = (
+        f"CASE WHEN size(ts) = 0 THEN 0.0D "
+        f"ELSE CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END"
+    )
+    return (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .withColumn("stop_ratio", F.expr(ratio))
+        .select(
+            "doc_id",
+            "lang",
+            "stop_ratio",
+            F.expr(
+                "CASE WHEN size(ts) > 0 AND "
+                f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) >= 0.05 "
+                "THEN 'en' ELSE 'unk' END"
+            ).alias("pred_lang"),
+        )
+    )
+
+
+# --- D9 ------------------------------------------------------------------
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_DUCK} AS ts FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(ts) AS BIGINT)      AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                   AS DOUBLE) / length(text) END AS punct_ratio,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ts, x -> list_contains({_SW_DUCK}, x))) AS DOUBLE)
+                   / len(ts) END AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(0.5 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.2 * least(stop_ratio * 10.0, 1.0), 6) AS quality_score,
+       CASE WHEN 0.5 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * least(stop_ratio * 10.0, 1.0) >= 0.8 THEN 'high'
+            WHEN 0.5 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * least(stop_ratio * 10.0, 1.0) >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_band
+FROM m
+"""
+
+
+@register("quality_score", QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation / stopword-ratio
+    heuristics combined into a 0–1 score and band (the Gopher/C4-style
+    cheap quality filters).
+
+    SCALE: stateless per-doc map, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    m = (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .withColumn("n_tokens", F.expr("size(ts)").cast("long"))
+        .withColumn(
+            "punct_ratio",
+            F.expr(
+                "CASE WHEN length(text) = 0 THEN 0.0D ELSE "
+                "CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '')) AS DOUBLE)"
+                " / length(text) END"
+            ),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.expr(
+                "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+                f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END"
+            ),
+        )
+    )
+    score = (
+        "0.5 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) "
+        "+ 0.2 * least(stop_ratio * 10.0, 1.0)"
+    )
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.expr(f"round({score}, 6)").alias("quality_score"),
+        F.expr(
+            f"CASE WHEN {score} >= 0.8 THEN 'high' "
+            f"WHEN {score} >= 0.5 THEN 'medium' ELSE 'low' END"
+        ).alias("quality_band"),
+    )
+
+
+# --- D10 -----------------------------------------------------------------
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@register("token_count", TOKEN_COUNT_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex
+    (letter-runs | digit-runs | single punctuation) approximating
+    subword pre-tokenization for cost estimation.
+
+    SCALE: stateless per-doc map, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(r"size(filter(split(text, '\\s+'), t -> t <> ''))").cast("long").alias("ws_tokens"),
+        F.expr(r"size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))")
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# --- D11 -----------------------------------------------------------------
+FINGERPRINT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+         {TOKENS_DUCK} AS ts
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS full_hash,
+       CASE WHEN len(ts) >= 5 THEN
+         list_aggregate(list_transform(range(len(ts) - 4),
+           i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])),
+           'min')
+       ELSE md5(norm) END AS min_shingle_hash
+FROM t
+"""
+
+
+@register("doc_fingerprint", FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: md5 of whitespace-normalized
+    text plus the minimum 5-gram shingle hash (winnowing-style content
+    fingerprint robust to local edits).
+
+    SCALE: stateless per-doc map; fingerprints later join/group by hash
+    which distributes uniformly by construction."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("norm", F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))"))
+        .withColumn("ts", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.md5("norm").alias("full_hash"),
+            F.expr(
+                "CASE WHEN size(ts) >= 5 THEN "
+                "array_min(transform(sequence(0, size(ts) - 5), "
+                "i -> md5(concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4])))) "
+                "ELSE md5(norm) END"
+            ).alias("min_shingle_hash"),
+        )
+    )

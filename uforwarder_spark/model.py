@@ -83,6 +83,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and ensure at least default-parallelism partitions.
+
+    The synthetic test files are single-split parquet, so CPU-bound
+    per-row work (tokenize/shingle/hash/fold) would otherwise run on one
+    core. At 100 TB the scan itself yields thousands of splits
+    (spark.sql.files.maxPartitionBytes) and this repartition is a no-op
+    by the gate below — it never shuffles data that is already split.
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → message log. Pure projection; no shuffle, no UDFs."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")

@@ -1,0 +1,392 @@
+"""D1–D5: deduplication operators — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup detection.
+
+Everything is built-in expressions (split / transform / md5 / array ops)
+— no Python UDFs — so dedup runs entirely inside whole-stage codegen.
+
+Hashing strategy: each shingle/token is md5'd ONCE into a 60-bit integer
+(identical in Spark via conv() and DuckDB via '0x'||hex cast); MinHash
+permutations and SimHash bits are then pure integer arithmetic —
+(a·h + b) mod p and bit shifts — which is ~30× cheaper than hashing per
+permutation and bit-for-bit reproducible across engines.
+
+SCALE (the whole point of these designs):
+- exact dedup: hash-groupBy on md5(norm_text) — uniform keys, one shuffle.
+- MinHash LSH: O(n) signature map → 8 band rows per doc → self-join on
+  band signature values. NEVER an O(n²) cross join: candidate
+  verification touches only same-bucket pairs.
+- SimHash: O(n) tf-weighted bit aggregation per doc.
+- n-gram Jaccard: pairs blocked by source (at 100 TB: by LSH band);
+  intersections via exploded token join + count — vectorized hash joins,
+  no per-pair array loops.
+- embedding cosine: pairs blocked by cluster label (the IVF coarse
+  quantizer); fold-based dot products keep float math sequential and
+  deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKENS_DUCK, TOKENS_SPARK
+from ..model import load_parallel, load_table
+from ..registry import register
+
+N_PERM = 32  # minhash permutations
+N_BANDS = 8  # LSH bands (4 rows each)
+P = 1_000_000_007  # modulus for the permutation family
+
+# Deterministic permutation coefficients a_k, b_k derived from md5 so any
+# engine (or the judge) can re-derive them.
+def _coef(tag: str, k: int) -> int:
+    return int(hashlib.md5(f"{tag}:{k}".encode()).hexdigest()[:7], 16) % (P - 1) + 1
+
+
+A = [_coef("a", k) for k in range(N_PERM)]
+B = [_coef("b", k) for k in range(N_PERM)]
+
+# 60-bit integer hash of a string column, identical cross-engine.
+H_SPARK = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+H_DUCK = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_parallel(spark, sf_dir, "documents")
+
+
+# --- D1 ------------------------------------------------------------------
+DEDUP_EXACT_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT source,
+       count(*)                    AS n_docs,
+       count(DISTINCT h)           AS n_unique,
+       count(*) - count(DISTINCT h) AS n_dups,
+       min(doc_id)                 AS first_doc_id
+FROM n GROUP BY source
+"""
+
+
+@register("dedup_exact", DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash (keep-first semantics); per
+    source: docs vs distinct hashes.
+
+    SCALE: md5 keys distribute uniformly; one shuffle for the
+    distinct-count; at 100 TB use two-level agg (hash, source) first."""
+    docs = _docs(spark, sf_dir)
+    n = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")).alias("h"),
+    )
+    return n.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count("*") - F.countDistinct("h")).alias("n_dups"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+# --- D2 ------------------------------------------------------------------
+def _shingle3_spark() -> str:
+    return (
+        "CASE WHEN size(ts) >= 3 THEN array_distinct(transform(sequence(0, size(ts) - 3), "
+        "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) ELSE array(concat_ws(' ', ts)) END"
+    )
+
+
+def _shingle3_duck() -> str:
+    return (
+        "CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts) - 2), "
+        "i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) "
+        "ELSE [array_to_string(ts, ' ')] END"
+    )
+
+
+# Permuted minhash values from the single 60-bit hash hm (pre-modded so
+# a*hm stays under 2^63).
+_SIG_MINS_DUCK = ",\n         ".join(
+    f"min(({A[k]} * hm + {B[k]}) % {P}) AS s{k}" for k in range(N_PERM)
+)
+_BAND_UNION_DUCK = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, s{4 * b} AS k0, s{4 * b + 1} AS k1, "
+    f"s{4 * b + 2} AS k2, s{4 * b + 3} AS k3 FROM sig"
+    for b in range(N_BANDS)
+)
+
+MINHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+sh3 AS (
+  SELECT doc_id, {_shingle3_duck()} AS g3 FROM t
+),
+ex AS (
+  SELECT doc_id, {H_DUCK.format(col='sh')} % {P} AS hm
+  FROM (SELECT doc_id, unnest(g3) AS sh FROM sh3)
+),
+sig AS (
+  SELECT doc_id,
+         {_SIG_MINS_DUCK}
+  FROM ex GROUP BY doc_id
+),
+band_rows AS (
+{_BAND_UNION_DUCK}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_rows a JOIN band_rows b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.k3 = b.k3 AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(sa.g3) AS BIGINT) AS n_shingles_a,
+       CAST(len(sb.g3) AS BIGINT) AS n_shingles_b,
+       round(CAST(len(list_intersect(sa.g3, sb.g3)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.g3, sb.g3))), 6) AS jaccard
+FROM cand c
+JOIN sh3 sa ON sa.doc_id = c.doc_a
+JOIN sh3 sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.g3, sb.g3)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.g3, sb.g3))) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection: 3-gram token shingles →
+    one 60-bit hash per shingle → 32 arithmetic permutations
+    (a·h+b mod p) → min per permutation → 8 bands × 4 rows joined on the
+    raw 4-tuple → exact-Jaccard verification ≥ 0.5 on candidates only.
+
+    SCALE: signatures are one explode + grouped min-agg (shuffle on
+    doc_id); the band self-join touches only same-bucket rows — at 100 TB
+    bucket sizes stay tiny because only near-dups collide on 4
+    consecutive minhashes; AQE handles any hot bucket."""
+    docs = _docs(spark, sf_dir)
+    sh3 = (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.expr(_shingle3_spark()).alias("g3"))
+        # persist: materialize shingle arrays once — without it Spark's
+        # Generate re-evaluates the transform per exploded output row
+        # (O(shingles^2) per doc), and sh3 is reused by the verify joins.
+        .persist()
+    )
+    ex = sh3.select("doc_id", F.explode("g3").alias("sh")).select(
+        "doc_id", (F.expr(H_SPARK.format(col="sh")) % P).alias("hm")
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min((F.col("hm") * A[k] + B[k]) % P).alias(f"s{k}") for k in range(N_PERM)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"s{4 * b + i}").alias(f"k{i}") for i in range(4)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    band_rows = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.k0", "bb.k1", "bb.k2", "bb.k3"
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.k3") == F.col("b.k3"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh3.select(F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a"))
+    sb = sh3.select(F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b"))
+    jac = F.expr(
+        "CAST(size(array_intersect(g3_a, g3_b)) AS DOUBLE) / size(array_union(g3_a, g3_b))"
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(size(g3_a) AS BIGINT)").alias("n_shingles_a"),
+            F.expr("CAST(size(g3_b) AS BIGINT)").alias("n_shingles_b"),
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+    )
+
+
+# --- D3 ------------------------------------------------------------------
+_SIM_SUMS = ", ".join(
+    f"sum(CASE WHEN (h DIV {2 ** j}) % 2 = 1 THEN tf ELSE -tf END) AS c{j}".replace("DIV", "{div}")
+    for j in range(32)
+)
+_SIM_COMBINE = " + ".join(f"(CASE WHEN c{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(32))
+
+SIMHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+tf AS (
+  SELECT doc_id, {H_DUCK.format(col='tok')} AS h, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM t)
+  GROUP BY doc_id, h
+),
+bits AS (
+  SELECT doc_id,
+         {_SIM_SUMS.format(div='//')}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIM_COMBINE} AS BIGINT) AS simhash
+FROM bits
+"""
+
+
+@register("dedup_simhash", SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: each token hashed once to 60 bits; tf-weighted
+    sums of the low 32 bits; the sign of each bit-sum becomes a
+    fingerprint bit. Near-dups differ in few bits.
+
+    SCALE: explode → tf groupBy (doc_id, token-hash) → 32 conditional
+    sums per doc — two partial-agg shuffles, both on uniform keys."""
+    docs = _docs(spark, sf_dir)
+    t = docs.withColumn("ts", F.expr(TOKENS_SPARK)).select("doc_id", "ts").persist()
+    tf = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .select("doc_id", F.expr(H_SPARK.format(col="tok")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("tf"))
+    )
+    bits = tf.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(CASE WHEN (h DIV {2 ** j}) % 2 = 1 THEN tf ELSE -tf END)").alias(f"c{j}")
+            for j in range(32)
+        ]
+    )
+    return bits.select("doc_id", F.expr(f"CAST({_SIM_COMBINE} AS BIGINT)").alias("simhash"))
+
+
+# --- D4 ------------------------------------------------------------------
+NGRAM_JACCARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, list_distinct({TOKENS_DUCK}) AS ts FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS source,
+       round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
+"""
+
+
+@register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard over candidate pairs blocked by source: the
+    verification kernel of shingle dedup, with 1-gram sets and a 0.9
+    threshold. Computed set-theoretically: |A∩B| from an exploded
+    token equi-join + count, |A∪B| = |A|+|B|−|A∩B| — identical to the
+    oracle's per-pair array intersection (pairs with empty intersection
+    can never reach a 0.9 threshold).
+
+    SCALE: the exploded join shuffles on (source, token) — vectorized
+    hash join + count-agg instead of per-pair array loops; blocking
+    bounds pairs to within-block; AQE splits skewed tokens."""
+    docs = _docs(spark, sf_dir)
+    t = (
+        docs.withColumn("ts", F.expr(f"array_distinct({TOKENS_SPARK})"))
+        .select("doc_id", "source", "ts")
+        .persist()
+    )
+    toks = t.select("doc_id", "source", F.expr("size(ts)").cast("long").alias("n"), F.explode("ts").alias("tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.source").alias("source"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.expr("CAST(inter AS DOUBLE) / (n_a + n_b - inter)")
+    return (
+        inter.withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.9)
+        .select("doc_a", "doc_b", "source", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+# --- D5 ------------------------------------------------------------------
+# Sequential fold-based dot product keeps float summation order identical
+# in Spark (aggregate with 0.0 init) and DuckDB (list_reduce left fold).
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+_DOT_DUCK = "list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]), (x, y) -> x + y)"
+
+EMB_COSINE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round({_DOT_DUCK.format(a='a.v', b='b.v')}
+             / sqrt({_DOT_DUCK.format(a='a.v', b='a.v')}
+                    * {_DOT_DUCK.format(a='b.v', b='b.v')}), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT_DUCK.format(a='a.v', b='b.v')}
+      / sqrt({_DOT_DUCK.format(a='a.v', b='a.v')}
+             * {_DOT_DUCK.format(a='b.v', b='b.v')}) >= 0.4
+"""
+
+
+@register("embedding_cosine_pairs", EMB_COSINE_ORACLE)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ τ within cluster-label blocks
+    (label = the IVF coarse-quantizer cell).
+
+    SCALE: label blocking avoids the O(n²) cross join; per-block pairs
+    shuffle once on label; dot products are codegen'd array folds."""
+    emb = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.expr(
+        f"{_DOT_SPARK.format(a='a.v', b='b.v')} / "
+        f"sqrt({_DOT_SPARK.format(a='a.v', b='a.v')} * {_DOT_SPARK.format(a='b.v', b='b.v')})"
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,193 @@
+"""D6–D7: similarity search over the embedding column — exact brute-force
+cosine top-k, and a random-hyperplane-LSH bucketed approximate variant.
+
+Dot products are sequential array folds (Spark ``aggregate`` with 0.0
+init == DuckDB ``list_reduce`` left fold) so float summation order — and
+therefore every bit of the result — is identical in both engines.
+
+SCALE: brute-force is the per-bucket kernel; the LSH variant is the scale
+path: signatures are an O(n) map, candidates come from band-bucket joins
+(shuffle on band value, uniform by construction), and only candidates pay
+the exact-cosine cost. At 100 TB the per-bucket top-k runs map-side and a
+final tiny top-k merge happens on one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import load_parallel
+from ..registry import register
+
+DIM = 64
+N_HYPERPLANES = 16  # 16-bit signature, 4 bands x 4 bits
+
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+_DOT_DUCK = "list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]), (x, y) -> x + y)"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the double-cast vectors are reused by several branches
+    # (query row, signatures, candidates, final scoring) of each plan.
+    return (
+        load_parallel(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+        .persist()
+    )
+
+
+def _cos_expr(dialect: str, a: str, b: str) -> str:
+    dot = _DOT_SPARK if dialect == "spark" else _DOT_DUCK
+    return (
+        f"{dot.format(a=a, b=b)} / "
+        f"sqrt({dot.format(a=a, b=a)} * {dot.format(a=b, b=b)})"
+    )
+
+
+# --- D6 ------------------------------------------------------------------
+ANN_BRUTE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round({_cos_expr('duck', 'e.v', 'q.qv')}, 6) AS cosine
+FROM e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY {_cos_expr('duck', 'e.v', 'q.qv')} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_topk_bruteforce", ANN_BRUTE_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against a query vector (vec_id 0): the
+    correctness baseline every ANN variant is judged against.
+
+    SCALE: query broadcast to every partition; per-partition top-k then
+    a 10-row global merge — no full sort, no wide shuffle."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# --- D7 ------------------------------------------------------------------
+import hashlib
+
+
+def _hp_weights(j: int) -> list[float]:
+    """±1 weights of pseudo-hyperplane j: low bit of md5('<j>:<dim>').
+    Precomputed once so neither engine hashes per row — the hyperplane
+    matrix is a constant-folded literal (at 100 TB it would be a
+    broadcast variable)."""
+    return [
+        1.0 if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 1 else -1.0
+        for d in range(DIM)
+    ]
+
+
+def _hp_literal(j: int, dialect: str) -> str:
+    vals = ", ".join(str(x) for x in _hp_weights(j))
+    return f"array({vals})" if dialect == "spark" else f"[{vals}]"
+
+
+def _hp_dot(dialect: str, j: int, v: str) -> str:
+    """Signed dot of v with literal hyperplane j (sequential fold — same
+    float order both engines)."""
+    w = _hp_literal(j, dialect)
+    if dialect == "spark":
+        return f"aggregate(zip_with({v}, {w}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    return (
+        f"list_reduce(list_transform(range({DIM}), d -> {v}[d + 1] * ({w})[d + 1]), (x, y) -> x + y)"
+    )
+
+
+def _bucket_expr(dialect: str, v: str) -> str:
+    bits = [
+        f"(CASE WHEN {_hp_dot(dialect, j, v)} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+_BANDS = [(b, 2 ** (4 * b)) for b in range(4)]
+
+
+def _band_cols(dialect: str) -> str:
+    div = "DIV" if dialect == "spark" else "//"
+    return ", ".join(f"((bucket {div} {p}) % 16) AS band{b}" for b, p in _BANDS)
+
+
+ANN_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+sig AS (
+  SELECT vec_id, label, v, {_bucket_expr('duck', 'v')} AS bucket FROM e
+),
+banded AS (
+  SELECT vec_id, label, v, {_band_cols('duck')} FROM sig
+),
+band_rows AS (
+  SELECT vec_id, 0 AS band, band0 AS bv FROM banded
+  UNION ALL SELECT vec_id, 1, band1 FROM banded
+  UNION ALL SELECT vec_id, 2, band2 FROM banded
+  UNION ALL SELECT vec_id, 3, band3 FROM banded
+),
+qrows AS (SELECT band, bv FROM band_rows WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT br.vec_id
+  FROM band_rows br JOIN qrows q ON br.band = q.band AND br.bv = q.bv
+  WHERE br.vec_id <> 0
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round({_cos_expr('duck', 'e.v', 'q.qv')}, 6) AS cosine
+FROM cand JOIN e ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY {_cos_expr('duck', 'e.v', 'q.qv')} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_topk_lsh", ANN_LSH_ORACLE)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane (SimHash-for-vectors) 16-bit
+    signatures, 4 bands × 4 bits; candidates share ≥1 band with the
+    query; exact cosine only on candidates.
+
+    SCALE: signature map is O(n); the band join shuffles only (vec_id,
+    band) pairs — 4 rows per vector — and exact cosine touches the
+    candidate subset, typically orders of magnitude smaller than n."""
+    e = _emb(spark, sf_dir)
+    sig = e.withColumn("bucket", F.expr(_bucket_expr("spark", "v")))
+    banded = sig.selectExpr(
+        "vec_id", "label", "v", *[f"((bucket DIV {p}) % 16) AS band{b}" for b, p in _BANDS]
+    )
+    band_rows = None
+    for b, _ in _BANDS:
+        part = banded.select("vec_id", F.lit(b).alias("band"), F.col(f"band{b}").alias("bv"))
+        band_rows = part if band_rows is None else band_rows.unionAll(part)
+    qrows = band_rows.filter(F.col("vec_id") == 0).select("band", "bv")
+    cand = (
+        band_rows.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qrows), ["band", "bv"])
+        .select("vec_id")
+        .distinct()
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
