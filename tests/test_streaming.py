@@ -1,0 +1,136 @@
+"""E1–E4: Structured Streaming pipelines, driven by a file-parquet stream
+of the message log (stand-in for Kafka) and checked against the batch
+operators computing the same semantics over the same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from uforwarder_spark import model
+from uforwarder_spark.streaming import pipelines as P
+
+
+@pytest.fixture(scope="module")
+def msg_log_dir(tmp_path_factory):
+    from uforwarder_spark.session import get_spark
+
+    spark = get_spark("uforwarder-tests", shuffle_partitions="8")
+    d = tmp_path_factory.mktemp("msglog")
+    P.prepare_message_log(spark, SF_SMALL, str(d))
+    return str(d)
+
+
+def _run_to_memory(df, name, checkpoint, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return q
+
+
+def test_e1_route_dispatch_foreachbatch(spark, msg_log_dir, tmp_path):
+    seen: list[tuple[int, int]] = []
+
+    def dispatch(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+        assert batch_df.filter(F.col("callee_uri").isNull()).count() == 0
+
+    stream = P.message_stream(spark, msg_log_dir, files_per_trigger=2)
+    q = P.dispatch_pipeline(stream, dispatch, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    expected = model.messages(spark, SF_SMALL).filter(F.col("outcome") != "SKIP").count()
+    assert sum(n for _, n in seen) == expected
+    assert len(seen) >= 1
+
+
+def test_e2_windowed_throughput_watermark(spark, msg_log_dir, tmp_path):
+    stream = P.message_stream(spark, msg_log_dir)
+    q = _run_to_memory(
+        P.throughput_stream(stream), "e2_windows", str(tmp_path / "ckpt"), "append"
+    )
+    got = spark.table("e2_windows").toPandas()
+    assert len(got) > 0
+
+    # Batch twin: per (topic, 5-min window) counts; append mode emits only
+    # windows closed by the final watermark (max ts − 10 min lateness).
+    m = model.messages(spark, SF_SMALL)
+    batch = (
+        m.groupBy(F.window("ts", "5 minutes").alias("win"), "topic")
+        .agg(F.count("*").alias("n_msgs"), F.sum("size_bytes").alias("total_bytes"))
+        .select(F.col("win.start").alias("window_start"), "topic", "n_msgs", "total_bytes")
+        .toPandas()
+    )
+    bmap = {(r.topic, r.window_start): (r.n_msgs, r.total_bytes) for r in batch.itertuples()}
+    for r in got.itertuples():
+        assert bmap[(r.topic, r.window_start)] == (r.n_msgs, r.total_bytes)
+    # everything but the tail inside the lateness horizon must have emitted
+    assert len(got) >= len(batch) - 5 * 3  # 5 topics × ≤3 tail windows
+
+
+def test_e3_retry_state_machine(spark, msg_log_dir, tmp_path):
+    stream = P.message_stream(spark, msg_log_dir, files_per_trigger=2)
+    q = _run_to_memory(
+        P.retry_state_stream(stream), "e3_retry", str(tmp_path / "ckpt"), "update"
+    )
+    got = spark.table("e3_retry").toPandas()
+    assert len(got) > 0
+    # counts are cumulative & monotone → final state per key = column max
+    final = got.groupby(["topic", "part_id"]).max().reset_index()
+
+    m = model.messages(spark, SF_SMALL)
+    batch = (
+        m.groupBy("topic", "part_id")
+        .agg(
+            F.sum(F.when(F.col("outcome").isin("OK", "SKIP"), 1).otherwise(0)).alias("n_ok"),
+            F.sum(
+                F.when(
+                    (F.col("outcome") == "RETRY") & (F.col("retry_count") < P.MAX_RETRIES), 1
+                ).otherwise(0)
+            ).alias("n_retry"),
+            F.sum(
+                F.when(
+                    (F.col("outcome") == "DLQ")
+                    | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= P.MAX_RETRIES)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dlq"),
+            F.max("msg_offset").alias("max_offset"),
+        )
+        .toPandas()
+    )
+    bmap = {
+        (r.topic, r.part_id): (r.n_ok, r.n_retry, r.n_dlq, r.max_offset)
+        for r in batch.itertuples()
+    }
+    assert len(final) == len(bmap)
+    for r in final.itertuples():
+        assert bmap[(r.topic, r.part_id)] == (r.n_ok, r.n_retry, r.n_dlq, r.max_offset)
+
+
+def test_e4_streaming_dedup(spark, tmp_path):
+    # source dir with a redelivered copy of every message (two file sets)
+    src = tmp_path / "src"
+    m = model.messages(spark, SF_SMALL)
+    m.write.mode("overwrite").parquet(str(src))
+    import shutil
+
+    for i, f in enumerate(sorted(p for p in src.iterdir() if p.suffix == ".parquet")):
+        shutil.copy(f, str(src / f"redelivery-{i}.parquet"))
+
+    stream = P.message_stream(spark, str(src), files_per_trigger=2)
+    q = _run_to_memory(
+        P.dedup_stream(stream), "e4_dedup", str(tmp_path / "ckpt"), "append"
+    )
+    got = spark.table("e4_dedup")
+    n_unique = m.select("topic", "part_id", "msg_offset").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("topic", "part_id", "msg_offset").distinct().count() == n_unique

@@ -1,0 +1,241 @@
+"""E. Structured Streaming pipelines — uForwarder's always-on worker loop.
+
+The reference's worker is a continuous pipeline: fetch → filter → route →
+dispatch → ack/retry/DLQ (see ``/root/reference/uforwarder-core/src/main/
+java/com/uber/data/kafka/datatransfer/worker/pipelines/KafkaPipeline
+.java`` wiring fetcher → processor → dispatcher). Batch operators A1–A14
+express those semantics over a static log; this module expresses the same
+semantics over an unbounded stream with Structured Streaming.
+
+In production the source is Kafka (``spark.readStream.format("kafka")``
+with the same (topic, partition, offset) identity); tests use a
+file-parquet stream of the identical message schema, which exercises the
+same micro-batch planner, state store, and watermark machinery. Every
+transform here takes and returns a (streaming) DataFrame, so the source
+is swappable — exactly how uForwarder swaps OriginalTopic/RetryTopic/
+DlqTopic fetchers in front of one processor (fetcher/*.java).
+
+SCALE: streaming state (dedup keys, retry-machine state, window partial
+aggs) is keyed by (topic, part_id) — uForwarder's shard unit — so state
+store partitions align with the shuffle and nothing re-keys twice.
+Watermarks bound state: dedup and window state is dropped once event time
+passes the lateness horizon, so state size is O(active windows × keys),
+not O(stream length).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..model import messages
+from ..operators.pipeline import ROUTES
+
+# Message schema shared by the batch projection (model.MESSAGES_SQL_BODY)
+# and the streaming file source (streaming parquet readers need an explicit
+# schema — there is no inference on an unbounded source).
+MESSAGE_SCHEMA = StructType(
+    [
+        StructField("msg_offset", LongType()),
+        StructField("topic", StringType()),
+        StructField("part_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("size_bytes", LongType()),
+        StructField("payload_value", DoubleType()),
+        StructField("outcome", StringType()),
+        StructField("retry_count", LongType()),
+        StructField("acked", BooleanType()),
+        StructField("latency_ms", LongType()),
+    ]
+)
+
+MAX_RETRIES = 5  # reference RetryUtils: retries exhausted → DLQ
+
+
+def prepare_message_log(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the batch message projection as a parquet directory a
+    file-streaming source can tail. Tests use this to stand in for Kafka."""
+    messages(spark, sf_dir).write.mode("overwrite").parquet(out_dir)
+
+
+def message_stream(spark: SparkSession, input_dir: str, files_per_trigger: int = 4) -> DataFrame:
+    """Unbounded message source (stand-in for the Kafka fetcher,
+    fetcher/OriginalTopicKafkaFetcher.java). ``maxFilesPerTrigger`` plays
+    the role of the fetcher's poll batching."""
+    return (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+# --- E1: filter → route → dispatch ---------------------------------------
+def route_stream(stream: DataFrame) -> DataFrame:
+    """Filter + route stage (filter/CompositeFilter.java,
+    common/RoutingUtils.java): drop SKIP-filtered messages, resolve each
+    message's consumer callee uri from its topic's routing config.
+
+    SCALE: stateless — no shuffle, no state store; the routing map is a
+    literal CASE expression (O(topics), codegen'd), the streaming
+    equivalent of the batch broadcast join in A3."""
+    route_expr = F.lit(None).cast("string")
+    for topic, uri in reversed(ROUTES):
+        route_expr = F.when(F.col("topic") == topic, F.lit(uri)).otherwise(route_expr)
+    return (
+        stream.filter(F.col("outcome") != "SKIP")
+        .withColumn("callee_uri", route_expr)
+        .filter(F.col("callee_uri").isNotNull())
+    )
+
+
+def dispatch_pipeline(
+    stream: DataFrame,
+    dispatch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+):
+    """Dispatch boundary (worker/dispatcher/DispatcherImpl.java): each
+    micro-batch of routed messages is handed to ``dispatch`` — in
+    production a gRPC fan-out, in tests a sink capture. foreachBatch is
+    the Spark-idiomatic RPC edge: exactly-once per batch id, retried
+    batches re-invoke with the same id so the callee can dedupe (which is
+    precisely what DedupHeaderInterceptor.java guards)."""
+    return (
+        route_stream(stream)
+        .writeStream.foreachBatch(dispatch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --- E2: windowed throughput with watermark -------------------------------
+def throughput_stream(stream: DataFrame, window: str = "5 minutes", lateness: str = "10 minutes") -> DataFrame:
+    """Streaming twin of A13 (controller/autoscalar/Throughput.java,
+    limiter/WindowedAggregator.java): per-topic msgs/s and bytes/s in
+    tumbling event-time windows, tolerating ``lateness`` of out-of-order
+    arrival before a window finalizes.
+
+    SCALE: partial aggregation happens map-side per micro-batch; the
+    state store holds only open windows (watermark closes them), so state
+    is O(topics × windows-in-horizon). Append mode emits each window once,
+    on close — the autoscaler consumes a clean, final signal."""
+    win_secs = 300 if "5" in window else None
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window).alias("win"), F.col("topic"))
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("size_bytes").alias("total_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "topic",
+            "n_msgs",
+            "total_bytes",
+            (F.col("n_msgs") / F.lit(win_secs or 300)).alias("msgs_per_sec"),
+            (F.col("total_bytes") / F.lit(win_secs or 300)).alias("bytes_per_sec"),
+        )
+    )
+
+
+# --- E3: stateful retry state machine -------------------------------------
+RETRY_STATE_SCHEMA = StructType(
+    [
+        StructField("n_ok", LongType()),
+        StructField("n_retry", LongType()),
+        StructField("n_dlq", LongType()),
+        StructField("max_offset", LongType()),
+    ]
+)
+RETRY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("part_id", LongType()),
+        StructField("n_ok", LongType()),
+        StructField("n_retry", LongType()),
+        StructField("n_dlq", LongType()),
+        StructField("max_offset", LongType()),
+    ]
+)
+
+
+def _retry_machine(key, pdfs: Iterator, state: GroupState):
+    """Per-(topic, part_id) cumulative retry/DLQ transition counts.
+
+    Transition rules mirror the reference's processor outcome handling
+    (processor/ProcessorImpl.java + utils/RetryUtils.java):
+      OK / SKIP                      → acked
+      RETRY with retry_count <  MAX  → retry queue tier
+      RETRY with retry_count >= MAX  → exhausted, lands in DLQ
+      DLQ                            → DLQ (poison pill)
+    """
+    import pandas as pd
+
+    n_ok, n_retry, n_dlq, max_off = (
+        state.get if state.exists else (0, 0, 0, -1)
+    )
+    for pdf in pdfs:
+        ok = pdf["outcome"].isin(["OK", "SKIP"])
+        retry = (pdf["outcome"] == "RETRY") & (pdf["retry_count"] < MAX_RETRIES)
+        dlq = (pdf["outcome"] == "DLQ") | (
+            (pdf["outcome"] == "RETRY") & (pdf["retry_count"] >= MAX_RETRIES)
+        )
+        n_ok += int(ok.sum())
+        n_retry += int(retry.sum())
+        n_dlq += int(dlq.sum())
+        if len(pdf):
+            max_off = max(max_off, int(pdf["msg_offset"].max()))
+    state.update((n_ok, n_retry, n_dlq, max_off))
+    yield pd.DataFrame(
+        {
+            "topic": [key[0]],
+            "part_id": [key[1]],
+            "n_ok": [n_ok],
+            "n_retry": [n_retry],
+            "n_dlq": [n_dlq],
+            "max_offset": [max_off],
+        }
+    )
+
+
+def retry_state_stream(stream: DataFrame) -> DataFrame:
+    """Stateful retry/DLQ state machine over the stream
+    (applyInPandasWithState). Each micro-batch updates per-partition
+    cumulative OK/retry/DLQ counts and emits the new state (update mode).
+
+    SCALE: state is one tiny tuple per (topic, part_id) — bounded by the
+    shard count, not the stream length. Arrow-batched; one shuffle to
+    co-locate each key's rows with its state-store partition."""
+    return stream.groupBy("topic", "part_id").applyInPandasWithState(
+        _retry_machine,
+        RETRY_OUTPUT_SCHEMA,
+        RETRY_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- E4: streaming dedup --------------------------------------------------
+def dedup_stream(stream: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Streaming dispatch dedup (dispatcher/grpc/DedupHeaderInterceptor
+    .java): first delivery per (topic, part_id, msg_offset) wins;
+    redeliveries inside the watermark horizon are dropped.
+
+    SCALE: dropDuplicatesWithinWatermark keeps a state-store key per
+    message id only within the lateness horizon — the watermark expires
+    old keys, so state is O(throughput × horizon), not O(stream)."""
+    return stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["topic", "part_id", "msg_offset"]
+    )
