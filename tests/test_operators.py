@@ -1,0 +1,123 @@
+"""Edge-case unit tests on tiny hand-built frames — the same cases the
+reference tests in isolation (AckTrackingQueueTest gap/commit,
+LongFixedInflightLimiterTest admit/block, HeadBlockingDetectorTest,
+rebalancer balance/stability invariants).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from uforwarder_spark.operators.controller import rendezvous_assign
+from uforwarder_spark.operators.pipeline import (
+    ack_watermark_frame,
+    hol_blocking_frame,
+    inflight_limiter_frame,
+    rate_limit_frame,
+)
+
+MSG_COLS = ["topic", "part_id", "msg_offset", "acked"]
+
+
+def _msgs(spark, rows):
+    return spark.createDataFrame(rows, MSG_COLS)
+
+
+def _row_map(df, *keys):
+    return {tuple(getattr(r, k) for k in keys): r for r in df.collect()}
+
+
+# --- A5 ack watermark -----------------------------------------------------
+def test_ack_watermark_head_unacked_commits_nothing(spark):
+    m = _msgs(spark, [("t", 0, 1, False), ("t", 0, 2, True), ("t", 0, 3, True)])
+    r = ack_watermark_frame(m).collect()[0]
+    assert r.committed_offset is None  # head gap blocks the commit point
+    assert r.high_watermark == 3 and r.n_acked == 2
+
+
+def test_ack_watermark_prefix_then_gap(spark):
+    m = _msgs(
+        spark,
+        [("t", 0, 1, True), ("t", 0, 2, True), ("t", 0, 3, False), ("t", 0, 4, True)],
+    )
+    r = ack_watermark_frame(m).collect()[0]
+    assert r.committed_offset == 2  # out-of-order ack at 4 cannot commit past 3
+
+
+def test_ack_watermark_all_acked_and_per_partition(spark):
+    m = _msgs(
+        spark,
+        [("t", 0, 1, True), ("t", 0, 2, True), ("t", 1, 10, False), ("t", 1, 11, True)],
+    )
+    by_part = _row_map(ack_watermark_frame(m), "part_id")
+    assert by_part[(0,)].committed_offset == 2
+    assert by_part[(1,)].committed_offset is None  # partitions are independent
+
+
+# --- A7 inflight limiter --------------------------------------------------
+def test_inflight_under_limit_admits_all(spark):
+    m = _msgs(spark, [("t", 0, i, False) for i in range(3)])
+    r = inflight_limiter_frame(m, limit=5).collect()[0]
+    assert (r.n_admitted, r.n_blocked) == (3, 0)
+
+
+def test_inflight_over_limit_blocks_in_offset_order(spark):
+    m = _msgs(spark, [("t", 0, i, False) for i in range(10)] + [("t", 0, 99, True)])
+    r = inflight_limiter_frame(m, limit=4).collect()[0]
+    assert (r.n_admitted, r.n_blocked) == (4, 6)
+    assert r.last_admitted_offset == 3  # permits granted to the lowest offsets
+    assert r.n_pending == 10  # acked messages hold no permit
+
+
+# --- A6 head-of-line blocking --------------------------------------------
+def test_hol_threshold_boundary(spark):
+    # head offset 0 stuck; exactly `threshold` acked messages behind it
+    m = _msgs(spark, [("t", 0, 0, False)] + [("t", 0, i, True) for i in range(1, 4)])
+    r = hol_blocking_frame(m, threshold=3).collect()[0]
+    assert r.head_offset == 0 and r.acked_behind_head == 3 and bool(r.is_blocked)
+    r2 = hol_blocking_frame(m, threshold=4).collect()[0]
+    assert not bool(r2.is_blocked)
+
+
+def test_hol_fully_acked_partition_excluded(spark):
+    m = _msgs(spark, [("t", 0, 0, True), ("t", 1, 0, False), ("t", 1, 1, True)])
+    rows = hol_blocking_frame(m, threshold=1).collect()
+    assert len(rows) == 1 and rows[0].part_id == 1  # no head → nothing to detect
+
+
+# --- A8 rate limit --------------------------------------------------------
+def test_rate_limit_caps_per_minute_window(spark):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 1, 30)
+    rows = [("t", 0, i, t0) for i in range(5)] + [("t", 0, 100 + i, t1) for i in range(2)]
+    m = spark.createDataFrame(rows, ["topic", "part_id", "msg_offset", "ts"])
+    r = rate_limit_frame(m, rate=3).collect()[0]
+    # window 1: 3 allowed, 2 throttled; window 2 under cap: 2 allowed
+    assert (r.n_msgs, r.n_allowed, r.n_throttled) == (7, 5, 2)
+
+
+# --- B1 rendezvous assignment --------------------------------------------
+def test_rendezvous_assigns_every_job_once(spark):
+    jobs = spark.createDataFrame([("a", p) for p in range(8)], ["topic", "part_id"])
+    workers = spark.createDataFrame([(f"w{i}",) for i in range(3)], ["worker"])
+    a = rendezvous_assign(jobs, workers)
+    assert a.count() == 8
+    assert a.select("topic", "part_id").distinct().count() == 8
+    used = {r.assigned_worker for r in a.collect()}
+    assert used <= {"w0", "w1", "w2"}
+
+
+def test_rendezvous_minimal_movement_on_worker_loss(spark):
+    jobs = spark.createDataFrame([("a", p) for p in range(32)], ["topic", "part_id"])
+    w3 = spark.createDataFrame([("w0",), ("w1",), ("w2",)], ["worker"])
+    w2 = spark.createDataFrame([("w0",), ("w1",)], ["worker"])
+    before = _row_map(rendezvous_assign(jobs, w3), "topic", "part_id")
+    after = _row_map(rendezvous_assign(jobs, w2), "topic", "part_id")
+    for key, b in before.items():
+        if b.assigned_worker != "w2":
+            # jobs not on the lost worker must not move (HRW stability)
+            assert after[key].assigned_worker == b.assigned_worker
+        else:
+            assert after[key].assigned_worker in ("w0", "w1")

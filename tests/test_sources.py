@@ -1,0 +1,72 @@
+"""Sources: Kafka record parsing, offset-range pruned scans, and the
+(topic, date)-partitioned log layout (pruning verified in the plan).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from uforwarder_spark import model
+from uforwarder_spark.sources import readers as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kafka_stream_options_shape():
+    opts = R.kafka_stream_options(
+        "b1:9092,b2:9092",
+        ["click", "view"],
+        starting_offsets={"click": {"0": 100, "1": 200}},
+        max_offsets_per_trigger=5000,
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "click,view"
+    assert '"click"' in opts["startingOffsets"] and '"0": 100' in opts["startingOffsets"]
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+
+
+def test_parse_kafka_records(spark):
+    rows = [
+        (b"k1", b"payload-one", "click", 0, 7, datetime(2024, 1, 1), [("h1", b"v1")]),
+        (b"k2", b"pp", "view", 3, 9, datetime(2024, 1, 2), []),
+    ]
+    schema = (
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, headers array<struct<key: string, value: binary>>"
+    )
+    out = R.parse_kafka_records(spark.createDataFrame(rows, schema)).collect()
+    by_off = {r.msg_offset: r for r in out}
+    assert by_off[7].topic == "click" and by_off[7].part_id == 0
+    assert by_off[7].size_bytes == len(b"payload-one") + 64
+    assert by_off[7].headers == {"h1": bytearray(b"v1")}
+    assert by_off[9].headers == {}
+
+
+def test_offset_range_scan_matches_and_pushes_down(spark):
+    df = R.offset_range_scan(spark, SF_SMALL, "click", 100, 400)
+    rows = df.collect()
+    m = model.messages(spark, SF_SMALL).collect()
+    expected = [r for r in m if r.topic == "click" and 100 <= r.msg_offset < 400]
+    assert len(rows) == len(expected)
+    plan = _plan(df)
+    # both predicates reach the parquet scan on the underlying columns
+    assert "PushedFilters" in plan
+    assert "event_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_partitioned_log_roundtrip_and_pruning(spark, tmp_path):
+    m = model.messages(spark, SF_SMALL)
+    R.write_partitioned_log(m, str(tmp_path / "log"))
+    back = R.read_partitioned_log(spark, str(tmp_path / "log"))
+    assert back.count() == m.count()
+
+    one_topic = back.filter(F.col("topic") == "click")
+    assert one_topic.count() == m.filter(F.col("topic") == "click").count()
+    plan = _plan(one_topic)
+    # topic predicate prunes directories, not rows
+    assert "PartitionFilters" in plan and "topic" in plan.split("PartitionFilters")[1][:200]

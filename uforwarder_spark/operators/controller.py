@@ -56,6 +56,23 @@ FROM scored WHERE rn = 1
 """
 
 
+def rendezvous_assign(jobs: DataFrame, workers: DataFrame) -> DataFrame:
+    """Frame-level B1: rendezvous (highest-random-weight) assignment of
+    jobs(topic, part_id) onto workers(worker). Unit-testable for the
+    rebalancer invariants the reference asserts (every job assigned
+    exactly once; removing a worker only moves that worker's jobs)."""
+    scored = jobs.crossJoin(F.broadcast(workers)).withColumn(
+        "score",
+        F.md5(F.concat_ws("-", F.col("topic"), F.col("part_id").cast("string"), F.col("worker"))),
+    )
+    w = Window.partitionBy("topic", "part_id").orderBy(F.col("score").desc(), F.col("worker"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("topic", "part_id", F.col("worker").alias("assigned_worker"))
+    )
+
+
 @register("partition_assignment", ASSIGN_ORACLE)
 def partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AbstractRpcUriRebalancer / RebalancerCommon
@@ -69,18 +86,7 @@ def partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE: jobs × workers is O(topics·partitions·workers) control-plane
     metadata — thousands of rows, never message-scale. Cross join + window
     run in one tiny stage."""
-    jobs = _jobs_df(spark, sf_dir)
-    workers = _workers_df(spark)
-    scored = jobs.crossJoin(F.broadcast(workers)).withColumn(
-        "score",
-        F.md5(F.concat_ws("-", F.col("topic"), F.col("part_id").cast("string"), F.col("worker"))),
-    )
-    w = Window.partitionBy("topic", "part_id").orderBy(F.col("score").desc(), F.col("worker"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("topic", "part_id", F.col("worker").alias("assigned_worker"))
-    )
+    return rendezvous_assign(_jobs_df(spark, sf_dir), _workers_df(spark))
 
 
 # --- B2 ------------------------------------------------------------------

@@ -170,16 +170,10 @@ GROUP BY topic, part_id
 """
 
 
-@register("ack_commit_watermark", ACK_WATERMARK_ORACLE)
-def ack_commit_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AckTrackingQueue / LinkedAckTrackingQueue / AckManager
-    (processor/LinkedAckTrackingQueue.java): out-of-order acks commit only
-    the largest prefix-contiguous acked offset per partition; NULL if the
-    partition head is unacked.
-
-    SCALE: one shuffle on (topic, part_id) for the running-sum window;
-    the agg reuses the same partitioning (no second shuffle)."""
-    m = messages(spark, sf_dir)
+def ack_watermark_frame(m: DataFrame) -> DataFrame:
+    """Frame-level A5 over any messages-shaped frame (unit-testable on
+    hand-built gap/out-of-order cases, like the reference's
+    AckTrackingQueueTest)."""
     w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
     flagged = m.withColumn(
         "unacked_upto", F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w)
@@ -190,6 +184,18 @@ def ack_commit_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_msgs"),
         F.sum(F.when(F.col("acked"), 1).otherwise(0)).alias("n_acked"),
     )
+
+
+@register("ack_commit_watermark", ACK_WATERMARK_ORACLE)
+def ack_commit_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AckTrackingQueue / LinkedAckTrackingQueue / AckManager
+    (processor/LinkedAckTrackingQueue.java): out-of-order acks commit only
+    the largest prefix-contiguous acked offset per partition; NULL if the
+    partition head is unacked.
+
+    SCALE: one shuffle on (topic, part_id) for the running-sum window;
+    the agg reuses the same partitioning (no second shuffle)."""
+    return ack_watermark_frame(messages(spark, sf_dir))
 
 
 # --- A6 ------------------------------------------------------------------
@@ -213,15 +219,9 @@ GROUP BY h.topic, h.part_id, h.head_offset
 """
 
 
-@register("head_of_line_blocking", HOL_ORACLE)
-def head_of_line_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HeadBlockingDetector (processor/HeadBlockingDetector.java): a
-    partition is head-of-line blocked when its oldest unacked (head)
-    message is stuck while many later messages completed.
-
-    SCALE: two aggs over the same (topic, part_id) partitioning — the
-    heads side is tiny (one row per partition) and broadcast back."""
-    m = messages(spark, sf_dir)
+def hol_blocking_frame(m: DataFrame, threshold: int = 100) -> DataFrame:
+    """Frame-level A6: head-of-line blocked partitions (unit-testable —
+    mirrors HeadBlockingDetectorTest's stuck-head cases)."""
     heads = (
         m.groupBy("topic", "part_id")
         .agg(F.min(F.when(~F.col("acked"), F.col("msg_offset"))).alias("head_offset"))
@@ -233,8 +233,19 @@ def head_of_line_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("topic", "part_id", "head_offset").agg(
         acked_behind.alias("acked_behind_head"),
-        (acked_behind >= 100).alias("is_blocked"),
+        (acked_behind >= threshold).alias("is_blocked"),
     )
+
+
+@register("head_of_line_blocking", HOL_ORACLE)
+def head_of_line_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeadBlockingDetector (processor/HeadBlockingDetector.java): a
+    partition is head-of-line blocked when its oldest unacked (head)
+    message is stuck while many later messages completed.
+
+    SCALE: two aggs over the same (topic, part_id) partitioning — the
+    heads side is tiny (one row per partition) and broadcast back."""
+    return hol_blocking_frame(messages(spark, sf_dir))
 
 
 # --- A7 ------------------------------------------------------------------
@@ -255,6 +266,20 @@ GROUP BY topic, part_id
 """
 
 
+def inflight_limiter_frame(m: DataFrame, limit: int = INFLIGHT_LIMIT) -> DataFrame:
+    """Frame-level A7: admit ≤ limit unacked per partition in offset order
+    (unit-testable — mirrors LongFixedInflightLimiterTest admit/block)."""
+    pending = m.filter(~F.col("acked")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("topic", "part_id").orderBy("msg_offset"))
+    )
+    return pending.groupBy("topic", "part_id").agg(
+        F.count("*").alias("n_pending"),
+        F.sum(F.when(F.col("rn") <= limit, 1).otherwise(0)).alias("n_admitted"),
+        F.sum(F.when(F.col("rn") > limit, 1).otherwise(0)).alias("n_blocked"),
+        F.max(F.when(F.col("rn") <= limit, F.col("msg_offset"))).alias("last_admitted_offset"),
+    )
+
+
 @register("inflight_limiter", INFLIGHT_ORACLE)
 def inflight_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LongFixedInflightLimiter (limiter/LongFixedInflightLimiter.java):
@@ -263,16 +288,7 @@ def inflight_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE: row_number windows over the native (topic, part_id) shard —
     one shuffle, then agg reuses the partitioning."""
-    m = messages(spark, sf_dir).filter(~F.col("acked"))
-    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
-    pending = m.withColumn("rn", F.row_number().over(w))
-    lim = INFLIGHT_LIMIT
-    return pending.groupBy("topic", "part_id").agg(
-        F.count("*").alias("n_pending"),
-        F.sum(F.when(F.col("rn") <= lim, 1).otherwise(0)).alias("n_admitted"),
-        F.sum(F.when(F.col("rn") > lim, 1).otherwise(0)).alias("n_blocked"),
-        F.max(F.when(F.col("rn") <= lim, F.col("msg_offset"))).alias("last_admitted_offset"),
-    )
+    return inflight_limiter_frame(messages(spark, sf_dir))
 
 
 # --- A8 ------------------------------------------------------------------
@@ -295,6 +311,19 @@ GROUP BY topic
 """
 
 
+def rate_limit_frame(m: DataFrame, rate: int = RATE_LIMIT) -> DataFrame:
+    """Frame-level A8: ≤ rate messages per topic per 1-min window, granted
+    in offset order (unit-testable token-bucket cases)."""
+    window_epoch = F.expr("CAST(unix_timestamp(ts) DIV 60 AS BIGINT) * 60")
+    w = Window.partitionBy("topic", "window_epoch").orderBy("msg_offset")
+    bucketed = m.withColumn("window_epoch", window_epoch).withColumn("rn", F.row_number().over(w))
+    return bucketed.groupBy("topic").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(F.when(F.col("rn") <= rate, 1).otherwise(0)).alias("n_allowed"),
+        F.sum(F.when(F.col("rn") > rate, 1).otherwise(0)).alias("n_throttled"),
+    )
+
+
 @register("rate_limit_tokens", RATE_ORACLE)
 def rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bucket throttling (reference uses Guava RateLimiter inside the
@@ -304,15 +333,7 @@ def rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE: window keyed by (topic, minute) — high cardinality keys spread
     evenly; row_number + agg share one shuffle."""
-    m = messages(spark, sf_dir)
-    window_epoch = F.expr("CAST(unix_timestamp(ts) DIV 60 AS BIGINT) * 60")
-    w = Window.partitionBy("topic", "window_epoch").orderBy("msg_offset")
-    bucketed = m.withColumn("window_epoch", window_epoch).withColumn("rn", F.row_number().over(w))
-    return bucketed.groupBy("topic").agg(
-        F.count("*").alias("n_msgs"),
-        F.sum(F.when(F.col("rn") <= RATE_LIMIT, 1).otherwise(0)).alias("n_allowed"),
-        F.sum(F.when(F.col("rn") > RATE_LIMIT, 1).otherwise(0)).alias("n_throttled"),
-    )
+    return rate_limit_frame(messages(spark, sf_dir))
 
 
 # --- A9 ------------------------------------------------------------------
