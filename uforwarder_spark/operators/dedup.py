@@ -166,37 +166,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a·h+b mod p) → min per permutation → 8 bands × 4 rows joined on the
     raw 4-tuple → exact-Jaccard verification ≥ 0.5 on candidates only.
 
-    SCALE: signatures are one explode + grouped min-agg (shuffle on
-    doc_id); the band self-join touches only same-bucket rows — at 100 TB
-    bucket sizes stay tiny because only near-dups collide on 4
-    consecutive minhashes; AQE handles any hot bucket."""
+    SCALE: the signature is a pure MAP — per-doc shingle hashes live in an
+    array and each permutation's min is an array_min fold — so the
+    O(|shingles|) explode + grouped-min SHUFFLE a naive plan pays never
+    happens; the only shuffles left are the tiny band self-join and the
+    candidate verify joins. Band buckets stay small because only near-dups
+    collide on 4 consecutive minhashes; AQE handles any hot bucket."""
     docs = _docs(spark, sf_dir)
     sh3 = (
         docs.withColumn("ts", F.expr(TOKENS_SPARK))
         .select("doc_id", F.expr(_shingle3_spark()).alias("g3"))
-        # persist: materialize shingle arrays once — without it Spark's
-        # Generate re-evaluates the transform per exploded output row
-        # (O(shingles^2) per doc), and sh3 is reused by the verify joins.
+        .withColumn(
+            "hs", F.expr(f"transform(g3, sh -> {H_SPARK.format(col='sh')} % {P})")
+        )
+        # persist: materialize shingle arrays + hashes once; sh3 feeds the
+        # signature map and both sides of the verify join.
         .persist()
     )
-    ex = sh3.select("doc_id", F.explode("g3").alias("sh")).select(
-        "doc_id", (F.expr(H_SPARK.format(col="sh")) % P).alias("hm")
+    # All 32 permutation-mins as one nested fold over coefficient-array
+    # literals: same math, ~30× smaller codegen source than 32 separate
+    # array_min projections (janino compile time is per-plan driver cost).
+    a_lit = "array(" + ", ".join(map(str, A)) + ")"
+    b_lit = "array(" + ", ".join(map(str, B)) + ")"
+    sig = sh3.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {N_PERM - 1}), k -> "
+            f"array_min(transform(hs, h -> (h * {a_lit}[k] + {b_lit}[k]) % {P})))"
+        ).alias("sig"),
     )
-    sig = ex.groupBy("doc_id").agg(
-        *[F.min((F.col("hm") * A[k] + B[k]) % P).alias(f"s{k}") for k in range(N_PERM)]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                *[F.col(f"s{4 * b + i}").alias(f"k{i}") for i in range(4)],
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, "
+                "sig[4*b] AS k0, sig[4*b+1] AS k1, sig[4*b+2] AS k2, sig[4*b+3] AS k3))"
             )
-            for b in range(N_BANDS)
-        ]
-    )
-    band_rows = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "bb.band", "bb.k0", "bb.k1", "bb.k2", "bb.k3"
-    )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.k0", "bb.k1", "bb.k2", "bb.k3")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -264,23 +271,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums of the low 32 bits; the sign of each bit-sum becomes a
     fingerprint bit. Near-dups differ in few bits.
 
-    SCALE: explode → tf groupBy (doc_id, token-hash) → 32 conditional
-    sums per doc — two partial-agg shuffles, both on uniform keys."""
+    SCALE: a pure MAP with zero shuffles. The oracle's tf-weighted sum
+    over distinct token hashes equals the plain ±1 sum over token
+    OCCURRENCES (each occurrence of hash h contributes s_j(h) once, so
+    the total is tf(h)·s_j(h)) — so the whole fingerprint is one nested
+    fold per row, no explode, no tf groupBy, and the codegen source stays
+    small. Docs with no tokens are excluded, matching the oracle's unnest
+    semantics."""
     docs = _docs(spark, sf_dir)
-    t = docs.withColumn("ts", F.expr(TOKENS_SPARK)).select("doc_id", "ts").persist()
-    tf = (
-        t.select("doc_id", F.explode("ts").alias("tok"))
-        .select("doc_id", F.expr(H_SPARK.format(col="tok")).alias("h"))
-        .groupBy("doc_id", "h")
-        .agg(F.count("*").alias("tf"))
+    hs = docs.select(
+        "doc_id",
+        F.expr(f"transform({TOKENS_SPARK}, tok -> {H_SPARK.format(col='tok')})").alias("hs"),
+    ).filter(F.expr("size(hs) > 0"))
+    sim_fold = (
+        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + "
+        "CASE WHEN aggregate(hs, 0L, (a2, h) -> a2 + "
+        "CASE WHEN (h DIV shiftleft(1L, j)) % 2 = 1 THEN 1L ELSE -1L END) > 0 "
+        "THEN shiftleft(1L, j) ELSE 0L END)"
     )
-    bits = tf.groupBy("doc_id").agg(
-        *[
-            F.expr(f"sum(CASE WHEN (h DIV {2 ** j}) % 2 = 1 THEN tf ELSE -tf END)").alias(f"c{j}")
-            for j in range(32)
-        ]
-    )
-    return bits.select("doc_id", F.expr(f"CAST({_SIM_COMBINE} AS BIGINT)").alias("simhash"))
+    return hs.select("doc_id", F.expr(sim_fold).alias("simhash"))
 
 
 # --- D4 ------------------------------------------------------------------

@@ -118,6 +118,23 @@ def _bucket_expr(dialect: str, v: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+# Spark-side bucket: the hyperplane matrix as ONE nested-array literal and
+# a fold over j. Same math as _bucket_expr (the oracle keeps the expanded
+# form) but the codegen source is ~16× smaller — large expression trees
+# cost seconds of janino compile per plan, which at 1000 executors is pure
+# driver-side dead time.
+_HP_MATRIX = (
+    "array("
+    + ", ".join(_hp_literal(j, "spark") for j in range(N_HYPERPLANES))
+    + ")"
+)
+_BUCKET_FOLD = (
+    f"aggregate(sequence(0, {N_HYPERPLANES - 1}), 0L, (acc, j) -> acc + "
+    f"CASE WHEN aggregate(zip_with({{v}}, {_HP_MATRIX}[j], (x, y) -> x * y), 0.0D, "
+    f"(a2, x) -> a2 + x) > 0 THEN shiftleft(1L, j) ELSE 0L END)"
+)
+
+
 _BANDS = [(b, 2 ** (4 * b)) for b in range(4)]
 
 
@@ -165,16 +182,21 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE: signature map is O(n); the band join shuffles only (vec_id,
     band) pairs — 4 rows per vector — and exact cosine touches the
-    candidate subset, typically orders of magnitude smaller than n."""
+    candidate subset, typically orders of magnitude smaller than n. Bands
+    come from ONE explode (not a 4-way union re-scanning the signatures),
+    and the bucket is a fold over a nested hyperplane literal so the
+    codegen stays small."""
     e = _emb(spark, sf_dir)
-    sig = e.withColumn("bucket", F.expr(_bucket_expr("spark", "v")))
-    banded = sig.selectExpr(
-        "vec_id", "label", "v", *[f"((bucket DIV {p}) % 16) AS band{b}" for b, p in _BANDS]
-    )
-    band_rows = None
-    for b, _ in _BANDS:
-        part = banded.select("vec_id", F.lit(b).alias("band"), F.col(f"band{b}").alias("bv"))
-        band_rows = part if band_rows is None else band_rows.unionAll(part)
+    sig = e.withColumn("bucket", F.expr(_BUCKET_FOLD.format(v="v")))
+    band_rows = sig.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, (bucket DIV shiftleft(1L, 4 * b)) % 16 AS bv))"
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bv")
     qrows = band_rows.filter(F.col("vec_id") == 0).select("band", "bv")
     cand = (
         band_rows.filter(F.col("vec_id") != 0)
