@@ -311,3 +311,60 @@ def hibernating_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("recent_msgs"), F.lit(0)) == 0).alias("hibernated"),
         )
     )
+
+
+# --- B7 ------------------------------------------------------------------
+COLOCATE_ORACLE = f"""{MSG_CTE},
+topics AS (SELECT DISTINCT topic FROM messages),
+scored AS (
+  SELECT t.topic, w.worker,
+         row_number() OVER (
+           PARTITION BY t.topic
+           ORDER BY md5(t.topic || '@' || w.worker) DESC, w.worker) AS rn
+  FROM topics t CROSS JOIN {WORKERS_SQL}
+),
+tassign AS (SELECT topic, worker FROM scored WHERE rn = 1),
+jobs AS (
+  SELECT topic, part_id, count(*) AS n_msgs FROM messages GROUP BY topic, part_id
+)
+SELECT a.worker,
+       count(DISTINCT j.topic)       AS n_topics,
+       count(*)                      AS n_jobs,
+       CAST(sum(j.n_msgs) AS BIGINT) AS total_msgs
+FROM jobs j JOIN tassign a USING (topic)
+GROUP BY a.worker
+"""
+
+
+@register("colocating_assignment", COLOCATE_ORACLE)
+def colocating_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RpcJobColocatingRebalancer
+    (consumerproxy/controller/rebalancer/RpcJobColocatingRebalancer.java):
+    place all jobs of one job group (here: topic) on the SAME worker so a
+    consumer's partitions share connections and batch state; report the
+    per-worker load the colocation produces. Assignment is rendezvous
+    hashing at topic granularity — stable under worker churn like B1.
+
+    SCALE: topic→worker table is O(topics) and broadcast; per-job load is
+    the only message-scale agg (one shuffle), then a tiny agg by worker."""
+    m = messages(spark, sf_dir)
+    topics = m.select("topic").distinct()
+    workers = _workers_df(spark)
+    w = Window.partitionBy("topic").orderBy(F.col("score").desc(), F.col("worker"))
+    tassign = (
+        topics.crossJoin(F.broadcast(workers))
+        .withColumn("score", F.md5(F.concat_ws("@", F.col("topic"), F.col("worker"))))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("topic", "worker")
+    )
+    jobs = m.groupBy("topic", "part_id").agg(F.count("*").alias("n_msgs"))
+    return (
+        jobs.join(F.broadcast(tassign), "topic")
+        .groupBy("worker")
+        .agg(
+            F.countDistinct("topic").alias("n_topics"),
+            F.count("*").alias("n_jobs"),
+            F.sum("n_msgs").alias("total_msgs"),
+        )
+    )

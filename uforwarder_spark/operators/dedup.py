@@ -399,3 +399,44 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+# --- D14 -----------------------------------------------------------------
+DEDUP_REPS_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT h,
+       count(*)          AS n_members,
+       min(doc_id)       AS keep_doc_id,
+       count(*) - 1      AS n_dropped
+FROM n GROUP BY h HAVING count(*) > 1
+"""
+
+
+@register("dedup_representatives", DEDUP_REPS_ORACLE)
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one side of exact dedup: every duplicate group (same
+    normalized-text hash, >1 member) with its kept representative
+    (min doc_id — keep-first) and the count dropped. Joining this back to
+    documents anti-style yields the deduplicated corpus; D1 reports the
+    per-source accounting.
+
+    SCALE: one shuffle on the md5 hash (uniform by construction); the
+    HAVING prunes singleton groups map-side after partial agg."""
+    docs = _docs(spark, sf_dir)
+    n = docs.select(
+        "doc_id",
+        F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")).alias("h"),
+    )
+    return (
+        n.groupBy("h")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

@@ -548,3 +548,57 @@ def consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("unacked_upto") == 0, F.col("msg_offset"))).alias("committed_offset"),
         F.sum(F.when(F.col("unacked_upto") > 0, 1).otherwise(0)).alias("lag_msgs"),
     )
+
+
+# --- A15 -----------------------------------------------------------------
+TARGET_LATENCY_MS = 50.0
+VEGAS_ORACLE = f"""{MSG_CTE},
+lat AS (
+  SELECT topic, part_id, quantile_cont(latency_ms, 0.95) AS p95
+  FROM messages GROUP BY topic, part_id
+)
+SELECT topic, part_id, round(p95, 6) AS p95_ms,
+       greatest(4, least(200,
+         CAST(floor({INFLIGHT_LIMIT} * {TARGET_LATENCY_MS} / p95) AS BIGINT))) AS adapted_limit,
+       CASE WHEN greatest(4, least(200,
+              CAST(floor({INFLIGHT_LIMIT} * {TARGET_LATENCY_MS} / p95) AS BIGINT))) > {INFLIGHT_LIMIT}
+            THEN 'grow'
+            WHEN greatest(4, least(200,
+              CAST(floor({INFLIGHT_LIMIT} * {TARGET_LATENCY_MS} / p95) AS BIGINT))) < {INFLIGHT_LIMIT}
+            THEN 'shrink' ELSE 'hold' END AS decision
+FROM lat
+"""
+
+
+@register("adaptive_inflight_vegas", VEGAS_ORACLE)
+def adaptive_inflight_vegas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VegasAdaptiveInflightLimiter / AdaptiveInflightLimiter
+    (limiter/VegasAdaptiveInflightLimiter.java): adapt the in-flight cap
+    from latency feedback, TCP-Vegas style — when observed latency rises
+    above target the window shrinks, when it is comfortably below the
+    window grows; clamped to [4, 200]. Here the feedback signal is the
+    per-partition p95 dispatch latency scaling the fixed base cap.
+
+    SCALE: one partial-agg percentile per (topic, part_id) — same single
+    shuffle as A12; the cap arithmetic is pure projection."""
+    m = messages(spark, sf_dir)
+    lat = m.groupBy("topic", "part_id").agg(
+        F.expr("percentile(latency_ms, 0.95)").alias("p95")
+    )
+    limit_expr = F.greatest(
+        F.lit(4),
+        F.least(
+            F.lit(200),
+            F.floor(F.lit(INFLIGHT_LIMIT) * F.lit(TARGET_LATENCY_MS) / F.col("p95")).cast("long"),
+        ),
+    )
+    return lat.select(
+        "topic",
+        "part_id",
+        F.round("p95", 6).alias("p95_ms"),
+        limit_expr.alias("adapted_limit"),
+        F.when(limit_expr > INFLIGHT_LIMIT, "grow")
+        .when(limit_expr < INFLIGHT_LIMIT, "shrink")
+        .otherwise("hold")
+        .alias("decision"),
+    )

@@ -213,3 +213,68 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# --- D13 -----------------------------------------------------------------
+N_PROBE = 2
+
+ANN_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+reps AS (
+  SELECT e.label, e.v AS rep_v
+  FROM e JOIN (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+    ON e.vec_id = r.rep_id
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probed AS (
+  SELECT reps.label
+  FROM reps CROSS JOIN q
+  ORDER BY {_cos_expr('duck', 'reps.rep_v', 'q.qv')} DESC, reps.label
+  LIMIT {N_PROBE}
+)
+SELECT e.vec_id, e.label,
+       round({_cos_expr('duck', 'e.v', 'q.qv')}, 6) AS cosine
+FROM e JOIN probed USING (label) CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY {_cos_expr('duck', 'e.v', 'q.qv')} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_topk_ivf", ANN_IVF_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: the label column is the coarse
+    quantizer's cell id; each cell's representative is its min-vec_id
+    member (a deterministic medoid stand-in, so results are bit-exact
+    cross-engine — a float centroid mean would not be). Search probes the
+    N_PROBE cells whose representative is most query-similar, then scores
+    exactly only inside those cells — the IVF nprobe trade-off.
+
+    SCALE: the cell-representative table is O(cells) and broadcast; the
+    probe decision is O(cells) work; exact cosine touches only
+    |probed cells| / |cells| of the data. At 100 TB the data is
+    partitioned by cell so probing prunes whole partitions at the scan."""
+    e = _emb(spark, sf_dir)
+    rep_ids = e.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    reps = e.join(F.broadcast(rep_ids), ["label", "vec_id"]).select(
+        "label", F.col("v").alias("rep_v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probed = (
+        reps.crossJoin(F.broadcast(q))
+        .withColumn("rep_cos", F.expr(_cos_expr("spark", "rep_v", "qv")))
+        .orderBy(F.col("rep_cos").desc(), "label")
+        .limit(N_PROBE)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )

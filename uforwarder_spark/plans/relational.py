@@ -338,3 +338,46 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_day_rev").cast("double").alias("day_rev"),
         F.sum("_day_rev").over(w).cast("double").alias("cum_rev"),
     )
+
+
+# --- C9 ------------------------------------------------------------------
+ROLLUP_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS priority, year(o_orderdate) AS yr,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT coalesce(priority, 'ALL')            AS priority,
+       coalesce(CAST(yr AS BIGINT), -1)     AS order_year,
+       count(*)                             AS n_orders,
+       CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+FROM o
+GROUP BY ROLLUP(priority, yr)
+"""
+
+
+@register("rollup_revenue", ROLLUP_ORACLE)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (priority, year) → (priority) → () in one pass
+    — the hypertable-rollup pattern: Catalyst expands the grouping sets
+    and keeps the aggregation partial, so all three levels cost one
+    shuffle of the base agg, not three scans.
+
+    SCALE: rollup output is O(|priorities| × |years|); decimal-exact
+    money sum; NULL grouping levels are coalesced to sentinel values so
+    downstream consumers (and the oracle hash) see a total order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        _dec("o_totalprice").alias("price"),
+    )
+    return (
+        o.rollup("priority", "yr")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("price"), 2).cast("double").alias("total_price"))
+        .select(
+            F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("yr"), F.lit(-1)).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+    )
