@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the properties the 100 TB design depends on
+— dim joins broadcast, filters reach the parquet scan, no accidental
+cartesian products, whole-stage codegen covers the hot path. A plan
+regression here is a scale bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from uforwarder_spark.registry import QUERIES
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["route_messages", "tpch_q3_shipping_priority", "tpch_q5_local_supplier", "ann_topk_ivf"],
+)
+def test_dim_joins_are_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # a dim-side SMJ means a wasted big shuffle
+
+
+@pytest.mark.parametrize(
+    "name,pushed",
+    [
+        ("fetch_offset_range", "event_id"),  # offset range → row-group pruning
+        ("tpch_q6_forecast_revenue", "l_shipdate"),  # range filter → scan
+        ("batch_job_offsets", "ts"),  # time bounds → scan (date dirs at scale)
+    ],
+)
+def test_filters_push_to_scan(spark, name, pushed):
+    plan = plan_of(spark, name)
+    assert "PushedFilters" in plan
+    seg = plan.split("PushedFilters")[1][:300]
+    assert pushed in seg, f"{pushed} not pushed: {seg}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_products(spark, name):
+    # the only sanctioned cross joins are broadcast of 1-row query vectors
+    # / control-plane worker lists — never a partitioned cartesian
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} has a partitioned cartesian product"
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q1_pricing_summary", "ack_commit_watermark", "throughput_windows"]
+)
+def test_hot_path_in_codegen(spark, name):
+    # AQE wraps codegen inside query stages where the plan string can't
+    # show it; planning the same query without AQE proves the operators
+    # whole-stage-compile (AQE only re-plans exchanges, not codegen).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # '*(n) ' prefixes mark operators inside WholeStageCodegen stage n
+    assert "*(1)" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q1_pricing_summary", "latency_percentiles", "throughput_windows", "dlq_messages"],
+)
+def test_aggs_are_partial(spark, name):
+    # map-side combine: HashAggregate appears in partial + final pairs
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
