@@ -134,3 +134,21 @@ def test_e4_streaming_dedup(spark, tmp_path):
     n_unique = m.select("topic", "part_id", "msg_offset").distinct().count()
     assert got.count() == n_unique
     assert got.select("topic", "part_id", "msg_offset").distinct().count() == n_unique
+
+
+def test_e5_stream_static_routing_join(spark, msg_log_dir, tmp_path):
+    from uforwarder_spark.operators.pipeline import ROUTES
+
+    routes = spark.createDataFrame(ROUTES, ["topic", "callee_uri"])
+    stream = P.message_stream(spark, msg_log_dir)
+    q = _run_to_memory(
+        P.route_stream_dynamic(stream, routes), "e5_routes", str(tmp_path / "ckpt"), "append"
+    )
+    got = spark.table("e5_routes")
+    m = model.messages(spark, SF_SMALL).filter(F.col("outcome") != "SKIP")
+    expected = m.join(routes, "topic")
+    assert got.count() == expected.count()
+    assert got.filter(F.col("callee_uri").isNull()).count() == 0
+    by_uri = {r.callee_uri: r.n for r in got.groupBy("callee_uri").agg(F.count("*").alias("n")).collect()}
+    for r in expected.groupBy("callee_uri").agg(F.count("*").alias("n")).collect():
+        assert by_uri[r.callee_uri] == r.n

@@ -1,0 +1,66 @@
+"""Skew handling: two-stage salted aggregation.
+
+uForwarder's load is topic-skewed by nature — one hot topic can carry
+most of the cluster's traffic (that is why the reference rebalances by
+load, ``consumerproxy/controller/rebalancer/RpcJobColocatingRebalancer
+.java``). In Spark the same skew shows up as one straggler reduce task
+owning the hot grouping key. AQE's skew-join split handles joins; for
+AGGREGATIONS over a hot key the standard fix is salting, packaged here
+once so every operator can opt in.
+
+How it works: stage 1 groups by (key, salt) with salt = hash(row) % N —
+the hot key's rows spread over N reducers and combine map-side; stage 2
+re-aggregates the N partial rows per key. Total shuffled volume is
+unchanged (partial aggs already shrink it); the win is that no single
+reducer owns a hot key's whole input.
+
+Correct only for algebraic aggregates (those with an associative merge:
+sum / count / min / max — and avg via sum+count). That is every
+aggregate the message operators use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+# (merge_fn, final_fn) per supported aggregate: stage-2 merge of stage-1
+# partials, and the final projection.
+_MERGES = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-stage aggregation: ``aggs`` maps output column → (fn, input
+    column) with fn in {sum, count, min, max}. Equivalent to
+    ``df.groupBy(*keys).agg(...)`` for any data, but immune to hot-key
+    stragglers: stage 1 shuffles on (keys, salt), stage 2 on keys over
+    |keys|×n_salts rows — negligible.
+
+    ``count`` counts non-null values of its input column ('*' for rows).
+    """
+    salt = (F.abs(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id())) % n_salts)
+    stage1_aggs: list[Column] = []
+    stage2_aggs: list[Column] = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            src = F.count("*") if col == "*" else F.count(col)
+            stage1_aggs.append(src.alias(f"_p_{out}"))
+        else:
+            stage1_aggs.append(_MERGES[fn](col).alias(f"_p_{out}"))
+        stage2_aggs.append(_MERGES[fn](f"_p_{out}").alias(out))
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*stage1_aggs)
+    return partial.groupBy(*keys).agg(*stage2_aggs)

@@ -227,6 +227,22 @@ def retry_state_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+# --- E5: stream-static routing join ---------------------------------------
+def route_stream_dynamic(stream: DataFrame, routes: DataFrame) -> DataFrame:
+    """Routing against a TABLE instead of a baked-in expression — the
+    production shape: uForwarder's job configs (topic → consumer uri)
+    change at runtime (controller job store, ``datatransfer/controller/
+    storage/*``), so the routing relation is data, not code.
+
+    Spark re-reads / re-broadcasts the static side per micro-batch, which
+    is exactly the lightweight config-refresh the reference's workers get
+    from controller heartbeats.
+
+    SCALE: stream-static broadcast join — the routing table is O(topics),
+    no stream-side shuffle, no state store."""
+    return stream.filter(F.col("outcome") != "SKIP").join(F.broadcast(routes), "topic")
+
+
 # --- E4: streaming dedup --------------------------------------------------
 def dedup_stream(stream: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     """Streaming dispatch dedup (dispatcher/grpc/DedupHeaderInterceptor
