@@ -70,3 +70,18 @@ def test_partitioned_log_roundtrip_and_pruning(spark, tmp_path):
     plan = _plan(one_topic)
     # topic predicate prunes directories, not rows
     assert "PartitionFilters" in plan and "topic" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_kafka_sink_serialization(spark):
+    import json
+
+    m = model.messages(spark, SF_SMALL).limit(50)
+    rec = R.serialize_for_kafka(m)
+    assert [f.name for f in rec.schema.fields] == ["key", "value"]
+    assert all(f.dataType.simpleString() == "binary" for f in rec.schema.fields)
+    rows = rec.collect()
+    assert len(rows) == 50
+    one = json.loads(bytes(rows[0].value))
+    key = bytes(rows[0].key).decode()
+    assert key == f"{one['topic']}/{one['part_id']}/{one['msg_offset']}"
+    assert {"topic", "part_id", "msg_offset", "outcome"} <= one.keys()

@@ -225,3 +225,90 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("min_shingle_hash"),
         )
     )
+
+
+# --- D15 -----------------------------------------------------------------
+QUALITY_FILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE list_reduce(list_transform(ts, x -> CAST(length(x) AS DOUBLE)),
+                               (a, b) -> a + b) / len(ts) END AS mean_tok_len,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ts, x -> list_contains({_SW_DUCK}, x))) AS DOUBLE)
+                   / len(ts) END AS stop_ratio,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ts, x -> x ~ '^[0-9]+$')) AS DOUBLE)
+                   / len(ts) END AS digit_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, round(mean_tok_len, 6) AS mean_tok_len,
+       round(stop_ratio, 6) AS stop_ratio, round(digit_ratio, 6) AS digit_ratio,
+       (CASE WHEN n_tokens < 20 OR n_tokens > 1000 THEN 1 ELSE 0 END
+        + CASE WHEN mean_tok_len < 3 OR mean_tok_len > 10 THEN 1 ELSE 0 END
+        + CASE WHEN stop_ratio < 0.02 THEN 1 ELSE 0 END
+        + CASE WHEN digit_ratio > 0.2 THEN 1 ELSE 0 END) AS n_rules_failed,
+       (n_tokens BETWEEN 20 AND 1000)
+        AND (mean_tok_len BETWEEN 3 AND 10)
+        AND stop_ratio >= 0.02 AND digit_ratio <= 0.2 AS passes
+FROM m
+"""
+
+
+@register("quality_filter_gopher", QUALITY_FILTER_ORACLE)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (the pre-training corpus
+    filter family from Rae et al. 2021, "Scaling Language Models"): token
+    count bounds, mean token length bounds, minimum stopword ratio,
+    maximum numeric-token ratio; emits per-rule failure count and the
+    pass verdict.
+
+    SCALE: stateless per-doc map over one scan — no shuffle; at 100 TB
+    the pass predicate pushes into downstream scans when the verdict is
+    materialized as a partition column."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
+    mean_len = F.expr(
+        "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        "aggregate(transform(ts, x -> CAST(length(x) AS DOUBLE)), 0.0D, (a, b) -> a + b)"
+        " / size(ts) END"
+    )
+    stop_ratio = F.expr(
+        f"CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END"
+    )
+    digit_ratio = F.expr(
+        "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        "CAST(size(filter(ts, x -> x RLIKE '^[0-9]+$')) AS DOUBLE) / size(ts) END"
+    )
+    m = t.select(
+        "doc_id",
+        F.expr("CAST(size(ts) AS BIGINT)").alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        digit_ratio.alias("digit_ratio"),
+    )
+    fails = (
+        F.when((F.col("n_tokens") < 20) | (F.col("n_tokens") > 1000), 1).otherwise(0)
+        + F.when((F.col("mean_tok_len") < 3) | (F.col("mean_tok_len") > 10), 1).otherwise(0)
+        + F.when(F.col("stop_ratio") < 0.02, 1).otherwise(0)
+        + F.when(F.col("digit_ratio") > 0.2, 1).otherwise(0)
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        fails.alias("n_rules_failed"),
+        (
+            F.col("n_tokens").between(20, 1000)
+            & F.col("mean_tok_len").between(3, 10)
+            & (F.col("stop_ratio") >= 0.02)
+            & (F.col("digit_ratio") <= 0.2)
+        ).alias("passes"),
+    )

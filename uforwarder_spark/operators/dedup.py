@@ -440,3 +440,83 @@ def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+# --- D16 -----------------------------------------------------------------
+CC_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_ORACLE})
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+rep AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+  FROM reach GROUP BY a
+)
+SELECT r.doc_id, r.cluster_rep,
+       count(*) OVER (PARTITION BY r.cluster_rep) AS cluster_size
+FROM rep r
+"""
+
+
+@register("dedup_connected_components", CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-verified
+    pair graph (D2), labeling every member with its component's min
+    doc_id — the grouping step real corpus dedup needs when duplicates
+    chain (A≈B≈C but A!≈C). Iterative min-label propagation to fixpoint;
+    the oracle computes the same fixpoint with a recursive CTE.
+
+    SCALE: each iteration is one shuffle of the (node, label) frame on
+    node id; iterations = graph diameter, which for near-dup graphs is
+    tiny (dup clusters are cliques-ish). At larger diameters switch to
+    the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce"), same DataFrame skeleton. Label frames are
+    checkpointed via localCheckpoint to keep lineage bounded."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.unionAll(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("doc_a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    while True:
+        nbr_min = (
+            sym.join(labels, sym.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        F.count("*").over(Window.partitionBy("label")).alias("cluster_size"),
+    )

@@ -117,3 +117,29 @@ def read_partitioned_log(spark: SparkSession, path: str) -> DataFrame:
     """Read back the (topic, date)-partitioned log; topic/date filters on
     the result prune partitions (check ``.explain`` PartitionFilters)."""
     return spark.read.parquet(path)
+
+
+# --- Kafka sink (retry / DLQ production) ----------------------------------
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """Options for ``df.write/writeStream.format("kafka")`` — the produce
+    side of the retry/DLQ flow (reference ``worker/processor/
+    DlqDispatchManager.java`` produces exhausted messages to the DLQ
+    topic; retry tiers produce to retry topics)."""
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
+def serialize_for_kafka(msgs: DataFrame) -> DataFrame:
+    """Message frame → Kafka producer record schema: key = the message
+    identity (ordering key — Kafka partitions by key hash, preserving
+    per-(topic, part_id) order like the reference's producer), value =
+    the full message as JSON bytes.
+
+    SCALE: pure projection (to_json is codegen'd); no shuffle — the
+    producer's partitioner does the routing, exactly as uForwarder's
+    KafkaSink relies on the client partitioner."""
+    return msgs.select(
+        F.concat_ws("/", F.col("topic"), F.col("part_id"), F.col("msg_offset"))
+        .cast("binary")
+        .alias("key"),
+        F.to_json(F.struct(*msgs.columns)).cast("binary").alias("value"),
+    )
