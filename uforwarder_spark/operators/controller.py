@@ -368,3 +368,154 @@ def colocating_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_msgs").alias("total_msgs"),
         )
     )
+
+
+# --- B8 ------------------------------------------------------------------
+CONSEC_FOR_SCALE = 3
+HYSTERESIS_ORACLE = f"""{MSG_CTE},
+windows AS (
+  SELECT topic,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_epoch,
+         count(*) / 300.0 AS mps
+  FROM messages GROUP BY 1, 2
+),
+flagged AS (
+  SELECT w.topic, w.window_epoch, w.mps, q.quota_mps,
+         w.mps > q.quota_mps AS over_quota,
+         row_number() OVER (PARTITION BY w.topic ORDER BY w.window_epoch)
+         - row_number() OVER (PARTITION BY w.topic, w.mps > q.quota_mps
+                              ORDER BY w.window_epoch) AS grp
+  FROM windows w JOIN {QUOTAS_SQL} USING (topic)
+),
+runs AS (
+  SELECT topic, over_quota, grp, count(*) AS run_len
+  FROM flagged GROUP BY topic, over_quota, grp
+)
+SELECT f.topic,
+       count(*)                                                       AS n_windows,
+       CAST(sum(CASE WHEN f.over_quota THEN 1 ELSE 0 END) AS BIGINT)  AS n_over,
+       max(CASE WHEN r.over_quota THEN r.run_len ELSE 0 END)          AS max_consec_over,
+       CASE WHEN max(CASE WHEN r.over_quota THEN r.run_len ELSE 0 END)
+                 >= {CONSEC_FOR_SCALE}
+            THEN 'scale_up' ELSE 'hold' END                           AS decision
+FROM flagged f
+JOIN runs r ON r.topic = f.topic AND r.over_quota = f.over_quota AND r.grp = f.grp
+GROUP BY f.topic
+"""
+
+
+@register("autoscale_hysteresis", HYSTERESIS_ORACLE)
+def autoscale_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScaleState / ScaleWindowManager / ReactiveScaleWindowCalculator
+    (controller/autoscalar/ScaleState.java): the autoscaler never reacts
+    to one spiky window — the up-transition requires the throughput
+    signal to stay over quota for N consecutive windows. Computed with
+    the gaps-and-islands run-length pattern (two row_numbers), fully
+    windowed — no iteration.
+
+    SCALE: runs are per-topic over O(windows) rows — the message-scale
+    work is only the first (topic, window) partial agg; everything after
+    operates on thousands of rows."""
+    m = messages(spark, sf_dir)
+    quotas = spark.createDataFrame(QUOTAS, ["topic", "quota_mps"])
+    window_epoch = F.expr("CAST(unix_timestamp(ts) DIV 300 AS BIGINT) * 300")
+    windows = (
+        m.withColumn("window_epoch", window_epoch)
+        .groupBy("topic", "window_epoch")
+        .agg((F.count("*") / 300.0).alias("mps"))
+    )
+    w_all = Window.partitionBy("topic").orderBy("window_epoch")
+    w_flag = Window.partitionBy("topic", "over_quota").orderBy("window_epoch")
+    flagged = (
+        windows.join(F.broadcast(quotas), "topic")
+        .withColumn("over_quota", F.col("mps") > F.col("quota_mps"))
+        .withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_flag))
+    )
+    runs = flagged.groupBy("topic", "over_quota", "grp").agg(F.count("*").alias("run_len"))
+    joined = flagged.join(runs, ["topic", "over_quota", "grp"])
+    max_over = F.max(F.when(F.col("over_quota"), F.col("run_len")).otherwise(0))
+    return joined.groupBy("topic").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("over_quota"), 1).otherwise(0)).alias("n_over"),
+        max_over.alias("max_consec_over"),
+        F.when(max_over >= CONSEC_FOR_SCALE, "scale_up").otherwise("hold").alias("decision"),
+    )
+
+
+# --- B9 ------------------------------------------------------------------
+N_PODS = 2
+POD_ORACLE = f"""{MSG_CTE},
+jobs AS ({JOBS_SQL}),
+pods AS (
+  SELECT worker, 'pod-' || CAST(CAST(substr(worker, 8) AS BIGINT) % {N_PODS} AS VARCHAR) AS pod
+  FROM {WORKERS_SQL}
+),
+pod_choice AS (
+  SELECT j.topic, p.pod,
+         row_number() OVER (
+           PARTITION BY j.topic
+           ORDER BY md5(j.topic || '#' || p.pod) DESC, p.pod) AS rn
+  FROM (SELECT DISTINCT topic FROM jobs) j
+  CROSS JOIN (SELECT DISTINCT pod FROM pods) p
+),
+topic_pod AS (SELECT topic, pod FROM pod_choice WHERE rn = 1),
+scored AS (
+  SELECT j.topic, j.part_id, p.worker, tp.pod,
+         row_number() OVER (
+           PARTITION BY j.topic, j.part_id
+           ORDER BY md5(j.topic || '-' || CAST(j.part_id AS VARCHAR) || '-' || p.worker) DESC,
+                    p.worker) AS rn
+  FROM jobs j
+  JOIN topic_pod tp USING (topic)
+  JOIN pods p USING (pod)
+)
+SELECT topic, part_id, pod, worker AS assigned_worker
+FROM scored WHERE rn = 1
+"""
+
+
+@register("pod_aware_assignment", POD_ORACLE)
+def pod_aware_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JobPodAssigner / PodAwareRebalanceGroup / JobPodPlacementProvider
+    (datatransfer/controller/rebalancer/PodAwareRebalanceGroup.java):
+    two-level placement — a topic is pinned to one pod (isolation
+    domain), then its jobs spread across that pod's workers by the same
+    rendezvous hash as B1. Pod failure isolates to the topics pinned
+    there; worker churn inside a pod only reshuffles within the pod.
+
+    SCALE: both levels are control-plane-sized cross joins (topics ×
+    pods, jobs × pod-workers) — broadcast, one tiny stage each."""
+    m = messages(spark, sf_dir)
+    jobs = m.select("topic", "part_id").distinct()
+    workers = _workers_df(spark).withColumn(
+        "pod",
+        F.concat(
+            F.lit("pod-"),
+            (F.substring("worker", 8, 10).cast("long") % N_PODS).cast("string"),
+        ),
+    )
+    pods = workers.select("pod").distinct()
+    w_pod = Window.partitionBy("topic").orderBy(F.col("pscore").desc(), F.col("pod"))
+    topic_pod = (
+        jobs.select("topic")
+        .distinct()
+        .crossJoin(F.broadcast(pods))
+        .withColumn("pscore", F.md5(F.concat_ws("#", F.col("topic"), F.col("pod"))))
+        .withColumn("rn", F.row_number().over(w_pod))
+        .filter(F.col("rn") == 1)
+        .select("topic", "pod")
+    )
+    w_job = Window.partitionBy("topic", "part_id").orderBy(F.col("score").desc(), F.col("worker"))
+    return (
+        jobs.join(F.broadcast(topic_pod), "topic")
+        .join(F.broadcast(workers), "pod")
+        .withColumn(
+            "score",
+            F.md5(
+                F.concat_ws("-", F.col("topic"), F.col("part_id").cast("string"), F.col("worker"))
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_job))
+        .filter(F.col("rn") == 1)
+        .select("topic", "part_id", "pod", F.col("worker").alias("assigned_worker"))
+    )

@@ -602,3 +602,136 @@ def adaptive_inflight_vegas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hold")
         .alias("decision"),
     )
+
+
+# --- A16 -----------------------------------------------------------------
+LAG_DEGRADED = 200
+DLQ_UNHEALTHY = 5
+HEALTH_ORACLE = f"""{MSG_CTE},
+flagged AS (
+  SELECT topic, part_id, msg_offset, acked, outcome, retry_count,
+         sum(CASE WHEN acked THEN 0 ELSE 1 END)
+           OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS unacked_upto
+  FROM messages
+),
+per_part AS (
+  SELECT topic, part_id,
+         CAST(sum(CASE WHEN unacked_upto > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lag_msgs,
+         CAST(sum(CASE WHEN outcome = 'DLQ'
+                        OR (outcome = 'RETRY' AND retry_count >= 5)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS dlq_msgs,
+         min(CASE WHEN NOT acked THEN msg_offset END) IS NOT NULL AS has_stuck_head
+  FROM flagged
+  GROUP BY topic, part_id
+)
+SELECT topic, part_id, lag_msgs, dlq_msgs, has_stuck_head,
+       CASE WHEN dlq_msgs >= {DLQ_UNHEALTHY} THEN 'UNHEALTHY'
+            WHEN lag_msgs > {LAG_DEGRADED} THEN 'DEGRADED'
+            ELSE 'HEALTHY' END AS health
+FROM per_part
+"""
+
+
+@register("pipeline_health", HEALTH_ORACLE)
+def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PipelineHealthManager / KafkaPipelineIssue / PipelineHealthState
+    (datatransfer/worker/pipelines/PipelineHealthManager.java): fold the
+    per-partition issue signals — commit lag, stuck head, DLQ pressure —
+    into one health verdict per pipeline, the signal the controller uses
+    to cordon a pipeline.
+
+    SCALE: all three signals come out of ONE windowed pass over the same
+    (topic, part_id) partitioning as A5/A14 — a single shuffle, then a
+    pure verdict projection."""
+    m = messages(spark, sf_dir)
+    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
+    flagged = m.withColumn(
+        "unacked_upto", F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w)
+    )
+    per_part = flagged.groupBy("topic", "part_id").agg(
+        F.sum(F.when(F.col("unacked_upto") > 0, 1).otherwise(0)).alias("lag_msgs"),
+        F.sum(
+            F.when(
+                (F.col("outcome") == "DLQ")
+                | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= 5)),
+                1,
+            ).otherwise(0)
+        ).alias("dlq_msgs"),
+        F.min(F.when(~F.col("acked"), F.col("msg_offset"))).isNotNull().alias("has_stuck_head"),
+    )
+    return per_part.select(
+        "topic",
+        "part_id",
+        "lag_msgs",
+        "dlq_msgs",
+        "has_stuck_head",
+        F.when(F.col("dlq_msgs") >= DLQ_UNHEALTHY, "UNHEALTHY")
+        .when(F.col("lag_msgs") > LAG_DEGRADED, "DEGRADED")
+        .otherwise("HEALTHY")
+        .alias("health"),
+    )
+
+
+# --- A17 -----------------------------------------------------------------
+BACKOFF_ORACLE = f"""{MSG_CTE},
+retries AS (
+  SELECT topic, msg_offset, ts,
+         CASE WHEN retry_count <= 1 THEN 0
+              WHEN retry_count <= 3 THEN 1
+              ELSE 2 END AS tier
+  FROM messages WHERE outcome = 'RETRY'
+),
+now_ref AS (SELECT max(ts) AS now_ts FROM messages)
+SELECT topic, tier,
+       CAST(60 * power(4, tier) AS BIGINT) AS backoff_s,
+       count(*) AS n_msgs,
+       CAST(sum(CASE WHEN CAST(floor(epoch(r.ts)) AS BIGINT) + CAST(60 * power(4, tier) AS BIGINT)
+                          <= CAST(floor(epoch(n.now_ts)) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible,
+       CAST(sum(CASE WHEN CAST(floor(epoch(r.ts)) AS BIGINT) + CAST(60 * power(4, tier) AS BIGINT)
+                          > CAST(floor(epoch(n.now_ts)) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_delayed
+FROM retries r CROSS JOIN now_ref n
+GROUP BY topic, tier
+"""
+
+
+@register("retry_backoff_eligibility", BACKOFF_ORACLE)
+def retry_backoff_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KafkaDelayProcessManager / DelayProcessManager
+    (worker/fetchers/kafka/KafkaDelayProcessManager.java): retry-topic
+    messages wait out their tier's backoff (60s × 4^tier) before
+    re-processing; partitions holding only still-delayed messages pause.
+    Counts eligible vs delayed per (topic, tier) at now = max event time.
+
+    SCALE: the now-reference is a 1-row broadcast; the rest is a pushed
+    filter + single partial agg per (topic, tier)."""
+    m = messages(spark, sf_dir)
+    retries = m.filter(F.col("outcome") == "RETRY").select(
+        "topic",
+        "msg_offset",
+        "ts",
+        F.when(F.col("retry_count") <= 1, 0)
+        .when(F.col("retry_count") <= 3, 1)
+        .otherwise(2)
+        .alias("tier"),
+    )
+    now_ref = m.agg(F.max("ts").alias("now_ts"))
+    backoff = F.expr("CAST(60 * power(4, tier) AS BIGINT)")
+    eligible = F.expr(
+        "CAST(unix_timestamp(ts) AS BIGINT) + CAST(60 * power(4, tier) AS BIGINT)"
+        " <= CAST(unix_timestamp(now_ts) AS BIGINT)"
+    )
+    return (
+        retries.crossJoin(F.broadcast(now_ref))
+        .groupBy("topic", "tier")
+        .agg(
+            F.max(backoff).alias("backoff_s"),
+            F.count("*").alias("n_msgs"),
+            F.sum(F.when(eligible, 1).otherwise(0)).alias("n_eligible"),
+            F.sum(F.when(~eligible, 1).otherwise(0)).alias("n_delayed"),
+        )
+        .select(
+            "topic", "tier", "backoff_s", "n_msgs", "n_eligible", "n_delayed"
+        )
+    )
