@@ -85,3 +85,38 @@ def test_kafka_sink_serialization(spark):
     key = bytes(rows[0].key).decode()
     assert key == f"{one['topic']}/{one['part_id']}/{one['msg_offset']}"
     assert {"topic", "part_id", "msg_offset", "outcome"} <= one.keys()
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    write_bucketed(orders, "orders_b", str(tmp_path / "ob"), ["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        str(tmp_path / "lb"),
+        ["o_orderkey"],
+    )
+    # force a non-broadcast plan so the join strategy is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "orders_b").join(
+            read_bucketed(spark, "lineitem_b"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed sides co-locate: merge join with NO shuffle exchange
+        assert "Exchange" not in plan, plan[:1500]
+
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan  # the shuffle bucketing removed
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
