@@ -131,7 +131,8 @@ def throughput_stream(stream: DataFrame, window: str = "5 minutes", lateness: st
     state store holds only open windows (watermark closes them), so state
     is O(topics × windows-in-horizon). Append mode emits each window once,
     on close — the autoscaler consumes a clean, final signal."""
-    win_secs = 300 if "5" in window else None
+    # rate denominator from the window's own bounds — no duration parsing
+    win_secs = F.expr("CAST(unix_timestamp(win.end) - unix_timestamp(win.start) AS DOUBLE)")
     return (
         stream.withWatermark("ts", lateness)
         .groupBy(F.window("ts", window).alias("win"), F.col("topic"))
@@ -144,8 +145,8 @@ def throughput_stream(stream: DataFrame, window: str = "5 minutes", lateness: st
             "topic",
             "n_msgs",
             "total_bytes",
-            (F.col("n_msgs") / F.lit(win_secs or 300)).alias("msgs_per_sec"),
-            (F.col("total_bytes") / F.lit(win_secs or 300)).alias("bytes_per_sec"),
+            (F.col("n_msgs") / win_secs).alias("msgs_per_sec"),
+            (F.col("total_bytes") / win_secs).alias("bytes_per_sec"),
         )
     )
 
