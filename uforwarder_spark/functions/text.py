@@ -312,3 +312,92 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("digit_ratio") <= 0.2)
         ).alias("passes"),
     )
+
+
+# --- D17 -----------------------------------------------------------------
+SAMPLE_MOD = 10  # keep 1/10 deterministically per source
+STRAT_SAMPLE_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {SAMPLE_MOD} = 0
+           AS sampled
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       min(CASE WHEN sampled THEN doc_id END) AS first_sampled_id
+FROM tagged GROUP BY source
+"""
+
+
+@register("stratified_sample", STRAT_SAMPLE_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep doc iff
+    hash(doc_id) % 10 == 0, accounted per source stratum. Hash-based
+    (not rand()) so the sample is REPRODUCIBLE across runs, engines, and
+    re-partitioning — the property a training-data pipeline needs for
+    auditable corpus subsets.
+
+    SCALE: stateless map + one partial agg; the sample predicate also
+    serves as a cheap pushed filter when materializing the subset."""
+    docs = _docs(spark, sf_dir)
+    sampled = (
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            f" % {SAMPLE_MOD}"
+        )
+        == 0
+    )
+    return (
+        docs.withColumn("sampled", sampled)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+            F.min(F.when(F.col("sampled"), F.col("doc_id"))).alias("first_sampled_id"),
+        )
+    )
+
+
+# --- D18 -----------------------------------------------------------------
+VOCAB_K = 50
+VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_DUCK}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS freq FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM counts
+)
+SELECT rank, token, freq FROM ranked WHERE rank <= {VOCAB_K}
+"""
+
+
+@register("vocab_topk", VOCAB_ORACLE)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-K tokens by frequency (ties broken
+    lexicographically) — the counting pass behind tokenizer/vocab
+    construction.
+
+    SCALE: explode → partial count per token (map-side combine collapses
+    each partition's duplicates before the shuffle) → global top-K via
+    rank-limit, which Spark executes as per-partition top-K + tiny
+    merge. Token skew (stopwords) is absorbed by the partial agg — the
+    hot token ships one row per map partition, not one per occurrence."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token")))
+    )
+    return ranked.filter(F.col("rank") <= VOCAB_K).select("rank", "token", "freq")

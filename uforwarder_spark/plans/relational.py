@@ -381,3 +381,60 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --- C10 -----------------------------------------------------------------
+SESSION_GAP_S = 1800
+SESSIONS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM e
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("user_sessions", SESSIONS_ORACLE)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream on >30-min gaps
+    (gaps-and-islands via lag + running sum) and aggregate per session —
+    the canonical event-analytics operator over the message log.
+
+    SCALE: one shuffle on user_id serves the lag window, the running
+    sum, AND the final agg (same partitioning throughout). user_id is
+    high-cardinality → uniform; a hot user is bounded by the window
+    being per-user sequential anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
+    e = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > SESSION_GAP_S, 1).otherwise(0),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("session_id", F.sum("new_session").over(w_run))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.expr("CAST(unix_timestamp(max(ts)) AS BIGINT)")
+            - F.expr("CAST(unix_timestamp(min(ts)) AS BIGINT)")
+        ).alias("duration_s"),
+    )
