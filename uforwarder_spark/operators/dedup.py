@@ -520,3 +520,130 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_rep"),
         F.count("*").over(Window.partitionBy("label")).alias("cluster_size"),
     )
+
+
+# --- D19 -----------------------------------------------------------------
+_EST_MATCHES_DUCK = " + ".join(
+    f"(CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END)" for k in range(N_PERM)
+)
+
+MINHASH_EST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+sh3 AS (
+  SELECT doc_id, {_shingle3_duck()} AS g3 FROM t
+),
+ex AS (
+  SELECT doc_id, {H_DUCK.format(col='sh')} % {P} AS hm
+  FROM (SELECT doc_id, unnest(g3) AS sh FROM sh3)
+),
+sig AS (
+  SELECT doc_id,
+         {_SIG_MINS_DUCK}
+  FROM ex GROUP BY doc_id
+),
+band_rows AS (
+{_BAND_UNION_DUCK}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_rows a JOIN band_rows b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.k3 = b.k3 AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(({_EST_MATCHES_DUCK}) / {N_PERM}.0, 6) AS jaccard_est,
+       round(CAST(len(list_intersect(sa.g3, sb.g3)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.g3, sb.g3))), 6) AS jaccard_exact,
+       round(abs(({_EST_MATCHES_DUCK}) / {N_PERM}.0
+             - CAST(len(list_intersect(sa.g3, sb.g3)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.g3, sb.g3)))), 6) AS abs_err
+FROM cand c
+JOIN sig a ON a.doc_id = c.doc_a
+JOIN sig b ON b.doc_id = c.doc_b
+JOIN sh3 sa ON sa.doc_id = c.doc_a
+JOIN sh3 sb ON sb.doc_id = c.doc_b
+"""
+
+
+@register("minhash_jaccard_estimate", MINHASH_EST_ORACLE)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-accuracy half of MinHash: for every LSH candidate pair,
+    the estimated Jaccard (fraction of agreeing signature positions —
+    an unbiased estimator with std ≈ sqrt(J(1-J)/32)) next to the exact
+    Jaccard and the absolute error. This is what lets a 100 TB dedup run
+    SKIP exact verification: accept/reject on the estimate and verify
+    only the boundary band.
+
+    SCALE: estimation touches only the 32-int signatures — the shingle
+    arrays never join in; the exact column here exists to audit the
+    estimator and would be dropped at scale."""
+    docs = _docs(spark, sf_dir)
+    sh3 = (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.expr(_shingle3_spark()).alias("g3"))
+        .withColumn(
+            "hs", F.expr(f"transform(g3, sh -> {H_SPARK.format(col='sh')} % {P})")
+        )
+        .persist()
+    )
+    a_lit = "array(" + ", ".join(map(str, A)) + ")"
+    b_lit = "array(" + ", ".join(map(str, B)) + ")"
+    sig = sh3.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {N_PERM - 1}), k -> "
+            f"array_min(transform(hs, h -> (h * {a_lit}[k] + {b_lit}[k]) % {P})))"
+        ).alias("sig"),
+    )
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, "
+                "sig[4*b] AS k0, sig[4*b+1] AS k1, sig[4*b+2] AS k2, sig[4*b+3] AS k3))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.k0", "bb.k1", "bb.k2", "bb.k3")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.k3") == F.col("b.k3"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    sh_a = sh3.select(F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a"))
+    sh_b = sh3.select(F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b"))
+    est = F.expr(
+        f"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+        f" / {N_PERM}"
+    )
+    exact = F.expr(
+        "CAST(size(array_intersect(g3_a, g3_b)) AS DOUBLE) / size(array_union(g3_a, g3_b))"
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("est_raw", est)
+        .withColumn("exact_raw", exact)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_raw", 6).alias("jaccard_est"),
+            F.round("exact_raw", 6).alias("jaccard_exact"),
+            F.round(F.abs(F.col("est_raw") - F.col("exact_raw")), 6).alias("abs_err"),
+        )
+    )
