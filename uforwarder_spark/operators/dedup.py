@@ -647,3 +647,59 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_raw") - F.col("exact_raw")), 6).alias("abs_err"),
         )
     )
+
+
+# --- D20 -----------------------------------------------------------------
+EVAL_MOD = 50  # docs with hash(doc_id) % 50 == 0 form the held-out eval set
+CONTAMINATION_ORACLE = rf"""
+WITH n AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+eval_set AS (
+  SELECT doc_id, h FROM n
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {EVAL_MOD} = 0
+)
+SELECT n.source,
+       count(DISTINCT n.doc_id) AS n_contaminated,
+       count(DISTINCT e.doc_id) AS n_eval_hit
+FROM n JOIN eval_set e ON n.h = e.h AND n.doc_id <> e.doc_id
+GROUP BY n.source
+"""
+
+
+@register("contamination_check", CONTAMINATION_ORACLE)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: find training docs whose normalized text exactly
+    matches a held-out eval document (the eval set is the deterministic
+    hash(doc_id) % 50 == 0 subset standing in for a benchmark suite).
+    Reports, per source, how many corpus docs are contaminated and how
+    many eval docs leaked.
+
+    SCALE: the eval set is benchmark-sized (thousands of rows at any
+    corpus scale) → broadcast; the corpus pays one scan + hash, no
+    shuffle. N-gram-overlap contamination composes the same plan with
+    the D4 token join."""
+    docs = _docs(spark, sf_dir)
+    n = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")).alias("h"),
+    )
+    eval_set = n.filter(
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            f" % {EVAL_MOD}"
+        )
+        == 0
+    ).select(F.col("doc_id").alias("eval_doc_id"), "h")
+    return (
+        n.join(F.broadcast(eval_set), "h")
+        .filter(F.col("doc_id") != F.col("eval_doc_id"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated"),
+            F.countDistinct("eval_doc_id").alias("n_eval_hit"),
+        )
+    )
