@@ -188,3 +188,53 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     # exactly-once: every message appears once — no loss, no reprocessing
     assert got.count() == m.count()
     assert got.select("topic", "part_id", "msg_offset").distinct().count() == m.count()
+
+
+def test_e6_streaming_sessionization(spark, tmp_path):
+    """Sessions emitted by the stream (gap-split + event-time timeout)
+    match the batch gaps-and-islands sessionizer once a watermark-flush
+    closes every open session."""
+    from datetime import datetime, timedelta
+
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.plans.relational import user_sessions
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "ts", "event_id")
+    ev.write.mode("overwrite").parquet(str(src))
+
+    schema = "user_id long, ts timestamp, event_id long"
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(str(src))
+        )
+        q = (
+            P.session_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    run_once()
+    # flush: one far-future event advances the watermark past every open
+    # session's deadline; its own session stays open and never emits
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [(999_999_999, max_ts + timedelta(days=2), 0)], schema
+    )
+    flush.write.mode("append").parquet(str(src))
+    run_once()
+
+    got = spark.read.parquet(out).toPandas()
+    batch = user_sessions(spark, SF_SMALL).toPandas()
+    assert len(got) == len(batch)
+    key = lambda df, a, b: sorted(zip(df["user_id"], df[a], df[b]))
+    assert key(got, "n_events", "duration_s") == key(batch, "n_events", "duration_s")

@@ -256,3 +256,83 @@ def dedup_stream(stream: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     return stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
         ["topic", "part_id", "msg_offset"]
     )
+
+
+# --- E6: streaming sessionization with event-time timeout -----------------
+SESSION_GAP_S = 1800
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_s", LongType()),
+        StructField("session_end_s", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_s", LongType()),
+    ]
+)
+
+
+def _session_machine(key, pdfs: Iterator, state: GroupState):
+    """Per-user session assembly: events extend the open session; a
+    >SESSION_GAP_S event-time gap (or the watermark passing the gap —
+    the timeout) closes it and emits one session row. The streaming twin
+    of the batch gaps-and-islands operator (plans/relational.py C10)."""
+    import pandas as pd
+
+    out = []
+    if state.hasTimedOut:
+        start, last, n = state.get
+        out.append((key[0], start, last, n, last - start))
+        state.remove()
+    else:
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.timestamp()) for t in pdf["ts"])
+        ts_list.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts_list:
+            if last is not None and t - last > SESSION_GAP_S:
+                out.append((key[0], start, last, n, last - start))
+                start, last, n = t, t, 1
+            else:
+                start = t if start is None else start
+                last, n = t, n + 1
+        if last is not None:
+            state.update((start, last, n))
+            # the timeout must sit beyond the current watermark: historical
+            # replays advance the watermark past old sessions' natural
+            # deadline, which would otherwise be rejected
+            deadline_ms = (last + SESSION_GAP_S) * 1000
+            state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start_s", "session_end_s", "n_events", "duration_s"]
+    )
+
+
+def session_stream(stream: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """E6: streaming sessionization (applyInPandasWithState with
+    EventTimeTimeout) — closed sessions emit exactly once, open sessions
+    live in the state store until their gap times out against the
+    watermark.
+
+    SCALE: state is one tuple per ACTIVE user (bounded by concurrency ×
+    gap, not stream length — timeouts evict); one shuffle on user_id per
+    micro-batch, Arrow-batched."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_machine,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
