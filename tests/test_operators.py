@@ -173,3 +173,53 @@ def test_multimodal_decode_batch_shape(spark):
         assert r.n_bytes == n
         assert (r.width, r.height, r.n_frames) == (n % 640 + 1, n % 480 + 1, n % 30 + 1)
         assert r.checksum == hashlib.md5(payload).hexdigest()
+
+
+# --- A18 exact token bucket ------------------------------------------------
+def _bucket_model(times, rate, burst):
+    tokens, prev, out = burst, None, []
+    for t in times:
+        if prev is not None:
+            tokens = min(burst, tokens + (t - prev) * rate)
+        prev = t
+        if tokens >= 1.0:
+            tokens -= 1.0
+            out.append(True)
+        else:
+            out.append(False)
+    return out
+
+
+def test_token_bucket_burst_then_refill(spark):
+    from uforwarder_spark.operators.pipeline import token_bucket_frame
+
+    t0 = datetime(2024, 1, 1)
+    # 8 messages in a burst (capacity 5), then one after a long refill gap
+    times = [0, 1, 2, 3, 4, 5, 6, 7, 1000]
+    rows = [
+        ("t", 0, i, t0.replace(second=0) + __import__("datetime").timedelta(seconds=s))
+        for i, s in enumerate(times)
+    ]
+    m = spark.createDataFrame(rows, ["topic", "part_id", "msg_offset", "ts"])
+    got = {
+        r.msg_offset: r.admitted
+        for r in token_bucket_frame(m, rate=0.05, burst=5.0).collect()
+    }
+    expected = _bucket_model([float(s) for s in times], 0.05, 5.0)
+    assert [got[i] for i in range(len(times))] == expected
+    assert expected[:5] == [True] * 5 and expected[5:8] == [False] * 3
+    assert expected[8] is True  # long gap refills the bucket
+
+
+def test_token_bucket_matches_model_on_log(spark):
+    from uforwarder_spark.model import messages
+    from uforwarder_spark.operators.pipeline import token_bucket_frame
+
+    m = messages(spark, "/root/testdata/sf0.001")
+    got = token_bucket_frame(m).toPandas()
+    for topic, grp in got.groupby("topic"):
+        grp = grp.sort_values(["ts", "msg_offset"])
+        times = [t.timestamp() for t in grp["ts"]]
+        from uforwarder_spark.operators.pipeline import BUCKET_BURST, BUCKET_RATE
+
+        assert list(grp["admitted"]) == _bucket_model(times, BUCKET_RATE, BUCKET_BURST)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -120,3 +121,24 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_roundtrip_preserves_messages(spark, tmp_path, fmt):
+    from uforwarder_spark.sources.formats import read_as, write_as
+    from uforwarder_spark.streaming.pipelines import MESSAGE_SCHEMA
+
+    m = model.messages(spark, SF_SMALL)
+    path = str(tmp_path / fmt)
+    write_as(m, fmt, path)
+    back = read_as(spark, fmt, path, MESSAGE_SCHEMA)
+    assert back.schema == MESSAGE_SCHEMA
+    assert back.count() == m.count()
+    # value-level: per-topic checksums survive the round trip
+    agg = lambda df: {
+        (r.topic): (r.n, r.s)
+        for r in df.groupBy("topic")
+        .agg(F.count("*").alias("n"), F.sum("msg_offset").alias("s"))
+        .collect()
+    }
+    assert agg(back) == agg(m)
