@@ -1,0 +1,40 @@
+"""Repo conventions, enforced: every registered operator documents its
+100 TB scale strategy, and the uForwarder-parity operators cite the
+reference file they match. These are the invariants the operator
+inventory promises — breaking them silently degrades the docs the next
+engineer (or reviewer) relies on.
+"""
+
+from __future__ import annotations
+
+import uforwarder_spark  # noqa: F401
+from uforwarder_spark.registry import ORACLES, QUERIES
+
+UFORWARDER_MODULES = (
+    "uforwarder_spark.operators.pipeline",
+    "uforwarder_spark.operators.controller",
+)
+
+
+def test_every_operator_documents_scale():
+    missing = [
+        name
+        for name, fn in QUERIES.items()
+        if "SCALE" not in (fn.__doc__ or "")
+    ]
+    assert not missing, f"operators without a SCALE note: {missing}"
+
+
+def test_parity_operators_cite_reference_files():
+    missing = [
+        name
+        for name, fn in QUERIES.items()
+        if fn.__module__ in UFORWARDER_MODULES and ".java" not in (fn.__doc__ or "")
+    ]
+    assert not missing, f"uForwarder operators without a reference citation: {missing}"
+
+
+def test_oracle_coverage_is_total_except_declared():
+    # rows-only is an explicit, short list — anything else must carry an oracle
+    rows_only = {"multimodal_meta", "token_bucket_exact"}
+    assert set(QUERIES) - set(ORACLES) == rows_only

@@ -69,7 +69,10 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: documents' text bytes stand in for an
     image/audio payload; typed metadata travels alongside; mapInPandas
-    runs the (stubbed) decode and emits features only."""
+    runs the (stubbed) decode and emits features only.
+
+    SCALE: pure Arrow-batched map — payload bytes never shuffle; see the
+    module docstring for the 100 TB layout."""
     docs = load_table(spark, sf_dir, "documents")
     bins = docs.select(
         "doc_id",

@@ -118,8 +118,8 @@ GROUP BY a.worker
 
 @register("load_balance_stats", BALANCE_ORACLE)
 def load_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RebalancingWorkerWithSortedJobs / RpcJobColocatingRebalancer table
-    view: per-worker job count and carried load after assignment — the
+    """RebalancingWorkerWithSortedJobs.java / RpcJobColocatingRebalancer
+    .java table view: per-worker job count and carried load after assignment — the
     balance invariant the reference's rebalancer tests assert.
 
     SCALE: message-log agg happens FIRST (shrinks to one row per job),

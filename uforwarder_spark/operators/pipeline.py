@@ -327,8 +327,8 @@ def rate_limit_frame(m: DataFrame, rate: int = RATE_LIMIT) -> DataFrame:
 @register("rate_limit_tokens", RATE_ORACLE)
 def rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bucket throttling (reference uses Guava RateLimiter inside the
-    processor, config ProcessorConfiguration.maxInboundCacheCount /
-    messageRateLimit): R tokens per topic per 1-minute window, granted in
+    processor, worker/processor/ProcessorImpl.java with config
+    ProcessorConfiguration.maxInboundCacheCount / messageRateLimit): R tokens per topic per 1-minute window, granted in
     offset order; excess is throttled.
 
     SCALE: window keyed by (topic, minute) — high cardinality keys spread
@@ -784,8 +784,12 @@ def token_bucket_frame(m: DataFrame, rate: float = BUCKET_RATE, burst: float = B
 
 @register("token_bucket_exact")  # rows-only: sequential recurrence, no SQL twin
 def token_bucket_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-topic admission verdicts under the exact token bucket, with
-    per-topic admitted/throttled accounting."""
+    """Per-topic admission verdicts under the exact token bucket
+    (processor-side RateLimiter, reference ProcessorImpl.java), with
+    per-topic admitted/throttled accounting.
+
+    SCALE: see token_bucket_frame — one shuffle on the group key, then
+    a tiny partial agg per topic."""
     verdicts = token_bucket_frame(messages(spark, sf_dir))
     return verdicts.groupBy("topic").agg(
         F.count("*").alias("n_msgs"),

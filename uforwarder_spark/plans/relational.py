@@ -52,7 +52,7 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("tpch_q1_pricing_summary", Q1_ORACLE)
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary. Single scan → partial agg → 1 shuffle on
+    """TPC-H Q1 pricing summary. SCALE: single scan → partial agg → 1 shuffle on
     2 low-cardinality keys; filter + 7-column pruning pushed to parquet."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
@@ -95,8 +95,8 @@ LIMIT 10
 
 @register("tpch_q3_shipping_priority", Q3_ORACLE)
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 (o_orderpriority stands in for o_shippriority). customer is
-    broadcast; orders⋈lineitem shuffles once on orderkey. Deterministic
+    """TPC-H Q3 (o_orderpriority stands in for o_shippriority). SCALE:
+    customer is broadcast; orders⋈lineitem shuffles once on orderkey. Deterministic
     top-k via (revenue DESC, o_orderdate, l_orderkey) tiebreak."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -145,7 +145,7 @@ GROUP BY n_name
 
 @register("tpch_q5_local_supplier", Q5_ORACLE)
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join. region/nation/supplier/customer broadcast;
+    """TPC-H Q5: 6-way join. SCALE: region/nation/supplier/customer broadcast;
     the only shuffle joins orders⋈lineitem on orderkey."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -193,7 +193,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 @register("tpch_q6_forecast_revenue", Q6_ORACLE)
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6: all four predicates + 3-column pruning push to the parquet
+    """TPC-H Q6: SCALE: all four predicates + 3-column pruning push to the parquet
     scan (verify via PushedFilters in .explain); single partial agg."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -230,7 +230,7 @@ SELECT n_name, c_name, total_rev, cust_rank FROM (
 
 @register("top_customers_window", TOP_CUSTOMERS_ORACLE)
 def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window rank per nation. Agg shuffles on custkey; the rank window
+    """Window rank per nation. SCALE: agg shuffles on custkey; the rank window
     re-shuffles on n_name only (25 partitions — AQE coalesces)."""
     from pyspark.sql import Window
 
@@ -261,7 +261,7 @@ WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
 
 @register("orders_without_lineitems", NO_LINEITEM_ORACLE)
 def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: orders with no lineitems. Single shuffle on orderkey;
+    """Anti join: orders with no lineitems. SCALE: single shuffle on orderkey;
     lineitem side pruned to the join key column only."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
@@ -286,7 +286,7 @@ HAVING count(o_orderkey) >= 5
 
 @register("customer_order_stats", CUST_STATS_ORACLE)
 def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left join + conditional agg + having. orders shuffles on custkey
+    """Left join + conditional agg + having. SCALE: orders shuffles on custkey
     once; customer is broadcast."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -323,7 +323,7 @@ FROM daily
 
 @register("running_revenue", RUNNING_REV_ORACLE)
 def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative revenue by order date. Daily pre-agg shrinks the window
+    """Cumulative revenue by order date. SCALE: daily pre-agg shrinks the window
     input to ~|dates| rows before the single-partition ordered window —
     at 100 TB the window runs over ~2.5k rows, not 150B."""
     from pyspark.sql import Window
