@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_DUCK, TOKENS_SPARK
-from ..model import load_parallel, load_table
+from ..model import load_parallel
 from ..registry import register
 
 N_PERM = 32  # minhash permutations
