@@ -796,3 +796,57 @@ def token_bucket_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
         F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("n_throttled"),
     )
+
+
+# --- A19 -----------------------------------------------------------------
+WORKER_SUMMARY_ORACLE = f"""{MSG_CTE}
+SELECT m.topic, routes.callee_uri,
+       count(*)                                                     AS n_fetched,
+       CAST(sum(CASE WHEN m.outcome = 'SKIP' THEN 1 ELSE 0 END) AS BIGINT)  AS n_filtered,
+       CAST(sum(CASE WHEN m.outcome = 'OK' THEN 1 ELSE 0 END) AS BIGINT)    AS n_delivered,
+       CAST(sum(CASE WHEN m.outcome = 'RETRY' AND m.retry_count < 5
+                     THEN 1 ELSE 0 END) AS BIGINT)                          AS n_retried,
+       CAST(sum(CASE WHEN m.outcome = 'DLQ'
+                      OR (m.outcome = 'RETRY' AND m.retry_count >= 5)
+                     THEN 1 ELSE 0 END) AS BIGINT)                          AS n_dlq,
+       CAST(sum(CASE WHEN m.outcome <> 'SKIP' THEN m.size_bytes ELSE 0 END)
+            AS BIGINT)                                                      AS dispatched_bytes
+FROM messages m JOIN {ROUTES_SQL} USING (topic)
+GROUP BY m.topic, routes.callee_uri
+"""
+
+
+@register("worker_pipeline_summary", WORKER_SUMMARY_ORACLE)
+def worker_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole worker pass composed as ONE query (reference
+    worker/pipelines/PipelineImpl.java wiring fetcher → processor →
+    dispatcher): fetch volume, filter drops, successful deliveries per
+    callee, retry-queue traffic, DLQ traffic, and dispatched bytes —
+    per (topic, callee). This is the operator a proxy operator's
+    dashboard runs; it demonstrates that the A-family stages compose
+    into a single scan instead of one pass per stage.
+
+    SCALE: everything is conditional aggregation over one message scan —
+    one broadcast join (routes), one partial-agg shuffle on (topic,
+    callee). No stage materializes an intermediate."""
+    m = messages(spark, sf_dir)
+    routes = _routes_df(spark)
+    exhausted = (F.col("outcome") == "DLQ") | (
+        (F.col("outcome") == "RETRY") & (F.col("retry_count") >= 5)
+    )
+    return (
+        m.join(F.broadcast(routes), "topic")
+        .groupBy("topic", "callee_uri")
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.when(F.col("outcome") == "SKIP", 1).otherwise(0)).alias("n_filtered"),
+            F.sum(F.when(F.col("outcome") == "OK", 1).otherwise(0)).alias("n_delivered"),
+            F.sum(
+                F.when((F.col("outcome") == "RETRY") & (F.col("retry_count") < 5), 1).otherwise(0)
+            ).alias("n_retried"),
+            F.sum(F.when(exhausted, 1).otherwise(0)).alias("n_dlq"),
+            F.sum(F.when(F.col("outcome") != "SKIP", F.col("size_bytes")).otherwise(0)).alias(
+                "dispatched_bytes"
+            ),
+        )
+    )
