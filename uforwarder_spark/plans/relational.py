@@ -438,3 +438,39 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("CAST(unix_timestamp(min(ts)) AS BIGINT)")
         ).alias("duration_s"),
     )
+
+
+# --- C11 -----------------------------------------------------------------
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", Q4_ORACLE)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (the synthetic lineitem lacks commit/receipt
+    dates, so "late" becomes "has a returned item"): orders with at
+    least one flagged lineitem, counted by priority — the LEFT SEMI
+    join (EXISTS dedups by construction, no distinct needed).
+
+    SCALE: semi join shuffles both sides on orderkey but ships only the
+    join key from lineitem (column pruning) and short-circuits per
+    order; the priority agg is a broadcastable residue."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
