@@ -22,7 +22,7 @@ def _frame(spark, acks: list[bool]):
     return spark.createDataFrame(rows, ["topic", "part_id", "msg_offset", "acked"])
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(acks=pattern)
 def test_ack_watermark_equals_reference_model(spark, acks):
     r = ack_watermark_frame(_frame(spark, acks)).collect()[0]
@@ -37,7 +37,7 @@ def test_ack_watermark_equals_reference_model(spark, acks):
     assert r.n_acked == sum(acks)
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(acks=pattern, limit=st.integers(min_value=1, max_value=10))
 def test_inflight_limiter_equals_reference_model(spark, acks, limit):
     pending = [off for off, acked in enumerate(acks) if not acked]
