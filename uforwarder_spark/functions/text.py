@@ -401,3 +401,63 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token")))
     )
     return ranked.filter(F.col("rank") <= VOCAB_K).select("rank", "token", "freq")
+
+
+# --- D21 -----------------------------------------------------------------
+TFIDF_TOP = 3
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.token
+         ) AS rnk
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS tfidf
+FROM scored WHERE rnk <= {TFIDF_TOP}
+"""
+
+
+@register("tfidf_top_terms", TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (raw tf × ln(N/df)) — the
+    keyword-extraction / relevance-weighting pass of a text pipeline.
+
+    SCALE: two shuffles — tf on (doc_id, token), df on token — both
+    uniform, both partial-aggregated; the df relation is vocabulary-
+    sized and the score join shuffles on token. The per-doc top-3 window
+    re-uses the doc_id partitioning of tf. Stopword-skewed tokens are
+    absorbed by map-side combine exactly as in vocab_topk."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # N stays in the plan as a broadcast 1-row relation (no driver action)
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select("doc_id", "rnk", "token", "tf", "df", F.round("score", 6).alias("tfidf"))
+    )
