@@ -277,3 +277,25 @@ def test_dispatch_failure_redelivers_same_batch(spark, msg_log_dir, tmp_path):
     expected = model.messages(spark, SF_SMALL).filter(F2.col("outcome") != "SKIP").count()
     unique_batches = dict(calls)  # later deliveries of an id overwrite earlier
     assert sum(unique_batches.values()) == expected
+
+
+def test_e7_outcome_fanout(spark, msg_log_dir, tmp_path):
+    out = str(tmp_path / "topics")
+    stream = P.message_stream(spark, msg_log_dir, files_per_trigger=2)
+    q = P.outcome_fanout_pipeline(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    m = model.messages(spark, SF_SMALL)
+    expected = {
+        "delivered": m.filter(F.col("outcome").isin("OK", "SKIP")).count(),
+        "retry": m.filter(
+            (F.col("outcome") == "RETRY") & (F.col("retry_count") < P.MAX_RETRIES)
+        ).count(),
+        "dlq": m.filter(
+            (F.col("outcome") == "DLQ")
+            | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= P.MAX_RETRIES))
+        ).count(),
+    }
+    for sink, n in expected.items():
+        assert spark.read.parquet(f"{out}/{sink}").count() == n
+    assert sum(expected.values()) == m.count()  # partition of the stream

@@ -336,3 +336,40 @@ def session_stream(stream: DataFrame, lateness: str = "10 minutes") -> DataFrame
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- E7: outcome fan-out (retry / DLQ production) -------------------------
+def outcome_fanout_pipeline(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Produce side of the worker (processor/DlqDispatchManager.java,
+    fetcher/RetryTopicKafkaFetcher.java): each micro-batch fans out by
+    outcome — delivered traffic to the ack path, transient failures to
+    the retry topic, poison/exhausted to the DLQ topic. Here the three
+    "topics" are parquet directories; in production each write is
+    ``sources.readers.serialize_for_kafka`` + the Kafka sink.
+
+    SCALE: one foreachBatch with three filtered writes of the SAME
+    cached micro-batch — the batch is scanned once, not three times, and
+    each sink append is atomic per batch id (exactly-once per sink)."""
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            delivered = batch_df.filter(F.col("outcome").isin("OK", "SKIP"))
+            retry = batch_df.filter(
+                (F.col("outcome") == "RETRY") & (F.col("retry_count") < MAX_RETRIES)
+            )
+            dlq = batch_df.filter(
+                (F.col("outcome") == "DLQ")
+                | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= MAX_RETRIES))
+            )
+            delivered.write.mode("append").parquet(f"{out_dir}/delivered")
+            retry.write.mode("append").parquet(f"{out_dir}/retry")
+            dlq.write.mode("append").parquet(f"{out_dir}/dlq")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
