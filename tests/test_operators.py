@@ -223,3 +223,22 @@ def test_token_bucket_matches_model_on_log(spark):
         from uforwarder_spark.operators.pipeline import BUCKET_BURST, BUCKET_RATE
 
         assert list(grp["admitted"]) == _bucket_model(times, BUCKET_RATE, BUCKET_BURST)
+
+
+# --- B10 range assignor ----------------------------------------------------
+def test_range_assignment_contiguous_chunks(spark):
+    from uforwarder_spark.operators.controller import range_assignment
+
+    a = {
+        (r.topic, r.part_id): r.assigned_worker
+        for r in range_assignment(spark, "/root/testdata/sf0.001").collect()
+    }
+    by_topic: dict = {}
+    for (topic, part), worker in sorted(a.items()):
+        by_topic.setdefault(topic, []).append(worker)
+    for topic, workers in by_topic.items():
+        # contiguous: once the worker index advances it never goes back
+        idx = [int(w.rsplit("-", 1)[1]) for w in workers]
+        assert idx == sorted(idx), f"{topic}: non-contiguous {idx}"
+        # 8 partitions over 4 workers → exactly 2 each (the balanced case)
+        assert len(set(idx)) == 4 and idx.count(idx[0]) == 2

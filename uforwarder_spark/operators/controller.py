@@ -519,3 +519,46 @@ def pod_aware_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("topic", "part_id", "pod", F.col("worker").alias("assigned_worker"))
     )
+
+
+# --- B10 -----------------------------------------------------------------
+RANGE_ASSIGN_ORACLE = f"""{MSG_CTE},
+jobs AS ({JOBS_SQL}),
+numbered AS (
+  SELECT topic, part_id,
+         row_number() OVER (PARTITION BY topic ORDER BY part_id) AS rn,
+         count(*) OVER (PARTITION BY topic) AS n_parts
+  FROM jobs
+)
+SELECT topic, part_id,
+       'worker-' || CAST((rn - 1) // CAST(ceil(CAST(n_parts AS DOUBLE) / {len(WORKERS)}) AS BIGINT) AS VARCHAR)
+         AS assigned_worker
+FROM numbered
+"""
+
+
+@register("range_assignment", RANGE_ASSIGN_ORACLE)
+def range_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka's RangeAssignor (the client-side assignor uForwarder's
+    controller REPLACES with its rebalancers — kept here as the
+    comparison baseline): per topic, partitions sort by id and split
+    into ceil(P/W)-sized contiguous chunks, chunk i → worker i. Shows
+    the imbalance HRW avoids: with P not divisible by W the last worker
+    gets fewer (or zero) partitions of every topic.
+
+    SCALE: control-plane-sized window over the job list; one tiny
+    stage."""
+    jobs = _jobs_df(spark, sf_dir)
+    w_rn = Window.partitionBy("topic").orderBy("part_id")
+    w_n = Window.partitionBy("topic")
+    numbered = jobs.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n_parts", F.count("*").over(w_n)
+    )
+    chunk = F.expr(f"CAST(ceil(CAST(n_parts AS DOUBLE) / {len(WORKERS)}) AS BIGINT)")
+    return numbered.select(
+        "topic",
+        "part_id",
+        F.concat(F.lit("worker-"), ((F.col("rn") - 1) / chunk).cast("bigint").cast("string")).alias(
+            "assigned_worker"
+        ),
+    )

@@ -850,3 +850,46 @@ def worker_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- A20 -----------------------------------------------------------------
+COMPACTION_ORACLE = f"""{MSG_CTE},
+keyed AS (
+  SELECT topic, part_id, msg_offset, ts, payload_value,
+         msg_offset % 1000 AS msg_key,
+         row_number() OVER (
+           PARTITION BY topic, msg_offset % 1000
+           ORDER BY msg_offset DESC) AS rn
+  FROM messages
+)
+SELECT topic, CAST(msg_key AS BIGINT) AS msg_key,
+       msg_offset AS latest_offset, ts AS latest_ts, payload_value
+FROM keyed WHERE rn = 1
+"""
+
+
+@register("log_compaction", COMPACTION_ORACLE)
+def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka compacted-topic semantics (the retention mode uForwarder's
+    source topics can run under; cleanup.policy=compact keeps only the
+    LATEST record per message key): one row per (topic, key) at its
+    highest offset. Key simulated as msg_offset % 1000.
+
+    SCALE: one shuffle on (topic, key); row_number + filter is the
+    standard latest-per-key plan and Spark pushes the rn=1 predicate
+    into the window sort (WindowGroupLimit) so each key keeps one row
+    per partition before the shuffle."""
+    m = messages(spark, sf_dir)
+    keyed = m.withColumn("msg_key", (F.col("msg_offset") % 1000).cast("bigint"))
+    w = Window.partitionBy("topic", "msg_key").orderBy(F.col("msg_offset").desc())
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "topic",
+            "msg_key",
+            F.col("msg_offset").alias("latest_offset"),
+            F.col("ts").alias("latest_ts"),
+            "payload_value",
+        )
+    )
