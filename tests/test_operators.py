@@ -242,3 +242,35 @@ def test_range_assignment_contiguous_chunks(spark):
         assert idx == sorted(idx), f"{topic}: non-contiguous {idx}"
         # 8 partitions over 4 workers → exactly 2 each (the balanced case)
         assert len(set(idx)) == 4 and idx.count(idx[0]) == 2
+
+
+# --- determinism: results must not depend on partitioning ------------------
+def test_results_invariant_to_shuffle_partitions(spark):
+    """Re-planning the same queries with a different shuffle partition
+    count must produce identical rows — catches any accidental
+    dependence on partition order (double summation, first/last without
+    order, etc.)."""
+    from uforwarder_spark.registry import QUERIES
+
+    picks = [
+        "ack_commit_watermark",
+        "latency_percentiles",
+        "tpch_q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "running_revenue",
+    ]
+    sf = "/root/testdata/sf0.001"
+
+    def snapshot():
+        return {
+            name: sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+            for name in picks
+        }
+
+    base = snapshot()
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        alt = snapshot()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert base == alt

@@ -461,3 +461,55 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP)
         .select("doc_id", "rnk", "token", "tf", "df", F.round("score", 6).alias("tfidf"))
     )
+
+
+# --- D22 -----------------------------------------------------------------
+LANG_CONFUSION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENS_DUCK} AS ts FROM documents
+),
+pred AS (
+  SELECT doc_id, lang AS true_lang,
+         CASE WHEN len(ts) > 0
+               AND CAST(len(list_filter(ts, x -> list_contains({_SW_DUCK}, x))) AS DOUBLE)
+                   / len(ts) >= 0.05
+              THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM t
+)
+SELECT true_lang, pred_lang,
+       count(*) AS n_docs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY true_lang), 6)
+         AS frac_of_true
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register("lang_id_confusion", LANG_CONFUSION_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the D8 language-ID heuristic: the
+    (true lang × predicted lang) confusion matrix with per-true-class
+    fractions — the quality measurement that decides whether the cheap
+    pre-filter is good enough before paying for a model.
+
+    SCALE: per-doc map → one partial-agg shuffle on the tiny
+    (true, pred) key space; the per-class fraction windows over O(langs²)
+    rows."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", F.col("lang").alias("true_lang"), F.expr(TOKENS_SPARK).alias("ts"))
+    ratio = F.expr(
+        f"CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END"
+    )
+    pred = t.withColumn(
+        "pred_lang", F.when((F.expr("size(ts) > 0")) & (ratio >= 0.05), "en").otherwise("unk")
+    )
+    counts = pred.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("frac_of_true"),
+    )

@@ -26,6 +26,14 @@ def get_spark(app_name: str = "uforwarder-spark", shuffle_partitions: str | None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spill-aware sizing: scan splits capped at 128 MiB keep each task's
+        # working set well inside an executor core's memory share at any SF;
+        # AQE re-coalesces post-shuffle partitions toward 64 MiB so reducers
+        # neither spill (too big) nor drown in scheduling overhead (too
+        # small). At 100 TB these two knobs — not shuffle.partitions, which
+        # AQE overrides — are what bound per-task memory.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
