@@ -299,3 +299,32 @@ def test_e7_outcome_fanout(spark, msg_log_dir, tmp_path):
     for sink, n in expected.items():
         assert spark.read.parquet(f"{out}/{sink}").count() == n
     assert sum(expected.values()) == m.count()  # partition of the stream
+
+
+def test_e8_stream_stream_redelivery_join(spark, tmp_path):
+    """Original and redelivery streams join on message identity; every
+    RETRY message's redelivery pairs with its original exactly once."""
+    m = model.messages(spark, SF_SMALL)
+    orig_dir = tmp_path / "orig"
+    redeliv_dir = tmp_path / "redeliv"
+    m.write.mode("overwrite").parquet(str(orig_dir))
+    retries = m.filter(F.col("outcome") == "RETRY")
+    retries.write.mode("overwrite").parquet(str(redeliv_dir))
+
+    joined = P.redelivery_join_stream(
+        P.message_stream(spark, str(orig_dir)),
+        P.message_stream(spark, str(redeliv_dir)),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("e8_joined")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.table("e8_joined")
+    assert got.count() == retries.count()
+    assert got.select("topic", "part_id", "msg_offset").distinct().count() == retries.count()
+    assert got.filter(F.col("o_outcome") != "RETRY").count() == 0

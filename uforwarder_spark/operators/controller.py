@@ -562,3 +562,67 @@ def range_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assigned_worker"
         ),
     )
+
+
+# --- B11 -----------------------------------------------------------------
+SHADOW_ORACLE = f"""{MSG_CTE},
+jobs AS ({JOBS_SQL}),
+hrw AS (
+  SELECT topic, part_id, worker AS hrw_worker FROM (
+    SELECT j.topic, j.part_id, w.worker,
+           row_number() OVER (
+             PARTITION BY j.topic, j.part_id
+             ORDER BY md5(j.topic || '-' || CAST(j.part_id AS VARCHAR) || '-' || w.worker) DESC,
+                      w.worker) AS rn
+    FROM jobs j CROSS JOIN {WORKERS_SQL}
+  ) WHERE rn = 1
+),
+rng AS (
+  SELECT topic, part_id,
+         'worker-' || CAST((rn - 1) // CAST(ceil(CAST(n_parts AS DOUBLE) / {len(WORKERS)}) AS BIGINT) AS VARCHAR)
+           AS range_worker
+  FROM (
+    SELECT topic, part_id,
+           row_number() OVER (PARTITION BY topic ORDER BY part_id) AS rn,
+           count(*) OVER (PARTITION BY topic) AS n_parts
+    FROM jobs
+  )
+)
+SELECT h.topic,
+       count(*) AS n_jobs,
+       CAST(sum(CASE WHEN h.hrw_worker <> r.range_worker THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_divergent,
+       round(sum(CASE WHEN h.hrw_worker <> r.range_worker THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS divergence_frac
+FROM hrw h JOIN rng r USING (topic, part_id)
+GROUP BY h.topic
+"""
+
+
+@register("rebalancer_shadow_compare", SHADOW_ORACLE)
+def rebalancer_shadow_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShadowRebalancerDelegate / ShadowRebalancerDelegateImpl
+    (datatransfer/controller/rebalancer/ShadowRebalancerDelegateImpl
+    .java): run a candidate rebalancer in SHADOW next to the live one
+    and measure how far the assignments diverge before cutting over.
+    Here: rendezvous (B1, live) vs Kafka RangeAssignor (B10, shadow),
+    divergence per topic.
+
+    SCALE: both assignments are control-plane-sized plans; the diff is
+    one join on (topic, part_id) over O(jobs) rows."""
+    live = partition_assignment(spark, sf_dir).withColumnRenamed(
+        "assigned_worker", "hrw_worker"
+    )
+    shadow = range_assignment(spark, sf_dir).withColumnRenamed(
+        "assigned_worker", "range_worker"
+    )
+    diff = F.when(F.col("hrw_worker") != F.col("range_worker"), 1).otherwise(0)
+    return (
+        live.join(shadow, ["topic", "part_id"])
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.sum(diff).alias("n_divergent"),
+            F.round(F.sum(diff) / F.count("*"), 6).alias("divergence_frac"),
+        )
+    )

@@ -373,3 +373,41 @@ def outcome_fanout_pipeline(stream: DataFrame, out_dir: str, checkpoint_dir: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E8: stream-stream redelivery correlation -----------------------------
+def redelivery_join_stream(
+    original: DataFrame, redelivered: DataFrame, lateness: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream INNER join: correlate each original dispatch with
+    its retry-topic redelivery by message identity — how the reference
+    ties a retry back to its first attempt (RetryTopicKafkaFetcher
+    consumes copies carrying the original's (group, topic, partition,
+    offset) in headers).
+
+    Both sides are watermarked, so each side's join state is bounded by
+    the lateness horizon: an original waits at most `lateness` for a
+    redelivery to appear (and vice versa), then its state is evicted.
+
+    SCALE: state-store-backed symmetric hash join keyed on the message
+    identity — uniform keys, state O(throughput × horizon) per side,
+    never O(stream)."""
+    o = (
+        original.withWatermark("ts", lateness)
+        .select(
+            "topic", "part_id", "msg_offset",
+            F.col("ts").alias("o_ts"),
+            F.col("outcome").alias("o_outcome"),
+        )
+    )
+    r = (
+        redelivered.withWatermark("ts", lateness)
+        .select(
+            "topic", "part_id", "msg_offset",
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return o.join(
+        r,
+        ["topic", "part_id", "msg_offset"],
+    ).select("topic", "part_id", "msg_offset", "o_ts", "r_ts", "o_outcome")
