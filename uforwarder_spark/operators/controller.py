@@ -540,8 +540,8 @@ FROM numbered
 @register("range_assignment", RANGE_ASSIGN_ORACLE)
 def range_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka's RangeAssignor (the client-side assignor uForwarder's
-    controller REPLACES with its rebalancers — kept here as the
-    comparison baseline): per topic, partitions sort by id and split
+    controller REPLACES with its Rebalancer.java implementations — kept
+    here as the comparison baseline): per topic, partitions sort by id and split
     into ceil(P/W)-sized contiguous chunks, chunk i → worker i. Shows
     the imbalance HRW avoids: with P not divisible by W the last worker
     gets fewer (or zero) partitions of every topic.

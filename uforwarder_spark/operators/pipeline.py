@@ -871,9 +871,11 @@ FROM keyed WHERE rn = 1
 @register("log_compaction", COMPACTION_ORACLE)
 def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka compacted-topic semantics (the retention mode uForwarder's
-    source topics can run under; cleanup.policy=compact keeps only the
-    LATEST record per message key): one row per (topic, key) at its
-    highest offset. Key simulated as msg_offset % 1000.
+    source topics can run under — the fetchers consume them like any
+    topic, fetchers/kafka/AbstractKafkaFetcherThread.java;
+    cleanup.policy=compact keeps only the LATEST record per message
+    key): one row per (topic, key) at its highest offset. Key simulated
+    as msg_offset % 1000.
 
     SCALE: one shuffle on (topic, key); row_number + filter is the
     standard latest-per-key plan and Spark pushes the rn=1 predicate
