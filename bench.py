@@ -52,13 +52,13 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: one measured run can eat a stray GC pause or
+    # best-of-3 per query: one measured run can eat a stray GC pause or
     # scheduler hiccup; the min reflects the plan's steady-state cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
