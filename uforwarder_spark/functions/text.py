@@ -513,3 +513,46 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("frac_of_true"),
     )
+
+
+# --- D23 -----------------------------------------------------------------
+CORPUS_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+),
+m AS (
+  SELECT source, CAST(len(ts) AS BIGINT) AS n_tokens FROM t
+)
+SELECT source,
+       count(*)                          AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)     AS total_tokens,
+       min(n_tokens)                     AS min_tokens,
+       max(n_tokens)                     AS max_tokens,
+       round(avg(n_tokens), 6)           AS mean_tokens,
+       round(quantile_cont(n_tokens, 0.5), 6)  AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens
+FROM m GROUP BY source
+"""
+
+
+@register("corpus_stats", CORPUS_STATS_ORACLE)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per source: document counts, token totals, and the
+    length distribution (min/max/mean/p50/p95) — the first report any
+    corpus pipeline produces and the sanity check after every filter
+    stage.
+
+    SCALE: per-doc map then one partial-agg shuffle on source; exact
+    percentiles here to match the oracle — at 100 TB swap to
+    approx_percentile (sketch-mergeable map-side, same plan shape)."""
+    docs = _docs(spark, sf_dir)
+    m = docs.select("source", F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tokens"))
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95_tokens"),
+    )
