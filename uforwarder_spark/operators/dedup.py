@@ -488,7 +488,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         sym.select(F.col("doc_a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
-    while True:
+    # diameter of a near-dup graph is tiny (clusters are cliques-ish);
+    # the cap turns a pathological chain into a loud failure instead of
+    # an unbounded driver loop
+    for _ in range(64):
         nbr_min = (
             sym.join(labels, sym.doc_b == labels.node)
             .groupBy("doc_a")
@@ -513,6 +516,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError("connected components did not converge in 64 rounds")
     from pyspark.sql import Window
 
     return labels.select(
