@@ -271,26 +271,24 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pass predicate pushes into downstream scans when the verdict is
     materialized as a partition column."""
     docs = _docs(spark, sf_dir)
-    t = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
-    mean_len = F.expr(
+    # lambda-binding trick: wrapping the token array in transform(array(..))
+    # binds it to a lambda variable evaluated ONCE per row — otherwise
+    # CollapseProject inlines the tokenization into every metric that
+    # references it (4× the split/regex cost on the scan).
+    metrics = (
+        f"transform(array({TOKENS_SPARK}), ts -> struct("
+        "CAST(size(ts) AS BIGINT) AS n_tokens, "
         "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
         "aggregate(transform(ts, x -> CAST(length(x) AS DOUBLE)), 0.0D, (a, b) -> a + b)"
-        " / size(ts) END"
-    )
-    stop_ratio = F.expr(
+        " / size(ts) END AS mean_tok_len, "
         f"CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
-        f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END"
-    )
-    digit_ratio = F.expr(
+        f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END AS stop_ratio, "
         "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
-        "CAST(size(filter(ts, x -> x RLIKE '^[0-9]+$')) AS DOUBLE) / size(ts) END"
+        "CAST(size(filter(ts, x -> x RLIKE '^[0-9]+$')) AS DOUBLE) / size(ts) END AS digit_ratio"
+        "))[0]"
     )
-    m = t.select(
-        "doc_id",
-        F.expr("CAST(size(ts) AS BIGINT)").alias("n_tokens"),
-        mean_len.alias("mean_tok_len"),
-        stop_ratio.alias("stop_ratio"),
-        digit_ratio.alias("digit_ratio"),
+    m = docs.select("doc_id", F.expr(metrics).alias("m")).select(
+        "doc_id", "m.n_tokens", "m.mean_tok_len", "m.stop_ratio", "m.digit_ratio"
     )
     fails = (
         F.when((F.col("n_tokens") < 20) | (F.col("n_tokens") > 1000), 1).otherwise(0)
