@@ -57,23 +57,23 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE: stateless per-doc map, no shuffle; text column pruned to the
     scan."""
     docs = _docs(spark, sf_dir)
-    ratio = (
+    # token array bound once per row (lambda-binding, see D15) — the
+    # ratio feeds both outputs without re-tokenizing
+    metrics = (
+        f"transform(array({TOKENS_SPARK}), ts -> struct("
         f"CASE WHEN size(ts) = 0 THEN 0.0D "
         f"ELSE CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END"
+        " AS stop_ratio, "
+        "size(ts) > 0 AS has_tokens"
+        "))[0]"
     )
-    return (
-        docs.withColumn("ts", F.expr(TOKENS_SPARK))
-        .withColumn("stop_ratio", F.expr(ratio))
-        .select(
-            "doc_id",
-            "lang",
-            "stop_ratio",
-            F.expr(
-                "CASE WHEN size(ts) > 0 AND "
-                f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) >= 0.05 "
-                "THEN 'en' ELSE 'unk' END"
-            ).alias("pred_lang"),
-        )
+    return docs.select("doc_id", "lang", F.expr(metrics).alias("m")).select(
+        "doc_id",
+        "lang",
+        F.col("m.stop_ratio").alias("stop_ratio"),
+        F.when(F.col("m.has_tokens") & (F.col("m.stop_ratio") >= 0.05), "en")
+        .otherwise("unk")
+        .alias("pred_lang"),
     )
 
 
@@ -117,39 +117,40 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE: stateless per-doc map, no shuffle."""
     docs = _docs(spark, sf_dir)
-    m = (
-        docs.withColumn("ts", F.expr(TOKENS_SPARK))
-        .withColumn("n_chars", F.length("text").cast("long"))
-        .withColumn("n_tokens", F.expr("size(ts)").cast("long"))
-        .withColumn(
-            "punct_ratio",
-            F.expr(
-                "CASE WHEN length(text) = 0 THEN 0.0D ELSE "
-                "CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '')) AS DOUBLE)"
-                " / length(text) END"
-            ),
-        )
-        .withColumn(
-            "stop_ratio",
-            F.expr(
-                "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
-                f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END"
-            ),
-        )
+    # two-level lambda binding: the token array AND the combined score are
+    # each evaluated once per row; without it the punct regex inlines into
+    # every score reference (round + two band comparisons)
+    base = (
+        f"transform(array({TOKENS_SPARK}), ts -> struct("
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(size(ts) AS BIGINT) AS n_tokens, "
+        "CASE WHEN length(text) = 0 THEN 0.0D ELSE "
+        "CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '')) AS DOUBLE)"
+        " / length(text) END AS punct_ratio, "
+        "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END AS stop_ratio"
+        "))[0]"
     )
-    score = (
-        "0.5 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) "
-        "+ 0.2 * least(stop_ratio * 10.0, 1.0)"
+    m = docs.select("doc_id", F.expr(base).alias("b"))
+    scored = m.select(
+        "doc_id",
+        F.col("b.n_chars").alias("n_chars"),
+        F.col("b.n_tokens").alias("n_tokens"),
+        F.expr(
+            "transform(array(0.5 * least(b.n_tokens / 50.0, 1.0)"
+            " + 0.3 * (1.0 - b.punct_ratio)"
+            " + 0.2 * least(b.stop_ratio * 10.0, 1.0)), s -> struct("
+            "round(s, 6) AS quality_score, "
+            "CASE WHEN s >= 0.8 THEN 'high' WHEN s >= 0.5 THEN 'medium' "
+            "ELSE 'low' END AS quality_band))[0]"
+        ).alias("q"),
     )
-    return m.select(
+    return scored.select(
         "doc_id",
         "n_chars",
         "n_tokens",
-        F.expr(f"round({score}, 6)").alias("quality_score"),
-        F.expr(
-            f"CASE WHEN {score} >= 0.8 THEN 'high' "
-            f"WHEN {score} >= 0.5 THEN 'medium' ELSE 'low' END"
-        ).alias("quality_band"),
+        F.col("q.quality_score").alias("quality_score"),
+        F.col("q.quality_band").alias("quality_band"),
     )
 
 
