@@ -36,5 +36,5 @@ def test_parity_operators_cite_reference_files():
 
 def test_oracle_coverage_is_total_except_declared():
     # rows-only is an explicit, short list — anything else must carry an oracle
-    rows_only = {"multimodal_meta", "token_bucket_exact"}
+    rows_only = {"token_bucket_exact"}
     assert set(QUERIES) - set(ORACLES) == rows_only

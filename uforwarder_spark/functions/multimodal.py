@@ -65,7 +65,23 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("multimodal_meta")  # rows-only: binary decode is not SQL-expressible
+# The deterministic stub makes the Python decode path fully auditable in
+# SQL: the checksum is md5 over the utf-8 payload and the fake dims are
+# pure arithmetic on its byte length — so the Arrow/mapInPandas plumbing
+# (schema, batching, byte handling) is verified end-to-end against DuckDB.
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(strlen(text) AS BIGINT)      AS n_bytes,
+       CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+       CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+       CAST(strlen(text) % 30 + 1 AS INTEGER)  AS n_frames,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+@register("multimodal_meta", MULTIMODAL_ORACLE)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: documents' text bytes stand in for an
     image/audio payload; typed metadata travels alongside; mapInPandas
