@@ -274,3 +274,30 @@ def test_results_invariant_to_shuffle_partitions(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert base == alt
+
+
+# --- B9 pod-aware placement invariants -------------------------------------
+def test_pod_assignment_isolates_topics_to_pods(spark):
+    from uforwarder_spark.operators.controller import N_PODS, pod_aware_assignment
+
+    rows = pod_aware_assignment(spark, "/root/testdata/sf0.001").collect()
+    by_topic: dict = {}
+    for r in rows:
+        by_topic.setdefault(r.topic, set()).add(r.pod)
+        # the assigned worker must belong to the assigned pod
+        widx = int(r.assigned_worker.rsplit("-", 1)[1])
+        assert f"pod-{widx % N_PODS}" == r.pod
+    # colocation: every topic pinned to exactly one pod
+    assert all(len(pods) == 1 for pods in by_topic.values())
+    # isolation is only meaningful if both pods are actually used
+    assert len({p for ps in by_topic.values() for p in ps}) == N_PODS
+
+
+def test_shadow_compare_covers_every_job(spark):
+    from uforwarder_spark.operators.controller import rebalancer_shadow_compare
+
+    rows = rebalancer_shadow_compare(spark, "/root/testdata/sf0.001").collect()
+    assert {r.topic for r in rows} == {"click", "view", "purchase", "signup", "error"}
+    for r in rows:
+        assert r.n_jobs == 8  # all 8 partitions of each topic diffed
+        assert 0 <= r.n_divergent <= r.n_jobs
