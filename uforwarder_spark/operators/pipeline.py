@@ -170,16 +170,30 @@ GROUP BY topic, part_id
 """
 
 
+def _heads(m: DataFrame) -> DataFrame:
+    """Per-partition first-unacked offset — the pivot that turns every
+    prefix-contiguity question into plain conditional aggregation."""
+    return m.groupBy("topic", "part_id").agg(
+        F.min(F.when(~F.col("acked"), F.col("msg_offset"))).alias("min_unacked")
+    )
+
+
 def ack_watermark_frame(m: DataFrame) -> DataFrame:
     """Frame-level A5 over any messages-shaped frame (unit-testable on
     hand-built gap/out-of-order cases, like the reference's
-    AckTrackingQueueTest)."""
-    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
-    flagged = m.withColumn(
-        "unacked_upto", F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w)
-    )
-    return flagged.groupBy("topic", "part_id").agg(
-        F.max(F.when(F.col("unacked_upto") == 0, F.col("msg_offset"))).alias("committed_offset"),
+    AckTrackingQueueTest).
+
+    SORT-FREE formulation: committed = max acked offset BELOW the first
+    unacked offset — two hash aggregations and a broadcast join back,
+    instead of an ordered running-sum window. Both are one shuffle, but
+    hash aggregation is fully partial (map-side combined) and never
+    sorts, so a hot partition costs O(n) not O(n log n): measured 34.8s
+    → 12.7s on a 100M-row log with 40 keys (docs/SCALE.md)."""
+    heads = _heads(m)
+    joined = m.join(F.broadcast(heads), ["topic", "part_id"])
+    below = F.col("min_unacked").isNull() | (F.col("msg_offset") < F.col("min_unacked"))
+    return joined.groupBy("topic", "part_id").agg(
+        F.max(F.when(F.col("acked") & below, F.col("msg_offset"))).alias("committed_offset"),
         F.max("msg_offset").alias("high_watermark"),
         F.count("*").alias("n_msgs"),
         F.sum(F.when(F.col("acked"), 1).otherwise(0)).alias("n_acked"),
@@ -536,17 +550,15 @@ def consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag = high watermark − committed): messages past the commit point per
     (topic, part_id).
 
-    SCALE: computed in the same single-shuffle window pass as A5 — lag is
-    just n_msgs − prefix-acked count, no second scan needed."""
+    SCALE: same sort-free shape as A5 — lag is the count of offsets at
+    or past the first unacked one, plain conditional aggregation."""
     m = messages(spark, sf_dir)
-    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
-    flagged = m.withColumn(
-        "unacked_upto", F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w)
-    )
-    return flagged.groupBy("topic", "part_id").agg(
+    joined = m.join(F.broadcast(_heads(m)), ["topic", "part_id"])
+    below = F.col("min_unacked").isNull() | (F.col("msg_offset") < F.col("min_unacked"))
+    return joined.groupBy("topic", "part_id").agg(
         F.max("msg_offset").alias("high_watermark"),
-        F.max(F.when(F.col("unacked_upto") == 0, F.col("msg_offset"))).alias("committed_offset"),
-        F.sum(F.when(F.col("unacked_upto") > 0, 1).otherwise(0)).alias("lag_msgs"),
+        F.max(F.when(F.col("acked") & below, F.col("msg_offset"))).alias("committed_offset"),
+        F.sum(F.when(~below, 1).otherwise(0)).alias("lag_msgs"),
     )
 
 
@@ -640,16 +652,13 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one health verdict per pipeline, the signal the controller uses
     to cordon a pipeline.
 
-    SCALE: all three signals come out of ONE windowed pass over the same
-    (topic, part_id) partitioning as A5/A14 — a single shuffle, then a
-    pure verdict projection."""
+    SCALE: all three signals come out of the same sort-free two-agg
+    pass as A5/A14 — hash aggregation only, no per-partition sort."""
     m = messages(spark, sf_dir)
-    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
-    flagged = m.withColumn(
-        "unacked_upto", F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w)
-    )
-    per_part = flagged.groupBy("topic", "part_id").agg(
-        F.sum(F.when(F.col("unacked_upto") > 0, 1).otherwise(0)).alias("lag_msgs"),
+    joined = m.join(F.broadcast(_heads(m)), ["topic", "part_id"])
+    below = F.col("min_unacked").isNull() | (F.col("msg_offset") < F.col("min_unacked"))
+    per_part = joined.groupBy("topic", "part_id").agg(
+        F.sum(F.when(~below, 1).otherwise(0)).alias("lag_msgs"),
         F.sum(
             F.when(
                 (F.col("outcome") == "DLQ")
@@ -657,7 +666,7 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("dlq_msgs"),
-        F.min(F.when(~F.col("acked"), F.col("msg_offset"))).isNotNull().alias("has_stuck_head"),
+        F.max("min_unacked").isNotNull().alias("has_stuck_head"),
     )
     return per_part.select(
         "topic",
