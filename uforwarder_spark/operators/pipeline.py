@@ -862,18 +862,14 @@ def worker_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A20 -----------------------------------------------------------------
-COMPACTION_ORACLE = f"""{MSG_CTE},
-keyed AS (
-  SELECT topic, part_id, msg_offset, ts, payload_value,
-         msg_offset % 1000 AS msg_key,
-         row_number() OVER (
-           PARTITION BY topic, msg_offset % 1000
-           ORDER BY msg_offset DESC) AS rn
-  FROM messages
-)
-SELECT topic, CAST(msg_key AS BIGINT) AS msg_key,
-       msg_offset AS latest_offset, ts AS latest_ts, payload_value
-FROM keyed WHERE rn = 1
+COMPACTION_ORACLE = f"""{MSG_CTE}
+SELECT topic,
+       CAST(msg_offset % 1000 AS BIGINT) AS msg_key,
+       max(msg_offset)                   AS latest_offset,
+       arg_max(ts, msg_offset)           AS latest_ts,
+       arg_max(payload_value, msg_offset) AS payload_value
+FROM messages
+GROUP BY topic, msg_offset % 1000
 """
 
 
@@ -886,21 +882,15 @@ def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     key): one row per (topic, key) at its highest offset. Key simulated
     as msg_offset % 1000.
 
-    SCALE: one shuffle on (topic, key); row_number + filter is the
-    standard latest-per-key plan and Spark pushes the rn=1 predicate
-    into the window sort (WindowGroupLimit) so each key keeps one row
-    per partition before the shuffle."""
+    SCALE: latest-per-key is max_by — plain hash aggregation, one
+    shuffle on (topic, key), fully map-side-combined, NO per-key sort
+    (the row_number formulation sorts every key's history; max_by keeps
+    one row per key per map partition). Deterministic because offsets
+    are unique within a partition."""
     m = messages(spark, sf_dir)
     keyed = m.withColumn("msg_key", (F.col("msg_offset") % 1000).cast("bigint"))
-    w = Window.partitionBy("topic", "msg_key").orderBy(F.col("msg_offset").desc())
-    return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "topic",
-            "msg_key",
-            F.col("msg_offset").alias("latest_offset"),
-            F.col("ts").alias("latest_ts"),
-            "payload_value",
-        )
+    return keyed.groupBy("topic", "msg_key").agg(
+        F.max("msg_offset").alias("latest_offset"),
+        F.expr("max_by(ts, msg_offset)").alias("latest_ts"),
+        F.expr("max_by(payload_value, msg_offset)").alias("payload_value"),
     )
