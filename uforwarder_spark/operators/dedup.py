@@ -324,7 +324,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE: the exploded join shuffles on (source, token) — vectorized
     hash join + count-agg instead of per-pair array loops; blocking
-    bounds pairs to within-block; AQE splits skewed tokens."""
+    bounds pairs to within-block; AQE splits skewed tokens. Beyond this
+    corpus's scale, candidate volume grows with shared-token pairs —
+    the scale path is PPJoin prefix filtering (join only each doc's
+    rarest ceil((1-t)·n)+1 tokens; J ≥ t forces a prefix collision).
+    Measured SLOWER here (dup-heavy corpus, extra windows — see
+    docs/SCALE.md method), so it is documented, not default."""
     docs = _docs(spark, sf_dir)
     t = (
         docs.withColumn("ts", F.expr(f"array_distinct({TOKENS_SPARK})"))
