@@ -38,3 +38,22 @@ def test_oracle_coverage_is_total_except_declared():
     # rows-only is an explicit, short list — anything else must carry an oracle
     rows_only = {"token_bucket_exact"}
     assert set(QUERIES) - set(ORACLES) == rows_only
+
+
+def test_example_script_runs(capsys):
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "proxy_day", "examples/proxy_day_in_the_life.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = ["proxy_day"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert out.count("===") >= 8 * 2  # every stage printed a header
