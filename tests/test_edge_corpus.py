@@ -1,0 +1,84 @@
+"""Edge-corpus robustness: the text/dedup operators must behave on the
+degenerate documents a real corpus contains — empty strings, one-token
+docs, punctuation-only docs, exact duplicates — not just the synthetic
+mid-sized ones.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, "", "en", "web", 0),
+    (1, "word", "en", "web", 4),
+    (2, "!!! ??? ...", "en", "web", 11),
+    (3, "the quick brown fox jumps over the lazy dog", "en", "books", 43),
+    (4, "the quick brown fox jumps over the lazy dog", "en", "books", 43),  # exact dup
+    (5, "the quick brown fox jumps over a lazy dog", "en", "books", 41),  # near dup
+    (6, "uno dos tres cuatro cinco seis siete ocho", "es", "web", 41),
+    (7, "a b", "en", "web", 3),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    from uforwarder_spark.session import get_spark
+
+    spark = get_spark("uforwarder-tests", shuffle_partitions="8")
+    d = tmp_path_factory.mktemp("edge")
+    spark.createDataFrame(
+        EDGE_DOCS, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_counts_duplicates(spark, edge_dir):
+    from uforwarder_spark.operators.dedup import dedup_exact
+
+    rows = {r.source: r for r in dedup_exact(spark, edge_dir).collect()}
+    assert rows["books"].n_docs == 3 and rows["books"].n_dups == 1
+    assert rows["web"].n_dups == 0
+
+
+def test_minhash_handles_short_docs_and_finds_dups(spark, edge_dir):
+    from uforwarder_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_minhash_lsh(spark, edge_dir).collect()}
+    assert pairs[(3, 4)] == 1.0  # exact dup found with jaccard 1
+    assert all(j >= 0.5 for j in pairs.values())
+    # short docs (< 3 tokens) go through the single-shingle path without error
+
+
+def test_simhash_excludes_tokenless_docs(spark, edge_dir):
+    from uforwarder_spark.operators.dedup import dedup_simhash
+
+    rows = {r.doc_id: r.simhash for r in dedup_simhash(spark, edge_dir).collect()}
+    assert 0 not in rows and 2 not in rows  # no tokens → excluded
+    assert rows[3] == rows[4]  # identical docs, identical fingerprints
+    assert 0 <= rows[1] < 2**32
+
+
+def test_text_metrics_on_empty_and_tiny_docs(spark, edge_dir):
+    from uforwarder_spark.functions.text import lang_id, quality_score, token_count
+
+    tc = {r.doc_id: r for r in token_count(spark, edge_dir).collect()}
+    assert tc[0].ws_tokens == 0 and tc[0].bpe_ish_tokens == 0
+    assert tc[2].ws_tokens == 3  # "!!! ??? ..." splits on whitespace
+    li = {r.doc_id: r for r in lang_id(spark, edge_dir).collect()}
+    assert li[0].pred_lang == "unk" and li[0].stop_ratio == 0.0
+    assert li[3].pred_lang == "en"  # two 'the' in nine tokens
+    qs = {r.doc_id: r for r in quality_score(spark, edge_dir).collect()}
+    assert qs[0].quality_band == "low"
+    assert all(0.0 <= r.quality_score <= 1.0 for r in qs.values())
+
+
+def test_fingerprint_identical_for_exact_dups(spark, edge_dir):
+    from uforwarder_spark.functions.text import doc_fingerprint
+
+    rows = {r.doc_id: r for r in doc_fingerprint(spark, edge_dir).collect()}
+    assert rows[3].full_hash == rows[4].full_hash
+    assert rows[3].min_shingle_hash == rows[4].min_shingle_hash
+    assert rows[3].full_hash != rows[5].full_hash  # near dup differs exactly
+    assert len(rows) == len(EDGE_DOCS)  # every doc fingerprints, even empty
