@@ -82,3 +82,23 @@ def test_fingerprint_identical_for_exact_dups(spark, edge_dir):
     assert rows[3].min_shingle_hash == rows[4].min_shingle_hash
     assert rows[3].full_hash != rows[5].full_hash  # near dup differs exactly
     assert len(rows) == len(EDGE_DOCS)  # every doc fingerprints, even empty
+
+
+def test_ann_ignores_zero_norm_vectors(spark, tmp_path):
+    """A zero vector's cosine is NaN and Spark sorts NaN as greatest —
+    it must never appear in (or crash) the top-k."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, i % 3, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    rows.append((30, 0, [0.0] * 64))  # the hazard
+    spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    from uforwarder_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+    for fn in (ann_topk_bruteforce, ann_topk_lsh):
+        got = fn(spark, str(tmp_path)).collect()
+        assert all(r.vec_id != 30 for r in got)
+        assert all(r.cosine == r.cosine for r in got)  # no NaN survives

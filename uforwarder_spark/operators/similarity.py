@@ -30,9 +30,14 @@ _DOT_DUCK = "list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the double-cast vectors are reused by several branches
     # (query row, signatures, candidates, final scoring) of each plan.
+    # Zero-norm vectors are dropped: their cosine is NaN, and Spark
+    # orders NaN as GREATEST, so a single zero vector would sit atop
+    # every top-k. (The synthetic tables contain none — this guards
+    # real data.)
     return (
         load_parallel(spark, sf_dir, "embeddings")
         .select("vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+        .filter(F.expr("aggregate(v, 0.0D, (a, x) -> a + x * x) > 0"))
         .persist()
     )
 
