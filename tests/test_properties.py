@@ -51,3 +51,45 @@ def test_inflight_limiter_equals_reference_model(spark, acks, limit):
     assert r.n_admitted == len(admitted)
     assert r.n_blocked == len(pending) - len(admitted)
     assert r.last_admitted_offset == admitted[-1]
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    minute_counts=st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=6),
+    rate=st.integers(min_value=1, max_value=12),
+)
+def test_rate_limit_equals_reference_model(spark, minute_counts, rate):
+    from datetime import datetime, timedelta
+
+    from uforwarder_spark.operators.pipeline import rate_limit_frame
+
+    t0 = datetime(2024, 1, 1)
+    rows, off = [], 0
+    for m, n in enumerate(minute_counts):
+        for _ in range(n):
+            rows.append(("t", 0, off, t0 + timedelta(minutes=m)))
+            off += 1
+    if not rows:
+        return
+    m = spark.createDataFrame(rows, ["topic", "part_id", "msg_offset", "ts"])
+    r = rate_limit_frame(m, rate=rate).collect()[0]
+    allowed = sum(min(n, rate) for n in minute_counts)
+    assert (r.n_msgs, r.n_allowed, r.n_throttled) == (off, allowed, off - allowed)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(acks=pattern, threshold=st.integers(min_value=1, max_value=10))
+def test_hol_blocking_equals_reference_model(spark, acks, threshold):
+    from uforwarder_spark.operators.pipeline import hol_blocking_frame
+
+    rows = hol_blocking_frame(_frame(spark, acks), threshold=threshold).collect()
+    pending = [off for off, acked in enumerate(acks) if not acked]
+    if not pending:
+        assert rows == []
+        return
+    head = pending[0]
+    acked_behind = sum(1 for off, acked in enumerate(acks) if acked and off > head)
+    r = rows[0]
+    assert r.head_offset == head
+    assert r.acked_behind_head == acked_behind
+    assert bool(r.is_blocked) == (acked_behind >= threshold)
