@@ -328,3 +328,19 @@ def test_e8_stream_stream_redelivery_join(spark, tmp_path):
     assert got.count() == retries.count()
     assert got.select("topic", "part_id", "msg_offset").distinct().count() == retries.count()
     assert got.filter(F.col("o_outcome") != "RETRY").count() == 0
+
+
+def test_e2_custom_window_size_rates(spark, msg_log_dir, tmp_path):
+    """The per-second rates derive from each window's own bounds, so any
+    window duration produces correct rates (regression for the
+    hard-coded 300 s divisor)."""
+    stream = P.message_stream(spark, msg_log_dir)
+    q = _run_to_memory(
+        P.throughput_stream(stream, window="2 minutes"),
+        "e2_custom", str(tmp_path / "ckpt"), "append",
+    )
+    got = spark.table("e2_custom").toPandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert abs(r.msgs_per_sec - r.n_msgs / 120.0) < 1e-9
+        assert abs(r.bytes_per_sec - r.total_bytes / 120.0) < 1e-9
