@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from .conftest import SF_MED, duck_with_views
+from .conftest import SF_MED, SF_SMALL, duck_with_views
 from .parity import assert_parity
 
 
@@ -19,15 +19,16 @@ def _pairs():
 KEYS, _ = _pairs()
 
 
+@pytest.mark.parametrize("sf_dir", [SF_MED, SF_SMALL], ids=["sf0.01", "sf0.001"])
 @pytest.mark.parametrize("name", KEYS)
-def test_parity(name, spark, duck):
+def test_parity(name, sf_dir, spark, duck):
     from uforwarder_spark.registry import ORACLES, QUERIES
 
-    sdf = QUERIES[name](spark, SF_MED)
+    sdf = QUERIES[name](spark, sf_dir)
     spark_pdf = sdf.toPandas()
     assert len(spark_pdf) >= 0
     if name not in ORACLES:
         pytest.skip(f"{name}: rows-only check (no SQL oracle)")
-    con = duck_with_views(duck, SF_MED)
+    con = duck_with_views(duck, sf_dir)
     duck_pdf = con.execute(ORACLES[name]).fetchdf()
     assert_parity(spark_pdf, duck_pdf, name)
