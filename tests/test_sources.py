@@ -142,3 +142,29 @@ def test_format_roundtrip_preserves_messages(spark, tmp_path, fmt):
         .collect()
     }
     assert agg(back) == agg(m)
+
+
+def test_bucketed_log_makes_watermark_exchange_free(spark, tmp_path):
+    """The A5 scale claim, proven: with the message log bucketed on
+    (topic, part_id), the commit-watermark operator plans no shuffle
+    Exchange at all — both hash aggregations read co-located buckets and
+    the heads side is broadcast."""
+    from uforwarder_spark.operators.pipeline import ack_watermark_frame
+    from uforwarder_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    m = model.messages(spark, SF_SMALL)
+    write_bucketed(m, "msgs_b", str(tmp_path / "mb"), ["topic", "part_id"])
+    try:
+        bucketed = read_bucketed(spark, "msgs_b")
+        df = ack_watermark_frame(bucketed)
+        df.write.format("noop").mode("overwrite").save()  # finalize AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan  # the heads side
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles == 0, plan[:2000]
+        # and results match the unbucketed computation
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, ack_watermark_frame(m).collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS msgs_b")
