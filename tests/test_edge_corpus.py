@@ -102,3 +102,93 @@ def test_ann_ignores_zero_norm_vectors(spark, tmp_path):
         got = fn(spark, str(tmp_path)).collect()
         assert all(r.vec_id != 30 for r in got)
         assert all(r.cosine == r.cosine for r in got)  # no NaN survives
+
+
+def _brute_jaccard_pairs(docs, threshold=0.9):
+    """Python brute-force oracle for D4: all same-source pairs, distinct
+    token sets, Jaccard >= threshold."""
+    import itertools
+    import re
+
+    sets = {d[0]: (d[3], set(t for t in re.split(r"[^a-z0-9]+", d[1].lower()) if t)) for d in docs}
+    out = set()
+    for (a, (sa, ta)), (b, (sb, tb)) in itertools.combinations(sorted(sets.items()), 2):
+        if sa != sb or not (ta | tb):
+            continue
+        j = len(ta & tb) / len(ta | tb)
+        if j >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark, tmp_path):
+    """The PPJoin prefix filter must find EXACTLY the pairs the naive
+    all-pairs Jaccard finds — on a corpus with hot shared tokens, near
+    dups, exact dups, and singleton docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        # 6 docs sharing the hot stopword spine but pairwise-distinct tails
+        (i, f"the of and in {base} tail{i}a tail{i}b tail{i}c", "en", "web", 0)
+        for i in range(6)
+    ] + [
+        (10, f"the of and in {base} shared tail", "en", "web", 0),
+        (11, f"the of and in {base} shared tail", "en", "web", 0),  # exact dup of 10
+        (12, f"the of and in {base} shared tails", "en", "web", 0),  # near dup
+        (13, "solo", "en", "web", 0),
+        (14, f"{base}", "en", "books", 0),  # other source: never pairs with web
+        (15, f"{base}", "en", "books", 0),
+    ]
+    d = tmp_path / "jac"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    from uforwarder_spark.operators.jaccard import ngram_jaccard_pairs
+
+    got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, str(d)).collect()}
+    want = _brute_jaccard_pairs(docs)
+    assert got == want and (10, 11) in want and (14, 15) in want
+
+
+def test_ngram_jaccard_candidates_are_bounded(spark, tmp_path):
+    """Scale guard: with one token shared by ALL n docs, the naive
+    (source, token) join emits O(n^2) candidate rows; the prefix join
+    must stay near-linear because the hot token never enters a prefix."""
+    n = 60
+    docs = [
+        # 12 distinct rare tokens each + 1 universal hot token -> prefix
+        # length floor(0.1*13)+1 = 2 rarest tokens, never 'common'
+        (i, "common " + " ".join(f"tok{i}x{j}" for j in range(12)), "en", "web", 0)
+        for i in range(n)
+    ]
+    d = tmp_path / "hot"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.functions.tokenize import TOKENS_SPARK
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.jaccard import ngram_jaccard_pairs, prefix_tokens
+
+    t = (
+        load_parallel(spark, str(d), "documents")
+        .withColumn("ts", F.expr(f"array_distinct({TOKENS_SPARK})"))
+        .select("doc_id", "source", "ts")
+    )
+    pref = prefix_tokens(t)
+    a, b = pref.alias("a"), pref.alias("b")
+    n_candidates = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+    )
+    # naive join would emit >= C(60,2) = 1770 rows for 'common' alone
+    assert n_candidates == 0  # all prefixes are doc-unique rare tokens
+    # prefix rows are bounded by sum(floor(0.1*n)+1) — 2 per doc here
+    assert pref.count() <= 2 * n
+    assert ngram_jaccard_pairs(spark, str(d)).count() == 0

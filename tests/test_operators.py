@@ -191,7 +191,7 @@ def _bucket_model(times, rate, burst):
 
 
 def test_token_bucket_burst_then_refill(spark):
-    from uforwarder_spark.operators.pipeline import token_bucket_frame
+    from uforwarder_spark.operators.ratelimit import token_bucket_frame
 
     t0 = datetime(2024, 1, 1)
     # 8 messages in a burst (capacity 5), then one after a long refill gap
@@ -213,16 +213,21 @@ def test_token_bucket_burst_then_refill(spark):
 
 def test_token_bucket_matches_model_on_log(spark):
     from uforwarder_spark.model import messages
-    from uforwarder_spark.operators.pipeline import token_bucket_frame
+    from uforwarder_spark.operators.ratelimit import token_bucket_frame
 
     m = messages(spark, "/root/testdata/sf0.001")
     got = token_bucket_frame(m).toPandas()
-    for topic, grp in got.groupby("topic"):
+    # Bucket state is per (topic, part_id) — the reference limiter's
+    # shard unit — so the model replays each shard independently.
+    n_groups = 0
+    for (topic, part_id), grp in got.groupby(["topic", "part_id"]):
+        n_groups += 1
         grp = grp.sort_values(["ts", "msg_offset"])
         times = [t.timestamp() for t in grp["ts"]]
-        from uforwarder_spark.operators.pipeline import BUCKET_BURST, BUCKET_RATE
+        from uforwarder_spark.operators.ratelimit import BUCKET_BURST, BUCKET_RATE
 
         assert list(grp["admitted"]) == _bucket_model(times, BUCKET_RATE, BUCKET_BURST)
+    assert n_groups >= 40  # 5 topics x 8 partitions: shard-level parallelism
 
 
 # --- B10 range assignor ----------------------------------------------------

@@ -17,14 +17,13 @@ from pyspark.sql import functions as F
 
 from ..model import load_parallel
 from ..registry import register
-
-# Spark / DuckDB dialect twins for the shared token expression.
-TOKENS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-
-STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
-_SW_SPARK = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
-_SW_DUCK = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+from .tokenize import (  # noqa: F401  (re-exported for compat)
+    STOPWORDS,
+    TOKENS_DUCK,
+    TOKENS_SPARK,
+)
+from .tokenize import SW_DUCK as _SW_DUCK  # noqa: F401
+from .tokenize import SW_SPARK as _SW_SPARK  # noqa: F401
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,7 +31,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import TOKENS_DUCK, TOKENS_SPARK
+from ..functions.tokenize import TOKENS_DUCK, TOKENS_SPARK
 from ..model import load_parallel
 from ..registry import register
 
@@ -299,68 +299,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hs.select("doc_id", F.expr(sim_fold).alias("simhash"))
 
 
-# --- D4 ------------------------------------------------------------------
-NGRAM_JACCARD_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, source, list_distinct({TOKENS_DUCK}) AS ts FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS source,
-       round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
-FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
-"""
-
-
-@register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard over candidate pairs blocked by source: the
-    verification kernel of shingle dedup, with 1-gram sets and a 0.9
-    threshold. Computed set-theoretically: |A∩B| from an exploded
-    token equi-join + count, |A∪B| = |A|+|B|−|A∩B| — identical to the
-    oracle's per-pair array intersection (pairs with empty intersection
-    can never reach a 0.9 threshold).
-
-    SCALE: the exploded join shuffles on (source, token) — vectorized
-    hash join + count-agg instead of per-pair array loops; blocking
-    bounds pairs to within-block; AQE splits skewed tokens. Beyond this
-    corpus's scale, candidate volume grows with shared-token pairs —
-    the scale path is PPJoin prefix filtering (join only each doc's
-    rarest ceil((1-t)·n)+1 tokens; J ≥ t forces a prefix collision).
-    Measured SLOWER here (dup-heavy corpus, extra windows — see
-    docs/SCALE.md method), so it is documented, not default."""
-    docs = _docs(spark, sf_dir)
-    t = (
-        docs.withColumn("ts", F.expr(f"array_distinct({TOKENS_SPARK})"))
-        .select("doc_id", "source", "ts")
-        .persist()
-    )
-    toks = t.select("doc_id", "source", F.expr("size(ts)").cast("long").alias("n"), F.explode("ts").alias("tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.source").alias("source"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = F.expr("CAST(inter AS DOUBLE) / (n_a + n_b - inter)")
-    return (
-        inter.withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= 0.9)
-        .select("doc_a", "doc_b", "source", F.round("jaccard_raw", 6).alias("jaccard"))
-    )
+# --- D4 lives in operators/jaccard.py (registration-order control) -------
 
 
 # --- D5 ------------------------------------------------------------------

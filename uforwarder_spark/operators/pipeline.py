@@ -746,65 +746,7 @@ def retry_backoff_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A18 -----------------------------------------------------------------
-BUCKET_RATE = 0.05  # tokens per second
-BUCKET_BURST = 5.0  # bucket capacity
-
-
-def token_bucket_frame(m: DataFrame, rate: float = BUCKET_RATE, burst: float = BUCKET_BURST) -> DataFrame:
-    """Frame-level A18: EXACT token-bucket admission per topic — the
-    continuous-refill semantics of the reference's Guava RateLimiter
-    (rate permits/s, burst capacity), not the fixed-window approximation
-    of A8. The per-message recurrence
-        tokens = min(burst, tokens + Δt·rate); admit iff tokens ≥ 1
-    is sequential and not SQL-expressible, so this is the one batch
-    operator using the documented escape hatch: grouped, Arrow-batched
-    ``applyInPandas`` with a deterministic in-group sort.
-
-    SCALE: one shuffle on topic; each group streams through Python once,
-    O(|group|) with numpy-level row cost. At 100 TB the group key is
-    (topic, part_id) — the same shard the real limiter runs on — keeping
-    groups executor-sized."""
-    import pandas as pd
-
-    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "msg_offset"]).reset_index(drop=True)
-        tokens = burst
-        prev_t: float | None = None
-        admitted = []
-        for t in pdf["ts"]:
-            now = t.timestamp()
-            if prev_t is not None:
-                tokens = min(burst, tokens + (now - prev_t) * rate)
-            prev_t = now
-            if tokens >= 1.0:
-                tokens -= 1.0
-                admitted.append(True)
-            else:
-                admitted.append(False)
-        pdf["admitted"] = admitted
-        return pdf[["topic", "part_id", "msg_offset", "ts", "admitted"]]
-
-    out_schema = "topic string, part_id long, msg_offset long, ts timestamp, admitted boolean"
-    return m.select("topic", "part_id", "msg_offset", "ts").groupBy("topic").applyInPandas(
-        bucket, schema=out_schema
-    )
-
-
-@register("token_bucket_exact")  # rows-only: sequential recurrence, no SQL twin
-def token_bucket_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-topic admission verdicts under the exact token bucket
-    (processor-side RateLimiter, reference ProcessorImpl.java), with
-    per-topic admitted/throttled accounting.
-
-    SCALE: see token_bucket_frame — one shuffle on the group key, then
-    a tiny partial agg per topic."""
-    verdicts = token_bucket_frame(messages(spark, sf_dir))
-    return verdicts.groupBy("topic").agg(
-        F.count("*").alias("n_msgs"),
-        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
-        F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("n_throttled"),
-    )
+# --- A18 lives in operators/ratelimit.py (registered last: rows-only) ----
 
 
 # --- A19 -----------------------------------------------------------------
