@@ -192,3 +192,40 @@ def test_ngram_jaccard_candidates_are_bounded(spark, tmp_path):
     # prefix rows are bounded by sum(floor(0.1*n)+1) — 2 per doc here
     assert pref.count() <= 2 * n
     assert ngram_jaccard_pairs(spark, str(d)).count() == 0
+
+
+def test_dedup_representatives_on_dup_corpus(spark, edge_dir):
+    """Non-vacuous D14: the (3, 4) exact-dup pair must surface as one
+    group keeping doc 3 (the sf0.01 synthetic corpus has no exact dups,
+    so the driver's parity row passes 0/0 — this pins the non-empty
+    behavior)."""
+    from uforwarder_spark.operators.dedup import dedup_representatives
+
+    rows = dedup_representatives(spark, edge_dir).collect()
+    assert len(rows) == 1
+    (g,) = rows
+    assert (g.n_members, g.keep_doc_id, g.n_dropped) == (2, 3, 1)
+
+
+def test_contamination_check_on_seeded_corpus(spark, tmp_path):
+    """Non-vacuous D20: doc 51 is in the deterministic eval set
+    (hash60(md5('51')) % 50 == 0); docs 1 and 2 carry the same
+    normalized text, so both must count as contaminated."""
+    docs = [
+        (1, "The  Quick brown fox", "en", "web", 20),
+        (2, "the quick  brown FOX", "en", "books", 20),  # same normalized text
+        (3, "something else entirely", "en", "web", 23),
+        (51, "the quick brown fox", "en", "eval", 19),  # eval-set member
+        (52, "unrelated holdout text", "en", "eval", 22),  # eval, no match
+    ]
+    d = tmp_path / "contam"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    from uforwarder_spark.operators.dedup import contamination_check
+
+    got = {r.source: r for r in contamination_check(spark, str(d)).collect()}
+    assert got["web"].n_contaminated == 1 and got["web"].n_eval_hit == 1
+    assert got["books"].n_contaminated == 1 and got["books"].n_eval_hit == 1
+    assert "eval" not in got  # the eval doc itself is excluded (doc_id != eval_doc_id)
