@@ -48,6 +48,24 @@ def test_parse_kafka_records(spark):
     assert by_off[9].headers == {}
 
 
+def test_parse_kafka_records_duplicate_headers_last_wins(spark):
+    """Kafka permits repeated header keys; Spark's default
+    mapKeyDedupPolicy=EXCEPTION would kill the job on the first one, so
+    the parser folds last-wins (Kafka's Headers.lastHeader convention)."""
+    rows = [
+        (
+            b"k", b"v", "click", 0, 1, datetime(2024, 1, 1),
+            [("trace", b"old"), ("other", b"x"), ("trace", b"new")],
+        ),
+    ]
+    schema = (
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, headers array<struct<key: string, value: binary>>"
+    )
+    (r,) = R.parse_kafka_records(spark.createDataFrame(rows, schema)).collect()
+    assert r.headers == {"trace": bytearray(b"new"), "other": bytearray(b"x")}
+
+
 def test_offset_range_scan_matches_and_pushes_down(spark):
     df = R.offset_range_scan(spark, SF_SMALL, "click", 100, 400)
     rows = df.collect()

@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 N_PARTITIONS = 8
 
+# 60-bit integer hash of a string expression, identical cross-engine
+# (Spark conv() vs DuckDB hex cast) — the repo's standard trick for
+# deterministic simulated state shared by operators and their oracles.
+H_SPARK = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+H_DUCK = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
 # The same definitions as ANSI SQL, reused verbatim by oracle_sql() in
 # __spark_entry__.py so Spark and DuckDB compute identical frames.
 MESSAGES_SQL_BODY = """

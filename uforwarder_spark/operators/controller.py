@@ -626,3 +626,314 @@ def rebalancer_shadow_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(diff) / F.count("*"), 6).alias("divergence_frac"),
         )
     )
+
+
+# --- B12 -----------------------------------------------------------------
+WORKERS_EPOCH2 = WORKERS + ["worker-4"]
+WORKERS2_SQL = "(VALUES " + ", ".join(f"('{w}')" for w in WORKERS_EPOCH2) + ") AS w(worker)"
+
+from ..model import H_DUCK, H_SPARK  # noqa: E402
+
+_JOB_KEY_SPARK = "concat('{salt}|', topic, '|', CAST(part_id AS STRING))"
+_JOB_KEY_DUCK = "'{salt}|' || topic || '|' || CAST(part_id AS VARCHAR)"
+
+JOB_COMMANDS_ORACLE = f"""{MSG_CTE},
+jobs AS ({JOBS_SQL}),
+actual AS (
+  SELECT topic, part_id, worker AS actual_worker FROM (
+    SELECT j.topic, j.part_id, w.worker,
+           row_number() OVER (
+             PARTITION BY j.topic, j.part_id
+             ORDER BY md5(j.topic || '-' || CAST(j.part_id AS VARCHAR) || '-' || w.worker) DESC,
+                      w.worker) AS rn
+    FROM jobs j CROSS JOIN {WORKERS_SQL}
+  ) WHERE rn = 1
+),
+expected AS (
+  SELECT topic, part_id, worker AS expected_worker FROM (
+    SELECT j.topic, j.part_id, w.worker,
+           row_number() OVER (
+             PARTITION BY j.topic, j.part_id
+             ORDER BY md5(j.topic || '-' || CAST(j.part_id AS VARCHAR) || '-' || w.worker) DESC,
+                      w.worker) AS rn
+    FROM jobs j CROSS JOIN {WORKERS2_SQL}
+  ) WHERE rn = 1
+),
+st AS (
+  SELECT e.topic, e.part_id, e.expected_worker, a.actual_worker,
+         CASE WHEN {H_DUCK.format(col=_JOB_KEY_DUCK.format(salt='exp'))} % 10 = 0
+              THEN 'CANCELED' ELSE 'RUNNING' END AS expected_state,
+         CASE WHEN {H_DUCK.format(col=_JOB_KEY_DUCK.format(salt='act'))} % 7 = 0
+              THEN 'FAILED' ELSE 'RUNNING' END AS actual_state
+  FROM expected e JOIN actual a USING (topic, part_id)
+)
+SELECT topic, part_id, expected_worker, actual_worker, expected_state, actual_state,
+       CASE WHEN expected_state = 'RUNNING' AND actual_state <> 'RUNNING' THEN 'RUN_JOB'
+            WHEN expected_state = 'RUNNING' AND expected_worker <> actual_worker THEN 'UPDATE_JOB'
+            WHEN expected_state <> 'RUNNING' AND actual_state = 'RUNNING' THEN 'CANCEL_JOB'
+       END AS command
+FROM st
+WHERE (expected_state = 'RUNNING' AND actual_state <> 'RUNNING')
+   OR (expected_state = 'RUNNING' AND actual_state = 'RUNNING' AND expected_worker <> actual_worker)
+   OR (expected_state <> 'RUNNING' AND actual_state = 'RUNNING')
+"""
+
+
+@register("job_commands", JOB_COMMANDS_ORACLE)
+def job_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommandListBuilder (controller/rpc/CommandListBuilder.java): the
+    controller's per-heartbeat output is not an assignment table but the
+    reconciler DIFF between expected and actual job state, distributed
+    to workers as commands:
+
+        expected RUNNING, actual != RUNNING              -> RUN_JOB
+        expected RUNNING, actual RUNNING, config changed -> UPDATE_JOB
+        expected != RUNNING, actual RUNNING              -> CANCEL_JOB
+
+    Config change = assignment moved (isSameExceptStartOffset in
+    common/JobUtils.java: start offset is excluded from the comparison,
+    so only the routing/worker change counts). Epochs are the B1
+    rendezvous assignment over the epoch-N worker set (4 workers,
+    actual) vs epoch-N+1 (worker-4 added, expected); job states are
+    deterministic hash-simulated so RUN/CANCEL paths are non-empty.
+
+    SCALE: both assignments are control-plane-sized rendezvous plans
+    (jobs x workers, broadcast); the diff is one join on (topic,
+    part_id) over O(jobs) rows. Message-scale data is touched once, to
+    derive the job list."""
+    jobs = _jobs_df(spark, sf_dir)
+    actual = rendezvous_assign(jobs, _workers_df(spark)).withColumnRenamed(
+        "assigned_worker", "actual_worker"
+    )
+    expected = rendezvous_assign(
+        jobs, spark.createDataFrame([(w,) for w in WORKERS_EPOCH2], ["worker"])
+    ).withColumnRenamed("assigned_worker", "expected_worker")
+    exp_state = F.expr(
+        f"CASE WHEN {H_SPARK.format(col=_JOB_KEY_SPARK.format(salt='exp'))} % 10 = 0 "
+        "THEN 'CANCELED' ELSE 'RUNNING' END"
+    )
+    act_state = F.expr(
+        f"CASE WHEN {H_SPARK.format(col=_JOB_KEY_SPARK.format(salt='act'))} % 7 = 0 "
+        "THEN 'FAILED' ELSE 'RUNNING' END"
+    )
+    st = (
+        expected.join(actual, ["topic", "part_id"])
+        .withColumn("expected_state", exp_state)
+        .withColumn("actual_state", act_state)
+    )
+    command = (
+        F.when(
+            (F.col("expected_state") == "RUNNING") & (F.col("actual_state") != "RUNNING"),
+            "RUN_JOB",
+        )
+        .when(
+            (F.col("expected_state") == "RUNNING")
+            & (F.col("expected_worker") != F.col("actual_worker")),
+            "UPDATE_JOB",
+        )
+        .when(
+            (F.col("expected_state") != "RUNNING") & (F.col("actual_state") == "RUNNING"),
+            "CANCEL_JOB",
+        )
+    )
+    return (
+        st.withColumn("command", command)
+        .filter(F.col("command").isNotNull())
+        .select(
+            "topic", "part_id", "expected_worker", "actual_worker",
+            "expected_state", "actual_state", "command",
+        )
+    )
+
+
+# --- B13 -----------------------------------------------------------------
+# Per-job workload weight in exact integer units: bytes carried plus a
+# 1000-byte fixed overhead per message (the CPU cost proxy — CpuUsageMeter
+# measures compute per message, which tracks message count more than raw
+# bytes). BIGINT so sums are order-independent and cross-engine exact.
+WEIGHT_SQL = "CAST(sum(size_bytes) + 1000 * count(*) AS BIGINT)"
+
+WORKLOAD_ASSIGN_ORACLE = f"""{MSG_CTE},
+loads AS (
+  SELECT topic, part_id, count(*) AS n_msgs, CAST(sum(size_bytes) AS BIGINT) AS n_bytes,
+         {WEIGHT_SQL} AS weight
+  FROM messages GROUP BY topic, part_id
+),
+ranked AS (
+  SELECT topic, part_id, n_msgs, n_bytes, weight,
+         row_number() OVER (ORDER BY weight DESC, topic, part_id) - 1 AS r
+  FROM loads
+)
+SELECT 'worker-' || CAST(CASE WHEN (r // {len(WORKERS)}) % 2 = 0
+                              THEN r % {len(WORKERS)}
+                              ELSE {len(WORKERS)} - 1 - (r % {len(WORKERS)}) END AS VARCHAR)
+         AS worker,
+       count(*)                     AS n_jobs,
+       CAST(sum(n_msgs) AS BIGINT)  AS total_msgs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(weight) AS BIGINT)  AS total_weight
+FROM ranked
+GROUP BY 1
+"""
+
+
+def workload_snake_assign(loads: DataFrame, n_workers: int) -> DataFrame:
+    """Frame-level B13: longest-processing-time-style placement — jobs
+    sorted by weight descending, dealt to workers in snake-draft order
+    (0..W-1 then W-1..0), so each round pairs heavy picks with light
+    ones. Deterministic, one control-plane-sized window."""
+    w = Window.orderBy(F.col("weight").desc(), F.col("topic"), F.col("part_id"))
+    r = F.row_number().over(w) - 1
+    fwd = r % n_workers
+    worker_idx = F.when(((r / n_workers).cast("bigint") % 2) == 0, fwd).otherwise(
+        n_workers - 1 - fwd
+    )
+    return loads.withColumn(
+        "worker", F.concat(F.lit("worker-"), worker_idx.cast("bigint").cast("string"))
+    )
+
+
+@register("workload_assignment", WORKLOAD_ASSIGN_ORACLE)
+def workload_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PipelineLoadTracker / CpuUsageMeter / Workload
+    (worker/pipelines/PipelineLoadTracker.java, datatransfer/worker/
+    common/CpuUsageMeter.java, controller/rpc/Workload.java): the
+    reference balances on MEASURED workload, not job count — each
+    pipeline reports CPU/throughput load and the rebalancer packs
+    weights. Weight = bytes + 1000/msg overhead (integer units, exact
+    cross-engine); placement is snake-draft LPT over weight-ranked
+    jobs; output is the per-worker packing the balance invariant
+    checks.
+
+    SCALE: the only message-scale stage is the per-job load agg (one
+    shuffle, map-side combined); ranking and placement run over
+    O(jobs) control-plane rows in one tiny window stage."""
+    loads = (
+        messages(spark, sf_dir)
+        .groupBy("topic", "part_id")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("size_bytes").alias("n_bytes"),
+            (F.sum("size_bytes") + 1000 * F.count("*")).cast("bigint").alias("weight"),
+        )
+    )
+    return (
+        workload_snake_assign(loads, len(WORKERS))
+        .groupBy("worker")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.sum("n_msgs").alias("total_msgs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("weight").alias("total_weight"),
+        )
+    )
+
+
+# --- B14 -----------------------------------------------------------------
+# OLS slope over per-window message counts: all moments are BIGINT sums
+# (exact, order-independent), so the double math that follows is the same
+# IEEE-754 sequence in Spark and DuckDB.
+AUTOSCALE_PREDICTION_ORACLE = f"""{MSG_CTE},
+windows AS (
+  SELECT topic,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 300) AS w_idx,
+         count(*) AS cnt
+  FROM messages GROUP BY 1, 2
+),
+moments AS (
+  SELECT topic,
+         count(*)                                   AS n_windows,
+         CAST(sum(w_idx - 5680000) AS BIGINT)       AS sx,
+         CAST(sum(cnt) AS BIGINT)                   AS sy,
+         CAST(sum((w_idx - 5680000) * cnt) AS BIGINT) AS sxy,
+         CAST(sum((w_idx - 5680000) * (w_idx - 5680000)) AS BIGINT) AS sxx,
+         CAST(max(w_idx - 5680000) AS BIGINT)       AS x_max
+  FROM windows GROUP BY topic
+),
+fit AS (
+  SELECT m.topic, m.n_windows, q.quota_mps,
+         CAST(m.n_windows * m.sxy - m.sx * m.sy AS DOUBLE)
+           / (m.n_windows * m.sxx - m.sx * m.sx)              AS slope_cnt,
+         (CAST(m.sy AS DOUBLE)
+          - CAST(m.n_windows * m.sxy - m.sx * m.sy AS DOUBLE)
+            / (m.n_windows * m.sxx - m.sx * m.sx) * m.sx) / m.n_windows AS intercept_cnt,
+         m.x_max
+  FROM moments m JOIN {QUOTAS_SQL} USING (topic)
+)
+SELECT topic, n_windows, quota_mps,
+       round(slope_cnt / 300.0, 6) + 0.0                             AS slope_mps_per_window,
+       round((intercept_cnt + slope_cnt * x_max) / 300.0, 6) + 0.0   AS fitted_mps,
+       CASE WHEN intercept_cnt + slope_cnt * x_max >= quota_mps * 300.0 THEN CAST(0 AS BIGINT)
+            WHEN slope_cnt <= 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(ceil((quota_mps * 300.0 - (intercept_cnt + slope_cnt * x_max))
+                           / slope_cnt) AS BIGINT)
+       END AS windows_to_quota
+FROM fit
+"""
+
+# Offset every window index by a constant near the data's epoch range so
+# the BIGINT moment sums stay far from overflow at any corpus scale.
+_X_OFF = 5680000
+
+
+@register("autoscale_prediction", AUTOSCALE_PREDICTION_ORACLE)
+def autoscale_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScalePredictionUtils / ScalePrediction
+    (controller/autoscalar/ScalePredictionUtils.java): beyond B3's
+    reactive window-vs-quota verdict, the reference PROJECTS the scale
+    trajectory forward and reports a countdown until the proposal
+    matures. Here: closed-form least-squares slope of per-window
+    message counts over window index, per topic; countdown = windows
+    until the fitted line crosses the topic quota (0 if already over,
+    NULL if the trend is flat/declining).
+
+    SCALE: the message-scale stage is the (topic, window) count agg —
+    one partial-agg shuffle; the OLS moments are BIGINT sums per topic
+    (exact, order-independent — double math happens only on the final
+    O(topics) rows), quota table broadcast."""
+    m = messages(spark, sf_dir)
+    w_idx = F.expr(f"CAST(unix_timestamp(ts) DIV 300 AS BIGINT) - {_X_OFF}")
+    windows = (
+        m.withColumn("x", w_idx).groupBy("topic", "x").agg(F.count("*").alias("cnt"))
+    )
+    moments = windows.groupBy("topic").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("x").alias("sx"),
+        F.sum("cnt").alias("sy"),
+        F.sum(F.col("x") * F.col("cnt")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("x_max"),
+    )
+    quotas = spark.createDataFrame(QUOTAS, ["topic", "quota_mps"])
+    slope = F.expr(
+        "CAST(n_windows * sxy - sx * sy AS DOUBLE) / (n_windows * sxx - sx * sx)"
+    )
+    fit = (
+        moments.join(F.broadcast(quotas), "topic")
+        .withColumn("slope_cnt", slope)
+        .withColumn(
+            "intercept_cnt",
+            F.expr("(CAST(sy AS DOUBLE) - slope_cnt * sx) / n_windows"),
+        )
+        .withColumn("fitted_cnt", F.expr("intercept_cnt + slope_cnt * x_max"))
+    )
+    countdown = (
+        F.when(F.col("fitted_cnt") >= F.col("quota_mps") * 300.0, F.lit(0).cast("bigint"))
+        .when(F.col("slope_cnt") <= 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.ceil((F.col("quota_mps") * 300.0 - F.col("fitted_cnt")) / F.col("slope_cnt")).cast(
+                "bigint"
+            )
+        )
+    )
+    return fit.select(
+        "topic",
+        "n_windows",
+        "quota_mps",
+        # + 0.0 collapses IEEE -0.0 (a tiny negative slope rounded to
+        # zero) to +0.0 in BOTH engines: repr-hash comparisons would
+        # otherwise see -0.0 != 0.0
+        (F.round(F.col("slope_cnt") / 300.0, 6) + F.lit(0.0)).alias("slope_mps_per_window"),
+        (F.round(F.col("fitted_cnt") / 300.0, 6) + F.lit(0.0)).alias("fitted_mps"),
+        countdown.alias("windows_to_quota"),
+    )

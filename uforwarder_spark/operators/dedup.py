@@ -49,8 +49,7 @@ A = [_coef("a", k) for k in range(N_PERM)]
 B = [_coef("b", k) for k in range(N_PERM)]
 
 # 60-bit integer hash of a string column, identical cross-engine.
-H_SPARK = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
-H_DUCK = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+from ..model import H_DUCK, H_SPARK  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

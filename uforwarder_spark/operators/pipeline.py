@@ -836,3 +836,206 @@ def log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(ts, msg_offset)").alias("latest_ts"),
         F.expr("max_by(payload_value, msg_offset)").alias("payload_value"),
     )
+
+
+# --- A21 -----------------------------------------------------------------
+CHECKPOINT_RESUME_ORACLE = f"""{MSG_CTE},
+heads AS (
+  SELECT topic, part_id,
+         min(msg_offset)                                   AS earliest_offset,
+         max(msg_offset)                                   AS latest_offset,
+         min(CASE WHEN NOT acked THEN msg_offset END)      AS min_unacked
+  FROM messages GROUP BY topic, part_id
+),
+ck AS (
+  SELECT h.topic, h.part_id, h.earliest_offset, h.latest_offset,
+         max(CASE WHEN m.acked AND (h.min_unacked IS NULL OR m.msg_offset < h.min_unacked)
+                  THEN m.msg_offset END) AS committed_offset
+  FROM heads h
+  JOIN messages m ON m.topic = h.topic AND m.part_id = h.part_id
+  GROUP BY h.topic, h.part_id, h.earliest_offset, h.latest_offset
+),
+spec AS (
+  SELECT topic, part_id, earliest_offset, latest_offset, committed_offset,
+         CASE part_id % 3 WHEN 0 THEN 'ORIGINAL' WHEN 1 THEN 'RETRY' ELSE 'DLQ' END AS fetcher,
+         CASE WHEN topic IN ('click', 'view') THEN 'EARLIEST'
+              WHEN topic IN ('purchase', 'signup') THEN 'LATEST'
+              ELSE 'NONE' END AS reset_policy,
+         CASE part_id % 4
+           WHEN 0 THEN earliest_offset - 100
+           WHEN 1 THEN latest_offset + 100
+           WHEN 2 THEN coalesce(committed_offset, earliest_offset)
+           ELSE CAST(-1 AS BIGINT) END AS specified_offset
+  FROM ck
+),
+seek AS (
+  SELECT *,
+         CASE
+           WHEN fetcher = 'RETRY' THEN 'DO_NOT_SEEK'
+           WHEN fetcher = 'DLQ' THEN
+             CASE WHEN earliest_offset > specified_offset THEN 'SEEK_TO_EARLIEST'
+                  WHEN latest_offset  < specified_offset THEN 'SEEK_TO_LATEST'
+                  ELSE 'DO_NOT_SEEK' END
+           ELSE
+             CASE WHEN earliest_offset > specified_offset OR latest_offset < specified_offset THEN
+                    CASE reset_policy WHEN 'EARLIEST' THEN 'SEEK_TO_EARLIEST'
+                                      WHEN 'LATEST'   THEN 'SEEK_TO_LATEST'
+                                      ELSE 'SEEK_TO_SPECIFIED' END
+                  ELSE 'SEEK_TO_SPECIFIED' END
+         END AS seek_option
+  FROM spec
+)
+SELECT topic, part_id, fetcher, reset_policy,
+       earliest_offset, latest_offset, committed_offset, specified_offset, seek_option,
+       CASE seek_option
+         WHEN 'SEEK_TO_EARLIEST'  THEN earliest_offset
+         WHEN 'SEEK_TO_LATEST'    THEN latest_offset
+         WHEN 'SEEK_TO_SPECIFIED' THEN specified_offset
+         ELSE coalesce(committed_offset + 1, earliest_offset)
+       END AS resume_offset
+FROM seek
+"""
+
+
+@register("checkpoint_resume", CHECKPOINT_RESUME_ORACLE)
+def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KafkaCheckpointManager + SeekStartOffsetOption + the per-fetcher
+    seek policies (worker/fetchers/kafka/KafkaCheckpointManager.java:16,
+    SeekStartOffsetOption.java:4; consumerproxy/worker/fetcher/
+    OriginalTopicKafkaFetcher.java:72, RetryTopicKafkaFetcher.java:88,
+    DlqTopicKafkaFetcher.java:66): on (re)assignment a fetcher resolves
+    WHERE to start reading — the job's specified start offset checked
+    against the partition's [earliest, latest] range, with the
+    auto-offset-reset policy deciding the out-of-range fallback:
+
+      ORIGINAL: out-of-range -> policy (EARLIEST/LATEST/else SPECIFIED);
+                in-range -> SEEK_TO_SPECIFIED
+      RETRY:    always DO_NOT_SEEK (resume from the consumer group's
+                committed offset)
+      DLQ:      below range -> EARLIEST, above -> LATEST, else DO_NOT_SEEK
+
+    DO_NOT_SEEK resumes at committed+1 (the A5 watermark — the offset
+    the group would have committed), falling back to earliest when
+    nothing is committed. Fetcher type and the job's specified offset
+    are simulated deterministically per partition so all matrix cells
+    are exercised.
+
+    SCALE: same shape as A5 — two hash aggs over (topic, part_id) with
+    a broadcast heads join; the policy matrix is pure per-row CASE on
+    the O(partitions) result. No sort, no UDFs."""
+    m = messages(spark, sf_dir)
+    heads = m.groupBy("topic", "part_id").agg(
+        F.min("msg_offset").alias("earliest_offset"),
+        F.max("msg_offset").alias("latest_offset"),
+        F.min(F.when(~F.col("acked"), F.col("msg_offset"))).alias("min_unacked"),
+    )
+    below = F.col("min_unacked").isNull() | (F.col("msg_offset") < F.col("min_unacked"))
+    ck = (
+        m.join(F.broadcast(heads), ["topic", "part_id"])
+        .groupBy("topic", "part_id", "earliest_offset", "latest_offset")
+        .agg(
+            F.max(F.when(F.col("acked") & below, F.col("msg_offset"))).alias("committed_offset")
+        )
+    )
+    spec = ck.select(
+        "*",
+        F.expr(
+            "CASE part_id % 3 WHEN 0 THEN 'ORIGINAL' WHEN 1 THEN 'RETRY' ELSE 'DLQ' END"
+        ).alias("fetcher"),
+        F.expr(
+            "CASE WHEN topic IN ('click', 'view') THEN 'EARLIEST' "
+            "WHEN topic IN ('purchase', 'signup') THEN 'LATEST' ELSE 'NONE' END"
+        ).alias("reset_policy"),
+        F.expr(
+            "CASE part_id % 4 WHEN 0 THEN earliest_offset - 100 "
+            "WHEN 1 THEN latest_offset + 100 "
+            "WHEN 2 THEN coalesce(committed_offset, earliest_offset) "
+            "ELSE CAST(-1 AS BIGINT) END"
+        ).alias("specified_offset"),
+    )
+    seek = spec.withColumn(
+        "seek_option",
+        F.expr(
+            "CASE WHEN fetcher = 'RETRY' THEN 'DO_NOT_SEEK' "
+            "WHEN fetcher = 'DLQ' THEN "
+            "  CASE WHEN earliest_offset > specified_offset THEN 'SEEK_TO_EARLIEST' "
+            "       WHEN latest_offset  < specified_offset THEN 'SEEK_TO_LATEST' "
+            "       ELSE 'DO_NOT_SEEK' END "
+            "ELSE "
+            "  CASE WHEN earliest_offset > specified_offset OR latest_offset < specified_offset THEN "
+            "         CASE reset_policy WHEN 'EARLIEST' THEN 'SEEK_TO_EARLIEST' "
+            "                           WHEN 'LATEST'   THEN 'SEEK_TO_LATEST' "
+            "                           ELSE 'SEEK_TO_SPECIFIED' END "
+            "       ELSE 'SEEK_TO_SPECIFIED' END "
+            "END"
+        ),
+    )
+    return seek.select(
+        "topic", "part_id", "fetcher", "reset_policy",
+        "earliest_offset", "latest_offset", "committed_offset", "specified_offset", "seek_option",
+        F.expr(
+            "CASE seek_option WHEN 'SEEK_TO_EARLIEST' THEN earliest_offset "
+            "WHEN 'SEEK_TO_LATEST' THEN latest_offset "
+            "WHEN 'SEEK_TO_SPECIFIED' THEN specified_offset "
+            "ELSE coalesce(committed_offset + 1, earliest_offset) END"
+        ).alias("resume_offset"),
+    )
+
+
+# --- A22 -----------------------------------------------------------------
+DLQ_PURGE_ORACLE = f"""{MSG_CTE},
+dlq AS (
+  SELECT topic, part_id, msg_offset, size_bytes FROM messages
+  WHERE outcome = 'DLQ' OR (outcome = 'RETRY' AND retry_count >= 5)
+),
+bounds AS (
+  SELECT topic, part_id,
+         min(msg_offset) AS purge_start,
+         (min(msg_offset) + max(msg_offset)) // 2 AS purge_end
+  FROM dlq GROUP BY topic, part_id
+)
+SELECT d.topic, d.part_id, b.purge_start, b.purge_end,
+       count(*) AS n_dlq,
+       CAST(sum(CASE WHEN d.msg_offset < b.purge_end THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       CAST(sum(CASE WHEN d.msg_offset >= b.purge_end THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+       min(CASE WHEN d.msg_offset >= b.purge_end THEN d.msg_offset END) AS surviving_min,
+       max(CASE WHEN d.msg_offset >= b.purge_end THEN d.msg_offset END) AS surviving_max
+FROM dlq d JOIN bounds b USING (topic, part_id)
+GROUP BY d.topic, d.part_id, b.purge_start, b.purge_end
+"""
+
+
+@register("dlq_purge", DLQ_PURGE_ORACLE)
+def dlq_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ purge (consumerproxy/worker/fetcher/DlqTopicKafkaFetcher
+    .java:112): a purge job acknowledges a DLQ offset range WITHOUT
+    reprocessing it (handleEndOffsetAndDelay skips every record of a
+    start==end purge job, so the range is committed past) — the admin
+    twin of A11's merge/resurrection. Purge range per partition is
+    simulated as [min, midpoint); emits purged vs surviving accounting
+    and the surviving offset span that a follow-up merge job would
+    target.
+
+    SCALE: pushed-down DLQ filter shrinks the scan to the DLQ subset;
+    bounds are one hash agg per (topic, part_id), broadcast back; the
+    final agg reuses the same shard key. No sort, no message-scale
+    join."""
+    dlq = messages(spark, sf_dir).filter(
+        (F.col("outcome") == "DLQ") | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= 5))
+    ).select("topic", "part_id", "msg_offset", "size_bytes")
+    bounds = dlq.groupBy("topic", "part_id").agg(
+        F.min("msg_offset").alias("purge_start"),
+        F.expr("(min(msg_offset) + max(msg_offset)) DIV 2").alias("purge_end"),
+    )
+    purged = F.col("msg_offset") < F.col("purge_end")
+    return (
+        dlq.join(F.broadcast(bounds), ["topic", "part_id"])
+        .groupBy("topic", "part_id", "purge_start", "purge_end")
+        .agg(
+            F.count("*").alias("n_dlq"),
+            F.sum(F.when(purged, 1).otherwise(0)).alias("n_purged"),
+            F.sum(F.when(~purged, 1).otherwise(0)).alias("n_surviving"),
+            F.min(F.when(~purged, F.col("msg_offset"))).alias("surviving_min"),
+            F.max(F.when(~purged, F.col("msg_offset"))).alias("surviving_max"),
+        )
+    )

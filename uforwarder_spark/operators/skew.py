@@ -51,8 +51,15 @@ def salted_agg(
     |keys|×n_salts rows — negligible.
 
     ``count`` counts non-null values of its input column ('*' for rows).
+
+    The salt hashes EVERY input column, never a nondeterministic
+    expression: if a map task is recomputed after a shuffle-fetch
+    failure, each row must re-salt into the same partition reducers
+    already consumed, or rows double-count/drop (the pre-Spark-2.4
+    round-robin repartition hazard). Identical rows share a salt, which
+    only matters if one key's rows are ALSO mostly identical.
     """
-    salt = (F.abs(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id())) % n_salts)
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     stage1_aggs: list[Column] = []
     stage2_aggs: list[Column] = []
     for out, (fn, col) in aggs.items():

@@ -68,7 +68,14 @@ def parse_kafka_records(records: DataFrame) -> DataFrame:
 
     SCALE: pure column projection (no shuffle, codegen'd); payload stays
     an opaque binary column — decode happens at the dispatch edge, never
-    in the engine."""
+    in the engine. Kafka allows DUPLICATE header keys and Spark's
+    default mapKeyDedupPolicy=EXCEPTION would fail the job on the first
+    repeated key, so headers fold left-to-right with last-wins (Kafka's
+    own Headers.lastHeader convention) before becoming a map."""
+    last_wins_headers = F.expr(
+        "aggregate(headers, cast(map() as map<string,binary>), "
+        "(acc, h) -> map_concat(map_filter(acc, (k, v) -> k != h.key), map(h.key, h.value)))"
+    )
     return records.select(
         F.col("offset").alias("msg_offset"),
         F.col("topic"),
@@ -76,7 +83,7 @@ def parse_kafka_records(records: DataFrame) -> DataFrame:
         F.col("timestamp").alias("ts"),
         (F.octet_length(F.col("value")) + F.lit(64)).cast("long").alias("size_bytes"),
         F.col("value").alias("payload"),
-        F.map_from_entries(F.col("headers")).alias("headers"),
+        last_wins_headers.alias("headers"),
     )
 
 

@@ -348,8 +348,13 @@ def outcome_fanout_pipeline(stream: DataFrame, out_dir: str, checkpoint_dir: str
     ``sources.readers.serialize_for_kafka`` + the Kafka sink.
 
     SCALE: one foreachBatch with three filtered writes of the SAME
-    cached micro-batch — the batch is scanned once, not three times, and
-    each sink append is atomic per batch id (exactly-once per sink)."""
+    cached micro-batch — the batch is scanned once, not three times.
+    foreachBatch is at-least-once (a crash between a write and the
+    checkpoint commit replays the batch), so each write targets a
+    batchId-keyed partition directory with overwrite: a replayed batch
+    rewrites its own directory instead of appending duplicates, making
+    the sinks effectively exactly-once. Readers see batch_id as a
+    partition column."""
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
@@ -361,9 +366,10 @@ def outcome_fanout_pipeline(stream: DataFrame, out_dir: str, checkpoint_dir: str
                 (F.col("outcome") == "DLQ")
                 | ((F.col("outcome") == "RETRY") & (F.col("retry_count") >= MAX_RETRIES))
             )
-            delivered.write.mode("append").parquet(f"{out_dir}/delivered")
-            retry.write.mode("append").parquet(f"{out_dir}/retry")
-            dlq.write.mode("append").parquet(f"{out_dir}/dlq")
+            for name, part in (("delivered", delivered), ("retry", retry), ("dlq", dlq)):
+                part.write.mode("overwrite").parquet(
+                    f"{out_dir}/{name}/batch_id={batch_id}"
+                )
         finally:
             batch_df.unpersist()
 
@@ -385,12 +391,15 @@ def redelivery_join_stream(
     consumes copies carrying the original's (group, topic, partition,
     offset) in headers).
 
-    Both sides are watermarked, so each side's join state is bounded by
-    the lateness horizon: an original waits at most `lateness` for a
-    redelivery to appear (and vice versa), then its state is evicted.
+    State is bounded ONLY because the join carries an event-time range
+    condition (r_ts between o_ts and o_ts + lateness) on top of the
+    watermarks: per Spark's stream-stream join semantics, watermarks
+    alone never let an equality-keyed inner join evict state — the time
+    constraint is what tells the engine when a row can no longer match,
+    so both sides' state stays O(throughput × horizon).
 
     SCALE: state-store-backed symmetric hash join keyed on the message
-    identity — uniform keys, state O(throughput × horizon) per side,
+    identity — uniform keys, state bounded by the lateness horizon,
     never O(stream)."""
     o = (
         original.withWatermark("ts", lateness)
@@ -403,11 +412,16 @@ def redelivery_join_stream(
     r = (
         redelivered.withWatermark("ts", lateness)
         .select(
-            "topic", "part_id", "msg_offset",
+            F.col("topic").alias("r_topic"),
+            F.col("part_id").alias("r_part_id"),
+            F.col("msg_offset").alias("r_msg_offset"),
             F.col("ts").alias("r_ts"),
         )
     )
     return o.join(
         r,
-        ["topic", "part_id", "msg_offset"],
+        (F.col("topic") == F.col("r_topic"))
+        & (F.col("part_id") == F.col("r_part_id"))
+        & (F.col("msg_offset") == F.col("r_msg_offset"))
+        & F.expr(f"r_ts BETWEEN o_ts AND o_ts + INTERVAL {lateness}"),
     ).select("topic", "part_id", "msg_offset", "o_ts", "r_ts", "o_outcome")
