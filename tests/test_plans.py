@@ -74,3 +74,26 @@ def test_aggs_are_partial(spark, name):
     # map-side combine: HashAggregate appears in partial + final pairs
     plan = plan_of(spark, name)
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["checkpoint_resume", "dlq_purge"])
+def test_watermark_family_stays_sort_free(spark, name):
+    # A21/A22 reuse the sort-free A5 shape: two hash aggs + a broadcast
+    # heads join — an ordered window sneaking in is the 100 TB regression
+    # (fixed key space ⇒ O(n log n) per hot key; see docs/SCALE.md)
+    plan = plan_of(spark, name)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_jaccard_plan_has_no_corpus_window(spark):
+    # the prefix filter must be hash-agg based: a Window over exploded
+    # tokens is the formulation that measured 9x slower (docs/SCALE.md)
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "Window" not in plan
+
+
+@pytest.mark.parametrize("name", ["autoscale_prediction"])
+def test_new_aggs_are_partial(spark, name):
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()

@@ -180,7 +180,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # persist: materialize shingle arrays + hashes once; sh3 feeds the
         # signature map and both sides of the verify join.
-        .persist()
+        .persist()  # intentionally not unpersisted: the returned plan is
+        # lazy, so the frame must stay cached until the caller materializes
+        # it; session hygiene is the runner's job (bench clears the cache
+        # between queries; long-lived sessions rely on LRU eviction)
     )
     # All 32 permutation-mins as one nested fold over coefficient-array
     # literals: same math, ~30× smaller codegen source than 32 separate
@@ -287,7 +290,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist = a projection barrier: without it CollapseProject inlines
         # the md5 transform into the fold and re-evaluates it per bit
         # (32× the hashing cost — measured 1.05s → 0.3s at sf0.1)
-        .persist()
+        .persist()  # intentionally not unpersisted: the returned plan is
+        # lazy, so the frame must stay cached until the caller materializes
+        # it; session hygiene is the runner's job (bench clears the cache
+        # between queries; long-lived sessions rely on LRU eviction)
     )
     sim_fold = (
         "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + "
@@ -541,7 +547,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "hs", F.expr(f"transform(g3, sh -> {H_SPARK.format(col='sh')} % {P})")
         )
-        .persist()
+        .persist()  # intentionally not unpersisted: the returned plan is
+        # lazy, so the frame must stay cached until the caller materializes
+        # it; session hygiene is the runner's job (bench clears the cache
+        # between queries; long-lived sessions rely on LRU eviction)
     )
     a_lit = "array(" + ", ".join(map(str, A)) + ")"
     b_lit = "array(" + ", ".join(map(str, B)) + ")"

@@ -38,7 +38,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_parallel(spark, sf_dir, "embeddings")
         .select("vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
         .filter(F.expr("aggregate(v, 0.0D, (a, x) -> a + x * x) > 0"))
-        .persist()
+        .persist()  # intentionally not unpersisted: the returned plan is
+        # lazy, so the frame must stay cached until the caller materializes
+        # it; session hygiene is the runner's job (bench clears the cache
+        # between queries; long-lived sessions rely on LRU eviction)
     )
 
 
