@@ -229,3 +229,41 @@ def test_contamination_check_on_seeded_corpus(spark, tmp_path):
     assert got["web"].n_contaminated == 1 and got["web"].n_eval_hit == 1
     assert got["books"].n_contaminated == 1 and got["books"].n_eval_hit == 1
     assert "eval" not in got  # the eval doc itself is excluded (doc_id != eval_doc_id)
+
+
+def test_ngram_jaccard_prefix_filter_exact_on_random_corpora(spark, tmp_path):
+    """Randomized exactness sweep: three seeded corpora with tunable
+    dup-density and hot-token mixes; the prefix-filtered operator must
+    equal the python brute force on every one (guards the prefix-length
+    off-by-one, the length filter, and the per-source df ordering)."""
+    import random
+
+    vocab = [f"w{i}" for i in range(40)]  # small vocab -> plenty of shared tokens
+    for seed in (7, 41, 1337):
+        rng = random.Random(seed)
+        docs = []
+        base_texts = []
+        for i in range(40):
+            n = rng.randint(1, 14)
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            src = rng.choice(["web", "books"])
+            if base_texts and rng.random() < 0.4:
+                # mutate an earlier doc: drop/replace one token -> near dup
+                words = base_texts[rng.randrange(len(base_texts))].split()
+                if len(words) > 1 and rng.random() < 0.5:
+                    words.pop(rng.randrange(len(words)))
+                else:
+                    words[rng.randrange(len(words))] = rng.choice(vocab)
+                text = " ".join(words)
+            base_texts.append(text)
+            docs.append((i, text, "en", src, len(text)))
+        d = tmp_path / f"rand{seed}"
+        spark.createDataFrame(
+            docs, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+        from uforwarder_spark.operators.jaccard import ngram_jaccard_pairs
+
+        got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, str(d)).collect()}
+        want = _brute_jaccard_pairs(docs)
+        assert got == want, f"seed {seed}: {got ^ want}"

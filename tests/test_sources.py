@@ -186,3 +186,43 @@ def test_bucketed_log_makes_watermark_exchange_free(spark, tmp_path):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS msgs_b")
+
+
+def test_read_json_permissive_quarantines_bad_lines(spark, tmp_path):
+    from uforwarder_spark.sources import formats as FM
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"msg_offset": 1, "topic": "click", "value": 2.5}\n'
+        "this is not json\n"
+        '{"msg_offset": "NaN-ish", "topic": "view", "value": "x"}\n'
+        '{"msg_offset": 3, "topic": "view", "value": 0.5}\n'
+    )
+    df = FM.read_json_permissive(
+        spark, str(p), "msg_offset long, topic string, value double"
+    )
+    good, bad = FM.split_quarantine(df)
+    assert {r.msg_offset for r in good.collect()} == {1, 3}
+    assert bad.count() == 2  # the non-JSON line and the type-mismatched one
+    assert good.columns == ["msg_offset", "topic", "value"]
+
+
+def test_decode_json_payload(spark):
+    from datetime import datetime
+
+    from uforwarder_spark.sources import formats as FM
+
+    rows = [
+        (b"k", b'{"user": 7, "amount": 1.5}', "click", 0, 1, datetime(2024, 1, 1), []),
+        (b"k", b"garbage", "click", 0, 2, datetime(2024, 1, 1), []),
+    ]
+    schema = (
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, headers array<struct<key: string, value: binary>>"
+    )
+    parsed = R.parse_kafka_records(spark.createDataFrame(rows, schema))
+    out = FM.decode_json_payload(parsed, "user long, amount double")
+    by_off = {r.msg_offset: r for r in out.collect()}
+    assert by_off[1].payload_decoded.user == 7
+    assert by_off[1].payload_decoded.amount == 1.5
+    assert by_off[2].payload_decoded is None or by_off[2].payload_decoded.user is None

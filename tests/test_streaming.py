@@ -344,3 +344,45 @@ def test_e2_custom_window_size_rates(spark, msg_log_dir, tmp_path):
     for r in got.itertuples():
         assert abs(r.msgs_per_sec - r.n_msgs / 120.0) < 1e-9
         assert abs(r.bytes_per_sec - r.total_bytes / 120.0) < 1e-9
+
+
+def test_e9_streaming_token_bucket_matches_batch(spark, tmp_path):
+    """E9: the streaming token bucket's verdicts must equal batch A18's
+    when micro-batches respect per-shard time order — state (tokens,
+    last event time) carries across batches."""
+    import os
+    import time as _time
+
+    from uforwarder_spark.operators.ratelimit import token_bucket_frame
+
+    m = model.messages(spark, SF_SMALL)
+    cutoff = m.agg(F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")).collect()[0][0]
+    early = m.filter(F.expr(f"CAST(ts AS DOUBLE) <= {cutoff}"))
+    late = m.filter(F.expr(f"CAST(ts AS DOUBLE) > {cutoff}"))
+
+    src = tmp_path / "src"
+    (early.coalesce(1).write.mode("overwrite").parquet(str(src / "f0")))
+    _time.sleep(1.1)  # file-source orders by modification time
+    (late.coalesce(1).write.mode("overwrite").parquet(str(src / "f1")))
+    # make mtime ordering unambiguous
+    now = _time.time()
+    for sub, off in (("f0", -10), ("f1", 0)):
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                p = os.path.join(root, f)
+                os.utime(p, (now + off, now + off))
+
+    schema = P.MESSAGE_SCHEMA
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = _run_to_memory(
+        P.token_bucket_stream(stream), "e9_bucket", str(tmp_path / "ckpt"), "append"
+    )
+    got = spark.table("e9_bucket").toPandas().set_index(["topic", "part_id", "msg_offset"])
+    want = token_bucket_frame(m).toPandas().set_index(["topic", "part_id", "msg_offset"])
+    assert len(got) == len(want)
+    joined = got.join(want, lsuffix="_s", rsuffix="_b")
+    assert (joined["admitted_s"] == joined["admitted_b"]).all()

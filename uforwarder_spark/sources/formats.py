@@ -41,3 +41,56 @@ def read_as(spark: SparkSession, fmt: str, path: str, schema: StructType | str) 
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         )
     return reader.load(path)
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Ingest-boundary JSON read with corrupt-record capture: malformed
+    lines land in ``_corrupt_record`` instead of failing the job or being
+    silently dropped — at 100 TB some records WILL be malformed, and an
+    ingest job must account for them (quarantine + count), not die at
+    hour three.
+
+    SCALE: single-pass parse against the supplied schema; the corrupt
+    column is NULL for good rows so it compresses away after the
+    quarantine split."""
+    s = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    from pyspark.sql.types import StringType as _Str
+
+    with_corrupt = s.add("_corrupt_record", _Str())
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined): rows that parsed cleanly vs rows carrying a
+    ``_corrupt_record``. Spark requires caching the parsed frame before
+    referencing only the corrupt column (SPARK-21610) — done here so
+    callers can't hit the analyzer error."""
+    df = df.cache()
+    good = df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    bad = df.filter(df["_corrupt_record"].isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
+def decode_json_payload(records: DataFrame, payload_schema: StructType | str) -> DataFrame:
+    """Bridge from the Kafka wire (readers.parse_kafka_records output:
+    opaque binary ``payload``) to typed columns: decode the payload as
+    UTF-8 JSON against an explicit schema. The reference does the same
+    normalization at the dispatch boundary (DispatcherMessage wraps raw
+    bytes; the consumer contract defines the payload schema).
+
+    SCALE: from_json is a codegen'd per-row map, no shuffle; keep it
+    AFTER any offset/topic filtering so pruned rows never pay the
+    parse."""
+    from pyspark.sql import functions as F
+
+    return records.withColumn(
+        "payload_decoded",
+        F.from_json(F.col("payload").cast("string"), payload_schema),
+    )
