@@ -434,3 +434,36 @@ def test_dlq_purge_accounting(spark):
         if r.n_surviving:
             assert r.surviving_min >= r.purge_end
             assert r.surviving_max >= r.surviving_min
+
+
+# --- B15 worker lease expiry ------------------------------------------------
+def test_worker_lease_reassignment_invariants(spark):
+    from uforwarder_spark.operators.liveness import LEASE_S, worker_lease_reassignment
+
+    rows = worker_lease_reassignment(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 40
+    live = {r.old_worker for r in rows if r.lease_valid}
+    assert live and live != {r.old_worker for r in rows}  # both branches present
+    for r in rows:
+        assert r.lease_valid == (r.old_worker_hb_age_s <= LEASE_S)
+        if r.lease_valid:
+            assert r.new_worker == r.old_worker  # survivors' jobs never move
+        else:
+            assert r.new_worker in live  # expired jobs land on live workers only
+
+
+# --- A23 unprocessed-cache limiter ------------------------------------------
+def test_unprocessed_limiter_caps(spark):
+    from uforwarder_spark.operators.ratelimit import (
+        CACHE_BYTE_CAP,
+        CACHE_COUNT_CAP,
+        unprocessed_limiter,
+    )
+
+    rows = unprocessed_limiter(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert any(r.n_deferred > 0 for r in rows)  # the caps actually bind
+    for r in rows:
+        assert r.n_cached + r.n_deferred == r.n_pending
+        assert r.n_cached <= CACHE_COUNT_CAP
+        assert r.cached_bytes <= CACHE_BYTE_CAP

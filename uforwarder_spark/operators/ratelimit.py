@@ -81,3 +81,67 @@ def token_bucket_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
         F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("n_throttled"),
     )
+
+
+# --- A23 -----------------------------------------------------------------
+from ..model import MESSAGES_SQL_BODY  # noqa: E402
+
+MSG_CTE = f"WITH messages AS ({MESSAGES_SQL_BODY})"
+CACHE_COUNT_CAP = 50  # unprocessed messages per partition
+CACHE_BYTE_CAP = 50_000  # unprocessed bytes per partition
+
+UNPROCESSED_ORACLE = f"""{MSG_CTE},
+pending AS (
+  SELECT topic, part_id, msg_offset, size_bytes,
+         row_number() OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS rn,
+         sum(size_bytes) OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS cum_bytes
+  FROM messages WHERE NOT acked
+)
+SELECT topic, part_id,
+       count(*) AS n_pending,
+       CAST(sum(CASE WHEN rn <= {CACHE_COUNT_CAP} AND cum_bytes <= {CACHE_BYTE_CAP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cached,
+       CAST(sum(CASE WHEN rn <= {CACHE_COUNT_CAP} AND cum_bytes <= {CACHE_BYTE_CAP}
+                     THEN size_bytes ELSE 0 END) AS BIGINT) AS cached_bytes,
+       CAST(sum(CASE WHEN rn > {CACHE_COUNT_CAP} OR cum_bytes > {CACHE_BYTE_CAP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+FROM pending
+GROUP BY topic, part_id
+"""
+
+
+@register("unprocessed_limiter", UNPROCESSED_ORACLE)
+def unprocessed_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnprocessedMessageManager (consumerproxy/worker/processor/
+    UnprocessedMessageManager.java:30): the worker caps the
+    fetched-but-unprocessed cache per partition by BOTH message count
+    and byte size (count limiter + byteSizeLimiter at :37-38, byte cap
+    resized per-partition at :198) — messages past either cap defer
+    (the fetcher pauses the partition) until processing drains the
+    cache. Computed over the unacked backlog in offset order.
+
+    SCALE: one shuffle on (topic, part_id); the ordered prefix-sum
+    window is REQUIRED by the semantics (admission is in offset order,
+    cumulative bytes decide the cut) — per docs/SCALE.md's rule this is
+    safe only because at 100 TB the unacked backlog per shard is bounded
+    by the very cache this models, and shard count scales with data; the
+    agg reuses the window's partitioning (no second shuffle)."""
+    from pyspark.sql import Window
+
+    m = messages(spark, sf_dir).filter(~F.col("acked"))
+    w = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
+    pending = m.select(
+        "topic",
+        "part_id",
+        "msg_offset",
+        "size_bytes",
+        F.row_number().over(w).alias("rn"),
+        F.sum("size_bytes").over(w).alias("cum_bytes"),
+    )
+    cached = (F.col("rn") <= CACHE_COUNT_CAP) & (F.col("cum_bytes") <= CACHE_BYTE_CAP)
+    return pending.groupBy("topic", "part_id").agg(
+        F.count("*").alias("n_pending"),
+        F.sum(F.when(cached, 1).otherwise(0)).alias("n_cached"),
+        F.sum(F.when(cached, F.col("size_bytes")).otherwise(0)).alias("cached_bytes"),
+        F.sum(F.when(~cached, 1).otherwise(0)).alias("n_deferred"),
+    )
