@@ -28,6 +28,10 @@ STAGES = [
     ("6. autoscale signal with hysteresis", "autoscale_hysteresis"),
     ("7. job assignment (rendezvous)", "partition_assignment"),
     ("8. live vs shadow rebalancer divergence", "rebalancer_shadow_compare"),
+    ("9. reconciler heartbeat: RUN/UPDATE/CANCEL commands", "job_commands"),
+    ("10. fetcher resume: seek-start offset resolution", "checkpoint_resume"),
+    ("11. worker lease expiry → job reassignment", "worker_lease_reassignment"),
+    ("12. projected time-to-quota (least-squares)", "autoscale_prediction"),
 ]
 
 

@@ -93,3 +93,36 @@ def test_hol_blocking_equals_reference_model(spark, acks, threshold):
     assert r.head_offset == head
     assert r.acked_behind_head == acked_behind
     assert bool(r.is_blocked) == (acked_behind >= threshold)
+
+
+# --- D4 prefix-filter lemma (pure python — no Spark) ------------------------
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    data=st.data(),
+    threshold=st.sampled_from([0.5, 0.8, 0.9]),
+)
+def test_prefix_filter_lemma(data, threshold):
+    """The PPJoin guarantee operators/jaccard.py relies on: under ANY
+    global token order, two sets with Jaccard >= t share at least one
+    token within both prefixes of length n - ceil(t*n) + 1. If this
+    lemma ever failed, the prefix join would silently DROP a qualifying
+    pair — the worst failure mode a dedup operator can have."""
+    import math
+
+    universe = list(range(30))
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=20))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=20))
+    union = a | b
+    jac = len(a & b) / len(union)
+    if jac < threshold:
+        return  # lemma only covers qualifying pairs
+    order = data.draw(st.permutations(universe))
+    rank = {tok: i for i, tok in enumerate(order)}
+
+    def prefix(s):
+        k = len(s) - math.ceil(threshold * len(s)) + 1
+        return set(sorted(s, key=rank.__getitem__)[:k])
+
+    assert prefix(a) & prefix(b), (
+        f"qualifying pair missed: a={sorted(a)} b={sorted(b)} jac={jac:.3f} t={threshold}"
+    )
