@@ -13,6 +13,8 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 UFORWARDER_MODULES = (
     "uforwarder_spark.operators.pipeline",
     "uforwarder_spark.operators.controller",
+    "uforwarder_spark.operators.liveness",
+    "uforwarder_spark.operators.ratelimit",
 )
 
 

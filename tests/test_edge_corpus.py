@@ -267,3 +267,46 @@ def test_ngram_jaccard_prefix_filter_exact_on_random_corpora(spark, tmp_path):
         got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, str(d)).collect()}
         want = _brute_jaccard_pairs(docs)
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+def test_repetition_stats_on_crafted_docs(spark, tmp_path):
+    docs = [
+        (0, "a a a a", "en", "web", 7),          # fully repetitive
+        (1, "one two three four", "en", "web", 18),  # no repetition
+        (2, "x", "en", "web", 1),                 # single token: no bigrams
+        (3, "", "en", "web", 0),                  # empty
+    ]
+    d = tmp_path / "rep"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import repetition_stats
+
+    r = {x.doc_id: x for x in repetition_stats(spark, str(d)).collect()}
+    assert r[0].dup_token_frac == 0.75 and r[0].top_token_frac == 1.0
+    assert r[0].dup_bigram_frac == round(1 - 1 / 3, 6)  # 3 bigrams, 1 distinct
+    assert r[1].dup_token_frac == 0.0 and r[1].dup_bigram_frac == 0.0
+    assert r[1].top_token_frac == 0.25
+    assert r[2].dup_bigram_frac == 0.0 and r[2].top_token_frac == 1.0
+    assert r[3].n_tokens == 0 and r[3].dup_token_frac == 0.0
+
+
+def test_chunk_dedup_flags_shared_chunks(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(10))  # exactly one chunk
+    docs = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(10)), "en", "web", 0),
+        (1, shared + " " + " ".join(f"b{i}" for i in range(10)), "en", "web", 0),
+        (2, " ".join(f"c{i}" for i in range(10)), "en", "web", 0),
+    ]
+    d = tmp_path / "chunks"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import chunk_dedup
+
+    r = {x.doc_id: x for x in chunk_dedup(spark, str(d)).collect()}
+    assert r[0].n_chunks == 2 and r[0].n_dup_chunks == 1 and r[0].dup_chunk_frac == 0.5
+    assert r[1].n_chunks == 2 and r[1].n_dup_chunks == 1
+    assert r[2].n_chunks == 1 and r[2].n_dup_chunks == 0

@@ -554,3 +554,140 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95_tokens"),
     )
+
+
+# --- D24 -----------------------------------------------------------------
+CHUNK = 10  # tokens per chunk
+
+CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+),
+chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(ts, i * {CHUNK} + 1, i * {CHUNK} + {CHUNK}), ' ')) AS h
+  FROM (
+    SELECT doc_id, source, ts, unnest(range(CAST(ceil(len(ts) / {CHUNK}.0) AS BIGINT))) AS i
+    FROM t WHERE len(ts) > 0
+  )
+),
+df AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+)
+SELECT c.doc_id, c.source,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_chunk_frac
+FROM chunks c JOIN df d USING (h)
+GROUP BY c.doc_id, c.source
+"""
+
+
+@register("chunk_dedup", CHUNK_DEDUP_ORACLE)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplicate detection — the scalable proxy for exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": suffix-array substring matches; at corpus
+    scale the standard approximation hashes fixed-size token chunks):
+    each doc's token stream splits into consecutive 10-token chunks; a
+    chunk is duplicated when it appears in more than one document; per
+    doc, report how much of it is boilerplate shared with the rest of
+    the corpus.
+
+    SCALE: chunking is a pure map (arrays, no shuffle); the chunk-hash
+    df is one hash-agg shuffle on md5 keys (uniform); the join back is
+    on the same key so AQE reuses the partitioning. Never all-pairs —
+    cost tracks chunk count, not doc pairs."""
+    docs = _docs(spark, sf_dir)
+    t = docs.withColumn("ts", F.expr(TOKENS_SPARK)).filter(F.expr("size(ts) > 0"))
+    chunks = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(ts) / {CHUNK}.0) AS INT) - 1), "
+                f"i -> md5(concat_ws(' ', slice(ts, i * {CHUNK} + 1, {CHUNK}))))"
+            )
+        ).alias("h"),
+    )
+    df_tbl = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.col("n_docs") > 1
+    return (
+        chunks.join(df_tbl, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(dup, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+# --- D25 -----------------------------------------------------------------
+REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+g AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) >= 2
+              THEN list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2])
+              ELSE [] END AS g2
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(ts) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END, 6)
+         AS dup_token_frac,
+       round(CASE WHEN len(ts) = 0 THEN 0.0
+                  ELSE CAST(list_max(list_transform(list_distinct(ts),
+                            u -> len(list_filter(ts, x -> x = u)))) AS DOUBLE) / len(ts) END, 6)
+         AS top_token_frac,
+       round(CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6)
+         AS dup_bigram_frac
+FROM g
+"""
+
+
+@register("repetition_stats", REPETITION_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the Gopher repetition
+    filters D15 does not cover (Rae et al., Gopher appendix A1.1:
+    duplicate-line/paragraph fractions, top-n-gram fraction): duplicate
+    token fraction, most-frequent-token share, duplicate bigram
+    fraction. High values mark degenerate/boilerplate docs that LID and
+    length heuristics miss.
+
+    SCALE: pure per-doc map over token arrays — ZERO shuffle; the
+    lambda binds the token array once per row (CollapseProject
+    re-evaluation is the trap, docs/SCALE.md). Quadratic-in-unique-
+    tokens max-count stays cheap because docs are bounded; at book
+    scale swap for a sorted-array linear scan."""
+    docs = _docs(spark, sf_dir)
+    # bind ts and g2 once via transform-over-singleton (lambda binding)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"""transform(array({TOKENS_SPARK}), ts -> struct(
+                  CAST(size(ts) AS BIGINT) AS n_tokens,
+                  round(CASE WHEN size(ts) = 0 THEN 0.0D
+                        ELSE 1.0D - CAST(size(array_distinct(ts)) AS DOUBLE) / size(ts) END, 6)
+                    AS dup_token_frac,
+                  round(CASE WHEN size(ts) = 0 THEN 0.0D
+                        ELSE CAST(array_max(transform(array_distinct(ts),
+                              u -> size(filter(ts, x -> x = u)))) AS DOUBLE) / size(ts) END, 6)
+                    AS top_token_frac,
+                  round(CASE WHEN size(ts) < 2 THEN 0.0D
+                        ELSE 1.0D - CAST(size(array_distinct(
+                               transform(sequence(0, size(ts) - 2),
+                                         i -> concat(ts[i], ' ', ts[i+1])))) AS DOUBLE)
+                             / (size(ts) - 1) END, 6)
+                    AS dup_bigram_frac
+                ))[0]"""
+        ).alias("m"),
+    ).select("doc_id", "m.n_tokens", "m.dup_token_frac", "m.top_token_frac", "m.dup_bigram_frac")
