@@ -310,3 +310,31 @@ def test_chunk_dedup_flags_shared_chunks(spark, tmp_path):
     assert r[0].n_chunks == 2 and r[0].n_dup_chunks == 1 and r[0].dup_chunk_frac == 0.5
     assert r[1].n_chunks == 2 and r[1].n_dup_chunks == 1
     assert r[2].n_chunks == 1 and r[2].n_dup_chunks == 0
+
+
+def test_corpus_prep_funnel_stages_all_bind(spark, tmp_path):
+    """Each funnel stage must actually drop documents: a quality-failing
+    doc, a quality-passing exact dup, and enough passing docs that the
+    hash sample keeps a strict subset."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest with great speed today"
+    )  # 22 tokens, stopword-rich, no digits
+    docs = [(0, "tiny doc", "en", "web", 8)]  # fails n_tokens >= 20
+    docs += [(1, good, "en", "web", len(good)), (2, good, "en", "web", len(good))]  # dup pair
+    docs += [
+        (10 + i, good + f" variant token version{'x' * (i + 1)} appended here", "en", "web", 0)
+        for i in range(20)
+    ]
+    d = tmp_path / "funnel"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import corpus_prep_funnel
+
+    (r,) = corpus_prep_funnel(spark, str(d)).collect()
+    assert r.n_docs == 23
+    assert r.n_quality == 22  # doc 0 dropped by the rules
+    assert r.n_unique == 21  # doc 2 collapsed onto doc 1
+    assert 0 < r.n_sampled < r.n_unique  # the 1-in-10 sample binds

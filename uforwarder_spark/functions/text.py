@@ -691,3 +691,116 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))[0]"""
         ).alias("m"),
     ).select("doc_id", "m.n_tokens", "m.dup_token_frac", "m.top_token_frac", "m.dup_bigram_frac")
+
+
+# --- D26 -----------------------------------------------------------------
+SAMPLE_MOD = 10  # keep 1-in-10 of the deduplicated, quality-passing docs
+
+CORPUS_FUNNEL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+         {TOKENS_DUCK} AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, norm,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE list_reduce(list_transform(ts, x -> CAST(length(x) AS DOUBLE)),
+                               (a, b) -> a + b) / len(ts) END AS mean_tok_len,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ts, x -> list_contains({{sw}}, x))) AS DOUBLE)
+                   / len(ts) END AS stop_ratio,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ts, x -> x ~ '^[0-9]+$')) AS DOUBLE)
+                   / len(ts) END AS digit_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, source, norm,
+         (n_tokens BETWEEN 20 AND 1000) AND (mean_tok_len BETWEEN 3 AND 10)
+          AND stop_ratio >= 0.02 AND digit_ratio <= 0.2 AS passes
+  FROM m
+),
+keeps AS (
+  SELECT md5(norm) AS h, min(doc_id) AS keep_doc_id
+  FROM q WHERE passes GROUP BY md5(norm)
+),
+flagged AS (
+  SELECT q.doc_id, q.source, q.passes,
+         q.passes AND q.doc_id = k.keep_doc_id AS kept,
+         q.passes AND q.doc_id = k.keep_doc_id
+          AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {SAMPLE_MOD} = 0 AS sampled
+  FROM q LEFT JOIN keeps k ON md5(q.norm) = k.h
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)   AS n_unique,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM flagged
+GROUP BY source
+"""
+
+
+@register("corpus_prep_funnel", CORPUS_FUNNEL_ORACLE.replace("{sw}", _SW_DUCK))
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep composed as ONE query — the D-side
+    analogue of A19's worker-pass composition: Gopher quality rules
+    (D15's exact predicate) → global exact dedup keep-first (D1/D14
+    semantics) → deterministic 1-in-10 hash sample (D17 semantics) —
+    reported as a per-source funnel (docs → quality → unique →
+    sampled). This is the accounting a corpus owner reads before
+    training.
+
+    SCALE: one scan computes all per-doc metrics map-side (lambda-bound
+    tokenization); the only shuffle is the keep-first group on md5
+    (uniform keys) plus its join back on the same key; the funnel agg
+    is map-side partial per source. None of the three stages
+    materializes an intermediate corpus."""
+    docs = _docs(spark, sf_dir)
+    metrics = (
+        f"transform(array({TOKENS_SPARK}), ts -> struct("
+        "CAST(size(ts) AS BIGINT) AS n_tokens, "
+        "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        "aggregate(transform(ts, x -> CAST(length(x) AS DOUBLE)), 0.0D, (a, b) -> a + b)"
+        " / size(ts) END AS mean_tok_len, "
+        f"CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        f"CAST(size(filter(ts, x -> x IN {_SW_SPARK})) AS DOUBLE) / size(ts) END AS stop_ratio, "
+        "CASE WHEN size(ts) = 0 THEN 0.0D ELSE "
+        "CAST(size(filter(ts, x -> x RLIKE '^[0-9]+$')) AS DOUBLE) / size(ts) END AS digit_ratio"
+        "))[0]"
+    )
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")).alias("h"),
+        F.expr(metrics).alias("m"),
+    ).select(
+        "doc_id",
+        "source",
+        "h",
+        (
+            F.col("m.n_tokens").between(20, 1000)
+            & F.col("m.mean_tok_len").between(3, 10)
+            & (F.col("m.stop_ratio") >= 0.02)
+            & (F.col("m.digit_ratio") <= 0.2)
+        ).alias("passes"),
+    )
+    keeps = q.filter("passes").groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
+    sampled_hash = F.expr(
+        f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % {SAMPLE_MOD}"
+    )
+    flagged = (
+        q.join(keeps, "h", "left")
+        .withColumn("kept", F.col("passes") & (F.col("doc_id") == F.col("keep_doc_id")))
+        .withColumn("sampled", F.col("kept") & (sampled_hash == 0))
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_unique"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+    )
