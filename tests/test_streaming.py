@@ -386,3 +386,51 @@ def test_e9_streaming_token_bucket_matches_batch(spark, tmp_path):
     assert len(got) == len(want)
     joined = got.join(want, lsuffix="_s", rsuffix="_b")
     assert (joined["admitted_s"] == joined["admitted_b"]).all()
+
+
+def test_e10_streaming_consumer_lag_matches_batch(spark, tmp_path):
+    """E10: live lag equals batch A14 after the stream drains, with the
+    log split into two offset-ordered micro-batches (per-shard offset
+    order is Kafka's delivery guarantee)."""
+    import os
+    import time as _time
+
+    from uforwarder_spark.operators.pipeline import consumer_lag
+
+    m = model.messages(spark, SF_SMALL)
+    median = m.agg(F.expr("percentile_approx(msg_offset, 0.5)")).collect()[0][0]
+    src = tmp_path / "src"
+    m.filter(F.col("msg_offset") <= median).coalesce(1).write.parquet(str(src / "f0"))
+    m.filter(F.col("msg_offset") > median).coalesce(1).write.parquet(str(src / "f1"))
+    now = _time.time()
+    for sub, off in (("f0", -10), ("f1", 0)):
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + off, now + off))
+
+    stream = (
+        spark.readStream.schema(P.MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = _run_to_memory(
+        P.consumer_lag_stream(stream), "e10_lag", str(tmp_path / "ckpt"), "update"
+    )
+    # update mode re-emits per batch: keep the LAST row per shard
+    got = (
+        spark.table("e10_lag")
+        .toPandas()
+        .groupby(["topic", "part_id"])
+        .last()
+        .sort_index()
+    )
+    want = (
+        consumer_lag(spark, SF_SMALL)
+        .toPandas()
+        .set_index(["topic", "part_id"])
+        .sort_index()
+    )
+    assert len(got) == len(want)
+    for col in ("high_watermark", "committed_offset", "lag_msgs"):
+        s, b = got[col], want[col]
+        assert ((s == b) | (s.isna() & b.isna())).all(), col
