@@ -1,10 +1,12 @@
-"""A18: exact continuous-refill token bucket — the one batch operator
-using the documented Pandas escape hatch (sequential recurrence).
+"""A18 + A23: the exact flow-control pair — the continuous-refill token
+bucket (the one batch operator using the documented Pandas escape
+hatch: a sequential recurrence) and the unprocessed-cache limiter.
 
-Registered LAST on purpose: its driver row is rows-only (``no_oracle``)
-by design, so it cedes its slot in the driver's correctness window to
-oracle-checkable keys; correctness is model-checked in
-tests/test_operators.py instead.
+This module registers AFTER the driver's 50-key correctness window on
+purpose: A18's driver row is rows-only (``no_oracle``) by design, so it
+cedes its slot to oracle-checkable keys — its correctness is
+model-checked in tests/test_operators.py; A23 is parity-checked by the
+repo harness at two SFs.
 """
 
 from __future__ import annotations
