@@ -434,3 +434,33 @@ def test_e10_streaming_consumer_lag_matches_batch(spark, tmp_path):
     for col in ("high_watermark", "committed_offset", "lag_msgs"):
         s, b = got[col], want[col]
         assert ((s == b) | (s.isna() & b.isna())).all(), col
+
+
+def test_e11_autoscale_signal_matches_batch_windows(spark, msg_log_dir, tmp_path):
+    """E11: every closed window's verdict equals the batch computation
+    of the same window-vs-quota rule (B3's thresholds)."""
+    from uforwarder_spark.operators.controller import QUOTAS
+
+    quotas = spark.createDataFrame(QUOTAS, ["topic", "quota_mps"])
+    stream = P.message_stream(spark, msg_log_dir)
+    q = _run_to_memory(
+        P.autoscale_signal_stream(stream, quotas),
+        "e11_scale", str(tmp_path / "ckpt"), "append",
+    )
+    got = spark.table("e11_scale").toPandas()
+    assert len(got) > 0
+    m = model.messages(spark, SF_SMALL).toPandas()
+    m["window_start"] = m["ts"].dt.floor("5min")
+    batch = m.groupby(["topic", "window_start"]).size().rename("n").reset_index()
+    qmap = dict(QUOTAS)
+    merged = got.merge(batch, on=["topic", "window_start"], how="left")
+    assert merged["n"].notna().all()  # every emitted window exists in batch
+    for r in merged.itertuples():
+        assert r.n_msgs == r.n
+        mps = r.n / 300.0
+        want = (
+            "scale_up" if mps > qmap[r.topic] * 1.2
+            else "scale_down" if mps < qmap[r.topic] * 0.5
+            else "hold"
+        )
+        assert r.decision == want, (r.topic, r.window_start)

@@ -581,3 +581,36 @@ def consumer_lag_stream(stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- E11: live autoscale signal -------------------------------------------
+def autoscale_signal_stream(
+    stream: DataFrame,
+    quotas: DataFrame,
+    window: str = "5 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of B3 (controller/autoscalar/AutoScalar.java):
+    the live scale signal — each CLOSED throughput window (append mode:
+    emitted once, final, when the watermark passes it) joins the
+    broadcast quota table and carries its own scale verdict. Downstream
+    this is the feed ScaleState's hysteresis (B8) consumes; with E10's
+    live lag it closes the worker→controller loop in streaming form.
+
+    SCALE: reuses E2's windowed partial aggregation (state = open
+    windows only); the quota table is a stream-static broadcast join —
+    O(topics), re-broadcast per micro-batch, no extra state."""
+    thr = throughput_stream(stream, window=window, lateness=lateness)
+    decision = (
+        F.when(F.col("msgs_per_sec") > F.col("quota_mps") * 1.2, "scale_up")
+        .when(F.col("msgs_per_sec") < F.col("quota_mps") * 0.5, "scale_down")
+        .otherwise("hold")
+    )
+    return thr.join(F.broadcast(quotas), "topic").select(
+        "window_start",
+        "topic",
+        "n_msgs",
+        "msgs_per_sec",
+        "quota_mps",
+        decision.alias("decision"),
+    )
