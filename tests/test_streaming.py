@@ -464,3 +464,69 @@ def test_e11_autoscale_signal_matches_batch_windows(spark, msg_log_dir, tmp_path
             else "hold"
         )
         assert r.decision == want, (r.topic, r.window_start)
+
+
+def test_e10_lag_state_survives_checkpoint_restart(spark, tmp_path):
+    """E10 recovery: stop the query after the first half of the log,
+    start a NEW query from the same checkpoint over the second half —
+    the four-long lag state must round-trip the state store, and the
+    final lag must equal the batch answer (a restart must not reset
+    committed offsets or double-count lag)."""
+    import os
+    import time as _time
+
+    from uforwarder_spark.operators.pipeline import consumer_lag
+
+    m = model.messages(spark, SF_SMALL)
+    median = m.agg(F.expr("percentile_approx(msg_offset, 0.5)")).collect()[0][0]
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id: int) -> None:
+        # parquet-per-batch sink: the memory sink cannot recover from a
+        # checkpoint, and the file sink rejects update-mode stateful ops
+        batch_df.write.mode("append").parquet(out)
+
+    def run_drain():
+        stream = (
+            spark.readStream.schema(P.MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            P.consumer_lag_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    m.filter(F.col("msg_offset") <= median).coalesce(1).write.parquet(str(src), mode="append")
+    run_drain()  # first incarnation drains half the log, then stops
+    _time.sleep(1.1)
+    m.filter(F.col("msg_offset") > median).coalesce(1).write.parquet(str(src), mode="append")
+    run_drain()  # second incarnation restores state from the checkpoint
+
+    # final state per shard = the row with the highest watermark (hw is
+    # monotone across batches; lag can tie at 0 so it cannot order rows)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["topic", "part_id", "high_watermark"])
+        .groupby(["topic", "part_id"])
+        .last()
+        .sort_index()
+    )
+    want = (
+        consumer_lag(spark, SF_SMALL)
+        .toPandas()
+        .set_index(["topic", "part_id"])
+        .sort_index()
+    )
+    assert len(got) == len(want)
+    for col in ("high_watermark", "committed_offset", "lag_msgs"):
+        s, b = got[col], want[col]
+        assert ((s == b) | (s.isna() & b.isna())).all(), col
