@@ -14,6 +14,44 @@ from pyspark.sql import DataFrame, SparkSession
 import uforwarder_spark  # noqa: F401  (import registers all operators)
 from uforwarder_spark.registry import ORACLES, QUERIES
 
+# The driver's correctness report covers the first 50 keys of queries().
+# Order the dict so that window holds (a) every key that has never had a
+# driver row (round-1's report covered a different 50), then (b) the keys
+# whose implementation changed since their last driver check. Keys beyond
+# the window stay verified by tests/test_oracle_parity.py — the identical
+# row-count + schema + value-hash comparison — at sf0.001 and sf0.01.
+_KEY_PRIORITY = [
+    # -- never driver-checked (25) --
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "top_customers_window", "orders_without_lineitems",
+    "customer_order_stats", "running_revenue", "rollup_revenue",
+    "user_sessions", "tpch_q4_order_priority",
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "log_compaction", "checkpoint_resume", "dlq_purge",
+    "unprocessed_limiter",
+    "job_commands", "workload_assignment", "autoscale_prediction",
+    "worker_lease_reassignment",
+    "chunk_dedup", "repetition_stats", "corpus_prep_funnel",
+    # -- changed since their round-1 driver check (25) --
+    "ngram_jaccard_pairs",          # PPJoin prefix-filtered plan now
+    "dedup_representatives", "contamination_check",  # de-vacuated
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "embedding_cosine_pairs", "dedup_connected_components",
+    "minhash_jaccard_estimate", "multimodal_meta",
+    "fetch_offset_range", "filter_messages", "route_messages",
+    "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
+    "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
+    "dlq_messages", "dlq_resurrection", "latency_percentiles",
+    "throughput_windows", "consumer_lag", "adaptive_inflight_vegas",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _KEY_PRIORITY if k in mapping}
+    head.update({k: v for k, v in mapping.items() if k not in head})
+    return head
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -22,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-checkable query."""
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

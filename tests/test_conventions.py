@@ -59,3 +59,42 @@ def test_example_script_runs(capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert out.count("===") >= 8 * 2  # every stage printed a header
+
+
+def test_worker_functions_pickle_by_value():
+    """Python-worker functions must not require `uforwarder_spark` on the
+    worker's sys.path: the driver may run from any cwd without shipping
+    the package (--py-files). Module-level state machines are registered
+    for by-value cloudpickle; mapInPandas/applyInPandas fns are closures.
+    A by-reference pickle embeds the module path; by-value embeds code.
+    """
+    from pyspark import cloudpickle
+
+    from uforwarder_spark.streaming import pipelines
+
+    registry = {
+        m if isinstance(m, str) else m.__name__
+        for m in cloudpickle.list_registry_pickle_by_value()
+    }
+    assert pipelines.__name__ in registry
+    # the real check: a subprocess with NO access to this repo must be
+    # able to unpickle and run a state machine's code object
+    import subprocess
+    import sys
+    import tempfile
+
+    blob = cloudpickle.dumps(pipelines._retry_machine)
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    probe = (
+        "import pickle,sys\n"
+        f"fn = pickle.load(open({path!r}, 'rb'))\n"
+        "assert 'uforwarder_spark' not in sys.modules, 'pickled by reference'\n"
+        "print('by-value ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], capture_output=True, text=True, cwd="/"
+    )
+    assert out.returncode == 0, out.stderr
+    assert "by-value ok" in out.stdout

@@ -31,40 +31,6 @@ OUT_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: real impl would use PIL/ffmpeg (not in container).
-
-    Deterministic fake dimensions derived from payload size so tests and
-    the rows-only driver check are stable.
-    """
-    n = len(payload)
-    return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
-
-
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    import hashlib
-
-    for pdf in batches:
-        widths, heights, frames, checks = [], [], [], []
-        for payload in pdf["payload"]:
-            w, h, f = _fake_decode(payload)
-            widths.append(w)
-            heights.append(h)
-            frames.append(f)
-            checks.append(hashlib.md5(payload).hexdigest())
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "mime": pdf["mime"],
-                "n_bytes": pdf["n_bytes"],
-                "width": widths,
-                "height": heights,
-                "n_frames": frames,
-                "checksum": checks,
-            }
-        )
-
-
 # The deterministic stub makes the Python decode path fully auditable in
 # SQL: the checksum is md5 over the utf-8 payload and the fake dims are
 # pure arithmetic on its byte length — so the Arrow/mapInPandas plumbing
@@ -88,7 +54,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the (stubbed) decode and emits features only.
 
     SCALE: pure Arrow-batched map — payload bytes never shuffle; see the
-    module docstring for the 100 TB layout."""
+    module docstring for the 100 TB layout.
+
+    The decode functions are CLOSURES so cloudpickle ships them by value
+    — Python workers never need `uforwarder_spark` importable (the
+    driver may run from any cwd without shipping the package)."""
+
+    def fake_decode(payload: bytes) -> tuple[int, int, int]:
+        # STUB decode: real impl would use PIL/ffmpeg (not in container).
+        # Deterministic fake dims from payload size keep tests stable.
+        n = len(payload)
+        return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            widths, heights, frames, checks = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, f = fake_decode(payload)
+                widths.append(w)
+                heights.append(h)
+                frames.append(f)
+                checks.append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                    "checksum": checks,
+                }
+            )
+
     docs = load_table(spark, sf_dir, "documents")
     bins = docs.select(
         "doc_id",
@@ -96,4 +96,4 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
     )
-    return bins.mapInPandas(_decode_batches, schema=OUT_SCHEMA)
+    return bins.mapInPandas(decode_batches, schema=OUT_SCHEMA)

@@ -614,3 +614,17 @@ def autoscale_signal_stream(
         "quota_mps",
         decision.alias("decision"),
     )
+
+
+# Ship this module's state machines BY VALUE: applyInPandasWithState
+# functions defined at module level normally pickle by reference, which
+# requires `uforwarder_spark` on every Python worker's sys.path. By-value
+# registration removes that deployment constraint (same reason D12's
+# decode is a closure) — the driver can run from any cwd without
+# --py-files. Referenced globals (MAX_RETRIES, schemas) serialize with
+# each function; heavyweight imports stay inside the functions.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
