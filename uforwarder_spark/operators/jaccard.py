@@ -86,7 +86,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # reused by prefix build + both verification probes;
         # freed by LRU / bench clearCache between queries.
     )
-    pref = prefix_tokens(t, JACCARD_T)
+    pref = prefix_tokens(t, JACCARD_T).persist()
+    # persist: the self-join below references pref on BOTH sides; without
+    # a materialization barrier the whole df-count + prefix regroup
+    # subtree executes twice (exchange reuse does not survive AQE's
+    # broadcast conversion here). pref is ~(1-t)·|tokens| rows — tiny.
+    # Freed by LRU / bench clearCache between queries.
     a, b = pref.alias("a"), pref.alias("b")
     cands = (
         a.join(
