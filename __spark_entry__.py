@@ -33,7 +33,8 @@ _KEY_PRIORITY = [
     "job_commands", "workload_assignment", "autoscale_prediction",
     "worker_lease_reassignment",
     "chunk_dedup", "repetition_stats", "corpus_prep_funnel",
-    # -- changed since their round-1 driver check (25) --
+    "scale_window_proposal", "reactive_downscale_window",  # new in round 3
+    # -- changed since their round-1 driver check (23) --
     "ngram_jaccard_pairs",          # PPJoin prefix-filtered plan now
     "dedup_representatives", "contamination_check",  # de-vacuated
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -43,7 +44,7 @@ _KEY_PRIORITY = [
     "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
     "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
     "dlq_messages", "dlq_resurrection", "latency_percentiles",
-    "throughput_windows", "consumer_lag", "adaptive_inflight_vegas",
+    "throughput_windows",
 ]
 
 

@@ -126,3 +126,91 @@ def test_prefix_filter_lemma(data, threshold):
     assert prefix(a) & prefix(b), (
         f"qualifying pair missed: a={sorted(a)} b={sorted(b)} jac={jac:.3f} t={threshold}"
     )
+
+
+# --- B16: ScaleWindow histogram walk vs a direct port of the Java model ---
+
+def _java_bounded_window(samples, lo, hi, pct):
+    """Direct port of ScaleWindow.BoundedWindow (ScaleWindow.java:88):
+    100-bucket histogram, ceil index with clamping, percentile read =
+    walk to the first bucket where the running count reaches (int)(p*n).
+    """
+    import math
+
+    n_buckets = 100
+    width = (hi - lo) / n_buckets
+    buckets = [0] * n_buckets
+    for v in samples:
+        idx = min(n_buckets - 1, max(0, math.ceil((v - lo) / width)))
+        buckets[idx] += 1
+    pivot = int(pct * len(samples))
+    total = 0
+    for idx in range(n_buckets):
+        total += buckets[idx]
+        if total >= pivot:
+            break
+    return lo + idx * width
+
+
+@settings(max_examples=25, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(
+        st.floats(min_value=0.0, max_value=20.0, allow_nan=False, width=64),
+        min_size=1,
+        max_size=60,
+    ),
+    cur_scale=st.floats(min_value=0.1, max_value=8.0, allow_nan=False, width=64),
+)
+def test_scale_window_sql_equals_java_model(samples, cur_scale):
+    """The shared computer CTEs (run in DuckDB on hand samples) must
+    reproduce the Java BoundedWindow proposal for every computer,
+    including the pivot=0 short-circuit and the clamped bucket ends."""
+    import duckdb
+
+    from uforwarder_spark.operators import scaling
+
+    values = ", ".join(f"('t', CAST({s!r} AS DOUBLE), CAST({cur_scale!r} AS DOUBLE))" for s in samples)
+    sql = (
+        f"WITH samples AS (SELECT * FROM (VALUES {values}) AS s(topic, s, cur_scale)),"
+        + scaling._computer_ctes()
+        + " SELECT computer, n, proposal, accepted FROM verdicts ORDER BY computer"
+    )
+    got = {r[0]: r for r in duckdb.connect().execute(sql).fetchall()}
+
+    cases = {
+        "up": (cur_scale, 2.0 * cur_scale, scaling.UP_PCT, 1.2 * cur_scale, 2.0 * cur_scale),
+        "down": (0.5 * cur_scale, 1.0 * cur_scale, scaling.DOWN_PCT, 0.5 * cur_scale, 0.8 * cur_scale),
+        "hib": (0.0, 1.0 * cur_scale, scaling.DOWN_PCT, 0.0, 0.0),
+    }
+    for comp, (lo, hi, pct, out_lo, out_hi) in cases.items():
+        expect = _java_bounded_window(samples, lo, hi, pct)
+        _, n, proposal, accepted = got[comp]
+        assert n == len(samples)
+        assert proposal == expect, (comp, proposal, expect)
+        assert accepted == (len(samples) >= scaling.MIN_SAMPLES and out_lo <= expect <= out_hi)
+
+
+def test_scale_window_hibernate_and_immature():
+    """Hand cases: all-zero samples accept hibernation (proposal exactly
+    0.0); fewer than MIN_SAMPLES samples never accept."""
+    import duckdb
+
+    from uforwarder_spark.operators import scaling
+
+    def run(samples, cur_scale):
+        values = ", ".join(
+            f"('t', CAST({s!r} AS DOUBLE), CAST({cur_scale!r} AS DOUBLE))" for s in samples
+        )
+        sql = (
+            f"WITH samples AS (SELECT * FROM (VALUES {values}) AS s(topic, s, cur_scale)),"
+            + scaling._computer_ctes()
+            + " SELECT computer, proposal, accepted FROM verdicts"
+        )
+        return {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
+
+    quiet = run([0.0] * 20, 2.0)
+    assert quiet["hib"] == (0.0, True)  # zero-traffic group may hibernate
+    assert quiet["up"][1] is False
+
+    few = run([3.0] * (scaling.MIN_SAMPLES - 1), 2.0)
+    assert all(not accepted for _, accepted in few.values())

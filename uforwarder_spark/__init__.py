@@ -23,6 +23,7 @@ from .plans import relational  # noqa: F401
 from .operators import similarity  # noqa: F401
 from .operators import jaccard  # noqa: F401
 from .operators import controller  # noqa: F401
+from .operators import scaling  # noqa: F401
 from .operators import pipeline  # noqa: F401
 from .operators import dedup  # noqa: F401
 from .functions import multimodal, text  # noqa: F401
