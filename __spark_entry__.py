@@ -34,7 +34,8 @@ _KEY_PRIORITY = [
     "worker_lease_reassignment",
     "chunk_dedup", "repetition_stats", "corpus_prep_funnel",
     "scale_window_proposal", "reactive_downscale_window",  # new in round 3
-    # -- changed since their round-1 driver check (23) --
+    "bpe_merge_pairs", "pii_redaction", "multimodal_frame_sample",  # round 3
+    # -- changed since their round-1 driver check (20) --
     "ngram_jaccard_pairs",          # PPJoin prefix-filtered plan now
     "dedup_representatives", "contamination_check",  # de-vacuated
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -43,8 +44,7 @@ _KEY_PRIORITY = [
     "fetch_offset_range", "filter_messages", "route_messages",
     "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
     "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
-    "dlq_messages", "dlq_resurrection", "latency_percentiles",
-    "throughput_windows",
+    "dlq_messages",
 ]
 
 

@@ -338,3 +338,57 @@ def test_corpus_prep_funnel_stages_all_bind(spark, tmp_path):
     assert r.n_quality == 22  # doc 0 dropped by the rules
     assert r.n_unique == 21  # doc 2 collapsed onto doc 1
     assert 0 < r.n_sampled < r.n_unique  # the 1-in-10 sample binds
+
+
+def test_pii_redaction_on_seeded_corpus(spark, tmp_path):
+    """The synthetic corpus has no PII, so pin the mechanism on seeded
+    docs: every pattern type redacts, counts match, order prevents the
+    phone pattern from eating email/IP digits."""
+    from uforwarder_spark.functions.text import pii_redaction
+
+    docs = [
+        (0, "contact alice.smith+x@example.org or bob@sub.domain.co today", "en", "web", 60),
+        (1, "server at 10.0.255.7 then call 415-555-0199 now", "en", "web", 47),
+        (2, "nothing sensitive here at all", "en", "web", 29),
+        (3, "dial 123.456.7890 and 987-654-3210", "en", "web", 34),
+    ]
+    d = tmp_path / "pii"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in pii_redaction(spark, str(d)).collect()}
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (2, 0, 0)
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (0, 1, 1)
+    assert out[2].n_redactions == 0
+    assert out[3].n_phones == 2
+
+
+def test_bpe_pairs_skip_sub_two_token_docs(spark, edge_dir):
+    """Docs with <2 tokens contribute no pairs (the slice guard); the
+    dup'd fox sentence dominates the top pairs."""
+    from uforwarder_spark.functions.text import bpe_merge_pairs
+
+    rows = bpe_merge_pairs(spark, edge_dir).collect()
+    pairs = {(r.tok_l, r.tok_r): r.freq for r in rows}
+    assert pairs[("quick", "brown")] == 3  # docs 3, 4, 5
+    assert rows[0].rank == 1 and rows[0].freq >= 3
+    assert all(r.freq >= 1 for r in rows)
+
+
+def test_frame_sample_short_and_empty_payloads(spark, tmp_path):
+    """Payloads shorter than a frame produce truncated (even empty)
+    frames with consistent offsets — no crash, 1:N fan-out intact."""
+    from uforwarder_spark.functions.multimodal import N_FRAMES, multimodal_frame_sample
+
+    docs = [(0, "abcd", "en", "web", 4), (1, "", "en", "web", 0)]
+    d = tmp_path / "frames"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    rows = multimodal_frame_sample(spark, str(d)).collect()
+    assert len(rows) == 2 * N_FRAMES
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.frame_off for r in sorted(by_doc[0], key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert all(r.frame_len == 0 and r.frame_off == 0 for r in by_doc[1])

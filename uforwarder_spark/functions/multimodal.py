@@ -97,3 +97,76 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
     )
     return bins.mapInPandas(decode_batches, schema=OUT_SCHEMA)
+
+
+# --- D29 -----------------------------------------------------------------
+N_FRAMES = 4
+FRAME_LEN = 16
+
+# Deterministic stub again (no video codecs in the container): a "frame"
+# is a 16-byte slice at k*n/4 — so the whole Arrow pipeline (binary
+# slicing, per-frame fan-out, checksum) is SQL-auditable end-to-end.
+FRAME_SAMPLE_ORACLE = f"""
+WITH frames AS (
+  SELECT d.doc_id, d.text,
+         f.frame_idx,
+         (f.frame_idx * strlen(d.text)) // {N_FRAMES} AS frame_off,
+         strlen(d.text) AS n
+  FROM documents d
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS f(frame_idx)
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_off AS BIGINT) AS frame_off,
+       CAST(least({FRAME_LEN}, n - frame_off) AS BIGINT) AS frame_len,
+       md5(substr(text, CAST(frame_off + 1 AS INT), {FRAME_LEN})) AS frame_checksum
+FROM frames
+"""
+
+
+@register("multimodal_frame_sample", FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque video/audio payload: each binary
+    blob yields N_FRAMES evenly-spaced fixed-size frames (byte slices
+    under the stub; ffmpeg keyframe extraction in production), fanned
+    out to one row per frame with offset/length/checksum — the shape a
+    frame-embedding or thumbnailing stage consumes.
+
+    Real-decode swap point: replace ``sample_frames``'s slicing with the
+    codec call; schema, batching, and partitioning stay as-is.
+
+    SCALE: mapInPandas fan-out keeps payload bytes OUT of any shuffle —
+    the 1:N explosion happens inside the Arrow batch and only the small
+    frame features leave the stage; batch memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch. Closure-pickled like
+    D12 (workers never import the package)."""
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_off": [],
+                "frame_len": [],
+                "frame_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for k in range(N_FRAMES):
+                    off = k * n // N_FRAMES
+                    frame = payload[off : off + FRAME_LEN]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(len(frame))
+                    out["frame_checksum"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return bins.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, frame_off long, frame_len long, frame_checksum string",
+    )

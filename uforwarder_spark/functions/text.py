@@ -804,3 +804,144 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_unique"),
         F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
     )
+
+
+# --- D27 -----------------------------------------------------------------
+BPE_TOP = 20
+BPE_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT {TOKENS_DUCK} AS ts FROM documents
+),
+pairs AS (
+  SELECT unnest(ts[1:len(ts) - 1]) AS tok_l,
+         unnest(ts[2:len(ts)])     AS tok_r
+  FROM toks WHERE len(ts) >= 2
+),
+counted AS (
+  SELECT tok_l, tok_r, count(*) AS freq FROM pairs GROUP BY tok_l, tok_r
+),
+ranked AS (
+  SELECT tok_l, tok_r, freq,
+         row_number() OVER (ORDER BY freq DESC, tok_l, tok_r) AS rank
+  FROM counted
+)
+SELECT CAST(rank AS INT) AS rank, tok_l, tok_r, freq
+FROM ranked WHERE rank <= {BPE_TOP}
+"""
+
+
+@register("bpe_merge_pairs", BPE_PAIRS_ORACLE)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: global adjacent-token-pair frequencies,
+    top-K with deterministic ties — the counting pass of one BPE merge
+    step (the most frequent adjacent pair becomes the next merge rule).
+    Token-level rather than byte-level: the corpus token model is shared
+    with D10/D18 so the pair table composes with vocab_topk.
+
+    SCALE: zip-adjacent is a per-doc map (slice + arrays_zip, no
+    shuffle); pair counting partial-aggregates map-side so a hot pair
+    ships one row per partition; global top-K runs as per-partition
+    top-K + a K-row merge (window-group-limit), never a full sort."""
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        docs.select(F.expr(TOKENS_SPARK).alias("ts"))
+        .filter(F.expr("size(ts) >= 2"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
+                    F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
+                )
+            ).alias("p")
+        )
+        .select("p.tok_l", "p.tok_r")
+    )
+    counted = pairs.groupBy("tok_l", "tok_r").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window
+
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("tok_l"), F.col("tok_r"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= BPE_TOP).select("rank", "tok_l", "tok_r", "freq")
+
+
+# --- D28 -----------------------------------------------------------------
+# PII patterns in the common Java-regex / RE2 subset (no lookaround, \b
+# and bounded repetition only) so Spark and DuckDB match byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Redaction order is load-bearing: emails first (their digits must not
+# be half-eaten by the phone pattern), then IPs (dotted digits), then
+# phones. The oracle applies the same order.
+PII_ORACLE = f"""
+WITH red AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{PII_EMAIL}'))  AS n_emails,
+         len(regexp_extract_all(text, '{PII_IPV4}'))   AS n_ips,
+         len(regexp_extract_all(text, '{PII_PHONE}'))  AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_emails + n_ips + n_phones AS BIGINT) AS n_redactions,
+       CAST(strlen(redacted) AS BIGINT) AS redacted_len,
+       md5(redacted) AS redacted_hash
+FROM red
+"""
+
+
+@register("pii_redaction", PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before text leaves the raw zone: emails, IPv4 addresses, and
+    phone numbers replaced by typed placeholder tokens, with per-doc
+    counts for audit. The synthetic corpus carries no PII, so the
+    mechanism is additionally pinned by seeded edge-corpus tests
+    (tests/test_edge_corpus.py); the driver row proves the no-PII
+    corpus round-trips unchanged through the same plan.
+
+    SCALE: pure per-row regexp map inside whole-stage codegen — no
+    shuffle, no Python; the audit counts come from the same scan.
+    Patterns are anchored to the shared Java/RE2 subset so the plan is
+    portable across engines."""
+    docs = _docs(spark, sf_dir)
+    red = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+            F.regexp_count("text", F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+            F.regexp_count("text", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+                    PII_IPV4,
+                    "<IP>",
+                ),
+                PII_PHONE,
+                "<PHONE>",
+            ).alias("redacted"),
+        )
+    )
+    return red.select(
+        "doc_id",
+        "source",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_redactions"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5(F.encode("redacted", "utf-8")).alias("redacted_hash"),
+    )
