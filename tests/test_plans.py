@@ -97,3 +97,41 @@ def test_ngram_jaccard_plan_has_no_corpus_window(spark):
 def test_new_aggs_are_partial(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["scale_window_proposal", "reactive_downscale_window"])
+def test_scale_window_data_stage_is_one_partial_agg(spark, name):
+    # B16/B17: the only data-sized stage is the (topic, window) count —
+    # it must partial-aggregate; the histogram walk's window functions
+    # run over O(topics x 100) rows only (partitioned by topic), never
+    # over the message log
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["pii_redaction"])
+def test_pii_redaction_is_shuffle_free_map(spark, name):
+    # D28 is a pure per-row regexp map: a hash/range Exchange means the
+    # scrub stopped being embarrassingly parallel (load_parallel's
+    # round-robin spread of the single tiny test file is fine)
+    plan = plan_of(spark, name)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "pythonUDF" not in plan  # regexps stay JVM-side
+
+
+def test_bpe_pairs_count_map_side(spark):
+    # D27: pair counting partial-aggregates before the shuffle so a hot
+    # pair ships one row per partition; top-K must not global-sort the
+    # pair table (window-group-limit / per-partition top-K instead)
+    plan = plan_of(spark, "bpe_merge_pairs")
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    assert "WindowGroupLimit" in plan or "TakeOrdered" in plan
+
+
+def test_frame_sample_payload_never_shuffles(spark):
+    # D29: the binary payload exists only between the scan and the
+    # Arrow stage — an Exchange would ship blob bytes across the cluster
+    plan = plan_of(spark, "multimodal_frame_sample")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
