@@ -98,3 +98,45 @@ def test_worker_functions_pickle_by_value():
     )
     assert out.returncode == 0, out.stderr
     assert "by-value ok" in out.stdout
+
+
+def test_streaming_bucket_constants_match_batch():
+    """E9 inlines the A18 bucket constants (a package import at worker
+    call time would require uforwarder_spark on worker sys.path)."""
+    import inspect
+
+    from uforwarder_spark.operators.ratelimit import BUCKET_BURST, BUCKET_RATE
+    from uforwarder_spark.streaming import pipelines
+
+    src = inspect.getsource(pipelines._bucket_machine)
+    assert f"BUCKET_RATE, BUCKET_BURST = {BUCKET_RATE}, {BUCKET_BURST}" in src
+    # no runtime package imports inside any worker-side state machine
+    for fn in (
+        pipelines._retry_machine,
+        pipelines._session_machine,
+        pipelines._bucket_machine,
+        pipelines._lag_machine,
+    ):
+        assert "from .." not in inspect.getsource(fn)
+
+
+def test_streaming_scalewin_cfg_matches_batch_tables():
+    """E12 inlines (scale, quota) per topic inside the machine (worker
+    imports are forbidden); the values must track B16's SCALES and the
+    controller QUOTAS tables."""
+    import inspect
+
+    from uforwarder_spark.operators.controller import QUOTAS
+    from uforwarder_spark.operators.scaling import SCALES
+    from uforwarder_spark.streaming import pipelines
+
+    import re
+
+    src = inspect.getsource(pipelines._scalewin_machine)
+    got = {
+        m.group(1): (float(m.group(2)), float(m.group(3)))
+        for m in re.finditer(r'"(\w+)": \(([\d.]+), ([\d.]+)\),', src)
+    }
+    scales, quotas = dict(SCALES), dict(QUOTAS)
+    for topic in scales:
+        assert got[topic] == (scales[topic], quotas[topic]), topic

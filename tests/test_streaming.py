@@ -530,3 +530,90 @@ def test_e10_lag_state_survives_checkpoint_restart(spark, tmp_path):
     for col in ("high_watermark", "committed_offset", "lag_msgs"):
         s, b = got[col], want[col]
         assert ((s == b) | (s.isna() & b.isna())).all(), col
+
+
+def test_e12_scale_proposal_stream_matches_online_model(spark, tmp_path):
+    """E12: the streaming ScaleWindow must replay the reference's online
+    accept-and-rebuild loop — verified against a pure-Python port of
+    BoundedWindow (the same port the B16 property test validates
+    against the SQL histogram) run over the samples in stream order."""
+    import math
+
+    import pandas as pd
+
+    # deterministic sample schedule: 3 files -> 3 micro-batches, strictly
+    # increasing window_start so in-batch sort matches global order
+    sched = {
+        "click": [0.004] * 14,   # s = 0.16 in up window -> accept at n=10, reset
+        "error": [0.003] * 14,   # s = 0.24 below down window -> accept 0.5*S
+        "purchase": [0.004] * 8, # immature forever (n < 10)
+    }
+    rows = []
+    for topic, mps_list in sched.items():
+        for i, mps in enumerate(mps_list):
+            rows.append((topic, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=5 * i), mps))
+    df = pd.DataFrame(rows, columns=["topic", "window_start", "mps"])
+    src = tmp_path / "samples"
+    src.mkdir()
+    for part, chunk in enumerate([df.iloc[::3], df.iloc[1::3], df.iloc[2::3]]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"f{part}")
+        )
+    stream = (
+        spark.readStream.schema("topic string, window_start timestamp, mps double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = _run_to_memory(
+        P.scale_proposal_stream(stream), "e12_scale", str(tmp_path / "ckpt"), "update"
+    )
+    got = spark.table("e12_scale").toPandas()
+    final = {r.topic: r for r in got.itertuples()}  # update mode: last wins per key
+
+    # pure-Python online model (BoundedWindow port + accept/reset loop)
+    def online(topic, samples):
+        cfg = {"click": (0.10, 0.10), "error": (1.00, 0.05), "purchase": (0.20, 0.08)}
+        scale, quota = cfg[topic]
+        NB, n, counts = 100, 0, None
+
+        def bounds(s):
+            return {
+                "up": (s, 2 * s, 0.5, 1.2 * s, 2 * s),
+                "down": (0.5 * s, s, 0.99, 0.5 * s, 0.8 * s),
+                "hib": (0.0, s, 0.99, 0.0, 0.0),
+            }
+
+        counts = {c: [0] * NB for c in bounds(scale)}
+        for mps in samples:
+            s = mps / (quota / 4.0)
+            b = bounds(scale)
+            for comp, (lo, hi, _, _, _) in b.items():
+                w = (hi - lo) / NB
+                counts[comp][min(NB - 1, max(0, math.ceil((s - lo) / w)))] += 1
+            n += 1
+            if n < 10:
+                continue
+            for comp, (lo, hi, pct, out_lo, out_hi) in b.items():
+                w = (hi - lo) / NB
+                pivot = int(pct * n)
+                tot, idx = 0, 0
+                for idx in range(NB):
+                    tot += counts[comp][idx]
+                    if tot >= pivot:
+                        break
+                prop = lo + idx * w
+                if out_lo <= prop <= out_hi:
+                    scale, n = (prop if comp != "hib" else 0.0), 0
+                    counts = {c: [0] * NB for c in bounds(max(scale, 1e-9))}
+                    break
+        return scale, n
+
+    # stream order = file round-robin order per topic; each topic's
+    # samples arrive in window_start order regardless of chunking
+    for topic, mps_list in sched.items():
+        want_scale, want_n = online(topic, mps_list)
+        assert final[topic].scale == pytest.approx(want_scale, abs=0), topic
+        assert final[topic].n_samples == want_n, topic
+    assert final["click"].scale > 0.10  # accepted an up proposal
+    assert final["error"].scale < 1.00  # accepted a down proposal
+    q.stop()

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -453,7 +454,11 @@ def _bucket_machine(key, pdfs: Iterator, state: GroupState):
     import numpy as np
     import pandas as pd
 
-    from ..operators.ratelimit import BUCKET_BURST, BUCKET_RATE
+    # constants inlined, NOT imported from the batch ratelimit module: a
+    # package import at call time would need uforwarder_spark on the
+    # WORKER's sys.path, defeating the by-value pickling below (the
+    # module-bottom registration). Kept in sync by a unit test.
+    BUCKET_RATE, BUCKET_BURST = 0.05, 5.0
 
     tokens, last_ns = state.get if state.exists else (BUCKET_BURST, -1)
     batch = pd.concat(list(pdfs), ignore_index=True)
@@ -613,6 +618,128 @@ def autoscale_signal_stream(
         "msgs_per_sec",
         "quota_mps",
         decision.alias("decision"),
+    )
+
+
+# --- E12: live scale-window proposals --------------------------------------
+SCALEWIN_STATE_SCHEMA = StructType(
+    [
+        StructField("scale", DoubleType()),
+        StructField("n", LongType()),
+        # three 100-bucket histograms, flattened
+        StructField("up_counts", ArrayType(LongType())),
+        StructField("down_counts", ArrayType(LongType())),
+        StructField("hib_counts", ArrayType(LongType())),
+    ]
+)
+SCALEWIN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("scale", DoubleType()),
+        StructField("verdict", StringType()),
+        StructField("proposal", DoubleType()),
+    ]
+)
+
+def _scalewin_machine(key, pdfs: Iterator, state: GroupState):
+    """Online ScaleWindow (ScaleWindow.java:88 BoundedWindow +
+    ScaleState.RunningState onSample): per topic, every closed
+    throughput window contributes one scale sample to three bucketed
+    histograms (up/down/hibernate). Once mature (n >= 10), the first
+    computer whose percentile proposal passes its output bounds wins:
+    the scale moves and all windows reset around the new scale —
+    exactly the reference's accept-and-rebuild loop, which the batch
+    B16 evaluates once at end-of-window instead."""
+    import math
+
+    import pandas as pd
+
+    NB, MIN_N = 100, 10
+    CFG = {
+        "click": (0.10, 0.10),
+        "view": (0.05, 0.10),
+        "purchase": (0.20, 0.08),
+        "signup": (0.12, 0.12),
+        "error": (1.00, 0.05),
+    }
+    topic = key[0]
+    scale0, quota = CFG.get(topic, (1.0, 0.1))
+
+    def bounds(scale):
+        return {
+            "up": (scale, 2.0 * scale, 0.5, 1.2 * scale, 2.0 * scale),
+            "down": (0.5 * scale, scale, 0.99, 0.5 * scale, 0.8 * scale),
+            "hib": (0.0, scale, 0.99, 0.0, 0.0),
+        }
+
+    if state.exists:
+        scale, n, up, down, hib = state.get
+        counts = {"up": list(up), "down": list(down), "hib": list(hib)}
+    else:
+        scale, n = scale0, 0
+        counts = {c: [0] * NB for c in bounds(scale)}
+
+    verdict, proposal = "hold", None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values("window_start").reset_index(drop=True)
+    for mps in batch["mps"]:
+        s = mps / (quota / 4.0)
+        b = bounds(scale)
+        for comp, (lo, hi, _, _, _) in b.items():
+            width = (hi - lo) / NB
+            idx = min(NB - 1, max(0, math.ceil((s - lo) / width)))
+            counts[comp][idx] += 1
+        n += 1
+        if n < MIN_N:
+            continue
+        for comp, (lo, hi, pct, out_lo, out_hi) in b.items():
+            width = (hi - lo) / NB
+            pivot = int(pct * n)
+            total, idx = 0, 0
+            for idx in range(NB):
+                total += counts[comp][idx]
+                if total >= pivot:
+                    break
+            prop = lo + idx * width
+            if out_lo <= prop <= out_hi:
+                verdict = {"up": "scale_up", "down": "scale_down", "hib": "hibernate"}[comp]
+                proposal = prop
+                scale = prop if comp != "hib" else 0.0
+                n = 0
+                counts = {c: [0] * NB for c in bounds(max(scale, 1e-9))}
+                break
+
+    state.update((float(scale), int(n), counts["up"], counts["down"], counts["hib"]))
+    yield pd.DataFrame(
+        {
+            "topic": [topic],
+            "n_samples": [n],
+            "scale": [scale],
+            "verdict": [verdict],
+            "proposal": [proposal],
+        }
+    )
+
+
+def scale_proposal_stream(samples: DataFrame) -> DataFrame:
+    """E12: the live autoscalar — B16's bucketed percentile windows fed
+    one closed throughput window at a time, with histogram state carried
+    across micro-batches and windows rebuilt around each accepted scale.
+    Input: a (streaming) frame of (topic, window_start, mps) — i.e.
+    throughput_stream's output renamed; with E11 this closes the full
+    reference control loop (throughput → window → proposal) in
+    streaming form.
+
+    SCALE: state per topic = 3 x 100 bucket counts + 2 scalars —
+    O(topics), independent of stream length; one shuffle co-locates each
+    topic's samples with its state-store partition."""
+    return samples.groupBy("topic").applyInPandasWithState(
+        _scalewin_machine,
+        SCALEWIN_OUTPUT_SCHEMA,
+        SCALEWIN_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 
