@@ -129,6 +129,24 @@ def test_bpe_pairs_count_map_side(spark):
     assert "WindowGroupLimit" in plan or "TakeOrdered" in plan
 
 
+def test_delay_process_shuffles_once(spark):
+    # A24: the pause-ledger window partitions by (topic, part_id) and the
+    # groupBy keys are a superset, so HashPartitioning(topic, part_id)
+    # satisfies both — a second hash exchange means Catalyst stopped
+    # reusing the shuffle (2x the operator's only message-scale cost)
+    plan = plan_of(spark, "delay_process")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan  # O(topics) delay config never shuffles
+
+
+def test_batch_job_completion_aggs_are_partial(spark):
+    # B18: the only message-scale stage is the per-job offsets agg — it
+    # must map-side combine; the state step + group rollup window run on
+    # the O(jobs) control-plane frame
+    plan = plan_of(spark, "batch_job_completion")
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
 def test_frame_sample_payload_never_shuffles(spark):
     # D29: the binary payload exists only between the scan and the
     # Arrow stage — an Exchange would ship blob bytes across the cluster

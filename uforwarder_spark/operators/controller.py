@@ -937,3 +937,152 @@ def autoscale_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("fitted_cnt") / 300.0, 6) + F.lit(0.0)).alias("fitted_mps"),
         countdown.alias("windows_to_quota"),
     )
+
+
+# --- B18 -----------------------------------------------------------------
+# Deterministic simulated job/group states (same conv(md5) trick as B12):
+# prior job state and job-group state are hash-derived so every
+# computeJobState branch (end-offset cancel, group propagation, all-jobs
+# rollup) is non-empty at any SF.
+_B18_JOB_STATE = (
+    "CASE {h} % 5 WHEN 0 THEN 'JOB_STATE_CANCELED' "
+    "WHEN 1 THEN 'JOB_STATE_FAILED' ELSE 'JOB_STATE_RUNNING' END"
+)
+_B18_GROUP_STATE = (
+    "CASE {h} % 4 WHEN 0 THEN 'JOB_STATE_CANCELED' "
+    "WHEN 1 THEN 'JOB_STATE_FAILED' ELSE 'JOB_STATE_RUNNING' END"
+)
+_TOPIC_KEY_SPARK = "concat('grp|', topic)"
+_TOPIC_KEY_DUCK = "'grp|' || topic"
+
+BATCH_COMPLETION_ORACLE = f"""{MSG_CTE},
+jobs AS (
+  SELECT topic, part_id,
+         min(msg_offset) AS start_offset,
+         max(msg_offset) AS max_offset,
+         max(CASE WHEN acked THEN msg_offset END) AS commit_offset
+  FROM messages GROUP BY topic, part_id
+),
+spec AS (
+  SELECT *,
+         start_offset
+           + (max_offset - start_offset)
+             * (50 + {H_DUCK.format(col=_JOB_KEY_DUCK.format(salt='end'))} % 100) // 100
+           AS end_offset,
+         {_B18_JOB_STATE.format(h=H_DUCK.format(col=_JOB_KEY_DUCK.format(salt='jst')))}
+           AS prev_state,
+         {_B18_GROUP_STATE.format(h=H_DUCK.format(col=_TOPIC_KEY_DUCK))} AS group_state
+  FROM jobs
+),
+stepped AS (
+  SELECT *,
+         CASE
+           WHEN prev_state <> 'JOB_STATE_CANCELED'
+                AND commit_offset IS NOT NULL AND end_offset <= commit_offset
+             THEN 'JOB_STATE_CANCELED'
+           WHEN prev_state <> 'JOB_STATE_CANCELED' AND prev_state <> group_state
+             THEN group_state
+           ELSE prev_state
+         END AS new_state,
+         CASE
+           WHEN prev_state <> 'JOB_STATE_CANCELED'
+                AND commit_offset IS NOT NULL AND end_offset <= commit_offset
+             THEN 'END_REACHED'
+           WHEN prev_state <> 'JOB_STATE_CANCELED' AND prev_state <> group_state
+             THEN 'GROUP_PROPAGATED'
+           ELSE 'UNCHANGED'
+         END AS reason
+  FROM spec
+)
+SELECT topic, part_id, start_offset, end_offset, commit_offset,
+       prev_state, group_state, new_state, reason,
+       CASE WHEN min(CASE WHEN new_state = 'JOB_STATE_CANCELED' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY topic) = 1
+                 AND group_state <> 'JOB_STATE_CANCELED'
+            THEN 'JOB_STATE_CANCELED' ELSE group_state END AS new_group_state
+FROM stepped
+"""
+
+
+@register("batch_job_completion", BATCH_COMPLETION_ORACLE)
+def batch_job_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchRpcUriRebalancer.computeJobState
+    (consumerproxy/controller/rebalancer/BatchRpcUriRebalancer.java:71):
+    the batch (DLQ-merge) rebalancer's per-heartbeat state step. In
+    priority order, per job:
+
+      1. not CANCELED and commitOffset >= endOffset -> CANCELED
+         (the job consumed its assigned range; END_REACHED)
+      2. not CANCELED and state != group state -> group state
+         (propagation; CANCELED jobs are exempt because they are just
+         waiting for sibling partitions to finish)
+      3. otherwise unchanged
+
+    then the group rolls up: if every job in a non-empty group is now
+    CANCELED and the group isn't, the group is CANCELED (the batch job
+    is complete).
+
+    Job spec end offsets are hash-simulated at 50-149% of each
+    partition's range so both the completed and the still-running
+    branches are exercised; the worker-reported commit offset is the
+    max acked offset (the strict contiguous watermark variant lives in
+    A5/A21). States follow the JobState proto enum.
+
+    SCALE: one message-scale aggregation keyed (topic, part_id); the
+    state step and the all-jobs-canceled rollup run on the O(jobs)
+    control-plane frame (window over topic ~ partitions-per-topic
+    rows). At 100 TB the heartbeat diff never re-reads the log — it
+    would consume A5's incrementally-maintained watermark table."""
+    jobs = messages(spark, sf_dir).groupBy("topic", "part_id").agg(
+        F.min("msg_offset").alias("start_offset"),
+        F.max("msg_offset").alias("max_offset"),
+        F.max(F.when(F.col("acked"), F.col("msg_offset"))).alias("commit_offset"),
+    )
+    h_end = H_SPARK.format(col=_JOB_KEY_SPARK.format(salt="end"))
+    h_jst = H_SPARK.format(col=_JOB_KEY_SPARK.format(salt="jst"))
+    h_grp = H_SPARK.format(col=_TOPIC_KEY_SPARK)
+    spec = (
+        jobs.withColumn(
+            "end_offset",
+            F.expr(
+                f"start_offset + (max_offset - start_offset) * (50 + {h_end} % 100) DIV 100"
+            ),
+        )
+        .withColumn("prev_state", F.expr(_B18_JOB_STATE.format(h=h_jst)))
+        .withColumn("group_state", F.expr(_B18_GROUP_STATE.format(h=h_grp)))
+    )
+    end_reached = (
+        (F.col("prev_state") != "JOB_STATE_CANCELED")
+        & F.col("commit_offset").isNotNull()
+        & (F.col("end_offset") <= F.col("commit_offset"))
+    )
+    propagate = (F.col("prev_state") != "JOB_STATE_CANCELED") & (
+        F.col("prev_state") != F.col("group_state")
+    )
+    stepped = spec.withColumn(
+        "new_state",
+        F.when(end_reached, "JOB_STATE_CANCELED")
+        .when(propagate, F.col("group_state"))
+        .otherwise(F.col("prev_state")),
+    ).withColumn(
+        "reason",
+        F.when(end_reached, "END_REACHED")
+        .when(propagate, "GROUP_PROPAGATED")
+        .otherwise("UNCHANGED"),
+    )
+    all_canceled = (
+        F.min(F.when(F.col("new_state") == "JOB_STATE_CANCELED", 1).otherwise(0)).over(
+            Window.partitionBy("topic")
+        )
+        == 1
+    )
+    return stepped.select(
+        "topic", "part_id", "start_offset", "end_offset", "commit_offset",
+        "prev_state", "group_state", "new_state", "reason",
+        F.when(
+            all_canceled & (F.col("group_state") != "JOB_STATE_CANCELED"),
+            "JOB_STATE_CANCELED",
+        )
+        .otherwise(F.col("group_state"))
+        .alias("new_group_state"),
+    )

@@ -1039,3 +1039,105 @@ def dlq_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(~purged, F.col("msg_offset"))).alias("surviving_max"),
         )
     )
+
+
+# --- A24 -----------------------------------------------------------------
+# Per-topic processing delay (ms) — the consumer-configured delay that
+# KafkaDelayProcessManager enforces (0 = no delay, the NOOP manager).
+DELAYS = [
+    ("click", 0),
+    ("view", 3_600_000),         # 1 h
+    ("purchase", 43_200_000),    # 12 h
+    ("signup", 86_400_000),      # 24 h
+    ("error", 259_200_000),      # 72 h
+]
+DELAYS_SQL = "(VALUES " + ", ".join(f"('{t}', {d})" for t, d in DELAYS) + ") AS d(topic, delay_ms)"
+# The fetcher's poll instant, fixed so the operator is deterministic.
+DELAY_NOW = "2024-01-12 00:00:00"
+
+DELAY_PROCESS_ORACLE = f"""{MSG_CTE},
+polled AS (
+  SELECT m.topic, m.part_id, m.msg_offset, m.ts, d.delay_ms,
+         d.delay_ms > 0
+           AND epoch_ms(m.ts) + d.delay_ms > epoch_ms(TIMESTAMP '{DELAY_NOW}') AS delayed
+  FROM messages m JOIN {DELAYS_SQL} USING (topic)
+  WHERE m.ts <= TIMESTAMP '{DELAY_NOW}'
+),
+marked AS (
+  SELECT *,
+         min(CASE WHEN delayed THEN msg_offset END)
+           OVER (PARTITION BY topic, part_id) AS paused_start_offset
+  FROM polled
+)
+SELECT topic, part_id, delay_ms,
+       count(*) AS n_polled,
+       CAST(count(*) FILTER (WHERE paused_start_offset IS NULL
+                                OR msg_offset < paused_start_offset) AS BIGINT) AS n_processed,
+       CAST(count(*) FILTER (WHERE paused_start_offset IS NOT NULL
+                               AND msg_offset >= paused_start_offset) AS BIGINT) AS n_paused,
+       paused_start_offset,
+       max(CASE WHEN msg_offset = paused_start_offset
+                THEN epoch_ms(ts) + delay_ms END) AS resume_ms
+FROM marked
+GROUP BY topic, part_id, delay_ms, paused_start_offset
+"""
+
+
+@register("delay_process", DELAY_PROCESS_ORACLE)
+def delay_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KafkaDelayProcessManager
+    (uforwarder-core/.../worker/fetchers/kafka/KafkaDelayProcessManager.java:54):
+    delayed-processing topics hold each record until
+    ``record.timestamp + processingDelayMs`` has passed. The fetcher
+    consumes a partition in offset order, so the FIRST record whose
+    deadline is still in the future pauses the whole partition
+    (kafkaConsumer.pause) and every already-polled record from that
+    offset on is parked as unprocessed; the partition resumes when the
+    head record's deadline expires (resumePausedPartitionsAndRecords).
+
+    Emits the per-(topic, part_id) pause ledger at one poll instant:
+    how many polled records were processed vs parked, where the pause
+    begins, and the epoch-ms instant the partition becomes resumable.
+    Topics with delay 0 use the NOOP manager (never delayed), matching
+    DelayProcessManager.NOOP.
+
+    SCALE: one broadcast join against the O(topics) delay config, one
+    window + groupBy on the SAME (topic, part_id) key — Catalyst reuses
+    the exchange, so the message log shuffles once. The ts <= now
+    predicate pushes to the scan (prunes future date partitions
+    outright at 100 TB)."""
+    delays = spark.createDataFrame(DELAYS, ["topic", "delay_ms"])
+    now = F.lit(DELAY_NOW).cast("timestamp")
+    polled = (
+        messages(spark, sf_dir)
+        .filter(F.col("ts") <= now)
+        .join(F.broadcast(delays), "topic")
+        .withColumn(
+            "delayed",
+            (F.col("delay_ms") > 0)
+            & (F.unix_millis(F.col("ts")) + F.col("delay_ms") > F.unix_millis(now)),
+        )
+    )
+    marked = polled.withColumn(
+        "paused_start_offset",
+        F.min(F.when(F.col("delayed"), F.col("msg_offset"))).over(
+            Window.partitionBy("topic", "part_id")
+        ),
+    )
+    processed = F.col("paused_start_offset").isNull() | (
+        F.col("msg_offset") < F.col("paused_start_offset")
+    )
+    return marked.groupBy("topic", "part_id", "delay_ms", "paused_start_offset").agg(
+        F.count("*").alias("n_polled"),
+        F.count(F.when(processed, 1)).alias("n_processed"),
+        F.count(F.when(~processed, 1)).alias("n_paused"),
+        F.max(
+            F.when(
+                F.col("msg_offset") == F.col("paused_start_offset"),
+                F.unix_millis(F.col("ts")) + F.col("delay_ms"),
+            )
+        ).alias("resume_ms"),
+    ).select(
+        "topic", "part_id", "delay_ms", "n_polled", "n_processed", "n_paused",
+        "paused_start_offset", "resume_ms",
+    )
