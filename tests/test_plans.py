@@ -139,6 +139,13 @@ def test_delay_process_shuffles_once(spark):
     assert "BroadcastHashJoin" in plan  # O(topics) delay config never shuffles
 
 
+def test_dlq_dispatch_tokens_shuffles_once(spark):
+    # A25: the range window partitions by (topic, part_id) and the
+    # summary groupBy uses the same keys — one hash exchange total
+    plan = plan_of(spark, "dlq_dispatch_tokens")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_batch_job_completion_aggs_are_partial(spark):
     # B18: the only message-scale stage is the per-job offsets agg — it
     # must map-side combine; the state step + group rollup window run on

@@ -1141,3 +1141,92 @@ def delay_process(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topic", "part_id", "delay_ms", "n_polled", "n_processed", "n_paused",
         "paused_start_offset", "resume_ms",
     )
+
+
+# --- A25 -----------------------------------------------------------------
+CREDIT_WINDOW_MS = 300_000  # DLQ_TOKEN_LIMITER_WINDOW_MILLIS: 5-min expiry
+CREDIT_DEFAULT_TOKENS = 1   # DLQ_TOKEN_LIMITER_DEFAULT_TOKENS
+TIMEOUT_RETRIES = 4         # proxy for timeoutCount >= maxRpcTimeouts
+
+DLQ_TOKENS_ORACLE = f"""{MSG_CTE},
+flow AS (
+  SELECT topic, part_id, epoch_ms(ts) AS ms,
+         CASE WHEN acked THEN 1 ELSE -1 END AS credit_net,
+         NOT acked AS candidate
+  FROM messages
+  WHERE acked
+     OR (outcome IN ('DLQ', 'RETRY') AND retry_count >= {TIMEOUT_RETRIES})
+),
+balance AS (
+  SELECT *,
+         {CREDIT_DEFAULT_TOKENS} + sum(credit_net) OVER (
+           PARTITION BY topic, part_id ORDER BY ms
+           RANGE BETWEEN {CREDIT_WINDOW_MS - 1} PRECEDING AND CURRENT ROW
+         ) AS tokens_after
+  FROM flow
+)
+SELECT topic, part_id,
+       CAST(count(*) FILTER (WHERE NOT candidate) AS BIGINT)  AS n_credits,
+       CAST(count(*) FILTER (WHERE candidate) AS BIGINT)      AS n_candidates,
+       CAST(count(*) FILTER (WHERE candidate AND tokens_after >= 0) AS BIGINT)
+         AS n_to_dlq,
+       CAST(count(*) FILTER (WHERE candidate AND tokens_after < 0) AS BIGINT)
+         AS n_backoff,
+       CAST(min(tokens_after) AS BIGINT) AS min_tokens
+FROM balance
+GROUP BY topic, part_id
+"""
+
+
+@register("dlq_dispatch_tokens", DLQ_TOKENS_ORACLE)
+def dlq_dispatch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DlqDispatchManager + WindowedTokenLimiter
+    (consumerproxy/worker/processor/DlqDispatchManager.java:22,
+    WindowedTokenLimiter.java:31, used at ProcessorImpl.java:425,446):
+    per (topic, partition) a time-windowed token limiter gates
+    BACKOFF -> DLQ conversion for messages that exhausted their RPC
+    timeout budget. Completions (COMMIT/SKIP) credit one token; tokens
+    EXPIRE after the 5-minute window (unlike A8's fixed per-minute rate
+    and A18's continuous refill, the balance is a sliding-window sum);
+    each window grants one free default token so consumers never stick.
+
+    Credits map to acked messages, acquirers to messages whose retry
+    count exhausted the timeout budget. The balance each acquirer sees
+    is the window sum of credits minus window debits through its own —
+    the deterministic pessimistic variant (every candidate debits
+    whether or not it was approved); the exact acquire-feedback
+    recurrence is sequential state, A18's applyInPandas territory.
+
+    SCALE: the flow frame keeps only credit/acquire events (the
+    disjunctive filter runs right after the column-pruned scan — the
+    outcome columns are derived, so there is nothing to push into
+    parquet), so the range window sorts a fraction of the log per
+    (topic, part_id) — uForwarder's own shard unit — and the summary
+    agg reuses the same hash partitioning (one exchange total,
+    plan-locked)."""
+    m = messages(spark, sf_dir)
+    flow = m.filter(
+        F.col("acked")
+        | (F.col("outcome").isin("DLQ", "RETRY") & (F.col("retry_count") >= TIMEOUT_RETRIES))
+    ).select(
+        "topic",
+        "part_id",
+        F.unix_millis("ts").alias("ms"),
+        F.when(F.col("acked"), 1).otherwise(-1).alias("credit_net"),
+        (~F.col("acked")).alias("candidate"),
+    )
+    w = (
+        Window.partitionBy("topic", "part_id")
+        .orderBy("ms")
+        .rangeBetween(-(CREDIT_WINDOW_MS - 1), 0)
+    )
+    balance = flow.withColumn(
+        "tokens_after", F.lit(CREDIT_DEFAULT_TOKENS) + F.sum("credit_net").over(w)
+    )
+    return balance.groupBy("topic", "part_id").agg(
+        F.count(F.when(~F.col("candidate"), 1)).alias("n_credits"),
+        F.count(F.when(F.col("candidate"), 1)).alias("n_candidates"),
+        F.count(F.when(F.col("candidate") & (F.col("tokens_after") >= 0), 1)).alias("n_to_dlq"),
+        F.count(F.when(F.col("candidate") & (F.col("tokens_after") < 0), 1)).alias("n_backoff"),
+        F.min("tokens_after").alias("min_tokens"),
+    )
