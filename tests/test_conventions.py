@@ -140,3 +140,17 @@ def test_streaming_scalewin_cfg_matches_batch_tables():
     scales, quotas = dict(SCALES), dict(QUOTAS)
     for topic in scales:
         assert got[topic] == (scales[topic], quotas[topic]), topic
+
+
+def test_streaming_delay_constants_match_batch():
+    """E13 inlines A24's per-topic delay table (same worker-side
+    no-package-import rule as E9's bucket constants)."""
+    import inspect
+
+    from uforwarder_spark.operators.pipeline import DELAYS
+    from uforwarder_spark.streaming import pipelines
+
+    src = inspect.getsource(pipelines._delay_machine)
+    for t, d in DELAYS:
+        assert f'"{t}": {d:_}' in src, (t, d)
+    assert "from .." not in src

@@ -617,3 +617,85 @@ def test_e12_scale_proposal_stream_matches_online_model(spark, tmp_path):
     assert final["click"].scale > 0.10  # accepted an up proposal
     assert final["error"].scale < 1.00  # accepted a down proposal
     q.stop()
+
+
+def _delay_model(batches, delays):
+    """Pure-Python replay of E13's recurrence: per shard, parked records
+    carry across batches; each batch re-offers parked + new in offset
+    order and pauses at the first not-yet-due record."""
+    state: dict = {}
+    out: dict = {}
+    for b in batches:
+        for (topic, pid), grp in b.groupby(["topic", "part_id"]):
+            delay = delays.get(topic, 0)
+            now_ms = int(grp["ts"].max().value // 10**6)
+            parked = state.get((topic, pid), [])
+            parked_set = {o for o, _ in parked}
+            new = list(
+                zip(
+                    grp["msg_offset"].astype("int64").tolist(),
+                    grp["ts"].astype("int64").tolist(),
+                )
+            )
+            paused, keep = False, []
+            for off, ts_ns in sorted(parked + new):
+                due = delay == 0 or ts_ns // 10**6 + delay <= now_ms
+                if paused or not due:
+                    paused = True
+                    keep.append((off, ts_ns))
+                else:
+                    out[(topic, pid, off)] = (off in parked_set, now_ms)
+            state[(topic, pid)] = keep
+    return out, state
+
+
+def test_e13_streaming_delay_process_matches_model(spark, tmp_path):
+    """E13: the live pause/park/resume ledger must equal the Python
+    replay of the same micro-batch sequence — parked state carries
+    across batches, resumed records surface with was_parked=True."""
+    import os
+    import time as _time
+
+    m = model.messages(spark, SF_SMALL)
+    cutoff = m.agg(F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")).collect()[0][0]
+    early = m.filter(F.expr(f"CAST(ts AS DOUBLE) <= {cutoff}"))
+    late = m.filter(F.expr(f"CAST(ts AS DOUBLE) > {cutoff}"))
+
+    src = tmp_path / "src"
+    early.coalesce(1).write.parquet(str(src / "f0"))
+    late.coalesce(1).write.parquet(str(src / "f1"))
+    now = _time.time()
+    for sub, off in (("f0", -10), ("f1", 0)):
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + off, now + off))
+
+    stream = (
+        spark.readStream.schema(P.MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    _run_to_memory(
+        P.delay_process_stream(stream), "e13_delay", str(tmp_path / "ckpt"), "append"
+    )
+    got = spark.table("e13_delay").toPandas()
+
+    from uforwarder_spark.operators.pipeline import DELAYS
+
+    cols = ["topic", "part_id", "msg_offset", "ts"]
+    batches = [early.select(cols).toPandas(), late.select(cols).toPandas()]
+    want, residual = _delay_model(batches, dict(DELAYS))
+
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        key = (row.topic, row.part_id, row.msg_offset)
+        assert key in want, f"unexpected release {key}"
+        wp, rel = want[key]
+        assert row.was_parked == wp, key
+        assert row.released_ms == rel, key
+    # conservation: released + still-parked covers every input record
+    n_residual = sum(len(v) for v in residual.values())
+    assert len(got) + n_residual == m.count()
+    # the delayed topics must actually exercise the park path
+    assert got["was_parked"].any()
+    assert n_residual > 0

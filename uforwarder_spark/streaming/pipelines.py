@@ -743,6 +743,112 @@ def scale_proposal_stream(samples: DataFrame) -> DataFrame:
     )
 
 
+# --- E13: live delay-process (pause / park / resume) -----------------------
+DELAY_STATE_SCHEMA = StructType(
+    [
+        StructField("parked_offsets", ArrayType(LongType())),
+        StructField("parked_ts_ns", ArrayType(LongType())),
+    ]
+)
+DELAY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("part_id", LongType()),
+        StructField("msg_offset", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("was_parked", BooleanType()),
+        StructField("released_ms", LongType()),
+    ]
+)
+
+
+def _delay_machine(key, pdfs: Iterator, state: GroupState):
+    """Streaming KafkaDelayProcessManager (the live twin of batch A24,
+    uforwarder-core/.../fetchers/kafka/KafkaDelayProcessManager.java):
+    per shard, records whose ``ts + delay`` is still in the future park
+    in carried state; each micro-batch first re-offers the parked queue,
+    then consumes new records in offset order, stopping (pausing) at the
+    first not-yet-due record. The poll instant is the shard's max event
+    time in the batch — deterministic, so the test's Python model can
+    replay it exactly."""
+    import pandas as pd
+
+    # Inlined per-topic processing delays (ms) — kept in sync with
+    # operators.pipeline.DELAYS by a unit test; see the module-bottom
+    # note for why state machines import nothing from the package.
+    DELAYS_MS = {
+        "click": 0,
+        "view": 3_600_000,
+        "purchase": 43_200_000,
+        "signup": 86_400_000,
+        "error": 259_200_000,
+    }
+    topic, part_id = key
+    delay = DELAYS_MS.get(topic, 0)
+    parked_off, parked_ts = state.get if state.exists else ([], [])
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if not len(batch):
+        return
+    now_ms = int(batch["ts"].max().value // 1_000_000)
+    new_off = batch["msg_offset"].astype("int64").tolist()
+    new_ts = [int(v) for v in batch["ts"].to_numpy("datetime64[ns]").astype("int64")]
+    was_parked = dict.fromkeys(parked_off, True)
+    merged = sorted(
+        zip(parked_off + new_off, parked_ts + new_ts), key=lambda p: p[0]
+    )
+
+    released, still_parked = [], []
+    paused = False
+    for off, ts_ns in merged:
+        due = delay == 0 or (ts_ns // 1_000_000) + delay <= now_ms
+        if paused or not due:
+            paused = True  # first not-yet-due record pauses the shard
+            still_parked.append((off, ts_ns))
+        else:
+            released.append((off, ts_ns))
+
+    if still_parked:
+        state.update(([p[0] for p in still_parked], [p[1] for p in still_parked]))
+    elif state.exists:
+        state.remove()
+
+    if released:
+        yield pd.DataFrame(
+            {
+                "topic": topic,
+                "part_id": part_id,
+                "msg_offset": [o for o, _ in released],
+                "ts": pd.to_datetime([t for _, t in released], unit="ns"),
+                "was_parked": [o in was_parked for o, _ in released],
+                "released_ms": now_ms,
+            }
+        )
+
+
+def delay_process_stream(stream: DataFrame) -> DataFrame:
+    """E13: live delayed-processing — batch A24's pause ledger decided
+    record-by-record as micro-batches arrive, with the parked queue
+    carried across batches and drained once deadlines pass.
+
+    SCALE: state per shard = the parked record ids for ONE partition of
+    ONE delayed topic — bounded by delay horizon x per-partition rate
+    (exactly the memory the reference's in-process delayedRecords map
+    holds, KafkaDelayProcessManager.java:41); payloads are NOT parked,
+    only (offset, ts), so re-delivery on resume is an offset seek, not
+    a buffer replay. One shuffle co-locates each shard with its
+    state-store partition."""
+    return stream.select("topic", "part_id", "msg_offset", "ts").groupBy(
+        "topic", "part_id"
+    ).applyInPandasWithState(
+        _delay_machine,
+        DELAY_OUTPUT_SCHEMA,
+        DELAY_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 # Ship this module's state machines BY VALUE: applyInPandasWithState
 # functions defined at module level normally pickle by reference, which
 # requires `uforwarder_spark` on every Python worker's sys.path. By-value
