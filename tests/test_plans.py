@@ -154,6 +154,29 @@ def test_batch_job_completion_aggs_are_partial(spark):
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
 
 
+def test_int8_quantize_codebook_broadcasts(spark):
+    # D31: the 2xDIM codebook reaches every vector via a 1-row broadcast
+    # cross join; vectors never hash-shuffle (only the 64-group dim agg
+    # exchanges), and all folds stay JVM-side
+    plan = plan_of(spark, "embedding_int8_quantize")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "pythonUDF" not in plan
+
+
+def test_containment_join_is_df_capped(spark):
+    # D30: both self-join sides must consume the df-filtered chunk table;
+    # an unfiltered chunks-to-chunks join is the corpus-quadratic shape
+    # the C_DF_CAP bound exists to prevent
+    from uforwarder_spark.functions.text import C_DF_CAP, containment_pairs
+
+    df = containment_pairs(spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert f"<= {C_DF_CAP}" in optimized, "df cap filter was optimized away"
+    assert ">= 2" in optimized, "df >= 2 prefilter was optimized away"
+    plan = plan_of(spark, "containment_pairs")
+    assert "CartesianProduct" not in plan
+
+
 def test_frame_sample_payload_never_shuffles(spark):
     # D29: the binary payload exists only between the scan and the
     # Arrow stage — an Exchange would ship blob bytes across the cluster

@@ -945,3 +945,100 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("redacted").cast("long").alias("redacted_len"),
         F.md5(F.encode("redacted", "utf-8")).alias("redacted_hash"),
     )
+
+
+# --- D30 -----------------------------------------------------------------
+C_CHUNK = 5       # tokens per containment chunk (finer than D24's 10)
+C_THRESHOLD = 0.8  # containment |chunks(A) ∩ chunks(B)| / |chunks(A)|
+C_DF_CAP = 100    # boilerplate cap: chunks in more docs than this are excluded
+
+CONTAINMENT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(ts, i * {C_CHUNK} + 1, i * {C_CHUNK} + {C_CHUNK}), ' ')) AS h
+  FROM (
+    SELECT doc_id, ts, unnest(range(CAST(ceil(len(ts) / {C_CHUNK}.0) AS BIGINT))) AS i
+    FROM t WHERE len(ts) > 0
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id),
+df AS (
+  SELECT h FROM chunks GROUP BY h
+  HAVING count(*) BETWEEN 2 AND {C_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_chunks
+  FROM chunks a JOIN df USING (h) JOIN chunks b USING (h)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, s.n_chunks AS n_chunks_a, p.shared_chunks,
+       round(CAST(p.shared_chunks AS DOUBLE) / s.n_chunks, 6) AS containment
+FROM pairs p JOIN sizes s ON p.doc_a = s.doc_id
+WHERE CAST(p.shared_chunks AS DOUBLE) / s.n_chunks >= {C_THRESHOLD}
+"""
+
+
+@register("containment_pairs", CONTAINMENT_ORACLE)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs — doc-inside-doc detection (quotes,
+    wholesale inclusion, prefix/suffix copies), the one-sided relation
+    symmetric Jaccard (D4) misses: containment(A→B) =
+    |chunks(A) ∩ chunks(B)| / |chunks(A)| over distinct 5-token chunk
+    hashes. Both directions are emitted — a tweet quoted by an article
+    contains high A→B and low B→A.
+
+    Boilerplate guard: chunk hashes appearing in more than C_DF_CAP
+    docs are excluded from numerator AND denominator (the containment
+    measure is defined over non-boilerplate content; a license header
+    shared by a million docs says nothing about copying). df = 1
+    chunks cannot produce a pair and are dropped from the join — an
+    exact optimization.
+
+    SCALE: the df filter bounds candidate generation the way D4's
+    prefix filter does — join fan-out per chunk hash is ≤ C_DF_CAP²,
+    never corpus-quadratic; the hash df and the pair agg are uniform
+    md5-keyed shuffles. The join back to sizes is O(docs).
+
+    Reference analogue: none (uForwarder has no corpus ops) — this is
+    part of the training-data prep family (Lee et al. 2022 substring
+    dedup, approximated at chunk granularity like D24)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.withColumn("ts", F.expr(TOKENS_SPARK)).filter(F.expr("size(ts) > 0"))
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, CAST(ceil(size(ts) / {C_CHUNK}.0) AS INT) - 1), "
+                f"i -> md5(concat_ws(' ', slice(ts, i * {C_CHUNK} + 1, {C_CHUNK})))))"
+            )
+        ).alias("h"),
+    ).persist()  # reused by sizes, df filter, and both self-join sides;
+    # freed by LRU / bench clearCache between queries.
+    sizes = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks_a"))
+    df_ok = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= C_DF_CAP))
+        .select("h")
+    )
+    a = chunks.join(df_ok, "h")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_id") != F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("shared_chunks"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn("containment", F.col("shared_chunks") / F.col("n_chunks_a"))
+        .filter(F.col("containment") >= C_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_chunks_a", "shared_chunks",
+            F.round("containment", 6).alias("containment"),
+        )
+    )

@@ -286,3 +286,107 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# --- D31 -----------------------------------------------------------------
+# Per-dimension scalar int8 quantization: the standard compression step
+# before ANN at scale (4x memory cut; IVF/HNSW libraries quantize this
+# way when a trained PQ codebook is overkill). Deterministic: codebook =
+# exact per-dimension [min, max], q = round(255·(x−min)/(max−min)) − 128.
+INT8_QUANT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT i, min(v[i + 1]) AS mn, max(v[i + 1]) AS mx
+  FROM e, unnest(range(len(v))) AS t(i)
+  GROUP BY i
+),
+code AS (
+  SELECT list(mn ORDER BY i) AS mins,
+         list((mx - mn) / 255.0 ORDER BY i) AS scales
+  FROM dims
+),
+q AS (
+  SELECT vec_id, label, v,
+         list_transform(range(len(v)),
+           i -> CASE WHEN scales[i + 1] = 0 THEN mins[i + 1]
+                     ELSE round((v[i + 1] - mins[i + 1]) / scales[i + 1])
+                          * scales[i + 1] + mins[i + 1] END) AS r
+  FROM e CROSS JOIN code
+),
+err AS (
+  SELECT vec_id, label,
+         sqrt(list_reduce(list_transform(range(len(v)),
+                i -> (v[i + 1] - r[i + 1]) * (v[i + 1] - r[i + 1])),
+              (x, y) -> x + y) / len(v)) AS rmse_raw,
+         list_max(list_transform(range(len(v)), i -> abs(v[i + 1] - r[i + 1]))) AS maxerr_raw,
+         {_cos_expr('duck', 'v', 'r')} AS cos_raw
+  FROM q
+)
+SELECT vec_id, label,
+       round(rmse_raw, 6) AS rmse,
+       round(maxerr_raw, 6) AS max_abs_err,
+       round(cos_raw, 6) AS cos_recon
+FROM err
+"""
+
+
+@register("embedding_int8_quantize", INT8_QUANT_ORACLE)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column with per-vector
+    reconstruction audit — rmse, max per-dim error, and cosine between
+    the original and the dequantized vector (the number that predicts
+    ANN recall loss). The codebook is the exact per-dimension [min, max]
+    range; q_i = round(255·(x_i − min_i)/(max_i − min_i)) − 128, stored
+    in one byte — a 4x memory cut for D6/D7/D13's scan side.
+
+    SCALE: the codebook pass is one posexplode + (dim)-keyed agg —
+    64 groups, map-side partial; the 2·DIM-double codebook broadcasts
+    to every executor (a 1-row cross join, the sanctioned pattern);
+    quantize + audit are pure per-row array maps with SEQUENTIAL folds
+    (Spark aggregate == DuckDB list_reduce left fold) so float
+    summation order — and every output bit — is engine-identical. No
+    vector ever shuffles.
+
+    Reference analogue: none — training-data prep family (ANN memory
+    scaling; same role as FAISS SQ8 storage)."""
+    e = _emb(spark, sf_dir)
+    dims = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    code = dims.agg(
+        F.expr("array_sort(collect_list(struct(i, mn)))").alias("_mins"),
+        F.expr("array_sort(collect_list(struct(i, (mx - mn) / 255.0D AS scale)))").alias("_scales"),
+    ).select(
+        F.expr("transform(_mins, s -> s.mn)").alias("mins"),
+        F.expr("transform(_scales, s -> s.scale)").alias("scales"),
+    )
+    q = e.crossJoin(F.broadcast(code)).withColumn(
+        "r",
+        F.expr(
+            "transform(v, (x, i) -> CASE WHEN element_at(scales, i + 1) = 0D "
+            "THEN element_at(mins, i + 1) "
+            "ELSE round((x - element_at(mins, i + 1)) / element_at(scales, i + 1)) "
+            "* element_at(scales, i + 1) + element_at(mins, i + 1) END)"
+        ),
+    )
+    err = q.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "sqrt(aggregate(zip_with(v, r, (x, y) -> (x - y) * (x - y)), 0.0D, "
+            "(acc, x) -> acc + x) / size(v))"
+        ).alias("rmse_raw"),
+        F.expr("array_max(zip_with(v, r, (x, y) -> abs(x - y)))").alias("maxerr_raw"),
+        F.expr(_cos_expr("spark", "v", "r")).alias("cos_raw"),
+    )
+    return err.select(
+        "vec_id",
+        "label",
+        F.round("rmse_raw", 6).alias("rmse"),
+        F.round("maxerr_raw", 6).alias("max_abs_err"),
+        F.round("cos_raw", 6).alias("cos_recon"),
+    )
