@@ -77,15 +77,18 @@ def messages_sql(events_rel: str = "events") -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros (the
-        # same truncation DuckDB applies, so oracle parity holds).
+        # Some driver generations store events.ts as TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; read nanos as long and
+        # truncate to micros (the same truncation DuckDB applies, so
+        # oracle parity holds). Newer generations store TIMESTAMP(MICROS)
+        # directly — pass those through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
