@@ -21,30 +21,34 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # the window stay verified by tests/test_oracle_parity.py — the identical
 # row-count + schema + value-hash comparison — at sf0.001 and sf0.01.
 _KEY_PRIORITY = [
-    # -- never driver-checked (25) --
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
-    "top_customers_window", "orders_without_lineitems",
-    "customer_order_stats", "running_revenue", "rollup_revenue",
-    "user_sessions", "tpch_q4_order_priority",
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
-    "log_compaction", "checkpoint_resume", "dlq_purge",
-    "unprocessed_limiter",
-    "job_commands", "workload_assignment", "autoscale_prediction",
-    "worker_lease_reassignment",
-    "chunk_dedup", "repetition_stats", "corpus_prep_funnel",
-    "scale_window_proposal", "reactive_downscale_window",  # new in round 3
-    "bpe_merge_pairs", "pii_redaction", "multimodal_frame_sample",  # round 3
-    # -- changed since their round-1 driver check (20) --
-    "ngram_jaccard_pairs",          # PPJoin prefix-filtered plan now
-    "dedup_representatives", "contamination_check",  # de-vacuated
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "embedding_cosine_pairs", "dedup_connected_components",
-    "minhash_jaccard_estimate", "multimodal_meta",
+    # -- never driver-checked in ANY round (round-2 verdict list) --
+    "delay_process", "dlq_dispatch_tokens", "batch_job_completion",
+    "containment_pairs", "embedding_int8_quantize",
+    # -- new in round 3 --
+    "inflight_bootstrap", "pod_assignment_groups", "fetcher_throughput",
+    "inflight_pending_order", "dlq_produce_batches",
+    "merge_offset_ranges", "zone_affinity_routing", "quota_usage",
+    "message_ttl_expiry", "topic_partition_skew",
+    # -- touched by the round-3 ts normalization fix (model.py load_table):
+    #    every operator reading messages()/events gets a fresh driver row --
     "fetch_offset_range", "filter_messages", "route_messages",
     "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
     "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
-    "dlq_messages",
+    "dlq_messages", "dlq_resurrection", "latency_percentiles",
+    "throughput_windows", "consumer_lag", "adaptive_inflight_vegas",
+    "pipeline_health", "retry_backoff_eligibility",
+    "worker_pipeline_summary", "log_compaction", "checkpoint_resume",
+    "dlq_purge", "unprocessed_limiter",
+    "job_commands", "workload_assignment", "autoscale_prediction",
+    "worker_lease_reassignment", "scale_window_proposal",
+    "reactive_downscale_window",
+    "user_sessions",
+    # -- documents/embeddings family (ts-independent, rotate back in) --
+    "dedup_exact", "dedup_minhash_lsh", "ngram_jaccard_pairs",
+    "dedup_representatives", "contamination_check",
+    "chunk_dedup", "repetition_stats", "corpus_prep_funnel",
+    "bpe_merge_pairs", "pii_redaction", "multimodal_frame_sample",
+    "ann_topk_bruteforce", "ann_topk_ivf",
 ]
 
 

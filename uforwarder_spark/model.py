@@ -75,19 +75,51 @@ def messages_sql(events_rel: str = "events") -> str:
     return MESSAGES_SQL_BODY.replace("FROM events", f"FROM {events_rel}")
 
 
+def _ts_unit(path: str) -> str | None:
+    """Physical unit of the parquet ``ts`` column ('ns'/'us'/...), or None.
+
+    Probing the footer with pyarrow lets us enable the nanosAsLong legacy
+    config only for generations that actually need it, instead of flipping
+    it session-wide (which would silently corrupt any *other* nanos column
+    read later in the session).
+    """
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            parts = glob.glob(os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            f = parts[0]
+        field = pq.read_schema(f).field("ts")
+        return getattr(field.type, "unit", None)
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # Some driver generations store events.ts as TIMESTAMP(NANOS),
-        # which Spark's vectorized reader rejects; read nanos as long and
-        # truncate to micros (the same truncation DuckDB applies, so
-        # oracle parity holds). Newer generations store TIMESTAMP(MICROS)
-        # directly — pass those through untouched.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver generations vary the physical type of events.ts:
+        #   TIMESTAMP(NANOS)  -> Spark rejects; read as long, truncate to
+        #                        micros (same truncation DuckDB applies)
+        #   TIMESTAMP(MICROS) -> arrives as TIMESTAMP_NTZ
+        # Normalize EVERY generation to TIMESTAMP_LTZ: the session TZ is
+        # pinned to UTC (session.py), so NTZ->LTZ is value-preserving and
+        # oracle parity holds, and downstream unix_millis()/DOUBLE casts
+        # (which reject NTZ) work uniformly.
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        if _ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         if dict(df.dtypes)["ts"] == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
