@@ -467,3 +467,141 @@ def test_unprocessed_limiter_caps(spark):
         assert r.n_cached + r.n_deferred == r.n_pending
         assert r.n_cached <= CACHE_COUNT_CAP
         assert r.cached_bytes <= CACHE_BYTE_CAP
+
+
+def test_inflight_bootstrap_phase_transition(spark):
+    """Mirrors BootstrapLongFixedInflightLimiterTest: a partition whose
+    completed count has not crossed the threshold admits under the
+    tighter bootstrap cap; past the threshold it admits under the
+    working cap (testAcquireInBootstrap / testSwitchToWorking /
+    testAcquireWorking)."""
+    from uforwarder_spark.operators.pipeline import inflight_bootstrap_frame
+
+    rows = (
+        # partition a/0: 2 completed (<= threshold 3) -> bootstrap, cap 2
+        [("a", 0, i, True) for i in range(2)]
+        + [("a", 0, 10 + i, False) for i in range(5)]
+        # partition a/1: 4 completed (> 3) -> working, cap 4
+        + [("a", 1, i, True) for i in range(4)]
+        + [("a", 1, 10 + i, False) for i in range(6)]
+    )
+    out = _row_map(
+        inflight_bootstrap_frame(
+            _msgs(spark, rows), boot_cap=2, steady_cap=4, threshold=3
+        ),
+        "topic",
+        "part_id",
+    )
+    boot = out[("a", 0)]
+    assert boot.phase == "bootstrap"
+    assert boot.effective_cap == 2
+    assert (boot.n_admitted, boot.n_blocked) == (2, 3)
+    work = out[("a", 1)]
+    assert work.phase == "working"
+    assert work.effective_cap == 4
+    assert (work.n_admitted, work.n_blocked) == (4, 2)
+
+
+def test_inflight_bootstrap_low_limit_uses_min(spark):
+    """testLowLimitLimiter: when the working limit is tighter than the
+    bootstrap limit, bootstrap acquires from BOTH limiters -> effective
+    cap is min(boot, steady)."""
+    from uforwarder_spark.operators.pipeline import inflight_bootstrap_frame
+
+    rows = [("a", 0, i, False) for i in range(5)]
+    out = _row_map(
+        inflight_bootstrap_frame(
+            _msgs(spark, rows), boot_cap=4, steady_cap=1, threshold=100
+        ),
+        "topic",
+        "part_id",
+    )
+    r = out[("a", 0)]
+    assert r.phase == "bootstrap"
+    assert r.effective_cap == 1
+    assert (r.n_admitted, r.n_blocked) == (1, 4)
+
+
+def test_pending_order_round_robin_across_partitions(spark):
+    """Mirrors AsyncInflightLimiterAdapterTest.testPendingMessageQueue*:
+    blocked acquires complete round-robin across partitions, offset
+    order within each partition."""
+    import uforwarder_spark  # noqa: F401
+    from uforwarder_spark.registry import QUERIES
+
+    from uforwarder_spark.model import messages
+    from uforwarder_spark.operators.pipeline import INFLIGHT_LIMIT
+
+    m = messages(spark, "/root/testdata/sf0.001")
+    from uforwarder_spark.operators.pipeline import inflight_pending_order
+
+    out = inflight_pending_order(spark, "/root/testdata/sf0.001").collect()
+    by_topic = {}
+    for r in out:
+        by_topic.setdefault(r.topic, []).append(r)
+    for topic, rs in by_topic.items():
+        rs.sort(key=lambda r: r.completion_rank)
+        # within a partition, offsets drain in order
+        seen = {}
+        for r in rs:
+            if r.part_id in seen:
+                assert r.msg_offset > seen[r.part_id], topic
+            seen[r.part_id] = r.msg_offset
+        # round-robin: queue positions are non-decreasing along the drain
+        pos = [r.queue_pos for r in rs]
+        assert pos == sorted(pos), topic
+
+
+def test_fetcher_throughput_rates_consistent(spark):
+    """ThroughputTrackerTest: rates reflect acked counts over elapsed
+    time; partitions with no acks report zero rates, not NULLs."""
+    from uforwarder_spark.operators.pipeline import fetcher_throughput
+
+    out = fetcher_throughput(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.elapsed_ms > 0
+        assert abs(r.msgs_per_sec - r.n_acked * 1000.0 / r.elapsed_ms) < 1e-12
+        assert r.recent_msgs <= r.n_acked
+
+
+def test_dlq_produce_batches_ceil_batching(spark):
+    """KafkaDispatcher: every flush splits into ceil(records/batch)
+    producer batches; totals reconcile with the DLQ+RETRY population."""
+    from uforwarder_spark.model import messages
+    from uforwarder_spark.operators.pipeline import (
+        PRODUCE_BATCH_RECORDS,
+        dlq_produce_batches,
+    )
+
+    out = dlq_produce_batches(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_records for r in out)
+    expect = (
+        messages(spark, "/root/testdata/sf0.001")
+        .filter(F.col("outcome").isin("RETRY", "DLQ"))
+        .count()
+    )
+    assert total == expect
+    for r in out:
+        assert r.n_batches >= r.n_flushes  # >= 1 batch per flush
+        assert r.n_batches <= r.n_flushes * (
+            (r.max_flush_records + PRODUCE_BATCH_RECORDS - 1) // PRODUCE_BATCH_RECORDS
+        )
+
+
+def test_pod_assignment_groups_fallback(spark):
+    """JobGroupAndWorkerPodifierTest: every job group lands in a pod
+    that has workers; groups whose native pod lacks workers are
+    redistributed (fallback) proportionally to worker share."""
+    from uforwarder_spark.operators.controller import (
+        N_WORKER_PODS,
+        pod_assignment_groups,
+    )
+
+    out = pod_assignment_groups(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    pods = {r.pod for r in out}
+    worker_pods = {f"pod-{i}" for i in range(N_WORKER_PODS)}
+    assert pods <= worker_pods, "job groups must only land on worker-bearing pods"
+    assert any(r.placement == "fallback" for r in out), "fallback path not exercised"
+    assert all(r.n_pod_workers > 0 for r in out)

@@ -1086,3 +1086,168 @@ def batch_job_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("group_state"))
         .alias("new_group_state"),
     )
+
+
+# --- B19 -----------------------------------------------------------------
+# Pod-ification: job groups hash across N_JOB_PODS isolation domains,
+# workers across the first N_WORKER_PODS of them — so at least one job
+# pod has no workers and the fallback redistribution path is exercised.
+N_JOB_PODS = 3
+N_WORKER_PODS = 2
+
+from ..model import H_DUCK, H_SPARK  # noqa: E402  (cross-engine string hash)
+
+PODIFY_ORACLE = f"""{MSG_CTE},
+job_groups AS (
+  SELECT DISTINCT topic,
+         'pod-' || CAST({H_DUCK.format(col="topic")} % {N_JOB_PODS} AS VARCHAR) AS job_pod
+  FROM messages
+),
+jobs AS (
+  SELECT topic, part_id, count(*) AS n_msgs FROM messages GROUP BY topic, part_id
+),
+workers AS (
+  SELECT worker,
+         'pod-' || CAST(CAST(substr(worker, 8) AS BIGINT) % {N_WORKER_PODS} AS VARCHAR) AS pod
+  FROM {WORKERS_SQL}
+),
+pod_workers AS (
+  SELECT pod, count(*) AS n_pod_workers FROM workers GROUP BY pod
+),
+totals AS (
+  SELECT count(*) AS total_workers FROM workers
+),
+homeless AS (
+  SELECT jg.topic,
+         row_number() OVER (ORDER BY jg.topic) AS r,
+         count(*) OVER () AS n_homeless
+  FROM job_groups jg LEFT JOIN pod_workers pw ON jg.job_pod = pw.pod
+  WHERE pw.pod IS NULL
+),
+quota AS (
+  SELECT pw.pod, pw.n_pod_workers,
+         CAST(round(CAST(pw.n_pod_workers AS DOUBLE) / t.total_workers
+                    * (SELECT coalesce(max(n_homeless), 0) FROM homeless)) AS BIGINT) AS cnt
+  FROM pod_workers pw CROSS JOIN totals t
+),
+ranges AS (
+  SELECT pod, n_pod_workers, cnt,
+         sum(cnt) OVER (ORDER BY pod ROWS UNBOUNDED PRECEDING) AS hi,
+         sum(cnt) OVER (ORDER BY pod ROWS UNBOUNDED PRECEDING) - cnt AS lo
+  FROM quota
+),
+placed AS (
+  SELECT jg.topic, pw.pod, 'native' AS placement
+  FROM job_groups jg JOIN pod_workers pw ON jg.job_pod = pw.pod
+  UNION ALL
+  SELECT h.topic,
+         coalesce(
+           (SELECT r2.pod FROM ranges r2 WHERE h.r > r2.lo AND h.r <= r2.hi),
+           (SELECT pod FROM pod_workers ORDER BY n_pod_workers DESC, pod LIMIT 1)
+         ) AS pod,
+         'fallback' AS placement
+  FROM homeless h
+)
+SELECT p.pod, p.topic, p.placement,
+       count(*)                       AS n_jobs,
+       CAST(sum(j.n_msgs) AS BIGINT)  AS n_msgs,
+       max(pw.n_pod_workers)          AS n_pod_workers
+FROM placed p
+JOIN jobs j USING (topic)
+JOIN pod_workers pw ON p.pod = pw.pod
+GROUP BY p.pod, p.topic, p.placement
+"""
+
+
+@register("pod_assignment_groups", PODIFY_ORACLE)
+def pod_assignment_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JobGroupAndWorkerPodifier + JobPodPlacementProvider
+    (uforwarder/.../controller/rebalancer/JobGroupAndWorkerPodifier.java:38,
+    datatransfer/.../controller/rebalancer/JobPodPlacementProvider.java:30):
+    the grouping step B9 assumes — partition the job-group and worker
+    universes into pods via the placement provider, detect pods that
+    carry job groups but no workers (:65-73), and redistribute those
+    groups across worker-bearing pods proportionally to each pod's share
+    of the total worker count (selectFallbackPod, :102-130; Math.round
+    of worker-ratio × homeless-count, consumed in deterministic pod-name
+    order here where the reference iterates a HashMap). Any group the
+    rounded quotas leave unassigned goes to the largest pod (name-
+    ordered tie-break). Emits the per-(pod, job-group) rebalance groups
+    with native/fallback provenance — PodAwareRebalanceGroup's content.
+
+    SCALE: everything after the one jobs agg is O(topics + workers)
+    control-plane metadata — broadcast joins and single-row windows; the
+    message log is scanned once for per-job load."""
+    m = messages(spark, sf_dir)
+    jobs = m.groupBy("topic", "part_id").agg(F.count("*").alias("n_msgs"))
+    job_groups = (
+        jobs.select("topic")
+        .distinct()
+        .withColumn(
+            "job_pod",
+            F.concat(F.lit("pod-"), (F.expr(H_SPARK.format(col="topic")) % N_JOB_PODS).cast("string")),
+        )
+    )
+    workers = _workers_df(spark).withColumn(
+        "pod",
+        F.concat(
+            F.lit("pod-"),
+            (F.substring("worker", 8, 10).cast("long") % N_WORKER_PODS).cast("string"),
+        ),
+    )
+    pod_workers = workers.groupBy("pod").agg(F.count("*").alias("n_pod_workers"))
+    # total workers is the static control-plane universe (workerMap.size())
+    total_workers = len(WORKERS)
+
+    native = job_groups.join(F.broadcast(pod_workers), job_groups.job_pod == pod_workers.pod, "left")
+    homeless = (
+        native.filter(F.col("pod").isNull())
+        .select("topic")
+        .withColumn("r", F.row_number().over(Window.orderBy("topic")))
+    )
+    # 1-row homeless count, broadcast — no driver-side action in the plan.
+    homeless_n = homeless.agg(F.count("*").alias("n_homeless"))
+
+    w_cum = Window.orderBy("pod").rowsBetween(Window.unboundedPreceding, 0)
+    ranges = (
+        pod_workers.crossJoin(F.broadcast(homeless_n))
+        .withColumn(
+            "cnt",
+            F.round(
+                F.col("n_pod_workers").cast("double") / total_workers * F.col("n_homeless")
+            ).cast("bigint"),
+        )
+        .withColumn("hi", F.sum("cnt").over(w_cum))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+    )
+    default_pod = (
+        pod_workers.withColumn(
+            "drn", F.row_number().over(Window.orderBy(F.col("n_pod_workers").desc(), "pod"))
+        )
+        .filter(F.col("drn") == 1)
+        .select(F.col("pod").alias("default_pod"))
+    )
+    fallback = (
+        homeless.join(
+            F.broadcast(ranges.select("pod", "lo", "hi")),
+            (F.col("r") > F.col("lo")) & (F.col("r") <= F.col("hi")),
+            "left",
+        )
+        .crossJoin(F.broadcast(default_pod))
+        .withColumn("pod", F.coalesce(F.col("pod"), F.col("default_pod")))
+        .select("topic", "pod", F.lit("fallback").alias("placement"))
+    )
+    placed = native.filter(F.col("pod").isNotNull()).select(
+        "topic", "pod", F.lit("native").alias("placement")
+    ).unionByName(fallback)
+
+    return (
+        placed.join(jobs, "topic")
+        .join(F.broadcast(pod_workers), "pod")
+        .groupBy("pod", "topic", "placement")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.sum("n_msgs").alias("n_msgs"),
+            F.max("n_pod_workers").alias("n_pod_workers"),
+        )
+    )

@@ -1230,3 +1230,271 @@ def dlq_dispatch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("candidate") & (F.col("tokens_after") < 0), 1)).alias("n_backoff"),
         F.min("tokens_after").alias("min_tokens"),
     )
+
+
+# --- A26 -----------------------------------------------------------------
+BOOT_CAP = 10                  # bootstrapLimit (slow-start cap)
+BOOT_COMPLETE_THRESHOLD = 100  # bootstrapCompleteThreshold
+STEADY_CAP = INFLIGHT_LIMIT    # working-phase cap = A7's limit
+
+BOOTSTRAP_ORACLE = f"""{MSG_CTE},
+phase AS (
+  SELECT topic, part_id,
+         CAST(sum(CASE WHEN acked THEN 1 ELSE 0 END) AS BIGINT) AS n_completed
+  FROM messages GROUP BY topic, part_id
+),
+pending AS (
+  SELECT topic, part_id, msg_offset,
+         row_number() OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS rn
+  FROM messages WHERE NOT acked
+)
+SELECT ph.topic, ph.part_id,
+       CASE WHEN ph.n_completed > {BOOT_COMPLETE_THRESHOLD}
+            THEN 'working' ELSE 'bootstrap' END             AS phase,
+       ph.n_completed,
+       CASE WHEN ph.n_completed > {BOOT_COMPLETE_THRESHOLD}
+            THEN {STEADY_CAP} ELSE {min(BOOT_CAP, STEADY_CAP)} END AS effective_cap,
+       count(p.msg_offset)                                  AS n_pending,
+       CAST(sum(CASE WHEN p.rn <= CASE WHEN ph.n_completed > {BOOT_COMPLETE_THRESHOLD}
+                                       THEN {STEADY_CAP} ELSE {min(BOOT_CAP, STEADY_CAP)} END
+                     THEN 1 ELSE 0 END) AS BIGINT)          AS n_admitted,
+       CAST(sum(CASE WHEN p.rn > CASE WHEN ph.n_completed > {BOOT_COMPLETE_THRESHOLD}
+                                      THEN {STEADY_CAP} ELSE {min(BOOT_CAP, STEADY_CAP)} END
+                     THEN 1 ELSE 0 END) AS BIGINT)          AS n_blocked
+FROM phase ph LEFT JOIN pending p USING (topic, part_id)
+GROUP BY ph.topic, ph.part_id, ph.n_completed
+"""
+
+
+def inflight_bootstrap_frame(
+    m: DataFrame,
+    boot_cap: int = BOOT_CAP,
+    steady_cap: int = STEADY_CAP,
+    threshold: int = BOOT_COMPLETE_THRESHOLD,
+) -> DataFrame:
+    """Frame-level A26 (unit-testable): a partition whose completed count
+    has not yet exceeded ``threshold`` is still bootstrapping and admits
+    under min(boot_cap, steady_cap) — the reference acquires from BOTH
+    limiters during bootstrap — then admits under steady_cap alone."""
+    boot_eff = min(boot_cap, steady_cap)
+    phase_df = m.groupBy("topic", "part_id").agg(
+        F.sum(F.when(F.col("acked"), 1).otherwise(0)).alias("n_completed")
+    )
+    pending = m.filter(~F.col("acked")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("topic", "part_id").orderBy("msg_offset"))
+    )
+    working = F.col("n_completed") > threshold
+    cap = F.when(working, steady_cap).otherwise(boot_eff)
+    joined = phase_df.join(pending.select("topic", "part_id", "msg_offset", "rn"),
+                           ["topic", "part_id"], "left")
+    return (
+        joined.groupBy("topic", "part_id", "n_completed")
+        .agg(
+            F.count("msg_offset").alias("n_pending"),
+            F.sum(F.when(F.col("rn") <= cap, 1).otherwise(0)).cast("bigint").alias("n_admitted"),
+            F.sum(F.when(F.col("rn") > cap, 1).otherwise(0)).cast("bigint").alias("n_blocked"),
+        )
+        .withColumn("phase", F.when(working, "working").otherwise("bootstrap"))
+        .withColumn("effective_cap", F.when(working, F.lit(steady_cap)).otherwise(F.lit(boot_eff)).cast("int"))
+        .select("topic", "part_id", "phase", "n_completed", "effective_cap",
+                "n_pending", "n_admitted", "n_blocked")
+    )
+
+
+@register("inflight_bootstrap", BOOTSTRAP_ORACLE)
+def inflight_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BootstrapLongFixedInflightLimiter
+    (uforwarder/.../worker/limiter/BootstrapLongFixedInflightLimiter.java:14):
+    a freshly-started pipeline runs a bootstrap phase in which every
+    acquire must win a permit from BOTH the working limiter and the
+    (tighter) bootstrap limiter — i.e. slow-start under
+    min(bootstrapLimit, limit) — and flips permanently to the working
+    phase once completed tasks exceed bootstrapCompleteThreshold
+    (BootstrapPermit.complete, :117-121). Emits the per-partition phase,
+    effective cap, and admit/block split of the pending backlog.
+
+    SCALE: one agg + one window over the SAME (topic, part_id) key — the
+    exchange is reused, so the message log shuffles once; phase table is
+    O(partitions) and the join stays co-partitioned."""
+    return inflight_bootstrap_frame(messages(spark, sf_dir))
+
+
+# --- A27 -----------------------------------------------------------------
+PENDING_ORDER_ORACLE = f"""{MSG_CTE},
+pending AS (
+  SELECT topic, part_id, msg_offset,
+         row_number() OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS rn
+  FROM messages WHERE NOT acked
+),
+blocked AS (
+  SELECT topic, part_id, msg_offset,
+         row_number() OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS queue_pos
+  FROM pending WHERE rn > {INFLIGHT_LIMIT}
+)
+SELECT topic, part_id, msg_offset, queue_pos,
+       row_number() OVER (PARTITION BY topic ORDER BY queue_pos, part_id) AS completion_rank
+FROM blocked
+"""
+
+
+@register("inflight_pending_order", PENDING_ORDER_ORACLE)
+def inflight_pending_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsyncInflightLimiterAdapter.PendingMessageQueue
+    (uforwarder/.../worker/limiter/AsyncInflightLimiterAdapter.java:42,194):
+    acquires that could not get a permit synchronously enter a pending
+    queue that drains round-robin ACROSS partitions and in offset order
+    WITHIN a partition (PriorityQueue per partition keyed by offset,
+    circulating partition iterator). Emits, for every blocked acquire
+    (the unacked messages beyond A7's cap), its per-partition queue
+    position and the deterministic round-robin completion rank within
+    its topic's job group.
+
+    SCALE: both windows shuffle on (topic, part_id) / topic of already-
+    filtered pending rows (a small fraction of the log); the per-topic
+    rank orders by (queue_pos, part_id), which Spark evaluates as one
+    window over the pruned pending set — no global sort of the log."""
+    m = messages(spark, sf_dir)
+    pending = m.filter(~F.col("acked")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("topic", "part_id").orderBy("msg_offset"))
+    )
+    blocked = pending.filter(F.col("rn") > INFLIGHT_LIMIT).withColumn(
+        "queue_pos",
+        F.row_number().over(Window.partitionBy("topic", "part_id").orderBy("msg_offset")),
+    )
+    return blocked.withColumn(
+        "completion_rank",
+        F.row_number().over(Window.partitionBy("topic").orderBy("queue_pos", "part_id")),
+    ).select("topic", "part_id", "msg_offset", "queue_pos", "completion_rank")
+
+
+# --- A28 -----------------------------------------------------------------
+THROUGHPUT_AS_OF = "2024-01-31 00:00:00"   # fixed observation instant
+RECENT_WINDOW_MS = 7 * 86_400_000          # trailing 'recent-rate' window
+
+FETCHER_THROUGHPUT_ORACLE = f"""{MSG_CTE}
+SELECT topic, part_id,
+       CAST(count(CASE WHEN acked THEN 1 END) AS BIGINT)  AS n_acked,
+       CAST(sum(CASE WHEN acked THEN size_bytes ELSE 0 END) AS BIGINT) AS acked_bytes,
+       epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts)) AS elapsed_ms,
+       CAST(count(CASE WHEN acked THEN 1 END) AS DOUBLE) * 1000.0
+         / (epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts))) AS msgs_per_sec,
+       CAST(sum(CASE WHEN acked THEN size_bytes ELSE 0 END) AS DOUBLE) * 1000.0
+         / (epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts))) AS bytes_per_sec,
+       CAST(count(CASE WHEN acked AND epoch_ms(ts) >
+             epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - {RECENT_WINDOW_MS}
+           THEN 1 END) AS BIGINT)                          AS recent_msgs,
+       CAST(sum(CASE WHEN acked AND epoch_ms(ts) >
+             epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - {RECENT_WINDOW_MS}
+           THEN size_bytes ELSE 0 END) AS BIGINT)          AS recent_bytes
+FROM messages
+GROUP BY topic, part_id
+"""
+
+
+@register("fetcher_throughput", FETCHER_THROUGHPUT_ORACLE)
+def fetcher_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ThroughputTracker
+    (uforwarder-core/.../worker/fetchers/kafka/ThroughputTracker.java:11):
+    the fetcher tracks per-TopicPartition message/byte ACK rates
+    (M1Rate.mark on every record ack, :106) — a signal distinct from
+    A13's dispatch-side windows — and reports them to the controller's
+    workload model. Batch twin: lifetime msgs/bytes-per-sec since the
+    partition's first message (init, :31) plus a trailing recent window
+    standing in for the reference's 1-minute EWMA (the synthetic log's
+    cadence is days, so the recent window is 7 days; the semantic —
+    recent rate vs lifetime rate — is what the controller consumes).
+
+    SCALE: single partial agg on (topic, part_id) with conditional
+    sums — one shuffle, no windows, no second scan."""
+    m = messages(spark, sf_dir)
+    as_of_ms = F.unix_millis(F.lit(THROUGHPUT_AS_OF).cast("timestamp"))
+    acked = F.col("acked")
+    recent = acked & (F.unix_millis("ts") > as_of_ms - RECENT_WINDOW_MS)
+    agg = m.groupBy("topic", "part_id").agg(
+        F.count(F.when(acked, 1)).alias("n_acked"),
+        F.sum(F.when(acked, F.col("size_bytes")).otherwise(0)).alias("acked_bytes"),
+        (as_of_ms - F.unix_millis(F.min("ts"))).alias("elapsed_ms"),
+        F.count(F.when(recent, 1)).alias("recent_msgs"),
+        F.sum(F.when(recent, F.col("size_bytes")).otherwise(0)).alias("recent_bytes"),
+    )
+    return agg.select(
+        "topic", "part_id", "n_acked", "acked_bytes", "elapsed_ms",
+        (F.col("n_acked").cast("double") * 1000.0 / F.col("elapsed_ms")).alias("msgs_per_sec"),
+        (F.col("acked_bytes").cast("double") * 1000.0 / F.col("elapsed_ms")).alias("bytes_per_sec"),
+        "recent_msgs", "recent_bytes",
+    )
+
+
+# --- A29 -----------------------------------------------------------------
+FLUSH_INTERVAL_MS = 60_000   # KafkaDispatcher.FLUSH_INTERVAL_IN_MS
+PRODUCE_BATCH_RECORDS = 20   # producer batching: records per send batch
+
+PRODUCE_BATCHES_ORACLE = f"""{MSG_CTE},
+outbound AS (
+  SELECT CASE WHEN outcome = 'DLQ' THEN topic || '__dlq'
+              ELSE topic || '__retry' END AS dest_topic,
+         (epoch_ms(ts) // {FLUSH_INTERVAL_MS}) * {FLUSH_INTERVAL_MS} AS flush_ms,
+         size_bytes
+  FROM messages WHERE outcome IN ('RETRY', 'DLQ')
+),
+per_flush AS (
+  SELECT dest_topic, flush_ms, count(*) AS n_records,
+         CAST(sum(size_bytes) AS BIGINT) AS flush_bytes,
+         CAST(ceil(CAST(count(*) AS DOUBLE) / {PRODUCE_BATCH_RECORDS}) AS BIGINT) AS n_batches
+  FROM outbound GROUP BY dest_topic, flush_ms
+)
+SELECT dest_topic,
+       strftime(to_timestamp(flush_ms // 86400000 * 86400), '%Y-%m-%d') AS day,
+       count(*)                          AS n_flushes,
+       CAST(sum(n_batches) AS BIGINT)    AS n_batches,
+       CAST(sum(n_records) AS BIGINT)    AS n_records,
+       CAST(sum(flush_bytes) AS BIGINT)  AS total_bytes,
+       CAST(max(n_records) AS BIGINT)    AS max_flush_records
+FROM per_flush
+GROUP BY dest_topic, flush_ms // 86400000
+"""
+
+
+@register("dlq_produce_batches", PRODUCE_BATCHES_ORACLE)
+def dlq_produce_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KafkaDispatcher
+    (uforwarder-core/.../worker/dispatchers/kafka/KafkaDispatcher.java:76,133):
+    the produce side of the retry/DLQ path — async submit() per record to
+    the resolved destination topic, with the producer flushed every
+    FLUSH_INTERVAL_IN_MS (mayBeFlush, :133). Batch twin of the E7 sink
+    fan-out: RETRY traffic produces to <topic>__retry, DLQ to
+    <topic>__dlq (RetryUtils routing), records group into 60-s flush
+    intervals, and each flush splits into producer send batches of
+    PRODUCE_BATCH_RECORDS. Emits the per-destination per-day produce
+    ledger: flushes, batches, records, bytes, and the largest flush.
+
+    SCALE: pushed-down outcome filter, then two partial aggs on aligned
+    keys ((dest, flush) → (dest, day)) — the second agg's input is
+    already tiny; no windows, no Python."""
+    m = messages(spark, sf_dir).filter(F.col("outcome").isin("RETRY", "DLQ"))
+    outbound = m.select(
+        F.when(F.col("outcome") == "DLQ", F.concat(F.col("topic"), F.lit("__dlq")))
+        .otherwise(F.concat(F.col("topic"), F.lit("__retry")))
+        .alias("dest_topic"),
+        ((F.unix_millis("ts") / FLUSH_INTERVAL_MS).cast("bigint") * FLUSH_INTERVAL_MS).alias(
+            "flush_ms"
+        ),
+        "size_bytes",
+    )
+    per_flush = outbound.groupBy("dest_topic", "flush_ms").agg(
+        F.count("*").alias("n_records"),
+        F.sum("size_bytes").alias("flush_bytes"),
+        F.ceil(F.count("*").cast("double") / PRODUCE_BATCH_RECORDS).alias("n_batches"),
+    )
+    day = F.date_format(
+        ((F.col("flush_ms") / 86_400_000).cast("bigint") * 86_400).cast("timestamp"),
+        "yyyy-MM-dd",
+    )
+    return per_flush.groupBy(day.alias("day"), F.col("dest_topic")).agg(
+        F.count("*").alias("n_flushes"),
+        F.sum("n_batches").alias("n_batches"),
+        F.sum("n_records").alias("n_records"),
+        F.sum("flush_bytes").alias("total_bytes"),
+        F.max("n_records").alias("max_flush_records"),
+    ).select("dest_topic", "day", "n_flushes", "n_batches", "n_records",
+             "total_bytes", "max_flush_records")
