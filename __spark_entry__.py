@@ -27,8 +27,8 @@ _KEY_PRIORITY = [
     # -- new in round 3 --
     "inflight_bootstrap", "pod_assignment_groups", "fetcher_throughput",
     "inflight_pending_order", "dlq_produce_batches",
-    "merge_offset_ranges", "zone_affinity_routing", "quota_usage",
-    "message_ttl_expiry", "topic_partition_skew",
+    "latency_littles_law", "flow_control_aggregate",
+    "corpus_shuffle_export", "sequence_packing", "mixture_interleave",
     # -- touched by the round-3 ts normalization fix (model.py load_table):
     #    every operator reading messages()/events gets a fresh driver row --
     "fetch_offset_range", "filter_messages", "route_messages",

@@ -605,3 +605,116 @@ def test_pod_assignment_groups_fallback(spark):
     assert pods <= worker_pods, "job groups must only land on worker-bearing pods"
     assert any(r.placement == "fallback" for r in out), "fallback path not exercised"
     assert all(r.n_pod_workers > 0 for r in out)
+
+
+def test_littles_law_flags_flip(spark):
+    """LatencyTrackerTest: median/max latency above the Little's-law
+    ceiling (concurrency/throughput) trips the corresponding flag —
+    constructed frame gives both outcomes (the synthetic log's latencies
+    are far below its ceilings, so flags are exercised here)."""
+    from datetime import datetime, timedelta
+
+    from uforwarder_spark.operators.pipeline import littles_law_frame
+
+    rows = []
+    # partition a/0: 100 acked msgs over 100 s -> ~1 msg/s; with
+    # max_inbound=0 (bound 0 ms) every latency is "high"
+    t0 = datetime(2024, 1, 1)
+    for i in range(100):
+        rows.append(("a", 0, i, t0 + timedelta(seconds=i), True, 50 + i))
+    m = spark.createDataFrame(
+        rows, ["topic", "part_id", "msg_offset", "ts", "acked", "latency_ms"]
+    )
+    out = littles_law_frame(m, max_inbound=0, max_commit_skew=10**9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.median_high and not r.max_high
+    assert r.sample_size == 100
+    # loose bound: ~1 msg/s over the 99 s span
+    assert 0.9 < r.mps < 1.2
+
+
+def test_flow_control_floors(spark):
+    """KafkaPipelineStateManagerTest: zero totals floor to the minimum
+    valid flow (rate 1, bytes unbounded, inflight 1)."""
+    from uforwarder_spark.operators.controller import flow_control_frame
+
+    jq = spark.createDataFrame(
+        [("t0", 0, 0.0, 0.0, 0.0), ("t1", 0, 2.0, 100.0, 5.0), ("t1", 1, 3.0, 200.0, 5.0)],
+        ["topic", "part_id", "messages_per_sec", "bytes_per_sec", "max_inflight"],
+    )
+    out = {r.topic: r for r in flow_control_frame(jq).collect()}
+    assert out["t0"].messages_per_sec_total == 1.0
+    assert out["t0"].bytes_per_sec_total == 1.7976931348623157e308
+    assert out["t0"].max_inflight_total == 1.0
+    assert out["t1"].messages_per_sec_total == 5.0
+    assert out["t1"].bytes_per_sec_total == 300.0
+    assert out["t1"].max_inflight_total == 10.0
+
+
+def test_corpus_shuffle_deterministic_and_complete(spark):
+    """Re-running the export reproduces the identical order; every doc
+    appears exactly once; positions are dense per shard."""
+    from uforwarder_spark.operators.training import corpus_shuffle_export
+
+    a = corpus_shuffle_export(spark, "/root/testdata/sf0.001").collect()
+    b = corpus_shuffle_export(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    docs = [r.doc_id for r in a]
+    assert len(docs) == len(set(docs))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_sequence_packing_budget_conservation(spark):
+    """Tokens are conserved and every sequence's starting docs fit the
+    running layout: sum over output == sum of per-doc token counts."""
+    from pyspark.sql import functions as F2
+
+    from uforwarder_spark.functions.tokenize import TOKENS_SPARK
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.operators.training import sequence_packing
+
+    out = sequence_packing(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.sum_tokens for r in out)
+    expect = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F2.expr(f"size({TOKENS_SPARK})").alias("t"))
+        .agg(F2.sum("t"))
+        .collect()[0][0]
+    )
+    assert total == expect
+    assert all(r.n_crossing <= r.n_docs for r in out)
+    assert any(r.n_crossing > 0 for r in out), "boundary-crossing path not exercised"
+
+
+def test_mixture_interleave_respects_weights(spark):
+    """Stride scheduling: in any prefix of the schedule long enough to
+    cycle every source, a weight-w source appears ~w× as often as a
+    weight-1 source (within rounding)."""
+    from uforwarder_spark.operators.training import mixture_interleave
+
+    out = sorted(
+        mixture_interleave(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.position,
+    )
+    weights = {r.source: r.weight for r in out}
+    assert set(weights.values()) > {1}, "need weight variety"
+    # prefix: first half of the schedule
+    prefix = out[: len(out) // 2]
+    counts = {}
+    for r in prefix:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    # sources with the same weight should appear equally often (+-2);
+    # heavier sources at least as often as lighter ones
+    by_w = {}
+    for s, w in weights.items():
+        by_w.setdefault(w, []).append(counts.get(s, 0))
+    for w, cs in by_w.items():
+        assert max(cs) - min(cs) <= 2, (w, cs)
+    ws = sorted(by_w)
+    for lo, hi in zip(ws, ws[1:]):
+        assert max(by_w[lo]) <= min(by_w[hi]) + 2, (lo, hi, by_w)

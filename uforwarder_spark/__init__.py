@@ -25,6 +25,7 @@ from .operators import jaccard  # noqa: F401
 from .operators import controller  # noqa: F401
 from .operators import scaling  # noqa: F401
 from .operators import pipeline  # noqa: F401
+from .operators import training  # noqa: F401
 from .operators import dedup  # noqa: F401
 from .functions import multimodal, text  # noqa: F401
 from .operators import liveness  # noqa: F401

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..model import MESSAGES_SQL_BODY, messages
+from ..model import MESSAGES_SQL_BODY, N_PARTITIONS, messages
 from ..registry import register
 
 MSG_CTE = f"WITH messages AS ({MESSAGES_SQL_BODY})"
@@ -1251,3 +1251,82 @@ def pod_assignment_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_pod_workers").alias("n_pod_workers"),
         )
     )
+
+
+# --- B20 -----------------------------------------------------------------
+FC_MAX_INFLIGHT_PER_JOB = 10      # per-job maxInflightMessages quota
+FC_BYTES_PER_MSG = 1000           # per-job byte quota = mps quota × this
+FC_MIN_VALID_RATE = 1.0           # MINIMUM_VALID_RATE fallback
+FC_MIN_VALID_INFLIGHT = 1.0       # MINIMUM_VALID_INFLIGHT_MESSAGES
+
+FLOW_CONTROL_ORACLE = f"""{MSG_CTE},
+jobs AS ({JOBS_SQL}),
+job_quota AS (
+  SELECT j.topic, j.part_id,
+         q.quota_mps / {N_PARTITIONS} AS messages_per_sec,
+         q.quota_mps * {FC_BYTES_PER_MSG} / {N_PARTITIONS} AS bytes_per_sec,
+         CAST({FC_MAX_INFLIGHT_PER_JOB} AS DOUBLE) AS max_inflight
+  FROM jobs j JOIN {QUOTAS_SQL} ON j.topic = q.topic
+)
+SELECT topic,
+       count(*) AS n_jobs,
+       CASE WHEN sum(messages_per_sec) = 0 THEN {FC_MIN_VALID_RATE}
+            ELSE sum(messages_per_sec) END    AS messages_per_sec_total,
+       CASE WHEN sum(bytes_per_sec) = 0 THEN 1.7976931348623157e308
+            ELSE sum(bytes_per_sec) END       AS bytes_per_sec_total,
+       CASE WHEN sum(max_inflight) = 0 THEN {FC_MIN_VALID_INFLIGHT}
+            ELSE sum(max_inflight) END        AS max_inflight_total
+FROM job_quota
+GROUP BY topic
+"""
+
+
+def flow_control_frame(job_quota: DataFrame) -> DataFrame:
+    """Frame-level B20 (unit-testable): handleFlowChange totals with the
+    minimum-valid floors (0 rate → 1 msg/s, 0 bytes → unbounded,
+    0 inflight → 1)."""
+    tot = job_quota.groupBy("topic").agg(
+        F.count("*").alias("n_jobs"),
+        F.sum("messages_per_sec").alias("mps_sum"),
+        F.sum("bytes_per_sec").alias("bps_sum"),
+        F.sum("max_inflight").alias("infl_sum"),
+    )
+    return tot.select(
+        "topic",
+        "n_jobs",
+        F.when(F.col("mps_sum") == 0, FC_MIN_VALID_RATE)
+        .otherwise(F.col("mps_sum"))
+        .alias("messages_per_sec_total"),
+        F.when(F.col("bps_sum") == 0, F.lit(1.7976931348623157e308))
+        .otherwise(F.col("bps_sum"))
+        .alias("bytes_per_sec_total"),
+        F.when(F.col("infl_sum") == 0, FC_MIN_VALID_INFLIGHT)
+        .otherwise(F.col("infl_sum"))
+        .alias("max_inflight_total"),
+    )
+
+
+@register("flow_control_aggregate", FLOW_CONTROL_ORACLE)
+def flow_control_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KafkaPipelineStateManager.handleFlowChange
+    (uforwarder-core/.../worker/pipelines/KafkaPipelineStateManager.java:351-383):
+    a pipeline's effective flow control is the SUM of its running jobs'
+    per-job quotas (messagesPerSec / bytesPerSec / maxInflightMessages),
+    with minimum-valid floors so a pipeline holding only stale jobs is
+    never fully blocked (MINIMUM_VALID_FLOW, :38-47: rate 0 → 1 msg/s,
+    bytes 0 → Double.MAX_VALUE, inflight 0 → 1). Per-job quota is the
+    group quota split evenly across the topic's partitions.
+
+    SCALE: jobs × quotas is control-plane metadata — broadcast join and
+    one tiny agg; the message log is touched only for the job universe."""
+    m = messages(spark, sf_dir)
+    jobs = m.select("topic", "part_id").distinct()
+    quotas = spark.createDataFrame(QUOTAS, ["topic", "quota_mps"])
+    job_quota = jobs.join(F.broadcast(quotas), "topic").select(
+        "topic",
+        "part_id",
+        (F.col("quota_mps") / N_PARTITIONS).alias("messages_per_sec"),
+        (F.col("quota_mps") * FC_BYTES_PER_MSG / N_PARTITIONS).alias("bytes_per_sec"),
+        F.lit(float(FC_MAX_INFLIGHT_PER_JOB)).alias("max_inflight"),
+    )
+    return flow_control_frame(job_quota)

@@ -1498,3 +1498,79 @@ def dlq_produce_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_records").alias("max_flush_records"),
     ).select("dest_topic", "day", "n_flushes", "n_batches", "n_records",
              "total_bytes", "max_flush_records")
+
+
+# --- A30 -----------------------------------------------------------------
+LL_MAX_INBOUND = 1000    # maxInboundMessages (median-latency concurrency bound)
+LL_MAX_COMMIT_SKEW = 10_000  # maxCommitSkew (max-latency concurrency bound)
+
+LITTLES_LAW_ORACLE = f"""{MSG_CTE},
+stats AS (
+  SELECT topic, part_id,
+         CAST(count(CASE WHEN acked THEN 1 END) AS BIGINT)     AS sample_size,
+         quantile_cont(CASE WHEN acked THEN latency_ms END, 0.5) AS median_ms,
+         CAST(max(CASE WHEN acked THEN latency_ms END) AS BIGINT) AS max_ms,
+         CASE WHEN count(CASE WHEN acked THEN 1 END) > 0 THEN
+           CAST(count(CASE WHEN acked THEN 1 END) AS DOUBLE) * 1000.0
+             / (epoch_ms(max(ts)) - epoch_ms(min(ts)) + 1)
+         END AS mps
+  FROM messages
+  GROUP BY topic, part_id
+)
+SELECT topic, part_id, sample_size, median_ms, max_ms, mps,
+       {LL_MAX_INBOUND} / mps * 1000.0     AS max_median_ms,
+       {LL_MAX_COMMIT_SKEW} / mps * 1000.0 AS max_max_ms,
+       median_ms > {LL_MAX_INBOUND} / mps * 1000.0   AS median_high,
+       max_ms > {LL_MAX_COMMIT_SKEW} / mps * 1000.0  AS max_high
+FROM stats
+"""
+
+
+def littles_law_frame(
+    m: DataFrame, max_inbound: int = LL_MAX_INBOUND, max_commit_skew: int = LL_MAX_COMMIT_SKEW
+) -> DataFrame:
+    """Frame-level A30 (unit-testable): latency snapshot stats vs the
+    Little's-law bounds concurrency/throughput."""
+    acked_lat = F.when(F.col("acked"), F.col("latency_ms"))
+    stats = m.groupBy("topic", "part_id").agg(
+        F.count(acked_lat).alias("sample_size"),
+        F.percentile(acked_lat, F.lit(0.5)).alias("median_ms"),
+        F.max(acked_lat).alias("max_ms"),
+        (
+            F.count(acked_lat).cast("double")
+            * 1000.0
+            / (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")) + 1)
+        ).alias("mps_raw"),
+    )
+    stats = stats.withColumn(
+        "mps", F.when(F.col("sample_size") > 0, F.col("mps_raw"))
+    ).drop("mps_raw")
+    max_median = F.lit(float(max_inbound)) / F.col("mps") * 1000.0
+    max_max = F.lit(float(max_commit_skew)) / F.col("mps") * 1000.0
+    return stats.select(
+        "topic", "part_id", "sample_size", "median_ms", "max_ms", "mps",
+        max_median.alias("max_median_ms"),
+        max_max.alias("max_max_ms"),
+        (F.col("median_ms") > max_median).alias("median_high"),
+        (F.col("max_ms") > max_max).alias("max_high"),
+    )
+
+
+@register("latency_littles_law", LITTLES_LAW_ORACLE)
+def latency_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatencyTracker
+    (uforwarder/.../worker/processor/LatencyTracker.java:60-125): a
+    sliding reservoir of completed-request latencies yields median/max,
+    compared against Little's-law ceilings — max tolerable latency =
+    concurrencyLimit / messagesPerSec (getMaxLatency, :118) with
+    maxInboundMessages bounding the median and maxCommitSkew bounding
+    the max; isMedianLatencyHigh / isMaxLatencyHigh drive the
+    commit-skew alarms. Batch twin over the ack'd message population per
+    partition, with throughput measured from the partition's own span
+    (A28's signal).
+
+    SCALE: one partial agg on (topic, part_id); the exact median is the
+    only non-streaming aggregate and runs on the already-reduced
+    per-group arrays — at 100 TB swap F.percentile for
+    percentile_approx(1e-4 accuracy) without touching the plan shape."""
+    return littles_law_frame(messages(spark, sf_dir))

@@ -1,0 +1,206 @@
+"""D32–D34. Training-data export operators — the last mile of an LLM data
+pipeline: deterministic corpus shuffling into shards, fixed-token-budget
+sequence packing, and weighted source-mixture interleaving.
+
+These have no uForwarder twin (they extend the D-series mandate: the
+operations a large-scale training-data pipeline needs); the semantics
+follow the standard concat-and-chunk / stride-scheduling formulations
+used by public data-pipeline stacks.
+
+SCALE: shuffling and packing key everything by a hash-derived shard, so
+at 100 TB they are one `repartition(shard)` + in-partition sort (exactly
+the partitioned-parquet export path); only the mixture schedule needs a
+total order, which Spark executes as a range-partitioned sort (no single
+reducer — see mixture_interleave's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import TOKENS_DUCK, TOKENS_SPARK
+from ..model import H_DUCK, H_SPARK, load_parallel
+from ..registry import register
+
+N_EXPORT_SHARDS = 8
+SEQ_TOKEN_BUDGET = 512
+N_MIXTURE_WEIGHTS = 4  # weights cycle 1..N
+
+_HK_SPARK = H_SPARK.format(col="CAST(doc_id AS STRING)")
+_HK_DUCK = H_DUCK.format(col="CAST(doc_id AS VARCHAR)")
+
+
+# --- D32 -----------------------------------------------------------------
+SHUFFLE_EXPORT_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         {_HK_DUCK} AS hkey
+  FROM documents
+)
+SELECT hkey % {N_EXPORT_SHARDS} AS shard,
+       row_number() OVER (PARTITION BY hkey % {N_EXPORT_SHARDS}
+                          ORDER BY hkey, doc_id) AS pos,
+       doc_id, source, n_chars
+FROM keyed
+"""
+
+
+@register("corpus_shuffle_export", SHUFFLE_EXPORT_ORACLE)
+def corpus_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into N training shards: each
+    doc's 60-bit md5 key picks a shard (hkey % N) and its position
+    within the shard (hkey order). Re-running the export reproduces the
+    identical byte stream — the property training restarts depend on.
+
+    SCALE: one shuffle on the uniform hash key; within-shard order is a
+    per-partition sort. At 100 TB this is literally
+    ``df.repartition(N, shard).sortWithinPartitions(hkey)`` + parquet
+    write — no global sort, no skew (md5 keys are uniform)."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", "n_chars", F.expr(_HK_SPARK).alias("hkey")
+    ).withColumn("shard", F.col("hkey") % N_EXPORT_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return keyed.select(
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "doc_id",
+        "source",
+        "n_chars",
+    )
+
+
+# --- D33 -----------------------------------------------------------------
+SEQ_PACKING_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_HK_DUCK} AS hkey,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS tok
+  FROM documents
+),
+laid AS (
+  SELECT hkey % {N_EXPORT_SHARDS} AS shard, doc_id, hkey, tok,
+         coalesce(sum(tok) OVER (PARTITION BY hkey % {N_EXPORT_SHARDS}
+                                 ORDER BY hkey, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM keyed
+),
+placed AS (
+  SELECT shard, doc_id, tok, cum_before,
+         CAST(cum_before // {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+         CAST(CASE WHEN tok > 0
+              THEN (cum_before + tok - 1) // {SEQ_TOKEN_BUDGET}
+              ELSE cum_before // {SEQ_TOKEN_BUDGET} END AS BIGINT) AS end_seq_id
+  FROM laid
+)
+SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+       count(*)                                        AS n_docs,
+       CAST(sum(tok) AS BIGINT)                        AS sum_tokens,
+       CAST(sum(CASE WHEN end_seq_id > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_crossing
+FROM placed
+GROUP BY shard, seq_id
+"""
+
+
+@register("sequence_packing", SEQ_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each export shard, docs
+    concatenate in the deterministic shuffle order (D32) and split into
+    fixed SEQ_TOKEN_BUDGET-token training sequences. A doc belongs to
+    the sequence its first token lands in; docs straddling a boundary
+    are counted (n_crossing) — the quantity packing-efficiency tuning
+    watches.
+
+    SCALE: the running-total window runs per shard (uniform hash
+    partitions), never globally — one shuffle, then the (shard, seq)
+    agg reuses the same partitioning."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(_HK_SPARK).alias("hkey"),
+        F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("tok"),
+    ).withColumn("shard", F.col("hkey") % N_EXPORT_SHARDS)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = keyed.withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    placed = laid.select(
+        "shard",
+        "tok",
+        F.expr(f"cum_before DIV {SEQ_TOKEN_BUDGET}").alias("seq_id"),
+        F.expr(
+            f"CASE WHEN tok > 0 THEN (cum_before + tok - 1) DIV {SEQ_TOKEN_BUDGET} "
+            f"ELSE cum_before DIV {SEQ_TOKEN_BUDGET} END"
+        ).alias("end_seq_id"),
+    )
+    return placed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.sum(F.when(F.col("end_seq_id") > F.col("seq_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_crossing"),
+    )
+
+
+# --- D34 -----------------------------------------------------------------
+MIXTURE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         {_HK_DUCK} AS hkey,
+         1 + ({H_DUCK.format(col="source")} % {N_MIXTURE_WEIGHTS}) AS weight
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, weight,
+         row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS r
+  FROM keyed
+)
+SELECT row_number() OVER (ORDER BY CAST(r AS DOUBLE) / weight, source, doc_id)
+         AS position,
+       doc_id, source, weight,
+       CAST(r AS DOUBLE) / weight AS pick_time
+FROM ranked
+"""
+
+
+@register("mixture_interleave", MIXTURE_ORACLE)
+def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source-mixture schedule via stride scheduling: source s
+    with weight w contributes its r-th doc at pick_time r/w, and the
+    training order is the pick_time sort — so a weight-3 source appears
+    3× as often as a weight-1 source, evenly interleaved, fully
+    deterministic (docs within a source drain in shuffle-hash order).
+
+    SCALE: the per-source rank windows partition by source (uniform);
+    the final position is a global sort, which Spark executes as a
+    range-partitioned exchange + per-partition sort — NO single-reducer
+    stage for the sort itself; the closing row_number is the one
+    global-order window, acceptable because the schedule head (what a
+    loader reads) is top-k pushdown-able, and a 100 TB export would
+    write pick_time-ordered range partitions and let readers zip-index
+    per partition."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(_HK_SPARK).alias("hkey"),
+        (1 + F.expr(H_SPARK.format(col="source")) % N_MIXTURE_WEIGHTS).alias("weight"),
+    )
+    ranked = keyed.withColumn(
+        "r", F.row_number().over(Window.partitionBy("source").orderBy("hkey", "doc_id"))
+    )
+    pick = (F.col("r").cast("double") / F.col("weight")).alias("pick_time")
+    return ranked.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("r").cast("double") / F.col("weight"), "source", "doc_id"))
+        .alias("position"),
+        "doc_id",
+        "source",
+        "weight",
+        pick,
+    )
