@@ -183,3 +183,38 @@ def test_frame_sample_payload_never_shuffles(spark):
     plan = plan_of(spark, "multimodal_frame_sample")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["fetcher_throughput", "corpus_shuffle_export", "sequence_packing", "latency_littles_law"],
+)
+def test_round3_single_shuffle_ops(spark, name):
+    """A28/D32/D33/A30 are one-shuffle plans: a single hash exchange,
+    no joins, no global sort."""
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange hashpartitioning") == 1, name
+    assert "SortMergeJoin" not in plan and "Exchange SinglePartition" not in plan, name
+
+
+def test_dlq_produce_batches_aligned_aggs(spark):
+    """A29: two partial aggs on aligned keys, no windows/joins."""
+    plan = plan_of(spark, "dlq_produce_batches")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_inflight_bootstrap_broadcast_phase_join(spark):
+    """A26: phase table broadcasts onto pending rows — never an SMJ of
+    the log against itself."""
+    plan = plan_of(spark, "inflight_bootstrap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_interleave_single_global_window_only(spark):
+    """D34: exactly one SinglePartition exchange (the documented global
+    position window); per-source ranks stay hash-partitioned."""
+    plan = plan_of(spark, "mixture_interleave")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -1313,9 +1313,10 @@ def inflight_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BootstrapPermit.complete, :117-121). Emits the per-partition phase,
     effective cap, and admit/block split of the pending backlog.
 
-    SCALE: one agg + one window over the SAME (topic, part_id) key — the
-    exchange is reused, so the message log shuffles once; phase table is
-    O(partitions) and the join stays co-partitioned."""
+    SCALE: two shuffles on (topic, part_id) — the full log for the
+    phase agg and the (much smaller) unacked subset for the pending
+    window; the O(partitions) phase table then broadcast-joins onto the
+    pending rows. No global ordering anywhere."""
     return inflight_bootstrap_frame(messages(spark, sf_dir))
 
 
