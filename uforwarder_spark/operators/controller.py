@@ -1271,11 +1271,11 @@ job_quota AS (
 SELECT topic,
        count(*) AS n_jobs,
        CASE WHEN sum(messages_per_sec) = 0 THEN {FC_MIN_VALID_RATE}
-            ELSE sum(messages_per_sec) END    AS messages_per_sec_total,
+            ELSE round(sum(messages_per_sec), 8) END    AS messages_per_sec_total,
        CASE WHEN sum(bytes_per_sec) = 0 THEN 1.7976931348623157e308
-            ELSE sum(bytes_per_sec) END       AS bytes_per_sec_total,
+            ELSE round(sum(bytes_per_sec), 8) END       AS bytes_per_sec_total,
        CASE WHEN sum(max_inflight) = 0 THEN {FC_MIN_VALID_INFLIGHT}
-            ELSE sum(max_inflight) END        AS max_inflight_total
+            ELSE round(sum(max_inflight), 8) END        AS max_inflight_total
 FROM job_quota
 GROUP BY topic
 """
@@ -1291,17 +1291,20 @@ def flow_control_frame(job_quota: DataFrame) -> DataFrame:
         F.sum("bytes_per_sec").alias("bps_sum"),
         F.sum("max_inflight").alias("infl_sum"),
     )
+    # round(·, 8): double summation is not bit-stable across engines
+    # (DuckDB's accumulation tree differs from Spark's partial aggs);
+    # 8 digits is far beyond quota resolution and restores hash parity.
     return tot.select(
         "topic",
         "n_jobs",
         F.when(F.col("mps_sum") == 0, FC_MIN_VALID_RATE)
-        .otherwise(F.col("mps_sum"))
+        .otherwise(F.round(F.col("mps_sum"), 8))
         .alias("messages_per_sec_total"),
         F.when(F.col("bps_sum") == 0, F.lit(1.7976931348623157e308))
-        .otherwise(F.col("bps_sum"))
+        .otherwise(F.round(F.col("bps_sum"), 8))
         .alias("bytes_per_sec_total"),
         F.when(F.col("infl_sum") == 0, FC_MIN_VALID_INFLIGHT)
-        .otherwise(F.col("infl_sum"))
+        .otherwise(F.round(F.col("infl_sum"), 8))
         .alias("max_inflight_total"),
     )
 

@@ -1521,8 +1521,8 @@ stats AS (
 SELECT topic, part_id, sample_size, median_ms, max_ms, mps,
        {LL_MAX_INBOUND} / mps * 1000.0     AS max_median_ms,
        {LL_MAX_COMMIT_SKEW} / mps * 1000.0 AS max_max_ms,
-       median_ms > {LL_MAX_INBOUND} / mps * 1000.0   AS median_high,
-       max_ms > {LL_MAX_COMMIT_SKEW} / mps * 1000.0  AS max_high
+       coalesce(median_ms > {LL_MAX_INBOUND} / mps * 1000.0, FALSE)  AS median_high,
+       coalesce(max_ms > {LL_MAX_COMMIT_SKEW} / mps * 1000.0, FALSE) AS max_high
 FROM stats
 """
 
@@ -1552,8 +1552,10 @@ def littles_law_frame(
         "topic", "part_id", "sample_size", "median_ms", "max_ms", "mps",
         max_median.alias("max_median_ms"),
         max_max.alias("max_max_ms"),
-        (F.col("median_ms") > max_median).alias("median_high"),
-        (F.col("max_ms") > max_max).alias("max_high"),
+        # empty sample -> bound is effectively Long.MAX_VALUE (reference
+        # getMaxLatency on zero throughput) -> never "high", not NULL
+        F.coalesce(F.col("median_ms") > max_median, F.lit(False)).alias("median_high"),
+        F.coalesce(F.col("max_ms") > max_max, F.lit(False)).alias("max_high"),
     )
 
 
