@@ -699,3 +699,95 @@ def test_e13_streaming_delay_process_matches_model(spark, tmp_path):
     # the delayed topics must actually exercise the park path
     assert got["was_parked"].any()
     assert n_residual > 0
+
+
+def test_e14_bootstrap_phase_matches_batch(spark, tmp_path):
+    """E14: after the stream drains, each shard's final phase and
+    completed count equal batch A26's, and every message's online phase
+    matches a replay of the cumulative-completed model; state survives
+    the micro-batch boundary."""
+    import os
+    import time as _time
+
+    from uforwarder_spark.operators.pipeline import (
+        BOOT_COMPLETE_THRESHOLD,
+        inflight_bootstrap,
+    )
+
+    m = model.messages(spark, SF_SMALL)
+    med = m.agg(F.expr("percentile_approx(msg_offset, 0.5)")).collect()[0][0]
+    early = m.filter(F.col("msg_offset") <= med)
+    late = m.filter(F.col("msg_offset") > med)
+
+    src = tmp_path / "src"
+    early.coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    _time.sleep(1.1)
+    late.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    now = _time.time()
+    for sub, off in (("f0", -10), ("f1", 0)):
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + off, now + off))
+
+    stream = (
+        spark.readStream.schema(P.MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = _run_to_memory(
+        P.bootstrap_phase_stream(stream), "e14_boot", str(tmp_path / "ckpt"), "append"
+    )
+    got = spark.table("e14_boot").toPandas()
+    assert len(got) == m.count()
+
+    # per-message phase replay: phase is 'working' iff the completed
+    # count BEFORE the message exceeds the threshold (offset order)
+    mp = m.toPandas().sort_values(["topic", "part_id", "msg_offset"])
+    mp["cum_before"] = mp.groupby(["topic", "part_id"])["acked"].cumsum() - mp["acked"]
+    mp["want_phase"] = (mp["cum_before"] > BOOT_COMPLETE_THRESHOLD).map(
+        {True: "working", False: "bootstrap"}
+    )
+    j = got.set_index(["topic", "part_id", "msg_offset"]).join(
+        mp.set_index(["topic", "part_id", "msg_offset"])[["want_phase"]]
+    )
+    assert (j["phase"] == j["want_phase"]).all()
+
+    # final state equals batch A26
+    final = (
+        got.sort_values("msg_offset")
+        .groupby(["topic", "part_id"])
+        .tail(1)
+        .set_index(["topic", "part_id"])
+    )
+    want = (
+        inflight_bootstrap(spark, SF_SMALL)
+        .toPandas()
+        .set_index(["topic", "part_id"])
+    )
+    for key, row in want.iterrows():
+        frow = final.loc[key]
+        assert frow["completed_after"] == row["n_completed"], key
+        # stream tags phase at last acquire; batch reports phase from the
+        # full completed count — they agree unless the very last message
+        # itself crossed the threshold
+        crossed_on_last = (
+            row["n_completed"] - BOOT_COMPLETE_THRESHOLD == 1
+            and frow["phase"] == "bootstrap"
+        )
+        assert frow["phase"] == row["phase"] or crossed_on_last, key
+
+
+def test_e14_constants_in_sync():
+    """The machine inlines A26's constants (by-value pickling); keep
+    them in lockstep with the batch module."""
+    import inspect
+
+    from uforwarder_spark.operators.pipeline import (
+        BOOT_CAP,
+        BOOT_COMPLETE_THRESHOLD,
+        STEADY_CAP,
+    )
+    from uforwarder_spark.streaming.pipelines import _bootstrap_machine
+
+    src = inspect.getsource(_bootstrap_machine)
+    assert f"= {BOOT_CAP}, {STEADY_CAP}, {BOOT_COMPLETE_THRESHOLD}" in src

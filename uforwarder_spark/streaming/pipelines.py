@@ -861,3 +861,81 @@ import sys as _sys  # noqa: E402
 from pyspark import cloudpickle as _cloudpickle  # noqa: E402
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+# --- E14: live bootstrap-limiter phase -------------------------------------
+BOOT_STATE_SCHEMA = StructType(
+    [
+        StructField("completed", LongType()),
+    ]
+)
+BOOT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("part_id", LongType()),
+        StructField("msg_offset", LongType()),
+        StructField("phase", StringType()),
+        StructField("effective_cap", LongType()),
+        StructField("completed_after", LongType()),
+    ]
+)
+
+
+def _bootstrap_machine(key, pdfs: Iterator, state: GroupState):
+    """Bootstrap→working phase transition carried ACROSS micro-batches:
+    the streaming twin of batch A26 (reference
+    uforwarder/.../worker/limiter/BootstrapLongFixedInflightLimiter.java:
+    BootstrapPermit.complete flips the state once completed tasks exceed
+    the threshold, permanently — completed never decreases, so the phase
+    function is monotone). Each message is tagged with the phase in
+    force when it acquires (offset order within the shard)."""
+    import pandas as pd
+
+    # constants inlined, NOT imported from the batch pipeline module (see
+    # _bucket_machine's note on by-value pickling); synced by a unit test.
+    BOOT_CAP, STEADY_CAP, THRESHOLD = 10, 50, 100
+
+    completed = state.get[0] if state.exists else 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values("msg_offset").reset_index(drop=True)
+        phases, caps, after = [], [], []
+        boot_eff = min(BOOT_CAP, STEADY_CAP)
+        for acked in batch["acked"].to_numpy():
+            working = completed > THRESHOLD
+            phases.append("working" if working else "bootstrap")
+            caps.append(STEADY_CAP if working else boot_eff)
+            if acked:
+                completed += 1
+            after.append(completed)
+        batch["phase"] = phases
+        batch["effective_cap"] = caps
+        batch["completed_after"] = after
+        state.update((int(completed),))
+        yield batch[
+            ["topic", "part_id", "msg_offset", "phase", "effective_cap", "completed_after"]
+        ]
+
+
+def bootstrap_phase_stream(stream: DataFrame) -> DataFrame:
+    """Live bootstrap limiter: each arriving message is admitted under
+    the phase in force at its acquire instant, with the completed-count
+    state carried across micro-batches — batch A26 decides the phase
+    retrospectively from the whole log; this decides it online and
+    converges to the same final phase per shard.
+
+    SCALE: state is ONE long per (topic, part_id) shard; one shuffle
+    aligns shards with state-store partitions; the per-group Python loop
+    is an O(batch) scan over an Arrow batch (no cross-row lookups), the
+    same cost class as the other state machines here."""
+    return (
+        stream.select("topic", "part_id", "msg_offset", "acked")
+        .groupBy("topic", "part_id")
+        .applyInPandasWithState(
+            _bootstrap_machine,
+            BOOT_OUTPUT_SCHEMA,
+            BOOT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
