@@ -718,3 +718,29 @@ def test_mixture_interleave_respects_weights(spark):
     ws = sorted(by_w)
     for lo, hi in zip(ws, ws[1:]):
         assert max(by_w[lo]) <= min(by_w[hi]) + 2, (lo, hi, by_w)
+
+
+def test_inflight_usage_critical_flips(spark):
+    """SimpleOutboundMessageLimiter: overlapping dispatch spans raise
+    peak concurrency; usage above 0.8 of the limit flags critical.
+    Touching spans (end == next start) must NOT double-count."""
+    from datetime import datetime, timedelta
+
+    from uforwarder_spark.operators.pipeline import inflight_usage_frame
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # shard a/0: 5 spans all overlapping (peak 5) -> usage 5/5=1.0 critical
+    for i in range(5):
+        rows.append(("a", 0, i, t0, True, 1000))
+    # shard a/1: back-to-back spans (end touches next start) -> peak 1
+    for i in range(4):
+        rows.append(("a", 1, i, t0 + timedelta(milliseconds=100 * i), True, 100))
+    m = spark.createDataFrame(
+        rows, ["topic", "part_id", "msg_offset", "ts", "acked", "latency_ms"]
+    )
+    out = {(r.topic, r.part_id): r for r in inflight_usage_frame(m, limit=5).collect()}
+    hot = out[("a", 0)]
+    assert hot.peak_inflight == 5 and hot.usage == 1.0 and hot.is_critical
+    cool = out[("a", 1)]
+    assert cool.peak_inflight == 1 and not cool.is_critical

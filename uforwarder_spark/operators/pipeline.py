@@ -1577,3 +1577,86 @@ def latency_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group arrays — at 100 TB swap F.percentile for
     percentile_approx(1e-4 accuracy) without touching the plan shape."""
     return littles_law_frame(messages(spark, sf_dir))
+
+
+# --- A31 -----------------------------------------------------------------
+CRITICAL_INFLIGHT_USAGE = 0.8   # CRITICAL_INFLIGHT_LIMIT_USAGE
+
+USAGE_ORACLE = f"""{MSG_CTE},
+spans AS (
+  SELECT topic, part_id,
+         epoch_ms(ts) AS start_ms,
+         epoch_ms(ts) + latency_ms AS end_ms
+  FROM messages
+),
+points AS (
+  SELECT topic, part_id, start_ms AS ms, 1 AS delta FROM spans
+  UNION ALL
+  SELECT topic, part_id, end_ms AS ms, -1 AS delta FROM spans
+),
+running AS (
+  SELECT topic, part_id,
+         sum(delta) OVER (PARTITION BY topic, part_id
+                          ORDER BY ms, delta
+                          ROWS UNBOUNDED PRECEDING) AS inflight
+  FROM points
+)
+SELECT topic, part_id,
+       CAST(count(*) / 2 AS BIGINT)            AS n_spans,
+       CAST(max(inflight) AS BIGINT)           AS peak_inflight,
+       CAST(max(inflight) AS DOUBLE) / {INFLIGHT_LIMIT} AS usage,
+       CAST(max(inflight) AS DOUBLE) / {INFLIGHT_LIMIT} > {CRITICAL_INFLIGHT_USAGE}
+                                               AS is_critical
+FROM running
+GROUP BY topic, part_id
+"""
+
+
+def inflight_usage_frame(m: DataFrame, limit: int = INFLIGHT_LIMIT) -> DataFrame:
+    """Frame-level A31 (unit-testable): peak concurrent dispatch spans
+    per shard vs the inflight limit; usage > 0.8 flags critical."""
+    spans = m.select(
+        "topic",
+        "part_id",
+        F.unix_millis("ts").alias("start_ms"),
+        (F.unix_millis("ts") + F.col("latency_ms")).alias("end_ms"),
+    )
+    points = spans.select(
+        "topic", "part_id", F.col("start_ms").alias("ms"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            "topic", "part_id", F.col("end_ms").alias("ms"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("topic", "part_id")
+        .orderBy("ms", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = points.withColumn("inflight", F.sum("delta").over(w))
+    usage = F.max("inflight").cast("double") / limit
+    return running.groupBy("topic", "part_id").agg(
+        (F.count("*") / 2).cast("bigint").alias("n_spans"),
+        F.max("inflight").cast("bigint").alias("peak_inflight"),
+        usage.alias("usage"),
+        (usage > CRITICAL_INFLIGHT_USAGE).alias("is_critical"),
+    )
+
+
+@register("inflight_usage_critical", USAGE_ORACLE)
+def inflight_usage_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleOutboundMessageLimiter usage stats
+    (uforwarder/.../worker/processor/SimpleOutboundMessageLimiter.java:43,355-361,591):
+    the limiter tracks how much of the inflight limit is actually in use
+    (inflightTracker bucketed max / limit) and flags usage above
+    CRITICAL_INFLIGHT_LIMIT_USAGE = 0.8 — the signal that lag is being
+    CAUSED by inflight limiting rather than consumer slowness. Batch
+    twin: each message's dispatch span is [ts, ts + latency_ms); peak
+    concurrency per shard is the classic +1/−1 interval-overlap running
+    sum (ends sort before starts at the same instant, so touching spans
+    don't double-count); usage = peak / limit.
+
+    SCALE: the span→point fan-out is map-side (2 rows per message), then
+    ONE shuffle on (topic, part_id) serves both the running-sum window
+    and the final agg. No joins, no global order."""
+    return inflight_usage_frame(messages(spark, sf_dir))
