@@ -214,3 +214,66 @@ def test_scale_window_hibernate_and_immature():
 
     few = run([3.0] * (scaling.MIN_SAMPLES - 1), 2.0)
     assert all(not accepted for _, accepted in few.values())
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    acks=pattern,
+    boot_cap=st.integers(min_value=1, max_value=6),
+    steady_cap=st.integers(min_value=1, max_value=8),
+    threshold=st.integers(min_value=0, max_value=12),
+)
+def test_inflight_bootstrap_equals_reference_model(spark, acks, boot_cap, steady_cap, threshold):
+    """A26 agrees with the BootstrapLongFixedInflightLimiter model on
+    arbitrary ack patterns: phase from total completed vs threshold,
+    admit under min(boot, steady) in bootstrap else steady."""
+    from uforwarder_spark.operators.pipeline import inflight_bootstrap_frame
+
+    rows = inflight_bootstrap_frame(
+        _frame(spark, acks), boot_cap=boot_cap, steady_cap=steady_cap, threshold=threshold
+    ).collect()
+    completed = sum(acks)
+    pending = [off for off, acked in enumerate(acks) if not acked]
+    working = completed > threshold
+    cap = steady_cap if working else min(boot_cap, steady_cap)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.phase == ("working" if working else "bootstrap")
+    assert r.n_completed == completed
+    assert r.effective_cap == cap
+    assert r.n_pending == len(pending)
+    assert r.n_admitted == min(cap, len(pending))
+    assert r.n_blocked == max(0, len(pending) - cap)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.integers(min_value=1, max_value=20)),
+        min_size=1,
+        max_size=25,
+    ),
+    limit=st.integers(min_value=1, max_value=10),
+)
+def test_inflight_usage_equals_sweep_model(spark, spans, limit):
+    """A31 peak concurrency equals a brute-force sweep over the span
+    set (half-open [start, end) intervals)."""
+    from datetime import datetime, timedelta
+
+    from uforwarder_spark.operators.pipeline import inflight_usage_frame
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("t", 0, i, t0 + timedelta(milliseconds=s), True, d)
+        for i, (s, d) in enumerate(spans)
+    ]
+    m = spark.createDataFrame(
+        rows, ["topic", "part_id", "msg_offset", "ts", "acked", "latency_ms"]
+    )
+    r = inflight_usage_frame(m, limit=limit).collect()[0]
+    peak = max(
+        sum(1 for s, d in spans if s <= t < s + d)
+        for t in {s for s, _ in spans}
+    )
+    assert r.peak_inflight == peak
+    assert r.is_critical == (peak / limit > 0.8)
