@@ -744,3 +744,37 @@ def test_inflight_usage_critical_flips(spark):
     assert hot.peak_inflight == 5 and hot.usage == 1.0 and hot.is_critical
     cool = out[("a", 1)]
     assert cool.peak_inflight == 1 and not cool.is_critical
+
+
+def test_workload_monitor_ttl_expiry(spark):
+    """JobWorkloadMonitor: partitions whose last heartbeat is older than
+    throughputTTL drop out of the group sum; a group with no fresh
+    sample reports present=false with zero rates."""
+    from uforwarder_spark.operators.controller import workload_monitor_ttl
+
+    out = {r.topic: r for r in workload_monitor_ttl(spark, "/root/testdata/sf0.001").collect()}
+    assert len(out) > 0
+    for r in out.values():
+        assert r.n_fresh <= r.n_partitions
+        assert r.present == (r.n_fresh > 0)
+        if not r.present:
+            assert r.messages_per_sec == 0.0 and r.bytes_per_sec == 0.0
+
+
+def test_workload_monitor_ttl_all_stale_group():
+    """Constructed check: with a TTL shorter than the data gap the frame
+    logic yields present=false (exercised via the oracle SQL in DuckDB,
+    which shares the frame semantics)."""
+    import duckdb
+
+    from uforwarder_spark.operators.controller import WORKLOAD_MONITOR_ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    # shrink TTL to 1 ms: every sample is stale relative to AS_OF
+    sql = WORKLOAD_MONITOR_ORACLE.replace("604800000", "1")
+    df = con.execute(sql).fetchdf()
+    assert (~df["present"]).all()
+    assert (df["messages_per_sec"] == 0.0).all()

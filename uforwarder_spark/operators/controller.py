@@ -1333,3 +1333,82 @@ def flow_control_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(FC_MAX_INFLIGHT_PER_JOB)).alias("max_inflight"),
     )
     return flow_control_frame(job_quota)
+
+
+# --- B21 -----------------------------------------------------------------
+WL_AS_OF = "2024-01-31 00:00:00"      # observation instant (heartbeat clock)
+WL_TTL_MS = 7 * 86_400_000            # throughputTTL: samples expire after
+WL_RATE_WINDOW_MS = 86_400_000        # rate window backing each heartbeat
+
+WORKLOAD_MONITOR_ORACLE = f"""{MSG_CTE},
+samples AS (
+  SELECT topic, part_id,
+         epoch_ms(max(ts)) AS last_sample_ms,
+         CAST(count(CASE WHEN acked AND epoch_ms(ts) >
+               epoch_ms(TIMESTAMP '{WL_AS_OF}') - {WL_RATE_WINDOW_MS} THEN 1 END)
+              AS DOUBLE) * 1000.0 / {WL_RATE_WINDOW_MS}            AS mps,
+         CAST(sum(CASE WHEN acked AND epoch_ms(ts) >
+               epoch_ms(TIMESTAMP '{WL_AS_OF}') - {WL_RATE_WINDOW_MS}
+               THEN size_bytes ELSE 0 END)
+              AS DOUBLE) * 1000.0 / {WL_RATE_WINDOW_MS}            AS bps
+  FROM messages
+  GROUP BY topic, part_id
+),
+flagged AS (
+  SELECT *,
+         epoch_ms(TIMESTAMP '{WL_AS_OF}') - last_sample_ms <= {WL_TTL_MS} AS fresh
+  FROM samples
+)
+SELECT topic,
+       count(*)                                            AS n_partitions,
+       CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+       round(sum(CASE WHEN fresh THEN mps ELSE 0 END), 8)  AS messages_per_sec,
+       round(sum(CASE WHEN fresh THEN bps ELSE 0 END), 8)  AS bytes_per_sec,
+       bool_or(fresh)                                      AS present
+FROM flagged
+GROUP BY topic
+"""
+
+
+@register("workload_monitor_ttl", WORKLOAD_MONITOR_ORACLE)
+def workload_monitor_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JobWorkloadMonitor
+    (uforwarder-core/.../controller/autoscalar/JobWorkloadMonitor.java:45,89-140):
+    the controller aggregates per-partition workload heartbeats into a
+    job-group sum for the AutoScalar — but each partition's sample
+    expires throughputTTL after its last write (Guava expireAfterWrite,
+    :95), so a group's workload is the sum over FRESH partitions only,
+    and a group with no fresh sample is absent (getSum → empty,
+    present = false). Heartbeat rates here are the A28 fetcher signal
+    over a trailing rate window; the heartbeat clock is the partition's
+    last message.
+
+    SCALE: two aligned partial aggs ((topic, part_id) → topic) over one
+    scan; summed doubles rounded to 8 digits for cross-engine hash
+    stability (see flow_control_aggregate)."""
+    m = messages(spark, sf_dir)
+    as_of_ms = F.unix_millis(F.lit(WL_AS_OF).cast("timestamp"))
+    in_window = F.col("acked") & (F.unix_millis("ts") > as_of_ms - WL_RATE_WINDOW_MS)
+    samples = m.groupBy("topic", "part_id").agg(
+        F.unix_millis(F.max("ts")).alias("last_sample_ms"),
+        (F.count(F.when(in_window, 1)).cast("double") * 1000.0 / WL_RATE_WINDOW_MS).alias("mps"),
+        (
+            F.sum(F.when(in_window, F.col("size_bytes")).otherwise(0)).cast("double")
+            * 1000.0
+            / WL_RATE_WINDOW_MS
+        ).alias("bps"),
+    )
+    flagged = samples.withColumn(
+        "fresh", (as_of_ms - F.col("last_sample_ms")) <= WL_TTL_MS
+    )
+    return flagged.groupBy("topic").agg(
+        F.count("*").alias("n_partitions"),
+        F.sum(F.when(F.col("fresh"), 1).otherwise(0)).cast("bigint").alias("n_fresh"),
+        F.round(F.sum(F.when(F.col("fresh"), F.col("mps")).otherwise(0.0)), 8).alias(
+            "messages_per_sec"
+        ),
+        F.round(F.sum(F.when(F.col("fresh"), F.col("bps")).otherwise(0.0)), 8).alias(
+            "bytes_per_sec"
+        ),
+        F.max("fresh").alias("present"),
+    )
