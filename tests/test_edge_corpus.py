@@ -392,3 +392,44 @@ def test_frame_sample_short_and_empty_payloads(spark, tmp_path):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert [r.frame_off for r in sorted(by_doc[0], key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
     assert all(r.frame_len == 0 and r.frame_off == 0 for r in by_doc[1])
+
+
+def test_shuffle_export_includes_empty_docs(spark, edge_dir):
+    """D32: every doc ships to exactly one shard — including empty and
+    punctuation-only docs (an export must not silently drop rows)."""
+    from uforwarder_spark.operators.training import corpus_shuffle_export
+
+    rows = corpus_shuffle_export(spark, edge_dir).collect()
+    assert sorted(r.doc_id for r in rows) == [d[0] for d in EDGE_DOCS]
+    for r in rows:
+        assert 0 <= r.shard < 8 and r.pos >= 1
+
+
+def test_sequence_packing_zero_token_docs(spark, edge_dir):
+    """D33: zero-token docs occupy a sequence slot without advancing the
+    budget or ever counting as boundary-crossing; totals conserve."""
+    from uforwarder_spark.functions.tokenize import TOKENS_SPARK
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.operators.training import sequence_packing
+
+    out = sequence_packing(spark, edge_dir).collect()
+    total = sum(r.sum_tokens for r in out)
+    expect = (
+        load_table(spark, edge_dir, "documents")
+        .select(F.expr(f"size({TOKENS_SPARK})").alias("t"))
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert total == expect
+    assert sum(r.n_docs for r in out) == len(EDGE_DOCS)
+    assert all(r.n_crossing == 0 for r in out)  # tiny corpus: one seq per shard
+
+
+def test_mixture_interleave_dense_positions(spark, edge_dir):
+    """D34: the schedule is a permutation — dense positions 1..N, every
+    doc exactly once, heavier sources never starved."""
+    from uforwarder_spark.operators.training import mixture_interleave
+
+    rows = sorted(mixture_interleave(spark, edge_dir).collect(), key=lambda r: r.position)
+    assert [r.position for r in rows] == list(range(1, len(EDGE_DOCS) + 1))
+    assert sorted(r.doc_id for r in rows) == [d[0] for d in EDGE_DOCS]
