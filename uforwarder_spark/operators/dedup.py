@@ -438,9 +438,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Components in MapReduce"), same DataFrame skeleton. Label frames are
     checkpointed via localCheckpoint to keep lineage bounded."""
     edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = edges.unionAll(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    # localCheckpoint: every propagation round joins against sym; without
+    # a materialization the whole MinHash+LSH+verify pipeline re-executes
+    # per iteration (measured 2.3 s -> see docs/SCALE.md round 3)
+    sym = (
+        edges.unionAll(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("doc_a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
