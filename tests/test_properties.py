@@ -277,3 +277,87 @@ def test_inflight_usage_equals_sweep_model(spark, spans, limit):
     )
     assert r.peak_inflight == peak
     assert r.is_critical == (peak / limit > 0.8)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=5, max_value=50),
+)
+def test_sequence_packing_equals_python_packer(spark, toks, budget):
+    """D33's windowed formulation equals an explicit Python concat-and-
+    chunk packer on arbitrary token-length sequences (single shard)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    # replicate the operator's layout arithmetic on a 1-shard frame
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["ord", "tok"])
+    w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, -1)
+    laid = df.withColumn("cum_before", F2.coalesce(F2.sum("tok").over(w), F2.lit(0)))
+    placed = laid.select(
+        "ord",
+        "tok",
+        F2.expr(f"cum_before DIV {budget}").alias("seq_id"),
+        F2.expr(
+            f"CASE WHEN tok > 0 THEN (cum_before + tok - 1) DIV {budget} "
+            f"ELSE cum_before DIV {budget} END"
+        ).alias("end_seq_id"),
+    ).collect()
+
+    # independent model: walk the concatenated token stream
+    cum = 0
+    for r in sorted(placed, key=lambda r: r.ord):
+        t = toks[r.ord]
+        assert r.seq_id == cum // budget
+        last = (cum + t - 1) // budget if t > 0 else cum // budget
+        assert r.end_seq_id == last
+        assert (r.end_seq_id > r.seq_id) == (t > 0 and last > cum // budget)
+        cum += t
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=5),
+    weights=st.lists(st.integers(min_value=1, max_value=4), min_size=5, max_size=5),
+)
+def test_mixture_interleave_equals_stride_scheduler(spark, sizes, weights):
+    """D34's pick_time sort equals an explicit stride scheduler: source s
+    emits its r-th doc at r/w(s); ties break by (source, doc)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    rows = []
+    doc = 0
+    for si, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((doc, f"s{si}", weights[si % len(weights)]))
+            doc += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source", "weight"])
+    ranked = df.withColumn(
+        "r", F2.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    )
+    got = [
+        (r.doc_id, r.position)
+        for r in ranked.select(
+            "doc_id",
+            F2.row_number()
+            .over(
+                Window.orderBy(
+                    F2.col("r").cast("double") / F2.col("weight"), "source", "doc_id"
+                )
+            )
+            .alias("position"),
+        ).collect()
+    ]
+
+    # independent model
+    sched = []
+    per_source = {}
+    for d, s, w in rows:
+        per_source.setdefault(s, []).append((d, w))
+    for s, docs in per_source.items():
+        for r, (d, w) in enumerate(sorted(docs), start=1):
+            sched.append((r / w, s, d))
+    want = {d: i + 1 for i, (_, _, d) in enumerate(sorted(sched))}
+    assert dict(got) == want
