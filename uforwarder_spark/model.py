@@ -124,18 +124,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark size conf ('128m', '64k', '1g', bare bytes)."""
+    v = conf_val.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1], 1)
+    num = v[:-1] if v[-1] in "kmg" else v
+    return int(float(num) * mult)
+
+
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a table and ensure at least default-parallelism partitions.
 
     The synthetic test files are single-split parquet, so CPU-bound
     per-row work (tokenize/shingle/hash/fold) would otherwise run on one
-    core. At 100 TB the scan itself yields thousands of splits
-    (spark.sql.files.maxPartitionBytes) and this repartition is a no-op
-    by the gate below — it never shuffles data that is already split.
+    core. The split estimate is a pure filesystem probe (total bytes /
+    maxPartitionBytes — how Spark sizes splits, modulo small-file
+    packing) rather than df.rdd.getNumPartitions(), which converts to an
+    RDD and costs 35–100 ms of planning per fresh DataFrame. At 100 TB
+    the estimate is >> parallelism and the repartition never happens —
+    data that is already split is never shuffled.
     """
+    import glob
+    import os
+
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        files = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+        total = sum(os.path.getsize(f) for f in files)
+        max_bytes = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        est_splits = max(1, -(-total // max_bytes))
+    except OSError:
+        est_splits = 1  # unreadable probe: assume small, repartition
+    if est_splits < target:
         df = df.repartition(target)
     return df
 
