@@ -778,3 +778,19 @@ def test_workload_monitor_ttl_all_stale_group():
     df = con.execute(sql).fetchdf()
     assert (~df["present"]).all()
     assert (df["messages_per_sec"] == 0.0).all()
+
+
+def test_embedding_centroid_outliers_geometry(spark):
+    """D35: cosines are in [-1, 1]; a label's members score against
+    THEIR centroid (mean of a single-member label scores 1.0 against
+    itself up to rounding); outlier flag matches the threshold."""
+    from uforwarder_spark.operators.similarity import (
+        OUTLIER_COS,
+        embedding_centroid_outliers,
+    )
+
+    rows = embedding_centroid_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cos_to_centroid <= 1.0 + 1e-9
+        assert r.is_outlier == (r.cos_to_centroid < OUTLIER_COS)

@@ -390,3 +390,67 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("maxerr_raw", 6).alias("max_abs_err"),
         F.round("cos_raw", 6).alias("cos_recon"),
     )
+
+
+# --- D35 -----------------------------------------------------------------
+OUTLIER_COS = 0.10  # below this cosine-to-centroid a vector is an outlier
+
+CENTROID_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) > 0
+),
+per_dim AS (
+  SELECT label, d,
+         round(avg(v[d + 1]), 8) AS c
+  FROM e, range({DIM}) AS t(d)
+  GROUP BY label, d
+),
+centroids AS (
+  SELECT label, list(c ORDER BY d) AS cv, count(*) AS n_dims
+  FROM per_dim GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1] * centroids.cv[i+1]), (x, y) -> x + y) / sqrt(list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1] * e.v[i+1]), (x, y) -> x + y) * list_reduce(list_transform(range(len(centroids.cv)), i -> centroids.cv[i+1] * centroids.cv[i+1]), (x, y) -> x + y)), 6) AS cos_to_centroid,
+       round(list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1] * centroids.cv[i+1]), (x, y) -> x + y) / sqrt(list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1] * e.v[i+1]), (x, y) -> x + y) * list_reduce(list_transform(range(len(centroids.cv)), i -> centroids.cv[i+1] * centroids.cv[i+1]), (x, y) -> x + y)), 6) < {OUTLIER_COS} AS is_outlier
+FROM e JOIN centroids USING (label)
+"""
+
+
+@register("embedding_centroid_outliers", CENTROID_ORACLE)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality audit: per-cluster (label) centroid =
+    per-dimension mean, then each vector's cosine to its own centroid;
+    vectors far from their cluster center (cos < threshold) are the
+    mislabeled / noise candidates a curation pipeline re-examines. The
+    centroid is rounded to 8 digits before scoring — per-dim means sum
+    doubles across members, which is not order-stable across engines
+    (see flow_control_aggregate) — and the dot product itself is a
+    sequential fold over the fixed dim order, which is.
+
+    SCALE: posexplode fans each vector into DIM rows map-side, ONE
+    shuffle on (label, dim) computes partial means, the O(labels × DIM)
+    centroid table broadcasts back — the vectors themselves shuffle
+    never. At 100 TB this is the standard two-pass k-means-E-step shape.
+
+    Reference scope note: no uForwarder twin — D-family mandate
+    (training-data curation over the embeddings table)."""
+    e = _emb(spark, sf_dir)
+    per_dim = (
+        e.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.round(F.avg("x"), 8).alias("c"))
+    )
+    centroids = per_dim.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)").alias("cv")
+    )
+    cos = F.expr(_cos_expr("spark", "v", "cv"))
+    return (
+        e.join(F.broadcast(centroids), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("cos_to_centroid"),
+            (F.round(cos, 6) < OUTLIER_COS).alias("is_outlier"),
+        )
+    )
