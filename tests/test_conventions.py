@@ -154,3 +154,38 @@ def test_streaming_delay_constants_match_batch():
     for t, d in DELAYS:
         assert f'"{t}": {d:_}' in src, (t, d)
     assert "from .." not in src
+
+
+def test_survey_inventory_matches_registry():
+    """SURVEY.md §2 and the registry must not drift: every backticked
+    key in a §2 table row exists in QUERIES, and every registered query
+    has a §2 row. (Streaming E-rows describe pipelines, not keys.)"""
+    import re
+
+    import uforwarder_spark  # noqa: F401
+    from uforwarder_spark.registry import QUERIES
+
+    text = open("SURVEY.md").read()
+    sec2 = text.split("## §2")[1].split("## §3")[0]
+    survey_keys = set()
+    for line in sec2.splitlines():
+        m = re.match(r"\| [A-D]\d+ \| `([a-z0-9_]+)`", line)
+        if m:
+            survey_keys.add(m.group(1))
+    registered = set(QUERIES)
+    missing_rows = registered - survey_keys
+    dead_rows = survey_keys - registered
+    assert not missing_rows, f"registered but absent from SURVEY §2: {sorted(missing_rows)}"
+    assert not dead_rows, f"SURVEY §2 rows with no registered query: {sorted(dead_rows)}"
+
+
+def test_operator_index_matches_registry():
+    """docs/OPERATORS.md is generated from the registry — row count must
+    match so the index can't go stale silently."""
+    import re
+
+    import uforwarder_spark  # noqa: F401
+    from uforwarder_spark.registry import QUERIES
+
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \|", open("docs/OPERATORS.md").read(), re.M)
+    assert sorted(rows) == sorted(QUERIES)
