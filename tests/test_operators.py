@@ -526,13 +526,6 @@ def test_pending_order_round_robin_across_partitions(spark):
     """Mirrors AsyncInflightLimiterAdapterTest.testPendingMessageQueue*:
     blocked acquires complete round-robin across partitions, offset
     order within each partition."""
-    import uforwarder_spark  # noqa: F401
-    from uforwarder_spark.registry import QUERIES
-
-    from uforwarder_spark.model import messages
-    from uforwarder_spark.operators.pipeline import INFLIGHT_LIMIT
-
-    m = messages(spark, "/root/testdata/sf0.001")
     from uforwarder_spark.operators.pipeline import inflight_pending_order
 
     out = inflight_pending_order(spark, "/root/testdata/sf0.001").collect()

@@ -279,85 +279,90 @@ def test_inflight_usage_equals_sweep_model(spark, spans, limit):
     assert r.is_critical == (peak / limit > 0.8)
 
 
-@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
-@given(
-    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
-    budget=st.integers(min_value=5, max_value=50),
-)
-def test_sequence_packing_equals_python_packer(spark, toks, budget):
-    """D33's windowed formulation equals an explicit Python concat-and-
-    chunk packer on arbitrary token-length sequences (single shard)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F2
+def _hk60(s) -> int:
+    """The repo's cross-engine 60-bit md5 key (model.H_SPARK/H_DUCK)."""
+    import hashlib
 
-    # replicate the operator's layout arithmetic on a 1-shard frame
-    rows = [(i, t) for i, t in enumerate(toks)]
-    df = spark.createDataFrame(rows, ["ord", "tok"])
-    w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, -1)
-    laid = df.withColumn("cum_before", F2.coalesce(F2.sum("tok").over(w), F2.lit(0)))
-    placed = laid.select(
-        "ord",
-        "tok",
-        F2.expr(f"cum_before DIV {budget}").alias("seq_id"),
-        F2.expr(
-            f"CASE WHEN tok > 0 THEN (cum_before + tok - 1) DIV {budget} "
-            f"ELSE cum_before DIV {budget} END"
-        ).alias("end_seq_id"),
-    ).collect()
-
-    # independent model: walk the concatenated token stream
-    cum = 0
-    for r in sorted(placed, key=lambda r: r.ord):
-        t = toks[r.ord]
-        assert r.seq_id == cum // budget
-        last = (cum + t - 1) // budget if t > 0 else cum // budget
-        assert r.end_seq_id == last
-        assert (r.end_seq_id > r.seq_id) == (t > 0 and last > cum // budget)
-        cum += t
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
 
 
-@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
-@given(
-    sizes=st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=5),
-    weights=st.lists(st.integers(min_value=1, max_value=4), min_size=5, max_size=5),
-)
-def test_mixture_interleave_equals_stride_scheduler(spark, sizes, weights):
-    """D34's pick_time sort equals an explicit stride scheduler: source s
-    emits its r-th doc at r/w(s); ties break by (source, doc)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F2
+def _write_docs(tmpdir, rows, spark):
+    """rows: (doc_id, text, source) → a documents.parquet the REAL
+    registered operators can read."""
+    spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    return str(tmpdir)
 
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(toks=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=25))
+def test_sequence_packing_equals_python_packer(spark, tmp_path_factory, toks):
+    """The REAL sequence_packing operator (tmp corpus → registered fn)
+    equals an explicit Python concat-and-chunk packer, shard hashing
+    included."""
+    from uforwarder_spark.operators.training import (
+        N_EXPORT_SHARDS,
+        SEQ_TOKEN_BUDGET,
+        sequence_packing,
+    )
+
+    d = tmp_path_factory.mktemp("pack")
+    rows = [(i, "w " * t, "src") for i, t in enumerate(toks)]
+    sf = _write_docs(d, rows, spark)
+    got = {
+        (r.shard, r.seq_id): (r.n_docs, r.sum_tokens, r.n_crossing)
+        for r in sequence_packing(spark, sf).collect()
+    }
+
+    # independent model: hash to shards, walk each shard's stream
+    shards = {}
+    for i, t in enumerate(toks):
+        hk = _hk60(i)
+        shards.setdefault(hk % N_EXPORT_SHARDS, []).append((hk, i, t))
+    want = {}
+    for shard, docs in shards.items():
+        cum = 0
+        for _, _, t in sorted(docs):
+            seq = cum // SEQ_TOKEN_BUDGET
+            last = (cum + t - 1) // SEQ_TOKEN_BUDGET if t > 0 else seq
+            n_docs, sum_t, n_cross = want.get((shard, seq), (0, 0, 0))
+            want[(shard, seq)] = (n_docs + 1, sum_t + t, n_cross + (last > seq))
+            cum += t
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(sizes=st.lists(st.integers(min_value=1, max_value=6), min_size=2, max_size=5))
+def test_mixture_interleave_equals_stride_scheduler(spark, tmp_path_factory, sizes):
+    """The REAL mixture_interleave operator equals an explicit stride
+    scheduler: source s emits its r-th doc (hash order) at r/w(s) with
+    w(s) = 1 + hash(s) % N; ties break by (source, doc)."""
+    from uforwarder_spark.operators.training import (
+        N_MIXTURE_WEIGHTS,
+        mixture_interleave,
+    )
+
+    d = tmp_path_factory.mktemp("mix")
     rows = []
     doc = 0
     for si, n in enumerate(sizes):
         for _ in range(n):
-            rows.append((doc, f"s{si}", weights[si % len(weights)]))
+            rows.append((doc, "x", f"s{si}"))
             doc += 1
-    df = spark.createDataFrame(rows, ["doc_id", "source", "weight"])
-    ranked = df.withColumn(
-        "r", F2.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
-    )
-    got = [
-        (r.doc_id, r.position)
-        for r in ranked.select(
-            "doc_id",
-            F2.row_number()
-            .over(
-                Window.orderBy(
-                    F2.col("r").cast("double") / F2.col("weight"), "source", "doc_id"
-                )
-            )
-            .alias("position"),
-        ).collect()
-    ]
+    sf = _write_docs(d, rows, spark)
+    got = {r.doc_id: (r.position, r.weight) for r in mixture_interleave(spark, sf).collect()}
 
-    # independent model
     sched = []
     per_source = {}
-    for d, s, w in rows:
-        per_source.setdefault(s, []).append((d, w))
+    for doc_id, _, s in rows:
+        per_source.setdefault(s, []).append((_hk60(doc_id), doc_id))
+    weights = {s: 1 + _hk60(s) % N_MIXTURE_WEIGHTS for s in per_source}
     for s, docs in per_source.items():
-        for r, (d, w) in enumerate(sorted(docs), start=1):
-            sched.append((r / w, s, d))
-    want = {d: i + 1 for i, (_, _, d) in enumerate(sorted(sched))}
-    assert dict(got) == want
+        for r, (_, doc_id) in enumerate(sorted(docs), start=1):
+            sched.append((r / weights[s], s, doc_id))
+    want = {
+        doc_id: (pos + 1, weights[s]) for pos, (_, s, doc_id) in enumerate(sorted(sched))
+    }
+    assert got == want

@@ -80,3 +80,31 @@ def test_ts_normalized_to_ltz(spark, variant_dirs, variant):
 
     df = load_table(spark, variant_dirs[variant], "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_ns_generation_reads_without_legacy_conf(spark, variant_dirs):
+    """The TIMESTAMP(NANOS) generation must load via the explicit-schema
+    path, leaving spark.sql.legacy.parquet.nanosAsLong untouched — a
+    session-wide flip would silently corrupt any OTHER nanos column read
+    later in the session."""
+    from uforwarder_spark.model import load_table
+
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = load_table(spark, variant_dirs["ns"], "events")
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == before == "false"
+
+
+def test_size_conf_spellings():
+    """_size_bytes accepts every documented Spark size spelling."""
+    from uforwarder_spark.model import _size_bytes
+
+    assert _size_bytes("128m") == _size_bytes("128MB") == 128 << 20
+    assert _size_bytes("64k") == _size_bytes("64kb") == 64 << 10
+    assert _size_bytes("1g") == _size_bytes("1GB") == 1 << 30
+    assert _size_bytes("4194304") == 4 << 20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _size_bytes("lots")

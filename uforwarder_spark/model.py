@@ -101,11 +101,46 @@ def _ts_unit(path: str) -> str | None:
         return None
 
 
+def _events_ns_schema(path: str):
+    """Explicit read schema for a TIMESTAMP(NANOS) events file: ts as raw
+    LongType (the physical INT64), every other column mapped from the
+    parquet footer. Reading with an explicit schema sidesteps the
+    session-wide nanosAsLong legacy conf entirely — no other table read
+    in the session can be affected."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    pa_to_spark = {
+        "int32": T.IntegerType,
+        "int64": T.LongType,
+        "float": T.FloatType,
+        "double": T.DoubleType,
+        "string": T.StringType,
+        "large_string": T.StringType,
+        "bool": T.BooleanType,
+    }
+    f = path
+    if os.path.isdir(path):
+        f = glob.glob(os.path.join(path, "*.parquet"))[0]
+    fields = []
+    for field in pq.read_schema(f):
+        if field.name == "ts":
+            fields.append(T.StructField("ts", T.LongType()))
+        else:
+            fields.append(T.StructField(field.name, pa_to_spark[str(field.type)]()))
+    return T.StructType(fields)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Driver generations vary the physical type of events.ts:
-        #   TIMESTAMP(NANOS)  -> Spark rejects; read as long, truncate to
-        #                        micros (same truncation DuckDB applies)
+        #   TIMESTAMP(NANOS)  -> Spark rejects; read via an explicit
+        #                        schema with ts as raw long nanos, then
+        #                        truncate to micros (the same truncation
+        #                        DuckDB applies, so oracle parity holds)
         #   TIMESTAMP(MICROS) -> arrives as TIMESTAMP_NTZ
         # Normalize EVERY generation to TIMESTAMP_LTZ: the session TZ is
         # pinned to UTC (session.py), so NTZ->LTZ is value-preserving and
@@ -115,21 +150,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         path = f"{sf_dir}/{name}.parquet"
         if _ts_unit(path) == "ns":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes)["ts"] == "bigint":
+            df = spark.read.schema(_events_ns_schema(path)).parquet(path)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        else:
+            df = spark.read.parquet(path)
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _size_bytes(conf_val: str) -> int:
-    """Parse a Spark size conf ('128m', '64k', '1g', bare bytes)."""
-    v = conf_val.strip().lower()
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1], 1)
-    num = v[:-1] if v[-1] in "kmg" else v
-    return int(float(num) * mult)
+    """Parse a Spark size conf in any of its documented spellings:
+    '128m', '128MB', '64kb', '1g', bare bytes."""
+    import re
+
+    m = re.fullmatch(r"\s*([0-9.]+)\s*([kmgtp]?)b?\s*", conf_val.lower())
+    if not m:
+        raise ValueError(f"unparseable size: {conf_val!r}")
+    num, suffix = m.groups()
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    return int(float(num) * mult[suffix])
 
 
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -137,12 +177,14 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The synthetic test files are single-split parquet, so CPU-bound
     per-row work (tokenize/shingle/hash/fold) would otherwise run on one
-    core. The split estimate is a pure filesystem probe (total bytes /
-    maxPartitionBytes — how Spark sizes splits, modulo small-file
-    packing) rather than df.rdd.getNumPartitions(), which converts to an
-    RDD and costs 35–100 ms of planning per fresh DataFrame. At 100 TB
-    the estimate is >> parallelism and the repartition never happens —
-    data that is already split is never shuffled.
+    core. The split estimate replicates Spark's own maxSplitBytes
+    formula (FilePartition: min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / defaultParallelism))) from a pure filesystem probe
+    rather than df.rdd.getNumPartitions(), which converts to an RDD and
+    costs 35–100 ms of planning per fresh DataFrame. Any table whose
+    scan already parallelizes estimates >= target and is never
+    re-shuffled; any probe failure assumes small and repartitions (the
+    safe direction for the per-row-CPU operators that call this).
     """
     import glob
     import os
@@ -154,8 +196,11 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         files = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
         total = sum(os.path.getsize(f) for f in files)
         max_bytes = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-        est_splits = max(1, -(-total // max_bytes))
-    except OSError:
+        open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4m"))
+        bytes_per_core = (total + len(files) * open_cost) // max(1, target)
+        max_split = min(max_bytes, max(open_cost, bytes_per_core))
+        est_splits = max(1, -(-total // max(1, max_split)))
+    except Exception:
         est_splits = 1  # unreadable probe: assume small, repartition
     if est_splits < target:
         df = df.repartition(target)

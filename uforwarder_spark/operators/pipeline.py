@@ -1328,8 +1328,9 @@ pending AS (
   FROM messages WHERE NOT acked
 ),
 blocked AS (
-  SELECT topic, part_id, msg_offset,
-         row_number() OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS queue_pos
+  -- rn is dense per partition, so the blocked queue position is just
+  -- the offset-rank beyond the admit cap: no second window needed
+  SELECT topic, part_id, msg_offset, rn - {INFLIGHT_LIMIT} AS queue_pos
   FROM pending WHERE rn > {INFLIGHT_LIMIT}
 )
 SELECT topic, part_id, msg_offset, queue_pos,
@@ -1358,9 +1359,9 @@ def inflight_pending_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending = m.filter(~F.col("acked")).withColumn(
         "rn", F.row_number().over(Window.partitionBy("topic", "part_id").orderBy("msg_offset"))
     )
+    # rn is dense per partition → queue position is rn - cap, no second window
     blocked = pending.filter(F.col("rn") > INFLIGHT_LIMIT).withColumn(
-        "queue_pos",
-        F.row_number().over(Window.partitionBy("topic", "part_id").orderBy("msg_offset")),
+        "queue_pos", (F.col("rn") - INFLIGHT_LIMIT).cast("long")
     )
     return blocked.withColumn(
         "completion_rank",
