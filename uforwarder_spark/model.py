@@ -150,7 +150,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         path = f"{sf_dir}/{name}.parquet"
         if _ts_unit(path) == "ns":
-            df = spark.read.schema(_events_ns_schema(path)).parquet(path)
+            try:
+                schema = _events_ns_schema(path)
+            except Exception:
+                # a future generation added a column type the footer
+                # mapper doesn't know: degrade to the legacy session conf
+                # (narrower isolation, but the table still loads)
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                schema = None
+            df = spark.read.schema(schema).parquet(path) if schema else spark.read.parquet(path)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         else:
             df = spark.read.parquet(path)
