@@ -32,6 +32,15 @@ STAGES = [
     ("10. fetcher resume: seek-start offset resolution", "checkpoint_resume"),
     ("11. worker lease expiry → job reassignment", "worker_lease_reassignment"),
     ("12. projected time-to-quota (least-squares)", "autoscale_prediction"),
+    ("13. cold-start slow-start: bootstrap → working phase", "inflight_bootstrap"),
+    ("14. blocked-acquire drain order (round-robin)", "inflight_pending_order"),
+    ("15. fetcher ack-side throughput → controller workload", "fetcher_throughput"),
+    ("16. latency vs Little's-law ceilings", "latency_littles_law"),
+    ("17. inflight-limit usage (lag caused by limiting?)", "inflight_usage_critical"),
+    ("18. pod-ified rebalance groups with fallback", "pod_assignment_groups"),
+    ("19. pipeline flow control (summed job quotas)", "flow_control_aggregate"),
+    ("20. TTL-gated workload sums for the autoscaler", "workload_monitor_ttl"),
+    ("21. DLQ/retry produce-side flush batches", "dlq_produce_batches"),
 ]
 
 
