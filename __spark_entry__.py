@@ -30,7 +30,7 @@ _KEY_PRIORITY = [
     "latency_littles_law", "flow_control_aggregate",
     "corpus_shuffle_export", "sequence_packing", "mixture_interleave",
     "inflight_usage_critical", "workload_monitor_ttl",
-    "embedding_centroid_outliers",
+    "embedding_centroid_outliers", "incremental_dedup",
     # -- touched by the round-3 ts normalization fix (model.py load_table):
     #    every operator reading messages()/events gets a fresh driver row --
     "fetch_offset_range", "filter_messages", "route_messages",

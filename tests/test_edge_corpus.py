@@ -433,3 +433,32 @@ def test_mixture_interleave_dense_positions(spark, edge_dir):
     rows = sorted(mixture_interleave(spark, edge_dir).collect(), key=lambda r: r.position)
     assert [r.position for r in rows] == list(range(1, len(EDGE_DOCS) + 1))
     assert sorted(r.doc_id for r in rows) == [d[0] for d in EDGE_DOCS]
+
+
+def test_incremental_dedup_actions(spark, tmp_path_factory):
+    """D36: an incoming doc duplicating an EXISTING doc drops with the
+    match recorded; an incoming near-copy of another INCOMING doc is
+    kept (the asymmetric join never pairs incoming with incoming)."""
+    from uforwarder_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        # existing corpus (even source number)
+        (0, base, "en", "src0", len(base)),
+        (1, "completely unrelated text about spark shuffles", "en", "src2", 46),
+        # incoming batch (odd source number)
+        (10, base, "en", "src1", len(base)),                 # dup of 0 -> drop
+        (11, "fresh new content never seen before today", "en", "src1", 41),  # keep
+        (12, "fresh new content never seen before yesterday", "en", "src3", 45),  # near-dup of 11 but both incoming -> keep
+    ]
+    d = tmp_path_factory.mktemp("incr")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r.doc_id: r for r in incremental_dedup(spark, str(d)).collect()}
+    assert set(out) == {10, 11, 12}  # only incoming docs are decided
+    assert out[10].action == "drop" and out[10].match_doc_id == 0
+    assert out[10].jaccard == 1.0
+    assert out[11].action == "keep" and out[11].match_doc_id is None
+    assert out[12].action == "keep"

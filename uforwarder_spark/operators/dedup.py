@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import TOKENS_DUCK, TOKENS_SPARK
@@ -672,5 +672,157 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_contaminated"),
             F.countDistinct("eval_doc_id").alias("n_eval_hit"),
+        )
+    )
+
+
+# --- D36 -----------------------------------------------------------------
+INCR_JACCARD_T = 0.5
+
+_INCR_BAND_UNION_DUCK = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, side, {b} AS band, s{4 * b} AS k0, s{4 * b + 1} AS k1, "
+    f"s{4 * b + 2} AS k2, s{4 * b + 3} AS k3 FROM sig"
+    for b in range(N_BANDS)
+)
+
+INCR_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 AS side, {TOKENS_DUCK} AS ts
+  FROM documents
+),
+sh3 AS (
+  SELECT doc_id, side, {_shingle3_duck()} AS g3 FROM t
+),
+ex AS (
+  SELECT doc_id, side, {H_DUCK.format(col='sh')} % {P} AS hm
+  FROM (SELECT doc_id, side, unnest(g3) AS sh FROM sh3)
+),
+sig AS (
+  SELECT doc_id, side,
+         {_SIG_MINS_DUCK}
+  FROM ex GROUP BY doc_id, side
+),
+band_rows AS (
+{_INCR_BAND_UNION_DUCK}
+),
+cand AS (
+  SELECT DISTINCT i.doc_id AS in_doc, e.doc_id AS ex_doc
+  FROM band_rows i JOIN band_rows e
+    ON i.band = e.band AND i.k0 = e.k0 AND i.k1 = e.k1 AND i.k2 = e.k2
+   AND i.k3 = e.k3 AND i.side = 1 AND e.side = 0
+),
+verified AS (
+  SELECT c.in_doc, c.ex_doc,
+         round(CAST(len(list_intersect(si.g3, se.g3)) AS DOUBLE)
+               / len(list_distinct(list_concat(si.g3, se.g3))), 6) AS jaccard
+  FROM cand c
+  JOIN sh3 si ON si.doc_id = c.in_doc
+  JOIN sh3 se ON se.doc_id = c.ex_doc
+  WHERE CAST(len(list_intersect(si.g3, se.g3)) AS DOUBLE)
+        / len(list_distinct(list_concat(si.g3, se.g3))) >= {INCR_JACCARD_T}
+),
+best AS (
+  SELECT in_doc, ex_doc, jaccard,
+         row_number() OVER (PARTITION BY in_doc ORDER BY jaccard DESC, ex_doc) AS rn
+  FROM verified
+)
+SELECT t.doc_id,
+       b.ex_doc   AS match_doc_id,
+       b.jaccard  AS jaccard,
+       CASE WHEN b.ex_doc IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON t.doc_id = b.in_doc
+WHERE t.side = 1
+"""
+
+
+@register("incremental_dedup", INCR_DEDUP_ORACLE)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: a NEW batch of documents (odd-
+    numbered sources stand in for the fresh crawl) is deduplicated
+    AGAINST the existing corpus (even-numbered sources) — the everyday
+    production shape where re-deduplicating the whole corpus per
+    increment would be quadratic in ingests. Same MinHash+LSH machinery
+    as D2, but the band join is ASYMMETRIC (incoming × existing only —
+    no incoming-incoming or existing-existing pairs), each incoming doc
+    keeps its best verified match (highest Jaccard, doc-id tie-break),
+    and unmatched incoming docs are kept.
+
+    SCALE: existing-corpus signatures are computed once and at 100 TB
+    would be a persisted table updated per ingest; the incoming side is
+    batch-sized. The band join's output is bounded by colliding-bucket
+    products, never |existing| × |incoming|; all joins hash, no windows
+    beyond the per-incoming-doc argmax over its few matches.
+
+    Reference scope note: no uForwarder twin — D-family mandate
+    (training-data curation: dedup a new crawl against the corpus)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "side", F.expr("CAST(substring(source, 4) AS INT) % 2")
+    )
+    sh3 = (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .select("doc_id", "side", F.expr(_shingle3_spark()).alias("g3"))
+        .withColumn("hs", F.expr(f"transform(g3, sh -> {H_SPARK.format(col='sh')} % {P})"))
+        .persist()  # feeds signatures + both verify probes; freed by LRU /
+        # bench clearCache between queries.
+    )
+    a_lit = "array(" + ", ".join(map(str, A)) + ")"
+    b_lit = "array(" + ", ".join(map(str, B)) + ")"
+    sig = sh3.select(
+        "doc_id",
+        "side",
+        F.expr(
+            f"transform(sequence(0, {N_PERM - 1}), k -> "
+            f"array_min(transform(hs, h -> (h * {a_lit}[k] + {b_lit}[k]) % {P})))"
+        ).alias("sig"),
+    )
+    band_rows = sig.select(
+        "doc_id",
+        "side",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, "
+                "sig[4*b] AS k0, sig[4*b+1] AS k1, sig[4*b+2] AS k2, sig[4*b+3] AS k3))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "side", "bb.band", "bb.k0", "bb.k1", "bb.k2", "bb.k3")
+    i, e = band_rows.filter("side = 1").alias("i"), band_rows.filter("side = 0").alias("e")
+    cand = (
+        i.join(
+            e,
+            (F.col("i.band") == F.col("e.band"))
+            & (F.col("i.k0") == F.col("e.k0"))
+            & (F.col("i.k1") == F.col("e.k1"))
+            & (F.col("i.k2") == F.col("e.k2"))
+            & (F.col("i.k3") == F.col("e.k3")),
+        )
+        .select(F.col("i.doc_id").alias("in_doc"), F.col("e.doc_id").alias("ex_doc"))
+        .distinct()
+    )
+    si = sh3.select(F.col("doc_id").alias("in_doc"), F.col("g3").alias("g3_i"))
+    se = sh3.select(F.col("doc_id").alias("ex_doc"), F.col("g3").alias("g3_e"))
+    jac = F.expr(
+        "CAST(size(array_intersect(g3_i, g3_e)) AS DOUBLE) / size(array_union(g3_i, g3_e))"
+    )
+    verified = (
+        cand.join(si, "in_doc")
+        .join(se, "ex_doc")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= INCR_JACCARD_T)
+        .select("in_doc", "ex_doc", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+    best = verified.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("in_doc").orderBy(F.col("jaccard").desc(), "ex_doc")
+        ),
+    ).filter(F.col("rn") == 1)
+    incoming = docs.filter("side = 1").select("doc_id")
+    return (
+        incoming.join(best.withColumnRenamed("in_doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("ex_doc").alias("match_doc_id"),
+            "jaccard",
+            F.when(F.col("ex_doc").isNull(), "keep").otherwise("drop").alias("action"),
         )
     )
