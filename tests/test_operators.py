@@ -787,3 +787,150 @@ def test_embedding_centroid_outliers_geometry(spark):
     for r in rows:
         assert -1.0 - 1e-9 <= r.cos_to_centroid <= 1.0 + 1e-9
         assert r.is_outlier == (r.cos_to_centroid < OUTLIER_COS)
+
+
+# --- A32 resq routing (BACKOFF rewrite precedence) ------------------------
+def _resq_frame(spark, rows):
+    # (topic, part_id, msg_offset, retry_count, acked, ts)
+    return spark.createDataFrame(
+        rows, ["topic", "part_id", "msg_offset", "retry_count", "acked", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+_T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_resq_dlq_source_pins_to_dlq(spark):
+    from uforwarder_spark.operators.pipeline import resq_routing_frame
+
+    # offset 23 % 23 == 0 -> consumed from the DLQ topic; even with a huge
+    # retry_count and zero tokens it must stay DLQ (never re-enters queues)
+    m = _resq_frame(spark, [("t", 0, 23, 5, False, _T0)])
+    r = resq_routing_frame(m).collect()
+    assert len(r) == 1 and r[0].src_tier == "dlq"
+    assert r[0].n_to_dlq == 1 and r[0].n_invalid == 0 and r[0].n_to_retry == 0
+
+
+def test_resq_resq_source_converts_to_invalid(spark):
+    from uforwarder_spark.operators.pipeline import resq_routing_frame
+
+    # offset 24 % 23 == 1 -> consumed from the resilience queue; must become
+    # INVALID (in-memory retry), not DLQ, even with exhausted timeout budget
+    m = _resq_frame(spark, [("t", 0, 24, 5, False, _T0)])
+    r = resq_routing_frame(m).collect()
+    assert len(r) == 1 and r[0].src_tier == "resq"
+    assert r[0].n_invalid == 1 and r[0].n_to_dlq == 0 and r[0].n_to_retry == 0
+
+
+def test_resq_third_branch_token_gates_dlq(spark):
+    from uforwarder_spark.operators.pipeline import resq_routing_frame
+
+    # two exhausted originals in the same window: the default token admits
+    # the first to DLQ, the second finds the balance negative -> RETRY
+    m = _resq_frame(
+        spark,
+        [
+            ("t", 0, 3, 5, False, _T0),
+            ("t", 0, 4, 5, False, datetime(2024, 1, 1, 0, 0, 1)),
+        ],
+    )
+    rows = {r.src_tier: r for r in resq_routing_frame(m).collect()}
+    assert rows["retry"].n_to_dlq == 1 and rows["retry"].n_to_retry == 1
+
+
+def test_resq_unexhausted_budget_stays_retry(spark):
+    from uforwarder_spark.operators.pipeline import resq_routing_frame
+
+    # retry_count below the timeout budget never tries the limiter
+    m = _resq_frame(spark, [("t", 0, 3, 1, False, _T0)])
+    r = resq_routing_frame(m).collect()
+    assert r[0].n_to_retry == 1 and r[0].n_to_dlq == 0
+
+
+def test_resq_credit_restores_token(spark):
+    from uforwarder_spark.operators.pipeline import resq_routing_frame
+
+    # an acked completion between two exhausted candidates credits one
+    # token, so BOTH candidates convert to DLQ (1 default + 1 credit)
+    m = _resq_frame(
+        spark,
+        [
+            ("t", 0, 3, 5, False, _T0),
+            ("t", 0, 6, 0, True, datetime(2024, 1, 1, 0, 0, 1)),
+            ("t", 0, 4, 5, False, datetime(2024, 1, 1, 0, 0, 2)),
+        ],
+    )
+    rows = {r.src_tier: r for r in resq_routing_frame(m).collect()}
+    assert rows["retry"].n_to_dlq == 2 and rows["retry"].n_to_retry == 0
+
+
+# --- A34 head blocking cancel decision matrix -----------------------------
+def _hbc(spark, rows, **kw):
+    from uforwarder_spark.operators.pipeline import head_blocking_cancel_frame
+
+    m = spark.createDataFrame(rows, ["topic", "part_id", "msg_offset", "acked"])
+    return {(r.topic, r.part_id): r for r in head_blocking_cancel_frame(m, **kw).collect()}
+
+
+def _queue(topic, part, n, unacked_offsets):
+    return [(topic, part, off, off not in unacked_offsets) for off in range(n)]
+
+
+def test_hbc_all_acked_has_no_cancelable(spark):
+    r = _hbc(spark, _queue("click", 3, 10, set()), capacity=10)[("click", 3)]
+    assert r.verdict == "NO_CANCELABLE" and r.response_code == "INVALID"
+    assert r.head_offset is None
+
+
+def test_hbc_below_critical_load_not_blocking(spark):
+    # 20-slot queue holding 10 -> load 0.5 < 0.9, regardless of ack pct
+    r = _hbc(spark, _queue("click", 3, 10, {0}), capacity=20)[("click", 3)]
+    assert r.verdict == "NOT_BLOCKING"
+
+
+def test_hbc_low_ack_percent_not_blocking(spark):
+    # full queue but only half acked behind the head -> poison-pill signal
+    # absent, the queue is slow, not blocked
+    rows = _queue("click", 3, 20, {0, 2, 4, 6, 8, 10, 12, 14, 16, 18})
+    r = _hbc(spark, rows, capacity=20)[("click", 3)]
+    assert r.verdict == "NOT_BLOCKING"
+
+
+def test_hbc_dlq_job_not_supported(spark):
+    # part 0 simulates a job consuming the DLQ topic: never cancelable
+    r = _hbc(spark, _queue("click", 0, 20, {0}), capacity=20)[("click", 0)]
+    assert r.verdict == "JOB_NOT_SUPPORTED" and r.response_code == "INVALID"
+
+
+def test_hbc_resq_rule_wins_over_retry(spark):
+    # click has resq configured; an original-tier job cancels to RESQ (cost 2)
+    r = _hbc(spark, _queue("click", 3, 20, {0}), capacity=20)[("click", 3)]
+    assert r.verdict == "CANCEL" and r.response_code == "RESQ" and r.cost_tokens == 2
+
+
+def test_hbc_retry_rule_when_no_resq(spark):
+    # purchase has retry only; cost 50 exceeds the 49 acked credits -> limited
+    r = _hbc(spark, _queue("purchase", 3, 50, {0}), capacity=50)[("purchase", 3)]
+    assert r.verdict == "RATE_LIMITED" and r.response_code == "INVALID"
+    # with >= 50 credits the same queue cancels to RETRY
+    r = _hbc(spark, _queue("purchase", 3, 60, {0}), capacity=60)[("purchase", 3)]
+    assert r.verdict == "CANCEL" and r.response_code == "RETRY" and r.cost_tokens == 50
+
+
+def test_hbc_resq_job_cannot_use_resq(spark):
+    # part 1 simulates a job consuming the resilience queue: neither rule
+    # applies (resq can't mitigate resq; retry rule excludes resq jobs)
+    r = _hbc(spark, _queue("click", 1, 20, {0}), capacity=20)[("click", 1)]
+    assert r.verdict == "JOB_NOT_SUPPORTED"
+
+
+def test_hbc_retry_job_can_use_resq(spark):
+    # part 2 simulates a retry-queue job; resq mitigation is still allowed
+    r = _hbc(spark, _queue("click", 2, 20, {0}), capacity=20)[("click", 2)]
+    assert r.verdict == "CANCEL" and r.response_code == "RESQ"
+
+
+def test_hbc_no_mitigation_queues(spark):
+    # signup has neither resq nor retry configured
+    r = _hbc(spark, _queue("signup", 3, 20, {0}), capacity=20)[("signup", 3)]
+    assert r.verdict == "JOB_NOT_SUPPORTED"

@@ -212,9 +212,17 @@ def test_inflight_bootstrap_broadcast_phase_join(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_mixture_interleave_single_global_window_only(spark):
-    """D34: exactly one SinglePartition exchange (the documented global
-    position window); per-source ranks stay hash-partitioned."""
+def test_mixture_interleave_has_no_single_partition_stage(spark):
+    """D34: the round-3 verdict flagged the global position row_number as
+    a single-reducer scale-killer. The rewrite (range sort + two-pass
+    partition-offset index) must plan with ZERO SinglePartition exchanges
+    and zero global-order Windows — every stage stays partitioned."""
     plan = plan_of(spark, "mixture_interleave")
-    assert plan.count("Exchange SinglePartition") == 1
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan, plan
+    # every window spec is the per-source rank (partitioned by source);
+    # a partition-less spec opens straight with the ORDER column instead
+    for i in range(len(plan)):
+        if plan.startswith("windowspecdefinition(", i):
+            seg = plan[i : i + 60]
+            assert seg.startswith("windowspecdefinition(source#"), seg
+    assert "Exchange rangepartitioning" in plan  # the one wide exchange

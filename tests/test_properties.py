@@ -366,3 +366,47 @@ def test_mixture_interleave_equals_stride_scheduler(spark, tmp_path_factory, siz
         doc_id: (pos + 1, weights[s]) for pos, (_, s, doc_id) in enumerate(sorted(sched))
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    results=st.lists(
+        st.sampled_from(["succeed", "dropped", "ignored"]), min_size=1, max_size=40
+    ),
+    batch=st.integers(min_value=1, max_value=7),
+)
+def test_aimd_limiter_equals_reference_model(spark, results, batch):
+    """A33's JVM fold matches a direct Python replay of the AIMD policy
+    (AdaptiveInflightLimiter.doComplete result handling)."""
+    from uforwarder_spark.operators.pipeline import (
+        AIMD_INIT,
+        AIMD_MAX,
+        AIMD_MIN,
+        aimd_limiter_frame,
+    )
+
+    # encode results through the message model: dropped -> outcome DLQ,
+    # succeed -> acked, ignored -> RETRY (not acked, not dropped)
+    rows = []
+    for off, res in enumerate(results):
+        outcome = {"succeed": "OK", "dropped": "DLQ", "ignored": "RETRY"}[res]
+        rows.append(("t", 0, off, outcome, res == "succeed"))
+    m = spark.createDataFrame(rows, ["topic", "part_id", "msg_offset", "outcome", "acked"])
+    r = aimd_limiter_frame(m, batch=batch).collect()[0]
+
+    lim, n_inc, n_dec = AIMD_INIT, 0, 0
+    min_lim = max_lim = AIMD_INIT
+    n_batches = 0
+    for i in range(0, len(results), batch):
+        chunk = results[i : i + batch]
+        n_batches += 1
+        if "dropped" in chunk:
+            lim = max(AIMD_MIN, lim // 2)
+            n_dec += 1
+        elif "succeed" in chunk:
+            lim = min(AIMD_MAX, lim + 1)
+            n_inc += 1
+        min_lim, max_lim = min(min_lim, lim), max(max_lim, lim)
+    assert (r.n_batches, r.final_limit) == (n_batches, lim)
+    assert (r.n_increase, r.n_decrease) == (n_inc, n_dec)
+    assert (r.min_limit, r.max_limit) == (min_lim, max_lim)

@@ -149,7 +149,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         path = f"{sf_dir}/{name}.parquet"
-        if _ts_unit(path) == "ns":
+        unit = _ts_unit(path)
+        if unit == "ns":
             try:
                 schema = _events_ns_schema(path)
             except Exception:
@@ -160,6 +161,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 schema = None
             df = spark.read.schema(schema).parquet(path) if schema else spark.read.parquet(path)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif unit is None:
+            # Probe inconclusive (pyarrow missing / file unreadable): the
+            # generation may still be TIMESTAMP(NANOS), which the plain
+            # reader rejects at schema resolution. Try plain first; on
+            # failure retry via the legacy nanos conf (the degraded path
+            # above) so NANOS generations load without pyarrow.
+            try:
+                df = spark.read.parquet(path)
+                df.schema  # force schema resolution now
+            except Exception:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path)
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         else:
             df = spark.read.parquet(path)
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))

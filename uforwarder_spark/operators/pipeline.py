@@ -1377,11 +1377,11 @@ FETCHER_THROUGHPUT_ORACLE = f"""{MSG_CTE}
 SELECT topic, part_id,
        CAST(count(CASE WHEN acked THEN 1 END) AS BIGINT)  AS n_acked,
        CAST(sum(CASE WHEN acked THEN size_bytes ELSE 0 END) AS BIGINT) AS acked_bytes,
-       epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts)) AS elapsed_ms,
+       epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts)) + 1 AS elapsed_ms,
        CAST(count(CASE WHEN acked THEN 1 END) AS DOUBLE) * 1000.0
-         / (epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts))) AS msgs_per_sec,
+         / (epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts)) + 1) AS msgs_per_sec,
        CAST(sum(CASE WHEN acked THEN size_bytes ELSE 0 END) AS DOUBLE) * 1000.0
-         / (epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts))) AS bytes_per_sec,
+         / (epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - epoch_ms(min(ts)) + 1) AS bytes_per_sec,
        CAST(count(CASE WHEN acked AND epoch_ms(ts) >
              epoch_ms(TIMESTAMP '{THROUGHPUT_AS_OF}') - {RECENT_WINDOW_MS}
            THEN 1 END) AS BIGINT)                          AS recent_msgs,
@@ -1415,7 +1415,11 @@ def fetcher_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = m.groupBy("topic", "part_id").agg(
         F.count(F.when(acked, 1)).alias("n_acked"),
         F.sum(F.when(acked, F.col("size_bytes")).otherwise(0)).alias("acked_bytes"),
-        (as_of_ms - F.unix_millis(F.min("ts"))).alias("elapsed_ms"),
+        # +1 ms guards the elapsed==0 edge (earliest ts == THROUGHPUT_AS_OF):
+        # Spark integer division would yield NULL but DuckDB double division
+        # yields inf — a cross-engine parity divergence. Same trick as
+        # littles_law_frame's span denominator.
+        (as_of_ms - F.unix_millis(F.min("ts")) + F.lit(1)).alias("elapsed_ms"),
         F.count(F.when(recent, 1)).alias("recent_msgs"),
         F.sum(F.when(recent, F.col("size_bytes")).otherwise(0)).alias("recent_bytes"),
     )
@@ -1661,3 +1665,483 @@ def inflight_usage_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle on (topic, part_id) serves both the running-sum window
     and the final agg. No joins, no global order."""
     return inflight_usage_frame(messages(spark, sf_dir))
+
+
+# --- A32 -----------------------------------------------------------------
+# Deterministic source-tier simulation: which queue a message was consumed
+# FROM (original topic, tiered retry topic, DLQ topic, or resilience
+# queue). Mirrors RetryUtils.isRetryTopic/isDLQTopic/isResqTopic, which
+# classify by comparing the consumed topic against the job's queue config.
+SRC_TIER_SQL = """CASE
+    WHEN msg_offset % 23 = 0 THEN 'dlq'
+    WHEN msg_offset % 23 = 1 THEN 'resq'
+    WHEN retry_count > 0 THEN 'retry'
+    ELSE 'original' END"""
+
+RESQ_ROUTING_ORACLE = f"""{MSG_CTE},
+tiered AS (
+  SELECT *, {SRC_TIER_SQL} AS src_tier FROM messages
+),
+flow AS (
+  SELECT topic, part_id, msg_offset, src_tier, retry_count, acked,
+         epoch_ms(ts) AS ms,
+         CASE WHEN acked THEN 1
+              WHEN src_tier NOT IN ('dlq', 'resq')
+                   AND retry_count >= {TIMEOUT_RETRIES} THEN -1
+              ELSE 0 END AS credit_net
+  FROM tiered
+),
+balance AS (
+  SELECT *,
+         {CREDIT_DEFAULT_TOKENS} + sum(credit_net) OVER (
+           PARTITION BY topic, part_id ORDER BY ms
+           RANGE BETWEEN {CREDIT_WINDOW_MS - 1} PRECEDING AND CURRENT ROW
+         ) AS tokens_after
+  FROM flow
+),
+rewritten AS (
+  SELECT topic, msg_offset, src_tier,
+         CASE WHEN src_tier = 'dlq' THEN 'DLQ'
+              WHEN src_tier = 'resq' THEN 'INVALID'
+              WHEN retry_count >= {TIMEOUT_RETRIES} AND tokens_after >= 0
+                THEN 'DLQ'
+              ELSE 'RETRY' END AS final_outcome
+  FROM balance WHERE NOT acked
+)
+SELECT topic, src_tier,
+       count(*)                                                    AS n_backoff,
+       CAST(count(*) FILTER (WHERE final_outcome = 'DLQ') AS BIGINT)
+                                                                   AS n_to_dlq,
+       CAST(count(*) FILTER (WHERE final_outcome = 'INVALID') AS BIGINT)
+                                                                   AS n_invalid,
+       CAST(count(*) FILTER (WHERE final_outcome = 'RETRY') AS BIGINT)
+                                                                   AS n_to_retry,
+       min(msg_offset)                                   AS first_backoff_offset
+FROM rewritten
+GROUP BY topic, src_tier
+"""
+
+
+def resq_routing_frame(m: DataFrame) -> DataFrame:
+    """Frame-level A32 (unit-testable): the full BACKOFF rewrite
+    precedence of ProcessorImpl.handleTimeout
+    (uforwarder/.../worker/processor/ProcessorImpl.java:431-466) with
+    RetryUtils source-tier classification (utils/RetryUtils.java:91-107):
+
+      1. consumed FROM the DLQ topic        -> DLQ     (never re-enters
+         other queues)
+      2. consumed FROM the resilience queue -> INVALID (in-memory retry;
+         must not leak to other queues)
+      3. otherwise: timeout budget exhausted AND a DlqDispatchManager
+         token available -> DLQ, else -> RETRY (A25's windowed token
+         balance, pessimistic deterministic variant)
+
+    Acked completions credit the limiter (handleTimeout SKIP/COMMIT
+    branch); tier-ineligible BACKOFFs never touch it (credit_net = 0)."""
+    src_tier = (
+        F.when(F.col("msg_offset") % 23 == 0, "dlq")
+        .when(F.col("msg_offset") % 23 == 1, "resq")
+        .when(F.col("retry_count") > 0, "retry")
+        .otherwise("original")
+    )
+    tiered = m.withColumn("src_tier", src_tier)
+    eligible = (
+        ~F.col("src_tier").isin("dlq", "resq")
+        & (F.col("retry_count") >= TIMEOUT_RETRIES)
+    )
+    flow = tiered.select(
+        "topic",
+        "part_id",
+        "msg_offset",
+        "src_tier",
+        "retry_count",
+        "acked",
+        F.unix_millis("ts").alias("ms"),
+        F.when(F.col("acked"), 1).when(eligible, -1).otherwise(0).alias("credit_net"),
+    )
+    w = (
+        Window.partitionBy("topic", "part_id")
+        .orderBy("ms")
+        .rangeBetween(-(CREDIT_WINDOW_MS - 1), 0)
+    )
+    balance = flow.withColumn(
+        "tokens_after", F.lit(CREDIT_DEFAULT_TOKENS) + F.sum("credit_net").over(w)
+    )
+    rewritten = balance.filter(~F.col("acked")).withColumn(
+        "final_outcome",
+        F.when(F.col("src_tier") == "dlq", "DLQ")
+        .when(F.col("src_tier") == "resq", "INVALID")
+        .when(
+            (F.col("retry_count") >= TIMEOUT_RETRIES) & (F.col("tokens_after") >= 0),
+            "DLQ",
+        )
+        .otherwise("RETRY"),
+    )
+    return rewritten.groupBy("topic", "src_tier").agg(
+        F.count("*").alias("n_backoff"),
+        F.count(F.when(F.col("final_outcome") == "DLQ", 1)).alias("n_to_dlq"),
+        F.count(F.when(F.col("final_outcome") == "INVALID", 1)).alias("n_invalid"),
+        F.count(F.when(F.col("final_outcome") == "RETRY", 1)).alias("n_to_retry"),
+        F.min("msg_offset").alias("first_backoff_offset"),
+    )
+
+
+@register("resq_routing", RESQ_ROUTING_ORACLE)
+def resq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessorImpl.handleTimeout BACKOFF rewrite + RetryUtils source
+    tiers (see resq_routing_frame). Extends A25: where A25 models only
+    the token-gated third branch, this models the full three-branch
+    precedence including the resilience-queue INVALID conversion.
+
+    SCALE: one window + one agg, both keyed by uForwarder's own
+    (topic, part_id) shard; the window input is the full log but
+    credit_net is a map-side projection — same single-wide-shuffle class
+    as A25, and the final (topic, src_tier) agg is tiny."""
+    return resq_routing_frame(messages(spark, sf_dir))
+
+
+# --- A33 -----------------------------------------------------------------
+AIMD_BATCH = 50        # dispatch results folded per adaptation step
+AIMD_MIN = 4           # same clamps as A15's Vegas variant
+AIMD_MAX = 200
+AIMD_INIT = INFLIGHT_LIMIT
+
+
+def _aimd_step(lim: str, drop: str, succ: str) -> str:
+    """One AIMD transition (dialect-shared): multiplicative halve on any
+    dropped result in the batch, additive +1 on an all-clear batch with
+    at least one success, hold otherwise. DIV spelling differs."""
+    return (
+        f"CASE WHEN {drop} THEN greatest({AIMD_MIN}, ({lim}) {{div}} 2) "
+        f"WHEN {succ} THEN least({AIMD_MAX}, ({lim}) + 1) "
+        f"ELSE ({lim}) END"
+    )
+
+
+_STEP0_DUCK = _aimd_step(str(AIMD_INIT), "has_drop", "has_succ").format(div="//")
+_STEPN_DUCK = _aimd_step("t.lim", "b.has_drop", "b.has_succ").format(div="//")
+
+AIMD_ORACLE = f"""WITH RECURSIVE messages AS ({MESSAGES_SQL_BODY}),
+numbered AS (
+  SELECT topic, part_id, outcome, acked,
+         row_number() OVER (PARTITION BY topic, part_id ORDER BY msg_offset) - 1
+           AS rn0
+  FROM messages
+),
+batches AS (
+  SELECT topic, part_id, rn0 // {AIMD_BATCH} AS batch_id,
+         bool_or(outcome = 'DLQ') AS has_drop,
+         bool_or(acked)           AS has_succ
+  FROM numbered GROUP BY topic, part_id, rn0 // {AIMD_BATCH}
+),
+traj AS (
+  SELECT topic, part_id, batch_id,
+         CAST({_STEP0_DUCK} AS BIGINT) AS lim,
+         CAST(CASE WHEN NOT has_drop AND has_succ THEN 1 ELSE 0 END AS BIGINT)
+           AS n_inc,
+         CAST(CASE WHEN has_drop THEN 1 ELSE 0 END AS BIGINT) AS n_dec,
+         CAST(least({AIMD_INIT}, {_STEP0_DUCK}) AS BIGINT)    AS min_lim,
+         CAST(greatest({AIMD_INIT}, {_STEP0_DUCK}) AS BIGINT) AS max_lim
+  FROM batches WHERE batch_id = 0
+  UNION ALL
+  SELECT b.topic, b.part_id, b.batch_id,
+         CAST({_STEPN_DUCK} AS BIGINT),
+         t.n_inc + CASE WHEN NOT b.has_drop AND b.has_succ THEN 1 ELSE 0 END,
+         t.n_dec + CASE WHEN b.has_drop THEN 1 ELSE 0 END,
+         least(t.min_lim, {_STEPN_DUCK}),
+         greatest(t.max_lim, {_STEPN_DUCK})
+  FROM traj t
+  JOIN batches b
+    ON b.topic = t.topic AND b.part_id = t.part_id
+   AND b.batch_id = t.batch_id + 1
+),
+last AS (
+  SELECT topic, part_id, max(batch_id) AS mb FROM traj GROUP BY topic, part_id
+)
+SELECT t.topic, t.part_id,
+       t.batch_id + 1 AS n_batches,
+       t.lim          AS final_limit,
+       t.n_inc        AS n_increase,
+       t.n_dec        AS n_decrease,
+       t.min_lim      AS min_limit,
+       t.max_lim      AS max_limit
+FROM traj t
+JOIN last l ON t.topic = l.topic AND t.part_id = l.part_id AND t.batch_id = l.mb
+"""
+
+_STEP_SPARK = _aimd_step("acc.lim", "b.has_drop", "b.has_succ").format(div="DIV")
+
+_AIMD_FOLD = f"""aggregate(
+  batches,
+  named_struct(
+    'lim',     CAST({AIMD_INIT} AS BIGINT),
+    'n_inc',   CAST(0 AS BIGINT),
+    'n_dec',   CAST(0 AS BIGINT),
+    'min_lim', CAST({AIMD_INIT} AS BIGINT),
+    'max_lim', CAST({AIMD_INIT} AS BIGINT)),
+  (acc, b) -> named_struct(
+    'lim',     CAST({_STEP_SPARK} AS BIGINT),
+    'n_inc',   acc.n_inc + CASE WHEN NOT b.has_drop AND b.has_succ THEN 1 ELSE 0 END,
+    'n_dec',   acc.n_dec + CASE WHEN b.has_drop THEN 1 ELSE 0 END,
+    'min_lim', CAST(least(acc.min_lim, {_STEP_SPARK}) AS BIGINT),
+    'max_lim', CAST(greatest(acc.max_lim, {_STEP_SPARK}) AS BIGINT))
+)"""
+
+
+def aimd_limiter_frame(m: DataFrame, batch: int = AIMD_BATCH) -> DataFrame:
+    """Frame-level A33 (unit-testable): the base AdaptiveInflightLimiter
+    trajectory (uforwarder/.../worker/limiter/AdaptiveInflightLimiter.java
+    doComplete: onDropped shrinks the floating limit, onSuccess grows it,
+    onIgnore holds — the additive-increase / multiplicative-decrease
+    policy underneath the Vegas variant A15 models). Dispatch results
+    fold in offset order in fixed-size batches; each batch applies one
+    AIMD transition, clamped to [AIMD_MIN, AIMD_MAX].
+
+    The recurrence is inherently sequential per shard, but the fold runs
+    JVM-side as a higher-order ``aggregate`` over the ordered batch
+    array — no Python, no applyInPandas. The oracle twin is a DuckDB
+    recursive CTE over the same batch frame."""
+    numbered = m.withColumn(
+        "rn0",
+        F.row_number().over(Window.partitionBy("topic", "part_id").orderBy("msg_offset"))
+        - 1,
+    )
+    batches = numbered.groupBy(
+        "topic", "part_id", F.expr(f"rn0 DIV {batch}").alias("batch_id")
+    ).agg(
+        F.expr("bool_or(outcome = 'DLQ')").alias("has_drop"),
+        F.expr("bool_or(acked)").alias("has_succ"),
+    )
+    folded = batches.groupBy("topic", "part_id").agg(
+        F.sort_array(F.collect_list(F.struct("batch_id", "has_drop", "has_succ"))).alias(
+            "batches"
+        )
+    )
+    return folded.select(
+        "topic",
+        "part_id",
+        F.size("batches").cast("bigint").alias("n_batches"),
+        F.expr(_AIMD_FOLD).alias("acc"),
+    ).select(
+        "topic",
+        "part_id",
+        "n_batches",
+        F.col("acc.lim").alias("final_limit"),
+        F.col("acc.n_inc").alias("n_increase"),
+        F.col("acc.n_dec").alias("n_decrease"),
+        F.col("acc.min_lim").alias("min_limit"),
+        F.col("acc.max_lim").alias("max_limit"),
+    )
+
+
+@register("aimd_inflight_limiter", AIMD_ORACLE)
+def aimd_inflight_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaptiveInflightLimiter AIMD trajectory (see aimd_limiter_frame).
+    Reference test mirrored: AdaptiveInflightLimiterTest.java (limit
+    floats with completion results; blocked acquires wait for permits).
+
+    SCALE: the rank window and the batch agg share the (topic, part_id)
+    hash partitioning — one wide shuffle; batch summaries are 1/BATCH
+    the log before the per-shard array collects, and the fold itself is
+    O(n_batches) inside codegen. The per-shard sequential tail is the
+    same irreducible class as A18's token bucket — but here it runs on
+    the 50x-reduced batch frame, not the raw log."""
+    return aimd_limiter_frame(messages(spark, sf_dir))
+
+
+# --- A34 -----------------------------------------------------------------
+QUEUE_CAPACITY = 250         # AckTrackingQueue capacity (sized so the
+                             # critical-load branch fires on the log)
+CRITICAL_LOAD = 0.9          # HeadBlockingDetector.Builder critical
+MIN_ACK_PERCENT = 0.9        # minAckPercent (ref default 0.98; lowered so
+                             # both branches occur on the synthetic log)
+COST_TOKEN_RESQ = 2          # BlockingQueueStubManager.COST_TOKEN_RESQ
+COST_TOKEN_RETRY = 50        # BlockingQueueStubManager.COST_TOKEN_RETRY
+
+# Which queue each job consumes (simulated from part_id) and which
+# mitigation queues each topic's job config provides.
+_JOB_SRC_SQL = """CASE part_id WHEN 0 THEN 'dlq' WHEN 1 THEN 'resq'
+    WHEN 2 THEN 'retry' ELSE 'original' END"""
+_HAS_RESQ_SQL = "topic IN ('click', 'view')"
+_HAS_RETRY_SQL = "topic <> 'signup'"
+
+HEAD_CANCEL_ORACLE = f"""{MSG_CTE},
+heads AS (
+  SELECT topic, part_id,
+         min(CASE WHEN NOT acked THEN msg_offset END) AS head_offset
+  FROM messages GROUP BY topic, part_id
+),
+q AS (
+  SELECT m.topic, m.part_id, h.head_offset,
+         CAST(count(CASE WHEN m.msg_offset >= h.head_offset THEN 1 END) AS BIGINT)
+           AS q_size,
+         CAST(count(CASE WHEN m.msg_offset >= h.head_offset AND m.acked THEN 1 END)
+              AS BIGINT) AS q_acked
+  FROM messages m JOIN heads h USING (topic, part_id)
+  GROUP BY m.topic, m.part_id, h.head_offset
+),
+state AS (
+  SELECT *,
+         CAST(q_size AS DOUBLE) / {QUEUE_CAPACITY} AS load_factor,
+         CASE WHEN q_size > 0
+              THEN CAST(q_acked AS DOUBLE) / CAST(q_size AS DOUBLE) END AS ack_pct,
+         {_JOB_SRC_SQL} AS job_src,
+         {_HAS_RESQ_SQL} AS has_resq,
+         {_HAS_RETRY_SQL} AS has_retry
+  FROM q
+),
+ruled AS (
+  SELECT *,
+         head_offset IS NOT NULL
+           AND CAST(q_size AS DOUBLE) / {QUEUE_CAPACITY} > {CRITICAL_LOAD}
+           AND CASE WHEN q_size > 0
+                    THEN CAST(q_acked AS DOUBLE) / CAST(q_size AS DOUBLE)
+                    ELSE 0.0 END > {MIN_ACK_PERCENT} AS blocking,
+         CASE WHEN job_src = 'dlq' THEN NULL
+              WHEN job_src <> 'resq' AND has_resq THEN 'RESQ'
+              WHEN job_src NOT IN ('retry', 'resq') AND has_retry THEN 'RETRY'
+              END AS rule_resp,
+         CASE WHEN job_src = 'dlq' THEN NULL
+              WHEN job_src <> 'resq' AND has_resq THEN {COST_TOKEN_RESQ}
+              WHEN job_src NOT IN ('retry', 'resq') AND has_retry
+                THEN {COST_TOKEN_RETRY} END AS rule_cost
+  FROM state
+)
+SELECT topic, part_id, head_offset, q_size, q_acked,
+       load_factor, ack_pct,
+       CASE WHEN head_offset IS NULL THEN 'NO_CANCELABLE'
+            WHEN NOT blocking THEN 'NOT_BLOCKING'
+            WHEN rule_resp IS NULL THEN 'JOB_NOT_SUPPORTED'
+            WHEN q_acked < rule_cost THEN 'RATE_LIMITED'
+            ELSE 'CANCEL' END AS verdict,
+       CASE WHEN head_offset IS NOT NULL AND blocking AND rule_resp IS NOT NULL
+                 AND q_acked >= rule_cost
+            THEN rule_resp ELSE 'INVALID' END AS response_code,
+       CAST(CASE WHEN head_offset IS NOT NULL AND blocking THEN rule_cost END
+            AS BIGINT) AS cost_tokens
+FROM ruled
+"""
+
+
+def head_blocking_cancel_frame(
+    m: DataFrame,
+    capacity: int = QUEUE_CAPACITY,
+    critical: float = CRITICAL_LOAD,
+    min_ack_percent: float = MIN_ACK_PERCENT,
+) -> DataFrame:
+    """Frame-level A34: HeadBlockingDetector detection + the
+    BlockingQueueStubManager cancel-rule matrix
+    (uforwarder/.../worker/processor/HeadBlockingDetector.java:42-66,
+    BlockingQueueStubManager.java:62-84,270-285):
+
+    Detection — a queue with a cancelable head (lowest unacked offset)
+    is BLOCKING iff loadFactor = size/capacity > critical AND
+    acked/size > minAckPercent (poison head: nearly everything behind
+    it completed but the queue is about to fill).
+
+    Cancel rules (first match wins, per the job's source tier):
+      * job consumes the DLQ topic        -> no rule (JOB_NOT_SUPPORTED:
+        DLQ messages are not retriable, ctor line 106)
+      * job not on resq + resq configured -> cancel to RESQ, cost 2
+      * job not on retry/resq + retry configured -> cancel to RETRY,
+        cost 50
+      * otherwise                         -> JOB_NOT_SUPPORTED
+    The WindowedTokenLimiter credits 1 per completed ack and the chosen
+    rule must afford its token cost, else RATE_LIMITED.
+
+    SCALE: heads agg + a same-key conditional agg with a broadcast-back
+    join — the sort-free A5/A14 shape, one wide shuffle total; the rule
+    matrix is pure projection."""
+    heads = m.groupBy("topic", "part_id").agg(
+        F.min(F.when(~F.col("acked"), F.col("msg_offset"))).alias("head_offset")
+    )
+    in_q = F.col("msg_offset") >= F.col("head_offset")
+    q = (
+        m.join(F.broadcast(heads), ["topic", "part_id"])
+        .groupBy("topic", "part_id", "head_offset")
+        .agg(
+            F.count(F.when(in_q, 1)).alias("q_size"),
+            F.count(F.when(in_q & F.col("acked"), 1)).alias("q_acked"),
+        )
+    )
+    load_factor = F.col("q_size").cast("double") / capacity
+    ack_pct = F.when(
+        F.col("q_size") > 0, F.col("q_acked").cast("double") / F.col("q_size").cast("double")
+    )
+    job_src = F.expr(_JOB_SRC_SQL)
+    state = q.select(
+        "topic",
+        "part_id",
+        "head_offset",
+        "q_size",
+        "q_acked",
+        load_factor.alias("load_factor"),
+        ack_pct.alias("ack_pct"),
+        job_src.alias("job_src"),
+        F.expr(_HAS_RESQ_SQL).alias("has_resq"),
+        F.expr(_HAS_RETRY_SQL).alias("has_retry"),
+    )
+    blocking = (
+        F.col("head_offset").isNotNull()
+        & (load_factor > critical)
+        & (F.coalesce(ack_pct, F.lit(0.0)) > min_ack_percent)
+    )
+    rule_resp = (
+        F.when(F.col("job_src") == "dlq", F.lit(None).cast("string"))
+        .when((F.col("job_src") != "resq") & F.col("has_resq"), "RESQ")
+        .when(
+            ~F.col("job_src").isin("retry", "resq") & F.col("has_retry"), "RETRY"
+        )
+    )
+    rule_cost = (
+        F.when(F.col("job_src") == "dlq", F.lit(None).cast("long"))
+        .when((F.col("job_src") != "resq") & F.col("has_resq"), COST_TOKEN_RESQ)
+        .when(
+            ~F.col("job_src").isin("retry", "resq") & F.col("has_retry"),
+            COST_TOKEN_RETRY,
+        )
+    )
+    ruled = state.withColumn("blocking", blocking).withColumn(
+        "rule_resp", rule_resp
+    ).withColumn("rule_cost", rule_cost)
+    return ruled.select(
+        "topic",
+        "part_id",
+        "head_offset",
+        "q_size",
+        "q_acked",
+        "load_factor",
+        "ack_pct",
+        F.when(F.col("head_offset").isNull(), "NO_CANCELABLE")
+        .when(~F.col("blocking"), "NOT_BLOCKING")
+        .when(F.col("rule_resp").isNull(), "JOB_NOT_SUPPORTED")
+        .when(F.col("q_acked") < F.col("rule_cost"), "RATE_LIMITED")
+        .otherwise("CANCEL")
+        .alias("verdict"),
+        F.when(
+            F.col("head_offset").isNotNull()
+            & F.col("blocking")
+            & F.col("rule_resp").isNotNull()
+            & (F.col("q_acked") >= F.col("rule_cost")),
+            F.col("rule_resp"),
+        )
+        .otherwise("INVALID")
+        .alias("response_code"),
+        F.when(
+            F.col("head_offset").isNotNull() & F.col("blocking"), F.col("rule_cost")
+        )
+        .cast("long")
+        .alias("cost_tokens"),
+    )
+
+
+@register("head_blocking_cancel", HEAD_CANCEL_ORACLE)
+def head_blocking_cancel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension (round-3 verdict item 6): not just DETECTING the
+    stuck head but emitting the cancel/nack decision the
+    BlockingQueueStubManager would take — see head_blocking_cancel_frame
+    for the decision matrix and reference lines.
+
+    SCALE: same sort-free two-agg shape as A6/A14; decision matrix is
+    pure projection inside codegen."""
+    return head_blocking_cancel_frame(messages(spark, sf_dir))

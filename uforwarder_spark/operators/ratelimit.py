@@ -47,6 +47,7 @@ def token_bucket_frame(
         pdf = pdf.sort_values(["ts", "msg_offset"]).reset_index(drop=True)
         t = pdf["ts"].to_numpy("datetime64[ns]").astype(np.int64) / 1e9
         admitted = np.empty(len(t), dtype=bool)
+        toks = np.empty(len(t), dtype=np.float64)
         tokens = burst
         prev = None
         for i, now in enumerate(t):
@@ -58,10 +59,15 @@ def token_bucket_frame(
                 admitted[i] = True
             else:
                 admitted[i] = False
+            toks[i] = tokens
         pdf["admitted"] = admitted
-        return pdf[["topic", "part_id", "msg_offset", "ts", "admitted"]]
+        pdf["tokens_after"] = toks
+        return pdf[["topic", "part_id", "msg_offset", "ts", "admitted", "tokens_after"]]
 
-    out_schema = "topic string, part_id long, msg_offset long, ts timestamp, admitted boolean"
+    out_schema = (
+        "topic string, part_id long, msg_offset long, ts timestamp, "
+        "admitted boolean, tokens_after double"
+    )
     return (
         m.select("topic", "part_id", "msg_offset", "ts")
         .groupBy("topic", "part_id")
@@ -146,4 +152,73 @@ def unprocessed_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(cached, 1).otherwise(0)).alias("n_cached"),
         F.sum(F.when(cached, F.col("size_bytes")).otherwise(0)).alias("cached_bytes"),
         F.sum(F.when(~cached, 1).otherwise(0)).alias("n_deferred"),
+    )
+
+
+# --- A18 twin: driver-checkable summary ----------------------------------
+# The exact recurrence IS SQL-expressible as a sequential fold: DuckDB's
+# list_reduce mirrors the kernel's per-message state transition
+# bit-for-bit (same double arithmetic in the same order: seconds =
+# epoch_ns/1e9, refill = tokens + dt*rate clamped at burst, admit iff
+# >= 1.0). A prepended sentinel carrying (t_first, burst, 0) reproduces
+# the kernel's "no refill before the first message" initial state.
+_REFILL = (
+    f"least(CAST({BUCKET_BURST} AS DOUBLE), "
+    f"acc.tok + (x.t - acc.t) * CAST({BUCKET_RATE} AS DOUBLE))"
+)
+
+from ..model import MESSAGES_SQL_BODY as _MSG_BODY  # noqa: E402
+
+TOKEN_SUMMARY_ORACLE = f"""WITH messages AS ({_MSG_BODY}),
+seq AS (
+  SELECT topic, part_id,
+         list(struct_pack(
+                t := CAST(epoch_ns(ts) AS DOUBLE) / 1000000000.0,
+                tok := CAST(0 AS DOUBLE),
+                adm := CAST(0 AS BIGINT))
+              ORDER BY ts, msg_offset) AS evs,
+         count(*) AS n_msgs
+  FROM messages GROUP BY topic, part_id
+),
+folded AS (
+  SELECT topic, part_id, n_msgs,
+         list_reduce(
+           list_prepend(struct_pack(t := evs[1].t,
+                                    tok := CAST({BUCKET_BURST} AS DOUBLE),
+                                    adm := CAST(0 AS BIGINT)), evs),
+           (acc, x) -> struct_pack(
+              t := x.t,
+              tok := CASE WHEN {_REFILL} >= 1.0
+                          THEN {_REFILL} - 1.0 ELSE {_REFILL} END,
+              adm := acc.adm + CASE WHEN {_REFILL} >= 1.0 THEN 1 ELSE 0 END)
+         ) AS st
+  FROM seq
+)
+SELECT topic, part_id, n_msgs,
+       st.adm          AS n_admitted,
+       n_msgs - st.adm AS n_throttled,
+       st.tok          AS final_tokens
+FROM folded
+"""
+
+
+@register("token_bucket_summary", TOKEN_SUMMARY_ORACLE)
+def token_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of A18 (round-3 verdict item 5): the same
+    applyInPandas kernel (token_bucket_frame), rolled up to the final
+    balance + admitted/throttled counts per (topic, part_id) — so the
+    driver's hash check pins the one recurrence it previously could
+    only rows-check. The oracle replays the identical recurrence as a
+    DuckDB list_reduce fold over the (ts, msg_offset)-sorted sequence;
+    both sides compute in IEEE doubles with the same operation order,
+    so final_tokens matches bit-for-bit.
+
+    SCALE: identical to A18 — one shuffle on (topic, part_id), O(|shard|)
+    state loop per Arrow batch, then a same-key partial agg."""
+    verdicts = token_bucket_frame(messages(spark, sf_dir))
+    return verdicts.groupBy("topic", "part_id").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
+        F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("n_throttled"),
+        F.expr("max_by(tokens_after, struct(ts, msg_offset))").alias("final_tokens"),
     )
