@@ -21,36 +21,31 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # the window stay verified by tests/test_oracle_parity.py — the identical
 # row-count + schema + value-hash comparison — at sf0.001 and sf0.01.
 _KEY_PRIORITY = [
-    # -- never driver-checked in ANY round (round-2 verdict list) --
-    "delay_process", "dlq_dispatch_tokens", "batch_job_completion",
-    "containment_pairs", "embedding_int8_quantize",
-    # -- new in round 3 --
-    "inflight_bootstrap", "pod_assignment_groups", "fetcher_throughput",
-    "inflight_pending_order", "dlq_produce_batches",
-    "latency_littles_law", "flow_control_aggregate",
-    "corpus_shuffle_export", "sequence_packing", "mixture_interleave",
-    "inflight_usage_critical", "workload_monitor_ttl",
-    "embedding_centroid_outliers", "incremental_dedup",
-    # -- touched by the round-3 ts normalization fix (model.py load_table):
-    #    every operator reading messages()/events gets a fresh driver row --
-    "fetch_offset_range", "filter_messages", "route_messages",
-    "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
-    "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
-    "dlq_messages", "dlq_resurrection", "latency_percentiles",
-    "throughput_windows", "consumer_lag", "adaptive_inflight_vegas",
-    "pipeline_health", "retry_backoff_eligibility",
-    "worker_pipeline_summary", "log_compaction", "checkpoint_resume",
-    "dlq_purge", "unprocessed_limiter",
-    "job_commands", "workload_assignment", "autoscale_prediction",
-    "worker_lease_reassignment", "scale_window_proposal",
-    "reactive_downscale_window",
-    "user_sessions",
-    # -- documents/embeddings family (ts-independent, rotate back in) --
-    "dedup_exact", "dedup_minhash_lsh", "ngram_jaccard_pairs",
-    "dedup_representatives", "contamination_check",
-    "chunk_dedup", "repetition_stats", "corpus_prep_funnel",
-    "bpe_merge_pairs", "pii_redaction", "multimodal_frame_sample",
-    "ann_topk_bruteforce", "ann_topk_ivf",
+    # -- new or implementation-changed in round 4 --
+    "resq_routing", "aimd_inflight_limiter", "token_bucket_summary",
+    "head_blocking_cancel", "mixture_interleave", "fetcher_throughput",
+    # -- round-1 cohort: last driver row was round 1, two rounds of
+    #    refactors ago (round-3 verdict item 1: rotate these in) --
+    "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    "quality_filter_gopher", "stratified_sample", "vocab_topk",
+    "tfidf_top_terms", "lang_id_confusion", "corpus_stats",
+    "partition_assignment", "load_balance_stats", "autoscale_decision",
+    "batch_job_offsets", "partition_expansion", "hibernating_jobs",
+    "colocating_assignment", "autoscale_hysteresis",
+    "pod_aware_assignment", "range_assignment",
+    "rebalancer_shadow_compare",
+    "token_bucket_exact",
+    # -- round-2 cohort top-up (last driver row was round 2) --
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "top_customers_window", "orders_without_lineitems",
+    "customer_order_stats", "running_revenue", "rollup_revenue",
+    "tpch_q4_order_priority",
+    "dedup_simhash", "ngram_jaccard_pairs", "embedding_cosine_pairs",
+    "ann_topk_bruteforce", "ann_topk_lsh", "multimodal_meta",
+    "ann_topk_ivf", "dedup_representatives",
+    "dedup_connected_components", "minhash_jaccard_estimate",
+    "contamination_check", "chunk_dedup",
 ]
 
 

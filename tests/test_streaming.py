@@ -791,3 +791,47 @@ def test_e14_constants_in_sync():
 
     src = inspect.getsource(_bootstrap_machine)
     assert f"= {BOOT_CAP}, {STEADY_CAP}, {BOOT_COMPLETE_THRESHOLD}" in src
+
+
+def test_e15_incremental_dedup_matches_batch(spark, tmp_path):
+    """E15: the streamed (per-micro-batch) incremental dedup must emit
+    exactly the decisions batch D36 computes over the same incoming set
+    — same matches, same jaccard, same keep/drop."""
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import incremental_dedup
+
+    ind = str(tmp_path / "incoming")
+    P.prepare_incoming_docs(spark, SF_SMALL, ind)
+    corpus = load_parallel(spark, SF_SMALL, "documents").filter(
+        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+    )
+    out = str(tmp_path / "decisions")
+    q = P.incremental_dedup_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        corpus,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    cols = ["doc_id", "match_doc_id", "jaccard", "action"]
+    got = (
+        spark.read.parquet(out)
+        .select(*cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        incremental_dedup(spark, SF_SMALL)
+        .select(*cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # at least one drop and one keep so both branches are exercised
+    assert set(exp["action"]) == {"keep", "drop"}

@@ -758,34 +758,58 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "side", F.expr("CAST(substring(source, 4) AS INT) % 2")
     )
-    sh3 = (
+    sh3 = incr_shingle_frame(docs.select("doc_id", "side", "text"), extra=("side",)).persist()
+    # persisted: feeds signatures + both verify probes; freed by LRU /
+    # bench clearCache between queries.
+    ex_sh3 = sh3.filter("side = 0").drop("side")
+    in_sh3 = sh3.filter("side = 1").drop("side")
+    return incremental_dedup_frame(in_sh3, incr_band_frame(ex_sh3), ex_sh3)
+
+
+def incr_shingle_frame(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, *extra], g3, hs): the 3-shingle set and its 60-bit hash
+    per document — the shared input of both the MinHash signature and the
+    exact-Jaccard verification probe."""
+    return (
         docs.withColumn("ts", F.expr(TOKENS_SPARK))
-        .select("doc_id", "side", F.expr(_shingle3_spark()).alias("g3"))
+        .select("doc_id", *extra, F.expr(_shingle3_spark()).alias("g3"))
         .withColumn("hs", F.expr(f"transform(g3, sh -> {H_SPARK.format(col='sh')} % {P})"))
-        .persist()  # feeds signatures + both verify probes; freed by LRU /
-        # bench clearCache between queries.
     )
+
+
+def incr_band_frame(sh3: DataFrame) -> DataFrame:
+    """(doc_id, band, k0..k3): one row per LSH band of the 32-perm MinHash
+    signature. At 100 TB the existing-corpus output of this frame is a
+    persisted table updated per ingest, not recomputed."""
     a_lit = "array(" + ", ".join(map(str, A)) + ")"
     b_lit = "array(" + ", ".join(map(str, B)) + ")"
     sig = sh3.select(
         "doc_id",
-        "side",
         F.expr(
             f"transform(sequence(0, {N_PERM - 1}), k -> "
             f"array_min(transform(hs, h -> (h * {a_lit}[k] + {b_lit}[k]) % {P})))"
         ).alias("sig"),
     )
-    band_rows = sig.select(
+    return sig.select(
         "doc_id",
-        "side",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, "
                 "sig[4*b] AS k0, sig[4*b+1] AS k1, sig[4*b+2] AS k2, sig[4*b+3] AS k3))"
             )
         ).alias("bb"),
-    ).select("doc_id", "side", "bb.band", "bb.k0", "bb.k1", "bb.k2", "bb.k3")
-    i, e = band_rows.filter("side = 1").alias("i"), band_rows.filter("side = 0").alias("e")
+    ).select("doc_id", "bb.band", "bb.k0", "bb.k1", "bb.k2", "bb.k3")
+
+
+def incremental_dedup_frame(
+    in_sh3: DataFrame, ex_bands: DataFrame, ex_sh3: DataFrame
+) -> DataFrame:
+    """Asymmetric incremental dedup kernel: incoming shingle frames vs a
+    (persisted) existing-corpus band table + shingle table. Used by the
+    batch D36 operator and, per micro-batch, by streaming E15 — the
+    incoming side is batch-sized, the existing side is the corpus."""
+    in_bands = incr_band_frame(in_sh3)
+    i, e = in_bands.alias("i"), ex_bands.alias("e")
     cand = (
         i.join(
             e,
@@ -798,8 +822,8 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("i.doc_id").alias("in_doc"), F.col("e.doc_id").alias("ex_doc"))
         .distinct()
     )
-    si = sh3.select(F.col("doc_id").alias("in_doc"), F.col("g3").alias("g3_i"))
-    se = sh3.select(F.col("doc_id").alias("ex_doc"), F.col("g3").alias("g3_e"))
+    si = in_sh3.select(F.col("doc_id").alias("in_doc"), F.col("g3").alias("g3_i"))
+    se = ex_sh3.select(F.col("doc_id").alias("ex_doc"), F.col("g3").alias("g3_e"))
     jac = F.expr(
         "CAST(size(array_intersect(g3_i, g3_e)) AS DOUBLE) / size(array_union(g3_i, g3_e))"
     )
@@ -816,7 +840,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("in_doc").orderBy(F.col("jaccard").desc(), "ex_doc")
         ),
     ).filter(F.col("rn") == 1)
-    incoming = docs.filter("side = 1").select("doc_id")
+    incoming = in_sh3.select("doc_id")
     return (
         incoming.join(best.withColumnRenamed("in_doc", "doc_id"), "doc_id", "left")
         .select(

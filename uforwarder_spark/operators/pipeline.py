@@ -1788,8 +1788,10 @@ def resq_routing_frame(m: DataFrame) -> DataFrame:
 
 @register("resq_routing", RESQ_ROUTING_ORACLE)
 def resq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ProcessorImpl.handleTimeout BACKOFF rewrite + RetryUtils source
-    tiers (see resq_routing_frame). Extends A25: where A25 models only
+    """ProcessorImpl.handleTimeout BACKOFF rewrite
+    (uforwarder/.../worker/processor/ProcessorImpl.java:431-466) +
+    RetryUtils.java:91-107 source tiers (see resq_routing_frame).
+    Extends A25: where A25 models only
     the token-gated third branch, this models the full three-branch
     precedence including the resilience-queue INVALID conversion.
 
@@ -2138,9 +2140,10 @@ def head_blocking_cancel_frame(
 @register("head_blocking_cancel", HEAD_CANCEL_ORACLE)
 def head_blocking_cancel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 extension (round-3 verdict item 6): not just DETECTING the
-    stuck head but emitting the cancel/nack decision the
-    BlockingQueueStubManager would take — see head_blocking_cancel_frame
-    for the decision matrix and reference lines.
+    stuck head (HeadBlockingDetector.java:42-66) but emitting the
+    cancel/nack decision the BlockingQueueStubManager.java:62-84 would
+    take — see head_blocking_cancel_frame for the decision matrix and
+    reference lines.
 
     SCALE: same sort-free two-agg shape as A6/A14; decision matrix is
     pure projection inside codegen."""

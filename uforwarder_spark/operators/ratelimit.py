@@ -204,8 +204,9 @@ FROM folded
 
 @register("token_bucket_summary", TOKEN_SUMMARY_ORACLE)
 def token_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable twin of A18 (round-3 verdict item 5): the same
-    applyInPandas kernel (token_bucket_frame), rolled up to the final
+    """Driver-checkable twin of A18 (round-3 verdict item 5; reference
+    TokenLimiter.java credit/acquire semantics via ProcessorImpl.java):
+    the same applyInPandas kernel (token_bucket_frame), rolled up to the final
     balance + admitted/throttled counts per (topic, part_id) — so the
     driver's hash check pins the one recurrence it previously could
     only rows-check. The oracle replays the identical recurrence as a

@@ -939,3 +939,79 @@ def bootstrap_phase_stream(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- E15: live incremental dedup ------------------------------------------
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def prepare_incoming_docs(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the D36 'incoming' side (odd-numbered sources) as a
+    parquet directory a file stream can tail — the stand-in for a fresh
+    crawl landing batch by batch."""
+    from ..model import load_parallel
+
+    (
+        load_parallel(spark, sf_dir, "documents")
+        .filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def document_stream(spark: SparkSession, input_dir: str, files_per_trigger: int = 2) -> DataFrame:
+    """Unbounded incoming-document source (the crawl-ingest topic)."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def incremental_dedup_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Live twin of batch D36 (incremental_dedup): each micro-batch of
+    incoming documents is deduplicated against the STATIC existing
+    corpus via the same asymmetric MinHash/LSH band join + best-match
+    verification kernel (operators/dedup.incremental_dedup_frame), and
+    the keep/drop decisions land in a batchId-partitioned parquet sink.
+
+    SCALE: the existing-corpus shingle + band frames are computed once
+    and persisted (at 100 TB: a maintained signature TABLE, refreshed as
+    kept docs are admitted); each trigger touches only
+    |batch| × colliding-bucket candidates. foreachBatch is at-least-once,
+    so each batch overwrites its own batch_id=N directory — replays
+    rewrite instead of duplicating (same exactly-once shape as E7)."""
+    from ..operators.dedup import (
+        incr_band_frame,
+        incr_shingle_frame,
+        incremental_dedup_frame,
+    )
+
+    ex_sh3 = incr_shingle_frame(corpus_docs.select("doc_id", "text")).persist()
+    ex_bands = incr_band_frame(ex_sh3).persist()
+    ex_sh3.count(), ex_bands.count()  # materialize once, before the first trigger
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        in_sh3 = incr_shingle_frame(batch_df.select("doc_id", "text")).persist()
+        try:
+            decisions = incremental_dedup_frame(in_sh3, ex_bands, ex_sh3)
+            decisions.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            in_sh3.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
