@@ -23,7 +23,11 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 _KEY_PRIORITY = [
     # -- new or implementation-changed in round 4 --
     "resq_routing", "aimd_inflight_limiter", "token_bucket_summary",
-    "head_blocking_cancel", "mixture_interleave", "fetcher_throughput",
+    "head_blocking_cancel", "linger_sampler", "mixture_interleave",
+    "fetcher_throughput",
+    "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders", "tpch_q15_top_supplier",
+    "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
     #    refactors ago (round-3 verdict item 1: rotate these in) --
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
@@ -36,7 +40,7 @@ _KEY_PRIORITY = [
     "rebalancer_shadow_compare",
     "token_bucket_exact",
     # -- round-2 cohort top-up (last driver row was round 2) --
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
     "top_customers_window", "orders_without_lineitems",
     "customer_order_stats", "running_revenue", "rollup_revenue",
@@ -44,8 +48,6 @@ _KEY_PRIORITY = [
     "dedup_simhash", "ngram_jaccard_pairs", "embedding_cosine_pairs",
     "ann_topk_bruteforce", "ann_topk_lsh", "multimodal_meta",
     "ann_topk_ivf", "dedup_representatives",
-    "dedup_connected_components", "minhash_jaccard_estimate",
-    "contamination_check", "chunk_dedup",
 ]
 
 

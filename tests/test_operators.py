@@ -934,3 +934,79 @@ def test_hbc_no_mitigation_queues(spark):
     # signup has neither resq nor retry configured
     r = _hbc(spark, _queue("signup", 3, 20, {0}), capacity=20)[("signup", 3)]
     assert r.verdict == "JOB_NOT_SUPPORTED"
+
+
+# --- A36 linger sampler ---------------------------------------------------
+def _linger_msgs(spark, rows):
+    """rows: (topic, part_id, msg_offset, ts_ms, payload_value)"""
+    from datetime import timezone
+
+    data = [
+        (t, p, o, datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc), v)
+        for (t, p, o, ms, v) in rows
+    ]
+    return spark.createDataFrame(
+        data, ["topic", "part_id", "msg_offset", "ts", "payload_value"]
+    )
+
+
+def test_linger_first_read_always_samples(spark):
+    from uforwarder_spark.operators.pipeline import linger_sampler_frame
+
+    m = _linger_msgs(spark, [("t", 0, 1, 1_000, 5.0)])
+    r = linger_sampler_frame(m, linger_ms=10_000).collect()[0]
+    assert r.fresh and r.sample_age_ms == 0 and r.sampled_value == 5.0
+
+
+def test_linger_boundary_gap_is_strict(spark):
+    """Reference Linger.tickIfNecessary: now - oldTick > lingerNano —
+    a gap EXACTLY equal to the linger does NOT re-sample; one ms more
+    does."""
+    from uforwarder_spark.operators.pipeline import linger_sampler_frame
+
+    m = _linger_msgs(
+        spark,
+        [
+            ("t", 0, 1, 1_000, 5.0),
+            ("t", 0, 2, 11_000, 7.0),   # gap == linger: carried
+            ("t", 0, 3, 11_001, 9.0),   # 10_001 since sample: fresh
+        ],
+    )
+    got = {r.msg_offset: r for r in linger_sampler_frame(m, linger_ms=10_000).collect()}
+    assert got[2].fresh is False and got[2].sampled_value == 5.0
+    assert got[2].sample_age_ms == 10_000
+    assert got[3].fresh is True and got[3].sampled_value == 9.0
+
+
+def test_linger_tick_anchors_at_sample_not_read(spark):
+    """The gate is rolling from the LAST SAMPLE instant: reads inside
+    the interval do not push the anchor forward."""
+    from uforwarder_spark.operators.pipeline import linger_sampler_frame
+
+    m = _linger_msgs(
+        spark,
+        [
+            ("t", 0, 1, 0, 1.0),
+            ("t", 0, 2, 9_000, 2.0),    # carried (9s since sample)
+            ("t", 0, 3, 10_500, 3.0),   # fresh: 10.5s since SAMPLE (1.5s since read 2)
+        ],
+    )
+    got = {r.msg_offset: r for r in linger_sampler_frame(m, linger_ms=10_000).collect()}
+    assert got[2].fresh is False and got[2].sampled_value == 1.0
+    assert got[3].fresh is True and got[3].sampled_value == 3.0
+
+
+def test_linger_shards_independent(spark):
+    from uforwarder_spark.operators.pipeline import linger_sampler_frame
+
+    m = _linger_msgs(
+        spark,
+        [
+            ("t", 0, 1, 0, 1.0),
+            ("t", 0, 2, 1_000, 2.0),
+            ("u", 9, 1, 500, 8.0),      # other shard: its own chain
+        ],
+    )
+    got = {(r.topic, r.msg_offset): r for r in linger_sampler_frame(m, linger_ms=10_000).collect()}
+    assert got[("t", 2)].fresh is False
+    assert got[("u", 1)].fresh is True and got[("u", 1)].sampled_value == 8.0

@@ -2148,3 +2148,110 @@ def head_blocking_cancel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE: same sort-free two-agg shape as A6/A14; decision matrix is
     pure projection inside codegen."""
     return head_blocking_cancel_frame(messages(spark, sf_dir))
+
+
+# --- A36 -----------------------------------------------------------------
+LINGER_MS = 10_000_000  # registered-query linger; reference default is 10 s
+# (10_000 ms) — this log's median inter-message gap is ~2 h, so the
+# 10 000 s setting exercises BOTH branches (fresh sample vs carried)
+
+
+def linger_sampler_frame(m: DataFrame, linger_ms: int = LINGER_MS) -> DataFrame:
+    """LingerSampler (uforwarder/.../consumerproxy/common/LingerSampler
+    .java:14-52): a value is re-sampled at most once per linger interval
+    — ``get()`` returns the cached sample unless ``now - lastTick >
+    lingerMs`` (strict, :80), in which case the delegate is invoked and
+    the tick anchors at the read instant (rolling gate, NOT aligned
+    windows). Here every message is a read of the shard's current
+    payload_value; output tags each read with the sample in force, its
+    age, and whether this read took a fresh sample.
+
+    The sampled-time chain is a greedy recurrence (each sample time
+    depends on the previous), so like A18 it runs as a grouped
+    Arrow-batched applyInPandas kernel with integer-millisecond
+    timestamps (exact, engine-independent).
+
+    SCALE: one shuffle on (topic, part_id) — the shard unit; O(|shard|)
+    primitive loop per Arrow batch, no cross-row lookups."""
+    import numpy as np
+    import pandas as pd
+
+    def sampler(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "msg_offset"]).reset_index(drop=True)
+        t_ms = pdf["ts"].to_numpy("datetime64[ns]").astype(np.int64) // 1_000_000
+        vals = pdf["payload_value"].to_numpy(np.float64)
+        fresh = np.empty(len(t_ms), dtype=bool)
+        age = np.empty(len(t_ms), dtype=np.int64)
+        sampled = np.empty(len(t_ms), dtype=np.float64)
+        last_tick = None
+        last_val = 0.0
+        for i, now in enumerate(t_ms):
+            if last_tick is None or now - last_tick > linger_ms:
+                last_tick, last_val = now, vals[i]
+                fresh[i] = True
+            else:
+                fresh[i] = False
+            age[i] = now - last_tick
+            sampled[i] = last_val
+        pdf["fresh"] = fresh
+        pdf["sample_age_ms"] = age
+        pdf["sampled_value"] = sampled
+        return pdf[
+            ["topic", "part_id", "msg_offset", "fresh", "sample_age_ms", "sampled_value"]
+        ]
+
+    return (
+        m.select("topic", "part_id", "msg_offset", "ts", "payload_value")
+        .groupBy("topic", "part_id")
+        .applyInPandas(
+            sampler,
+            schema="topic string, part_id long, msg_offset long, "
+            "fresh boolean, sample_age_ms long, sampled_value double",
+        )
+    )
+
+
+# Oracle: the same greedy chain as a DuckDB recursive CTE walking each
+# shard in (ts, msg_offset) order — one recursion step per read, carrying
+# (st=last tick ms, sv=last sampled value). (A list_reduce fold cannot
+# carry a growing output list in DuckDB 1.0: list_append inside the
+# lambda retains only the final element.)
+_LNG_STEP = f"(o.t - w.st > {LINGER_MS})"
+
+LINGER_ORACLE = f"""WITH RECURSIVE messages AS ({MESSAGES_SQL_BODY}),
+ord AS (
+  SELECT topic, part_id, msg_offset, payload_value AS v,
+         epoch_ns(ts) // 1000000 AS t,
+         row_number() OVER (PARTITION BY topic, part_id
+                            ORDER BY ts, msg_offset) AS rn
+  FROM messages
+),
+walk AS (
+  SELECT topic, part_id, msg_offset, rn, t, v,
+         TRUE AS fresh, t AS st, v AS sv
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.topic, o.part_id, o.msg_offset, o.rn, o.t, o.v,
+         {_LNG_STEP} AS fresh,
+         CASE WHEN {_LNG_STEP} THEN o.t ELSE w.st END AS st,
+         CASE WHEN {_LNG_STEP} THEN o.v ELSE w.sv END AS sv
+  FROM walk w
+  JOIN ord o ON o.topic = w.topic AND o.part_id = w.part_id
+            AND o.rn = w.rn + 1
+)
+SELECT topic, part_id, msg_offset, fresh,
+       t - st AS sample_age_ms,
+       sv     AS sampled_value
+FROM walk
+"""
+
+
+@register("linger_sampler", LINGER_ORACLE)
+def linger_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LingerSampler.java at-most-one-sample-per-interval semantics over
+    the message log — see linger_sampler_frame for the recurrence and
+    reference lines.
+
+    SCALE: see linger_sampler_frame — one (topic, part_id) shuffle,
+    O(|shard|) Arrow-batched loop."""
+    return linger_sampler_frame(messages(spark, sf_dir))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..model import load_table
+from ..model import load_parallel, load_table
 from ..registry import register
 
 DEC = "decimal(18,2)"
@@ -53,8 +53,11 @@ GROUP BY l_returnflag, l_linestatus
 @register("tpch_q1_pricing_summary", Q1_ORACLE)
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary. SCALE: single scan → partial agg → 1 shuffle on
-    2 low-cardinality keys; filter + 7-column pruning pushed to parquet."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    2 low-cardinality keys; filter + 7-column pruning pushed to parquet.
+    load_parallel spreads the CPU-bound decimal partial agg when the file
+    yields fewer splits than cores (measured 1.66 s → 1.21 s at sf0.1's
+    3-split lineitem); at real scale splits ≥ cores and it is a no-op."""
+    li = load_parallel(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
     disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
@@ -473,4 +476,188 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- C12 -----------------------------------------------------------------
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+       CAST(round(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE)      AS acctbal
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_revenue", Q10_ORACLE)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in
+    a 6-month window.
+
+    SCALE: customer (SF×150k rows) and nation broadcast; the only
+    shuffle is lineitem⋈orders on orderkey + the custkey agg; the top-20
+    is a TakeOrderedAndProject (per-partition heap, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name", "revenue",
+            F.round(_dec("c_acctbal"), 2).cast("double").alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- C13 -----------------------------------------------------------------
+Q14_ORACLE = """
+SELECT
+  CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4)) ELSE 0 END), 2) AS DOUBLE)
+  / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) * 100.0
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@register("tpch_q14_promo_revenue", Q14_ORACLE)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from PROMO-type parts.
+    Both sums stay DECIMAL (exact) and are rounded BEFORE the one
+    double division, so the single output value hash-matches.
+
+    SCALE: part broadcast; one scan of the month's lineitem slice, one
+    1-row partial agg — no shuffle of fact data at all."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.round(F.sum(promo), 2).cast("double")
+                / F.round(F.sum(revenue), 2).cast("double")
+                * 100.0
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- C14 -----------------------------------------------------------------
+Q18_QTY = 300
+
+Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS totalprice,
+       sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > {Q18_QTY}
+"""
+
+
+@register("tpch_q18_large_orders", Q18_ORACLE)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds the large-volume
+    threshold, with their customer. l_quantity values are small integers
+    in doubles, so the sum is exact and order-independent — no decimal
+    needed for the HAVING.
+
+    SCALE: the quantity filter aggregates lineitem FIRST (orderkey
+    partial agg, >99% selectivity cut), and only surviving orderkeys
+    join orders + broadcast customer — the large fact never joins
+    unreduced."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(_dec("o_totalprice"), 2).cast("double").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# --- C15 -----------------------------------------------------------------
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+@register("tpch_q15_top_supplier", Q15_ORACLE)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum quarterly revenue
+    (ties all returned, per spec). The max is compared in DECIMAL —
+    exact equality, engine-independent.
+
+    SCALE: one suppkey partial agg over the quarter's slice; the max is
+    a 1-row broadcast back onto the (tiny, |suppliers|-sized) revenue
+    frame; supplier broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue_expr = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(revenue_expr), 2).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
     )
