@@ -27,6 +27,9 @@ _KEY_PRIORITY = [
     "fetcher_throughput",
     "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
     "tpch_q18_large_orders", "tpch_q15_top_supplier",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
+    "ngram_novelty", "source_lang_kl",
     "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
     #    refactors ago (round-3 verdict item 1: rotate these in) --

@@ -462,3 +462,31 @@ def test_incremental_dedup_actions(spark, tmp_path_factory):
     assert out[10].jaccard == 1.0
     assert out[11].action == "keep" and out[11].match_doc_id is None
     assert out[12].action == "keep"
+
+
+def test_ngram_novelty_edges(spark, edge_dir):
+    from uforwarder_spark.functions.text import ngram_novelty
+
+    rows = {r.doc_id: r for r in ngram_novelty(spark, edge_dir).collect()}
+    assert len(rows) == len(EDGE_DOCS)  # every doc scored, even empty/short
+    # doc 0 (empty) and doc 2 (punct-only) collapse to md5('') — first
+    # occurrence wins, the later one is fully derivative
+    assert rows[0].n_ngrams == 1 and rows[0].novel_frac == 1.0
+    assert rows[2].novel_frac == 0.0
+    # exact dup: doc 4 repeats every 5-gram of doc 3
+    assert rows[3].novel_frac == 1.0
+    assert rows[4].novel_frac == 0.0
+    # near dup: doc 5 shares a prefix run but has novel grams around the edit
+    assert 0.0 < rows[5].novel_frac < 1.0
+
+
+def test_source_lang_kl_zero_for_mirror_mix(spark, edge_dir):
+    from uforwarder_spark.functions.text import source_lang_kl
+
+    rows = {r.source: r for r in source_lang_kl(spark, edge_dir).collect()}
+    assert rows["books"].n_docs == 3 and rows["web"].n_docs == 5
+    # books is all-en; corpus is 7/8 en -> books' KL = 1 * ln(8/7) > 0
+    import math
+    assert abs(rows["books"].kl_divergence - round(math.log(8 / 7), 8)) < 1e-9
+    # web holds the only es doc -> strictly positive drift
+    assert rows["web"].kl_divergence > 0

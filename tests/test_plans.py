@@ -226,3 +226,26 @@ def test_mixture_interleave_has_no_single_partition_stage(spark):
             seg = plan[i : i + 60]
             assert seg.startswith("windowspecdefinition(source#"), seg
     assert "Exchange rangepartitioning" in plan  # the one wide exchange
+
+
+@pytest.mark.parametrize("name", ["tpch_q7_volume_shipping", "tpch_q8_market_share"])
+def test_q7_q8_single_fact_shuffle(spark, name):
+    # dims (supplier/customer/nation/region/part) broadcast; the ONLY
+    # shuffle join is lineitem⋈orders on orderkey — more than one SMJ
+    # means a dim fell off the broadcast path
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q17_fact_never_shuffles_for_joins(spark):
+    # brand-filtered part AND the per-partkey avg frame both broadcast
+    # back onto lineitem — zero shuffle joins
+    plan = plan_of(spark, "tpch_q17_small_quantity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_aggs_are_partial(spark):
+    plan = plan_of(spark, "tpch_q13_customer_distribution")
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()

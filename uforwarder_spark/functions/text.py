@@ -1042,3 +1042,145 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+# --- D37 -----------------------------------------------------------------
+# 5-token-gram novelty: the memorization/duplication metric of Lee et al.
+# 2022 ("Deduplicating Training Data Makes Language Models Better") at
+# n-gram granularity — what fraction of a doc's distinct 5-grams appear
+# in NO earlier document (doc_id order = ingestion order).
+_G5_SPARK = (
+    "CASE WHEN size(ts) >= 5 THEN array_distinct(transform(sequence(0, size(ts) - 5), "
+    "i -> md5(concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4])))) "
+    "ELSE array(md5(concat_ws(' ', ts))) END"
+)
+_G5_DUCK = (
+    "CASE WHEN len(ts) >= 5 THEN list_distinct(list_transform(range(len(ts) - 4), "
+    "i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5]))) "
+    "ELSE [md5(array_to_string(ts, ' '))] END"
+)
+
+NOVELTY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+),
+ex AS (
+  SELECT doc_id, source, unnest({_G5_DUCK}) AS h FROM t
+),
+firsts AS (
+  SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h
+)
+SELECT e.doc_id, e.source,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novel_frac
+FROM ex e JOIN firsts f USING (h)
+GROUP BY e.doc_id, e.source
+"""
+
+
+@register("ngram_novelty", NOVELTY_ORACLE)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty: the fraction of a doc's DISTINCT
+    5-token-grams whose first corpus occurrence (min doc_id = ingestion
+    order) is this document. Low novelty = the doc is largely assembled
+    from text seen earlier — the n-gram-granular complement of D24's
+    chunk dedup and D30's containment (those find WHO copied; this
+    scores HOW derivative each doc is). Docs shorter than 5 tokens
+    fall back to a whole-text gram so every doc is scored.
+
+    SCALE: two md5-keyed uniform shuffles — grouped-min over exploded
+    grams, then the gram→first-doc join back — and one per-doc agg.
+    No all-pairs term; cost is O(total grams), the same envelope as
+    D24. Grams stay 32-char md5 strings end to end; the doc text
+    itself is never shuffled.
+
+    Reference analogue: none (uForwarder has no corpus ops); public
+    basis: Lee et al. 2022 n-gram memorization analysis."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", "source", F.expr(TOKENS_SPARK).alias("ts"))
+    ex = t.select(
+        "doc_id", "source", F.explode(F.expr(_G5_SPARK)).alias("h")
+    ).persist()  # feeds both the grouped-min and the join-back side
+    firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "source", "n_ngrams", "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_ngrams"), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+
+# --- D38 -----------------------------------------------------------------
+SRC_KL_ORACLE = """
+WITH cell AS (
+  SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY source, lang
+),
+src AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s FROM cell GROUP BY source),
+lng AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l FROM cell GROUP BY lang),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+contrib AS (
+  SELECT c.source, s.n_s,
+         CAST(round(
+           (CAST(c.n_sl AS DOUBLE) / s.n_s)
+             * ln((CAST(c.n_sl AS DOUBLE) / s.n_s)
+                  / (CAST(l.n_l AS DOUBLE) / t.n)), 8) AS DECIMAL(18,8)) AS kc
+  FROM cell c JOIN src s USING (source) JOIN lng l USING (lang) CROSS JOIN tot t
+)
+SELECT source, min(n_s) AS n_docs,
+       CAST(sum(kc) AS DOUBLE) AS kl_divergence
+FROM contrib GROUP BY source
+"""
+
+
+@register("source_lang_kl", SRC_KL_ORACLE)
+def source_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix drift: KL(P(lang | source) || P(lang))
+    over the declared lang column — the standard corpus-monitoring
+    statistic for "this crawl source's language mix diverged from the
+    corpus". 0 = the source mirrors the corpus mix; large = skewed.
+
+    Exactness: every probability is an exact-BIGINT ratio (one double
+    division each — deterministic), each cell's p*ln(p/q) term is
+    rounded to 8 dp and cast to DECIMAL before the per-source sum, so
+    the summation is exact and order-free across engines; the only
+    cross-engine risk (double-sum order) is designed out.
+
+    SCALE: one partial agg over the scan builds the (source, lang)
+    cells; the source/lang/total marginals derive from the TINY cell
+    frame (|sources|x|langs| rows) and join back broadcast. The corpus
+    is read once; nothing larger than the cell frame ever shuffles.
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = _docs(spark, sf_dir)
+    cell = docs.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    src = cell.groupBy("source").agg(F.sum("n_sl").cast("bigint").alias("n_s"))
+    lng = cell.groupBy("lang").agg(F.sum("n_sl").cast("bigint").alias("n_l"))
+    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    p_sl = F.col("n_sl").cast("double") / F.col("n_s")
+    p_l = F.col("n_l").cast("double") / F.col("n")
+    contrib = (
+        cell.join(F.broadcast(src), "source")
+        .join(F.broadcast(lng), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_s",
+            F.round(p_sl * F.log(p_sl / p_l), 8).cast("decimal(18,8)").alias("kc"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.min("n_s").alias("n_docs"),
+        F.sum("kc").cast("double").alias("kl_divergence"),
+    )

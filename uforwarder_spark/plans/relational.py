@@ -661,3 +661,265 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+# --- C16 -----------------------------------------------------------------
+Q7_NATION_A = "NATION_20"
+Q7_NATION_B = "NATION_11"
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4)) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_volume_shipping", Q7_ORACLE)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+
+    SCALE: supplier+nation and customer+nation are broadcast dims, so the
+    only shuffle is the lineitem⋈orders orderkey join; the disjunctive
+    nation-pair predicate is applied on the two broadcast sides BEFORE the
+    fact join (each side keeps only the two nations), so the big join's
+    inputs are pre-cut. The shipdate filter pushes to the parquet scan."""
+    pair = [Q7_NATION_A, Q7_NATION_B]
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .filter(F.col("n_name").isin(pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .filter(F.col("n_name").isin(pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    volume = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(volume), 2).cast("double").alias("revenue"))
+    )
+
+
+# --- C17 -----------------------------------------------------------------
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_20"
+Q8_TYPE = "PROMO"
+
+Q8_ORACLE = f"""
+SELECT o_year,
+       CAST(round(sum(CASE WHEN nation = '{Q8_NATION}' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+         / CAST(round(sum(volume), 2) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4)) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{Q8_REGION}'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+    AND p_type = '{Q8_TYPE}'
+) all_nations
+GROUP BY o_year
+HAVING round(sum(volume), 2) > 0
+"""
+
+
+@register("tpch_q8_market_share", Q8_ORACLE)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a region's revenue for one
+    part type, by order year (p_type stands in for the spec's two-level
+    type match; the cut-down part table has no p_mfgr).
+
+    Exactness: both the CASE'd numerator and the denominator are summed in
+    DECIMAL and rounded BEFORE the single double division, so the ratio's
+    operands are bit-identical across engines.
+
+    SCALE: part, supplier+nation, customer+nation+region are all broadcast;
+    lineitem⋈orders on orderkey is the only shuffle, and the p_type filter
+    cuts lineitem via the broadcast part join before it."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    volume = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    zero = F.lit(0).cast(DEC)
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == Q8_NATION, F.col("volume")).otherwise(zero)), 2
+            ).alias("nat_vol"),
+            F.round(F.sum("volume"), 2).alias("total_vol"),
+        )
+        .filter(F.col("total_vol") > 0)
+        .select(
+            "o_year",
+            (F.col("nat_vol").cast("double") / F.col("total_vol").cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+# --- C18 -----------------------------------------------------------------
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+Q13_ORACLE = f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_customer_distribution", Q13_ORACLE)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts, counting
+    customers with zero qualifying orders (o_orderpriority exclusion
+    stands in for the spec's o_comment NOT LIKE — the cut-down orders
+    table has no comment column). The exclusion lives in the JOIN
+    CONDITION, not a WHERE, so excluded-only customers still appear with
+    c_count = 0 — the semantics the left join exists to preserve.
+
+    SCALE: two partial aggs — custkey then c_count — each map-side
+    combined; the left join shuffles on custkey with the filter applied
+    map-side to the orders scan. No window, no skew key (custkey is
+    uniform)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != Q13_EXCLUDE_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- C19 -----------------------------------------------------------------
+Q17_BRAND = "Brand#13"
+Q17_MAX_SIZE = 25
+
+Q17_ORACLE = f"""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS agg_partkey,
+         0.2 * avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) part_agg ON agg_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}' AND p_size < {Q17_MAX_SIZE}
+  AND l_quantity < avg_qty
+"""
+
+
+@register("tpch_q17_small_quantity", Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost if small-quantity orders for one
+    brand's parts were not taken (p_size < N stands in for the spec's
+    p_container — not in the cut-down part table). The spec's correlated
+    subquery is decorrelated into a per-partkey avg aggregate joined back
+    — the standard unnesting Catalyst itself would choose.
+
+    Exactness: the quantity threshold compares doubles computed the same
+    way in both engines (0.2 * avg); the revenue sum is DECIMAL, divided
+    by 7.0 once at the end.
+
+    SCALE: the brand filter cuts part to ~1/25 broadcast; the per-partkey
+    avg aggregates lineitem restricted to those parts (broadcast
+    semi-cut BEFORE the agg), then joins back broadcast — the fact table
+    shuffles zero times."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") < Q17_MAX_SIZE)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    avg_qty = (
+        branded.groupBy(F.col("l_partkey").alias("agg_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("avg_qty"))
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(F.col("l_quantity") < F.col("avg_qty"))
+        .agg(
+            (F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
