@@ -410,3 +410,77 @@ def test_aimd_limiter_equals_reference_model(spark, results, batch):
     assert (r.n_batches, r.final_limit) == (n_batches, lim)
     assert (r.n_increase, r.n_decrease) == (n_inc, n_dec)
     assert (r.min_limit, r.max_limit) == (min_lim, max_lim)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(toks=st.lists(st.integers(min_value=1, max_value=50), min_size=2, max_size=6))
+def test_importance_weights_equal_python_model(spark, tmp_path_factory, toks):
+    """The REAL importance_sampling_weights operator equals an explicit
+    temperature-sampling model: weight ∝ share^(1/T) renormalized, and
+    the target mixture sums to 1."""
+    import math
+
+    from uforwarder_spark.operators.training import (
+        MIX_TEMPERATURE,
+        importance_sampling_weights,
+    )
+
+    d = tmp_path_factory.mktemp("imp")
+    # source i gets one doc of toks[i] tokens
+    rows = [(i, "w " * t, f"s{i}") for i, t in enumerate(toks)]
+    sf = _write_docs(d, rows, spark)
+    got = {r.source: r for r in importance_sampling_weights(spark, sf).collect()}
+
+    total = sum(toks)
+    shares = {f"s{i}": t / total for i, t in enumerate(toks)}
+    tshare = {s: round(v ** (1.0 / MIX_TEMPERATURE), 8) for s, v in shares.items()}
+    denom = sum(tshare.values())  # exact: rounded values, few terms
+    for s, share in shares.items():
+        r = got[s]
+        assert r.n_tokens == toks[int(s[1:])]
+        assert math.isclose(r.token_share, share, rel_tol=0, abs_tol=5e-9)
+        assert math.isclose(r.target_share, tshare[s] / denom, rel_tol=0, abs_tol=5e-9)
+        # outputs are rounded to 8 dp -> up to 5e-9 absolute error vs the
+        # unrounded model (weights are O(1), so absolute tol is the right bound)
+        assert math.isclose(
+            r.sampling_weight, (tshare[s] / denom) / share, abs_tol=6e-9
+        )
+    assert math.isclose(sum(r.target_share for r in got.values()), 1.0, abs_tol=1e-6)
+
+
+def test_kmeans_assign_equals_numpy_lloyd(spark):
+    """The REAL kmeans_embedding_assign operator at sf0.001 equals an
+    explicit numpy Lloyd replay (2 E-steps, decimal-rounded M-step,
+    lower-cluster tiebreak)."""
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        K_CLUSTERS,
+        kmeans_embedding_assign,
+    )
+
+    got = {r.vec_id: r.cluster for r in kmeans_embedding_assign(spark, SF_SMALL).collect()}
+
+    import duckdb
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([v[0] for v in vecs])
+    X = np.array([v[1] for v in vecs])  # folds are nearly-exact on this data
+    keep = (X * X).sum(axis=1) > 0
+    ids, X = ids[keep], X[keep]
+    C = X[:K_CLUSTERS]
+    for _ in range(2):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the first (lowest) index on ties
+        C = np.stack([
+            np.round(X[assign == k], 7).sum(axis=0) / (assign == k).sum()
+            if (assign == k).any() else C[k]
+            for k in range(K_CLUSTERS)
+        ])
+        # only the first E-step's centroids feed the second; loop runs
+        # assign->update twice but we read the SECOND assign below
+    want = dict(zip(ids.tolist(), assign.tolist()))
+    assert got == want

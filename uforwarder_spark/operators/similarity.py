@@ -14,7 +14,7 @@ final tiny top-k merge happens on one reducer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..model import load_parallel
@@ -453,4 +453,126 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_to_centroid"),
             (F.round(cos, 6) < OUTLIER_COS).alias("is_outlier"),
         )
+    )
+
+
+# --- D40 -----------------------------------------------------------------
+K_CLUSTERS = 8
+_SQD_SPARK = "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+_SQD_DUCK = (
+    "list_reduce(list_transform(range(len({v})), i -> ({v}[i+1] - {c}[i+1]) * ({v}[i+1] - {c}[i+1])), "
+    "(x, y) -> x + y)"
+)
+
+KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) > 0
+),
+seeds AS (
+  SELECT * FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v AS c
+    FROM e
+  ) WHERE cluster < {K_CLUSTERS}
+),
+d1 AS (
+  SELECT e.vec_id, e.label, e.v, s.cluster,
+         {_SQD_DUCK.format(v='e.v', c='s.c')} AS dist
+  FROM e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d1
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cluster, unnest(range(len(v))) AS d, v FROM a1
+),
+per_dim AS (
+  SELECT cluster, d,
+         CAST(sum(CAST(round(v[d + 1], 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS m
+  FROM comp GROUP BY cluster, d
+),
+cent2 AS (
+  SELECT cluster, list(m ORDER BY d) AS c FROM per_dim GROUP BY cluster
+),
+d2 AS (
+  SELECT e.vec_id, e.label, c2.cluster,
+         {_SQD_DUCK.format(v='e.v', c='c2.c')} AS dist
+  FROM e CROSS JOIN cent2 c2
+)
+SELECT vec_id, label, cluster, round(dist, 6) AS sq_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d2
+) WHERE rn = 1
+"""
+
+
+def _kmeans_assign(e, centroids):
+    """E-step: nearest centroid per vector. The argmin is a grouped
+    min(struct(dist, cluster)) — map-side combinable, lower-cluster
+    tiebreak — not a window, so at scale it is one partial agg."""
+    j = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", F.expr(_SQD_SPARK.format(v="v", c="c"))
+    )
+    return (
+        j.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cluster"))).alias("m"),
+            F.first("label").alias("label"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "vec_id", "label", "v",
+            F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"),
+        )
+    )
+
+
+@register("kmeans_embedding_assign", KMEANS_ORACLE)
+def kmeans_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding table: deterministic Lloyd
+    k-means (k=8, seeds = the k lowest vec_ids, one M-step between two
+    E-steps) emitting each vector's final cluster and squared distance —
+    the bucketing primitive semantic dedup (SemDeDup, Abbas et al. 2023)
+    and diversity-balanced sampling build on.
+
+    Determinism across engines: seeds are data-defined (no RNG);
+    squared distances are sequential folds over the fixed dim order
+    (bit-stable); the M-step mean rounds each component to 7 dp and
+    sums DECIMAL — exact, order-free — then does one double division;
+    argmin ties break to the lower cluster id. Every number both
+    engines compare is therefore bit-identical.
+
+    SCALE: E-steps broadcast the k-row centroid table (never shuffling
+    vectors); the argmin is a partial-aggregated min(struct), not a
+    window; the M-step posexplodes to (cluster, dim) rows map-side with
+    ONE uniform shuffle on k x DIM keys. Iterations are a fixed small
+    constant — the plan is k-independent chained E/M stages, exactly
+    how distributed k-means runs at 100 TB (the full algorithm would
+    loop the same two stages).
+
+    Reference scope note: no uForwarder twin — D-family mandate."""
+    e = _emb(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id").limit(K_CLUSTERS)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cluster"), F.col("v").alias("c"))
+    )
+    a1 = _kmeans_assign(e, seeds)
+    per_dim = (
+        a1.select("cluster", F.posexplode("v").alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(
+            (
+                F.sum(F.round(F.col("x"), 7).cast("decimal(20,7)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    cent2 = per_dim.groupBy("cluster").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias("c")
+    )
+    a2 = _kmeans_assign(e, cent2)
+    return a2.select(
+        "vec_id", "label", "cluster", F.round("dist", 6).alias("sq_dist")
     )

@@ -240,3 +240,76 @@ def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pick_time",
         )
     )
+
+
+# --- D39 -----------------------------------------------------------------
+MIX_TEMPERATURE = 2.0  # temperature-sampling T (weight ∝ share^(1/T))
+
+IMPORTANCE_ORACLE = f"""
+WITH tok AS (
+  SELECT source, CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok FROM documents
+),
+per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_src),
+shares AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+         CAST(round(pow(CAST(n_tokens AS DOUBLE) / total_tokens,
+                        1.0 / {MIX_TEMPERATURE}), 8) AS DECIMAL(18,8)) AS tshare_dec
+  FROM per_src CROSS JOIN tot
+),
+denom AS (SELECT sum(tshare_dec) AS d FROM shares)
+SELECT source, n_docs, n_tokens,
+       round(token_share, 8) AS token_share,
+       round(CAST(tshare_dec AS DOUBLE) / CAST(d AS DOUBLE), 8) AS target_share,
+       round((CAST(tshare_dec AS DOUBLE) / CAST(d AS DOUBLE)) / token_share, 8)
+         AS sampling_weight
+FROM shares CROSS JOIN denom
+"""
+
+
+@register("importance_sampling_weights", IMPORTANCE_ORACLE)
+def importance_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-sampling
+    rule of Conneau & Lample 2019, weight ∝ share^(1/T)): each source's
+    token share is flattened with T=2, renormalized into a target
+    mixture, and the per-source sampling weight is target/actual —
+    the number every weighted interleave (D34) or loader consumes.
+    weight > 1 = source is over-sampled (low-resource boost).
+
+    Exactness: token counts are exact BIGINTs; every share is one
+    double division of exact ints (deterministic); the one cross-row
+    reduction (the renormalization denominator) sums DECIMAL-cast
+    rounded values — order-free — and both engines divide the same two
+    doubles afterwards.
+
+    SCALE: one partial agg over the scan (source keys, map-side
+    combined); everything after operates on the |sources|-row frame.
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    token_share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    shares = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        token_share.alias("token_share"),
+        F.round(F.pow(token_share, F.lit(1.0 / MIX_TEMPERATURE)), 8)
+        .cast("decimal(18,8)")
+        .alias("tshare_dec"),
+    )
+    denom = shares.agg(F.sum("tshare_dec").alias("d"))
+    target = F.col("tshare_dec").cast("double") / F.col("d").cast("double")
+    return shares.crossJoin(F.broadcast(denom)).select(
+        "source", "n_docs", "n_tokens",
+        F.round("token_share", 8).alias("token_share"),
+        F.round(target, 8).alias("target_share"),
+        F.round(target / F.col("token_share"), 8).alias("sampling_weight"),
+    )
