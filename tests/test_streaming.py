@@ -5,6 +5,7 @@ operators computing the same semantics over the same data.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -21,6 +22,19 @@ def msg_log_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("msglog")
     P.prepare_message_log(spark, SF_SMALL, str(d))
     return str(d)
+
+
+def _age_files(src, offsets):
+    """Set mtimes so maxFilesPerTrigger=1 picks the files in the intended
+    order (file sources order by modification time)."""
+    import os
+    import time as _time
+
+    now = _time.time()
+    for sub, off in offsets.items():
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + off, now + off))
 
 
 def _run_to_memory(df, name, checkpoint, mode):
@@ -835,3 +849,144 @@ def test_e15_incremental_dedup_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # at least one drop and one keep so both branches are exercised
     assert set(exp["action"]) == {"keep", "drop"}
+
+
+def test_e16_aimd_stream_matches_batch_and_replay(spark, tmp_path):
+    """E16: with shard logs sized to whole adaptation batches, the last
+    emitted transition per shard equals batch A33's summary, and the
+    full emitted trajectory equals a pure-Python AIMD replay; the
+    in-flight partial batch survives the micro-batch boundary (the
+    split point is NOT on a batch edge)."""
+    import pandas as pd
+
+    from uforwarder_spark.operators.pipeline import (
+        AIMD_BATCH,
+        AIMD_MAX,
+        AIMD_MIN,
+        INFLIGHT_LIMIT,
+        aimd_limiter_frame,
+    )
+
+    rows = []
+    # shard A: drops in batches 0 and 2; shard B: all-success
+    for off in range(4 * AIMD_BATCH):
+        outcome = "DLQ" if off in (10, 110) else "ACK"
+        rows.append((off, "click", 0, outcome, outcome == "ACK"))
+        rows.append((off, "view", 1, "ACK", off % 3 != 0))
+    m = spark.createDataFrame(
+        rows, ["msg_offset", "topic", "part_id", "outcome", "acked"]
+    )
+
+    src = tmp_path / "src"
+    # split mid-batch: offsets [0, 70) then [70, 200)
+    m.filter("msg_offset < 70").coalesce(1).write.parquet(str(src / "f0"))
+    m.filter("msg_offset >= 70").coalesce(1).write.parquet(str(src / "f1"))
+    _age_files(src, {"f0": -10, "f1": 0})
+
+    schema = (
+        "msg_offset long, topic string, part_id long, outcome string, acked boolean"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    _run_to_memory(
+        P.aimd_limit_stream(stream), "e16_aimd", str(tmp_path / "ckpt"), "append"
+    )
+    got = spark.table("e16_aimd").toPandas()
+
+    # trajectory replay
+    mp = m.toPandas().sort_values(["topic", "part_id", "msg_offset"])
+    for (topic, part), g in mp.groupby(["topic", "part_id"]):
+        lim, n_inc, n_dec, want = INFLIGHT_LIMIT, 0, 0, []
+        for start in range(0, len(g), AIMD_BATCH):
+            b = g.iloc[start : start + AIMD_BATCH]
+            if len(b) < AIMD_BATCH:
+                break
+            has_drop = (b["outcome"] == "DLQ").any()
+            has_succ = b["acked"].any()
+            if has_drop:
+                lim, n_dec = max(AIMD_MIN, lim // 2), n_dec + 1
+            elif has_succ:
+                lim, n_inc = min(AIMD_MAX, lim + 1), n_inc + 1
+            want.append((start // AIMD_BATCH, has_drop, has_succ, lim, n_inc, n_dec))
+        sg = got[(got["topic"] == topic) & (got["part_id"] == part)].sort_values(
+            "batch_id"
+        )
+        assert (
+            list(
+                sg[
+                    ["batch_id", "has_drop", "has_succ", "limit_after",
+                     "n_increase", "n_decrease"]
+                ].itertuples(index=False, name=None)
+            )
+            == want
+        ), (topic, part)
+
+    # whole-batch logs: final emitted row equals batch A33's summary
+    finals = (
+        got.sort_values("batch_id").groupby(["topic", "part_id"]).tail(1)
+        .set_index(["topic", "part_id"])
+    )
+    batch = aimd_limiter_frame(m).toPandas().set_index(["topic", "part_id"])
+    for key, row in batch.iterrows():
+        assert finals.loc[key, "limit_after"] == row["final_limit"], key
+        assert finals.loc[key, "n_increase"] == row["n_increase"], key
+        assert finals.loc[key, "n_decrease"] == row["n_decrease"], key
+
+
+def test_e16_constants_in_sync():
+    import inspect
+
+    from uforwarder_spark.operators.pipeline import (
+        AIMD_BATCH,
+        AIMD_INIT,
+        AIMD_MAX,
+        AIMD_MIN,
+    )
+    from uforwarder_spark.streaming.pipelines import _aimd_machine
+
+    src = inspect.getsource(_aimd_machine)
+    assert f"= {AIMD_BATCH}, {AIMD_INIT}, {AIMD_MIN}, {AIMD_MAX}" in src
+
+
+def test_e17_linger_stream_matches_batch(spark, tmp_path):
+    """E17: after the stream drains, every read's (fresh, age, value)
+    equals batch A36's replay of the same log — the rolling gate
+    continues across the micro-batch boundary."""
+    from uforwarder_spark.operators.pipeline import linger_sampler_frame
+
+    m = model.messages(spark, SF_SMALL)
+    med = m.agg(F.expr("percentile_approx(msg_offset, 0.5)")).collect()[0][0]
+
+    src = tmp_path / "src"
+    m.filter(F.col("msg_offset") <= med).coalesce(1).write.parquet(str(src / "f0"))
+    m.filter(F.col("msg_offset") > med).coalesce(1).write.parquet(str(src / "f1"))
+    _age_files(src, {"f0": -10, "f1": 0})
+
+    stream = (
+        spark.readStream.schema(P.MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    _run_to_memory(
+        P.linger_sample_stream(stream), "e17_linger", str(tmp_path / "ckpt"), "append"
+    )
+    key = ["topic", "part_id", "msg_offset"]
+    got = spark.table("e17_linger").toPandas().sort_values(key).reset_index(drop=True)
+    want = (
+        linger_sampler_frame(m).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_e17_constants_in_sync():
+    import inspect
+
+    from uforwarder_spark.operators.pipeline import LINGER_MS
+    from uforwarder_spark.streaming.pipelines import _linger_machine
+
+    src = inspect.getsource(_linger_machine)
+    assert f"LINGER_MS = {LINGER_MS:_}" in src or f"LINGER_MS = {LINGER_MS}" in src

@@ -1015,3 +1015,193 @@ def incremental_dedup_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E16: live AIMD inflight limit ----------------------------------------
+AIMD_STATE_SCHEMA = StructType(
+    [
+        StructField("in_batch", LongType()),
+        StructField("has_drop", BooleanType()),
+        StructField("has_succ", BooleanType()),
+        StructField("lim", LongType()),
+        StructField("batch_id", LongType()),
+        StructField("n_inc", LongType()),
+        StructField("n_dec", LongType()),
+    ]
+)
+AIMD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("part_id", LongType()),
+        StructField("batch_id", LongType()),
+        StructField("has_drop", BooleanType()),
+        StructField("has_succ", BooleanType()),
+        StructField("limit_after", LongType()),
+        StructField("n_increase", LongType()),
+        StructField("n_decrease", LongType()),
+    ]
+)
+
+
+def _aimd_machine(key, pdfs: Iterator, state: GroupState):
+    """Live AIMD adaptation carried across micro-batches: the streaming
+    twin of batch A33 (reference uforwarder/.../worker/limiter/
+    AdaptiveInflightLimiter.java doComplete). Dispatch results fold in
+    offset order into fixed-size adaptation batches; every COMPLETED
+    batch applies one transition (halve-on-drop / +1-on-success / hold)
+    and emits one row. The in-flight partial batch — count and flags —
+    rides in the state, so a batch spanning micro-batch boundaries
+    produces the identical transition a batch replay would."""
+    import pandas as pd
+
+    # constants inlined, NOT imported from the batch module (see
+    # _bucket_machine's note on by-value pickling); synced by a unit test.
+    BATCH, LIM0, LMIN, LMAX = 50, 50, 4, 200
+
+    if state.exists:
+        in_batch, has_drop, has_succ, lim, batch_id, n_inc, n_dec = state.get
+    else:
+        in_batch, has_drop, has_succ, lim, batch_id, n_inc, n_dec = (
+            0, False, False, LIM0, 0, 0, 0,
+        )
+    topic, part_id = key
+    out = []
+    frame = pd.concat(list(pdfs), ignore_index=True)
+    if len(frame):
+        frame = frame.sort_values("msg_offset").reset_index(drop=True)
+        for outcome, acked in zip(
+            frame["outcome"].to_numpy(), frame["acked"].to_numpy()
+        ):
+            has_drop = has_drop or outcome == "DLQ"
+            has_succ = has_succ or bool(acked)
+            in_batch += 1
+            if in_batch == BATCH:
+                if has_drop:
+                    lim = max(LMIN, lim // 2)
+                    n_dec += 1
+                elif has_succ:
+                    lim = min(LMAX, lim + 1)
+                    n_inc += 1
+                out.append(
+                    (topic, part_id, batch_id, has_drop, has_succ, lim, n_inc, n_dec)
+                )
+                batch_id += 1
+                in_batch, has_drop, has_succ = 0, False, False
+    state.update(
+        (int(in_batch), bool(has_drop), bool(has_succ), int(lim),
+         int(batch_id), int(n_inc), int(n_dec))
+    )
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "topic", "part_id", "batch_id", "has_drop", "has_succ",
+                "limit_after", "n_increase", "n_decrease",
+            ],
+        )
+
+
+def aimd_limit_stream(stream: DataFrame) -> DataFrame:
+    """E16: the live adaptive inflight limit — batch A33 recovers the
+    AIMD trajectory retrospectively from the whole log; this emits each
+    limit transition the moment its adaptation batch completes, with the
+    partial batch carried across micro-batches. After the stream drains,
+    the emitted trajectory equals A33's fold over complete batches.
+
+    SCALE: state is seven scalars per (topic, part_id) shard; one
+    shuffle aligns shards with state-store partitions; the per-group
+    loop is O(batch) over Arrow batches. The emitted frame is 1/50th of
+    the message rate — the control signal, not the log."""
+    return (
+        stream.select("topic", "part_id", "msg_offset", "outcome", "acked")
+        .groupBy("topic", "part_id")
+        .applyInPandasWithState(
+            _aimd_machine,
+            AIMD_OUTPUT_SCHEMA,
+            AIMD_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- E17: live linger sampler ---------------------------------------------
+LINGER_STATE_SCHEMA = StructType(
+    [
+        StructField("last_tick_ms", LongType()),
+        StructField("last_val", DoubleType()),
+    ]
+)
+LINGER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("part_id", LongType()),
+        StructField("msg_offset", LongType()),
+        StructField("fresh", BooleanType()),
+        StructField("sample_age_ms", LongType()),
+        StructField("sampled_value", DoubleType()),
+    ]
+)
+
+
+def _linger_machine(key, pdfs: Iterator, state: GroupState):
+    """Live LingerSampler (reference uforwarder/.../consumerproxy/common/
+    LingerSampler.java:14-52): each read returns the cached sample
+    unless now - lastTick > linger (strict), in which case it samples
+    fresh and the tick anchors at the read instant. The (lastTick,
+    lastValue) pair rides in the state, so the rolling gate continues
+    seamlessly across micro-batches — the online chain equals batch
+    A36's replay over the same log."""
+    import numpy as np
+    import pandas as pd
+
+    LINGER_MS = 10_000_000  # synced with batch pipeline.LINGER_MS by test
+
+    last_tick = state.get[0] if state.exists else None
+    last_val = state.get[1] if state.exists else 0.0
+    frame = pd.concat(list(pdfs), ignore_index=True)
+    if len(frame):
+        frame = frame.sort_values(["ts", "msg_offset"]).reset_index(drop=True)
+        t_ms = frame["ts"].to_numpy("datetime64[ns]").astype(np.int64) // 1_000_000
+        vals = frame["payload_value"].to_numpy(np.float64)
+        fresh = np.empty(len(t_ms), dtype=bool)
+        age = np.empty(len(t_ms), dtype=np.int64)
+        sampled = np.empty(len(t_ms), dtype=np.float64)
+        for i, now in enumerate(t_ms):
+            if last_tick is None or now - last_tick > LINGER_MS:
+                last_tick, last_val = int(now), float(vals[i])
+                fresh[i] = True
+            else:
+                fresh[i] = False
+            age[i] = now - last_tick
+            sampled[i] = last_val
+        frame["fresh"] = fresh
+        frame["sample_age_ms"] = age
+        frame["sampled_value"] = sampled
+        state.update((int(last_tick), float(last_val)))
+        yield frame[
+            ["topic", "part_id", "msg_offset", "fresh", "sample_age_ms", "sampled_value"]
+        ]
+    elif last_tick is not None:
+        state.update((int(last_tick), float(last_val)))
+
+
+def linger_sample_stream(stream: DataFrame) -> DataFrame:
+    """E17: live at-most-one-sample-per-interval reads — batch A36
+    decides freshness from the whole log; this decides it online with
+    the (lastTick, lastValue) state carried across micro-batches and
+    matches A36's chain exactly on the same log.
+
+    SCALE: state is two scalars per (topic, part_id) shard; one shuffle,
+    O(batch) numpy loop per group — the same cost class as E9/E13."""
+    return (
+        stream.select("topic", "part_id", "msg_offset", "ts", "payload_value")
+        .groupBy("topic", "part_id")
+        .applyInPandasWithState(
+            _linger_machine,
+            LINGER_OUTPUT_SCHEMA,
+            LINGER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
