@@ -32,6 +32,23 @@ HEADLINE = [
 ]
 
 
+def _calibration_sec() -> float:
+    """Single-core host-speed witness: md5 over a fixed 64 MiB buffer,
+    best of 3. Successive rounds run on different VM hosts whose CPU
+    speed varies by tens of percent; dividing totals by this number
+    makes cross-round comparisons host-independent (the queries and the
+    witness scale together — both are CPU-bound on this data size)."""
+    import hashlib
+
+    buf = bytes(range(256)) * (64 * 1024 * 1024 // 256)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.md5(buf).hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -79,6 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": _calibration_sec(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
