@@ -990,3 +990,47 @@ def test_e17_constants_in_sync():
 
     src = inspect.getsource(_linger_machine)
     assert f"LINGER_MS = {LINGER_MS:_}" in src or f"LINGER_MS = {LINGER_MS}" in src
+
+
+def test_e18_cluster_assign_stream_matches_batch_estep(spark, tmp_path):
+    """E18: the stateless streamed assignment equals batch D40's E-step
+    against the same centroid frame (the k seed vectors)."""
+    from uforwarder_spark.operators.similarity import (
+        K_CLUSTERS,
+        _emb,
+        _kmeans_assign,
+    )
+
+    e = _emb(spark, SF_SMALL)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id").limit(K_CLUSTERS)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cluster"),
+                F.col("v").alias("c"))
+    )
+    want = (
+        _kmeans_assign(e, seeds)
+        .select("vec_id", "label", "cluster", F.round("dist", 6).alias("sq_dist"))
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    src = tmp_path / "src"
+    med = e.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    base = e.select("vec_id", "label", "v")
+    base.filter(F.col("vec_id") <= med).coalesce(1).write.parquet(str(src / "f0"))
+    base.filter(F.col("vec_id") > med).coalesce(1).write.parquet(str(src / "f1"))
+    _age_files(src, {"f0": -10, "f1": 0})
+
+    stream = (
+        spark.readStream.schema("vec_id long, label int, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    _run_to_memory(
+        P.cluster_assign_stream(stream, seeds), "e18_assign",
+        str(tmp_path / "ckpt"), "append",
+    )
+    got = spark.table("e18_assign").toPandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)

@@ -1205,3 +1205,45 @@ def linger_sample_stream(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- E18: live embedding cluster assignment --------------------------------
+def cluster_assign_stream(stream: DataFrame, centroids: DataFrame) -> DataFrame:
+    """E18: online semantic-cluster assignment — each arriving embedding
+    is tagged with its nearest centroid (batch D40's E-step) as it
+    lands, the streaming half of a semantic-dedup / routing loop where
+    centroids are refreshed by a periodic batch M-step.
+
+    The static centroid frame is collapsed (static-side agg is legal)
+    into ONE row holding array<struct(cluster, c)>, broadcast onto the
+    stream, and the argmin is a row-local fold over that array — the
+    pipeline is STATELESS (append mode, no watermark, no state store):
+    at 100 TB this is a pure map over the stream with a k x DIM double
+    array riding in the broadcast, the cheapest possible shape.
+
+    Ties break to the lower cluster id, like D40 (the fold keeps the
+    strictly-smaller distance only)."""
+    packed = centroids.agg(
+        F.expr(
+            "array_sort(collect_list(struct(cluster, c))) AS cents"
+        )
+    )
+    dist = (
+        "aggregate(zip_with(v, cent.c, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+    pick = F.expr(
+        "aggregate(cents, "
+        "CAST(NULL AS struct<cluster: int, dist: double>), "
+        f"(best, cent) -> CASE WHEN best IS NULL OR {dist} < best.dist "
+        f"THEN struct(cent.cluster AS cluster, {dist} AS dist) ELSE best END)"
+    )
+    return (
+        stream.crossJoin(F.broadcast(packed))
+        .withColumn("pick", pick)
+        .select(
+            "vec_id", "label",
+            F.col("pick.cluster").alias("cluster"),
+            F.round("pick.dist", 6).alias("sq_dist"),
+        )
+    )
