@@ -249,3 +249,16 @@ def test_q17_fact_never_shuffles_for_joins(spark):
 def test_q13_aggs_are_partial(spark):
     plan = plan_of(spark, "tpch_q13_customer_distribution")
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+def test_q9_single_fact_shuffle(spark):
+    # part / supplier+nation broadcast; only lineitem⋈orders shuffles
+    plan = plan_of(spark, "tpch_q9_product_profit")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q22_anti_join_and_broadcast_threshold(spark):
+    plan = plan_of(spark, "tpch_q22_idle_balances")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

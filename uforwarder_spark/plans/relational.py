@@ -923,3 +923,123 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / F.lit(7.0)).alias("avg_yearly")
         )
     )
+
+
+# --- C20 -----------------------------------------------------------------
+Q9_ORACLE = """
+SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))
+           - CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("tpch_q9_product_profit", Q9_ORACLE)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit per supplier nation per year for parts matching
+    a name pattern (p_retailprice × quantity stands in for the spec's
+    ps_supplycost — the cut-down schema has no partsupp table; the join
+    tree, the LIKE filter, and the profit expression shape are the
+    spec's).
+
+    SCALE: part (LIKE-filtered), supplier+nation broadcast; the only
+    shuffle join is lineitem⋈orders on orderkey, and the broadcast part
+    join cuts lineitem BEFORE it. The profit expression is DECIMAL
+    end-to-end — the sum is exact and order-free — with one rounded
+    cast to double at the end."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    amount = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)") - (
+        _dec("p_retailprice") * _dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+# --- C21 -----------------------------------------------------------------
+Q22_CUTOFF = "1999-01-01"
+
+Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+),
+idle AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+  FROM customer c CROSS JOIN avg_bal
+  WHERE c.c_acctbal > ab
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'
+    )
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS totacctbal
+FROM idle GROUP BY c_mktsegment
+"""
+
+
+@register("tpch_q22_idle_balances", Q22_ORACLE)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: customers with above-average positive balances and no
+    recent orders, grouped (c_mktsegment stands in for the spec's phone
+    country code — no phone column in the cut-down schema; the
+    scalar-subquery + NOT EXISTS anti-join shape is the spec's).
+
+    Threshold determinism: a raw double avg is accumulation-order
+    dependent in BOTH engines, and a customer sitting exactly at the
+    threshold would flip — so both sides compute the average as an
+    exact DECIMAL sum cast to double before the one division, making
+    the threshold bit-identical.
+
+    SCALE: the 1-row average broadcasts onto customer; the anti join
+    shuffles customer against recent-orders custkeys (both custkey-
+    uniform); the final agg is tiny. Orders is date-pruned at the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("ab")
+    )
+    idle = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("totacctbal"),
+    )
