@@ -508,22 +508,31 @@ SELECT vec_id, label, cluster, round(dist, 6) AS sq_dist FROM (
 
 
 def _kmeans_assign(e, centroids):
-    """E-step: nearest centroid per vector. The argmin is a grouped
-    min(struct(dist, cluster)) — map-side combinable, lower-cluster
-    tiebreak — not a window, so at scale it is one partial agg."""
-    j = e.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", F.expr(_SQD_SPARK.format(v="v", c="c"))
+    """E-step: nearest centroid per vector, as a STATELESS row-local
+    fold — the k-row centroid frame collapses to ONE array<struct
+    (cluster, c)> row (static-side agg), broadcasts, and each vector
+    folds over it keeping the strictly-smaller distance (array sorted
+    by cluster ⇒ lower-cluster tiebreak, same order as min(struct(dist,
+    cluster))). No vec×k fan-out, no per-vec aggregation, no shuffle —
+    the E-step is a pure map over the vector scan; streaming E18 runs
+    the identical fold online."""
+    packed = centroids.agg(
+        F.expr("array_sort(collect_list(struct(cluster, c))) AS cents")
+    )
+    dist = _SQD_SPARK.format(v="v", c="cent.c")
+    pick = F.expr(
+        "aggregate(cents, "
+        "CAST(NULL AS struct<cluster: int, dist: double>), "
+        f"(best, cent) -> CASE WHEN best IS NULL OR {dist} < best.dist "
+        f"THEN struct(cent.cluster AS cluster, {dist} AS dist) ELSE best END)"
     )
     return (
-        j.groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("dist"), F.col("cluster"))).alias("m"),
-            F.first("label").alias("label"),
-            F.first("v").alias("v"),
-        )
+        e.crossJoin(F.broadcast(packed))
+        .withColumn("pick", pick)
         .select(
             "vec_id", "label", "v",
-            F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"),
+            F.col("pick.cluster").alias("cluster"),
+            F.col("pick.dist").alias("dist"),
         )
     )
 
@@ -543,10 +552,11 @@ def kmeans_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin ties break to the lower cluster id. Every number both
     engines compare is therefore bit-identical.
 
-    SCALE: E-steps broadcast the k-row centroid table (never shuffling
-    vectors); the argmin is a partial-aggregated min(struct), not a
-    window; the M-step posexplodes to (cluster, dim) rows map-side with
-    ONE uniform shuffle on k x DIM keys. Iterations are a fixed small
+    SCALE: E-steps are SHUFFLE-FREE — the centroid table collapses to
+    one broadcast array row and the argmin is a row-local fold (see
+    _kmeans_assign), so vectors are never fanned out k-ways nor
+    re-aggregated; the only shuffles are the M-step's (cluster, dim)
+    partial agg and its k-row regroup. Iterations are a fixed small
     constant — the plan is k-independent chained E/M stages, exactly
     how distributed k-means runs at 100 TB (the full algorithm would
     loop the same two stages).
