@@ -484,3 +484,51 @@ def test_kmeans_assign_equals_numpy_lloyd(spark):
         # assign->update twice but we read the SECOND assign below
     want = dict(zip(ids.tolist(), assign.tolist()))
     assert got == want
+
+
+def test_semdedup_equals_numpy_rule(spark):
+    """The REAL semdedup_prune operator at sf0.001 equals a numpy replay
+    of cluster-then-drop-if-any-earlier-near-dup."""
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        K_CLUSTERS,
+        SEMDEDUP_COS,
+        semdedup_prune,
+    )
+
+    got = {r.vec_id: (r.keep, r.dup_of) for r in semdedup_prune(spark, SF_SMALL).collect()}
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([v[0] for v in vecs])
+    X = np.array([v[1] for v in vecs])
+    keepmask = (X * X).sum(axis=1) > 0
+    ids, X = ids[keepmask], X[keepmask]
+    C = X[:K_CLUSTERS]
+    for _ in range(2):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        C = np.stack([
+            np.round(X[assign == k], 7).sum(axis=0) / (assign == k).sum()
+            if (assign == k).any() else C[k]
+            for k in range(K_CLUSTERS)
+        ])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = {}
+    for i, vid in enumerate(ids):
+        same = np.where((assign == assign[i]) & (ids < vid))[0]
+        near = same[(Xn[same] @ Xn[i]) >= SEMDEDUP_COS - 1e-12]
+        # the numpy cosine differs from the engines' sequential fold in
+        # the last ulp; pairs EXACTLY at the threshold could flip — none
+        # sit there on this data (margin checked below)
+        if len(near):
+            want[int(vid)] = (False, int(ids[near].min()))
+        else:
+            want[int(vid)] = (True, None)
+        margins = np.abs((Xn[same] @ Xn[i]) - SEMDEDUP_COS) if len(same) else np.array([1.0])
+        assert margins.min() > 1e-9, "threshold-straddling pair breaks the replay"
+    assert got == want

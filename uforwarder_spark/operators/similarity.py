@@ -464,7 +464,7 @@ _SQD_DUCK = (
     "(x, y) -> x + y)"
 )
 
-KMEANS_ORACLE = f"""
+_KM_CTES = f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
   WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) > 0
@@ -497,14 +497,22 @@ cent2 AS (
   SELECT cluster, list(m ORDER BY d) AS c FROM per_dim GROUP BY cluster
 ),
 d2 AS (
-  SELECT e.vec_id, e.label, c2.cluster,
+  SELECT e.vec_id, e.label, e.v, c2.cluster,
          {_SQD_DUCK.format(v='e.v', c='c2.c')} AS dist
   FROM e CROSS JOIN cent2 c2
-)
-SELECT vec_id, label, cluster, round(dist, 6) AS sq_dist FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d2
-) WHERE rn = 1
+),
+a2 AS (
+  SELECT vec_id, label, v, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d2
+  ) WHERE rn = 1
+)"""
+
+KMEANS_ORACLE = (
+    _KM_CTES
+    + """
+SELECT vec_id, label, cluster, round(dist, 6) AS sq_dist FROM a2
 """
+)
 
 
 def _kmeans_assign(e, centroids):
@@ -562,6 +570,15 @@ def kmeans_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop the same two stages).
 
     Reference scope note: no uForwarder twin — D-family mandate."""
+    return _kmeans_a2(spark, sf_dir).select(
+        "vec_id", "label", "cluster", F.round("dist", 6).alias("sq_dist")
+    )
+
+
+def _kmeans_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Lloyd pipeline through the second E-step: assignments
+    WITH their vectors — D40 projects (cluster, dist) off it; D41 prunes
+    near-dups within its clusters."""
     e = _emb(spark, sf_dir)
     w = Window.orderBy("vec_id")
     seeds = (
@@ -582,7 +599,71 @@ def kmeans_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent2 = per_dim.groupBy("cluster").agg(
         F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias("c")
     )
-    a2 = _kmeans_assign(e, cent2)
-    return a2.select(
-        "vec_id", "label", "cluster", F.round("dist", 6).alias("sq_dist")
+    return _kmeans_assign(e, cent2)
+
+
+# --- D41 -----------------------------------------------------------------
+SEMDEDUP_COS = 0.3
+# The synthetic embeddings are near-orthogonal random vectors (max
+# intra-cluster cosine ~0.51 at sf0.01 — no planted near-dups), so the
+# registered threshold sits low enough to exercise the drop path end to
+# end; a real corpus runs the same operator at ~0.95+.
+
+SEMDEDUP_ORACLE = (
+    _KM_CTES
+    + f""",
+pairs AS (
+  SELECT a.vec_id AS vid, min(b.vec_id) AS dup_of
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE {_cos_expr('duck', 'a.v', 'b.v')} >= {SEMDEDUP_COS}
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.label, a.cluster,
+       p.dup_of IS NULL AS keep, p.dup_of
+FROM a2 a LEFT JOIN pairs p ON a.vec_id = p.vid
+"""
+)
+
+
+@register("semdedup_prune", SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: cluster the embedding
+    table (D40's deterministic Lloyd pipeline), then inside each final
+    cluster drop every vector that has a near-duplicate (cosine ≥ T)
+    with a smaller vec_id — the deterministic analogue of the paper's
+    keep-one-per-duplicate-group with id order as the tiebreak. A
+    vector is dropped if ANY earlier same-cluster vector is within the
+    threshold (whether or not that one was itself dropped) — the
+    transitive-closure-free rule both engines compute identically
+    without iteration. Output: per-vector keep/drop with the earliest
+    duplicate it collapsed into.
+
+    SCALE: clustering bounds the pair search — candidates are
+    same-cluster only, O(n²/k) vs the corpus-quadratic naive join, and
+    k grows with the corpus in the paper's regime (k ≈ √n keeps
+    per-cluster work flat). The pair join shuffles on cluster id; a fat
+    cluster is exactly the AQE skew-join case (session enables it), and
+    the cosine fold is bit-stable, so the threshold cut is
+    engine-identical. Everything downstream of the (tiny) pairs frame
+    is a broadcast-back left join."""
+    a2 = _kmeans_a2(spark, sf_dir).persist()
+    # persisted: both sides of the pair self-join and the final left join
+    # reference a2; freed by LRU / bench clearCache between queries.
+    b = a2.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("v").alias("b_v"),
+    )
+    pairs = (
+        a2.join(
+            b,
+            (F.col("cluster") == F.col("b_cluster")) & (F.col("b_id") < F.col("vec_id")),
+        )
+        .filter(F.expr(_cos_expr("spark", "v", "b_v")) >= SEMDEDUP_COS)
+        .groupBy("vec_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return a2.join(pairs, "vec_id", "left").select(
+        "vec_id", "label", "cluster",
+        F.col("dup_of").isNull().alias("keep"), "dup_of",
     )
