@@ -1034,3 +1034,45 @@ def test_e18_cluster_assign_stream_matches_batch_estep(spark, tmp_path):
     )
     got = spark.table("e18_assign").toPandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_e19_importance_weights_matches_batch(spark, tmp_path):
+    """E19: after the incremental monitor drains, the latest weight
+    table equals batch D39 over the same corpus; the totals merged
+    across micro-batches (no batch re-reads the corpus)."""
+    import os
+
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.training import importance_sampling_weights
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    med = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+
+    src = tmp_path / "src"
+    docs.filter(F.col("doc_id") <= med).coalesce(1).write.parquet(str(src / "f0"))
+    docs.filter(F.col("doc_id") > med).coalesce(1).write.parquet(str(src / "f1"))
+    _age_files(src, {"f0": -10, "f1": 0})
+
+    stream = (
+        spark.readStream.schema(P.DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "state")
+    q = P.importance_weights_pipeline(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    latest = max(
+        int(d.split("=")[1]) for d in os.listdir(f"{state}/weights")
+        if d.startswith("batch_id=")
+    )
+    assert latest >= 1  # the merge crossed at least one micro-batch boundary
+    got = (
+        spark.read.parquet(f"{state}/weights/batch_id={latest}")
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        importance_sampling_weights(spark, SF_SMALL)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)

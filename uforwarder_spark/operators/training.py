@@ -296,9 +296,16 @@ def importance_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("n_tokens"))
     )
-    tot = per_src.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    return weights_from_totals(per_src)
+
+
+def weights_from_totals(totals: DataFrame) -> DataFrame:
+    """The share→weight derivation over a (source, n_docs, n_tokens)
+    totals frame — shared by batch D39 and the live monitor E19 so the
+    two can never drift. All numbers follow D39's determinism rules."""
+    tot = totals.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
     token_share = F.col("n_tokens").cast("double") / F.col("total_tokens")
-    shares = per_src.crossJoin(F.broadcast(tot)).select(
+    shares = totals.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_tokens",
         token_share.alias("token_share"),
         F.round(F.pow(token_share, F.lit(1.0 / MIX_TEMPERATURE)), 8)

@@ -1247,3 +1247,73 @@ def cluster_assign_stream(stream: DataFrame, centroids: DataFrame) -> DataFrame:
             F.round("pick.dist", 6).alias("sq_dist"),
         )
     )
+
+
+# --- E19: live corpus-mixture monitor --------------------------------------
+def importance_weights_pipeline(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E19: the live twin of batch D39 — as document batches land, the
+    per-source token totals are merged incrementally and the
+    temperature-sampling weight table (weight ∝ token-share^(1/T),
+    renormalized) is re-emitted, so loaders always read current
+    mixture weights while the crawl is still running.
+
+    State layout: ``{state_dir}/totals/batch_id=N`` holds the running
+    (source, n_docs, n_tokens) totals AFTER batch N (merged from
+    batch N's counts + batch N-1's totals); ``{state_dir}/weights/
+    batch_id=N`` the weight table derived from them. foreachBatch is
+    at-least-once, and a replay of batch N re-merges the SAME batch
+    data with the SAME N-1 totals into the same directory — idempotent
+    by construction (same exactly-once shape as E7/E15).
+
+    SCALE: each trigger aggregates only its micro-batch (partial agg on
+    source) and merges against a |sources|-row table; the weight math
+    is the identical decimal-denominator pipeline as D39 on a frame of
+    |sources| rows. Nothing ever re-reads the corpus."""
+    from ..functions.tokenize import TOKENS_SPARK
+    from ..operators.training import weights_from_totals
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_tot = (
+            batch_df.select(
+                "source",
+                F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            )
+        )
+        prev_id = batch_id - 1
+        prev_path = f"{state_dir}/totals/batch_id={prev_id}"
+        try:
+            prev = spark.read.parquet(prev_path)
+        except Exception:
+            prev = None
+        merged = (
+            batch_tot if prev is None
+            else batch_tot.unionByName(prev)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/totals/batch_id={batch_id}"
+        )
+        totals = spark.read.parquet(f"{state_dir}/totals/batch_id={batch_id}")
+        weights = weights_from_totals(totals)
+        weights.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/weights/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
