@@ -490,3 +490,33 @@ def test_source_lang_kl_zero_for_mirror_mix(spark, edge_dir):
     assert abs(rows["books"].kl_divergence - round(math.log(8 / 7), 8)) < 1e-9
     # web holds the only es doc -> strictly positive drift
     assert rows["web"].kl_divergence > 0
+
+
+def test_int8_rescore_recall_and_exactness(spark, tmp_path):
+    """D42's quantized scan must (a) never emit a hit whose exact cosine
+    is wrong, and (b) recover the brute-force top-10 on a corpus where
+    SQ8 reconstruction error is small relative to neighbor gaps."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, i % 3, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    from uforwarder_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_int8_rescore,
+    )
+
+    exact = {r.vec_id: r.cosine for r in ann_topk_bruteforce(spark, str(tmp_path)).collect()}
+    got = ann_topk_int8_rescore(spark, str(tmp_path)).collect()
+    # exactness: the rescored cosine equals brute force for shared ids
+    for r in got:
+        if r.vec_id in exact:
+            assert math.isclose(r.cosine, exact[r.vec_id], abs_tol=1e-6)
+    # recall: with C=50 candidates over n=200 the exact top-10 survives
+    assert sum(1 for r in got if r.vec_id in exact) >= 9
+    # the approximate score tracks the exact one (SQ8 error is bounded)
+    assert all(abs(r.approx_cosine - r.cosine) < 0.05 for r in got)

@@ -667,3 +667,118 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "cluster",
         F.col("dup_of").isNull().alias("keep"), "dup_of",
     )
+
+
+# --- D42 -----------------------------------------------------------------
+# Quantized-scan ANN: scan the int8-reconstructed vectors (D31's exact
+# codebook) for a cheap approximate top-C, then exact-rescore only those
+# C candidates against the full-precision vectors — the FAISS SQ8
+# ADC-then-refine pattern. At 100 TB the codes table is what sits on
+# disk (4x smaller, 4x less scan IO); full-precision vectors are only
+# fetched for the C candidates.
+RESCORE_CAND = 50  # approximate candidates kept from the quantized scan
+RESCORE_K = 10  # final exact top-k
+
+_RECON_SPARK = (
+    "transform(v, (x, i) -> CASE WHEN element_at(scales, i + 1) = 0D "
+    "THEN element_at(mins, i + 1) "
+    "ELSE round((x - element_at(mins, i + 1)) / element_at(scales, i + 1)) "
+    "* element_at(scales, i + 1) + element_at(mins, i + 1) END)"
+)
+
+INT8_RESCORE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT i, min(v[i + 1]) AS mn, max(v[i + 1]) AS mx
+  FROM e, unnest(range(len(v))) AS t(i)
+  GROUP BY i
+),
+code AS (
+  SELECT list(mn ORDER BY i) AS mins,
+         list((mx - mn) / 255.0 ORDER BY i) AS scales
+  FROM dims
+),
+q AS (
+  SELECT vec_id, label, v,
+         list_transform(range(len(v)),
+           i -> CASE WHEN scales[i + 1] = 0 THEN mins[i + 1]
+                     ELSE round((v[i + 1] - mins[i + 1]) / scales[i + 1])
+                          * scales[i + 1] + mins[i + 1] END) AS r
+  FROM e CROSS JOIN code
+),
+qq AS (SELECT v AS qv, r AS qr FROM q WHERE vec_id = 0),
+cand AS (
+  SELECT q.vec_id, q.label, q.v, qq.qv,
+         {_cos_expr('duck', 'q.r', 'qq.qr')} AS approx_raw
+  FROM q CROSS JOIN qq
+  WHERE q.vec_id <> 0
+  ORDER BY approx_raw DESC, q.vec_id
+  LIMIT {RESCORE_CAND}
+)
+SELECT vec_id, label,
+       round(approx_raw, 6) AS approx_cosine,
+       round({_cos_expr('duck', 'v', 'qv')}, 6) AS cosine
+FROM cand
+ORDER BY {_cos_expr('duck', 'v', 'qv')} DESC, vec_id
+LIMIT {RESCORE_K}
+"""
+
+
+@register("ann_topk_int8_rescore", INT8_RESCORE_ORACLE)
+def ann_topk_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over the scalar-quantized codes: approximate cosine
+    on the int8-reconstructed vectors (D31's exact [min, max] codebook)
+    selects the top-{RESCORE_CAND} candidates, and only those are
+    exact-rescored at full precision for the final top-{RESCORE_K}.
+    Output carries both scores so recall loss is auditable per hit.
+
+    SCALE: the production layout stores the 1-byte codes (computed once
+    by D31's pass) — the scan stage reads 4x fewer bytes than D6 and
+    never touches the float vectors; the reconstruction here is inline
+    only because the bench derives codes and scan from the same table.
+    Both stages are per-partition top-C folds + a C-row driver merge
+    (TakeOrderedAndProject) — no full sort, no wide shuffle; the
+    codebook and query rows broadcast. Quantization (round), dot folds
+    (sequential aggregate == list_reduce), and id tie-breaks are
+    bit-identical across engines, so candidate sets — not just scores —
+    match the oracle exactly.
+
+    Reference analogue: none — training-data similarity family (the
+    FAISS SQ8 ADC + refine pattern re-expressed as DataFrame ops)."""
+    e = _emb(spark, sf_dir)
+    dims = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    code = dims.agg(
+        F.expr("array_sort(collect_list(struct(i, mn)))").alias("_mins"),
+        F.expr("array_sort(collect_list(struct(i, (mx - mn) / 255.0D AS scale)))").alias("_scales"),
+    ).select(
+        F.expr("transform(_mins, s -> s.mn)").alias("mins"),
+        F.expr("transform(_scales, s -> s.scale)").alias("scales"),
+    )
+    r = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
+    qrow = r.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("r").alias("qr")
+    )
+    cand = (
+        r.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("approx_raw", F.expr(_cos_expr("spark", "r", "qr")))
+        .orderBy(F.col("approx_raw").desc(), "vec_id")
+        .limit(RESCORE_CAND)
+    )
+    return (
+        cand.withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(RESCORE_K)
+        .select(
+            "vec_id",
+            "label",
+            F.round("approx_raw", 6).alias("approx_cosine"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
