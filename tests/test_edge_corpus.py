@@ -520,3 +520,34 @@ def test_int8_rescore_recall_and_exactness(spark, tmp_path):
     assert sum(1 for r in got if r.vec_id in exact) >= 9
     # the approximate score tracks the exact one (SQ8 error is bounded)
     assert all(abs(r.approx_cosine - r.cosine) < 0.05 for r in got)
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, tmp_path):
+    """Every true cross-side exact dup MUST be flagged maybe_dup (Bloom
+    has no false negatives) and classified is_dup; FPs are possible but
+    never counted as dups."""
+    rows = [
+        # existing corpus (even source) --------------------------------
+        (0, "shared text one", "en", "src00", 15),
+        (1, "shared text two", "en", "src02", 15),
+        (2, "only in corpus", "en", "src04", 14),
+        # incoming batch (odd source) ----------------------------------
+        (10, "shared text one", "en", "src01", 15),   # exact dup
+        (11, "  SHARED   text two ", "en", "src03", 20),  # dup after norm
+        (12, "genuinely brand new", "en", "src05", 19),
+        (13, "another fresh doc", "en", "src07", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.operators.dedup import bloom_dedup_prefilter
+
+    got = {r.doc_id: r for r in bloom_dedup_prefilter(spark, str(tmp_path)).collect()}
+    assert set(got) == {10, 11, 12, 13}
+    for dup_id in (10, 11):
+        assert got[dup_id].maybe_dup and got[dup_id].is_dup
+        assert not got[dup_id].bloom_false_positive
+    for fresh_id in (12, 13):
+        assert not got[fresh_id].is_dup  # may be a Bloom FP, never a dup
+        assert got[fresh_id].bloom_false_positive == got[fresh_id].maybe_dup
