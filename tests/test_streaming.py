@@ -1076,3 +1076,47 @@ def test_e19_importance_weights_matches_batch(spark, tmp_path):
         .toPandas().sort_values("source").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_e20_bloom_prefilter_matches_batch(spark, tmp_path):
+    """E20: the streamed Bloom prefilter must emit exactly the decisions
+    batch D43 computes over the same incoming set — same maybe/is-dup
+    flags, same false-positive audit."""
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import bloom_dedup_prefilter
+
+    ind = str(tmp_path / "incoming")
+    P.prepare_incoming_docs(spark, SF_SMALL, ind)
+    corpus = load_parallel(spark, SF_SMALL, "documents").filter(
+        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+    )
+    out = str(tmp_path / "decisions")
+    q = P.bloom_prefilter_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        corpus,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    cols = ["doc_id", "maybe_dup", "is_dup", "bloom_false_positive"]
+    got = (
+        spark.read.parquet(out)
+        .select(*cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        bloom_dedup_prefilter(spark, SF_SMALL)
+        .select(*cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the prefilter must actually cut work: some clean misses skip the join
+    assert (~exp["maybe_dup"]).any()

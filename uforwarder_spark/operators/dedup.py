@@ -925,21 +925,42 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (training-data curation: incremental ingest dedup at corpus scale)."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
-        F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")).alias("h"),
+        "text",
         F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
     )
-    pos = d.select("doc_id", "h", "side", F.expr(f"array({_BLOOM_POS_SPARK})").alias("ps"))
-    bits = (
-        pos.filter(F.col("side") == 0)
+    existing = d.filter(F.col("side") == 0)
+    incoming = d.filter(F.col("side") == 1)
+    bits = bloom_bits_frame(existing)
+    exist_h = bloom_hash_frame(existing).select(F.col("h").alias("eh")).distinct()
+    return bloom_prefilter_frame(bloom_hash_frame(incoming), bits, exist_h)
+
+
+def bloom_hash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, ps): normalized-text md5 + the k Bloom bit positions."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")).alias("h"),
+    ).withColumn("ps", F.expr(f"array({_BLOOM_POS_SPARK})"))
+
+
+def bloom_bits_frame(existing_docs: DataFrame) -> DataFrame:
+    """One-row bitset: sorted distinct bit positions of the existing corpus."""
+    return (
+        bloom_hash_frame(existing_docs)
         .select(F.explode("ps").alias("p"))
         .agg(F.array_sort(F.collect_set("p")).alias("bs"))
     )
-    flagged = (
-        pos.filter(F.col("side") == 1)
-        .crossJoin(F.broadcast(bits))
-        .withColumn("maybe_dup", F.expr("forall(ps, p -> array_contains(bs, p))"))
+
+
+def bloom_prefilter_frame(
+    incoming_hashed: DataFrame, bits: DataFrame, exist_h: DataFrame
+) -> DataFrame:
+    """The D43 decision kernel, reused verbatim by streaming E20: test
+    each incoming doc's k positions against the broadcast bitset; only
+    maybe-dups join the exact hash table (``exist_h``: distinct ``eh``)."""
+    flagged = incoming_hashed.crossJoin(F.broadcast(bits)).withColumn(
+        "maybe_dup", F.expr("forall(ps, p -> array_contains(bs, p))")
     )
-    exist_h = d.filter(F.col("side") == 0).select(F.col("h").alias("eh")).distinct()
     return (
         flagged.join(
             exist_h,

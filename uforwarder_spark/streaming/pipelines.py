@@ -1317,3 +1317,45 @@ def importance_weights_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E20: live Bloom dedup prefilter ---------------------------------------
+def bloom_prefilter_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E20: the live twin of batch D43 — incoming documents are tested
+    against the STATIC existing-corpus Bloom bitset as they land; only
+    the maybe-duplicates of each micro-batch pay the exact hash join,
+    and the per-doc (maybe_dup, is_dup, bloom_false_positive) decisions
+    land in a batchId-partitioned parquet sink.
+
+    SCALE: the bitset and the exact hash table are computed ONCE from
+    the static corpus before the first trigger (at 100 TB: a bitset
+    maintained per corpus epoch, O(m) to broadcast however big the
+    corpus); each trigger is |batch| rows of pure expression work plus
+    an exact join over its maybe-dup sliver. foreachBatch overwrites
+    its own batch_id=N directory, so at-least-once replays rewrite
+    instead of duplicating (same exactly-once shape as E7/E15)."""
+    from ..operators.dedup import bloom_bits_frame, bloom_hash_frame, bloom_prefilter_frame
+
+    bits = bloom_bits_frame(corpus_docs.select("doc_id", "text")).persist()
+    exist_h = (
+        bloom_hash_frame(corpus_docs.select("doc_id", "text"))
+        .select(F.col("h").alias("eh"))
+        .distinct()
+        .persist()
+    )
+    bits.count(), exist_h.count()  # materialize once, before the first trigger
+
+    def prefilter_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = bloom_prefilter_frame(
+            bloom_hash_frame(batch_df.select("doc_id", "text")), bits, exist_h
+        )
+        decisions.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(prefilter_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
