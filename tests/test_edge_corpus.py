@@ -551,3 +551,44 @@ def test_bloom_prefilter_has_no_false_negatives(spark, tmp_path):
     for fresh_id in (12, 13):
         assert not got[fresh_id].is_dup  # may be a Bloom FP, never a dup
         assert got[fresh_id].bloom_false_positive == got[fresh_id].maybe_dup
+
+
+def test_zipf_and_entropy_match_numpy(spark, tmp_path):
+    """D44/D45 against independent numpy math on a hand-built corpus,
+    plus the degenerate branches: a one-type vocabulary (zipf NULL) and
+    a source with zero bigrams (absent from the entropy frame)."""
+    import math
+
+    import numpy as np
+
+    rows = [
+        (0, "alpha alpha alpha beta beta gamma delta", "en", "src01", 39),
+        (1, "alpha beta beta epsilon zeta", "en", "src01", 28),
+        (2, "same same same same", "en", "src03", 19),   # one-type vocab
+        (3, "solo", "en", "src05", 4),                   # zero bigrams
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import ngram_entropy, zipf_fit
+
+    z = {r.source: r for r in zipf_fit(spark, str(tmp_path)).collect()}
+    toks = "alpha alpha alpha beta beta gamma delta alpha beta beta epsilon zeta".split()
+    freqs = sorted(
+        [toks.count(t) for t in set(toks)], reverse=True
+    )  # 4, 4, 1, 1, 1, 1 (alpha, beta, then singles)
+    x = np.log(np.arange(1, len(freqs) + 1))
+    y = np.log(np.array(freqs, dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert math.isclose(z["src01"].zipf_slope, slope, abs_tol=1e-4)
+    assert z["src01"].n_types == 6 and z["src01"].n_tokens == 12
+    assert z["src03"].zipf_slope is None  # one-type vocab: zero variance
+
+    e = {r.source: r for r in ngram_entropy(spark, str(tmp_path)).collect()}
+    cnt = {t: toks.count(t) for t in set(toks)}
+    h1 = -sum((c / 12) * math.log(c / 12) for c in cnt.values())
+    assert math.isclose(e["src01"].unigram_entropy, h1, abs_tol=1e-4)
+    assert math.isclose(e["src03"].unigram_entropy, 0.0, abs_tol=1e-9)
+    assert e["src01"].cond_entropy <= e["src01"].unigram_entropy + 1e-9
+    assert "src05" not in e  # no bigrams -> no next-token distribution

@@ -12,7 +12,7 @@ The token model shared by every text operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..model import load_parallel
@@ -1183,4 +1183,197 @@ def source_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("source").agg(
         F.min("n_s").alias("n_docs"),
         F.sum("kc").cast("double").alias("kl_divergence"),
+    )
+
+
+# --- D44 -----------------------------------------------------------------
+ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_DUCK}) AS token FROM documents
+),
+cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS r
+  FROM cnt
+),
+xy AS (
+  SELECT source,
+         CAST(round(ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
+         CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS xy,
+         CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(18,8)) AS xx,
+         CAST(round(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS yy,
+         c
+  FROM ranked
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+         CAST(sum(yy) AS DOUBLE) AS syy
+  FROM xy GROUP BY source
+)
+SELECT source, n_types, n_tokens,
+       CASE WHEN n_types * sxx - sx * sx = 0 THEN NULL
+            ELSE round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 6) END
+         AS zipf_slope,
+       CASE WHEN (n_types * sxx - sx * sx) * (n_types * syy - sy * sy) = 0 THEN NULL
+            ELSE round((n_types * sxy - sx * sy) * (n_types * sxy - sx * sy)
+                       / ((n_types * sxx - sx * sx) * (n_types * syy - sy * sy)), 6) END
+         AS r2
+FROM s
+"""
+
+
+@register("zipf_fit", ZIPF_ORACLE)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf-law fit: OLS of ln(freq) on ln(rank) over the
+    source's full vocabulary. Natural text sits near slope ≈ −1 with
+    high r²; boilerplate-heavy, templated, or synthetic sources drift —
+    a standard corpus-quality fingerprint next to D23's corpus_stats.
+
+    Exactness: each rank's ln/product terms are rounded to 8 dp and
+    cast to DECIMAL before the per-source sums (exact, order-free —
+    the D38 pattern), then slope/r² are scalar double expressions on
+    the five sums, identical in both engines; zero denominators (a
+    one-type vocabulary) emit NULL, not inf.
+
+    SCALE: one (source, token) partial agg over the scan, then a
+    window partitioned BY SOURCE over the vocab frame — vocabulary is
+    orders of magnitude smaller than the corpus, and per-source sort
+    parallelism is the partition key. Nothing but the vocab frame
+    shuffles; the five-sum agg is map-side partial.
+
+    Reference analogue: none (training-data pipeline family)."""
+    tok = _docs(spark, sf_dir).select("source", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+    cnt = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    ranked = cnt.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("source").orderBy(F.col("c").desc(), "token")),
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    xy = ranked.select(
+        "source",
+        "c",
+        F.round(lx, 8).cast("decimal(18,8)").alias("x"),
+        F.round(ly, 8).cast("decimal(18,8)").alias("y"),
+        F.round(lx * ly, 8).cast("decimal(18,8)").alias("xy"),
+        F.round(lx * lx, 8).cast("decimal(18,8)").alias("xx"),
+        F.round(ly * ly, 8).cast("decimal(18,8)").alias("yy"),
+    )
+    s = xy.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    dxx = F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n_types") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        F.when(dxx == 0, F.lit(None)).otherwise(F.round(num / dxx, 6)).alias("zipf_slope"),
+        F.when(dxx * dyy == 0, F.lit(None))
+        .otherwise(F.round(num * num / (dxx * dyy), 6))
+        .alias("r2"),
+    )
+
+
+# --- D45 -----------------------------------------------------------------
+_BIGRAMS_SPARK = (
+    f"transform(slice({TOKENS_SPARK}, 1, size({TOKENS_SPARK}) - 1), "
+    f"(t, i) -> concat(t, ' ', element_at({TOKENS_SPARK}, i + 2)))"
+)
+_BIGRAMS_DUCK = (
+    f"list_transform(range(len({TOKENS_DUCK}) - 1), "
+    f"i -> {TOKENS_DUCK}[i + 1] || ' ' || {TOKENS_DUCK}[i + 2])"
+)
+
+ENTROPY_ORACLE = f"""
+WITH uni AS (
+  SELECT source, g, count(*) AS c
+  FROM (SELECT source, unnest({TOKENS_DUCK}) AS g FROM documents)
+  GROUP BY source, g
+),
+big AS (
+  SELECT source, g, count(*) AS c
+  FROM (SELECT source, unnest({_BIGRAMS_DUCK}) AS g FROM documents)
+  GROUP BY source, g
+),
+h1 AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8))) AS DOUBLE) AS snln
+  FROM uni GROUP BY source
+),
+h2 AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8))) AS DOUBLE) AS snln
+  FROM big GROUP BY source
+)
+SELECT h1.source, h1.n_tokens, h2.n_bigrams,
+       round(ln(CAST(h1.n_tokens AS DOUBLE)) - h1.snln / h1.n_tokens, 6) AS unigram_entropy,
+       round(ln(CAST(h2.n_bigrams AS DOUBLE)) - h2.snln / h2.n_bigrams, 6) AS bigram_entropy,
+       round((ln(CAST(h2.n_bigrams AS DOUBLE)) - h2.snln / h2.n_bigrams)
+             - (ln(CAST(h1.n_tokens AS DOUBLE)) - h1.snln / h1.n_tokens), 6) AS cond_entropy
+FROM h1 JOIN h2 USING (source)
+"""
+
+
+@register("ngram_entropy", ENTROPY_ORACLE)
+def ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token entropy: unigram Shannon entropy H₁, bigram
+    entropy H₂, and the conditional (next-token) entropy H₂ − H₁ — the
+    model-free proxy for "how predictable is this source" that flags
+    templated or machine-generated text (low conditional entropy) next
+    to D25's repetition_stats.
+
+    Exactness: H = ln N − (Σ c·ln c)/N, with each c·ln c term rounded
+    to 8 dp and cast to DECIMAL before the per-source sum (exact,
+    order-free — the D38 pattern); the closing arithmetic is scalar
+    doubles on two sums, identical in both engines.
+
+    SCALE: two (source, gram) partial aggs over one scan each — bigram
+    extraction is a row-local array zip, no self-join; gram cardinality
+    is vocabulary-sized, far below the corpus, and everything after the
+    partial agg is |sources| rows.
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = _docs(spark, sf_dir)
+
+    def h_frame(gram_expr: str, n_col: str) -> DataFrame:
+        cnt = (
+            docs.select("source", F.explode(F.expr(gram_expr)).alias("g"))
+            .groupBy("source", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        return cnt.groupBy("source").agg(
+            F.sum("c").cast("bigint").alias(n_col),
+            F.sum(
+                F.round(F.col("c") * F.log(F.col("c").cast("double")), 8).cast("decimal(18,8)")
+            )
+            .cast("double")
+            .alias(f"snln_{n_col}"),
+        )
+
+    h1 = h_frame(TOKENS_SPARK, "n_tokens")
+    h2 = h_frame(_BIGRAMS_SPARK, "n_bigrams")
+    e1 = F.log(F.col("n_tokens").cast("double")) - F.col("snln_n_tokens") / F.col("n_tokens")
+    e2 = F.log(F.col("n_bigrams").cast("double")) - F.col("snln_n_bigrams") / F.col("n_bigrams")
+    return (
+        h1.join(h2, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_bigrams",
+            F.round(e1, 6).alias("unigram_entropy"),
+            F.round(e2, 6).alias("bigram_entropy"),
+            F.round(e2 - e1, 6).alias("cond_entropy"),
+        )
     )
