@@ -262,3 +262,41 @@ def test_q22_anti_join_and_broadcast_threshold(spark):
     plan = plan_of(spark, "tpch_q22_idle_balances")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_int8_rescore_is_top_c_merge_not_full_sort(spark):
+    # D42: both stages must be TakeOrderedAndProject (per-partition
+    # top-C + tiny driver merge), never a global Sort exchange; codebook
+    # and query rows reach the scan via 1-row broadcasts
+    plan = plan_of(spark, "ann_topk_int8_rescore")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "pythonUDF" not in plan
+
+
+def test_bloom_prefilter_bitset_broadcasts(spark):
+    # D43: the bitset reaches the incoming side via a 1-row broadcast
+    # (O(m) regardless of corpus size); the exact join must be on the
+    # hash key, not a cartesian
+    plan = plan_of(spark, "bloom_dedup_prefilter")
+    assert "BroadcastNestedLoopJoin" in plan  # the bitset row
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_window_is_partitioned_by_source(spark):
+    # D44: the rank window must carry a per-source partition key — a
+    # global (empty-partition-spec) window would funnel the vocabulary
+    # through one reducer
+    plan = plan_of(spark, "zipf_fit")
+    assert "Window" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("source" in s for s in specs)
+
+
+def test_entropy_aggs_are_partial(spark):
+    # D45: both gram counts must map-side combine before the exchange
+    plan = plan_of(spark, "ngram_entropy")
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan  # entropy needs no windows at all
