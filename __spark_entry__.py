@@ -33,7 +33,7 @@ _KEY_PRIORITY = [
     "importance_sampling_weights", "kmeans_embedding_assign",
     "tpch_q9_product_profit", "tpch_q22_idle_balances",
     "semdedup_prune", "ann_topk_int8_rescore", "bloom_dedup_prefilter",
-    "zipf_fit", "ngram_entropy",
+    "zipf_fit", "ngram_entropy", "multimodal_resize", "weighted_sample_ares",
     "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
     #    refactors ago (round-3 verdict item 1: rotate these in) --

@@ -592,3 +592,29 @@ def test_zipf_and_entropy_match_numpy(spark, tmp_path):
     assert math.isclose(e["src03"].unigram_entropy, 0.0, abs_tol=1e-9)
     assert e["src01"].cond_entropy <= e["src01"].unigram_entropy + 1e-9
     assert "src05" not in e  # no bigrams -> no next-token distribution
+
+
+def test_ares_sample_is_weighted_and_reproducible(spark, tmp_path):
+    """D47: a 10x-heavier doc must enter the per-source sample more often
+    than a light one across many sources, and resampling is bit-stable."""
+    rows = []
+    for s in range(40):
+        for i in range(30):
+            doc_id = s * 100 + i
+            n_chars = 2000 if i < 5 else 20  # 5 heavy docs per source
+            rows.append((doc_id, "x" * 10, "en", f"src{s:02d}", n_chars))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import ARES_K, weighted_sample_ares
+
+    got = weighted_sample_ares(spark, str(tmp_path)).collect()
+    assert len(got) == 40 * ARES_K
+    heavy = sum(1 for r in got if r.n_chars == 2000)
+    # heavy docs are 5/30 of the pool but weight 100x: they should take
+    # well over half the sample slots (expected ~5 of 10 per source
+    # since all 5 heavies nearly surely beat the lights)
+    assert heavy > 0.4 * len(got)
+    again = weighted_sample_ares(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

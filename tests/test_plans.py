@@ -300,3 +300,20 @@ def test_entropy_aggs_are_partial(spark):
     plan = plan_of(spark, "ngram_entropy")
     assert plan.count("HashAggregate") >= 4
     assert "Window" not in plan  # entropy needs no windows at all
+
+
+def test_resize_payload_never_shuffles(spark):
+    # D46: the binary payload stays inside the map stage — no exchange
+    # may carry the payload column, and the stage is Arrow-batched
+    plan = plan_of(spark, "multimodal_resize")
+    assert "Exchange" not in plan.split("MapInPandas")[0] or "payload" not in plan.split(
+        "Exchange"
+    )[-1]
+    assert "MapInPandas" in plan
+
+
+def test_ares_window_rewrites_to_group_limit(spark):
+    # D47: the rank filter must plan as per-partition WindowGroupLimit —
+    # a plain Window would sort every source's full doc list
+    plan = plan_of(spark, "weighted_sample_ares")
+    assert "WindowGroupLimit" in plan

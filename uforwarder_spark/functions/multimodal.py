@@ -170,3 +170,104 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         schema="doc_id long, frame_idx int, frame_off long, frame_len long, frame_checksum string",
     )
+
+
+# --- D46 -----------------------------------------------------------------
+RESIZE_BOX = 224  # target box (CLIP/ViT-style), aspect-preserving, no upscale
+
+# Deterministic stub once more (no PIL in the container): input dims are
+# D12's fake decode, the letterbox math (scale = min(box/w, box/h, 1),
+# floor'd output dims, 3-byte RGB estimate) is pure arithmetic, and the
+# "resized payload" checksum is md5 over checksum:WxH — so the whole
+# resize stage is SQL-auditable while the real PIL.thumbnail swap point
+# stays a one-function change.
+RESIZE_ORACLE = f"""
+WITH dec AS (
+  SELECT doc_id,
+         CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+         CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+         md5(text) AS checksum
+  FROM documents
+),
+s AS (
+  SELECT *,
+         least({RESIZE_BOX}.0 / width, {RESIZE_BOX}.0 / height, 1.0) AS sc
+  FROM dec
+)
+SELECT doc_id, width, height,
+       CAST(greatest(1, floor(width * sc)) AS INTEGER)  AS out_width,
+       CAST(greatest(1, floor(height * sc)) AS INTEGER) AS out_height,
+       round(sc, 6) AS scale,
+       CAST(greatest(1, floor(width * sc)) * greatest(1, floor(height * sc)) * 3 AS BIGINT)
+         AS out_bytes,
+       md5(checksum || ':' ||
+           CAST(CAST(greatest(1, floor(width * sc)) AS INTEGER) AS VARCHAR) || 'x' ||
+           CAST(CAST(greatest(1, floor(height * sc)) AS INTEGER) AS VARCHAR))
+         AS resized_checksum
+FROM s
+"""
+
+
+@register("multimodal_resize", RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over the opaque binary column: decode dims
+    (D12's stub), compute the aspect-preserving letterbox into a
+    RESIZE_BOX² target (never upscaling), and emit output dims / scale /
+    RGB byte estimate / resized-payload checksum — the stage that feeds
+    a vision-encoder batch at a fixed input size.
+
+    Real-decode swap point: replace the dims derivation and the
+    checksum line with PIL decode + ``thumbnail``; schema, batching,
+    and partitioning stay as-is.
+
+    SCALE: same contract as D12/D29 — mapInPandas streams Arrow batches
+    with bounded memory, payload bytes never shuffle (the stage is a
+    pure map and only the small dim/checksum features leave it), and
+    the work is embarrassingly parallel over file splits. Closure-
+    pickled; workers never import the package."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "out_width": [],
+                "out_height": [],
+                "scale": [],
+                "out_bytes": [],
+                "resized_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                w, h = n % 640 + 1, n % 480 + 1
+                sc = min(RESIZE_BOX / w, RESIZE_BOX / h, 1.0)
+                ow = max(1, int(math.floor(w * sc)))
+                oh = max(1, int(math.floor(h * sc)))
+                checksum = hashlib.md5(payload).hexdigest()
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                # engines round() half-away-from-zero; numpy rounds
+                # half-to-even — emulate the engines explicitly
+                out["scale"].append(math.floor(sc * 1e6 + 0.5) / 1e6)
+                out["out_bytes"].append(ow * oh * 3)
+                out["resized_checksum"].append(
+                    hashlib.md5(f"{checksum}:{ow}x{oh}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return bins.mapInPandas(
+        resize_batches,
+        schema=(
+            "doc_id long, width int, height int, out_width int, out_height int, "
+            "scale double, out_bytes long, resized_checksum string"
+        ),
+    )

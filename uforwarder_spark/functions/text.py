@@ -1377,3 +1377,62 @@ def ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(e2 - e1, 6).alias("cond_entropy"),
         )
     )
+
+
+# --- D47 -----------------------------------------------------------------
+ARES_K = 10  # sample size per source
+
+# md5-derived uniform in (0,1): 60 bits of the doc_id hash, +1 so u > 0.
+_ARES_U_SPARK = (
+    "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE) + 1.0D)"
+    " / 1152921504606846977.0D"
+)
+_ARES_U_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)"
+    " / 1152921504606846977.0"
+)
+
+ARES_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         exp(ln({_ARES_U_DUCK}) / greatest(n_chars, 1)) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, round(k, 6) AS sample_key
+FROM ranked WHERE rn <= {ARES_K}
+"""
+
+
+@register("weighted_sample_ares", ARES_ORACLE)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling per source (Efraimidis-Spirakis
+    A-Res): each doc draws key u^(1/w) with weight w = n_chars and a
+    RESEEDABLE md5-derived uniform u, and the top-K keys per source are
+    the sample — longer documents proportionally likelier, yet the
+    sample is exactly reproducible across runs and engines (no RNG
+    state). The length-weighted counterpart of D17's equal-probability
+    stratified sample, and the standard way to subsample a corpus by
+    token budget rather than doc count.
+
+    SCALE: one shuffle on source; the rank-filter window rewrites to
+    per-partition WindowGroupLimit (same as D18's vocab top-K), so each
+    partition keeps only K candidates per source before the exchange —
+    the full corpus is never sorted. Selection compares RAW doubles
+    (identical IEEE expressions in both engines); rounding happens only
+    on the emitted audit key.
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = _docs(spark, sf_dir)
+    k = F.exp(F.log(F.expr(_ARES_U_SPARK)) / F.greatest(F.col("n_chars"), F.lit(1)))
+    keyed = docs.select("source", "doc_id", "n_chars", k.alias("k"))
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")),
+    )
+    return ranked.filter(F.col("rn") <= ARES_K).select(
+        "source", "doc_id", "n_chars", F.round("k", 6).alias("sample_key")
+    )
