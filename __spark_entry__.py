@@ -45,6 +45,10 @@ _KEY_PRIORITY = [
     "colocating_assignment", "autoscale_hysteresis",
     "pod_aware_assignment", "range_assignment",
     "rebalancer_shadow_compare",
+    # token_bucket_exact lands at index 50 — just outside the window —
+    # deliberately: its driver row is rows-only by design (no SQL
+    # oracle), while A35 token_bucket_summary (in-window above) pins the
+    # same applyInPandas kernel with a full hash check.
     "token_bucket_exact",
     # -- round-2 cohort top-up (last driver row was round 2) --
     "tpch_q3_shipping_priority",
