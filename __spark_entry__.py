@@ -33,7 +33,8 @@ _KEY_PRIORITY = [
     "importance_sampling_weights", "kmeans_embedding_assign",
     "tpch_q9_product_profit", "tpch_q22_idle_balances",
     "semdedup_prune", "ann_topk_int8_rescore", "bloom_dedup_prefilter",
-    "zipf_fit", "ngram_entropy", "multimodal_resize", "weighted_sample_ares",
+    "zipf_fit", "ngram_entropy", "weighted_sample_ares",
+    "tpch_q19_disjunctive_filter",
     "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
     #    refactors ago (round-3 verdict item 1: rotate these in) --
@@ -45,11 +46,13 @@ _KEY_PRIORITY = [
     "colocating_assignment", "autoscale_hysteresis",
     "pod_aware_assignment", "range_assignment",
     "rebalancer_shadow_compare",
-    # token_bucket_exact lands at index 50 — just outside the window —
-    # deliberately: its driver row is rows-only by design (no SQL
-    # oracle), while A35 token_bucket_summary (in-window above) pins the
-    # same applyInPandas kernel with a full hash check.
-    "token_bucket_exact",
+    # These two land just outside the 50-key window deliberately:
+    # token_bucket_exact's driver row is rows-only by design (no SQL
+    # oracle — A35 token_bucket_summary, in-window above, pins the same
+    # applyInPandas kernel with a full hash check), and multimodal_resize
+    # shares the D12/D29 mapInPandas plumbing the driver has already
+    # hash-checked; both carry both-SF pytest parity.
+    "token_bucket_exact", "multimodal_resize",
     # -- round-2 cohort top-up (last driver row was round 2) --
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",

@@ -317,3 +317,14 @@ def test_ares_window_rewrites_to_group_limit(spark):
     # a plain Window would sort every source's full doc list
     plan = plan_of(spark, "weighted_sample_ares")
     assert "WindowGroupLimit" in plan
+
+
+def test_q19_envelopes_push_to_both_scans(spark):
+    # C22: the hand-derived envelopes must reach BOTH parquet scans —
+    # quantity range on lineitem, the (brand, size) disjunction on part —
+    # and the join must broadcast (never SMJ on a dim join)
+    plan = plan_of(spark, "tpch_q19_disjunctive_filter")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_quantity,30" in s[:200] for s in pushed[1:])
+    assert any("p_brand" in s[:200] for s in pushed[1:])

@@ -1043,3 +1043,73 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+# --- C22 -----------------------------------------------------------------
+# TPC-H Q19 adapted to the cut-down schema: the spec's three OR'd
+# (brand, container, quantity, size, shipmode, shipinstruct) clauses keep
+# their brand/size/quantity structure; container/shipmode/shipinstruct
+# are not in the generated tables.
+Q19_CLAUSES = [
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+]
+_Q19_PRED_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1} "
+    f"AND l_quantity BETWEEN {q0} AND {q1})"
+    for b, s0, s1, q0, q1 in Q19_CLAUSES
+)
+_Q19_QTY_LO = min(c[3] for c in Q19_CLAUSES)
+_Q19_QTY_HI = max(c[4] for c in Q19_CLAUSES)
+
+Q19_ORACLE = f"""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_PRED_SQL}
+"""
+
+
+@register("tpch_q19_disjunctive_filter", Q19_ORACLE)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from qualifying small-shipment part+lineitem
+    combinations under an OR-of-ANDs predicate that mixes columns of
+    BOTH join sides — the classic "disjunctive join predicate" plan
+    shape.
+
+    SCALE: Catalyst cannot push a cross-table disjunction through the
+    join, so each side gets its hand-derived ENVELOPE pushed instead:
+    part is pre-cut to the union of the three (brand, size) boxes
+    (broadcast after the cut), lineitem to the overall quantity range
+    [min, max of all clauses] at the scan — plan shows PushedFilters on
+    l_quantity. The full mixed predicate then runs post-join on the
+    envelope survivors only; the fact table never shuffles (broadcast
+    join) and never reads a row outside the quantity envelope.
+
+    Exactness: DECIMAL revenue, rounded then cast once."""
+    part_env = F.lit(False)
+    for b, s0, s1, _, _ in Q19_CLAUSES:
+        part_env = part_env | (
+            (F.col("p_brand") == b) & F.col("p_size").between(s0, s1)
+        )
+    p = load_table(spark, sf_dir, "part").filter(part_env)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(_Q19_QTY_LO, _Q19_QTY_HI)
+    )
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    full_pred = F.lit(False)
+    for b, s0, s1, q0, q1 in Q19_CLAUSES:
+        full_pred = full_pred | (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+    return joined.filter(full_pred).agg(
+        F.round(
+            F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")), 2
+        )
+        .cast("double")
+        .alias("revenue")
+    )
