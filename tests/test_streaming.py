@@ -1120,3 +1120,49 @@ def test_e20_bloom_prefilter_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the prefilter must actually cut work: some clean misses skip the join
     assert (~exp["maybe_dup"]).any()
+
+
+def test_e21_entropy_monitor_converges_to_batch(spark, tmp_path):
+    """E21: after the document stream drains, the last emitted entropy
+    table must equal batch D45 over the full corpus exactly."""
+    from uforwarder_spark.functions.text import ngram_entropy
+    from uforwarder_spark.model import load_parallel
+
+    ind = str(tmp_path / "docs")
+    # stream the WHOLE corpus (not just odd sources) so the final state
+    # covers exactly what the batch operator sees
+    load_parallel(spark, SF_SMALL, "documents").write.mode("overwrite").parquet(ind)
+    state = str(tmp_path / "state")
+    q = P.entropy_monitor_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    import os
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/entropy")
+        if d.startswith("batch_id=")
+    )
+    cols = ["source", "n_tokens", "n_bigrams", "unigram_entropy", "bigram_entropy", "cond_entropy"]
+    got = (
+        spark.read.parquet(f"{state}/entropy/batch_id={last}")
+        .select(*cols)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ngram_entropy(spark, SF_SMALL)
+        .select(*cols)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert last >= 1  # the merge path (not just the first batch) ran

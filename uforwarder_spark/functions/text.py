@@ -1287,6 +1287,28 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- D45 -----------------------------------------------------------------
+def gram_counts_frame(docs: DataFrame, gram_expr: str) -> DataFrame:
+    """(source, g, c): gram counts — the mergeable state streaming E21
+    carries across micro-batches (counts add; entropy re-derives)."""
+    return (
+        docs.select("source", F.explode(F.expr(gram_expr)).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def entropy_sums_frame(cnt: DataFrame, n_col: str) -> DataFrame:
+    """Per-source (N, Σ c·ln c) from a gram-count frame, decimal-summed."""
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias(n_col),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")), 8).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias(f"snln_{n_col}"),
+    )
+
+
 _BIGRAMS_SPARK = (
     f"transform(slice({TOKENS_SPARK}, 1, size({TOKENS_SPARK}) - 1), "
     f"(t, i) -> concat(t, ' ', element_at({TOKENS_SPARK}, i + 2)))"
@@ -1346,24 +1368,17 @@ def ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (training-data pipeline family)."""
     docs = _docs(spark, sf_dir)
+    return entropy_from_counts(
+        gram_counts_frame(docs, TOKENS_SPARK),
+        gram_counts_frame(docs, _BIGRAMS_SPARK),
+    )
 
-    def h_frame(gram_expr: str, n_col: str) -> DataFrame:
-        cnt = (
-            docs.select("source", F.explode(F.expr(gram_expr)).alias("g"))
-            .groupBy("source", "g")
-            .agg(F.count("*").alias("c"))
-        )
-        return cnt.groupBy("source").agg(
-            F.sum("c").cast("bigint").alias(n_col),
-            F.sum(
-                F.round(F.col("c") * F.log(F.col("c").cast("double")), 8).cast("decimal(18,8)")
-            )
-            .cast("double")
-            .alias(f"snln_{n_col}"),
-        )
 
-    h1 = h_frame(TOKENS_SPARK, "n_tokens")
-    h2 = h_frame(_BIGRAMS_SPARK, "n_bigrams")
+def entropy_from_counts(uni_counts: DataFrame, big_counts: DataFrame) -> DataFrame:
+    """Close D45 from (source, g, c) frames — shared with streaming E21,
+    which calls it on its MERGED running counts every trigger."""
+    h1 = entropy_sums_frame(uni_counts, "n_tokens")
+    h2 = entropy_sums_frame(big_counts, "n_bigrams")
     e1 = F.log(F.col("n_tokens").cast("double")) - F.col("snln_n_tokens") / F.col("n_tokens")
     e2 = F.log(F.col("n_bigrams").cast("double")) - F.col("snln_n_bigrams") / F.col("n_bigrams")
     return (

@@ -1359,3 +1359,66 @@ def bloom_prefilter_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E21: live corpus-entropy monitor --------------------------------------
+def entropy_monitor_pipeline(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E21: the live twin of batch D45 — as document batches land, the
+    per-(source, gram) unigram and bigram counts are merged into
+    batchId-versioned running totals, and the entropy table (H₁, H₂,
+    conditional) is re-derived per trigger via the SHARED
+    entropy_from_counts frame, so corpus-predictability drift is
+    visible while the crawl is still running. Converges to batch D45
+    exactly once the stream drains.
+
+    State layout: ``{state_dir}/{uni,big}/batch_id=N`` hold the merged
+    (source, g, c) counts AFTER batch N; ``{state_dir}/entropy/
+    batch_id=N`` the derived table. A replay of batch N re-merges the
+    SAME batch against the SAME N-1 totals into the same directory —
+    idempotent under at-least-once (the E19 shape).
+
+    SCALE: counts are additive, so each trigger aggregates only its
+    micro-batch and merges against the vocabulary-sized totals —
+    nothing ever re-reads the corpus; gram cardinality (not corpus
+    size) bounds the state, and the entropy derivation is |sources|
+    rows of scalar math."""
+    from ..functions.text import (
+        _BIGRAMS_SPARK,
+        entropy_from_counts,
+        gram_counts_frame,
+    )
+    from ..functions.tokenize import TOKENS_SPARK
+
+    def merge_counts(spark, batch_cnt: DataFrame, kind: str, batch_id: int) -> None:
+        try:
+            prev = spark.read.parquet(f"{state_dir}/{kind}/batch_id={batch_id - 1}")
+        except Exception:
+            prev = None
+        merged = (
+            batch_cnt if prev is None
+            else batch_cnt.unionByName(prev)
+            .groupBy("source", "g")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/{kind}/batch_id={batch_id}"
+        )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merge_counts(spark, gram_counts_frame(batch_df, TOKENS_SPARK), "uni", batch_id)
+        merge_counts(spark, gram_counts_frame(batch_df, _BIGRAMS_SPARK), "big", batch_id)
+        uni = spark.read.parquet(f"{state_dir}/uni/batch_id={batch_id}")
+        big = spark.read.parquet(f"{state_dir}/big/batch_id={batch_id}")
+        entropy_from_counts(uni, big).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/entropy/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
