@@ -34,10 +34,15 @@ _KEY_PRIORITY = [
     "tpch_q9_product_profit", "tpch_q22_idle_balances",
     "semdedup_prune", "ann_topk_int8_rescore", "bloom_dedup_prefilter",
     "zipf_fit", "ngram_entropy", "weighted_sample_ares",
-    "tpch_q19_disjunctive_filter",
+    "tpch_q19_disjunctive_filter", "cms_heavy_hitters", "hll_distinct_tokens",
     "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
-    #    refactors ago (round-3 verdict item 1: rotate these in) --
+    #    refactors ago (round-3 verdict item 1: rotate these in).
+    #    NOTE: late round-4 operators (never driver-checked — priority
+    #    class (a)) displaced the tail of this cohort past index 50;
+    #    range_assignment / rebalancer_shadow_compare keep their
+    #    driver-r1 + both-SF pytest parity standing and rotate into the
+    #    round-5 window first. --
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "quality_filter_gopher", "stratified_sample", "vocab_topk",
     "tfidf_top_terms", "lang_id_confusion", "corpus_stats",

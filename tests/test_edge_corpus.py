@@ -618,3 +618,51 @@ def test_ares_sample_is_weighted_and_reproducible(spark, tmp_path):
     assert heavy > 0.4 * len(got)
     again = weighted_sample_ares(spark, str(tmp_path)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_cms_never_underestimates(spark, tmp_path):
+    """D48: the CMS guarantee (estimate >= exact, always) on a skewed
+    corpus, with the hot token correctly ranked first."""
+    rows = []
+    for i in range(60):
+        text = ("hot " * 50 if i % 3 == 0 else f"tok{i} rare word here")
+        rows.append((i, text.strip(), "en", f"src{i % 4:02d}", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import cms_heavy_hitters
+
+    got = cms_heavy_hitters(spark, str(tmp_path)).collect()
+    assert all(r.overestimate >= 0 for r in got)  # the CMS invariant
+    top = next(r for r in got if r.rank == 1)
+    assert top.token == "hot" and top.freq == 20 * 50
+    # estimates of the top token include every colliding count, so the
+    # estimate for 'hot' is at least its own mass
+    assert top.cms_estimate >= top.freq
+
+
+def test_hll_accuracy_in_both_regimes(spark, tmp_path):
+    """D49: linear counting must kick in below ~2.5m and the raw
+    estimator above it; both regimes land within sane HLL error for
+    m=64 (~13% stderr), and the estimate is reproducible."""
+    rows = []
+    # source A: 20 distinct tokens (small range -> linear counting)
+    rows.append((0, " ".join(f"tok{i}" for i in range(20)), "en", "srcA", 100))
+    # source B: 2000 distinct tokens (raw estimator regime)
+    big = " ".join(f"word{i}" for i in range(2000))
+    for j in range(4):
+        rows.append((1 + j, big, "en", "srcB", len(big)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import hll_distinct_tokens
+
+    got = {r.source: r for r in hll_distinct_tokens(spark, str(tmp_path)).collect()}
+    assert got["srcA"].exact_distinct == 20
+    assert got["srcA"].rel_error < 0.35  # linear counting, tiny n
+    assert got["srcB"].exact_distinct == 2000
+    assert got["srcB"].rel_error < 0.40  # raw estimator, 3 sigma of 13%
+    again = {r.source: r for r in hll_distinct_tokens(spark, str(tmp_path)).collect()}
+    assert got["srcB"].hll_estimate == again["srcB"].hll_estimate

@@ -328,3 +328,19 @@ def test_q19_envelopes_push_to_both_scans(spark):
     pushed = plan.split("PushedFilters")
     assert any("l_quantity,30" in s[:200] for s in pushed[1:])
     assert any("p_brand" in s[:200] for s in pushed[1:])
+
+
+def test_cms_grid_is_fixed_width_partial_agg(spark):
+    # D48: the counter grid must map-side combine (fixed d*w cells per
+    # partition) and reach the probes via broadcast — never SMJ
+    plan = plan_of(spark, "cms_heavy_hitters")
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_hll_registers_aggregate_map_side(spark):
+    # D49: register build is a (source, reg) MAX agg — partial pairs
+    # per partition are capped at |sources|*64 regardless of corpus
+    plan = plan_of(spark, "hll_distinct_tokens")
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan

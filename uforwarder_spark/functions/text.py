@@ -1451,3 +1451,223 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") <= ARES_K).select(
         "source", "doc_id", "n_chars", F.round("k", 6).alias("sample_key")
     )
+
+
+# --- D48 -----------------------------------------------------------------
+CMS_ROWS = 4  # independent hash rows
+CMS_W = 16  # counters per row (sized small so collisions are exercised at test SFs)
+CMS_K = 25  # heavy hitters reported
+
+_CMS_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(j AS STRING), ':', token)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {CMS_W}"
+)
+_CMS_BUCKET_DUCK = (
+    "('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))::BIGINT"
+    f" % {CMS_W}"
+)
+
+CMS_ORACLE = f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+  GROUP BY token
+),
+cells AS (
+  SELECT j, {_CMS_BUCKET_DUCK} AS bucket, CAST(sum(freq) AS BIGINT) AS counter
+  FROM counts, unnest([0, 1, 2, 3]) AS t(j)
+  GROUP BY j, {_CMS_BUCKET_DUCK}
+),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM counts
+),
+est AS (
+  SELECT r.rank, r.token, r.freq, min(c.counter) AS cms_estimate
+  FROM ranked r
+  JOIN (SELECT r2.token, t.j, {_CMS_BUCKET_DUCK.replace('token', 'r2.token')} AS bucket
+        FROM ranked r2, unnest([0, 1, 2, 3]) AS t(j)
+        WHERE r2.rank <= {CMS_K}) b ON b.token = r.token
+  JOIN cells c ON c.j = b.j AND c.bucket = b.bucket
+  WHERE r.rank <= {CMS_K}
+  GROUP BY r.rank, r.token, r.freq
+)
+SELECT rank, token, freq, cms_estimate, cms_estimate - freq AS overestimate
+FROM est
+"""
+
+
+@register("cms_heavy_hitters", CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a deterministic count-min sketch: token
+    frequencies fold into a CMS_ROWS×CMS_W counter grid (md5-derived
+    buckets), the top-CMS_K tokens are reported with their exact count,
+    their CMS point estimate (min over rows), and the overestimate the
+    collision structure actually cost — the audit that sizes w/d before
+    trusting the sketch alone.
+
+    SCALE: the sketch is the point — a FIXED-width (d·w cells),
+    fully mergeable aggregation whose state size is independent of
+    vocabulary and corpus size; at 100 TB the counter grid map-side
+    combines to ≤ d·w rows per partition and merges by plain addition
+    (same shape a streaming monitor would carry across triggers). The
+    exact-count pass here exists only to ground the audit; the
+    candidate estimate join touches CMS_K·CMS_ROWS rows against a
+    broadcast 1 k-cell grid. CMS guarantees estimate ≥ exact —
+    overestimate is provably ≥ 0 (asserted in tests).
+
+    Reference analogue: none (training-data pipeline family; the
+    Cormode-Muthukrishnan sketch over the token stream)."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    js = F.explode(F.expr(f"sequence(0, {CMS_ROWS - 1})")).alias("j")
+    cells = (
+        counts.select("token", "freq", js)
+        .select("freq", "j", F.expr(_CMS_BUCKET_SPARK).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("freq").cast("bigint").alias("counter"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), "token"))
+    ).filter(F.col("rank") <= CMS_K)
+    probes = ranked.select("rank", "token", "freq", js).withColumn(
+        "bucket", F.expr(_CMS_BUCKET_SPARK)
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("rank", "token", "freq")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .select(
+            "rank", "token", "freq", "cms_estimate",
+            (F.col("cms_estimate") - F.col("freq")).alias("overestimate"),
+        )
+    )
+
+
+# --- D49 -----------------------------------------------------------------
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+# alpha_64 from Flajolet et al. 2007 (m >= 64 branch: 0.709/(1+1.079/m))
+HLL_ALPHA = 0.709 / (1.0 + 1.079 / HLL_M)
+HLL_CONST = HLL_ALPHA * HLL_M * HLL_M  # alpha_m * m^2, one double literal
+_HLL_BITS = 60 - HLL_P  # hash bits left after the register index
+
+# 60-bit md5 hash: top HLL_P bits pick the register, the rest feed the
+# leading-zero rank. rank = (bits of zero prefix) + 1, capped by width.
+_HLL_H_SPARK = "CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"
+_HLL_H_DUCK = "('0x' || substr(md5(token), 1, 15))::BIGINT"
+
+
+def _hll_rank(h: str, dialect: str) -> str:
+    # leading zeros of the low _HLL_BITS bits: 54 - floor(log2(v)) for
+    # v > 0 (capped at the full width when v = 0), + 1
+    v = f"({h} % {1 << _HLL_BITS})"
+    fl = "floor(log2(" if dialect == "duck" else "floor(log2("
+    return (
+        f"CASE WHEN {v} = 0 THEN {_HLL_BITS + 1} "
+        f"ELSE CAST({_HLL_BITS} - 1 - {fl}CAST({v} AS DOUBLE))) AS BIGINT) + 1 END"
+    )
+
+
+HLL_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT source, token
+  FROM (SELECT source, unnest({TOKENS_DUCK}) AS token FROM documents)
+),
+h AS (
+  SELECT source,
+         {_HLL_H_DUCK} // {1 << _HLL_BITS} AS reg,
+         {_hll_rank(_HLL_H_DUCK, 'duck')} AS rank
+  FROM tok
+),
+regs AS (
+  SELECT source, reg, max(rank) AS r FROM h GROUP BY source, reg
+),
+est AS (
+  SELECT source,
+         CAST(sum(CAST(round(power(2.0, -r), 8) AS DECIMAL(18,8))) AS DOUBLE)
+           + ({HLL_M} - count(*)) AS z,
+         count(*) AS m_used
+  FROM regs GROUP BY source
+),
+exact AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM tok GROUP BY source
+),
+corrected AS (
+  SELECT source,
+         CASE WHEN CAST({HLL_CONST!r} AS DOUBLE) / z <= 2.5 * {HLL_M}
+                   AND m_used < {HLL_M}
+              THEN {HLL_M} * ln({HLL_M}.0 / ({HLL_M} - m_used))
+              ELSE CAST({HLL_CONST!r} AS DOUBLE) / z END AS est
+  FROM est
+)
+SELECT c.source, x.exact_distinct,
+       CAST(round(c.est, 0) AS BIGINT) AS hll_estimate,
+       round(abs(c.est - x.exact_distinct) / x.exact_distinct, 6) AS rel_error
+FROM corrected c JOIN exact x USING (source)
+"""
+
+
+@register("hll_distinct_tokens", HLL_ORACLE)
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per source through a deterministic
+    HyperLogLog sketch (Flajolet et al. 2007, raw estimator): 64
+    registers from the top bits of the token md5, register value = max
+    leading-zero rank of the low bits, harmonic-mean estimate with the
+    alpha_m correction — reported against the exact distinct count with
+    the relative error the register budget actually delivered.
+
+    Exactness note: raw estimator + the standard small-range linear-
+    counting correction (raw ≤ 2.5 m with empty registers →
+    m·ln(m/V)); 2^-r terms are rounded-DECIMAL summed and empty
+    registers contribute 2^0 via the (m − used) term, so both engines
+    agree bit-for-bit.
+
+    SCALE: the sketch is the point — register state is 64 values per
+    source regardless of vocabulary or corpus size, built by a (source,
+    reg) MAX agg (map-side combine, merge = MAX, so the same frame is
+    an order-free streaming merge — max is idempotent AND commutative,
+    the cleanest possible state update). Spark's own
+    approx_count_distinct is this sketch non-deterministically seeded;
+    this one is engine-reproducible.
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.expr(TOKENS_SPARK)).alias("token")
+    ).distinct()
+    h = tok.select(
+        "source",
+        F.expr(f"{_HLL_H_SPARK} DIV {1 << _HLL_BITS}").alias("reg"),
+        F.expr(_hll_rank(_HLL_H_SPARK, "spark")).alias("rank"),
+    )
+    regs = h.groupBy("source", "reg").agg(F.max("rank").alias("r"))
+    est = regs.groupBy("source").agg(
+        (
+            F.sum(F.round(F.pow(F.lit(2.0), -F.col("r")), 8).cast("decimal(18,8)")).cast("double")
+            + (F.lit(HLL_M) - F.count("*"))
+        ).alias("z"),
+        F.count("*").alias("m_used"),
+    )
+    exact = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    raw = F.lit(HLL_CONST) / F.col("z")
+    lc = F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("m_used")))
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("m_used") < HLL_M), lc
+    ).otherwise(raw)
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.round(corrected, 0).cast("bigint").alias("hll_estimate"),
+            F.round(
+                F.abs(corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_error"),
+        )
+    )
