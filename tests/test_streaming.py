@@ -1166,3 +1166,39 @@ def test_e21_entropy_monitor_converges_to_batch(spark, tmp_path):
 
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert last >= 1  # the merge path (not just the first batch) ran
+
+
+def test_e22_hll_monitor_converges_to_batch(spark, tmp_path):
+    """E22: after the stream drains, the final register state and the
+    estimate must equal batch D49's bit-for-bit (MAX-merge makes order
+    and replay irrelevant)."""
+    import math
+    import os
+
+    from uforwarder_spark.functions.text import hll_distinct_tokens
+    from uforwarder_spark.model import load_parallel
+
+    ind = str(tmp_path / "docs")
+    load_parallel(spark, SF_SMALL, "documents").write.mode("overwrite").parquet(ind)
+    state = str(tmp_path / "state")
+    q = P.hll_monitor_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/estimate")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the merge path ran
+    got = {
+        r.source: r.est
+        for r in spark.read.parquet(f"{state}/estimate/batch_id={last}").collect()
+    }
+    exp = {r.source: r.hll_estimate for r in hll_distinct_tokens(spark, SF_SMALL).collect()}
+    assert set(got) == set(exp)
+    for src in exp:
+        assert round(got[src]) == exp[src], src

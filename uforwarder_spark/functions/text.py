@@ -1641,12 +1641,37 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(F.expr(TOKENS_SPARK)).alias("token")
     ).distinct()
-    h = tok.select(
+    regs = hll_register_frame(docs)
+    exact = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    return (
+        hll_estimate_frame(regs)
+        .join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.round(F.col("est"), 0).cast("bigint").alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_error"),
+        )
+    )
+
+
+def hll_register_frame(docs: DataFrame) -> DataFrame:
+    """(source, reg, r): HLL registers — MAX-mergeable state; streaming
+    E22 folds batches together with the same MAX, so replay order (and
+    at-least-once duplication) cannot change the result."""
+    h = docs.select("source", F.explode(F.expr(TOKENS_SPARK)).alias("token")).select(
         "source",
         F.expr(f"{_HLL_H_SPARK} DIV {1 << _HLL_BITS}").alias("reg"),
         F.expr(_hll_rank(_HLL_H_SPARK, "spark")).alias("rank"),
     )
-    regs = h.groupBy("source", "reg").agg(F.max("rank").alias("r"))
+    return h.groupBy("source", "reg").agg(F.max("rank").alias("r"))
+
+
+def hll_estimate_frame(regs: DataFrame) -> DataFrame:
+    """Close the estimate (raw + small-range linear counting) from a
+    register frame: (source, est) — shared with streaming E22."""
     est = regs.groupBy("source").agg(
         (
             F.sum(F.round(F.pow(F.lit(2.0), -F.col("r")), 8).cast("decimal(18,8)")).cast("double")
@@ -1654,20 +1679,7 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
         F.count("*").alias("m_used"),
     )
-    exact = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("exact_distinct"))
     raw = F.lit(HLL_CONST) / F.col("z")
     lc = F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("m_used")))
-    corrected = F.when(
-        (raw <= 2.5 * HLL_M) & (F.col("m_used") < HLL_M), lc
-    ).otherwise(raw)
-    return (
-        est.join(exact, "source")
-        .select(
-            "source",
-            "exact_distinct",
-            F.round(corrected, 0).cast("bigint").alias("hll_estimate"),
-            F.round(
-                F.abs(corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 6
-            ).alias("rel_error"),
-        )
-    )
+    corrected = F.when((raw <= 2.5 * HLL_M) & (F.col("m_used") < HLL_M), lc).otherwise(raw)
+    return est.select("source", corrected.alias("est"))

@@ -1422,3 +1422,55 @@ def entropy_monitor_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E22: live distinct-cardinality monitor --------------------------------
+def hll_monitor_pipeline(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E22: the live twin of batch D49 — each micro-batch's HLL
+    registers fold into batchId-versioned running registers by MAX, and
+    the per-source cardinality estimate is re-derived per trigger via
+    the SHARED hll_estimate_frame. MAX is idempotent AND commutative,
+    so at-least-once replay and batch arrival order are BOTH harmless —
+    the strongest convergence guarantee in the E-family: the final
+    estimate equals batch D49's to the bit.
+
+    State layout: ``{state_dir}/regs/batch_id=N`` holds the merged
+    (source, reg, r) registers AFTER batch N — at most |sources|·64
+    rows regardless of corpus size; ``{state_dir}/estimate/batch_id=N``
+    the derived (source, est) table.
+
+    SCALE: per trigger the micro-batch aggregates to ≤ |sources|·64
+    register rows map-side, merges against the same-sized state, and
+    the estimate is |sources| rows of scalar math. Nothing re-reads the
+    corpus; state is sketch-sized forever."""
+    from ..functions.text import hll_estimate_frame, hll_register_frame
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_regs = hll_register_frame(batch_df)
+        try:
+            prev = spark.read.parquet(f"{state_dir}/regs/batch_id={batch_id - 1}")
+        except Exception:
+            prev = None
+        merged = (
+            batch_regs if prev is None
+            else batch_regs.unionByName(prev)
+            .groupBy("source", "reg")
+            .agg(F.max("r").alias("r"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/regs/batch_id={batch_id}"
+        )
+        regs = spark.read.parquet(f"{state_dir}/regs/batch_id={batch_id}")
+        hll_estimate_frame(regs).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/estimate/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
