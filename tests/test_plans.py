@@ -344,3 +344,19 @@ def test_hll_registers_aggregate_map_side(spark):
     plan = plan_of(spark, "hll_distinct_tokens")
     assert plan.count("HashAggregate") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_length_bucketing_is_single_partial_agg(spark):
+    # D50: one scan, one fixed-width partial agg; token arrays stay in
+    # the map stage
+    plan = plan_of(spark, "length_bucketing")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_overlap_matrix_source_joins_broadcast(spark):
+    # D51: doc->source joins must broadcast; the heavy lifting is D2's
+    # band join, nothing new shuffles doc-level data
+    plan = plan_of(spark, "source_overlap_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -976,3 +976,62 @@ def bloom_prefilter_frame(
             ),
         )
     )
+
+
+# --- D51 -----------------------------------------------------------------
+OVERLAP_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({MINHASH_ORACLE})
+),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round(CAST(sum(CAST(p.jaccard AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS avg_jaccard
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.doc_a
+JOIN src sb ON sb.doc_id = p.doc_b
+GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+"""
+
+
+@register("source_overlap_matrix", OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: D2's verified near-dup pairs
+    rolled up to (source, source) cells — pair count and mean Jaccard
+    per unordered source pair. The curation question this answers is
+    "which sources copy from which" (mirror sites, syndication,
+    crawl overlap): off-diagonal mass tells you where dedup budget and
+    licensing attention should go.
+
+    Exactness: per-pair jaccard is already the round-6 value D2 emits;
+    the mean sums DECIMAL(18,6) casts exactly (order-free) and divides
+    once.
+
+    SCALE: everything heavy IS D2 (bounded band-join candidates); this
+    adds two broadcast-sized doc→source joins and a ≤ |sources|² cell
+    agg. The matrix never materializes doc-level data beyond D2's own
+    pair frame.
+
+    Reference analogue: none (training-data pipeline family)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("avg_jaccard"),
+        )
+    )

@@ -320,3 +320,64 @@ def weights_from_totals(totals: DataFrame) -> DataFrame:
         F.round(target, 8).alias("target_share"),
         F.round(target / F.col("token_share"), 8).alias("sampling_weight"),
     )
+
+
+# --- D50 -----------------------------------------------------------------
+BUCKET_EDGES = [16, 32, 64, 128, 256, 512]  # pad-to token lengths
+
+
+def _bucket_case(n: str, dialect: str) -> str:
+    branches = " ".join(
+        f"WHEN {n} <= {e} THEN {e}" for e in BUCKET_EDGES
+    )
+    return f"CASE {branches} ELSE {BUCKET_EDGES[-1] * 2} END"
+
+
+LENGTH_BUCKET_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len({TOKENS_DUCK}) AS n_tok FROM documents
+),
+b AS (
+  SELECT {_bucket_case('n_tok', 'duck')} AS bucket_len, n_tok FROM d
+)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS sum_padded,
+       round(1.0 - CAST(sum(n_tok) AS DOUBLE) / (count(*) * bucket_len), 6)
+         AS padding_waste
+FROM b GROUP BY bucket_len
+"""
+
+
+@register("length_bucketing", LENGTH_BUCKET_ORACLE)
+def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: every document is assigned the
+    smallest pad-to bucket that fits its token count (powers-of-two
+    edges, the dynamic-batching scheme training and inference loaders
+    use to cut padding FLOPs), and each bucket reports its docs, real
+    tokens, padded tokens, and the padding-waste fraction the edge
+    choice costs — the number you tune BUCKET_EDGES against.
+
+    SCALE: one scan, one fixed-width partial agg (≤ |edges|+1 groups);
+    the token count is a row-local size() — the token array itself never
+    leaves the map stage.
+
+    Reference analogue: none (training-data pipeline family)."""
+    from ..functions.tokenize import TOKENS_SPARK
+
+    d = load_parallel(spark, sf_dir, "documents").select(
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tok")
+    )
+    b = d.select(F.expr(_bucket_case("n_tok", "spark")).alias("bucket_len"), "n_tok")
+    return b.groupBy("bucket_len").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        (F.count("*") * F.col("bucket_len")).cast("bigint").alias("sum_padded"),
+        F.round(
+            1.0 - F.sum("n_tok").cast("double") / (F.count("*") * F.col("bucket_len")), 6
+        ).alias("padding_waste"),
+    ).select(
+        F.col("bucket_len").cast("bigint").alias("bucket_len"),
+        "n_docs", "sum_tokens", "sum_padded", "padding_waste",
+    )
