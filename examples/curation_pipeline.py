@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Day-in-the-life of the TRAINING-DATA side: the curation pipeline a
+100 TB corpus runs between "crawl landed" and "loader reads batches",
+stage by stage, each backed by a registered (oracle-checked) operator.
+
+    python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import uforwarder_spark  # noqa: F401,E402
+from uforwarder_spark.registry import QUERIES  # noqa: E402
+from uforwarder_spark.session import get_spark  # noqa: E402
+
+STAGES = [
+    # -- ingest-time dedup ------------------------------------------------
+    ("1. Bloom prefilter: new crawl vs corpus bitset", "bloom_dedup_prefilter"),
+    ("2. incremental near-dup vs corpus signatures", "incremental_dedup"),
+    ("3. full-corpus MinHash/LSH near-dup pairs", "dedup_minhash_lsh"),
+    ("4. dedup clusters -> keep one representative", "dedup_representatives"),
+    ("5. semantic dedup in embedding space (SemDeDup)", "semdedup_prune"),
+    # -- corpus health ----------------------------------------------------
+    ("6. which sources copy from which (overlap matrix)", "source_overlap_matrix"),
+    ("7. language-mix drift per source (KL)", "source_lang_kl"),
+    ("8. Zipf-law fit per source (templated-text flag)", "zipf_fit"),
+    ("9. next-token entropy per source (predictability)", "ngram_entropy"),
+    ("10. distinct-token cardinality (HLL sketch + audit)", "hll_distinct_tokens"),
+    ("11. heavy hitters (count-min sketch + audit)", "cms_heavy_hitters"),
+    ("12. train/eval contamination check", "contamination_check"),
+    # -- filtering + sampling --------------------------------------------
+    ("13. Gopher-style quality gate", "quality_filter_gopher"),
+    ("14. PII redaction accounting", "pii_redaction"),
+    ("15. token-budget weighted sample (A-Res)", "weighted_sample_ares"),
+    ("16. temperature mixture weights per source", "importance_sampling_weights"),
+    # -- export to the loader --------------------------------------------
+    ("17. padding-waste audit for batch buckets", "length_bucketing"),
+    ("18. fixed-length sequence packing", "sequence_packing"),
+    ("19. sharded shuffle export", "corpus_shuffle_export"),
+    # -- serving-side similarity -----------------------------------------
+    ("20. ANN over embeddings: quantized scan + rescore", "ann_topk_int8_rescore"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("curation-day", shuffle_partitions="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    for title, name in STAGES:
+        print(f"\n=== {title} [{name}] ===")
+        QUERIES[name](spark, sf_dir).show(8, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
