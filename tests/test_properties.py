@@ -532,3 +532,67 @@ def test_semdedup_equals_numpy_rule(spark):
         margins = np.abs((Xn[same] @ Xn[i]) - SEMDEDUP_COS) if len(same) else np.array([1.0])
         assert margins.min() > 1e-9, "threshold-straddling pair breaks the replay"
     assert got == want
+
+
+# --- round-4 sketches -----------------------------------------------------
+words = st.lists(
+    st.sampled_from([f"w{i}" for i in range(40)]), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(words, min_size=1, max_size=10))
+def test_cms_estimate_never_below_exact(spark, tmp_path_factory, docs):
+    """D48 invariant: on ANY corpus, every CMS estimate >= the exact
+    count (collisions only ever add)."""
+    tmp = tmp_path_factory.mktemp("cms")
+    rows = [
+        (i, " ".join(ws), "en", f"src{i % 3:02d}", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import cms_heavy_hitters
+
+    for r in cms_heavy_hitters(spark, str(tmp)).collect():
+        assert r.cms_estimate >= r.freq
+        assert r.overestimate == r.cms_estimate - r.freq
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(words, min_size=1, max_size=6),
+    b=st.lists(words, min_size=1, max_size=6),
+)
+def test_hll_registers_merge_by_max(spark, a, b):
+    """D49/E22 core: registers of (A union B) equal the per-register MAX
+    of A's and B's registers — split/merge order cannot matter."""
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.functions.text import hll_register_frame
+
+    def docs_frame(docs, start):
+        rows = [
+            (start + i, " ".join(ws), "en", "srcX", len(" ".join(ws)))
+            for i, ws in enumerate(docs)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    fa, fb = docs_frame(a, 0), docs_frame(b, 1000)
+    whole = {
+        (r.source, r.reg): r.r
+        for r in hll_register_frame(fa.unionByName(fb)).collect()
+    }
+    merged = {
+        (r.source, r.reg): r.r
+        for r in hll_register_frame(fa)
+        .unionByName(hll_register_frame(fb))
+        .groupBy("source", "reg")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    }
+    assert whole == merged
