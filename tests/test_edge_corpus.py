@@ -666,3 +666,29 @@ def test_hll_accuracy_in_both_regimes(spark, tmp_path):
     assert got["srcB"].rel_error < 0.40  # raw estimator, 3 sigma of 13%
     again = {r.source: r for r in hll_distinct_tokens(spark, str(tmp_path)).collect()}
     assert got["srcB"].hll_estimate == again["srcB"].hll_estimate
+
+
+def test_budget_allocation_sums_exactly(spark, tmp_path):
+    """D52: quotas always sum to the budget exactly, whatever the share
+    skew, and every quota is floor or floor+1 of its raw entitlement."""
+    rows = []
+    sizes = {"srcA": 1, "srcB": 7, "srcC": 100, "srcD": 3}
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, "alpha beta gamma delta epsilon", "en", src, 30))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.operators.training import TOKEN_BUDGET, token_budget_allocation
+
+    got = token_budget_allocation(spark, str(tmp_path)).collect()
+    assert sum(r.quota_tokens for r in got) == TOKEN_BUDGET
+    for r in got:
+        assert r.quota_tokens in (r.quota_floor, r.quota_floor + 1)
+    # temperature flattening: the dominant source cedes share to the tail
+    by = {r.source: r for r in got}
+    assert by["srcC"].quota_tokens < TOKEN_BUDGET * (100 / 111)
+    assert by["srcA"].quota_tokens > TOKEN_BUDGET * (1 / 111)

@@ -381,3 +381,83 @@ def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_len").cast("bigint").alias("bucket_len"),
         "n_docs", "sum_tokens", "sum_padded", "padding_waste",
     )
+
+
+# --- D52 -----------------------------------------------------------------
+TOKEN_BUDGET = 1_000_000  # tokens to allocate across sources per epoch
+
+BUDGET_ALLOC_ORACLE = f"""
+WITH w AS (
+  SELECT source, target_share FROM ({IMPORTANCE_ORACLE})
+),
+raw AS (
+  SELECT source, target_share,
+         {TOKEN_BUDGET} * target_share AS quota_raw,
+         CAST(floor({TOKEN_BUDGET} * target_share) AS BIGINT) AS quota_floor,
+         {TOKEN_BUDGET} * target_share
+           - floor({TOKEN_BUDGET} * target_share) AS remainder
+  FROM w
+),
+l AS (SELECT {TOKEN_BUDGET} - sum(quota_floor) AS leftover FROM raw),
+ranked AS (
+  SELECT r.*, l.leftover,
+         row_number() OVER (ORDER BY r.remainder DESC, r.source) AS rem_rank
+  FROM raw r CROSS JOIN l
+)
+SELECT source,
+       round(target_share, 8) AS target_share,
+       quota_floor,
+       round(remainder, 8) AS remainder,
+       CAST(rem_rank AS INT) AS rem_rank,
+       quota_floor + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS quota_tokens
+FROM ranked
+"""
+
+
+@register("token_budget_allocation", BUDGET_ALLOC_ORACLE)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quotas for a fixed training budget: D39's
+    temperature-flattened target shares turned into INTEGER token
+    quotas by largest-remainder apportionment (floor everyone, then
+    hand the leftover tokens to the largest fractional remainders,
+    source-name tie-break) — the step that turns a mixture POLICY into
+    the exact per-source read budgets a loader executes. Σ quota_tokens
+    equals the budget exactly (test-asserted).
+
+    Exactness: target_share is D39's rounded-8 double in both engines;
+    budget·share, floor, and the remainder comparison are identical
+    IEEE scalar ops; the leftover count is exact BIGINT arithmetic.
+
+    SCALE: everything runs on the |sources|-row weights frame — the
+    unpartitioned rank window is sanctioned HERE because its input is
+    control-plane-sized (grows with source count, not corpus size);
+    the corpus is touched only by D39's one partial agg.
+
+    Reference analogue: none (training-data pipeline family)."""
+    w = importance_sampling_weights(spark, sf_dir).select("source", "target_share")
+    raw = w.select(
+        "source",
+        "target_share",
+        (F.lit(TOKEN_BUDGET) * F.col("target_share")).alias("quota_raw"),
+        F.floor(F.lit(TOKEN_BUDGET) * F.col("target_share")).cast("bigint").alias("quota_floor"),
+        (
+            F.lit(TOKEN_BUDGET) * F.col("target_share")
+            - F.floor(F.lit(TOKEN_BUDGET) * F.col("target_share"))
+        ).alias("remainder"),
+    )
+    leftover = raw.agg((F.lit(TOKEN_BUDGET) - F.sum("quota_floor")).alias("leftover"))
+    ranked = raw.crossJoin(F.broadcast(leftover)).withColumn(
+        "rem_rank",
+        F.row_number().over(Window.orderBy(F.col("remainder").desc(), "source")),
+    )
+    return ranked.select(
+        "source",
+        F.round("target_share", 8).alias("target_share"),
+        "quota_floor",
+        F.round("remainder", 8).alias("remainder"),
+        F.col("rem_rank").cast("int").alias("rem_rank"),
+        (
+            F.col("quota_floor")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota_tokens"),
+    )
