@@ -692,3 +692,38 @@ def test_budget_allocation_sums_exactly(spark, tmp_path):
     by = {r.source: r for r in got}
     assert by["srcC"].quota_tokens < TOKEN_BUDGET * (100 / 111)
     assert by["srcA"].quota_tokens > TOKEN_BUDGET * (1 / 111)
+
+
+def test_znorm_topk_is_shape_invariant(spark, tmp_path):
+    """D53: z-normalization makes the match about SHAPE — a scaled+
+    shifted copy of the query series must rank closest (distance ~0),
+    a different shape further, a constant series excluded."""
+    import datetime
+
+    base = [float(x) for x in [1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 15, 14, 17]]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add_series(uid, vals):
+        nonlocal eid
+        for v in vals:
+            rows.append((eid, t0 + datetime.timedelta(seconds=eid), uid, "click", v, "{}"))
+            eid += 1
+
+    add_series(1, base)                                   # query (min uid)
+    add_series(2, [10.0 * v + 100.0 for v in base])       # same shape
+    add_series(3, list(reversed(base)))                   # mirrored shape
+    add_series(4, [5.0] * 16)                             # constant -> excluded
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from uforwarder_spark.operators.timeseries import timeseries_znorm_topk
+
+    got = timeseries_znorm_topk(spark, str(tmp_path)).collect()
+    assert [r.user_id for r in got] == [2, 3]  # 4 excluded, 1 is the query
+    assert got[0].znorm_ed < 1e-6              # affine copy: distance ~ 0
+    assert got[1].znorm_ed > 1.0               # mirrored: far

@@ -360,3 +360,13 @@ def test_overlap_matrix_source_joins_broadcast(spark):
     plan = plan_of(spark, "source_overlap_matrix")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_znorm_topk_has_no_global_sort_or_window(spark):
+    # D53: series build is an in-row array sort inside a partial agg;
+    # the ranking must be TakeOrderedAndProject (per-partition top-k),
+    # never a corpus-wide Sort/Window
+    plan = plan_of(spark, "timeseries_znorm_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
