@@ -370,3 +370,13 @@ def test_znorm_topk_has_no_global_sort_or_window(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["vocab_topk", "bpe_merge_pairs", "cms_heavy_hitters"])
+def test_global_topk_is_take_ordered_not_single_reducer_window(spark, name):
+    # Global top-K must plan as TakeOrderedAndProject (per-partition
+    # top-K + tiny merge). Spark's InferWindowGroupLimit does NOT fire
+    # for empty partition specs, so a rank-filter formulation would
+    # funnel the whole vocabulary through ONE Window partition.
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan

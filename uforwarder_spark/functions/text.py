@@ -393,12 +393,15 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    from pyspark.sql import Window
-
-    ranked = counts.withColumn(
+    # limit-first: orderBy+limit plans as TakeOrderedAndProject (per-
+    # partition top-K + K-row merge); the rank window then runs over K
+    # rows. A rank-filter window would NOT rewrite here — Spark's
+    # InferWindowGroupLimit skips empty partition specs, so the whole
+    # vocabulary would sort on ONE reducer.
+    topk = counts.orderBy(F.col("freq").desc(), "token").limit(VOCAB_K)
+    return topk.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token")))
-    )
-    return ranked.filter(F.col("rank") <= VOCAB_K).select("rank", "token", "freq")
+    ).select("rank", "token", "freq")
 
 
 # --- D21 -----------------------------------------------------------------
@@ -857,15 +860,16 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.tok_l", "p.tok_r")
     )
     counted = pairs.groupBy("tok_l", "tok_r").agg(F.count("*").alias("freq"))
-    from pyspark.sql import Window
-
-    ranked = counted.withColumn(
+    # limit-first (TakeOrderedAndProject) — see vocab_topk: the global
+    # rank-filter window does NOT rewrite to WindowGroupLimit, so rank
+    # only the K survivors.
+    topk = counted.orderBy(F.col("freq").desc(), "tok_l", "tok_r").limit(BPE_TOP)
+    return topk.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("freq").desc(), F.col("tok_l"), F.col("tok_r"))
         ),
-    )
-    return ranked.filter(F.col("rank") <= BPE_TOP).select("rank", "tok_l", "tok_r", "freq")
+    ).select("rank", "tok_l", "tok_r", "freq")
 
 
 # --- D28 -----------------------------------------------------------------
@@ -1434,7 +1438,8 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     token budget rather than doc count.
 
     SCALE: one shuffle on source; the rank-filter window rewrites to
-    per-partition WindowGroupLimit (same as D18's vocab top-K), so each
+    per-partition WindowGroupLimit (the rewrite fires because the
+    window HAS a partition key — empty specs don't rewrite), so each
     partition keeps only K candidates per source before the exchange —
     the full corpus is never sorted. Selection compares RAW doubles
     (identical IEEE expressions in both engines); rounding happens only
@@ -1532,9 +1537,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.sum("freq").cast("bigint").alias("counter"))
     )
-    ranked = counts.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), "token"))
-    ).filter(F.col("rank") <= CMS_K)
+    # limit-first (TakeOrderedAndProject) — see vocab_topk: rank only
+    # the CMS_K survivors, never the whole vocabulary on one reducer.
+    ranked = (
+        counts.orderBy(F.col("freq").desc(), "token")
+        .limit(CMS_K)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), "token"))
+        )
+    )
     probes = ranked.select("rank", "token", "freq", js).withColumn(
         "bucket", F.expr(_CMS_BUCKET_SPARK)
     )
