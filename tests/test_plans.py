@@ -380,3 +380,12 @@ def test_global_topk_is_take_ordered_not_single_reducer_window(spark, name):
     # funnel the whole vocabulary through ONE Window partition.
     plan = plan_of(spark, name)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hdr_sketch_is_fixed_width_partial_agg(spark):
+    # D54: the bucket-count sketch must map-side combine (fixed <=137
+    # cells per topic per partition); the only windows run over the
+    # sketch frame, and the exact percentile is the audit branch only
+    plan = plan_of(spark, "hdr_histogram_quantiles")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan

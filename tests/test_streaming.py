@@ -1202,3 +1202,41 @@ def test_e22_hll_monitor_converges_to_batch(spark, tmp_path):
     assert set(got) == set(exp)
     for src in exp:
         assert round(got[src]) == exp[src], src
+
+
+def test_e23_hdr_quantiles_converge_to_batch(spark, tmp_path):
+    """E23: once the message stream drains, the final quantile estimates
+    must equal batch D54's est_value column exactly — the fixed bucket
+    boundaries make the additive merge order-free."""
+    import os
+
+    from uforwarder_spark.operators.timeseries import hdr_histogram_quantiles
+
+    from uforwarder_spark.model import messages
+
+    ind = str(tmp_path / "log")
+    # 4 files -> 2 triggers at 2 files each: the merge path must run
+    messages(spark, SF_SMALL).repartition(4).write.mode("overwrite").parquet(ind)
+    state = str(tmp_path / "state")
+    q = P.hdr_quantile_pipeline(
+        P.message_stream(spark, ind, files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/quantiles")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the merge path (not just the first batch) ran
+    got = {
+        (r.topic, round(r.q, 2)): round(r.est, 6)
+        for r in spark.read.parquet(f"{state}/quantiles/batch_id={last}").collect()
+    }
+    exp = {
+        (r.topic, round(r.q, 2)): r.est_value
+        for r in hdr_histogram_quantiles(spark, SF_SMALL).collect()
+    }
+    assert got == exp

@@ -115,3 +115,153 @@ def timeseries_znorm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TS_TOPK)
         .select("user_id", F.round("dist", 6).alias("znorm_ed"))
     )
+
+
+# --- D54 -----------------------------------------------------------------
+# HDR-style log-scale histogram quantiles: bucket boundaries 2^(k/8) are
+# DATA-INDEPENDENT constants, so bucket counts merge by plain addition —
+# the streaming-safe quantile sketch (unlike equi-width bins, whose
+# range depends on the data). 8 sub-buckets per octave bounds the
+# relative quantile error at ~2^(1/16)-1 ≈ 4.4% (geometric midpoint).
+HDR_SUBDIV = 8
+HDR_LO_EXP, HDR_HI_EXP = -7, 10  # covers (2^-7, 2^10) = (0.0078, 1024)
+HDR_BOUNDS = [
+    2.0 ** (k / HDR_SUBDIV) for k in range(HDR_LO_EXP * HDR_SUBDIV, HDR_HI_EXP * HDR_SUBDIV + 1)
+]
+HDR_QS = [0.5, 0.95, 0.99]
+
+_B_SPARK = "array(" + ", ".join(repr(b) for b in HDR_BOUNDS) + ")"
+_B_DUCK = "([" + ", ".join(repr(b) for b in HDR_BOUNDS) + "]::DOUBLE[])"
+_QS_DUCK = "[" + ", ".join(f"{q!r}::DOUBLE" for q in HDR_QS) + "]"
+
+HDR_ORACLE = f"""
+WITH e AS (
+  SELECT event_type AS topic, value AS v FROM events
+),
+b AS (
+  SELECT topic,
+         len(list_filter({_B_DUCK}, t -> v >= t)) - 1 AS bucket
+  FROM e
+),
+cnt AS (SELECT topic, bucket, count(*) AS c FROM b GROUP BY topic, bucket),
+cum AS (
+  SELECT topic, bucket, c,
+         sum(c) OVER (PARTITION BY topic ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY topic) AS n
+  FROM cnt
+),
+hit AS (
+  SELECT topic, q, min(bucket) AS qb
+  FROM cum CROSS JOIN unnest({_QS_DUCK}) AS t(q)
+  WHERE cum >= q * n
+  GROUP BY topic, q
+),
+exact_w AS (
+  SELECT topic,
+         quantile_cont(v, 0.5) AS e0,
+         quantile_cont(v, 0.95) AS e1,
+         quantile_cont(v, 0.99) AS e2
+  FROM e GROUP BY topic
+),
+exact AS (
+  SELECT topic, 0.5::DOUBLE AS q, e0 AS exact_v FROM exact_w
+  UNION ALL SELECT topic, 0.95::DOUBLE, e1 FROM exact_w
+  UNION ALL SELECT topic, 0.99::DOUBLE, e2 FROM exact_w
+)
+SELECT h.topic, round(h.q, 2) AS q,
+       round(sqrt({_B_DUCK}[h.qb + 1] * {_B_DUCK}[h.qb + 2]), 6) AS est_value,
+       round(x.exact_v, 6) AS exact_value,
+       round(abs(sqrt({_B_DUCK}[h.qb + 1] * {_B_DUCK}[h.qb + 2]) - x.exact_v)
+             / x.exact_v, 6) AS rel_error
+FROM hit h JOIN exact x ON x.topic = h.topic AND x.q = h.q
+"""
+
+
+@register("hdr_histogram_quantiles", HDR_ORACLE)
+def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a log-scale (HDR-style) histogram sketch: each
+    value lands in the 2^(k/8) bucket whose boundary array is a FIXED
+    literal, the per-(topic, bucket) counts are the sketch, and
+    p50/p95/p99 are read off the cumulative counts (geometric-midpoint
+    estimate) next to the exact percentile and the relative error the
+    bucket resolution actually cost — the mergeable alternative A12's
+    docstring promises for 100 TB.
+
+    Exactness: bucket assignment counts FIXED double literals ≤ v (both
+    engines compare the same 137 constants — no libm log2 divergence),
+    and the estimate is scalar math on two of those constants.
+
+    SCALE: the sketch is the point — counts are a (topic, ≤137-bucket)
+    partial agg (fixed width, map-side combined, additive merge — the
+    same counts a streaming monitor accumulates per trigger, see E23);
+    the cumulative window runs over ≤137 rows per topic. The exact
+    percentile exists ONLY as the audit branch.
+
+    Reference analogue: WindowedAggregator / LatencyTracker's
+    percentile role (uforwarder worker), re-done sketch-mergeable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("topic"), F.col("value").alias("v")
+    )
+    cnt = hdr_bucket_counts_frame(ev)
+    est_frame = hdr_quantiles_frame(cnt)
+    # percentile() needs a FOLDABLE percentage: aggregate the three
+    # literals wide, then unpivot to (topic, q, exact_v)
+    exact_wide = ev.groupBy("topic").agg(
+        *[
+            F.expr(f"percentile(v, {q}D)").alias(f"e{i}")
+            for i, q in enumerate(HDR_QS)
+        ]
+    )
+    unpivot = ", ".join(
+        f"struct({q}D AS q, e{i} AS exact_v)" for i, q in enumerate(HDR_QS)
+    )
+    exact = exact_wide.select(
+        "topic", F.explode(F.expr(f"array({unpivot})")).alias("s")
+    ).select("topic", "s.q", "s.exact_v")
+    return (
+        est_frame.join(exact, ["topic", "q"])
+        .select(
+            "topic",
+            F.round("q", 2).alias("q"),
+            F.round("est", 6).alias("est_value"),
+            F.round("exact_v", 6).alias("exact_value"),
+            F.round(F.abs(F.col("est") - F.col("exact_v")) / F.col("exact_v"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )
+
+
+def hdr_bucket_counts_frame(ev: DataFrame) -> DataFrame:
+    """(topic, bucket, c): the HDR sketch — bucket ids come from FIXED
+    literals, so counts from different batches merge by plain addition
+    (streaming E23's state update)."""
+    b = ev.select(
+        "topic",
+        (F.expr(f"size(filter({_B_SPARK}, t -> v >= t))") - 1).alias("bucket"),
+    )
+    return b.groupBy("topic", "bucket").agg(F.count("*").alias("c"))
+
+
+def hdr_quantiles_frame(cnt: DataFrame) -> DataFrame:
+    """Close the quantile estimates from a bucket-count frame:
+    (topic, q, est) — shared with streaming E23. The cumulative window
+    runs over the sketch (≤ len(HDR_BOUNDS) rows per topic)."""
+    from pyspark.sql import Window
+
+    spark = cnt.sparkSession
+    wcum = Window.partitionBy("topic").orderBy("bucket")
+    wn = Window.partitionBy("topic")
+    cum = cnt.withColumn("cum", F.sum("c").over(wcum)).withColumn("n", F.sum("c").over(wn))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HDR_QS])).alias("q")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("topic", "q")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    lo = F.expr(f"element_at({_B_SPARK}, qb + 1)")
+    hi = F.expr(f"element_at({_B_SPARK}, qb + 2)")
+    return hit.select("topic", "q", F.sqrt(lo * hi).alias("est"))

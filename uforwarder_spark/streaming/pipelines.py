@@ -1474,3 +1474,53 @@ def hll_monitor_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E23: live latency-quantile monitor ------------------------------------
+def hdr_quantile_pipeline(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E23: the live twin of batch D54 — each micro-batch's HDR bucket
+    counts (FIXED 2^(k/8) boundaries, so bucket ids never depend on the
+    data seen so far) merge into batchId-versioned running counts by
+    plain addition, and the p50/p95/p99 estimate table is re-derived
+    per trigger via the SHARED hdr_quantiles_frame — live latency
+    percentiles with O(topics · 137) state forever. Equals batch D54's
+    estimates exactly once the stream drains (the fixed boundaries are
+    what make that convergence possible — an equi-width histogram's
+    bins would shift as the observed range grows).
+
+    State layout: ``{state_dir}/counts/batch_id=N`` (merged counts
+    AFTER batch N), ``{state_dir}/quantiles/batch_id=N`` (derived
+    estimates). Replays re-merge the same batch into the same directory
+    — idempotent under at-least-once (the E19/E21/E22 shape)."""
+    from ..operators.timeseries import hdr_bucket_counts_frame, hdr_quantiles_frame
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = batch_df.select("topic", F.col("payload_value").alias("v"))
+        batch_cnt = hdr_bucket_counts_frame(ev)
+        try:
+            prev = spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id - 1}")
+        except Exception:
+            prev = None
+        merged = (
+            batch_cnt if prev is None
+            else batch_cnt.unionByName(prev)
+            .groupBy("topic", "bucket")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/counts/batch_id={batch_id}"
+        )
+        cnt = spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id}")
+        hdr_quantiles_frame(cnt).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/quantiles/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
