@@ -3,19 +3,12 @@
 Importing this package registers every operator into
 ``uforwarder_spark.registry.QUERIES`` / ``ORACLES``.
 
-IMPORT ORDER IS LOAD-BEARING: the driver's correctness report covers the
-first 50 registered keys, so modules register in this order:
-
-  1. plans.relational      (11 C-series)
-  2. operators.similarity  (3 ANN)
-  3. operators.jaccard     (D4 — bounded-candidate variant)
-  4. operators.controller  (B-series incl. new command/prediction ops)
-  5. operators.pipeline    (A-series incl. checkpoint/purge ops)
-  ------- 50-key window boundary -------
-  6. operators.dedup / functions.text / functions.multimodal — all
-     driver-verified green in round 1 and unchanged since; they remain
-     covered by tests/test_oracle_parity.py (the same check) at two SFs.
-  7. operators.ratelimit   (A18 — rows-only by design, no oracle signal)
+Driver-window ordering is no longer governed by import order:
+``__spark_entry__._KEY_PRIORITY`` reorders queries()/oracle_sql() so the
+driver's 50-key correctness window holds (a) keys that never had a
+driver row and (b) keys whose implementation changed since their last
+driver check. Import order below only determines registration
+completeness, not window membership.
 """
 
 from . import registry  # noqa: F401
