@@ -37,6 +37,7 @@ _KEY_PRIORITY = [
     "tpch_q19_disjunctive_filter", "cms_heavy_hitters", "hll_distinct_tokens",
     "length_bucketing", "source_overlap_matrix", "token_budget_allocation",
     "timeseries_znorm_topk", "hdr_histogram_quantiles",
+    "funnel_conversion", "retention_cohorts",
     "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
     #    refactors ago (round-3 verdict item 1: rotate these in).
@@ -45,8 +46,12 @@ _KEY_PRIORITY = [
     #    range_assignment / rebalancer_shadow_compare keep their
     #    driver-r1 + both-SF pytest parity standing and rotate into the
     #    round-5 window first. --
+    # vocab_topk and bpe_merge_pairs additionally CHANGED this round
+    # (the global-top-K limit-first fix) — their old driver rows no
+    # longer witness the shipped plan.
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "quality_filter_gopher", "stratified_sample", "vocab_topk",
+    "bpe_merge_pairs",
     "tfidf_top_terms", "lang_id_confusion", "corpus_stats",
     "partition_assignment", "load_balance_stats", "autoscale_decision",
     "batch_job_offsets", "partition_expansion", "hibernating_jobs",
@@ -60,6 +65,13 @@ _KEY_PRIORITY = [
     # shares the D12/D29 mapInPandas plumbing the driver has already
     # hash-checked; both carry both-SF pytest parity.
     "token_bucket_exact", "multimodal_resize",
+    # Window arithmetic, late round 4: the never-checked round-4 keys
+    # plus the changed keys above fill ~41 of the 50 slots; the text.py
+    # r01 cohort stays in (that module changed heavily this round —
+    # highest regression risk), while the untouched-since-r01
+    # controller cohort (B1–B11) overflows past index 50 and rotates
+    # into round 5's window first. All overflow keys keep both-SF
+    # pytest parity (the identical comparator).
     # -- round-2 cohort top-up (last driver row was round 2) --
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",

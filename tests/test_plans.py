@@ -389,3 +389,12 @@ def test_hdr_sketch_is_fixed_width_partial_agg(spark):
     plan = plan_of(spark, "hdr_histogram_quantiles")
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["funnel_conversion", "retention_cohorts"])
+def test_events_analytics_shuffle_on_scaling_keys(spark, name):
+    # C23/C24: every event-scale agg shuffles on user_id (cardinality
+    # scales with data); windows only over control-plane-sized frames
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

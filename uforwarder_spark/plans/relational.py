@@ -1113,3 +1113,179 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+# --- C23 -----------------------------------------------------------------
+FUNNEL_STEPS = ["view", "click", "purchase"]  # strictly ordered by event_id
+
+FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(event_id) AS e1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.event_id) AS e2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.event_id > s1.e1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.event_id) AS e3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.event_id > s2.e2
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+),
+top AS (SELECT n_users AS n_top FROM counts WHERE step = 1)
+SELECT c.step, c.event_type, c.n_users,
+       round(CAST(c.n_users AS DOUBLE)
+             / lag(c.n_users, 1, c.n_users) OVER (ORDER BY c.step), 6)
+         AS conv_from_prev,
+       round(CAST(c.n_users AS DOUBLE) / t.n_top, 6) AS conv_from_top
+FROM counts c CROSS JOIN top t
+"""
+
+
+@register("funnel_conversion", FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progress view → click →
+    purchase, where each step must happen strictly AFTER the user's
+    first instance of the previous step (event_id order — unique and
+    monotone, so the funnel is generation-proof and tie-free).
+    Step-over-step and step-over-top conversion rates per row.
+
+    SCALE: three conditional min-aggregations, all shuffled on user_id
+    — a key whose cardinality scales with the data, so no hot reducer;
+    the step joins are user-co-partitioned (AQE reuses the exchange)
+    and the final rates run on a 3-row frame. No corpus-sized window
+    anywhere.
+
+    Reference analogue: none (events-domain analytics family)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("e1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("event_id") > F.col("e1"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("e2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("event_id") > F.col("e2"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("e3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("step"), F.lit("view").alias("event_type"), "n_users"
+        )
+        .unionByName(
+            s2.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("step"), F.lit("click").alias("event_type"), "n_users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("step"), F.lit("purchase").alias("event_type"), "n_users"
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    # 3-row frame: the unpartitioned lag window is control-plane-sized
+    top = counts.filter(F.col("step") == 1).select(F.col("n_users").alias("n_top"))
+    w = Window.orderBy("step")
+    return (
+        counts.crossJoin(F.broadcast(top))
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.lag("n_users", 1, None).over(w).cast("double"),
+                6,
+            ).alias("conv_from_prev"),
+            F.round(F.col("n_users").cast("double") / F.col("n_top"), 6).alias("conv_from_top"),
+        )
+        .withColumn(
+            "conv_from_prev",
+            F.coalesce(F.col("conv_from_prev"), F.lit(1.0)),
+        )
+    )
+
+
+# --- C24 -----------------------------------------------------------------
+WEEK_S = 604800  # epoch seconds per week
+
+RETENTION_ORACLE = f"""
+WITH act AS (
+  SELECT user_id, epoch_ms(ts) // 1000 // {WEEK_S} AS week
+  FROM events GROUP BY user_id, epoch_ms(ts) // 1000 // {WEEK_S}
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+),
+size_ AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week
+),
+ret AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS k, count(*) AS n_active
+  FROM act a JOIN cohort c ON c.user_id = a.user_id
+  GROUP BY c.cohort_week, a.week - c.cohort_week
+)
+SELECT r.cohort_week, CAST(r.k AS BIGINT) AS week_k, s.cohort_size,
+       r.n_active,
+       round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM ret r JOIN size_ s USING (cohort_week)
+"""
+
+
+@register("retention_cohorts", RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-activity
+    week; for each (cohort, week-offset k) the fraction of the cohort
+    still active — the standard growth-analytics triangle.
+
+    SCALE: the (user, week) activity grid is the only event-scale agg
+    (shuffled on a scaling key, map-side combined); cohorts derive from
+    it (|users| rows), and the retention cells are |cohorts|·|weeks|.
+    Week ids are integer epoch arithmetic on the normalized LTZ
+    timestamps — identical in both engines across every ts generation.
+
+    Reference analogue: none (events-domain analytics family)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_millis("ts") / 1000).cast("long").alias("sec")
+    )
+    act = ev.select(
+        "user_id", (F.col("sec") / WEEK_S).cast("long").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_k"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("week_k").cast("bigint").alias("week_k"),
+            "cohort_size",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
