@@ -727,3 +727,36 @@ def test_znorm_topk_is_shape_invariant(spark, tmp_path):
     assert [r.user_id for r in got] == [2, 3]  # 4 excluded, 1 is the query
     assert got[0].znorm_ed < 1e-6              # affine copy: distance ~ 0
     assert got[1].znorm_ed > 1.0               # mirrored: far
+
+
+def test_cdc_chunks_are_shift_resistant(spark, tmp_path):
+    """D55: after a head insertion, every chunk beyond the edited one
+    must still hash identically (the property fixed-size chunking
+    lacks), so the dup-chunk audit marks the tail shared."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the fence and the birds fly south "
+        "for winter as the river runs cold beneath the old stone bridge"
+    )
+    rows = [
+        (0, base, "en", "src00", len(base)),
+        (1, "XYZQ " + base, "en", "src01", len(base) + 5),  # head insertion
+        (2, "totally different content here", "en", "src02", 30),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.operators.dedup import cdc_chunking
+
+    rows_out = cdc_chunking(spark, str(tmp_path)).collect()
+    h0 = {r.chunk_hash for r in rows_out if r.doc_id == 0}
+    d1 = [r for r in rows_out if r.doc_id == 1]
+    shared = [r for r in d1 if r.chunk_hash in h0]
+    # all but the first chunk (which absorbed the insertion) re-align
+    assert len(shared) >= len(d1) - 2 and len(shared) > 0
+    assert all(r.is_dup_chunk for r in shared)  # keep-first dedup fired
+    # the unrelated doc may share an incidental short chunk, but never
+    # re-aligns wholesale like the edited copy does
+    d2 = [r for r in rows_out if r.doc_id == 2]
+    assert sum(1 for r in d2 if r.chunk_hash in h0) <= len(d2) // 2

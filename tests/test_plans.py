@@ -398,3 +398,11 @@ def test_events_analytics_shuffle_on_scaling_keys(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_cdc_fanout_happens_in_row_before_single_shuffle(spark):
+    # D55: chunk explosion is row-local; the only wide exchange is the
+    # uniform (chunk_hash) agg + join — never pairwise, never windowed
+    plan = plan_of(spark, "cdc_chunking")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

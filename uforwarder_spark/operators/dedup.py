@@ -1035,3 +1035,114 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_jaccard"),
         )
     )
+
+
+# --- D55 -----------------------------------------------------------------
+CDC_MOD = 16  # expected chunk length ~= CDC_MOD chars (test-SF sized)
+CDC_WIN = 8  # rolling content window
+
+_CDC_BOUNDS_SPARK = f"""
+CASE WHEN length(text) >= {CDC_WIN} THEN
+  filter(sequence(1, length(text) - {CDC_WIN - 1}),
+         i -> CAST(conv(substr(md5(substr(text, i, {CDC_WIN})), 1, 8), 16, 10) AS BIGINT)
+              % {CDC_MOD} = 0)
+ELSE array() END
+"""
+_CDC_BOUNDS_DUCK = f"""
+list_filter(range(1, greatest(len(text) - {CDC_WIN - 1}, 0) + 1),
+            i -> ('0x' || substr(md5(substr(text, i::INT, {CDC_WIN})), 1, 8))::BIGINT
+                 % {CDC_MOD} = 0)
+"""
+
+CDC_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, {_CDC_BOUNDS_DUCK} AS bounds FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         list_sort(list_distinct(list_prepend(1, bounds))) AS starts
+  FROM b
+),
+se AS (
+  SELECT doc_id, text, starts,
+         list_concat(list_transform(starts[2:], x -> x - 1), [len(text)]) AS ends
+  FROM s
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS chunk_idx,
+         CAST(starts[i + 1] AS BIGINT) AS chunk_off,
+         CAST(ends[i + 1] - starts[i + 1] + 1 AS BIGINT) AS chunk_len,
+         md5(substr(text, starts[i + 1]::INT, (ends[i + 1] - starts[i + 1] + 1)::INT))
+           AS chunk_hash
+  FROM se, unnest(range(len(starts))) AS t(i)
+  WHERE len(text) > 0
+),
+firsts AS (
+  SELECT chunk_hash, min(doc_id) AS first_doc_id FROM chunks GROUP BY chunk_hash
+)
+SELECT c.doc_id, c.chunk_idx, c.chunk_off, c.chunk_len, c.chunk_hash,
+       f.first_doc_id,
+       c.doc_id > f.first_doc_id AS is_dup_chunk
+FROM chunks c JOIN firsts f USING (chunk_hash)
+"""
+
+
+@register("cdc_chunking", CDC_ORACLE)
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): a chunk
+    boundary falls wherever the rolling CDC_WIN-char content hash hits
+    0 mod CDC_MOD — so an insertion near a document's head shifts ONLY
+    the chunk it lands in, and every later chunk still hashes the same
+    (fixed-size chunks like D24's re-align everything after an edit).
+    Each chunk carries offset/length/hash plus keep-first corpus dedup
+    (first_doc_id, is_dup_chunk) — the storage-dedup shape backup and
+    artifact stores use.
+
+    Simplification vs FastCDC: no min/max chunk-length clamps — those
+    make boundaries state-dependent (a sequential fold); the pure
+    content-gated cut keeps the whole operator expression-level in
+    both engines and preserves the shift-resistance property (asserted
+    in tests against an edited copy).
+
+    SCALE: boundary detection is O(total chars) row-local expression
+    work (the md5-per-position cost IS content chunking's cost); the
+    chunk fan-out happens inside the row before the single (chunk_hash)
+    shuffle, whose keys are uniform md5s. Nothing pairwise, nothing
+    windowed.
+
+    Reference scope note: no uForwarder twin — D-family mandate
+    (storage-level dedup for artifact/corpus stores)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(F.length("text") > 0)
+    se = (
+        d.withColumn("bounds", F.expr(_CDC_BOUNDS_SPARK))
+        .withColumn("starts", F.expr("array_sort(array_distinct(concat(array(1), bounds)))"))
+        .withColumn(
+            "ends",
+            F.expr(
+                "concat(transform(slice(starts, 2, size(starts) - 1), x -> x - 1), "
+                "array(length(text)))"
+            ),
+        )
+    )
+    chunks = se.select(
+        "doc_id",
+        F.posexplode(F.expr("arrays_zip(starts, ends)")).alias("chunk_idx", "z"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("z.starts").cast("bigint").alias("chunk_off"),
+        (F.col("z.ends") - F.col("z.starts") + 1).cast("bigint").alias("chunk_len"),
+        F.expr("md5(substr(text, z.starts, z.ends - z.starts + 1))").alias("chunk_hash"),
+    )
+    firsts = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("first_doc_id"))
+    return chunks.join(firsts, "chunk_hash").select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_off",
+        "chunk_len",
+        "chunk_hash",
+        "first_doc_id",
+        (F.col("doc_id") > F.col("first_doc_id")).alias("is_dup_chunk"),
+    )
