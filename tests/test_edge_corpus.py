@@ -760,3 +760,28 @@ def test_cdc_chunks_are_shift_resistant(spark, tmp_path):
     # re-aligns wholesale like the edited copy does
     d2 = [r for r in rows_out if r.doc_id == 2]
     assert sum(1 for r in d2 if r.chunk_hash in h0) <= len(d2) // 2
+
+
+def test_bm25_ranks_relevance_sanely(spark, tmp_path):
+    """D57 semantics on a hand-built corpus: more query terms and higher
+    tf beat fewer; a doc with no query term never appears; longer docs
+    are length-penalized against an identical-tf shorter doc."""
+    filler = " ".join(f"pad{i}" for i in range(60))
+    rows = [
+        (0, "spark query join spark query join", "en", "src00", 34),  # all terms, high tf
+        (1, "spark alpha beta", "en", "src01", 16),                    # one term, short
+        (2, "spark " + filler, "en", "src02", 200),                    # one term, long
+        (3, "nothing relevant here", "en", "src03", 21),               # no terms
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import bm25_topk
+
+    got = bm25_topk(spark, str(tmp_path)).collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 0              # full-coverage high-tf doc wins
+    assert 3 not in ids             # zero-term doc cannot score
+    s = {r.doc_id: r.bm25_score for r in got}
+    assert s[1] > s[2]              # same tf, shorter doc scores higher

@@ -1694,3 +1694,102 @@ def hll_estimate_frame(regs: DataFrame) -> DataFrame:
     lc = F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("m_used")))
     corrected = F.when((raw <= 2.5 * HLL_M) & (F.col("m_used") < HLL_M), lc).otherwise(raw)
     return est.select("source", corrected.alias("est"))
+
+
+# --- D57 -----------------------------------------------------------------
+BM25_QUERY = ["spark", "query", "join"]  # fixed query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+_BM25_TERMS_SPARK = "array(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+_BM25_TERMS_DUCK = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY) + "]"
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+n_av AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+  WHERE term IN (SELECT unnest({_BM25_TERMS_DUCK}))
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(round(
+           ln((n_av.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * t.tf * ({BM25_K1} + 1)
+             / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / n_av.avdl)),
+           8) AS DECIMAL(18,8)) AS c
+  FROM tf t
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN n_av
+)
+SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25_score
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+@register("bm25_topk", BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: BM25 top-K documents for a fixed term query
+    (Robertson-Sparck Jones idf with the +1 floor, k1/b saturation) —
+    the search primitive a corpus exploration UI or hard-negative
+    mining pipeline runs over the document store.
+
+    Exactness: each (doc, term) contribution is rounded to 8 dp and
+    cast to DECIMAL before the per-doc sum (exact, order-free — the
+    D38 pattern); df/N/avdl derive from exact integer aggregates with
+    one double division each. The top-K cut compares the exact DECIMAL
+    sums, so ranking ties break identically.
+
+    SCALE: the query-term filter cuts the posting explode to |terms|
+    rows per doc BEFORE any shuffle; df and the N/avdl scalars are
+    tiny broadcasts; the per-doc score agg is map-side partial and the
+    top-K is TakeOrderedAndProject. The inverted-index analogue: at
+    100 TB the tf frame IS the posting list table, built once.
+
+    Reference analogue: none (training-data pipeline family — corpus
+    search / hard-negative mining)."""
+    toks = _docs(spark, sf_dir).select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
+    dl = toks.select("doc_id", F.size("ts").alias("dl"))
+    n_av = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ts").alias("term"))
+        .filter(F.expr(f"array_contains({_BM25_TERMS_SPARK}, term)"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    sat = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_av))
+        .select("doc_id", F.round(idf * sat, 8).cast("decimal(18,8)").alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("sc"))
+        .orderBy(F.col("sc").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.col("sc").cast("double").alias("bm25_score"))
+    )

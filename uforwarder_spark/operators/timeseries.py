@@ -265,3 +265,83 @@ def hdr_quantiles_frame(cnt: DataFrame) -> DataFrame:
     lo = F.expr(f"element_at({_B_SPARK}, qb + 1)")
     hi = F.expr(f"element_at({_B_SPARK}, qb + 2)")
     return hit.select("topic", "q", F.sqrt(lo * hi).alias("est"))
+
+
+# --- D56 -----------------------------------------------------------------
+OUTLIER_WIN_S = 300  # 5-minute windows
+OUTLIER_SIGMA = 2.0  # |v - mean| > sigma * std flags an anomaly
+
+OUTLIER_ORACLE = f"""
+WITH e AS (
+  SELECT event_type AS topic,
+         (epoch_ms(ts) // 1000 // {OUTLIER_WIN_S}) * {OUTLIER_WIN_S} AS window_epoch,
+         value AS v
+  FROM events
+),
+stats AS (
+  SELECT topic, window_epoch,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v::DECIMAL(18,2)) AS DOUBLE) / count(*) AS mu,
+         CAST(sum((v::DECIMAL(18,2)) * (v::DECIMAL(18,2))) AS DOUBLE) / count(*) AS msq
+  FROM e GROUP BY topic, window_epoch
+),
+flagged AS (
+  SELECT e.topic, e.window_epoch, s.n, s.mu, s.msq,
+         CASE WHEN abs(e.v - s.mu) > {OUTLIER_SIGMA} * sqrt(greatest(s.msq - s.mu * s.mu, 0))
+              THEN 1 ELSE 0 END AS is_out
+  FROM e JOIN stats s ON s.topic = e.topic AND s.window_epoch = e.window_epoch
+)
+SELECT topic, window_epoch, n,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+       round(min(mu), 6) AS mean_v,
+       round(sqrt(greatest(min(msq) - min(mu) * min(mu), 0)), 6) AS std_v
+FROM flagged GROUP BY topic, window_epoch, n
+"""
+
+
+@register("window_outliers", OUTLIER_ORACLE)
+def window_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: per (topic, 5-min window) population
+    mean/std of the metric, and the count of events deviating more than
+    OUTLIER_SIGMA standard deviations — the monitoring primitive behind
+    metric alerting (a z-score gate needs no ordering, so unlike a
+    rolling-window formulation it has no per-event sequential state).
+
+    Exactness: the value column carries 2 decimal places, so sums of
+    DECIMAL(18,2) (and squares at scale 4) are EXACT and order-free;
+    mean/std derive from the two exact sums with one division each —
+    bit-identical across engines at any parallelism.
+
+    SCALE: two aggs and one join, ALL keyed on (topic, window) — a key
+    whose cardinality grows with time, so no hot reducer; both aggs are
+    map-side partial and the join is co-partitioned (AQE reuses the
+    exchange). No window function at all.
+
+    Reference analogue: WindowedAggregator + PipelineHealthManager's
+    role (alert on deviant windows), generalized to z-scores."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("topic"),
+        (
+            (F.unix_millis("ts") / 1000 / OUTLIER_WIN_S).cast("long") * OUTLIER_WIN_S
+        ).alias("window_epoch"),
+        F.col("value").alias("v"),
+    )
+    dec = F.col("v").cast("decimal(18,2)")
+    stats = ev.groupBy("topic", "window_epoch").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum(dec).cast("double") / F.count("*")).alias("mu"),
+        (F.sum(dec * dec).cast("double") / F.count("*")).alias("msq"),
+    )
+    # single-value windows give msq - mu^2 ~ -1e-16: clamp before sqrt
+    std = F.sqrt(F.greatest(F.col("msq") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    flagged = ev.join(stats, ["topic", "window_epoch"]).withColumn(
+        "is_out",
+        (F.abs(F.col("v") - F.col("mu")) > OUTLIER_SIGMA * std).cast("int"),
+    )
+    return flagged.groupBy("topic", "window_epoch", "n").agg(
+        F.sum("is_out").cast("bigint").alias("n_outliers"),
+        F.round(F.min("mu"), 6).alias("mean_v"),
+        F.round(
+            F.sqrt(F.greatest(F.min("msq") - F.min("mu") * F.min("mu"), F.lit(0.0))), 6
+        ).alias("std_v"),
+    )
