@@ -32,17 +32,22 @@ STAGES = [
     ("10. distinct-token cardinality (HLL sketch + audit)", "hll_distinct_tokens"),
     ("11. heavy hitters (count-min sketch + audit)", "cms_heavy_hitters"),
     ("12. train/eval contamination check", "contamination_check"),
+    ("12b. cluster purity before cluster-level pruning", "kmeans_cluster_purity"),
     # -- filtering + sampling --------------------------------------------
     ("13. Gopher-style quality gate", "quality_filter_gopher"),
     ("14. PII redaction accounting", "pii_redaction"),
     ("15. token-budget weighted sample (A-Res)", "weighted_sample_ares"),
     ("16. temperature mixture weights per source", "importance_sampling_weights"),
     # -- export to the loader --------------------------------------------
+    ("16b. integer token quotas (largest remainder)", "token_budget_allocation"),
+    ("16c. tokenizer fertility per (lang, source)", "tokenizer_fertility"),
     ("17. padding-waste audit for batch buckets", "length_bucketing"),
     ("18. fixed-length sequence packing", "sequence_packing"),
     ("19. sharded shuffle export", "corpus_shuffle_export"),
     # -- serving-side similarity -----------------------------------------
     ("20. ANN over embeddings: quantized scan + rescore", "ann_topk_int8_rescore"),
+    ("21. corpus search: BM25 top-k", "bm25_topk"),
+    ("22. storage dedup: content-defined chunks", "cdc_chunking"),
 ]
 
 

@@ -1793,3 +1793,56 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOPK)
         .select("doc_id", F.col("sc").cast("double").alias("bm25_score"))
     )
+
+
+# --- D58 -----------------------------------------------------------------
+FERTILITY_ORACLE = r"""
+WITH t AS (
+  SELECT lang, source,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+           AS ws,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+           AS bpe
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_ish_tokens,
+       CASE WHEN sum(ws) = 0 THEN NULL
+            ELSE round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) END AS fertility
+FROM t GROUP BY lang, source
+"""
+
+
+@register("tokenizer_fertility", FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source): subword (BPE-ish) tokens
+    per whitespace word — the diagnostic that tells you which languages
+    or sources a tokenizer fragments (high fertility = more compute per
+    word, worse effective context length). Uses D10's exact token
+    expressions so the two stay in lockstep.
+
+    Exactness: integer sums divided once — deterministic; empty-word
+    groups emit NULL, not a division error.
+
+    SCALE: stateless per-doc map + one (lang, source) partial agg.
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "lang",
+        "source",
+        F.expr(r"size(filter(split(text, '\\s+'), x -> x <> ''))").cast("long").alias("ws"),
+        F.expr(r"size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))")
+        .cast("long")
+        .alias("bpe"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("bpe_ish_tokens"),
+        F.when(F.sum("ws") == 0, F.lit(None))
+        .otherwise(F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6))
+        .alias("fertility"),
+    )

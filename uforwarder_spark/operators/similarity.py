@@ -782,3 +782,69 @@ def ann_topk_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+# --- D59 -----------------------------------------------------------------
+PURITY_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id, label, cluster FROM ({{KMEANS_SQL}})
+),
+cell AS (SELECT cluster, label, count(*) AS c FROM a GROUP BY cluster, label),
+tot AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY cluster),
+best AS (
+  SELECT cluster, max(c) AS c_max FROM cell GROUP BY cluster
+),
+maj AS (
+  SELECT cell.cluster, min(cell.label) AS majority_label
+  FROM cell JOIN best ON best.cluster = cell.cluster AND cell.c = best.c_max
+  GROUP BY cell.cluster
+)
+SELECT t.cluster, t.n, m.majority_label,
+       CAST(b.c_max AS BIGINT) AS n_majority,
+       round(CAST(b.c_max AS DOUBLE) / t.n, 6) AS purity
+FROM tot t JOIN best b USING (cluster) JOIN maj m USING (cluster)
+"""
+
+
+def _purity_oracle() -> str:
+    # D40's oracle yields (vec_id, label, cluster, sq_dist); reuse it as
+    # the assignment subquery so the two can never drift.
+    return PURITY_ORACLE.format(KMEANS_SQL=KMEANS_ORACLE)
+
+
+@register("kmeans_cluster_purity", _purity_oracle())
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality audit: per D40 cluster, the majority ground-
+    truth label (smallest label on ties), its share of the cluster
+    (purity), and the cluster size — the number that says whether the
+    embedding clusters track the labels before anyone trusts
+    cluster-level curation decisions (D41's SemDeDup prunes inside
+    these clusters).
+
+    SCALE: everything heavy IS D40's assignment pipeline; this adds a
+    (cluster, label) cell agg — k·|labels| rows — and three joins over
+    that tiny frame.
+
+    Reference scope note: no uForwarder twin — D-family mandate
+    (embedding-space curation audit)."""
+    a = _kmeans_a2(spark, sf_dir).select("vec_id", "label", "cluster")
+    cell = a.groupBy("cluster", "label").agg(F.count("*").alias("c"))
+    tot = cell.groupBy("cluster").agg(F.sum("c").cast("bigint").alias("n"))
+    best = cell.groupBy("cluster").agg(F.max("c").alias("c_max"))
+    maj = (
+        cell.join(best, "cluster")
+        .filter(F.col("c") == F.col("c_max"))
+        .groupBy("cluster")
+        .agg(F.min("label").alias("majority_label"))
+    )
+    return (
+        tot.join(best, "cluster")
+        .join(maj, "cluster")
+        .select(
+            "cluster",
+            "n",
+            "majority_label",
+            F.col("c_max").cast("bigint").alias("n_majority"),
+            F.round(F.col("c_max").cast("double") / F.col("n"), 6).alias("purity"),
+        )
+    )
