@@ -49,10 +49,11 @@ _KEY_PRIORITY = [
     #    round-5 window first. --
     # vocab_topk and bpe_merge_pairs additionally CHANGED this round
     # (the global-top-K limit-first fix) — their old driver rows no
-    # longer witness the shipped plan.
+    # longer witness the shipped plan, so they outrank the UNCHANGED
+    # r01 text keys below.
+    "vocab_topk", "bpe_merge_pairs",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "quality_filter_gopher", "stratified_sample", "vocab_topk",
-    "bpe_merge_pairs",
+    "quality_filter_gopher", "stratified_sample",
     "tfidf_top_terms", "lang_id_confusion", "corpus_stats",
     "partition_assignment", "load_balance_stats", "autoscale_decision",
     "batch_job_offsets", "partition_expansion", "hibernating_jobs",
