@@ -596,3 +596,40 @@ def test_hll_registers_merge_by_max(spark, a, b):
         .collect()
     }
     assert whole == merged
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.02, max_value=900.0, allow_nan=False, allow_infinity=False),
+        min_size=5,
+        max_size=80,
+    )
+)
+def test_hdr_estimate_within_bucket_bound(spark, vals):
+    """D54 invariant: on ANY in-range value set, the geometric-midpoint
+    estimate is within a half-bucket of the true quantile — ratio in
+    (2^-1/16, 2^1/16] — because the true quantile lies inside the
+    bucket the cumulative count selects."""
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.operators.timeseries import (
+        HDR_QS,
+        hdr_bucket_counts_frame,
+        hdr_quantiles_frame,
+    )
+
+    ev = spark.createDataFrame([("t", v) for v in vals], "topic string, v double")
+    est = {
+        round(r.q, 2): r.est
+        for r in hdr_quantiles_frame(hdr_bucket_counts_frame(ev)).collect()
+    }
+    svals = sorted(vals)
+    bound = 2 ** (1 / 16) * 1.000001  # half-bucket ratio + float slack
+    for q in HDR_QS:
+        # the bucket rule selects the first bucket whose cumulative
+        # count reaches q*n: that bucket contains the ceil(q*n)-th value
+        import math
+
+        true_v = svals[max(0, math.ceil(q * len(svals)) - 1)]
+        assert 1 / bound <= est[round(q, 2)] / true_v <= bound, (q, est, true_v)
