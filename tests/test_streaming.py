@@ -1240,3 +1240,45 @@ def test_e23_hdr_quantiles_converge_to_batch(spark, tmp_path):
         for r in hdr_histogram_quantiles(spark, SF_SMALL).collect()
     }
     assert got == exp
+
+
+def test_e24_funnel_stream_matches_batch(spark, tmp_path):
+    """E24: with per-user event_id-ordered delivery (range-partitioned
+    files), the users reaching each step equal batch C23's counts and
+    the first-reach event ids are exact."""
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.plans.relational import funnel_conversion
+
+    ind = str(tmp_path / "events")
+    (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(ind)
+    )
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "steps")
+    q = (
+        P.funnel_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = spark.read.parquet(out)
+    step_counts = {r.step: r.n for r in got.groupBy("step").count().withColumnRenamed("count", "n").collect()}
+    exp = {r.step: r.n_users for r in funnel_conversion(spark, SF_SMALL).collect()}
+    assert {int(k): v for k, v in step_counts.items()} == {int(k): v for k, v in exp.items()}
+    # at most one row per (user, step): first-reach fires exactly once
+    dups = got.groupBy("user_id", "step").count().filter("count > 1").count()
+    assert dups == 0

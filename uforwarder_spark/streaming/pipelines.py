@@ -1524,3 +1524,62 @@ def hdr_quantile_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E24: live funnel monitor ----------------------------------------------
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("e1", LongType()),
+        StructField("e2", LongType()),
+        StructField("e3", LongType()),
+    ]
+)
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def _funnel_machine(key, pdfs: Iterator, state: GroupState):
+    """Per-user funnel progression: first view, first click after it,
+    first purchase after that (event_id order). Emits one row per step
+    the user NEWLY reaches — the live twin of batch C23, exact when
+    each user's events arrive in event_id order (Kafka's per-key
+    ordering guarantee; the test feeds range-partitioned files)."""
+    import pandas as pd
+
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip((int(x) for x in pdf["event_id"]), pdf["event_type"]))
+    rows.sort()  # one sort across ALL Arrow chunks of this group
+    e1, e2, e3 = state.get if state.exists else (None, None, None)
+    out = []
+    for eid, etype in rows:
+        if e1 is None and etype == "view":
+            e1 = eid
+            out.append((key[0], 1, eid))
+        elif e1 is not None and e2 is None and etype == "click" and eid > e1:
+            e2 = eid
+            out.append((key[0], 2, eid))
+        elif e2 is not None and e3 is None and etype == "purchase" and eid > e2:
+            e3 = eid
+            out.append((key[0], 3, eid))
+    state.update((e1, e2, e3))
+    yield pd.DataFrame(out, columns=["user_id", "step", "event_id"])
+
+
+def funnel_stream(stream: DataFrame) -> DataFrame:
+    """E24: live ordered-funnel tracking. State is THREE longs per user
+    (bounded by user cardinality, not stream length); each trigger
+    shuffles only its micro-batch on user_id. Emitted step rows are
+    exactly the first-reach events batch C23 counts."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_machine,
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
