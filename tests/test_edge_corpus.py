@@ -785,3 +785,72 @@ def test_bm25_ranks_relevance_sanely(spark, tmp_path):
     assert 3 not in ids             # zero-term doc cannot score
     s = {r.doc_id: r.bm25_score for r in got}
     assert s[1] > s[2]              # same tf, shorter doc scores higher
+
+
+def test_funnel_ordering_is_strict(spark, tmp_path):
+    """C23 semantics: a click BEFORE the user's first view must not
+    count; a user with clicks but no view reaches no step; purchase
+    requires the click to have happened first."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+
+    def ev(eid, uid, etype):
+        rows.append((eid, t0 + datetime.timedelta(seconds=eid), uid, etype, 1.0, "{}"))
+
+    # user 1: click(1) BEFORE view(2), then click(3), purchase(4): full funnel
+    ev(1, 1, "click"); ev(2, 1, "view"); ev(3, 1, "click"); ev(4, 1, "purchase")
+    # user 2: clicks only -> no step at all
+    ev(10, 2, "click"); ev(11, 2, "click")
+    # user 3: view then purchase WITHOUT click -> stops at step 1
+    ev(20, 3, "view"); ev(21, 3, "purchase")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from uforwarder_spark.plans.relational import funnel_conversion
+
+    got = {r.step: r for r in funnel_conversion(spark, str(tmp_path)).collect()}
+    assert got[1].n_users == 2   # users 1 and 3 viewed
+    assert got[2].n_users == 1   # only user 1 clicked after viewing
+    assert got[3].n_users == 1   # and purchased after that click
+    assert got[2].conv_from_prev == 0.5
+    assert got[3].conv_from_top == 0.5
+
+
+def test_retention_cohort_math(spark, tmp_path):
+    """C24: a user active in weeks w and w+2 contributes k=0 and k=2 to
+    their cohort; k=0 retention is always 1.0."""
+    import datetime
+
+    week = datetime.timedelta(days=7)
+    t0 = datetime.datetime(2024, 1, 7)
+    rows = []
+    eid = 0
+
+    def ev(uid, when):
+        nonlocal eid
+        rows.append((eid, when, uid, "click", 1.0, "{}"))
+        eid += 1
+
+    ev(1, t0); ev(1, t0 + 2 * week)        # cohort w0, back in k=2
+    ev(2, t0)                               # cohort w0, never returns
+    ev(3, t0 + week); ev(3, t0 + 2 * week)  # cohort w1, back in k=1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from uforwarder_spark.plans.relational import retention_cohorts
+
+    got = {(r.cohort_week, r.week_k): r for r in retention_cohorts(spark, str(tmp_path)).collect()}
+    cohorts = sorted({c for c, _ in got})
+    w0, w1 = cohorts
+    assert got[(w0, 0)].retention == 1.0 and got[(w0, 0)].cohort_size == 2
+    assert got[(w0, 2)].n_active == 1 and got[(w0, 2)].retention == 0.5
+    assert (w0, 1) not in got            # nobody from w0 active in k=1
+    assert got[(w1, 1)].retention == 1.0

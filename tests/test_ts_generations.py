@@ -5,7 +5,7 @@ Round 2 broke because a new testdata generation switched events.ts from
 TIMESTAMP(NANOS) to TIMESTAMP(MICROS) (Spark TIMESTAMP_NTZ) and two
 operators failed at *analysis* time (unix_millis rejects NTZ) — invisible
 to any test that pins one generation. This suite writes the events schema
-in all three physical variants and analyzes every key in QUERIES against
+in all four physical variants (incl. legacy INT96) and analyzes every key in QUERIES against
 each; a 10-second analysis pass catches the whole failure class.
 """
 
@@ -19,7 +19,7 @@ import pytest
 
 from tests.conftest import SF_SMALL, TABLES
 
-VARIANTS = ["ns", "us_ntz", "us_ltz"]
+VARIANTS = ["ns", "us_ntz", "us_ltz", "int96"]
 
 
 @pytest.fixture(scope="module")
@@ -47,6 +47,20 @@ def variant_dirs(tmp_path_factory):
             if t != "events":
                 os.symlink(f"{SF_SMALL}/{t}.parquet", d / f"{t}.parquet")
         dirs[name] = str(d)
+    # fourth encoding: legacy Spark/Hive INT96 — pyarrow reports it as
+    # timestamp[ns] in the arrow schema, so the loader must distinguish
+    # it by parquet PHYSICAL type (model._ts_unit) and take the plain
+    # reader path, never the raw-long nanos schema
+    d = base / "int96"
+    d.mkdir()
+    cast = events.set_column(
+        ts_idx, pa.field("ts", pa.timestamp("ns")), events.column("ts").cast(pa.timestamp("ns"))
+    )
+    pq.write_table(cast, d / "events.parquet", use_deprecated_int96_timestamps=True)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMALL}/{t}.parquet", d / f"{t}.parquet")
+    dirs["int96"] = str(d)
     return dirs
 
 
