@@ -406,3 +406,20 @@ def test_cdc_fanout_happens_in_row_before_single_shuffle(spark):
     plan = plan_of(spark, "cdc_chunking")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    # C25: the asof must plan as ONE user-partitioned window over the
+    # unioned stream — no join operator at all (the naive formulation's
+    # views x purchases blow-up is the anti-pattern)
+    plan = plan_of(spark, "asof_join_purchases")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_range_join_rides_the_equi_key(spark):
+    # C26: the interval predicate must ride a hash join on user_id —
+    # never BroadcastNestedLoop over the fact side, never cartesian
+    plan = plan_of(spark, "range_join_error_impact")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -1289,3 +1289,143 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- C25 -----------------------------------------------------------------
+ASOF_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+tagged AS (
+  SELECT user_id, event_id, event_type, value,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+  FROM ev
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       value AS purchase_value,
+       prior_view_id,
+       event_id - prior_view_id AS id_gap
+FROM tagged WHERE event_type = 'purchase'
+"""
+
+
+@register("asof_join_purchases", ASOF_ORACLE)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: each purchase matched to the same user's most recent
+    PRIOR view (the attribution primitive; identical in shape to
+    trades-asof-quotes). Spark has no asof-join operator, so this is
+    the canonical DataFrame re-expression: union both sides into one
+    stream, carry the last view id forward with an
+    ignore-nulls last_value window, and keep the purchase rows —
+    one pass, no per-row lookup, no join explosion. Purchases with no
+    prior view emit NULL (left-asof semantics). Ordered by event_id —
+    unique, so tie-free and generation-proof.
+
+    SCALE: ONE window partitioned by user_id — a key whose cardinality
+    scales with the data (the C10 sessionization argument); the type
+    filter prunes the scan to the two participating event classes
+    before the shuffle. This beats the naive formulation (purchases
+    join views on user + view_id < purchase_id, then per-purchase
+    argmax), which pays a join blow-up of views x purchases per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    ).filter(F.col("event_type").isin("view", "purchase"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "prior_view_id",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        "prior_view_id",
+        (F.col("event_id") - F.col("prior_view_id")).alias("id_gap"),
+    )
+
+
+# --- C26 -----------------------------------------------------------------
+IMPACT_WINDOW_S = 60  # seconds after an error event
+
+RANGE_JOIN_ORACLE = f"""
+WITH err AS (
+  SELECT user_id, event_id AS err_id, epoch_ms(ts) AS err_ms
+  FROM events WHERE event_type = 'error'
+),
+hit AS (
+  SELECT err.user_id, err.err_id,
+         count(*) AS n_events,
+         CAST(round(sum(e.value::DECIMAL(18,2)), 2) AS DOUBLE) AS sum_value
+  FROM err
+  JOIN events e
+    ON e.user_id = err.user_id
+   AND epoch_ms(e.ts) > err.err_ms
+   AND epoch_ms(e.ts) <= err.err_ms + {IMPACT_WINDOW_S} * 1000
+  GROUP BY err.user_id, err.err_id
+)
+SELECT err.user_id, err.err_id,
+       coalesce(h.n_events, 0) AS n_events,
+       coalesce(h.sum_value, 0.0) AS sum_value
+FROM err LEFT JOIN hit h ON h.err_id = err.err_id AND h.user_id = err.user_id
+"""
+
+
+@register("range_join_error_impact", RANGE_JOIN_ORACLE)
+def range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: for every error event, the count and value of the
+    same user's activity in the (0, 60 s] window after it — the blast-
+    radius/interval-join primitive (each error defines an interval,
+    probes join by containment). Errors with a quiet aftermath emit 0.
+
+    SCALE: the interval predicate rides ON an equi key (user_id), so
+    the join hash-partitions on a scaling key and the range condition
+    is a residual filter — never a cartesian. When no equi key exists,
+    the same operator generalizes by BINNING: explode each interval
+    into fixed-width time bins, equi-join on bin, re-filter exactly —
+    bounded fan-out of interval_len/bin_width per interval.
+
+    Exactness: the value sum is DECIMAL (order-free), rounded once;
+    window bounds are integer millisecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ms"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ms").alias("err_ms")
+    )
+    probe = ev.select("user_id", "ms", "v")
+    hit = (
+        err.join(
+            probe,
+            (err.user_id == probe.user_id)
+            & (probe.ms > err.err_ms)
+            & (probe.ms <= err.err_ms + IMPACT_WINDOW_S * 1000),
+        )
+        .groupBy(err.user_id, "err_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
+        )
+    )
+    return (
+        err.select("user_id", "err_id")
+        .join(hit, ["user_id", "err_id"], "left")
+        .select(
+            "user_id",
+            "err_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
