@@ -39,7 +39,8 @@ _KEY_PRIORITY = [
     "timeseries_znorm_topk", "hdr_histogram_quantiles",
     "funnel_conversion", "retention_cohorts", "cdc_chunking",
     "window_outliers", "bm25_topk", "tokenizer_fertility", "kmeans_cluster_purity",
-    "asof_join_purchases", "range_join_error_impact",
+    "asof_join_purchases", "range_join_error_impact", "cube_revenue",
+    "pivot_priority_revenue",
     "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
     #    refactors ago (round-3 verdict item 1: rotate these in).

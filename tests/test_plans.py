@@ -423,3 +423,18 @@ def test_range_join_rides_the_equi_key(spark):
     plan = plan_of(spark, "range_join_error_impact")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cube_is_one_pass_expand(spark):
+    # C27: the cube must expand BEFORE one partial agg (a 4x Expand +
+    # HashAggregate pair), not four scans
+    plan = plan_of(spark, "cube_revenue")
+    assert "Expand" in plan
+    assert plan.count("FileScan") <= 3  # orders + customer (+ AQE reuse)
+
+
+def test_pivot_with_values_is_single_pass(spark):
+    # C28: enumerated pivot values compile to conditional aggs in one
+    # pass — no second distinct-discovery scan of orders
+    plan = plan_of(spark, "pivot_priority_revenue")
+    assert plan.count("FileScan") == 1

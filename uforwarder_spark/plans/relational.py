@@ -1429,3 +1429,105 @@ def range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+# --- C27 -----------------------------------------------------------------
+CUBE_ORACLE = """
+WITH o AS (
+  SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT coalesce(priority, 'ALL') AS priority,
+       coalesce(segment, 'ALL')  AS segment,
+       count(*)                  AS n_orders,
+       CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+FROM o
+GROUP BY CUBE(priority, segment)
+"""
+
+
+@register("cube_revenue", CUBE_ORACLE)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, segment): all four grouping sets — both
+    margins, each single dimension, and the grand total — in one pass
+    (C9's rollup covers the hierarchical subset; cube completes the
+    grouping-sets surface).
+
+    SCALE: Catalyst expands the cube BEFORE the partial agg, so one
+    shuffle carries all 4 grouping sets at O(cells) cost; the customer
+    dim joins broadcast. Sentinel-coalesced NULL levels keep the
+    output (and the oracle hash) totally ordered."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        j.cube("priority", "segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("priority", F.lit("ALL")).alias("priority"),
+            F.coalesce("segment", F.lit("ALL")).alias("segment"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --- C28 -----------------------------------------------------------------
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_PIVOT_COLS_DUCK = ",\n       ".join(
+    f"""CAST(round(sum(CASE WHEN priority = '{p}' THEN price END), 2) AS DOUBLE)
+         AS "p{i + 1}" """
+    for i, p in enumerate(PIVOT_PRIORITIES)
+)
+
+PIVOT_ORACLE = f"""
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         o_orderpriority AS priority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT order_year,
+       {_PIVOT_COLS_DUCK}
+FROM o GROUP BY order_year
+"""
+
+
+@register("pivot_priority_revenue", PIVOT_ORACLE)
+def pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: yearly revenue with one column per order priority — the
+    wide report shape BI consumers ask of an engine. The pivot values
+    are ENUMERATED literals (p1..p5), which is what makes pivot
+    scale-planning sound: Spark's pivot with explicit values compiles
+    to conditional aggregates in ONE partial-agg pass — never the
+    two-pass distinct-discovery variant (an extra full scan) the
+    values-less API falls back to.
+
+    SCALE: one shuffle on order_year; each cell is a map-side
+    conditional DECIMAL sum; output is |years| rows.
+
+    Exactness: decimal sums rounded then cast once; empty cells are
+    NULL in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    p = (
+        o.groupBy("order_year")
+        .pivot("priority", PIVOT_PRIORITIES)
+        .agg(F.round(F.sum("price"), 2).cast("double"))
+    )
+    renames = [F.col("order_year")] + [
+        F.col(f"`{p_}`").alias(f"p{i + 1}") for i, p_ in enumerate(PIVOT_PRIORITIES)
+    ]
+    return p.select(*renames)
