@@ -1258,6 +1258,16 @@ def test_e24_funnel_stream_matches_batch(spark, tmp_path):
         .write.mode("overwrite")
         .parquet(ind)
     )
+    # FileStreamSource orders files by (mtime, path); parallel part
+    # writes get arbitrary mtimes, so pin them ascending in path order
+    # to make per-user event_id-ordered delivery deterministic
+    import glob
+    import os
+    import time
+
+    base = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(f"{ind}/part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
     schema = "user_id long, event_id long, event_type string, ts timestamp"
     stream = (
         spark.readStream.schema(schema)
