@@ -1292,3 +1292,35 @@ def test_e24_funnel_stream_matches_batch(spark, tmp_path):
     # at most one row per (user, step): first-reach fires exactly once
     dups = got.groupBy("user_id", "step").count().filter("count > 1").count()
     assert dups == 0
+
+
+def test_e25_bm25_index_converges_to_batch(spark, tmp_path):
+    """E25: after the document stream drains, the live index's top-K
+    equals batch D57's ranking bit-for-bit."""
+    import os
+
+    from uforwarder_spark.functions.text import bm25_topk
+    from uforwarder_spark.model import load_parallel
+
+    ind = str(tmp_path / "docs")
+    load_parallel(spark, SF_SMALL, "documents").write.mode("overwrite").parquet(ind)
+    state = str(tmp_path / "state")
+    q = P.bm25_index_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/topk")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the merge path ran
+    got = {
+        r.doc_id: r.bm25_score
+        for r in spark.read.parquet(f"{state}/topk/batch_id={last}").collect()
+    }
+    exp = {r.doc_id: r.bm25_score for r in bm25_topk(spark, SF_SMALL).collect()}
+    assert got == exp

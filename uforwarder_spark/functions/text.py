@@ -1761,17 +1761,32 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (training-data pipeline family — corpus
     search / hard-negative mining)."""
-    toks = _docs(spark, sf_dir).select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
-    dl = toks.select("doc_id", F.size("ts").alias("dl"))
-    n_av = dl.agg(
-        F.count("*").cast("bigint").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avdl"),
-    )
-    tf = (
-        toks.select("doc_id", F.explode("ts").alias("term"))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk_from(bm25_tf_frame(docs), bm25_doclen_frame(docs))
+
+
+def bm25_tf_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) for the watch-query terms only — the posting
+    slice streaming E25 maintains; counts are additive across batches
+    for append-only ingest (each doc arrives exactly once)."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("term"))
         .filter(F.expr(f"array_contains({_BM25_TERMS_SPARK}, term)"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_doclen_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl): token lengths — the index's doc-length table."""
+    return docs.select("doc_id", F.expr(f"size({TOKENS_SPARK})").alias("dl"))
+
+
+def bm25_topk_from(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """Close the BM25 ranking from index frames — shared with E25."""
+    n_av = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avdl"),
     )
     df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf = F.log(

@@ -1583,3 +1583,55 @@ def funnel_stream(stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- E25: live BM25 index maintenance --------------------------------------
+def bm25_index_pipeline(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E25: incremental search-index maintenance — each document batch
+    appends its watch-term postings (doc, term, tf) and doc lengths to
+    batchId-versioned index state, and the BM25 top-K for the watch
+    query is re-ranked per trigger via the SHARED bm25_topk_from frame.
+    Append-only ingest makes both state tables pure unions (a doc
+    arrives exactly once), so the final ranking equals batch D57's
+    bit-for-bit once the stream drains.
+
+    State layout: ``{state_dir}/tf/batch_id=N`` and
+    ``{state_dir}/dl/batch_id=N`` hold the accumulated index AFTER
+    batch N; ``{state_dir}/topk/batch_id=N`` the ranking. Replays
+    rewrite their own directories (the E19-family idempotence shape).
+
+    SCALE: per trigger the batch contributes |batch| doc-length rows
+    and only watch-term postings; df/N/avdl derive from the index
+    frames exactly as in batch. The doc-length table grows with the
+    CORPUS — it IS the index (same argument as E15's signature store),
+    not per-key stream state."""
+    from ..functions.text import bm25_doclen_frame, bm25_tf_frame, bm25_topk_from
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text")
+        new_tf = bm25_tf_frame(docs)
+        new_dl = bm25_doclen_frame(docs)
+        for kind, frame in (("tf", new_tf), ("dl", new_dl)):
+            try:
+                prev = spark.read.parquet(f"{state_dir}/{kind}/batch_id={batch_id - 1}")
+            except Exception:
+                prev = None
+            merged = frame if prev is None else frame.unionByName(prev)
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                f"{state_dir}/{kind}/batch_id={batch_id}"
+            )
+        tf = spark.read.parquet(f"{state_dir}/tf/batch_id={batch_id}")
+        dl = spark.read.parquet(f"{state_dir}/dl/batch_id={batch_id}")
+        bm25_topk_from(tf, dl).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/topk/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
