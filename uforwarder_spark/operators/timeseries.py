@@ -156,17 +156,27 @@ hit AS (
   WHERE cum >= q * n
   GROUP BY topic, q
 ),
-exact_w AS (
-  SELECT topic,
-         quantile_cont(v, 0.5) AS e0,
-         quantile_cont(v, 0.95) AS e1,
-         quantile_cont(v, 0.99) AS e2
-  FROM e GROUP BY topic
+vc AS (
+  SELECT topic, v, count(*) AS c FROM e GROUP BY topic, v
+),
+vcum AS (
+  SELECT topic, v,
+         sum(c) OVER (PARTITION BY topic ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY topic) AS n
+  FROM vc
+),
+probe AS (
+  SELECT topic, v, cum, q, 1 + q * (n - 1) AS pos
+  FROM vcum CROSS JOIN unnest({_QS_DUCK}) AS t(q)
+),
+ostat AS (
+  SELECT topic, q, min(pos) AS pos,
+         min(CASE WHEN cum >= floor(pos) THEN v END) AS x1,
+         min(CASE WHEN cum >= ceil(pos) THEN v END) AS x2
+  FROM probe GROUP BY topic, q
 ),
 exact AS (
-  SELECT topic, 0.5::DOUBLE AS q, e0 AS exact_v FROM exact_w
-  UNION ALL SELECT topic, 0.95::DOUBLE, e1 FROM exact_w
-  UNION ALL SELECT topic, 0.99::DOUBLE, e2 FROM exact_w
+  SELECT topic, q, x1 + (pos - floor(pos)) * (x2 - x1) AS exact_v FROM ostat
 )
 SELECT h.topic, round(h.q, 2) AS q,
        round(sqrt({_B_DUCK}[h.qb + 1] * {_B_DUCK}[h.qb + 2]), 6) AS est_value,
@@ -185,7 +195,10 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p95/p99 are read off the cumulative counts (geometric-midpoint
     estimate) next to the exact percentile and the relative error the
     bucket resolution actually cost — the mergeable alternative A12's
-    docstring promises for 100 TB.
+    docstring promises for 100 TB. The audit's exact percentile is
+    itself computed scale-soundly: from (topic, value) COUNTS (the
+    value column has fixed decimal scale, so the frame is bounded), not
+    from a buffer-every-value percentile aggregate.
 
     Exactness: bucket assignment counts FIXED double literals ≤ v (both
     engines compare the same 137 constants — no libm log2 divergence),
@@ -204,20 +217,37 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = hdr_bucket_counts_frame(ev)
     est_frame = hdr_quantiles_frame(cnt)
-    # percentile() needs a FOLDABLE percentage: aggregate the three
-    # literals wide, then unpivot to (topic, q, exact_v)
-    exact_wide = ev.groupBy("topic").agg(
-        *[
-            F.expr(f"percentile(v, {q}D)").alias(f"e{i}")
-            for i, q in enumerate(HDR_QS)
-        ]
+    # Exact-percentile audit WITHOUT the buffer-everything percentile()
+    # aggregate (which holds every group value in one agg buffer — the
+    # docs/SCALE.md OOM shape, and the one super-linear stage in the 10x
+    # replication run): the value column has fixed 2-decimal scale, so
+    # the interpolated order statistic x_k1 + frac*(x_k2 - x_k1) is
+    # recovered exactly from a bounded (topic, value)-counts frame —
+    # partial-agg + a window over value-cardinality rows.
+    from pyspark.sql import Window
+
+    vc = ev.groupBy("topic", "v").agg(F.count("*").alias("c"))
+    vcum = vc.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("topic").orderBy("v"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("topic")))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HDR_QS])).alias("q")
     )
-    unpivot = ", ".join(
-        f"struct({q}D AS q, e{i} AS exact_v)" for i, q in enumerate(HDR_QS)
+    probe = vcum.crossJoin(F.broadcast(qs)).withColumn(
+        "pos", 1 + F.col("q") * (F.col("n") - 1)
     )
-    exact = exact_wide.select(
-        "topic", F.explode(F.expr(f"array({unpivot})")).alias("s")
-    ).select("topic", "s.q", "s.exact_v")
+    ostat = probe.groupBy("topic", "q").agg(
+        F.min("pos").alias("pos"),
+        F.min(F.when(F.col("cum") >= F.floor("pos"), F.col("v"))).alias("x1"),
+        F.min(F.when(F.col("cum") >= F.ceil("pos"), F.col("v"))).alias("x2"),
+    )
+    exact = ostat.select(
+        "topic",
+        "q",
+        (
+            F.col("x1") + (F.col("pos") - F.floor("pos")) * (F.col("x2") - F.col("x1"))
+        ).alias("exact_v"),
+    )
     return (
         est_frame.join(exact, ["topic", "q"])
         .select(
