@@ -53,7 +53,7 @@ _KEY_PRIORITY = [
     # (the global-top-K limit-first fix) — their old driver rows no
     # longer witness the shipped plan, so they outrank the UNCHANGED
     # r01 text keys below.
-    "vocab_topk", "bpe_merge_pairs",
+    "vocab_topk", "bpe_merge_pairs", "latency_percentiles",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "quality_filter_gopher", "stratified_sample",
     "tfidf_top_terms", "lang_id_confusion", "corpus_stats",

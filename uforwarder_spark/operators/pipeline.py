@@ -465,14 +465,32 @@ def dlq_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A12 -----------------------------------------------------------------
-LATENCY_ORACLE = f"""{MSG_CTE}
+LATENCY_ORACLE = f"""{MSG_CTE},
+vc AS (
+  SELECT topic, latency_ms AS v, count(*) AS c FROM messages GROUP BY topic, latency_ms
+),
+vcum AS (
+  SELECT topic, v,
+         sum(c) OVER (PARTITION BY topic ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY topic) AS n
+  FROM vc
+),
+probe AS (
+  SELECT topic, v, cum, n, q, 1 + q * (n - 1) AS pos
+  FROM vcum CROSS JOIN unnest([0.50::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS t(q)
+),
+ostat AS (
+  SELECT topic, q, min(n) AS n, min(pos) AS pos,
+         min(CASE WHEN cum >= floor(pos) THEN v END) AS x1,
+         min(CASE WHEN cum >= ceil(pos) THEN v END) AS x2
+  FROM probe GROUP BY topic, q
+)
 SELECT topic,
-       round(quantile_cont(latency_ms, 0.50), 6) AS p50_ms,
-       round(quantile_cont(latency_ms, 0.95), 6) AS p95_ms,
-       round(quantile_cont(latency_ms, 0.99), 6) AS p99_ms,
-       count(*) AS n_samples
-FROM messages
-GROUP BY topic
+       round(min(CASE WHEN q = 0.50 THEN x1 + (pos - floor(pos)) * (x2 - x1) END), 6) AS p50_ms,
+       round(min(CASE WHEN q = 0.95 THEN x1 + (pos - floor(pos)) * (x2 - x1) END), 6) AS p95_ms,
+       round(min(CASE WHEN q = 0.99 THEN x1 + (pos - floor(pos)) * (x2 - x1) END), 6) AS p99_ms,
+       CAST(min(n) AS BIGINT) AS n_samples
+FROM ostat GROUP BY topic
 """
 
 
@@ -481,14 +499,38 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LatencyTracker (dispatcher/LatencyTracker.java): dispatch latency
     distribution per topic feeding the adaptive limiter.
 
-    SCALE: exact percentile here (matches the oracle); at 100 TB swap to
-    approx_percentile — same plan shape, sketch-mergeable map-side."""
+    SCALE: EXACT percentiles without the buffer-every-value
+    percentile() aggregate (one agg buffer per topic holding all its
+    latencies — the OOM shape docs/SCALE.md rejects): latencies are
+    integers with bounded cardinality, so the interpolated order
+    statistic x_k1 + frac·(x_k2 − x_k1) is recovered from a
+    (topic, latency)-counts frame — partial agg + a window over
+    value-cardinality rows. Same numbers, mergeable memory."""
     m = messages(spark, sf_dir)
-    return m.groupBy("topic").agg(
-        F.round(F.expr("percentile(latency_ms, 0.50)"), 6).alias("p50_ms"),
-        F.round(F.expr("percentile(latency_ms, 0.95)"), 6).alias("p95_ms"),
-        F.round(F.expr("percentile(latency_ms, 0.99)"), 6).alias("p99_ms"),
-        F.count("*").alias("n_samples"),
+    from pyspark.sql import Window
+
+    vc = m.groupBy("topic", F.col("latency_ms").alias("v")).agg(F.count("*").alias("c"))
+    vcum = vc.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("topic").orderBy("v"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("topic")))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.50), F.lit(0.95), F.lit(0.99))).alias("q")
+    )
+    probe = vcum.crossJoin(F.broadcast(qs)).withColumn(
+        "pos", 1 + F.col("q") * (F.col("n") - 1)
+    )
+    ostat = probe.groupBy("topic", "q").agg(
+        F.min("n").alias("n"),
+        F.min("pos").alias("pos"),
+        F.min(F.when(F.col("cum") >= F.floor("pos"), F.col("v"))).alias("x1"),
+        F.min(F.when(F.col("cum") >= F.ceil("pos"), F.col("v"))).alias("x2"),
+    )
+    exact = F.col("x1") + (F.col("pos") - F.floor("pos")) * (F.col("x2") - F.col("x1"))
+    return ostat.groupBy("topic").agg(
+        F.round(F.min(F.when(F.col("q") == 0.50, exact)), 6).alias("p50_ms"),
+        F.round(F.min(F.when(F.col("q") == 0.95, exact)), 6).alias("p95_ms"),
+        F.round(F.min(F.when(F.col("q") == 0.99, exact)), 6).alias("p99_ms"),
+        F.min("n").alias("n_samples"),
     )
 
 
