@@ -54,6 +54,7 @@ _KEY_PRIORITY = [
     # longer witness the shipped plan, so they outrank the UNCHANGED
     # r01 text keys below.
     "vocab_topk", "bpe_merge_pairs", "latency_percentiles",
+    "adaptive_inflight_vegas", "latency_littles_law",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "quality_filter_gopher", "stratified_sample",
     "tfidf_top_terms", "lang_id_confusion", "corpus_stats",

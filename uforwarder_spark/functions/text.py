@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..model import load_parallel
 from ..registry import register
+from .quantiles import counts_quantiles_sql
 from .tokenize import (  # noqa: F401  (re-exported for compat)
     STOPWORDS,
     TOKENS_DUCK,
@@ -530,9 +531,17 @@ SELECT source,
        min(n_tokens)                     AS min_tokens,
        max(n_tokens)                     AS max_tokens,
        round(avg(n_tokens), 6)           AS mean_tokens,
-       round(quantile_cont(n_tokens, 0.5), 6)  AS p50_tokens,
-       round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens
-FROM m GROUP BY source
+       round(p50, 6)  AS p50_tokens,
+       round(p95, 6) AS p95_tokens
+FROM m
+JOIN (
+  SELECT source,
+         min(CASE WHEN q = 0.5 THEN exact END) AS p50,
+         min(CASE WHEN q = 0.95 THEN exact END) AS p95
+  FROM {counts_quantiles_sql('m', ['source'], 'n_tokens', [0.5, 0.95])}
+  GROUP BY source
+) p USING (source)
+GROUP BY source, p50, p95
 """
 
 
@@ -548,14 +557,32 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (sketch-mergeable map-side, same plan shape)."""
     docs = _docs(spark, sf_dir)
     m = docs.select("source", F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tokens"))
-    return m.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.min("n_tokens").alias("min_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
-        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
-        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
-        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95_tokens"),
+    from .quantiles import counts_quantiles
+
+    pct = (
+        counts_quantiles(m, ["source"], "n_tokens", [0.5, 0.95])
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("q") == 0.5, F.col("exact"))).alias("p50"),
+            F.min(F.when(F.col("q") == 0.95, F.col("exact"))).alias("p95"),
+        )
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        )
+        .join(pct, "source")
+        .select(
+            "source", "n_docs", "total_tokens", "min_tokens", "max_tokens",
+            "mean_tokens",
+            F.round("p50", 6).alias("p50_tokens"),
+            F.round("p95", 6).alias("p95_tokens"),
+        )
     )
 
 

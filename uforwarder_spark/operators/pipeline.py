@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import counts_quantiles, counts_quantiles_sql
 from ..model import MESSAGES_SQL_BODY, messages
 from ..registry import register
 
@@ -608,8 +609,8 @@ def consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 TARGET_LATENCY_MS = 50.0
 VEGAS_ORACLE = f"""{MSG_CTE},
 lat AS (
-  SELECT topic, part_id, quantile_cont(latency_ms, 0.95) AS p95
-  FROM messages GROUP BY topic, part_id
+  SELECT topic, part_id, exact AS p95
+  FROM {counts_quantiles_sql('messages', ['topic', 'part_id'], 'latency_ms', [0.95])}
 )
 SELECT topic, part_id, round(p95, 6) AS p95_ms,
        greatest(4, least(200,
@@ -633,11 +634,13 @@ def adaptive_inflight_vegas(spark: SparkSession, sf_dir: str) -> DataFrame:
     window grows; clamped to [4, 200]. Here the feedback signal is the
     per-partition p95 dispatch latency scaling the fixed base cap.
 
-    SCALE: one partial-agg percentile per (topic, part_id) — same single
-    shuffle as A12; the cap arithmetic is pure projection."""
+    SCALE: counts-based exact p95 (functions/quantiles.py) — partial
+    agg + a value-cardinality window per shard, never a
+    buffer-every-value percentile aggregate; the cap arithmetic is
+    pure projection."""
     m = messages(spark, sf_dir)
-    lat = m.groupBy("topic", "part_id").agg(
-        F.expr("percentile(latency_ms, 0.95)").alias("p95")
+    lat = counts_quantiles(m, ["topic", "part_id"], "latency_ms", [0.95]).select(
+        "topic", "part_id", F.col("exact").alias("p95")
     )
     limit_expr = F.greatest(
         F.lit(4),
@@ -1553,10 +1556,9 @@ LL_MAX_INBOUND = 1000    # maxInboundMessages (median-latency concurrency bound)
 LL_MAX_COMMIT_SKEW = 10_000  # maxCommitSkew (max-latency concurrency bound)
 
 LITTLES_LAW_ORACLE = f"""{MSG_CTE},
-stats AS (
+base AS (
   SELECT topic, part_id,
          CAST(count(CASE WHEN acked THEN 1 END) AS BIGINT)     AS sample_size,
-         quantile_cont(CASE WHEN acked THEN latency_ms END, 0.5) AS median_ms,
          CAST(max(CASE WHEN acked THEN latency_ms END) AS BIGINT) AS max_ms,
          CASE WHEN count(CASE WHEN acked THEN 1 END) > 0 THEN
            CAST(count(CASE WHEN acked THEN 1 END) AS DOUBLE) * 1000.0
@@ -1564,6 +1566,15 @@ stats AS (
          END AS mps
   FROM messages
   GROUP BY topic, part_id
+),
+med AS (
+  SELECT topic, part_id, exact AS median_ms
+  FROM {counts_quantiles_sql('(SELECT * FROM messages WHERE acked)',
+                             ['topic', 'part_id'], 'latency_ms', [0.5])}
+),
+stats AS (
+  SELECT b.topic, b.part_id, b.sample_size, m.median_ms, b.max_ms, b.mps
+  FROM base b LEFT JOIN med m ON m.topic = b.topic AND m.part_id = b.part_id
 )
 SELECT topic, part_id, sample_size, median_ms, max_ms, mps,
        {LL_MAX_INBOUND} / mps * 1000.0     AS max_median_ms,
@@ -1580,15 +1591,20 @@ def littles_law_frame(
     """Frame-level A30 (unit-testable): latency snapshot stats vs the
     Little's-law bounds concurrency/throughput."""
     acked_lat = F.when(F.col("acked"), F.col("latency_ms"))
-    stats = m.groupBy("topic", "part_id").agg(
+    base = m.groupBy("topic", "part_id").agg(
         F.count(acked_lat).alias("sample_size"),
-        F.percentile(acked_lat, F.lit(0.5)).alias("median_ms"),
         F.max(acked_lat).alias("max_ms"),
         (
             F.count(acked_lat).cast("double")
             * 1000.0
             / (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")) + 1)
         ).alias("mps_raw"),
+    )
+    med = counts_quantiles(
+        m.filter(F.col("acked")), ["topic", "part_id"], "latency_ms", [0.5]
+    ).select("topic", "part_id", F.col("exact").alias("median_ms"))
+    stats = base.join(med, ["topic", "part_id"], "left").select(
+        "topic", "part_id", "sample_size", "median_ms", "max_ms", "mps_raw"
     )
     stats = stats.withColumn(
         "mps", F.when(F.col("sample_size") > 0, F.col("mps_raw"))
