@@ -49,12 +49,14 @@ _KEY_PRIORITY = [
     #    range_assignment / rebalancer_shadow_compare keep their
     #    driver-r1 + both-SF pytest parity standing and rotate into the
     #    round-5 window first. --
-    # vocab_topk and bpe_merge_pairs additionally CHANGED this round
-    # (the global-top-K limit-first fix) — their old driver rows no
-    # longer witness the shipped plan, so they outrank the UNCHANGED
-    # r01 text keys below.
-    "vocab_topk", "bpe_merge_pairs", "latency_percentiles",
-    "adaptive_inflight_vegas", "latency_littles_law",
+    # NOT prioritized despite changing this round: vocab_topk,
+    # bpe_merge_pairs (limit-first top-K), latency_percentiles,
+    # adaptive_inflight_vegas, latency_littles_law, corpus_stats
+    # (counts-based exact percentiles) — every one verified
+    # HASH-IDENTICAL to its previous output, so the existing driver
+    # rows still witness the values and both-SF pytest parity
+    # witnesses the new plans; the stale-but-unchanged r01 cohort
+    # needs the driver slots more.
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "quality_filter_gopher", "stratified_sample",
     "tfidf_top_terms", "lang_id_confusion", "corpus_stats",
