@@ -187,14 +187,25 @@ def test_frame_sample_payload_never_shuffles(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["fetcher_throughput", "corpus_shuffle_export", "sequence_packing", "latency_littles_law"],
+    ["fetcher_throughput", "corpus_shuffle_export", "sequence_packing"],
 )
 def test_round3_single_shuffle_ops(spark, name):
-    """A28/D32/D33/A30 are one-shuffle plans: a single hash exchange,
+    """A28/D32/D33 are one-shuffle plans: a single hash exchange,
     no joins, no global sort."""
     plan = plan_of(spark, name)
     assert plan.count("Exchange hashpartitioning") == 1, name
     assert "SortMergeJoin" not in plan and "Exchange SinglePartition" not in plan, name
+
+
+def test_littles_law_bounded_memory_plan(spark):
+    """A30 traded its single-shuffle plan for bounded memory: the
+    counts-based median adds two aligned keyed exchanges (cell agg +
+    shard window) — but no buffer-every-value aggregate, no SMJ (the
+    shard-keyed med frame broadcast-joins), no single-partition stage."""
+    plan = plan_of(spark, "latency_littles_law")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_dlq_produce_batches_aligned_aggs(spark):

@@ -96,15 +96,16 @@ def _ts_unit(path: str) -> str | None:
                 return None
             f = parts[0]
         meta = pq.ParquetFile(f)
-        idx = meta.schema_arrow.get_field_index("ts")
         # INT96 is the legacy Spark/Hive timestamp encoding: pyarrow's
         # arrow schema reports it as timestamp[ns], but Spark's plain
         # reader handles INT96 natively — treating it as INT64-nanos
         # would apply the raw-long schema and fail the read. Distinguish
-        # by the parquet PHYSICAL type.
-        if meta.metadata.num_row_groups > 0:
-            phys = meta.metadata.row_group(0).column(idx).physical_type
-            if phys == "INT96":
+        # by the parquet PHYSICAL type, read from the file schema (NOT
+        # row-group metadata: Spark's empty part files have zero row
+        # groups, and glob may hand us one first).
+        for i in range(len(meta.schema)):
+            col = meta.schema.column(i)
+            if col.name == "ts" and col.physical_type == "INT96":
                 return "int96"
         field = meta.schema_arrow.field("ts")
         return getattr(field.type, "unit", None)
