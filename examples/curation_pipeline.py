@@ -35,6 +35,7 @@ STAGES = [
     ("12b. cluster purity before cluster-level pruning", "kmeans_cluster_purity"),
     # -- filtering + sampling --------------------------------------------
     ("13. Gopher-style quality gate", "quality_filter_gopher"),
+    ("13b. perplexity bands (corpus unigram LM)", "unigram_perplexity"),
     ("14. PII redaction accounting", "pii_redaction"),
     ("15. token-budget weighted sample (A-Res)", "weighted_sample_ares"),
     ("16. temperature mixture weights per source", "importance_sampling_weights"),

@@ -854,3 +854,23 @@ def test_retention_cohort_math(spark, tmp_path):
     assert got[(w0, 2)].n_active == 1 and got[(w0, 2)].retention == 0.5
     assert (w0, 1) not in got            # nobody from w0 active in k=1
     assert got[(w1, 1)].retention == 1.0
+
+
+def test_perplexity_flags_surprising_docs(spark, tmp_path):
+    """D60: a doc of corpus-rare tokens must score higher cross-entropy
+    (and a worse band) than one of corpus-common tokens; empty docs
+    emit no row."""
+    common = "alpha beta gamma delta " * 10
+    rows = [(i, common, "en", "src00", len(common)) for i in range(8)]
+    rows.append((8, "zzq wxv qqj kkx pzt", "en", "src01", 19))  # rare mix
+    rows.append((9, "", "en", "src02", 0))                       # empty
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.functions.text import unigram_perplexity
+
+    got = {r.doc_id: r for r in unigram_perplexity(spark, str(tmp_path)).collect()}
+    assert 9 not in got  # empty doc: nothing to score
+    assert got[8].cross_entropy > got[0].cross_entropy
+    assert got[8].ppl_band == "tail" and got[0].ppl_band == "head"

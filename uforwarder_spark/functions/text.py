@@ -1888,3 +1888,103 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6))
         .alias("fertility"),
     )
+
+
+# --- D60 -----------------------------------------------------------------
+PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS t FROM documents
+),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vsize FROM cnt
+),
+contrib AS (
+  SELECT toks.doc_id,
+         CAST(round(-ln((cnt.c + 1.0) / (tot.n + tot.vsize)), 8)
+              AS DECIMAL(18,8)) AS nll
+  FROM toks JOIN cnt USING (t) CROSS JOIN tot
+),
+doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(nll) AS DOUBLE) / count(*) AS ce
+  FROM contrib GROUP BY doc_id
+),
+band AS (
+  SELECT CAST(sum(CAST(round(ce, 8) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(round(ce * ce, 8) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS msq
+  FROM doc
+)
+SELECT doc_id, n_tok,
+       round(ce, 6) AS cross_entropy,
+       CASE WHEN ce < b.mu THEN 'head'
+            WHEN ce < b.mu + sqrt(greatest(b.msq - b.mu * b.mu, 0)) THEN 'middle'
+            ELSE 'tail' END AS ppl_band
+FROM doc CROSS JOIN band b
+"""
+
+
+@register("unigram_perplexity", PPL_ORACLE)
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-1-smoothed
+    unigram LM, banded head/middle/tail RELATIVE to the corpus's own
+    score distribution (cuts at mean and mean+σ from exact decimal
+    moments) — the CCNet-style perplexity filter (CCNet bands by score
+    terciles; the real pipeline swaps in a KenLM score, the plumbing
+    and distribution-relative banding are identical). Documents with
+    zero tokens emit no row (no distribution to score).
+
+    Exactness: each token's −ln p is rounded to 8 dp and cast to
+    DECIMAL before the per-doc sum (order-free, the D38 pattern);
+    probabilities are exact-integer ratios with one double division.
+
+    SCALE: the LM is the (token, count) vocab frame — built by one
+    partial agg, joined back onto the token stream by its uniform hash
+    key (AQE broadcasts it when it fits); per-doc reduction is a second
+    partial agg. No windows, nothing pairwise.
+
+    Reference analogue: none (training-data pipeline family)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("t")
+    )
+    cnt = toks.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("vsize"),
+    )
+    contrib = (
+        toks.join(cnt, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("c") + 1.0) / (F.col("n") + F.col("vsize"))), 8
+            )
+            .cast("decimal(18,8)")
+            .alias("nll"),
+        )
+    )
+    doc = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        (F.sum("nll").cast("double") / F.count("*")).alias("ce"),
+    )
+    band = doc.agg(
+        (
+            F.sum(F.round(F.col("ce"), 8).cast("decimal(18,8)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        (
+            F.sum(F.round(F.col("ce") * F.col("ce"), 8).cast("decimal(18,8)")).cast("double")
+            / F.count("*")
+        ).alias("msq"),
+    )
+    sd = F.sqrt(F.greatest(F.col("msq") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    return doc.crossJoin(F.broadcast(band)).select(
+        "doc_id",
+        "n_tok",
+        F.round("ce", 6).alias("cross_entropy"),
+        F.when(F.col("ce") < F.col("mu"), "head")
+        .when(F.col("ce") < F.col("mu") + sd, "middle")
+        .otherwise("tail")
+        .alias("ppl_band"),
+    )
