@@ -40,7 +40,7 @@ _KEY_PRIORITY = [
     "funnel_conversion", "retention_cohorts", "cdc_chunking",
     "window_outliers", "bm25_topk", "tokenizer_fertility", "kmeans_cluster_purity",
     "asof_join_purchases", "range_join_error_impact", "cube_revenue",
-    "pivot_priority_revenue", "unigram_perplexity",
+    "pivot_priority_revenue", "unigram_perplexity", "blocklist_filter",
     "tpch_q1_pricing_summary",  # load_parallel change this round
     # -- round-1 cohort: last driver row was round 1, two rounds of
     #    refactors ago (round-3 verdict item 1: rotate these in).

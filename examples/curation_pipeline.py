@@ -36,6 +36,7 @@ STAGES = [
     # -- filtering + sampling --------------------------------------------
     ("13. Gopher-style quality gate", "quality_filter_gopher"),
     ("13b. perplexity bands (corpus unigram LM)", "unigram_perplexity"),
+    ("13c. C4 blocklist gate", "blocklist_filter"),
     ("14. PII redaction accounting", "pii_redaction"),
     ("15. token-budget weighted sample (A-Res)", "weighted_sample_ares"),
     ("16. temperature mixture weights per source", "importance_sampling_weights"),

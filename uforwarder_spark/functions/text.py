@@ -1988,3 +1988,54 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_band"),
     )
+
+
+# --- D61 -----------------------------------------------------------------
+# Stand-in blocklist (the real deployment loads the C4 badwords config);
+# chosen from the synthetic vocabulary so the filter branch exercises.
+BLOCKLIST = ["slow", "error", "dup"]
+_BLOCK_SPARK = "array(" + ", ".join(f"'{w}'" for w in BLOCKLIST) + ")"
+_BLOCK_DUCK = "[" + ", ".join(f"'{w}'" for w in BLOCKLIST) + "]"
+
+BLOCKLIST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+)
+SELECT doc_id, source,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(ts, x -> list_contains({_BLOCK_DUCK}, x))) AS BIGINT)
+         AS n_blocked,
+       CASE WHEN len(ts) = 0 THEN 0.0
+            ELSE round(CAST(len(list_filter(ts, x -> list_contains({_BLOCK_DUCK}, x)))
+                       AS DOUBLE) / len(ts), 6) END AS blocked_ratio,
+       len(list_filter(ts, x -> list_contains({_BLOCK_DUCK}, x))) = 0 AS keep
+FROM t
+"""
+
+
+@register("blocklist_filter", BLOCKLIST_ORACLE)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate: a document containing ANY blocklist
+    token is dropped (C4's badwords rule); per doc the hit count, hit
+    ratio, and the keep verdict — the last of the canonical filter
+    set next to Gopher-quality (D15), PII (D28), language (D8), and
+    perplexity (D60). The stand-in list is a config constant; the real
+    deployment broadcasts its blocklist file the same way.
+
+    SCALE: stateless per-doc array work against a broadcast-literal
+    list — no shuffle at all; the per-source removal-rate rollup is
+    D26's funnel job.
+
+    Reference analogue: none (training-data pipeline family)."""
+    t = _docs(spark, sf_dir).select("doc_id", "source", F.expr(TOKENS_SPARK).alias("ts"))
+    hits = F.expr(f"size(filter(ts, x -> array_contains({_BLOCK_SPARK}, x)))")
+    return t.select(
+        "doc_id",
+        "source",
+        F.size("ts").cast("bigint").alias("n_tokens"),
+        hits.cast("bigint").alias("n_blocked"),
+        F.when(F.size("ts") == 0, F.lit(0.0))
+        .otherwise(F.round(hits.cast("double") / F.size("ts"), 6))
+        .alias("blocked_ratio"),
+        (hits == 0).alias("keep"),
+    )
