@@ -553,6 +553,32 @@ def test_bloom_prefilter_has_no_false_negatives(spark, tmp_path):
         assert got[fresh_id].bloom_false_positive == got[fresh_id].maybe_dup
 
 
+def test_length_bucketing_overflow_docs_get_fitting_bucket(spark, tmp_path):
+    """D50 (round-5 ADVICE): docs longer than the largest tuned edge
+    must land in a power-of-two bucket that FITS them — bucket_len >=
+    n_tok and padding_waste >= 0 for every bucket, never a negative
+    waste from an undersized overflow bucket."""
+    rows = [
+        (0, "w " * 10, "en", "src00", 20),          # tuned bucket 16
+        (1, "w " * 600, "en", "src01", 1200),       # overflow 1024
+        (2, "w " * 1500, "en", "src02", 3000),      # overflow 2048
+        (3, "w " * 5000, "en", "src03", 10000),     # overflow 8192
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.operators.training import length_bucketing
+
+    got = {r.bucket_len: r for r in length_bucketing(spark, str(tmp_path)).collect()}
+    assert set(got) == {16, 1024, 2048, 8192}
+    for r in got.values():
+        assert r.sum_padded >= r.sum_tokens, r
+        assert r.padding_waste >= 0, r
+        # power-of-two fit: halving the bucket would not fit its docs
+        assert r.sum_tokens > r.n_docs * r.bucket_len // 2 or r.bucket_len == 16
+
+
 def test_zipf_and_entropy_match_numpy(spark, tmp_path):
     """D44/D45 against independent numpy math on a hand-built corpus,
     plus the degenerate branches: a one-type vocabulary (zipf NULL) and

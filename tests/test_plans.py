@@ -294,6 +294,24 @@ def test_bloom_prefilter_bitset_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bloom_prefilter_clean_misses_skip_exchange(spark):
+    # D43 (round-4 verdict #3): the exact-join subtree must be gated by
+    # the Bloom verdict — a Filter on maybe_dup sits BELOW the hash-join
+    # exchange, so clean misses never get hash-partitioned on h. The
+    # clean-miss branch rejoins via Union after the join.
+    import re
+
+    plan = plan_of(spark, "bloom_dedup_prefilter")
+    assert "Union" in plan
+    # every hash-partitioned exchange on h must sit above a maybe_dup
+    # filter, i.e. the join-side subtree carries the forall(...) gate
+    assert re.search(r"Filter.*forall", plan, re.DOTALL)
+    # negative gate: the pre-fix shape put maybe_dup INSIDE the join
+    # condition; the fixed shape has a plain equi-join on h = eh only
+    m = re.search(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan)
+    assert m and "forall" not in m.group(0)
+
+
 def test_zipf_window_is_partitioned_by_source(spark):
     # D44: the rank window must carry a per-source partition key — a
     # global (empty-partition-spec) window would funnel the vocabulary

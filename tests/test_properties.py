@@ -633,3 +633,38 @@ def test_hdr_estimate_within_bucket_bound(spark, vals):
 
         true_v = svals[max(0, math.ceil(q * len(svals)) - 1)]
         assert 1 / bound <= est[round(q, 2)] / true_v <= bound, (q, est, true_v)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=0.007, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_hdr_subrange_values_clamp_to_bucket_zero(spark, vals):
+    """D54 regression (round-5 ADVICE): a topic whose values all fall at
+    or below the lowest HDR bound (2^-7 ≈ 0.0078) — including exact 0.0
+    — must NOT crash with INVALID_INDEX_OF_ZERO. The clamp merges the
+    would-be bucket -1 mass into bucket 0, so every quantile reads the
+    lowest bucket's geometric midpoint."""
+    import math
+
+    from uforwarder_spark.operators.timeseries import (
+        HDR_BOUNDS,
+        HDR_QS,
+        hdr_bucket_counts_frame,
+        hdr_quantiles_frame,
+    )
+
+    ev = spark.createDataFrame([("z", v) for v in vals], "topic string, v double")
+    cnt = {r.bucket: r.c for r in hdr_bucket_counts_frame(ev).collect()}
+    assert all(b >= 0 for b in cnt), cnt
+    est = {
+        round(r.q, 2): r.est
+        for r in hdr_quantiles_frame(hdr_bucket_counts_frame(ev)).collect()
+    }
+    lowest_mid = math.sqrt(HDR_BOUNDS[0] * HDR_BOUNDS[1])
+    for q in HDR_QS:
+        assert abs(est[round(q, 2)] - lowest_mid) < 1e-9, (q, est)

@@ -26,9 +26,10 @@ from pyspark.sql import functions as F
 def counts_quantiles(
     df: DataFrame, keys: Sequence[str], val: str, qs: Sequence[float]
 ) -> DataFrame:
-    """(keys..., q, exact): interpolated exact quantiles of ``val`` per
-    key group, from counts. NULL values are excluded (matching the
-    native aggregates); groups with no non-NULL value emit no row —
+    """(keys..., q, exact, n): interpolated exact quantiles of ``val``
+    per key group, from counts, plus ``n`` — the non-NULL sample count
+    the quantile was computed over. NULL values are excluded (matching
+    the native aggregates); groups with no non-NULL value emit no row —
     left-join and coalesce at the call site if they must appear."""
     keys = list(keys)
     vc = (
@@ -50,9 +51,10 @@ def counts_quantiles(
         F.min("_pos").alias("_pos"),
         F.min(F.when(F.col("_cum") >= F.floor("_pos"), F.col("_v"))).alias("_x1"),
         F.min(F.when(F.col("_cum") >= F.ceil("_pos"), F.col("_v"))).alias("_x2"),
+        F.min("_n").cast("bigint").alias("n"),
     )
     exact = F.col("_x1") + (F.col("_pos") - F.floor("_pos")) * (F.col("_x2") - F.col("_x1"))
-    return ostat.select(*keys, "q", exact.alias("exact"))
+    return ostat.select(*keys, "q", exact.alias("exact"), "n")
 
 
 def counts_quantiles_sql(
@@ -65,13 +67,15 @@ def counts_quantiles_sql(
     q_list = ", ".join(f"{float(q)!r}::DOUBLE" for q in qs)
     return f"""(
   SELECT {k}, q,
-         _x1 + (_pos - floor(_pos)) * (_x2 - _x1) AS exact
+         _x1 + (_pos - floor(_pos)) * (_x2 - _x1) AS exact,
+         n
   FROM (
     SELECT {k}, q, min(_pos) AS _pos,
            min(CASE WHEN _cum >= floor(_pos) THEN _v END) AS _x1,
-           min(CASE WHEN _cum >= ceil(_pos) THEN _v END) AS _x2
+           min(CASE WHEN _cum >= ceil(_pos) THEN _v END) AS _x2,
+           CAST(min(_n) AS BIGINT) AS n
     FROM (
-      SELECT {k}, _v, _cum, q, 1 + q * (_n - 1) AS _pos
+      SELECT {k}, _v, _cum, _n, q, 1 + q * (_n - 1) AS _pos
       FROM (
         SELECT {k}, _v,
                sum(_c) OVER (PARTITION BY {k} ORDER BY _v) AS _cum,

@@ -956,26 +956,35 @@ def bloom_prefilter_frame(
     incoming_hashed: DataFrame, bits: DataFrame, exist_h: DataFrame
 ) -> DataFrame:
     """The D43 decision kernel, reused verbatim by streaming E20: test
-    each incoming doc's k positions against the broadcast bitset; only
-    maybe-dups join the exact hash table (``exist_h``: distinct ``eh``)."""
+    each incoming doc's k positions against the broadcast bitset; ONLY
+    maybe-dups enter the exact-join exchange (``exist_h``: distinct
+    ``eh``) — clean misses are split off BEFORE the join and unioned
+    back with literal verdict columns. Putting the Bloom verdict inside
+    the join condition instead (the round-4 shape) still
+    hash-partitions every incoming row on ``h`` into the exchange; at
+    100 TB increments the shuffle IS the cost, and keeping the
+    clean-miss fraction out of it is the entire reason the Bloom gate
+    exists (round-4 verdict, "What's wrong" #1)."""
     flagged = incoming_hashed.crossJoin(F.broadcast(bits)).withColumn(
         "maybe_dup", F.expr("forall(ps, p -> array_contains(bs, p))")
     )
-    return (
-        flagged.join(
-            exist_h,
-            (F.col("h") == F.col("eh")) & F.col("maybe_dup"),
-            "left",
-        )
+    maybe = (
+        flagged.filter(F.col("maybe_dup"))
+        .join(exist_h, F.col("h") == F.col("eh"), "left")
         .select(
             "doc_id",
             "maybe_dup",
-            F.coalesce(F.col("maybe_dup") & F.col("eh").isNotNull(), F.lit(False)).alias("is_dup"),
-            F.coalesce(F.col("maybe_dup") & F.col("eh").isNull(), F.lit(False)).alias(
-                "bloom_false_positive"
-            ),
+            F.col("eh").isNotNull().alias("is_dup"),
+            F.col("eh").isNull().alias("bloom_false_positive"),
         )
     )
+    clean = flagged.filter(~F.col("maybe_dup")).select(
+        "doc_id",
+        "maybe_dup",
+        F.lit(False).alias("is_dup"),
+        F.lit(False).alias("bloom_false_positive"),
+    )
+    return maybe.unionByName(clean)
 
 
 # --- D51 -----------------------------------------------------------------

@@ -466,32 +466,14 @@ def dlq_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A12 -----------------------------------------------------------------
-LATENCY_ORACLE = f"""{MSG_CTE},
-vc AS (
-  SELECT topic, latency_ms AS v, count(*) AS c FROM messages GROUP BY topic, latency_ms
-),
-vcum AS (
-  SELECT topic, v,
-         sum(c) OVER (PARTITION BY topic ORDER BY v) AS cum,
-         sum(c) OVER (PARTITION BY topic) AS n
-  FROM vc
-),
-probe AS (
-  SELECT topic, v, cum, n, q, 1 + q * (n - 1) AS pos
-  FROM vcum CROSS JOIN unnest([0.50::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS t(q)
-),
-ostat AS (
-  SELECT topic, q, min(n) AS n, min(pos) AS pos,
-         min(CASE WHEN cum >= floor(pos) THEN v END) AS x1,
-         min(CASE WHEN cum >= ceil(pos) THEN v END) AS x2
-  FROM probe GROUP BY topic, q
-)
+LATENCY_ORACLE = f"""{MSG_CTE}
 SELECT topic,
-       round(min(CASE WHEN q = 0.50 THEN x1 + (pos - floor(pos)) * (x2 - x1) END), 6) AS p50_ms,
-       round(min(CASE WHEN q = 0.95 THEN x1 + (pos - floor(pos)) * (x2 - x1) END), 6) AS p95_ms,
-       round(min(CASE WHEN q = 0.99 THEN x1 + (pos - floor(pos)) * (x2 - x1) END), 6) AS p99_ms,
-       CAST(min(n) AS BIGINT) AS n_samples
-FROM ostat GROUP BY topic
+       round(min(CASE WHEN q = 0.50 THEN exact END), 6) AS p50_ms,
+       round(min(CASE WHEN q = 0.95 THEN exact END), 6) AS p95_ms,
+       round(min(CASE WHEN q = 0.99 THEN exact END), 6) AS p99_ms,
+       min(n) AS n_samples
+FROM {counts_quantiles_sql('messages', ['topic'], 'latency_ms', [0.50, 0.95, 0.99])}
+GROUP BY topic
 """
 
 
@@ -506,31 +488,18 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers with bounded cardinality, so the interpolated order
     statistic x_k1 + frac·(x_k2 − x_k1) is recovered from a
     (topic, latency)-counts frame — partial agg + a window over
-    value-cardinality rows. Same numbers, mergeable memory."""
+    value-cardinality rows. Same numbers, mergeable memory. Built on
+    the SHARED functions/quantiles kernel (as A15/A30/D23 are) rather
+    than an inline re-derivation: the kernel's IS NOT NULL filter makes
+    NULL handling identical in both engines (Spark windows sort NULLS
+    FIRST, DuckDB NULLS LAST — an inline version without the filter
+    would diverge the day latency_ms ever carried a NULL)."""
     m = messages(spark, sf_dir)
-    from pyspark.sql import Window
-
-    vc = m.groupBy("topic", F.col("latency_ms").alias("v")).agg(F.count("*").alias("c"))
-    vcum = vc.withColumn(
-        "cum", F.sum("c").over(Window.partitionBy("topic").orderBy("v"))
-    ).withColumn("n", F.sum("c").over(Window.partitionBy("topic")))
-    qs = spark.range(1).select(
-        F.explode(F.array(F.lit(0.50), F.lit(0.95), F.lit(0.99))).alias("q")
-    )
-    probe = vcum.crossJoin(F.broadcast(qs)).withColumn(
-        "pos", 1 + F.col("q") * (F.col("n") - 1)
-    )
-    ostat = probe.groupBy("topic", "q").agg(
-        F.min("n").alias("n"),
-        F.min("pos").alias("pos"),
-        F.min(F.when(F.col("cum") >= F.floor("pos"), F.col("v"))).alias("x1"),
-        F.min(F.when(F.col("cum") >= F.ceil("pos"), F.col("v"))).alias("x2"),
-    )
-    exact = F.col("x1") + (F.col("pos") - F.floor("pos")) * (F.col("x2") - F.col("x1"))
-    return ostat.groupBy("topic").agg(
-        F.round(F.min(F.when(F.col("q") == 0.50, exact)), 6).alias("p50_ms"),
-        F.round(F.min(F.when(F.col("q") == 0.95, exact)), 6).alias("p95_ms"),
-        F.round(F.min(F.when(F.col("q") == 0.99, exact)), 6).alias("p99_ms"),
+    qf = counts_quantiles(m, ["topic"], "latency_ms", [0.50, 0.95, 0.99])
+    return qf.groupBy("topic").agg(
+        F.round(F.min(F.when(F.col("q") == 0.50, F.col("exact"))), 6).alias("p50_ms"),
+        F.round(F.min(F.when(F.col("q") == 0.95, F.col("exact"))), 6).alias("p95_ms"),
+        F.round(F.min(F.when(F.col("q") == 0.99, F.col("exact"))), 6).alias("p99_ms"),
         F.min("n").alias("n_samples"),
     )
 

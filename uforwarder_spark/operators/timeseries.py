@@ -140,7 +140,7 @@ WITH e AS (
 ),
 b AS (
   SELECT topic,
-         len(list_filter({_B_DUCK}, t -> v >= t)) - 1 AS bucket
+         greatest(len(list_filter({_B_DUCK}, t -> v >= t)) - 1, 0) AS bucket
   FROM e
 ),
 cnt AS (SELECT topic, bucket, count(*) AS c FROM b GROUP BY topic, bucket),
@@ -181,8 +181,9 @@ exact AS (
 SELECT h.topic, round(h.q, 2) AS q,
        round(sqrt({_B_DUCK}[h.qb + 1] * {_B_DUCK}[h.qb + 2]), 6) AS est_value,
        round(x.exact_v, 6) AS exact_value,
-       round(abs(sqrt({_B_DUCK}[h.qb + 1] * {_B_DUCK}[h.qb + 2]) - x.exact_v)
-             / x.exact_v, 6) AS rel_error
+       CASE WHEN x.exact_v = 0 THEN NULL ELSE
+         round(abs(sqrt({_B_DUCK}[h.qb + 1] * {_B_DUCK}[h.qb + 2]) - x.exact_v)
+               / x.exact_v, 6) END AS rel_error
 FROM hit h JOIN exact x ON x.topic = h.topic AND x.q = h.q
 """
 
@@ -255,9 +256,13 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q", 2).alias("q"),
             F.round("est", 6).alias("est_value"),
             F.round("exact_v", 6).alias("exact_value"),
-            F.round(F.abs(F.col("est") - F.col("exact_v")) / F.col("exact_v"), 6).alias(
-                "rel_error"
-            ),
+            # NULL (both engines) when the exact quantile is 0 — an
+            # all-zero topic has no meaningful relative error, and
+            # IEEE x/0 semantics differ across engines.
+            F.when(
+                F.col("exact_v") != 0,
+                F.round(F.abs(F.col("est") - F.col("exact_v")) / F.col("exact_v"), 6),
+            ).alias("rel_error"),
         )
     )
 
@@ -266,9 +271,19 @@ def hdr_bucket_counts_frame(ev: DataFrame) -> DataFrame:
     """(topic, bucket, c): the HDR sketch — bucket ids come from FIXED
     literals, so counts from different batches merge by plain addition
     (streaming E23's state update)."""
+    # Values below the lowest trackable bound clamp into bucket 0 (the
+    # standard HDR lowest-bucket rule). Without the clamp a sub-range
+    # value yields bucket -1, and a quantile landing there would make
+    # element_at(bounds, 0) raise INVALID_INDEX_OF_ZERO in Spark while
+    # DuckDB's bounds[0] silently returns NULL — a data-dependent crash
+    # AND an engine divergence. Merging -1 into 0 leaves every
+    # cumulative count at buckets >= 0 unchanged, so in-range outputs
+    # are bit-identical.
     b = ev.select(
         "topic",
-        (F.expr(f"size(filter({_B_SPARK}, t -> v >= t))") - 1).alias("bucket"),
+        F.greatest(
+            F.expr(f"size(filter({_B_SPARK}, t -> v >= t))") - 1, F.lit(0)
+        ).alias("bucket"),
     )
     return b.groupBy("topic", "bucket").agg(F.count("*").alias("c"))
 
