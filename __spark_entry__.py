@@ -20,74 +20,58 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # whose implementation changed since their last driver check. Keys beyond
 # the window stay verified by tests/test_oracle_parity.py — the identical
 # row-count + schema + value-hash comparison — at sf0.001 and sf0.01.
+# Round-5 window: the ENTIRE 50-slot budget goes to evidence debt
+# (round-4 verdict, next-round item 1) — no key in slots 1-50 has a
+# driver row fresher than r02 unless its implementation changed THIS
+# round. Slot arithmetic (counted, not estimated): 2 never-checked +
+# 8 changed-this-round + 2 changed-r4-on-freed-slots + 11 B-cohort +
+# 7 r01 text cohort = 30, topped up with 20 r02-cohort keys = 50.
 _KEY_PRIORITY = [
-    # -- new or implementation-changed in round 4 --
-    "resq_routing", "aimd_inflight_limiter", "token_bucket_summary",
-    "head_blocking_cancel", "linger_sampler", "mixture_interleave",
-    "fetcher_throughput",
-    "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders", "tpch_q15_top_supplier",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
-    "ngram_novelty", "source_lang_kl",
-    "importance_sampling_weights", "kmeans_embedding_assign",
-    "tpch_q9_product_profit", "tpch_q22_idle_balances",
-    "semdedup_prune", "ann_topk_int8_rescore", "bloom_dedup_prefilter",
-    "zipf_fit", "ngram_entropy", "weighted_sample_ares",
-    "tpch_q19_disjunctive_filter", "cms_heavy_hitters", "hll_distinct_tokens",
-    "length_bucketing", "source_overlap_matrix", "token_budget_allocation",
-    "timeseries_znorm_topk", "hdr_histogram_quantiles",
-    "funnel_conversion", "retention_cohorts", "cdc_chunking",
-    "window_outliers", "bm25_topk", "tokenizer_fertility", "kmeans_cluster_purity",
-    "asof_join_purchases", "range_join_error_impact", "cube_revenue",
-    "pivot_priority_revenue", "unigram_perplexity", "blocklist_filter",
-    "tpch_q1_pricing_summary",  # load_parallel change this round
-    # -- round-1 cohort: last driver row was round 1, two rounds of
-    #    refactors ago (round-3 verdict item 1: rotate these in).
-    #    NOTE: late round-4 operators (never driver-checked — priority
-    #    class (a)) displaced the tail of this cohort past index 50;
-    #    range_assignment / rebalancer_shadow_compare keep their
-    #    driver-r1 + both-SF pytest parity standing and rotate into the
-    #    round-5 window first. --
-    # NOT prioritized despite changing this round: vocab_topk,
-    # bpe_merge_pairs (limit-first top-K), latency_percentiles,
-    # adaptive_inflight_vegas, latency_littles_law, corpus_stats
-    # (counts-based exact percentiles) — every one verified
-    # HASH-IDENTICAL to its previous output, so the existing driver
-    # rows still witness the values and both-SF pytest parity
-    # witnesses the new plans; the stale-but-unchanged r01 cohort
-    # needs the driver slots more.
-    "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "quality_filter_gopher", "stratified_sample",
-    "tfidf_top_terms", "lang_id_confusion", "corpus_stats",
+    # -- (a) never had a driver row (2) --
+    "multimodal_resize",       # D46: pytest-parity only since round 2
+    "ann_topk_ivf_int8",       # D62: new this round (IVF-SQ8)
+    # -- (b) implementation changed this round (10): HDR bucket clamp,
+    #    Bloom shuffle split, counts_quantiles kernel gained an n
+    #    column (A12 rebuilt on it; A15/A19/A30/D23 consume it),
+    #    length-bucket overflow chain --
+    "hdr_histogram_quantiles", "bloom_dedup_prefilter",
+    "latency_percentiles", "length_bucketing",
+    "adaptive_inflight_vegas", "latency_littles_law", "corpus_stats",
+    "worker_pipeline_summary",
+    # -- (c) changed in round 4 on freed slots, never re-checked since
+    #    (round-4 verdict "What's wrong" #3) --
+    "vocab_topk", "bpe_merge_pairs",
+    # -- (d) controller cohort B1-B11: only driver evidence is round 1,
+    #    three rounds of session/model refactors ago --
     "partition_assignment", "load_balance_stats", "autoscale_decision",
     "batch_job_offsets", "partition_expansion", "hibernating_jobs",
     "colocating_assignment", "autoscale_hysteresis",
     "pod_aware_assignment", "range_assignment",
     "rebalancer_shadow_compare",
-    # These two land just outside the 50-key window deliberately:
-    # token_bucket_exact's driver row is rows-only by design (no SQL
-    # oracle — A35 token_bucket_summary, in-window above, pins the same
-    # applyInPandas kernel with a full hash check), and multimodal_resize
-    # shares the D12/D29 mapInPandas plumbing the driver has already
-    # hash-checked; both carry both-SF pytest parity.
-    "token_bucket_exact", "multimodal_resize",
-    # Window arithmetic, late round 4: the never-checked round-4 keys
-    # plus the changed keys above fill ~41 of the 50 slots; the text.py
-    # r01 cohort stays in (that module changed heavily this round —
-    # highest regression risk), while the untouched-since-r01
-    # controller cohort (B1–B11) overflows past index 50 and rotates
-    # into round 5's window first. All overflow keys keep both-SF
-    # pytest parity (the identical comparator).
-    # -- round-2 cohort top-up (last driver row was round 2) --
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
-    "top_customers_window", "orders_without_lineitems",
-    "customer_order_stats", "running_revenue", "rollup_revenue",
-    "tpch_q4_order_priority",
+    # -- (e) remaining r01 text cohort (lang_id already driver-r4) --
+    "quality_score", "token_count", "doc_fingerprint",
+    "quality_filter_gopher", "stratified_sample",
+    "tfidf_top_terms", "lang_id_confusion",
+    # -- (f) r02-cohort top-up: similarity/dedup/multimodal first (their
+    #    modules churned this round), then the r02 relational keys --
     "dedup_simhash", "ngram_jaccard_pairs", "embedding_cosine_pairs",
-    "ann_topk_bruteforce", "ann_topk_lsh", "multimodal_meta",
-    "ann_topk_ivf", "dedup_representatives",
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "dedup_representatives", "dedup_connected_components",
+    "minhash_jaccard_estimate", "contamination_check",
+    "multimodal_meta", "multimodal_frame_sample",
+    "pii_redaction", "chunk_dedup", "repetition_stats",
+    "corpus_prep_funnel", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "top_customers_window",
+    # ---------------- 50-slot window ends here ----------------
+    # Overflow (both-SF pytest parity continues to cover these with the
+    # driver-grade comparator): the rest of the r02 cohort, then
+    # token_bucket_exact (rows-only by design — no SQL oracle; its
+    # driver-r4 hash-green twin token_bucket_summary pins the shared
+    # applyInPandas kernel).
+    "orders_without_lineitems", "customer_order_stats",
+    "running_revenue", "rollup_revenue", "tpch_q4_order_priority",
+    "token_bucket_exact",
 ]
 
 

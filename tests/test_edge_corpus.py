@@ -522,6 +522,38 @@ def test_int8_rescore_recall_and_exactness(spark, tmp_path):
     assert all(abs(r.approx_cosine - r.cosine) < 0.05 for r in got)
 
 
+def test_ivf_int8_rescore_is_exact_within_probed_cells(spark, tmp_path):
+    """D62: every returned cosine equals the brute-force exact value
+    (rescore is full precision), hits only come from probed cells, and
+    the SQ8 approximation error is bounded."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, i % 3, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    from uforwarder_spark.operators.similarity import N_PROBE, ann_topk_ivf_int8
+
+    got = ann_topk_ivf_int8(spark, str(tmp_path)).collect()
+    assert len(got) == 10
+    assert len({r.label for r in got}) <= N_PROBE  # cell pruning held
+    # exact rescore: recompute the true cosine driver-side
+    import math as _m
+
+    vecs = {i: v for i, _, v in rows}
+    qv = vecs[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / _m.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    for r in got:
+        assert _m.isclose(r.cosine, cos(vecs[r.vec_id], qv), abs_tol=1e-5)
+        assert abs(r.approx_cosine - r.cosine) < 0.05  # bounded SQ8 error
+
+
 def test_bloom_prefilter_has_no_false_negatives(spark, tmp_path):
     """Every true cross-side exact dup MUST be flagged maybe_dup (Bloom
     has no false negatives) and classified is_dup; FPs are possible but

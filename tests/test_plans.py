@@ -285,6 +285,19 @@ def test_int8_rescore_is_top_c_merge_not_full_sort(spark):
     assert "pythonUDF" not in plan
 
 
+def test_ivf_int8_probes_broadcast_and_topk_is_limit_first(spark):
+    # D62: coarse-probe cell list and codebook reach the scan as
+    # broadcasts; both top stages are TakeOrderedAndProject (never a
+    # global Sort exchange); the cell filter is a broadcast hash join
+    # (pruning), not a shuffle; no Python in the hot path
+    plan = plan_of(spark, "ann_topk_ivf_int8")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # probed-cell membership prune
+    assert "BroadcastNestedLoopJoin" in plan  # codebook + query rows
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+
+
 def test_bloom_prefilter_bitset_broadcasts(spark):
     # D43: the bitset reaches the incoming side via a 1-row broadcast
     # (O(m) regardless of corpus size); the exact join must be on the
