@@ -522,6 +522,28 @@ def test_int8_rescore_recall_and_exactness(spark, tmp_path):
     assert all(abs(r.approx_cosine - r.cosine) < 0.05 for r in got)
 
 
+def test_dsir_selection_prefers_target_like_docs(spark, tmp_path):
+    """D63: candidate docs resembling the target distribution must
+    carry strictly higher log-weights than candidates that don't, the
+    selection only ever contains candidate-side (odd-source) docs, and
+    every candidate appears when K exceeds the candidate count."""
+    target = [(i, "alpha beta gamma " * 8, "en", "src00", 40) for i in range(10)]
+    like = [(100 + i, "alpha beta gamma delta " * 6, "en", "src01", 40) for i in range(5)]
+    unlike = [(200 + i, "zebra yak xylo wombat " * 6, "en", "src01", 40) for i in range(5)]
+    spark.createDataFrame(
+        target + like + unlike,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.operators.training import dsir_selection
+
+    got = {r.doc_id: r for r in dsir_selection(spark, str(tmp_path)).collect()}
+    assert set(got) == {r[0] for r in like + unlike}  # candidates only, all of them
+    lw_like = min(got[i].log_weight for i, *_ in like)
+    lw_unlike = max(got[i].log_weight for i, *_ in unlike)
+    assert lw_like > lw_unlike
+
+
 def test_ivf_int8_rescore_is_exact_within_probed_cells(spark, tmp_path):
     """D62: every returned cosine equals the brute-force exact value
     (rescore is full precision), hits only come from probed cells, and

@@ -285,6 +285,18 @@ def test_int8_rescore_is_top_c_merge_not_full_sort(spark):
     assert "pythonUDF" not in plan
 
 
+def test_dsir_selection_is_limit_first_no_window(spark):
+    # D63: the feature model broadcasts (256-row ratio frame), the
+    # selection is TakeOrderedAndProject (never a global Sort or a
+    # rank window over the corpus), and both aggs partial-combine
+    plan = plan_of(spark, "dsir_selection")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # ratio table onto the token stream
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+
+
 def test_ivf_int8_probes_broadcast_and_topk_is_limit_first(spark):
     # D62: coarse-probe cell list and codebook reach the scan as
     # broadcasts; both top stages are TakeOrderedAndProject (never a

@@ -471,3 +471,141 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
         ).alias("quota_tokens"),
     )
+
+
+# --- D63 -----------------------------------------------------------------
+# DSIR-style per-example selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed-ngram bag features,
+# add-1-smoothed bucket unigram models for target vs raw, per-doc log
+# importance weight, and Gumbel-top-K resampling (sampling WITHOUT
+# replacement proportional to the softmax of the log-weights) — the
+# example-level counterpart of D39's source-level mixture weights.
+DSIR_BUCKETS = 256
+DSIR_K = 100
+
+_DSIR_B_SPARK = H_SPARK.format(col="t") + f" % {DSIR_BUCKETS}"
+_DSIR_B_DUCK = H_DUCK.format(col="t") + f" % {DSIR_BUCKETS}"
+# Reseeded uniform for the Gumbel draw (the D47 A-Res construction with
+# a distinct seed prefix so the two samplers never correlate).
+_DSIR_U_SPARK = (
+    "(CAST(conv(substr(md5(concat('dsir:', CAST(doc_id AS STRING))), 1, 15), 16, 10)"
+    " AS DOUBLE) + 1.0D) / 1152921504606846977.0D"
+)
+_DSIR_U_DUCK = (
+    "(CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " AS DOUBLE) + 1.0) / 1152921504606846977.0"
+)
+
+DSIR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, CAST(substring(source, 4) AS INT) % 2 AS side FROM documents
+),
+tk AS (SELECT doc_id, side, unnest({TOKENS_DUCK}) AS t FROM d),
+bt AS (SELECT doc_id, side, {_DSIR_B_DUCK} AS b FROM tk),
+cnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM bt GROUP BY b
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+ratio AS (
+  SELECT b,
+         round(ln((ct + 1.0) / (nt + {DSIR_BUCKETS}.0))
+               - ln((cr + 1.0) / (nr + {DSIR_BUCKETS}.0)), 8)::DECIMAL(18,8) AS lr
+  FROM cnt CROSS JOIN tot
+),
+doc AS (
+  SELECT bt.doc_id, CAST(count(*) AS BIGINT) AS n_tok, sum(r.lr) AS lw
+  FROM bt JOIN ratio r USING (b)
+  WHERE bt.side = 1
+  GROUP BY bt.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_tok, CAST(lw AS DOUBLE) AS lwd,
+         CAST(lw AS DOUBLE) + round(-ln(-ln({_DSIR_U_DUCK})), 8) AS sel_key
+  FROM doc
+)
+SELECT doc_id, n_tok,
+       round(lwd, 6) AS log_weight,
+       round(sel_key, 6) AS sel_key
+FROM keyed
+ORDER BY sel_key DESC, doc_id
+LIMIT {DSIR_K}
+"""
+
+
+@register("dsir_selection", DSIR_ORACLE)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every candidate (odd-source)
+    document by its importance weight under hashed-{DSIR_BUCKETS}-bucket
+    add-1 unigram models of the target (even-source) vs candidate
+    distributions — log w(x) = Σ_tokens [ln p_target(b) − ln p_raw(b)]
+    — then select {DSIR_K} documents by Gumbel-top-K (sel_key =
+    log w + Gumbel(u)), which IS sampling without replacement
+    proportional to softmax(log w), with a reseedable md5-derived
+    uniform so the sample is bit-reproducible across runs and engines.
+
+    Exactness: bucket ids come from the shared 60-bit md5 family; each
+    bucket's log-ratio is rounded to 8 dp and cast DECIMAL before the
+    per-doc sum (order-free, the D60 pattern); the Gumbel term is
+    rounded 8 dp; the final key comparison is on identical IEEE doubles.
+
+    SCALE: the feature model is a {DSIR_BUCKETS}-row frame (one partial
+    agg over the token stream, broadcast back), the per-doc reduction
+    is a second partial agg, and selection is limit-first
+    TakeOrderedAndProject — no global window, no full sort, nothing
+    pairwise. Zero-token candidates emit no row (no features to score).
+
+    Reference analogue: none (training-data pipeline family; method
+    follows the public DSIR paper's hashed-ngram formulation)."""
+    docs = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
+    )
+    bt = docs.select(
+        "doc_id", "side", F.explode(F.expr(TOKENS_SPARK)).alias("t")
+    ).select("doc_id", "side", F.expr(_DSIR_B_SPARK).alias("b"))
+    cnt = bt.groupBy("b").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("bigint").alias("nt"), F.sum("cr").cast("bigint").alias("nr")
+    )
+    ratio = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(round(ln((ct + 1.0D) / (nt + {DSIR_BUCKETS}.0D))"
+            f" - ln((cr + 1.0D) / (nr + {DSIR_BUCKETS}.0D)), 8) AS DECIMAL(18,8))"
+        ).alias("lr"),
+    )
+    doc = (
+        bt.filter(F.col("side") == 1)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("lr").alias("lw"),
+        )
+    )
+    keyed = doc.select(
+        "doc_id",
+        "n_tok",
+        F.col("lw").cast("double").alias("lwd"),
+        (
+            F.col("lw").cast("double")
+            + F.expr(f"round(-ln(-ln({_DSIR_U_SPARK})), 8)")
+        ).alias("sel_key"),
+    )
+    return (
+        keyed.orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round("lwd", 6).alias("log_weight"),
+            F.round("sel_key", 6).alias("sel_key"),
+        )
+    )
