@@ -1387,3 +1387,48 @@ def test_e26_asof_stream_matches_batch(spark, tmp_path):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert exp["prior_view_id"].isna().any() or True  # NULLs allowed
+
+
+def test_e27_dsir_model_converges_to_batch(spark, tmp_path):
+    """E27: after the document stream drains, the live model's per-bucket
+    log importance-ratio table equals the one batch D63 derives from the
+    whole corpus, bit-for-bit (additive counts + shared ratio frame)."""
+    import glob
+    import re
+
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.training import (
+        DSIR_BUCKETS,
+        dsir_counts_frame,
+        dsir_ratio_frame,
+        dsir_token_buckets_frame,
+    )
+
+    ind = str(tmp_path / "docs")
+    load_parallel(spark, SF_SMALL, "documents").write.mode("overwrite").parquet(ind)
+    state = str(tmp_path / "state")
+    q = P.dsir_model_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(re.search(r"batch_id=(\d+)", p).group(1))
+        for p in glob.glob(f"{state}/ratio/batch_id=*")
+    )
+    got = {r.b: r.lr for r in spark.read.parquet(f"{state}/ratio/batch_id={last}").collect()}
+    docs = load_parallel(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        "text",
+        F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
+    )
+    want = {
+        r.b: r.lr
+        for r in dsir_ratio_frame(
+            dsir_counts_frame(dsir_token_buckets_frame(docs))
+        ).collect()
+    }
+    assert got == want
+    assert 0 < len(got) <= DSIR_BUCKETS  # fixed-width state forever

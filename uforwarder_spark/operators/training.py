@@ -564,23 +564,8 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
     )
-    bt = docs.select(
-        "doc_id", "side", F.explode(F.expr(TOKENS_SPARK)).alias("t")
-    ).select("doc_id", "side", F.expr(_DSIR_B_SPARK).alias("b"))
-    cnt = bt.groupBy("b").agg(
-        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("ct"),
-        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("cr"),
-    )
-    tot = cnt.agg(
-        F.sum("ct").cast("bigint").alias("nt"), F.sum("cr").cast("bigint").alias("nr")
-    )
-    ratio = cnt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.expr(
-            f"CAST(round(ln((ct + 1.0D) / (nt + {DSIR_BUCKETS}.0D))"
-            f" - ln((cr + 1.0D) / (nr + {DSIR_BUCKETS}.0D)), 8) AS DECIMAL(18,8))"
-        ).alias("lr"),
-    )
+    bt = dsir_token_buckets_frame(docs)
+    ratio = dsir_ratio_frame(dsir_counts_frame(bt))
     doc = (
         bt.filter(F.col("side") == 1)
         .join(F.broadcast(ratio), "b")
@@ -608,4 +593,39 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lwd", 6).alias("log_weight"),
             F.round("sel_key", 6).alias("sel_key"),
         )
+    )
+
+
+def dsir_token_buckets_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, side, b): hashed-bucket token stream — the DSIR feature
+    map, shared by batch D63 and the live model monitor E27."""
+    return docs.select(
+        "doc_id", "side", F.explode(F.expr(TOKENS_SPARK)).alias("t")
+    ).select("doc_id", "side", F.expr(_DSIR_B_SPARK).alias("b"))
+
+
+def dsir_counts_frame(bt: DataFrame) -> DataFrame:
+    """(b, ct, cr): per-bucket target/candidate token counts — additive,
+    so micro-batch counts merge into running totals by plain sum (the
+    E19/E21 streaming-state shape)."""
+    return bt.groupBy("b").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("cr"),
+    )
+
+
+def dsir_ratio_frame(cnt: DataFrame) -> DataFrame:
+    """(b, lr): the add-1-smoothed per-bucket log importance ratio,
+    rounded to 8 dp and cast DECIMAL so per-doc sums are order-free —
+    derived from a counts frame so batch D63 and streaming E27 can
+    never drift."""
+    tot = cnt.agg(
+        F.sum("ct").cast("bigint").alias("nt"), F.sum("cr").cast("bigint").alias("nr")
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(round(ln((ct + 1.0D) / (nt + {DSIR_BUCKETS}.0D))"
+            f" - ln((cr + 1.0D) / (nr + {DSIR_BUCKETS}.0D)), 8) AS DECIMAL(18,8))"
+        ).alias("lr"),
     )

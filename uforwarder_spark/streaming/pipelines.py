@@ -1701,3 +1701,69 @@ def asof_stream(stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- E27: live DSIR model monitor ------------------------------------------
+def dsir_model_pipeline(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E27: the live twin of batch D63's feature model — as document
+    batches land (target and candidate sides mixed, exactly as a crawl
+    topic delivers them), each micro-batch's hashed-bucket token counts
+    merge additively into batchId-versioned running counts, and the
+    add-1-smoothed log importance-ratio table is re-derived per trigger
+    via the SHARED dsir_ratio_frame — so a selection job always scores
+    against the current model while ingest is still running. Equals
+    batch D63's ratio table bit-for-bit once the stream drains (counts
+    are additive; the ratio derivation is the same frame).
+
+    State layout: ``{state_dir}/counts/batch_id=N`` (merged per-bucket
+    target/candidate counts AFTER batch N), ``{state_dir}/ratio/
+    batch_id=N`` (the model derived from them). Replays re-merge the
+    same batch into the same directory — idempotent under
+    at-least-once (the E19/E21/E22 shape).
+
+    SCALE: state is <= DSIR_BUCKETS rows forever; each trigger
+    partial-aggs only its micro-batch and merges against that
+    fixed-width table. Nothing ever re-reads the corpus."""
+    from ..operators.training import (
+        dsir_counts_frame,
+        dsir_ratio_frame,
+        dsir_token_buckets_frame,
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            "doc_id",
+            "text",
+            F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
+        )
+        batch_cnt = dsir_counts_frame(dsir_token_buckets_frame(docs))
+        try:
+            prev = spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id - 1}")
+        except Exception:
+            prev = None
+        merged = (
+            batch_cnt if prev is None
+            else batch_cnt.unionByName(prev)
+            .groupBy("b")
+            .agg(
+                F.sum("ct").cast("bigint").alias("ct"),
+                F.sum("cr").cast("bigint").alias("cr"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/counts/batch_id={batch_id}"
+        )
+        cnt = spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id}")
+        dsir_ratio_frame(cnt).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/ratio/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
