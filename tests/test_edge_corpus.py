@@ -522,6 +522,40 @@ def test_int8_rescore_recall_and_exactness(spark, tmp_path):
     assert all(abs(r.approx_cosine - r.cosine) < 0.05 for r in got)
 
 
+def test_phash_dedup_exact_groups_and_near_dups(spark, tmp_path):
+    """D64: byte-identical payloads share a phash (exact group, min
+    doc_id canonical), a 1-char edit stays within the Hamming threshold
+    (near-dup found via bands), and an unrelated doc matches nothing."""
+    # 64-char payloads: every char IS a sampled pixel, so bit flips are
+    # controllable. base: 32 low bytes then 32 high -> phash 0^32 1^32.
+    # edited flips exactly 3 mid positions (20-22) -> Hamming 3 (<= 6),
+    # bands 0/2/3 still collide. other: alternating -> no shared band.
+    base = "a" * 32 + "z" * 32
+    edited = base[:20] + "zzz" + base[23:]
+    other = "az" * 32
+    rows = [
+        (0, base, "en", "src00", len(base)),
+        (1, base, "en", "src01", len(base)),     # exact dup of 0
+        (2, edited, "en", "src02", len(edited)),  # near dup of 0/1
+        (3, other, "en", "src03", len(other)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.functions.multimodal import multimodal_phash_dedup
+
+    got = {r.doc_id: r for r in multimodal_phash_dedup(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0].phash == got[1].phash
+    assert got[0].canonical_id == 0 and not got[0].is_exact_dup
+    assert got[1].canonical_id == 0 and got[1].is_exact_dup
+    # the edit moved few sampled bytes: same-band collision + small Hamming
+    assert got[2].n_near_dups >= 2  # near-matches both copies of base
+    assert not got[2].is_exact_dup
+    assert got[3].n_near_dups == 0 and not got[3].is_exact_dup
+
+
 def test_dsir_selection_prefers_target_like_docs(spark, tmp_path):
     """D63: candidate docs resembling the target distribution must
     carry strictly higher log-weights than candidates that don't, the

@@ -285,6 +285,18 @@ def test_int8_rescore_is_top_c_merge_not_full_sort(spark):
     assert "pythonUDF" not in plan
 
 
+def test_phash_dedup_payload_stays_in_map_stage(spark):
+    # D64: the binary payload must never enter an exchange — only the
+    # 64-char hash shuffles; band join is an equi-join, not a cartesian
+    plan = plan_of(spark, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in m.group(1)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
 def test_dsir_selection_is_limit_first_no_window(spark):
     # D63: the feature model broadcasts (256-row ratio frame), the
     # selection is TakeOrderedAndProject (never a global Sort or a

@@ -271,3 +271,163 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale double, out_bytes long, resized_checksum string"
         ),
     )
+
+
+# --- D64 -----------------------------------------------------------------
+# Perceptual-hash (aHash) dedup over the binary column: the canonical
+# image-corpus dedup at LAION scale — fingerprint each payload with a
+# 64-bit average-hash, exact-dup by full-hash groups, near-dup by
+# SimHash-style banding + Hamming verification. Deterministic stub once
+# more (no PIL in the container): the 8x8 "pixel grid" is 64 bytes
+# sampled evenly from the payload (real impl: grayscale 8x8 downsample
+# luminance — a one-function swap), the mean threshold is exact integer
+# arithmetic (pixel*64 >= sum, no float mean), so the whole stage is
+# SQL-auditable end-to-end. Assumes ASCII payloads for byte==char
+# equivalence (true of the driver corpus; irrelevant after the PIL swap).
+PHASH_BITS = 64
+PHASH_BANDS = 4  # 4 bands x 16 bits
+PHASH_BAND_LEN = PHASH_BITS // PHASH_BANDS
+PHASH_HAM_T = 6  # near-dup Hamming threshold
+
+PHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents WHERE strlen(text) > 0
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range({PHASH_BITS}),
+           i -> ord(substr(text, CAST((i * n) // {PHASH_BITS} AS INT) + 1, 1))) AS ps
+  FROM d
+),
+ph AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range({PHASH_BITS}),
+           i -> CASE WHEN ps[i + 1] * {PHASH_BITS} >= list_sum(ps)
+                THEN '1' ELSE '0' END), '') AS phash
+  FROM px
+),
+g AS (
+  SELECT phash, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM ph GROUP BY phash
+),
+bands AS (
+  SELECT doc_id, phash, b.b,
+         substr(phash, b.b * {PHASH_BAND_LEN} + 1, {PHASH_BAND_LEN}) AS bv
+  FROM ph CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, x.doc_id AS db, a.phash AS pa, x.phash AS pb
+  FROM bands a JOIN bands x ON a.b = x.b AND a.bv = x.bv AND a.doc_id <> x.doc_id
+),
+near AS (
+  SELECT da AS doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM cand
+  WHERE list_sum(list_transform(range({PHASH_BITS}),
+          i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1)
+               THEN 1 ELSE 0 END)) <= {PHASH_HAM_T}
+  GROUP BY da
+)
+SELECT ph.doc_id, ph.phash, g.canonical_id,
+       ph.doc_id <> g.canonical_id AS is_exact_dup,
+       coalesce(near.n_near, 0) AS n_near_dups
+FROM ph
+JOIN g USING (phash)
+LEFT JOIN near ON near.doc_id = ph.doc_id
+"""
+
+
+@register("multimodal_phash_dedup", PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over the opaque image column: mapInPandas
+    computes each payload's 64-bit average-hash (aHash — the stub
+    samples 64 payload bytes for the 8x8 grid; production swaps in
+    grayscale-downsample luminance, one function), then pure DataFrame
+    ops do the corpus-scale dedup: exact groups by full hash
+    (canonical = min doc_id), near-dup candidates from 4x16-bit
+    SimHash-style bands, Hamming <= {PHASH_HAM_T} verification on
+    candidates only. Output per doc: fingerprint, canonical id, exact-
+    dup verdict, verified near-dup count.
+
+    Exactness: the threshold is integer arithmetic (pixel*64 >= sum —
+    no float mean), the hash is a bit STRING (no 2^63 sign trap), and
+    band/Hamming comparisons are exact string ops — bit-identical
+    cross-engine.
+
+    SCALE: fingerprints are a pure Arrow map (payload bytes never
+    shuffle — only the 64-char hash leaves the stage); the exact group
+    agg shuffles 64-byte keys; the band join shuffles 4 rows per doc
+    and candidates are band-bucket-bounded, never all-pairs (the D2
+    argument; a boilerplate image cluster is the AQE skew-join case the
+    band-join skew test covers). Hamming runs only on candidates.
+    Closure-pickled like D12 (workers never import the package)."""
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue  # undecodable/empty payloads drop here
+                ps = [payload[(i * n) // PHASH_BITS] for i in range(PHASH_BITS)]
+                s = sum(ps)
+                ids.append(doc_id)
+                hashes.append(
+                    "".join("1" if p * PHASH_BITS >= s else "0" for p in ps)
+                )
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    docs = load_table(spark, sf_dir, "documents")
+    bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    ph = bins.mapInPandas(phash_batches, schema="doc_id long, phash string")
+    g = ph.groupBy("phash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    band_vals = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), b -> "
+                f"struct(b AS b, substr(phash, b * {PHASH_BAND_LEN} + 1, "
+                f"{PHASH_BAND_LEN}) AS bv))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.b", "bb.bv")
+    other = band_vals.select(
+        F.col("doc_id").alias("db"),
+        F.col("phash").alias("pb"),
+        F.col("b").alias("ob"),
+        F.col("bv").alias("obv"),
+    )
+    cand = (
+        band_vals.join(
+            other,
+            (F.col("b") == F.col("ob"))
+            & (F.col("bv") == F.col("obv"))
+            & (F.col("doc_id") != F.col("db")),
+        )
+        .select(F.col("doc_id").alias("da"), "db", F.col("phash").alias("pa"), "pb")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(transform(sequence(0, {PHASH_BITS - 1}), "
+        "i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1) "
+        "THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+    )
+    near = (
+        cand.filter(ham <= PHASH_HAM_T)
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("n_near"))
+    )
+    return (
+        ph.join(g, "phash")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "phash",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_exact_dup"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+        )
+    )
