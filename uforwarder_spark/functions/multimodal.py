@@ -288,6 +288,13 @@ PHASH_BITS = 64
 PHASH_BANDS = 4  # 4 bands x 16 bits
 PHASH_BAND_LEN = PHASH_BITS // PHASH_BANDS
 PHASH_HAM_T = 6  # near-dup Hamming threshold
+# Degenerate-band cap (the D30 boilerplate-df-cap pattern): a band value
+# shared by more than this many DISTINCT hashes is low-information (the
+# all-ones band of bright images, the all-zeros band of dark ones) and
+# is skipped for candidate generation — its members stay reachable
+# through their other, discriminative bands. Without the cap one
+# degenerate bucket makes the band join quadratic in corpus size.
+PHASH_BAND_DF_CAP = 64
 
 PHASH_ORACLE = f"""
 WITH d AS (
@@ -311,28 +318,35 @@ g AS (
   FROM ph GROUP BY phash
 ),
 bands AS (
-  SELECT doc_id, phash, b.b,
+  SELECT phash, b.b,
          substr(phash, b.b * {PHASH_BAND_LEN} + 1, {PHASH_BAND_LEN}) AS bv
-  FROM ph CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)
+  FROM g CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS da, x.doc_id AS db, a.phash AS pa, x.phash AS pb
-  FROM bands a JOIN bands x ON a.b = x.b AND a.bv = x.bv AND a.doc_id <> x.doc_id
+band_df AS (
+  SELECT b, bv FROM bands GROUP BY b, bv
+  HAVING count(*) <= {PHASH_BAND_DF_CAP}
 ),
-near AS (
-  SELECT da AS doc_id, CAST(count(*) AS BIGINT) AS n_near
-  FROM cand
+live AS (
+  SELECT bands.* FROM bands JOIN band_df USING (b, bv)
+),
+hcand AS (
+  SELECT DISTINCT a.phash AS pa, x.phash AS pb
+  FROM live a JOIN live x ON a.b = x.b AND a.bv = x.bv AND a.phash <> x.phash
+),
+hnear AS (
+  SELECT hcand.pa AS phash, CAST(sum(gb.n_exact) AS BIGINT) AS n_near
+  FROM hcand JOIN g gb ON gb.phash = hcand.pb
   WHERE list_sum(list_transform(range({PHASH_BITS}),
           i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1)
                THEN 1 ELSE 0 END)) <= {PHASH_HAM_T}
-  GROUP BY da
+  GROUP BY hcand.pa
 )
 SELECT ph.doc_id, ph.phash, g.canonical_id,
        ph.doc_id <> g.canonical_id AS is_exact_dup,
-       coalesce(near.n_near, 0) AS n_near_dups
+       g.n_exact - 1 + coalesce(hnear.n_near, 0) AS n_near_dups
 FROM ph
 JOIN g USING (phash)
-LEFT JOIN near ON near.doc_id = ph.doc_id
+LEFT JOIN hnear USING (phash)
 """
 
 
@@ -378,13 +392,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    ph = bins.mapInPandas(phash_batches, schema="doc_id long, phash string")
+    ph = bins.mapInPandas(
+        phash_batches, schema="doc_id long, phash string"
+    ).persist()  # intentionally not unpersisted: the returned plan is
+    # lazy, so the frame must stay cached until the caller materializes
+    # it (the Python fingerprint pass would otherwise re-run for every
+    # plan branch); session hygiene is the runner's job, the _emb rule.
     g = ph.groupBy("phash").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count("*").cast("bigint").alias("n_exact"),
-    )
-    band_vals = ph.select(
-        "doc_id",
+    ).persist()  # both the band pipeline and the final join read g
+    # EVERYTHING pairwise below runs on DISTINCT hashes (g), never docs:
+    # same-hash neighbors are Hamming-0 near-dups BY DEFINITION, so a
+    # doc's near count = (n_exact - 1) + Σ n_exact over verified near
+    # HASHES — a k-replica boilerplate cluster costs ONE row of band
+    # work instead of k^2 pairs (measured 7.7x at 10x replication with
+    # doc-level pairs, linear after this factorization — docs/SCALE.md).
+    # Degenerate band buckets (> PHASH_BAND_DF_CAP distinct hashes — the
+    # all-ones band of bright images) are dropped before the self-join.
+    band_vals = g.select(
         "phash",
         F.explode(
             F.expr(
@@ -393,21 +419,24 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{PHASH_BAND_LEN}) AS bv))"
             )
         ).alias("bb"),
-    ).select("doc_id", "phash", "bb.b", "bb.bv")
-    other = band_vals.select(
-        F.col("doc_id").alias("db"),
+    ).select("phash", "bb.b", "bb.bv")
+    band_df = band_vals.groupBy("b", "bv").agg(
+        F.count("*").alias("_df")
+    ).filter(F.col("_df") <= PHASH_BAND_DF_CAP).select("b", "bv")
+    live = band_vals.join(band_df, ["b", "bv"])
+    other = live.select(
         F.col("phash").alias("pb"),
         F.col("b").alias("ob"),
         F.col("bv").alias("obv"),
     )
-    cand = (
-        band_vals.join(
+    hcand = (
+        live.join(
             other,
             (F.col("b") == F.col("ob"))
             & (F.col("bv") == F.col("obv"))
-            & (F.col("doc_id") != F.col("db")),
+            & (F.col("phash") != F.col("pb")),
         )
-        .select(F.col("doc_id").alias("da"), "db", F.col("phash").alias("pa"), "pb")
+        .select(F.col("phash").alias("pa"), "pb")
         .distinct()
     )
     ham = F.expr(
@@ -415,19 +444,23 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1) "
         "THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
     )
-    near = (
-        cand.filter(ham <= PHASH_HAM_T)
-        .groupBy(F.col("da").alias("doc_id"))
-        .agg(F.count("*").cast("bigint").alias("n_near"))
+    gb = g.select(F.col("phash").alias("pb"), F.col("n_exact").alias("n_exact_b"))
+    hnear = (
+        hcand.filter(ham <= PHASH_HAM_T)
+        .join(gb, "pb")
+        .groupBy(F.col("pa").alias("phash"))
+        .agg(F.sum("n_exact_b").cast("bigint").alias("n_near"))
     )
     return (
         ph.join(g, "phash")
-        .join(near, "doc_id", "left")
+        .join(hnear, "phash", "left")
         .select(
             "doc_id",
             "phash",
             "canonical_id",
             (F.col("doc_id") != F.col("canonical_id")).alias("is_exact_dup"),
-            F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+            (F.col("n_exact") - 1 + F.coalesce(F.col("n_near"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_near_dups"),
         )
     )
