@@ -1432,3 +1432,39 @@ def test_e27_dsir_model_converges_to_batch(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) <= DSIR_BUCKETS  # fixed-width state forever
+
+
+def test_e28_phash_dedup_matches_batch(spark, tmp_path):
+    """E28: the streamed perceptual-hash decisions must equal batch
+    D65's row-for-row on the same incoming/corpus split."""
+    from uforwarder_spark.functions.multimodal import phash_incremental_dedup
+    from uforwarder_spark.model import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    side = F.expr("CAST(substring(source, 4) AS INT) % 2")
+    corpus = d.filter(side == 0)
+    ind = str(tmp_path / "incoming")
+    d.filter(side == 1).write.mode("overwrite").parquet(ind)
+
+    out = str(tmp_path / "decisions")
+    q = P.phash_dedup_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        corpus,
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    cols = ["doc_id", "phash", "is_exact_dup", "n_corpus_near"]
+    got = spark.read.parquet(out).select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        phash_incremental_dedup(spark, SF_SMALL)
+        .select(cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0

@@ -464,3 +464,211 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_near_dups"),
         )
     )
+
+
+def phash_frame(bins: DataFrame) -> DataFrame:
+    """(doc_id, phash): the Arrow-batched aHash fingerprint map — shared
+    by D64, the incremental D65, and the live pipeline E28. Payload
+    bytes never leave the stage; empty payloads drop."""
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                ps = [payload[(i * n) // PHASH_BITS] for i in range(PHASH_BITS)]
+                s = sum(ps)
+                ids.append(doc_id)
+                hashes.append(
+                    "".join("1" if p * PHASH_BITS >= s else "0" for p in ps)
+                )
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return bins.mapInPandas(phash_batches, schema="doc_id long, phash string")
+
+
+def phash_bands_frame(hashes: DataFrame) -> DataFrame:
+    """(phash, b, bv) over a DISTINCT-hash frame, with degenerate
+    buckets (> PHASH_BAND_DF_CAP hashes) dropped — the index side of
+    every phash band join."""
+    bands = hashes.select(
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), b -> "
+                f"struct(b AS b, substr(phash, b * {PHASH_BAND_LEN} + 1, "
+                f"{PHASH_BAND_LEN}) AS bv))"
+            )
+        ).alias("bb"),
+    ).select("phash", "bb.b", "bb.bv")
+    band_df = (
+        bands.groupBy("b", "bv")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= PHASH_BAND_DF_CAP)
+        .select("b", "bv")
+    )
+    return bands.join(band_df, ["b", "bv"])
+
+
+_PHASH_HAM = (
+    f"aggregate(transform(sequence(0, {PHASH_BITS - 1}), "
+    "i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1) "
+    "THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+)
+
+
+def phash_match_frame(
+    incoming_ph: DataFrame, corpus_g: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """The D65/E28 decision kernel: each incoming fingerprint against a
+    corpus index — is_exact_dup (hash present in corpus), n_corpus_near
+    (n_exact-weighted count of corpus docs at a DIFFERENT hash within
+    Hamming {PHASH_HAM_T}, candidates via the corpus's capped bands).
+    All pairwise work runs on DISTINCT incoming hashes (the D64
+    factorization); the asymmetric join touches incoming x corpus only,
+    never corpus x corpus (the D36 incremental shape)."""
+    inc_hashes = incoming_ph.select("phash").distinct()
+    inc_bands = inc_hashes.select(
+        F.col("phash").alias("pa"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), b -> "
+                f"struct(b AS b, substr(phash, b * {PHASH_BAND_LEN} + 1, "
+                f"{PHASH_BAND_LEN}) AS bv))"
+            )
+        ).alias("bb"),
+    ).select("pa", "bb.b", "bb.bv")
+    hcand = (
+        inc_bands.join(
+            corpus_bands.select(
+                F.col("phash").alias("pb"),
+                F.col("b").alias("ob"),
+                F.col("bv").alias("obv"),
+            ),
+            (F.col("b") == F.col("ob"))
+            & (F.col("bv") == F.col("obv"))
+            & (F.col("pa") != F.col("pb")),
+        )
+        .select("pa", "pb")
+        .distinct()
+    )
+    gb = corpus_g.select(
+        F.col("phash").alias("pb"), F.col("n_exact").alias("n_exact_b")
+    )
+    hnear = (
+        hcand.filter(F.expr(_PHASH_HAM) <= PHASH_HAM_T)
+        .join(gb, "pb")
+        .groupBy(F.col("pa").alias("phash"))
+        .agg(F.sum("n_exact_b").cast("bigint").alias("n_near"))
+    )
+    gx = corpus_g.select("phash", F.lit(True).alias("_hit"))
+    return (
+        incoming_ph.join(gx, "phash", "left")
+        .join(hnear, "phash", "left")
+        .select(
+            "doc_id",
+            "phash",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("is_exact_dup"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint").alias("n_corpus_near"),
+        )
+    )
+
+
+# --- D65 -----------------------------------------------------------------
+PHASH_INC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n,
+         CAST(substring(source, 4) AS INT) % 2 AS side
+  FROM documents WHERE strlen(text) > 0
+),
+px AS (
+  SELECT doc_id, side,
+         list_transform(range({PHASH_BITS}),
+           i -> ord(substr(text, CAST((i * n) // {PHASH_BITS} AS INT) + 1, 1))) AS ps
+  FROM d
+),
+ph AS (
+  SELECT doc_id, side,
+         array_to_string(list_transform(range({PHASH_BITS}),
+           i -> CASE WHEN ps[i + 1] * {PHASH_BITS} >= list_sum(ps)
+                THEN '1' ELSE '0' END), '') AS phash
+  FROM px
+),
+g AS (
+  SELECT phash, CAST(count(*) AS BIGINT) AS n_exact
+  FROM ph WHERE side = 0 GROUP BY phash
+),
+cb AS (
+  SELECT phash, b.b,
+         substr(phash, b.b * {PHASH_BAND_LEN} + 1, {PHASH_BAND_LEN}) AS bv
+  FROM g CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)
+),
+cb_live AS (
+  SELECT cb.* FROM cb
+  JOIN (SELECT b, bv FROM cb GROUP BY b, bv
+        HAVING count(*) <= {PHASH_BAND_DF_CAP}) ok USING (b, bv)
+),
+ib AS (
+  SELECT DISTINCT ph.phash AS pa, b.b,
+         substr(ph.phash, b.b * {PHASH_BAND_LEN} + 1, {PHASH_BAND_LEN}) AS bv
+  FROM ph CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)
+  WHERE side = 1
+),
+hcand AS (
+  SELECT DISTINCT ib.pa, cb_live.phash AS pb
+  FROM ib JOIN cb_live ON ib.b = cb_live.b AND ib.bv = cb_live.bv
+  WHERE ib.pa <> cb_live.phash
+),
+hnear AS (
+  SELECT hcand.pa AS phash, CAST(sum(g.n_exact) AS BIGINT) AS n_near
+  FROM hcand JOIN g ON g.phash = hcand.pb
+  WHERE list_sum(list_transform(range({PHASH_BITS}),
+          i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1)
+               THEN 1 ELSE 0 END)) <= {PHASH_HAM_T}
+  GROUP BY hcand.pa
+)
+SELECT ph.doc_id, ph.phash,
+       g.phash IS NOT NULL AS is_exact_dup,
+       coalesce(hnear.n_near, 0) AS n_corpus_near
+FROM ph
+LEFT JOIN g ON g.phash = ph.phash
+LEFT JOIN hnear ON hnear.phash = ph.phash
+WHERE ph.side = 1
+"""
+
+
+@register("phash_incremental_dedup", PHASH_INC_ORACLE)
+def phash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual-hash dedup — the production shape of D64:
+    a crawl increment (odd sources) fingerprinted and tested against
+    the EXISTING corpus index (even sources: exact-hash groups + capped
+    band table), per incoming doc the exact-hit verdict and the
+    n_exact-weighted count of corpus images within Hamming
+    {PHASH_HAM_T} at a different hash. The same split D36/D43 use for
+    text: the corpus never joins itself, only incoming x corpus.
+
+    SCALE: the corpus index is built once per epoch (at 100 TB it is a
+    maintained TABLE, refreshed as kept images are admitted — exactly
+    E28's state); the increment pays one Arrow fingerprint map + an
+    asymmetric band join whose pairwise work scales with DISTINCT
+    incoming hashes. Payloads never shuffle on either side.
+
+    Reference scope note: no uForwarder twin — D-family mandate
+    (multimodal curation at corpus scale)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
+    )
+    ph = phash_frame(d.select("doc_id", "payload", "side")).join(
+        d.select("doc_id", "side"), "doc_id"
+    )
+    corpus = ph.filter(F.col("side") == 0)
+    inc = ph.filter(F.col("side") == 1).select("doc_id", "phash")
+    g = corpus.groupBy("phash").agg(F.count("*").cast("bigint").alias("n_exact")).persist()
+    # persisted: the band index and both decision joins read g; the
+    # returned plan is lazy — the _emb rule applies.
+    bands = phash_bands_frame(g.select("phash"))
+    return phash_match_frame(inc, g, bands)

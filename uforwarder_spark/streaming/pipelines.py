@@ -1767,3 +1767,53 @@ def dsir_model_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E28: live perceptual-hash image dedup ---------------------------------
+def phash_dedup_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E28: the live twin of batch D65 — incoming image payloads are
+    fingerprinted (Arrow aHash map) and tested against the STATIC
+    corpus index (exact-hash groups + capped band table, built once
+    before the first trigger) as they land; per-doc
+    (is_exact_dup, n_corpus_near) decisions go to a batchId-partitioned
+    parquet sink via the SHARED phash_match_frame, so stream and batch
+    can never drift.
+
+    SCALE: the index is per-corpus-epoch state (at 100 TB: a maintained
+    signature TABLE refreshed as kept images are admitted — the E15/E20
+    shape); each trigger pays one Arrow fingerprint map over its batch
+    plus an asymmetric band join whose pairwise work scales with the
+    batch's DISTINCT hashes. Payload bytes never shuffle. foreachBatch
+    overwrites its own batch_id=N directory — at-least-once replays
+    rewrite instead of duplicating."""
+    from ..functions.multimodal import (
+        phash_bands_frame,
+        phash_frame,
+        phash_match_frame,
+    )
+
+    corpus_ph = phash_frame(
+        corpus_docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    g = corpus_ph.groupBy("phash").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    ).persist()
+    bands = phash_bands_frame(g.select("phash")).persist()
+    g.count(), bands.count()  # materialize once, before the first trigger
+
+    def decide_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inc = phash_frame(
+            batch_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        )
+        phash_match_frame(inc, g, bands).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(decide_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
