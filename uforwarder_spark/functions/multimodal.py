@@ -662,12 +662,14 @@ def phash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
     )
-    ph = phash_frame(d.select("doc_id", "payload", "side")).join(
-        d.select("doc_id", "side"), "doc_id"
-    )
-    corpus = ph.filter(F.col("side") == 0)
-    inc = ph.filter(F.col("side") == 1).select("doc_id", "phash")
-    g = corpus.groupBy("phash").agg(F.count("*").cast("bigint").alias("n_exact")).persist()
+    # Each side is fingerprinted independently (filter pushed to the
+    # scan) — no doc_id join-back, so nothing corpus-sized shuffles to
+    # re-attach the split column.
+    corpus_ph = phash_frame(d.filter(F.col("side") == 0).select("doc_id", "payload"))
+    inc = phash_frame(d.filter(F.col("side") == 1).select("doc_id", "payload"))
+    g = corpus_ph.groupBy("phash").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    ).persist()
     # persisted: the band index and both decision joins read g; the
     # returned plan is lazy — the _emb rule applies.
     bands = phash_bands_frame(g.select("phash"))
