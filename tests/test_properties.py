@@ -668,3 +668,81 @@ def test_hdr_subrange_values_clamp_to_bucket_zero(spark, vals):
     lowest_mid = math.sqrt(HDR_BOUNDS[0] * HDR_BOUNDS[1])
     for q in HDR_QS:
         assert abs(est[round(q, 2)] - lowest_mid) < 1e-9, (q, est)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcxyz ", min_size=1, max_size=120),
+        min_size=3,
+        max_size=18,
+    ),
+    dup_of=st.lists(st.integers(0, 17), min_size=0, max_size=6),
+)
+def test_phash_dedup_equals_bruteforce_replay(spark, tmp_path_factory, texts, dup_of):
+    """D64 invariant: for ANY payload set (including forced exact
+    duplicates), the hash-level factorization + band/cap candidate rule
+    must equal a brute-force doc-level Python replay of the SAME
+    semantics: n_near_dups(d) = #{other docs : same hash} + #{docs at a
+    different hash sharing >=1 live band, Hamming <= T}."""
+    from uforwarder_spark.functions.multimodal import (
+        PHASH_BAND_DF_CAP,
+        PHASH_BAND_LEN,
+        PHASH_BANDS,
+        PHASH_BITS,
+        PHASH_HAM_T,
+        multimodal_phash_dedup,
+    )
+
+    # append forced duplicates of existing texts
+    all_texts = list(texts) + [texts[i % len(texts)] for i in dup_of]
+    rows = [
+        (i, t, "en", f"src{i % 4:02d}", len(t)) for i, t in enumerate(all_texts)
+    ]
+    tmp_path = tmp_path_factory.mktemp("phash_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # brute-force replay in pure Python (doc-level, no factorization)
+    def ahash(t: str) -> str:
+        b = t.encode("utf-8")
+        n = len(b)
+        ps = [b[(i * n) // PHASH_BITS] for i in range(PHASH_BITS)]
+        s = sum(ps)
+        return "".join("1" if p * PHASH_BITS >= s else "0" for p in ps)
+
+    hashes = {i: ahash(t) for i, t in enumerate(all_texts) if t}
+    distinct = sorted(set(hashes.values()))
+    bucket: dict = {}
+    for h in distinct:
+        for bnd in range(PHASH_BANDS):
+            bucket.setdefault(
+                (bnd, h[bnd * PHASH_BAND_LEN : (bnd + 1) * PHASH_BAND_LEN]), set()
+            ).add(h)
+    live_pairs = set()
+    for members in bucket.values():
+        if len(members) > PHASH_BAND_DF_CAP:
+            continue
+        for ha in members:
+            for hb in members:
+                if ha != hb:
+                    live_pairs.add((ha, hb))
+
+    def hamming(a, b):
+        return sum(1 for x, y in zip(a, b) if x != y)
+
+    got = {r.doc_id: r for r in multimodal_phash_dedup(spark, str(tmp_path)).collect()}
+    assert set(got) == set(hashes)
+    for i, h in hashes.items():
+        same = sum(1 for j, h2 in hashes.items() if j != i and h2 == h)
+        near = sum(
+            1
+            for j, h2 in hashes.items()
+            if h2 != h and (h, h2) in live_pairs and hamming(h, h2) <= PHASH_HAM_T
+        )
+        assert got[i].phash == h, i
+        assert got[i].n_near_dups == same + near, (i, same, near, got[i])
+        assert got[i].canonical_id == min(
+            j for j, h2 in hashes.items() if h2 == h
+        )
