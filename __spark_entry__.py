@@ -23,11 +23,11 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # Round-5 window: the ENTIRE 50-slot budget goes to evidence debt
 # (round-4 verdict, next-round item 1) — no key in slots 1-50 has a
 # driver row fresher than r02 unless its implementation changed THIS
-# round. Slot arithmetic (counted, not estimated): 5 never-checked +
+# round. Slot arithmetic (counted, not estimated): 6 never-checked +
 # 8 changed-this-round + 2 changed-r4-on-freed-slots + 11 B-cohort +
-# 7 r01 text cohort = 33, topped up with 17 r02-cohort keys = 50
-# (top_customers_window / tpch_q6 / tpch_q5 slide to overflow, keeping
-# their r02 rows + both-SF pytest parity).
+# 7 r01 text cohort = 34, topped up with 16 r02-cohort keys = 50
+# (top_customers_window / tpch_q6 / tpch_q5 / tpch_q3 slide to
+# overflow, keeping their r02 rows + both-SF pytest parity).
 _KEY_PRIORITY = [
     # -- (a) never had a driver row (5) --
     "multimodal_resize",       # D46: pytest-parity only since round 2
@@ -35,6 +35,7 @@ _KEY_PRIORITY = [
     "dsir_selection",          # D63: new this round (DSIR Gumbel-top-K)
     "multimodal_phash_dedup",  # D64: new this round (aHash image dedup)
     "phash_incremental_dedup",  # D65: new this round (incremental aHash)
+    "dedup_embedding_agreement",  # D66: new this round (cross-modal audit)
     # -- (b) implementation changed this round (10): HDR bucket clamp,
     #    Bloom shuffle split, counts_quantiles kernel gained an n
     #    column (A12 rebuilt on it; A15/A19/A30/D23 consume it),
@@ -65,14 +66,14 @@ _KEY_PRIORITY = [
     "minhash_jaccard_estimate", "contamination_check",
     "multimodal_meta", "multimodal_frame_sample",
     "pii_redaction", "chunk_dedup", "repetition_stats",
-    "corpus_prep_funnel", "tpch_q3_shipping_priority",
+    "corpus_prep_funnel",
     # ---------------- 50-slot window ends here ----------------
     # Overflow (both-SF pytest parity continues to cover these with the
     # driver-grade comparator): the rest of the r02 cohort, then
     # token_bucket_exact (rows-only by design — no SQL oracle; its
     # driver-r4 hash-green twin token_bucket_summary pins the shared
     # applyInPandas kernel).
-    "tpch_q5_local_supplier",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue", "top_customers_window",
     "orders_without_lineitems", "customer_order_stats",
     "running_revenue", "rollup_revenue", "tpch_q4_order_priority",

@@ -988,3 +988,45 @@ def test_perplexity_flags_surprising_docs(spark, tmp_path):
     assert 9 not in got  # empty doc: nothing to score
     assert got[8].cross_entropy > got[0].cross_entropy
     assert got[8].ppl_band == "tail" and got[0].ppl_band == "head"
+
+
+def test_embedding_agreement_flags_disagreeing_pairs(spark, tmp_path):
+    """D66: a near-dup text pair with aligned embeddings agrees; a
+    near-dup text pair with orthogonal embeddings is flagged for
+    review; non-near-dup docs produce no pair at all."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    t2 = t1 + "iota"
+    t3 = "one two three four five six seven eight nine ten " * 4
+    t4 = t3 + "eleven"
+    rows = [
+        (0, t1, "en", "src00", len(t1)),
+        (1, t2, "en", "src01", len(t2)),   # near-dup of 0
+        (2, t3, "en", "src02", len(t3)),
+        (3, t4, "en", "src03", len(t4)),   # near-dup of 2
+        (4, "totally unrelated content words here", "en", "src04", 36),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    dim = 64
+    v_a = [1.0] + [0.0] * (dim - 1)
+    v_b = [0.0] * (dim - 1) + [1.0]  # orthogonal to v_a
+    emb = [
+        (0, 0, v_a), (1, 0, v_a),     # pair (0,1): cosine 1 -> agree
+        (2, 1, v_a), (3, 1, v_b),     # pair (2,3): cosine 0 -> disagree
+        (4, 2, v_b),
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, label long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from uforwarder_spark.operators.dedup import dedup_embedding_agreement
+
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup_embedding_agreement(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(0, 1), (2, 3)}
+    assert got[(0, 1)].embeddings_agree and got[(0, 1)].cosine == 1.0
+    assert not got[(2, 3)].embeddings_agree and got[(2, 3)].cosine == 0.0
+    assert all(r.jaccard >= 0.5 for r in got.values())

@@ -1155,3 +1155,76 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc_id",
         (F.col("doc_id") > F.col("first_doc_id")).alias("is_dup_chunk"),
     )
+
+
+# --- D66 -----------------------------------------------------------------
+# Cross-modal dedup audit: textual near-dup pairs SHOULD be embedding-
+# near — pairs where the two signals disagree are either MinHash false
+# positives (paraphrase-free boilerplate overlap) or embedding-model
+# failures, and both are exactly what a curation pipeline re-examines
+# before trusting either signal at corpus scale.
+EMB_AGREE_COS = 0.8  # cosine at/above which embeddings corroborate a pair
+
+
+def _agree_oracle() -> str:
+    from .similarity import _cos_expr
+
+    cos = _cos_expr("duck", "ea.v", "eb.v")
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({MINHASH_ORACLE})
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                    (a, b) -> a + b) > 0
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       round({cos}, 6) AS cosine,
+       {cos} >= {EMB_AGREE_COS} AS embeddings_agree
+FROM pairs p
+JOIN e ea ON ea.vec_id = p.doc_a
+JOIN e eb ON eb.vec_id = p.doc_b
+"""
+
+
+@register("dedup_embedding_agreement", _agree_oracle())
+def dedup_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal agreement audit over D2's verified near-dup pairs:
+    each (doc_a, doc_b, jaccard) pair joined to the documents' embedding
+    vectors (vec_id = doc_id) and scored with exact cosine; a pair
+    "agrees" when cosine >= {EMB_AGREE_COS}. Disagreeing pairs are the
+    review queue: lexical-overlap false positives (quote-heavy or
+    boilerplate pairs that are NOT semantic duplicates) or embedding
+    failures — checked BEFORE trusting either signal to delete data.
+
+    Exactness: jaccard comes from D2 unchanged; the cosine is the
+    sequential array fold (Spark aggregate == DuckDB list_reduce left
+    fold), so the agree threshold cuts identically in both engines.
+    Zero-norm vectors are excluded exactly as D6/D35 exclude them.
+
+    SCALE: everything heavy IS D2's bucketed pipeline; this adds two
+    hash joins of the (tiny) verified-pairs frame against the
+    embeddings table on its key — at 100 TB the pairs side broadcasts
+    and the embedding scan prunes to two columns.
+
+    Reference scope note: no uForwarder twin — D-family mandate
+    (multi-signal curation audit)."""
+    from .similarity import _cos_expr, _emb
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    e = _emb(spark, sf_dir)
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    cos = F.expr(_cos_expr("spark", "va", "vb"))
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(cos, 6).alias("cosine"),
+            (cos >= EMB_AGREE_COS).alias("embeddings_agree"),
+        )
+    )
