@@ -297,6 +297,28 @@ def test_phash_dedup_payload_stays_in_map_stage(spark):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
+def test_phash_incremental_payload_stays_local_and_no_self_join(spark):
+    # D65: payloads never enter an exchange; the only joins are the
+    # asymmetric incoming-x-corpus band probe and the decision joins —
+    # no cartesian, no corpus self-join blowup at the doc level
+    import re
+
+    plan = plan_of(spark, "phash_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in m.group(1)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_embedding_agreement_pairs_join_is_not_cartesian(spark):
+    # D66: the verified-pairs frame joins the embeddings table on its
+    # key (broadcast or hash join), never a cartesian; the heavy work
+    # stays inside D2's bucketed subtree
+    plan = plan_of(spark, "dedup_embedding_agreement")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_dsir_selection_is_limit_first_no_window(spark):
     # D63: the feature model broadcasts (256-row ratio frame), the
     # selection is TakeOrderedAndProject (never a global Sort or a

@@ -303,3 +303,139 @@ def test_e24_randomized_replay_matches_first_reach(
     ]
     assert len(got) == len(set(got)), "a first-reach row fired twice"
     assert set(got) == want
+
+
+# --- E14: bootstrap phase --------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    acks=st.lists(st.booleans(), min_size=80, max_size=260),
+    n_chunks=st.integers(2, 4),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e14_randomized_replay_matches_counter_model(
+    spark, acks, n_chunks, assign_seed, restart_at
+):
+    """E14 property: for ANY ack pattern, ANY chunking, and one
+    mid-stream restart, every message's (phase, effective_cap,
+    completed_after) equals the cumulative-completed replay over the
+    EFFECTIVE stream order (batch order, offset order within batch) —
+    the completed counter must survive both micro-batch boundaries and
+    the state-store round-trip."""
+    rows = [("t", 0, off, bool(a)) for off, a in enumerate(acks)]
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = _chunked(rows, assignment, n_chunks)
+    chunks = [c for c in chunks if c] or [rows]
+    restart_at = min(restart_at, len(chunks))
+
+    # effective order: chunk order, offset order within chunk
+    effective = [r for c in chunks for r in sorted(c, key=lambda r: r[2])]
+    BOOT_CAP, STEADY_CAP, THRESHOLD = 10, 50, 100
+    completed, want = 0, {}
+    for _, _, off, acked in effective:
+        working = completed > THRESHOLD
+        if acked:
+            completed += 1
+        want[off] = (
+            "working" if working else "bootstrap",
+            STEADY_CAP if working else min(BOOT_CAP, STEADY_CAP),
+            completed,
+        )
+
+    cols = ["topic", "part_id", "msg_offset", "acked"]
+    schema = "topic string, part_id long, msg_offset long, acked boolean"
+    to_pdf = lambda c: pd.DataFrame(c, columns=cols)  # noqa: E731
+    tmp = tempfile.mkdtemp(prefix="e14rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+    collected: list = []
+    _write_chunks(spark, [to_pdf(c) for c in chunks[:restart_at]], schema, src, now)
+    _run_phase(spark, P.bootstrap_phase_stream, schema, src, ckpt, "append", collected)
+    if chunks[restart_at:]:
+        _write_chunks(
+            spark, [to_pdf(c) for c in chunks[restart_at:]], schema, src, now,
+            start_idx=restart_at,
+        )
+        _run_phase(
+            spark, P.bootstrap_phase_stream, schema, src, ckpt, "append", collected
+        )
+
+    got = [r for _, batch_rows in collected for r in batch_rows]
+    assert len(got) == len(rows)
+    for r in got:
+        assert (r.phase, r.effective_cap, r.completed_after) == want[r.msg_offset], (
+            r.msg_offset
+        )
+
+
+# --- E16: AIMD limit -------------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["DELIVERED", "RETRY", "DLQ"]), st.booleans()),
+        min_size=120,
+        max_size=320,
+    ),
+    n_chunks=st.integers(2, 4),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e16_randomized_replay_matches_aimd_fold(
+    spark, events, n_chunks, assign_seed, restart_at
+):
+    """E16 property: for ANY outcome sequence, ANY chunking, and one
+    mid-stream restart, the emitted limit trajectory equals the AIMD
+    fold over the effective stream order — the partial adaptation batch
+    (count + flags) must ride intact across micro-batch boundaries AND
+    the restart."""
+    rows = [("t", 0, off, oc, bool(a)) for off, (oc, a) in enumerate(events)]
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = _chunked(rows, assignment, n_chunks)
+    chunks = [c for c in chunks if c] or [rows]
+    restart_at = min(restart_at, len(chunks))
+
+    effective = [r for c in chunks for r in sorted(c, key=lambda r: r[2])]
+    BATCH, LIM0, LMIN, LMAX = 50, 50, 4, 200
+    in_b, drop, succ, lim, bid, ninc, ndec = 0, False, False, LIM0, 0, 0, 0
+    want = []
+    for _, _, off, oc, acked in effective:
+        drop = drop or oc == "DLQ"
+        succ = succ or acked
+        in_b += 1
+        if in_b == BATCH:
+            if drop:
+                lim = max(LMIN, lim // 2)
+                ndec += 1
+            elif succ:
+                lim = min(LMAX, lim + 1)
+                ninc += 1
+            want.append((bid, drop, succ, lim, ninc, ndec))
+            bid += 1
+            in_b, drop, succ = 0, False, False
+
+    cols = ["topic", "part_id", "msg_offset", "outcome", "acked"]
+    schema = (
+        "topic string, part_id long, msg_offset long, outcome string, acked boolean"
+    )
+    to_pdf = lambda c: pd.DataFrame(c, columns=cols)  # noqa: E731
+    tmp = tempfile.mkdtemp(prefix="e16rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+    collected: list = []
+    _write_chunks(spark, [to_pdf(c) for c in chunks[:restart_at]], schema, src, now)
+    _run_phase(spark, P.aimd_limit_stream, schema, src, ckpt, "append", collected)
+    if chunks[restart_at:]:
+        _write_chunks(
+            spark, [to_pdf(c) for c in chunks[restart_at:]], schema, src, now,
+            start_idx=restart_at,
+        )
+        _run_phase(spark, P.aimd_limit_stream, schema, src, ckpt, "append", collected)
+
+    got = sorted(
+        (
+            (r.batch_id, r.has_drop, r.has_succ, r.limit_after, r.n_increase, r.n_decrease)
+            for _, batch_rows in collected
+            for r in batch_rows
+        )
+    )
+    assert got == want
