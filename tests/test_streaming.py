@@ -1468,3 +1468,46 @@ def test_e28_phash_dedup_matches_batch(spark, tmp_path):
 
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def test_e29_contamination_gate_rolls_up_to_batch(spark, tmp_path):
+    """E29: rolling the streamed per-doc decisions up per source must
+    reproduce batch D20's (n_contaminated, n_eval_hit) exactly, and a
+    doc matching an eval hash must carry the matched eval ids."""
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.operators.dedup import contamination_check
+
+    d = load_table(spark, SF_SMALL, "documents")
+    ind = str(tmp_path / "incoming")
+    d.write.mode("overwrite").parquet(ind)
+
+    out = str(tmp_path / "decisions")
+    q = P.contamination_gate_pipeline(
+        P.document_stream(spark, ind, files_per_trigger=2),
+        d,
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    dec = spark.read.parquet(out)
+    # every incoming doc got at least one decision row
+    assert dec.select("doc_id").distinct().count() == d.count()
+    rolled = {
+        r.source: (r.n_contaminated, r.n_eval_hit)
+        for r in dec.filter("contaminated")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated"),
+            F.countDistinct("eval_doc_id").alias("n_eval_hit"),
+        )
+        .collect()
+    }
+    want = {
+        r.source: (r.n_contaminated, r.n_eval_hit)
+        for r in contamination_check(spark, SF_SMALL).collect()
+    }
+    assert rolled == want
+    # clean rows carry NULL eval ids, flagged rows real ones
+    assert dec.filter("contaminated AND eval_doc_id IS NULL").count() == 0
+    assert dec.filter("NOT contaminated AND eval_doc_id IS NOT NULL").count() == 0

@@ -1817,3 +1817,64 @@ def phash_dedup_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E29: live decontamination gate ----------------------------------------
+def contamination_gate_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E29: the live twin of batch D20 — the held-out eval/benchmark
+    hash set (benchmark-sized at ANY corpus scale) is built once and
+    broadcast; each incoming document batch is normalized, hashed, and
+    gated as it lands, emitting one row per (doc, matched eval doc) —
+    or a clean row with NULL eval_doc_id — to a batchId-partitioned
+    sink. Rolling the decisions up reproduces batch D20's per-source
+    contamination counts exactly (the stream test asserts it).
+
+    SCALE: the gate is one scan + md5 per batch and a broadcast join —
+    no shuffle touches the corpus; this is the shape a crawl pipeline
+    uses to keep benchmark text out of training data AT INGEST instead
+    of sweeping after the fact. foreachBatch overwrites its own
+    batch_id=N directory (idempotent under at-least-once replays)."""
+    norm_h = F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))"))
+    eval_mod_expr = (
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 50"
+    )
+    eval_set = (
+        corpus_docs.select("doc_id", "text")
+        .filter(F.expr(eval_mod_expr) == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), norm_h.alias("h"))
+        .persist()
+    )
+    eval_set.count()  # materialize once, before the first trigger
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.select("doc_id", "source", norm_h.alias("h"))
+        # matches drop self-hits (an eval doc streaming past its own
+        # hash is not contamination); docs left with NO match row —
+        # including eval docs whose only hit was themselves — get one
+        # clean row via the anti-join, so every incoming doc decides.
+        matches = (
+            n.join(F.broadcast(eval_set), "h")
+            .filter(F.col("doc_id") != F.col("eval_doc_id"))
+            .select("doc_id", "source", "eval_doc_id", F.lit(True).alias("contaminated"))
+        )
+        clean = (
+            n.join(matches.select("doc_id").distinct(), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                "source",
+                F.lit(None).cast("long").alias("eval_doc_id"),
+                F.lit(False).alias("contaminated"),
+            )
+        )
+        matches.unionByName(clean).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
