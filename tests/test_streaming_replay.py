@@ -439,3 +439,77 @@ def test_e16_randomized_replay_matches_aimd_fold(
         )
     )
     assert got == want
+
+
+# --- E17: linger sampler ---------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    minute_gaps=st.lists(st.integers(0, 400), min_size=25, max_size=70),
+    vals=st.lists(
+        st.floats(-100.0, 100.0, allow_nan=False, allow_infinity=False),
+        min_size=70,
+        max_size=70,
+    ),
+    n_chunks=st.integers(2, 4),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e17_randomized_replay_matches_linger_gate(
+    spark, minute_gaps, vals, n_chunks, assign_seed, restart_at
+):
+    """E17 property: for ANY read schedule (gaps straddling the linger
+    interval both ways), ANY chunking, and one mid-stream restart,
+    every read's (fresh, sample_age_ms, sampled_value) equals the
+    rolling-gate replay over the effective stream order — the
+    (lastTick, lastValue) pair must survive micro-batch boundaries and
+    the state-store round-trip."""
+    LINGER_MS = 10_000_000
+    base = pd.Timestamp("2024-01-01")
+    rows, t = [], base
+    for off, g in enumerate(minute_gaps):
+        t = t + pd.Timedelta(minutes=g)
+        rows.append(("t", 0, off, t, float(vals[off])))
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = _chunked(rows, assignment, n_chunks)
+    chunks = [c for c in chunks if c] or [rows]
+    restart_at = min(restart_at, len(chunks))
+
+    # effective order: chunk order; (ts, offset) order within chunk
+    effective = [r for c in chunks for r in sorted(c, key=lambda r: (r[3], r[2]))]
+    last_tick, last_val, want = None, 0.0, {}
+    for _, _, off, ts, v in effective:
+        now = ts.value // 1_000_000
+        if last_tick is None or now - last_tick > LINGER_MS:
+            last_tick, last_val = now, v
+            fresh = True
+        else:
+            fresh = False
+        want[off] = (fresh, now - last_tick, last_val)
+
+    cols = ["topic", "part_id", "msg_offset", "ts", "payload_value"]
+    schema = (
+        "topic string, part_id long, msg_offset long, ts timestamp, "
+        "payload_value double"
+    )
+    to_pdf = lambda c: pd.DataFrame(c, columns=cols)  # noqa: E731
+    tmp = tempfile.mkdtemp(prefix="e17rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now0 = _time.time() - 1000
+    collected: list = []
+    _write_chunks(spark, [to_pdf(c) for c in chunks[:restart_at]], schema, src, now0)
+    _run_phase(spark, P.linger_sample_stream, schema, src, ckpt, "append", collected)
+    if chunks[restart_at:]:
+        _write_chunks(
+            spark, [to_pdf(c) for c in chunks[restart_at:]], schema, src, now0,
+            start_idx=restart_at,
+        )
+        _run_phase(
+            spark, P.linger_sample_stream, schema, src, ckpt, "append", collected
+        )
+
+    got = [r for _, batch_rows in collected for r in batch_rows]
+    assert len(got) == len(rows)
+    for r in got:
+        assert (r.fresh, r.sample_age_ms, r.sampled_value) == want[r.msg_offset], (
+            r.msg_offset
+        )
