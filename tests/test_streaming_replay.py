@@ -16,7 +16,6 @@ import tempfile
 import time as _time
 
 import pandas as pd
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
