@@ -32,3 +32,19 @@ def test_parity(name, sf_dir, spark, duck):
     con = duck_with_views(duck, sf_dir)
     duck_pdf = con.execute(ORACLES[name]).fetchdf()
     assert_parity(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_MED, SF_SMALL], ids=["sf0.01", "sf0.001"])
+def test_documents_ascii_at_parity_sfs(duck, sf_dir):
+    """Guard for the D64/D65 phash oracles (ADVICE r05): the DuckDB SQL
+    mixes byte length (strlen) with character indexing (substr/ord), so
+    Spark (UTF-8 bytes) and DuckDB (codepoints) agree only while the
+    parity corpora are pure ASCII. In UTF-8 every non-ASCII codepoint is
+    multi-byte, so strlen (bytes) == length (chars) ⟺ ASCII; if the
+    generator ever emits non-ASCII text this fails loudly instead of
+    hash-diverging."""
+    n = duck.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE strlen(text) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0, f"non-ASCII documents at {sf_dir}: phash oracle byte/char mix unsafe"

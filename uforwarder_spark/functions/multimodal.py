@@ -373,28 +373,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and candidates are band-bucket-bounded, never all-pairs (the D2
     argument; a boilerplate image cluster is the AQE skew-join case the
     band-join skew test covers). Hamming runs only on candidates.
-    Closure-pickled like D12 (workers never import the package)."""
+    Closure-pickled like D12 (workers never import the package).
 
-    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                if n == 0:
-                    continue  # undecodable/empty payloads drop here
-                ps = [payload[(i * n) // PHASH_BITS] for i in range(PHASH_BITS)]
-                s = sum(ps)
-                ids.append(doc_id)
-                hashes.append(
-                    "".join("1" if p * PHASH_BITS >= s else "0" for p in ps)
-                )
-            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
-
+    Fingerprint/band/Hamming logic is the SHARED ``phash_frame`` /
+    ``phash_bands_frame`` / ``_PHASH_HAM`` kernels (also used by D65 and
+    E28) — one definition, so the documented batch/incremental/live
+    agreement cannot drift (ADVICE r05)."""
     docs = load_table(spark, sf_dir, "documents")
     bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    ph = bins.mapInPandas(
-        phash_batches, schema="doc_id long, phash string"
-    ).persist()  # intentionally not unpersisted: the returned plan is
+    ph = phash_frame(bins).persist()  # intentionally not unpersisted: the returned plan is
     # lazy, so the frame must stay cached until the caller materializes
     # it (the Python fingerprint pass would otherwise re-run for every
     # plan branch); session hygiene is the runner's job, the _emb rule.
@@ -410,20 +397,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-level pairs, linear after this factorization — docs/SCALE.md).
     # Degenerate band buckets (> PHASH_BAND_DF_CAP distinct hashes — the
     # all-ones band of bright images) are dropped before the self-join.
-    band_vals = g.select(
-        "phash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PHASH_BANDS - 1}), b -> "
-                f"struct(b AS b, substr(phash, b * {PHASH_BAND_LEN} + 1, "
-                f"{PHASH_BAND_LEN}) AS bv))"
-            )
-        ).alias("bb"),
-    ).select("phash", "bb.b", "bb.bv")
-    band_df = band_vals.groupBy("b", "bv").agg(
-        F.count("*").alias("_df")
-    ).filter(F.col("_df") <= PHASH_BAND_DF_CAP).select("b", "bv")
-    live = band_vals.join(band_df, ["b", "bv"])
+    live = phash_bands_frame(g.select("phash"))
     other = live.select(
         F.col("phash").alias("pb"),
         F.col("b").alias("ob"),
@@ -439,11 +413,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("phash").alias("pa"), "pb")
         .distinct()
     )
-    ham = F.expr(
-        f"aggregate(transform(sequence(0, {PHASH_BITS - 1}), "
-        "i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1) "
-        "THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
-    )
+    ham = F.expr(_PHASH_HAM)
     gb = g.select(F.col("phash").alias("pb"), F.col("n_exact").alias("n_exact_b"))
     hnear = (
         hcand.filter(ham <= PHASH_HAM_T)

@@ -65,6 +65,24 @@ MESSAGE_SCHEMA = StructType(
 MAX_RETRIES = 5  # reference RetryUtils: retries exhausted → DLQ
 
 
+def _read_state_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a prior-batch state table, or None if it was never written
+    (expected before the first committed micro-batch).
+
+    A bare ``except Exception`` here would also swallow transient read
+    failures (FS hiccup, truncated footer) and silently reset the
+    accumulated state to the current micro-batch — the ratio/estimate
+    tables would still look valid, so the reset would be invisible.
+    Probe existence explicitly with the Hadoop FS API and let any real
+    read error propagate so the trigger fails and retries instead."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path)
+
+
 def prepare_message_log(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Materialize the batch message projection as a parquet directory a
     file-streaming source can tail. Tests use this to stand in for Kafka."""
@@ -1287,12 +1305,7 @@ def importance_weights_pipeline(
                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
             )
         )
-        prev_id = batch_id - 1
-        prev_path = f"{state_dir}/totals/batch_id={prev_id}"
-        try:
-            prev = spark.read.parquet(prev_path)
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(spark, f"{state_dir}/totals/batch_id={batch_id - 1}")
         merged = (
             batch_tot if prev is None
             else batch_tot.unionByName(prev)
@@ -1392,10 +1405,7 @@ def entropy_monitor_pipeline(
     from ..functions.tokenize import TOKENS_SPARK
 
     def merge_counts(spark, batch_cnt: DataFrame, kind: str, batch_id: int) -> None:
-        try:
-            prev = spark.read.parquet(f"{state_dir}/{kind}/batch_id={batch_id - 1}")
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(spark, f"{state_dir}/{kind}/batch_id={batch_id - 1}")
         merged = (
             batch_cnt if prev is None
             else batch_cnt.unionByName(prev)
@@ -1450,10 +1460,7 @@ def hll_monitor_pipeline(
     def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_regs = hll_register_frame(batch_df)
-        try:
-            prev = spark.read.parquet(f"{state_dir}/regs/batch_id={batch_id - 1}")
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(spark, f"{state_dir}/regs/batch_id={batch_id - 1}")
         merged = (
             batch_regs if prev is None
             else batch_regs.unionByName(prev)
@@ -1500,10 +1507,7 @@ def hdr_quantile_pipeline(
         spark = batch_df.sparkSession
         ev = batch_df.select("topic", F.col("payload_value").alias("v"))
         batch_cnt = hdr_bucket_counts_frame(ev)
-        try:
-            prev = spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id - 1}")
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(spark, f"{state_dir}/counts/batch_id={batch_id - 1}")
         merged = (
             batch_cnt if prev is None
             else batch_cnt.unionByName(prev)
@@ -1615,10 +1619,7 @@ def bm25_index_pipeline(
         new_tf = bm25_tf_frame(docs)
         new_dl = bm25_doclen_frame(docs)
         for kind, frame in (("tf", new_tf), ("dl", new_dl)):
-            try:
-                prev = spark.read.parquet(f"{state_dir}/{kind}/batch_id={batch_id - 1}")
-            except Exception:
-                prev = None
+            prev = _read_state_parquet(spark, f"{state_dir}/{kind}/batch_id={batch_id - 1}")
             merged = frame if prev is None else frame.unionByName(prev)
             merged.coalesce(1).write.mode("overwrite").parquet(
                 f"{state_dir}/{kind}/batch_id={batch_id}"
@@ -1740,10 +1741,7 @@ def dsir_model_pipeline(
             F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
         )
         batch_cnt = dsir_counts_frame(dsir_token_buckets_frame(docs))
-        try:
-            prev = spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id - 1}")
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(spark, f"{state_dir}/counts/batch_id={batch_id - 1}")
         merged = (
             batch_cnt if prev is None
             else batch_cnt.unionByName(prev)
