@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 from uforwarder_spark import model
 from uforwarder_spark.streaming import pipelines as P
 
@@ -1471,13 +1471,18 @@ def test_e28_phash_dedup_matches_batch(spark, tmp_path):
 
 
 def test_e29_contamination_gate_rolls_up_to_batch(spark, tmp_path):
-    """E29: rolling the streamed per-doc decisions up per source must
-    reproduce batch D20's (n_contaminated, n_eval_hit) exactly, and a
-    doc matching an eval hash must carry the matched eval ids."""
+    """E29: rolling the streamed per-doc decisions up must reproduce
+    BOTH batch gates exactly — D20's per-source exact-hash counts (via
+    'exact' rows) and D67's per-doc 13-gram counts (via 'ngram' rows).
+    Runs at sf0.01, where the n-gram gate has real hits (the exact gate
+    is empty at both parity SFs — asserted, not assumed)."""
     from uforwarder_spark.model import load_table
-    from uforwarder_spark.operators.dedup import contamination_check
+    from uforwarder_spark.operators.dedup import (
+        contamination_check,
+        ngram_decontamination,
+    )
 
-    d = load_table(spark, SF_SMALL, "documents")
+    d = load_table(spark, SF_MED, "documents")
     ind = str(tmp_path / "incoming")
     d.write.mode("overwrite").parquet(ind)
 
@@ -1495,7 +1500,7 @@ def test_e29_contamination_gate_rolls_up_to_batch(spark, tmp_path):
     assert dec.select("doc_id").distinct().count() == d.count()
     rolled = {
         r.source: (r.n_contaminated, r.n_eval_hit)
-        for r in dec.filter("contaminated")
+        for r in dec.filter("contaminated AND via = 'exact'")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_contaminated"),
@@ -1505,9 +1510,28 @@ def test_e29_contamination_gate_rolls_up_to_batch(spark, tmp_path):
     }
     want = {
         r.source: (r.n_contaminated, r.n_eval_hit)
-        for r in contamination_check(spark, SF_SMALL).collect()
+        for r in contamination_check(spark, SF_MED).collect()
     }
     assert rolled == want
+    # n-gram gate: per-doc (n_gram_hits, n_eval_docs, contaminated)
+    # must equal batch D67 for every non-eval doc
+    g_rolled = {
+        r.doc_id: (r.n_gram_hits, r.n_eval_docs)
+        for r in dec.filter("via = 'ngram'")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_gram_hits").alias("n_gram_hits"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+        .collect()
+    }
+    d67 = ngram_decontamination(spark, SF_MED).collect()
+    g_want = {
+        r.doc_id: (r.n_gram_hits, r.n_eval_docs) for r in d67 if r.contaminated
+    }
+    assert g_rolled == g_want
+    assert len(g_want) > 0  # the gate actually fired at this SF
     # clean rows carry NULL eval ids, flagged rows real ones
     assert dec.filter("contaminated AND eval_doc_id IS NULL").count() == 0
     assert dec.filter("NOT contaminated AND eval_doc_id IS NOT NULL").count() == 0
+    assert dec.filter("contaminated AND via IS NULL").count() == 0

@@ -1228,3 +1228,124 @@ def dedup_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cos >= EMB_AGREE_COS).alias("embeddings_agree"),
         )
     )
+
+
+# --- D67 -----------------------------------------------------------------
+NGRAM_DECON_N = 13  # the GPT-3/PaLM decontamination window: any shared 13-gram
+
+NGRAM_DECON_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+),
+ev AS (
+  SELECT doc_id FROM t
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {EVAL_MOD} = 0
+),
+grams AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ts, i, i + {NGRAM_DECON_N - 1}), ' ')) AS g
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {NGRAM_DECON_N - 2})) AS i FROM t)
+),
+eg AS (
+  SELECT DISTINCT g, grams.doc_id AS eval_doc_id
+  FROM grams JOIN ev ON grams.doc_id = ev.doc_id
+),
+hits AS (
+  SELECT c.doc_id,
+         count(DISTINCT c.g)          AS n_gram_hits,
+         count(DISTINCT e.eval_doc_id) AS n_eval_docs
+  FROM grams c
+  JOIN eg e ON c.g = e.g
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM ev)
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.source,
+       CAST(coalesce(h.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+       CAST(coalesce(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+       coalesce(h.n_gram_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.doc_id NOT IN (SELECT doc_id FROM ev)
+"""
+
+
+_DECON_GRAMS_EXPR = (
+    f"CASE WHEN size(ts) >= {NGRAM_DECON_N} THEN "
+    f"transform(sequence(1, size(ts) - {NGRAM_DECON_N - 1}), "
+    f"i -> md5(concat_ws(' ', slice(ts, i, {NGRAM_DECON_N})))) "
+    f"ELSE array() END"
+)
+
+
+def decon_grams_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): every sliding {NGRAM_DECON_N}-gram of a (doc_id,
+    text) frame as an md5 hash — the shared kernel of batch D67 and the
+    live E29 gate (one definition, so the gates cannot drift). Docs
+    shorter than the window contribute no rows."""
+    return docs.select("doc_id", F.expr(TOKENS_SPARK).alias("ts")).select(
+        "doc_id", F.explode(F.expr(_DECON_GRAMS_EXPR)).alias("g")
+    )
+
+
+def decon_eval_filter() -> F.Column:
+    """D20's deterministic eval-set membership predicate."""
+    return (
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            f" % {EVAL_MOD}"
+        )
+        == 0
+    )
+
+
+@register("ngram_decontamination", NGRAM_DECON_ORACLE)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level decontamination (the GPT-3 appendix-C / PaLM
+    methodology): a training doc is contaminated if it shares ANY
+    {NGRAM_DECON_N}-gram with a held-out eval document — far stricter
+    than D20's whole-document normalized-hash match, which misses eval
+    text quoted inside a larger page. The eval set is D20's
+    deterministic hash(doc_id) % EVAL_MOD == 0 subset; docs shorter
+    than the window contribute no grams (exactly the published rule).
+    Per non-eval doc: distinct shared 13-gram count, distinct eval docs
+    hit, and the drop verdict.
+
+    SCALE: the eval set is benchmark-sized at any corpus scale, so its
+    distinct 13-gram hash table is broadcast (thousands of eval docs ×
+    O(len) grams ≈ a few hundred MB worst case — the published pipelines
+    do exactly this with a Bloom/exact hash set). The corpus pays one
+    scan + explode; the only shuffle is the per-doc partial-agg count
+    over BROADCAST-JOIN SURVIVORS (contaminated docs only — rare by
+    construction), and the hit table re-joins the doc spine broadcast,
+    so the corpus is never shuffled at all.
+
+    Reference: decontamination has no uForwarder counterpart; it is the
+    training-data gate (SURVEY §2 D-family) composed from D24's chunk
+    hashing and D20's eval-set convention."""
+    docs = _docs(spark, sf_dir)
+    is_eval = decon_eval_filter()
+    eval_grams = (
+        decon_grams_frame(docs.filter(is_eval))
+        .select("g", F.col("doc_id").alias("eval_doc_id"))
+        .distinct()
+    )
+    hits = (
+        decon_grams_frame(docs.filter(~is_eval))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("hit_grams"),
+            F.countDistinct("eval_doc_id").alias("hit_evals"),
+        )
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id", "source")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("hit_grams", F.lit(0)).cast("bigint").alias("n_gram_hits"),
+            F.coalesce("hit_evals", F.lit(0)).cast("bigint").alias("n_eval_docs"),
+            (F.coalesce("hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

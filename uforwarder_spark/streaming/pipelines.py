@@ -1821,30 +1821,46 @@ def phash_dedup_pipeline(
 def contamination_gate_pipeline(
     stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
 ):
-    """E29: the live twin of batch D20 — the held-out eval/benchmark
-    hash set (benchmark-sized at ANY corpus scale) is built once and
-    broadcast; each incoming document batch is normalized, hashed, and
-    gated as it lands, emitting one row per (doc, matched eval doc) —
-    or a clean row with NULL eval_doc_id — to a batchId-partitioned
-    sink. Rolling the decisions up reproduces batch D20's per-source
-    contamination counts exactly (the stream test asserts it).
+    """E29: the live twin of batch D20 AND batch D67 — two held-out
+    eval gates, both benchmark-sized at ANY corpus scale, built once
+    and broadcast: (1) D20's whole-document normalized-hash set, and
+    (2) D67's sliding 13-gram hash set (the GPT-3/PaLM rule: sharing
+    ANY 13-gram with an eval doc is contamination, catching eval text
+    quoted inside a larger page that the whole-doc hash misses). Each
+    incoming batch is gated as it lands, emitting one row per
+    (doc, matched eval doc) with ``via`` = 'exact' | 'ngram' — or a
+    clean row with NULL eval_doc_id — to a batchId-partitioned sink.
+    Rolling the decisions up reproduces batch D20's per-source counts
+    and batch D67's per-doc gram/eval-doc counts exactly (the stream
+    test asserts both). Per D67's convention, eval docs themselves are
+    gated only by the exact rule (they are held out, not training
+    candidates; an eval doc quoting another eval doc is not a training
+    leak).
 
-    SCALE: the gate is one scan + md5 per batch and a broadcast join —
-    no shuffle touches the corpus; this is the shape a crawl pipeline
-    uses to keep benchmark text out of training data AT INGEST instead
-    of sweeping after the fact. foreachBatch overwrites its own
+    SCALE: the gate is one scan + md5 (+ one gram explode) per batch
+    and two broadcast joins — no shuffle touches the corpus; the only
+    shuffled rows are broadcast-join SURVIVORS (contaminated docs,
+    rare by construction). This is the shape a crawl pipeline uses to
+    keep benchmark text out of training data AT INGEST instead of
+    sweeping after the fact. foreachBatch overwrites its own
     batch_id=N directory (idempotent under at-least-once replays)."""
+    from ..operators.dedup import decon_eval_filter, decon_grams_frame
+
     norm_h = F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))"))
-    eval_mod_expr = (
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 50"
-    )
+    is_eval = decon_eval_filter()
+    eval_docs = corpus_docs.select("doc_id", "text").filter(is_eval)
     eval_set = (
-        corpus_docs.select("doc_id", "text")
-        .filter(F.expr(eval_mod_expr) == 0)
-        .select(F.col("doc_id").alias("eval_doc_id"), norm_h.alias("h"))
+        eval_docs.select(F.col("doc_id").alias("eval_doc_id"), norm_h.alias("h"))
         .persist()
     )
     eval_set.count()  # materialize once, before the first trigger
+    eval_grams = (
+        decon_grams_frame(eval_docs)
+        .select("g", F.col("doc_id").alias("eval_doc_id"))
+        .distinct()
+        .persist()
+    )
+    eval_grams.count()
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         n = batch_df.select("doc_id", "source", norm_h.alias("h"))
@@ -1855,18 +1871,60 @@ def contamination_gate_pipeline(
         matches = (
             n.join(F.broadcast(eval_set), "h")
             .filter(F.col("doc_id") != F.col("eval_doc_id"))
-            .select("doc_id", "source", "eval_doc_id", F.lit(True).alias("contaminated"))
+            .select(
+                "doc_id",
+                "source",
+                "eval_doc_id",
+                F.lit("exact").alias("via"),
+                F.lit(None).cast("long").alias("n_shared_grams"),
+                F.lit(None).cast("long").alias("n_gram_hits"),
+                F.lit(True).alias("contaminated"),
+            )
         )
+        # n-gram gate (D67): incoming NON-eval docs only; per surviving
+        # (doc, eval_doc) pair the distinct shared-gram count, plus the
+        # doc's distinct-gram total replicated on each pair row so the
+        # batch rollup reproduces D67's n_gram_hits without restating
+        # the join. Each doc's grams live entirely in its own batch, so
+        # the per-doc aggregate is complete with no cross-batch state.
+        ghits = (
+            decon_grams_frame(batch_df.filter(~is_eval).select("doc_id", "text"))
+            .join(F.broadcast(eval_grams), "g")
+        )
+        per_doc = ghits.groupBy("doc_id").agg(
+            F.countDistinct("g").alias("n_gram_hits")
+        )
+        gmatches = (
+            ghits.groupBy("doc_id", "eval_doc_id")
+            .agg(F.countDistinct("g").alias("n_shared_grams"))
+            .join(F.broadcast(per_doc), "doc_id")
+            .join(
+                batch_df.select("doc_id", "source"), "doc_id"
+            )
+            .select(
+                "doc_id",
+                "source",
+                "eval_doc_id",
+                F.lit("ngram").alias("via"),
+                F.col("n_shared_grams").cast("long"),
+                F.col("n_gram_hits").cast("long"),
+                F.lit(True).alias("contaminated"),
+            )
+        )
+        flagged = matches.unionByName(gmatches)
         clean = (
-            n.join(matches.select("doc_id").distinct(), "doc_id", "left_anti")
+            n.join(flagged.select("doc_id").distinct(), "doc_id", "left_anti")
             .select(
                 "doc_id",
                 "source",
                 F.lit(None).cast("long").alias("eval_doc_id"),
+                F.lit(None).cast("string").alias("via"),
+                F.lit(None).cast("long").alias("n_shared_grams"),
+                F.lit(None).cast("long").alias("n_gram_hits"),
                 F.lit(False).alias("contaminated"),
             )
         )
-        matches.unionByName(clean).write.mode("overwrite").parquet(
+        flagged.unionByName(clean).write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
 
