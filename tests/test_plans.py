@@ -526,3 +526,15 @@ def test_pivot_with_values_is_single_pass(spark):
     # pass — no second distinct-discovery scan of orders
     plan = plan_of(spark, "pivot_priority_revenue")
     assert plan.count("FileScan") == 1
+
+
+def test_ngram_decon_eval_set_broadcasts_corpus_never_shuffles(spark):
+    # D67: both joins must be broadcast — the benchmark-sized eval-gram
+    # set into the corpus gram stream, and the (rare) hit table back
+    # onto the doc spine — so no exchange ever hash-partitions the
+    # corpus; the only exchange is the partial-agg of join survivors
+    plan = plan_of(spark, "ngram_decontamination")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan  # grams are codegen'd transform/md5
