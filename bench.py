@@ -53,6 +53,37 @@ BASELINE = {
 }
 BASELINE_CAL = 0.0798
 
+# Second-generation headline set (pinned round 6): the expensive
+# families added after the r03 baseline froze — IVF-SQ8 ANN, BM25,
+# perceptual-hash dedup (corpus + incremental), DSIR selection, funnel,
+# connected components, SemDeDup. Without a pinned per-line rule these
+# had no regression gate (the hole the r04 dedup_simhash question came
+# through). Same protocol: raw seconds from the pin host plus that
+# host's calibration witness (measured in the SAME pin run), so
+# ratio2_calibrated divides out host speed exactly like the r03 set.
+HEADLINE2 = [
+    "ann_topk_ivf_int8",
+    "bm25_topk",
+    "multimodal_phash_dedup",
+    "phash_incremental_dedup",
+    "dsir_selection",
+    "funnel_conversion",
+    "dedup_connected_components",
+    "semdedup_prune",
+]
+BASELINE2 = {
+    "ann_topk_ivf_int8": 1.066,
+    "bm25_topk": 1.094,
+    "multimodal_phash_dedup": 1.55,
+    "phash_incremental_dedup": 2.339,
+    "dsir_selection": 0.833,
+    "funnel_conversion": 0.535,
+    "dedup_connected_components": 1.663,
+    "semdedup_prune": 1.096,
+}
+BASELINE2_CAL = 0.1156  # single-core witness on the r06 pin host
+BASELINE2_CAL_MC = 0.0406  # 32-thread witness on the r06 pin host
+
 
 def _calibration_sec() -> float:
     """Single-core host-speed witness: md5 over a fixed 64 MiB buffer,
@@ -116,32 +147,36 @@ def main() -> None:
     # executor throughput, the quantity that matters at scale, instead
     # of one-time driver compile cost.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE2:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
     # best-of-3 per query: one measured run can eat a stray GC pause or
     # scheduler hiccup; the min reflects the plan's steady-state cost.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # a few operators persist() intermediates reused across plan
-        # branches; within one query's best-of-3 Spark's cache manager
-        # dedupes identical plans (and re-runs legitimately reuse the
-        # cache, as a session user's would), but across QUERIES the
-        # entries differ and would accumulate — drop them here
-        spark.catalog.clearCache()
+    timings2: dict[str, float] = {}
+    for sink, names in ((timings, HEADLINE), (timings2, HEADLINE2)):
+        for name in names:
+            fn = QUERIES[name]
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            sink[name] = round(best, 3)
+            # a few operators persist() intermediates reused across plan
+            # branches; within one query's best-of-3 Spark's cache manager
+            # dedupes identical plans (and re-runs legitimately reuse the
+            # cache, as a session user's would), but across QUERIES the
+            # entries differ and would accumulate — drop them here
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    total2 = round(sum(timings2.values()), 3)
     cal = _calibration_sec()
     host_factor = round(cal / BASELINE_CAL, 3)
-    # Per-line ratios vs the pinned baseline, raw and host-calibrated —
+    host_factor2 = round(cal / BASELINE2_CAL, 3)
+    # Per-line ratios vs the pinned baselines, raw and host-calibrated —
     # BASELINE.md's 1.3x-per-line rule, machine-checked every run.
     ratios = {
         n: {
@@ -151,6 +186,14 @@ def main() -> None:
         for n in HEADLINE
         if n in BASELINE and sf == "0.1"
     }
+    ratios2 = {
+        n: {
+            "ratio_vs_baseline": round(timings2[n] / BASELINE2[n], 2),
+            "ratio_calibrated": round(timings2[n] / BASELINE2[n] / host_factor2, 2),
+        }
+        for n in HEADLINE2
+        if n in BASELINE2 and sf == "0.1"
+    }
     print(
         json.dumps(
             {
@@ -158,12 +201,21 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value2": total2,
+                "queries2": timings2,
                 "calibration_sec": cal,
                 "calibration_mc_sec": _calibration_mc_sec(),
                 "host_factor_vs_baseline": host_factor,
+                "host_factor_vs_baseline2": host_factor2,
                 "ratios": ratios,
+                "ratios2": ratios2,
                 "ratio_total_calibrated": round(
                     total / sum(BASELINE.values()) / host_factor, 3
+                )
+                if sf == "0.1"
+                else None,
+                "ratio2_total_calibrated": round(
+                    total2 / sum(BASELINE2.values()) / host_factor2, 3
                 )
                 if sf == "0.1"
                 else None,
