@@ -332,6 +332,43 @@ FROM err
 """
 
 
+def sq8_codebook(e: DataFrame, sample_fraction: float | None = None) -> DataFrame:
+    """The 1-row (mins, scales) SQ8 codebook — per-dimension [min, max]
+    ranges folded into broadcastable arrays. Shared by D31 (quantize
+    audit), D42 (int8 rescore), and D62 (IVF-SQ8); one definition so
+    the three codebooks cannot drift.
+
+    ``sample_fraction`` enables FAISS-style sampled training: the
+    min/max pass runs on a seeded Bernoulli sample, cutting the
+    build-once pass's exploded rows from O(n·d) to O(n·d·f) — at 100 TB
+    you train the codebook on a bounded sample (FAISS uses ~100k
+    vectors regardless of corpus size) and the scan/quantize stages are
+    unchanged. Two caveats, which is why the default is None (exact):
+    (1) a sampled codebook changes the CODES, so any bit-exact oracle
+    must share the identical sample — the registry oracles assume the
+    full-corpus codebook; (2) out-of-sample values can fall outside the
+    sampled [min, max], so a production sampled build must clamp the
+    quantized code into [0, 255] (harmless here: the exact-rescore
+    stages re-rank with true floats, and D31's audit columns would
+    surface the added reconstruction error rather than hide it)."""
+    if sample_fraction is not None:
+        e = e.sample(fraction=sample_fraction, seed=7)
+    dims = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return dims.agg(
+        F.expr("array_sort(collect_list(struct(i, mn)))").alias("_mins"),
+        F.expr(
+            "array_sort(collect_list(struct(i, (mx - mn) / 255.0D AS scale)))"
+        ).alias("_scales"),
+    ).select(
+        F.expr("transform(_mins, s -> s.mn)").alias("mins"),
+        F.expr("transform(_scales, s -> s.scale)").alias("scales"),
+    )
+
+
 @register("embedding_int8_quantize", INT8_QUANT_ORACLE)
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of the embedding column with per-vector
@@ -352,18 +389,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data prep family (ANN memory
     scaling; same role as FAISS SQ8 storage)."""
     e = _emb(spark, sf_dir)
-    dims = (
-        e.select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    )
-    code = dims.agg(
-        F.expr("array_sort(collect_list(struct(i, mn)))").alias("_mins"),
-        F.expr("array_sort(collect_list(struct(i, (mx - mn) / 255.0D AS scale)))").alias("_scales"),
-    ).select(
-        F.expr("transform(_mins, s -> s.mn)").alias("mins"),
-        F.expr("transform(_scales, s -> s.scale)").alias("scales"),
-    )
+    code = sq8_codebook(e)
     q = e.crossJoin(F.broadcast(code)).withColumn(
         "r",
         F.expr(
@@ -748,18 +774,7 @@ def ann_topk_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data similarity family (the
     FAISS SQ8 ADC + refine pattern re-expressed as DataFrame ops)."""
     e = _emb(spark, sf_dir)
-    dims = (
-        e.select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    )
-    code = dims.agg(
-        F.expr("array_sort(collect_list(struct(i, mn)))").alias("_mins"),
-        F.expr("array_sort(collect_list(struct(i, (mx - mn) / 255.0D AS scale)))").alias("_scales"),
-    ).select(
-        F.expr("transform(_mins, s -> s.mn)").alias("mins"),
-        F.expr("transform(_scales, s -> s.scale)").alias("scales"),
-    )
+    code = sq8_codebook(e)
     r = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
     qrow = r.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("r").alias("qr")
@@ -872,18 +887,7 @@ def ann_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data similarity family (FAISS
     IVF-SQ re-expressed as DataFrame ops)."""
     e = _emb(spark, sf_dir)
-    dims = (
-        e.select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    )
-    code = dims.agg(
-        F.expr("array_sort(collect_list(struct(i, mn)))").alias("_mins"),
-        F.expr("array_sort(collect_list(struct(i, (mx - mn) / 255.0D AS scale)))").alias("_scales"),
-    ).select(
-        F.expr("transform(_mins, s -> s.mn)").alias("mins"),
-        F.expr("transform(_scales, s -> s.scale)").alias("scales"),
-    )
+    code = sq8_codebook(e)
     r = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
     qrow = r.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("r").alias("qr")

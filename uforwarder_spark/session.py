@@ -40,3 +40,19 @@ def get_spark(app_name: str = "uforwarder-spark", shuffle_partitions: str | None
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def release_operator_caches(spark: SparkSession) -> None:
+    """Drop every cached operator intermediate.
+
+    The persist-lifecycle contract for this library: a handful of
+    operators (`_emb`, D4's token frame, D64's fingerprint/group
+    frames) ``persist()`` subtrees that multiple branches of the SAME
+    returned plan re-read, and deliberately do NOT unpersist — the
+    returned DataFrame is lazy, so the cache must outlive the call
+    until the caller materializes it. The cost is that a long-lived
+    session invoking many operators accumulates cache entries until
+    LRU eviction. Callers that loop over queries should call THIS
+    between materializations (bench.py and scripts/bench_all.py do,
+    via the same ``clearCache``); one-shot jobs need nothing."""
+    spark.catalog.clearCache()
