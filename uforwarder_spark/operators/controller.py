@@ -1412,3 +1412,129 @@ def workload_monitor_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("fresh").alias("present"),
     )
+
+
+# --- B22 -----------------------------------------------------------------
+# Supply/demand load-ratio constants (scale units). Micro-unit integer
+# arithmetic keeps the demand sum EXACT: per-job scales are floored to
+# 1e-6 scale units (bigint), capped, and summed as integers; only the
+# final load ratio divides — one double op, bit-identical cross-engine.
+LOAD_MPS_PER_WORKER = 0.001  # messages/sec one worker absorbs
+LOAD_BPS_PER_WORKER = 0.08   # bytes/sec one worker absorbs
+LOAD_CAP_MICRO = 80_000      # per-worker capacity: 0.08 scale units, micro
+
+_LOAD_SCALE_MICRO = (
+    "CAST(floor(greatest("
+    f"(CAST(n_msgs AS DOUBLE) / CAST(span AS DOUBLE)) / {LOAD_MPS_PER_WORKER}, "
+    f"(CAST(n_bytes AS DOUBLE) / CAST(span AS DOUBLE)) / {LOAD_BPS_PER_WORKER}"
+    ") * 1000000.0) AS BIGINT)"
+)
+
+SYSTEM_LOAD_ORACLE = f"""{MSG_CTE},
+span_t AS (
+  SELECT CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS span
+  FROM messages
+),
+jobs AS (
+  SELECT topic, part_id, count(*) AS n_msgs,
+         CAST(sum(size_bytes) AS BIGINT) AS n_bytes
+  FROM messages WHERE outcome <> 'SKIP'
+  GROUP BY topic, part_id
+),
+scaled AS (
+  SELECT topic, part_id,
+         {_LOAD_SCALE_MICRO} AS scale_micro
+  FROM jobs CROSS JOIN span_t
+),
+per_topic AS (
+  SELECT topic,
+         count(*) AS n_jobs,
+         CAST(sum(CASE WHEN scale_micro >= {LOAD_CAP_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_capped,
+         CAST(sum(least(scale_micro, {LOAD_CAP_MICRO})) AS BIGINT) AS demand_micro
+  FROM scaled GROUP BY topic
+),
+sys AS (
+  SELECT CAST(sum(demand_micro) AS BIGINT) AS sys_demand_micro,
+         CAST(4 * {LOAD_CAP_MICRO} AS BIGINT) AS capacity_micro
+  FROM per_topic
+)
+SELECT t.topic, t.n_jobs, t.n_capped, t.demand_micro,
+       round(CAST(s.sys_demand_micro AS DOUBLE) / s.capacity_micro, 8) AS system_load,
+       CASE WHEN CAST(s.sys_demand_micro AS DOUBLE) / s.capacity_micro < 1.0 THEN 'under'
+            WHEN CAST(s.sys_demand_micro AS DOUBLE) / s.capacity_micro > 1.0 THEN 'over'
+            ELSE 'balanced' END AS utilization
+FROM per_topic t CROSS JOIN sys s
+"""
+
+
+@register("system_load_ratio", SYSTEM_LOAD_ORACLE)
+def system_load_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar.onLoad / AbstractRpcUriRebalancer.postProcess+calculateLoad
+    (controller/autoscalar/Scalar.java:36,
+    consumerproxy/controller/rebalancer/AbstractRpcUriRebalancer.java:198)
+    — the supply/demand load ratio the rebalancer feeds back to the
+    autoscaler after each assignment pass: demand = Σ over RUNNING jobs
+    of min(job scale, capacity_per_worker); capacity = |workers| ×
+    capacity_per_worker; load < 1 under-utilized, = 1 balanced, > 1
+    over-utilized. Job scale is the ThroughputScaleConverter
+    (AutoScalar.java:376): max(mps / mpsPerWorker, bps / bpsPerWorker)
+    over the job's measured rates; "running" = the job has at least one
+    non-SKIP message (the B18 state convention). Per topic: job count,
+    capped-job count, exact demand contribution (micro scale units),
+    plus the system-wide ratio and its utilization verdict.
+
+    Exactness: rates divide exact BIGINTs by the global span (fixed op
+    order), the per-job scale floors to integer micro-units before the
+    cap/sum, so the demand sum is exact integer arithmetic — the only
+    rounded double is the final ratio.
+
+    SCALE: one message-log scan feeding two partial aggs (per-job, then
+    per-topic); the span and system rows are 1-row broadcasts. The
+    control-plane output is O(topics)."""
+    m = messages(spark, sf_dir)
+    span = m.agg(
+        (
+            F.max(F.expr("unix_timestamp(ts)")) - F.min(F.expr("unix_timestamp(ts)"))
+        ).alias("span")
+    )
+    jobs = (
+        m.filter(F.col("outcome") != "SKIP")
+        .groupBy("topic", "part_id")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("size_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+    scaled = jobs.crossJoin(F.broadcast(span)).withColumn(
+        "scale_micro", F.expr(_LOAD_SCALE_MICRO)
+    )
+    per_topic = scaled.groupBy("topic").agg(
+        F.count("*").alias("n_jobs"),
+        F.sum(F.when(F.col("scale_micro") >= LOAD_CAP_MICRO, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped"),
+        F.sum(F.least(F.col("scale_micro"), F.lit(LOAD_CAP_MICRO)))
+        .cast("bigint")
+        .alias("demand_micro"),
+    )
+    sys_row = per_topic.agg(
+        F.sum("demand_micro").cast("bigint").alias("sys_demand_micro"),
+        F.lit(4 * LOAD_CAP_MICRO).cast("bigint").alias("capacity_micro"),
+    )
+    ratio = F.col("sys_demand_micro").cast("double") / F.col("capacity_micro")
+    return (
+        per_topic.crossJoin(F.broadcast(sys_row))
+        .select(
+            "topic",
+            "n_jobs",
+            "n_capped",
+            "demand_micro",
+            F.round(ratio, 8).alias("system_load"),
+            F.when(ratio < 1.0, "under")
+            .when(ratio > 1.0, "over")
+            .otherwise("balanced")
+            .alias("utilization"),
+        )
+    )
