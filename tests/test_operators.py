@@ -1010,3 +1010,25 @@ def test_linger_shards_independent(spark):
     got = {(r.topic, r.msg_offset): r for r in linger_sampler_frame(m, linger_ms=10_000).collect()}
     assert got[("t", 2)].fresh is False
     assert got[("u", 1)].fresh is True and got[("u", 1)].sampled_value == 8.0
+
+
+def test_pq_recall_against_bruteforce(spark):
+    """D68: the PQ path is approximate by design — the gate is recall
+    against the exact brute-force top-10, not score equality (that part
+    is the oracle's job). At sf0.01 the 4-bit ADC keeps >=5/10 of the
+    true neighbors (observed 7), and every returned score pair is
+    internally consistent (approx_l2 on unit vectors in [0, 4], cosine
+    in [-1, 1])."""
+    from tests.conftest import SF_MED
+    from uforwarder_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_pq,
+    )
+
+    pq = ann_topk_pq(spark, SF_MED).collect()
+    bf = {r.vec_id for r in ann_topk_bruteforce(spark, SF_MED).collect()}
+    assert len(pq) == 10
+    assert len({r.vec_id for r in pq} & bf) >= 5
+    for r in pq:
+        assert 0.0 <= r.approx_l2 <= 4.0
+        assert -1.0 <= r.cosine <= 1.0

@@ -538,3 +538,15 @@ def test_ngram_decon_eval_set_broadcasts_corpus_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan  # grams are codegen'd transform/md5
+
+
+def test_pq_estep_is_rowlocal_and_topk_limit_first(spark):
+    # D68: both PQ E-steps must be shuffle-free row-local folds over a
+    # broadcast codebook (no vec×k fan-out join), the ADC/rescore top-Ks
+    # plan limit-first, and nothing goes cartesian or through Python
+    plan = plan_of(spark, "ann_topk_pq")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # packed codebook / query rows
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "pythonUDF" not in plan

@@ -988,3 +988,222 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_max").cast("double") / F.col("n"), 6).alias("purity"),
         )
     )
+
+
+# --- D68 -----------------------------------------------------------------
+PQ_M = 8        # subspaces (64-dim vector -> 8 subvectors of 8 dims)
+PQ_SUB = 8      # dims per subspace
+PQ_K = 16       # codes per subspace codebook (4 bits -> 4-byte PQ code)
+PQ_RESCORE = 50  # ADC candidates kept for exact rescore
+
+_PQ_NORM_DUCK = (
+    "list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)))"
+)
+
+PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) > 0
+),
+n AS (
+  SELECT vec_id, label, v, {_PQ_NORM_DUCK} AS u FROM e
+),
+subs AS (
+  SELECT vec_id, m, list_slice(u, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sub
+  FROM n CROSS JOIN (SELECT unnest(range({PQ_M})) AS m)
+),
+seed_ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+seeds AS (
+  SELECT s.m, si.code, s.sub AS c
+  FROM subs s JOIN seed_ids si ON s.vec_id = si.vec_id
+),
+d1 AS (
+  SELECT s.vec_id, s.m, s.sub, cb.code,
+         {_SQD_DUCK.format(v='s.sub', c='cb.c')} AS dist
+  FROM subs s JOIN seeds cb ON s.m = cb.m
+),
+a1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM d1
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT m, code, unnest(range(len(sub))) AS d, sub FROM a1
+),
+per_dim AS (
+  SELECT m, code, d,
+         CAST(sum(CAST(round(sub[d + 1], 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS mean
+  FROM comp GROUP BY m, code, d
+),
+cent2 AS (
+  SELECT m, code, list(mean ORDER BY d) AS c FROM per_dim GROUP BY m, code
+),
+d2 AS (
+  SELECT s.vec_id, s.m, cb.code,
+         {_SQD_DUCK.format(v='s.sub', c='cb.c')} AS dist
+  FROM subs s JOIN cent2 cb ON s.m = cb.m
+  WHERE s.vec_id <> 0
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM d2
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT q.m, cb.code, {_SQD_DUCK.format(v='q.sub', c='cb.c')} AS dval
+  FROM (SELECT m, sub FROM subs WHERE vec_id = 0) q
+  JOIN cent2 cb ON q.m = cb.m
+),
+approx AS (
+  SELECT c.vec_id,
+         list_reduce(list(t.dval ORDER BY c.m), (a, b) -> a + b) AS adc
+  FROM codes c JOIN dtab t ON c.m = t.m AND c.code = t.code
+  GROUP BY c.vec_id
+),
+cand AS (
+  SELECT vec_id, adc FROM approx ORDER BY adc, vec_id LIMIT {PQ_RESCORE}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round(cand.adc, 6) AS approx_l2,
+       round({_cos_expr('duck', 'e.v', 'q.qv')}, 6) AS cosine
+FROM cand JOIN e ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY {_cos_expr('duck', 'e.v', 'q.qv')} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """PQ E-step: nearest sub-codebook entry per (vec_id, m), as a
+    STATELESS row-local fold — the (m, code, c) codebook collapses to
+    ONE sorted array row (static-side agg), broadcasts, and each
+    subvector folds over its own subspace's entries keeping the
+    strictly-smaller distance (array sorted by (m, code) ⇒ lower-code
+    tiebreak, the same order as min(struct(dist, code))). No sub×k
+    fan-out, no per-row aggregation, no shuffle — the D40
+    _kmeans_assign argument, per subspace."""
+    packed = cents.agg(
+        F.expr("array_sort(collect_list(struct(m, code, c))) AS cbook")
+    )
+    dist = _SQD_SPARK.format(v="sub", c="cent.c")
+    pick = F.expr(
+        "aggregate(filter(cbook, e0 -> e0.m = m), "
+        "CAST(NULL AS struct<code: int, dist: double>), "
+        f"(best, cent) -> CASE WHEN best IS NULL OR {dist} < best.dist "
+        f"THEN struct(cent.code AS code, {dist} AS dist) ELSE best END)"
+    )
+    return (
+        subs.crossJoin(F.broadcast(packed))
+        .withColumn("pk", pick)
+        .select("vec_id", "m", "sub", F.col("pk.code").alias("code"))
+    )
+
+
+@register("ann_topk_pq", PQ_ORACLE)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al. 2011, the FAISS PQ path):
+    unit-normalized vectors split into {PQ_M} subvectors of {PQ_SUB}
+    dims; each subspace gets a {PQ_K}-entry codebook (deterministic
+    mini-Lloyd: seeds = the {PQ_K} lowest vec_ids' subvectors, one
+    decimal-exact M-step — the D40 recipe per subspace); corpus vectors
+    encode to 4-bit codes per subspace. The query builds its ADC
+    distance table (subspace × code squared distances — {PQ_M}×{PQ_K}
+    rows), each vector's approximate L2² is the m-ordered sequential
+    sum of its codes' table entries (on unit vectors L2² = 2 − 2·cos,
+    so ADC order is cosine order), the best {PQ_RESCORE} rescore with
+    exact cosine on the raw vectors, and the top 10 return with both
+    scores so recall loss is auditable per hit.
+
+    Exactness: normalization, subvector distances, ADC sums, and the
+    cosine rescore are all fixed-order sequential folds; codebook means
+    sum DECIMAL(20,7) (order-free exact) with one double division;
+    every argmin ties to the lower code — so candidate SETS, not just
+    scores, are bit-identical to the oracle.
+
+    SCALE: at index scale the codebook trains on a bounded sample (the
+    sq8_codebook argument) and the stored table is the 4-byte code —
+    16× smaller than SQ8's 64 bytes, the reason PQ exists; both E-steps
+    are shuffle-free row-local folds over a broadcast codebook
+    (_pq_assign); the M-step shuffles only (m, code, d) partial aggs —
+    {PQ_M}·{PQ_K}·{PQ_SUB} groups regardless of corpus size; the ADC
+    scan is one map over the codes + a limit-first
+    TakeOrderedAndProject; rescore touches {PQ_RESCORE} rows.
+
+    Reference analogue: none — training-data similarity family
+    (completes the LSH / IVF / SQ8 / IVF-SQ8 / PQ set)."""
+    e = _emb(spark, sf_dir)
+    nrm = e.withColumn(
+        "u",
+        F.expr(
+            "transform(v, x -> x / sqrt(aggregate(v, 0.0D, (a, y) -> a + y * y)))"
+        ),
+    )
+    subs = (
+        nrm.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"struct(m AS m, slice(u, m * {PQ_SUB} + 1, {PQ_SUB}) AS sub))"
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.sub")
+        .persist()  # read by seeds join, both E-steps, and the ADC table
+    )
+    wseed = Window.orderBy("vec_id")
+    seed_ids = (
+        e.orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id")
+        .withColumn("code", (F.row_number().over(wseed) - 1).cast("int"))
+    )
+    seeds = subs.join(F.broadcast(seed_ids), "vec_id").select(
+        "m", "code", F.col("sub").alias("c")
+    )
+    a1 = _pq_assign(subs, seeds)
+    comp = a1.select("m", "code", F.posexplode("sub").alias("d", "x"))
+    per_dim = comp.groupBy("m", "code", "d").agg(
+        (
+            F.sum(F.expr("CAST(round(x, 7) AS DECIMAL(20,7))")).cast("double")
+            / F.count("*")
+        ).alias("mean")
+    )
+    cent2 = (
+        per_dim.groupBy("m", "code")
+        .agg(F.expr("array_sort(collect_list(struct(d, mean)))").alias("dm"))
+        .select("m", "code", F.expr("transform(dm, s -> s.mean)").alias("c"))
+    )
+    codes = _pq_assign(subs.filter(F.col("vec_id") != 0), cent2).drop("sub")
+    qsubs = subs.filter(F.col("vec_id") == 0).select("m", F.col("sub").alias("qsub"))
+    dtab = (
+        qsubs.join(F.broadcast(cent2), "m")
+        .withColumn("dval", F.expr(_SQD_SPARK.format(v="qsub", c="c")))
+        .select("m", "code", "dval")
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.expr("array_sort(collect_list(struct(m, dval)))").alias("ds"))
+        .withColumn(
+            "adc", F.expr("aggregate(ds, 0.0D, (acc, p) -> acc + p.dval)")
+        )
+    )
+    cand = approx.orderBy("adc", "vec_id").limit(PQ_RESCORE).select("vec_id", "adc")
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round("adc", 6).alias("approx_l2"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
