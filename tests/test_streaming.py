@@ -1535,3 +1535,47 @@ def test_e29_contamination_gate_rolls_up_to_batch(spark, tmp_path):
     assert dec.filter("contaminated AND eval_doc_id IS NULL").count() == 0
     assert dec.filter("NOT contaminated AND eval_doc_id IS NOT NULL").count() == 0
     assert dec.filter("contaminated AND via IS NULL").count() == 0
+
+
+def test_e30_system_load_converges_to_batch(spark, tmp_path):
+    """E30: after the message stream drains, the derived load table
+    equals batch B22's bit-for-bit (additive counters + MIN/MAX span
+    merge through the shared system_load_from kernel). The log is
+    written as 4 files so the counters actually merge across several
+    micro-batches."""
+    import os
+
+    from uforwarder_spark.operators.controller import system_load_ratio
+
+    src = str(tmp_path / "src")
+    model.messages(spark, SF_SMALL).repartition(4).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+    q = P.system_load_pipeline(
+        P.message_stream(spark, src, files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/load")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the merge path ran
+    cols = ["topic", "n_jobs", "n_capped", "demand_micro", "system_load", "utilization"]
+    got = (
+        spark.read.parquet(f"{state}/load/batch_id={last}")
+        .select(cols)
+        .toPandas()
+        .sort_values("topic")
+        .reset_index(drop=True)
+    )
+    want = (
+        system_load_ratio(spark, SF_SMALL)
+        .select(cols)
+        .toPandas()
+        .sort_values("topic")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -838,3 +838,78 @@ def test_e29_gate_replay_idempotent_and_matches_batch(
     }
     assert g_rolled == g_want
     assert len(g_want) > 0
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e30_system_load_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E30 property: the per-job counters (additive) and span (MIN/MAX)
+    survive ANY chunking + a replayed batch (bit-identical re-write),
+    and the final load table equals batch B22's bit-for-bit."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import messages
+    from uforwarder_spark.operators.controller import system_load_ratio
+
+    msg_cols = [
+        "msg_offset", "topic", "part_id", "ts", "size_bytes",
+        "payload_value", "outcome", "retry_count", "acked", "latency_ms",
+    ]
+    msg_schema = (
+        "msg_offset long, topic string, part_id long, ts timestamp, "
+        "size_bytes long, payload_value double, outcome string, "
+        "retry_count long, acked boolean, latency_ms long"
+    )
+    m_pdf = messages(spark, SF_SMALL).toPandas()[msg_cols]
+    rows = list(m_pdf.itertuples(index=False))
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = [
+        pd.DataFrame([r for r, c in zip(rows, assignment) if c == k], columns=msg_cols)
+        for k in range(n_chunks)
+    ]
+    chunks = [c for c in chunks if len(c)] or [m_pdf]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e30rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(msg_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.system_load_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], msg_schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    paths = [f"{tmp}/state/jobs/batch_id={bid}", f"{tmp}/state/load/batch_id={bid}"]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], msg_schema, src, now, start_idx=restart_at)
+    run_phase()
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/load")
+        if d.startswith("batch_id=")
+    )
+    cols = ["topic", "n_jobs", "n_capped", "demand_micro", "system_load", "utilization"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/load/batch_id={last}")
+        .select(cols).toPandas().sort_values("topic").reset_index(drop=True)
+    )
+    want = (
+        system_load_ratio(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("topic").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1507,6 +1507,14 @@ def system_load_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("size_bytes").cast("bigint").alias("n_bytes"),
         )
     )
+    return system_load_from(jobs, span)
+
+
+def system_load_from(jobs: DataFrame, span: DataFrame) -> DataFrame:
+    """The B22 load derivation from a per-job counter frame (topic,
+    part_id, n_msgs, n_bytes) and a 1-row span frame — shared by batch
+    B22 and the live E30 monitor (one definition, so the feedback ratio
+    cannot drift between the sweep and the live path)."""
     scaled = jobs.crossJoin(F.broadcast(span)).withColumn(
         "scale_micro", F.expr(_LOAD_SCALE_MICRO)
     )

@@ -1934,3 +1934,75 @@ def contamination_gate_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E30: live system-load monitor ------------------------------------------
+def system_load_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E30: the live twin of batch B22 — the rebalancer's supply/demand
+    feedback ratio (Scalar.onLoad) maintained continuously instead of
+    recomputed per sweep. Each micro-batch contributes per-job message/
+    byte counters (additive) and the observed ts span (MIN/MAX-merge);
+    the merged state re-derives the per-topic demand table and system
+    ratio through the SHARED system_load_from kernel, so after the
+    stream drains the load table equals batch B22 bit-for-bit.
+    ``{state_dir}/jobs/batch_id=N`` holds (topic, part_id, n_msgs,
+    n_bytes, mn, mx) after batch N — O(jobs) rows forever;
+    ``{state_dir}/load/batch_id=N`` the derived B22 table. Replays
+    re-merge the same batch into the same directory — idempotent under
+    at-least-once (the E19/E21/E22 shape, covered by the replay-
+    injection harness's state-snapshot pattern).
+
+    SCALE: per trigger the micro-batch aggregates map-side to O(jobs)
+    rows and merges against O(jobs) state; the load derivation is
+    O(topics) scalar math. Nothing ever re-reads the log."""
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_jobs = (
+            batch_df.withColumn("sec", F.expr("unix_timestamp(ts)"))
+            .groupBy("topic", "part_id")
+            .agg(
+                F.sum(F.when(F.col("outcome") != "SKIP", 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_msgs"),
+                F.sum(
+                    F.when(F.col("outcome") != "SKIP", F.col("size_bytes")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_bytes"),
+                F.min("sec").alias("mn"),
+                F.max("sec").alias("mx"),
+            )
+        )
+        prev = _read_state_parquet(spark, f"{state_dir}/jobs/batch_id={batch_id - 1}")
+        merged = (
+            batch_jobs if prev is None
+            else batch_jobs.unionByName(prev)
+            .groupBy("topic", "part_id")
+            .agg(
+                F.sum("n_msgs").cast("bigint").alias("n_msgs"),
+                F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/jobs/batch_id={batch_id}"
+        )
+        from ..operators.controller import system_load_from
+
+        state = spark.read.parquet(f"{state_dir}/jobs/batch_id={batch_id}")
+        span = state.agg((F.max("mx") - F.min("mn")).alias("span"))
+        jobs = state.filter(F.col("n_msgs") > 0).select(
+            "topic", "part_id", "n_msgs", "n_bytes"
+        )
+        system_load_from(jobs, span).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/load/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
