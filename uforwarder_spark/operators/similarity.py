@@ -1089,11 +1089,13 @@ def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
         F.expr("array_sort(collect_list(struct(m, code, c))) AS cbook")
     )
     dist = _SQD_SPARK.format(v="sub", c="cent.c")
+    # array_min over (dist, code) structs = lexicographic min = smallest
+    # distance with lower-code tiebreak, evaluating each distance ONCE
+    # (a CASE-based fold would compute it twice per entry: condition +
+    # kept struct)
     pick = F.expr(
-        "aggregate(filter(cbook, e0 -> e0.m = m), "
-        "CAST(NULL AS struct<code: int, dist: double>), "
-        f"(best, cent) -> CASE WHEN best IS NULL OR {dist} < best.dist "
-        f"THEN struct(cent.code AS code, {dist} AS dist) ELSE best END)"
+        "array_min(transform(filter(cbook, e0 -> e0.m = m), "
+        f"cent -> struct({dist} AS dist, cent.code AS code)))"
     )
     return (
         subs.crossJoin(F.broadcast(packed))
