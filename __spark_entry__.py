@@ -22,18 +22,19 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-6 window (round-5 verdict, next-round item 1): rotate onto the
 # now-oldest cohorts. Slot arithmetic (counted, not estimated):
-# 7 new/changed-this-round + 9 r02 relational cohort + 25 r03 A-cohort
-# + 9 r03 B-cohort = 50 exactly (B21 workload_monitor_ttl and C10
-# user_sessions slide to the overflow head, keeping their r03 rows +
-# both-SF pytest parity).
+# 10 new/changed-this-round + 9 r02 relational cohort + 25 r03 A-cohort
+# + 6 r03 B-cohort = 50 exactly (B18/B19/B20/B21 and C10 slide to the
+# overflow head, keeping their r03 rows + both-SF pytest parity).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (7): D67/D68/B22 are new; D64
+    # -- (a) new or changed this round (10): D67/D68/B22 are new; D64
     #    moved to the shared phash kernels; D31/D42/D62 moved to the
-    #    shared sq8_codebook kernel --
+    #    shared sq8_codebook kernel; D40/D41/D59 moved to the
+    #    array_min E-step kernel --
     "ngram_decontamination", "ann_topk_pq", "system_load_ratio",
     "multimodal_phash_dedup",
     "embedding_int8_quantize", "ann_topk_int8_rescore",
     "ann_topk_ivf_int8",
+    "kmeans_embedding_assign", "semdedup_prune", "kmeans_cluster_purity",
     # -- (b) r02 relational cohort (9): oldest driver rows in the repo,
     #    four of them slid to overflow in the r05 window --
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
@@ -51,13 +52,13 @@ _KEY_PRIORITY = [
     "unprocessed_limiter", "delay_process", "dlq_dispatch_tokens",
     "inflight_bootstrap", "inflight_pending_order",
     "dlq_produce_batches", "inflight_usage_critical",
-    # -- (d) r03 B-cohort (9) --
+    # -- (d) r03 B-cohort (6) --
     "job_commands", "workload_assignment", "autoscale_prediction",
     "worker_lease_reassignment", "scale_window_proposal",
-    "reactive_downscale_window", "batch_job_completion",
-    "pod_assignment_groups", "flow_control_aggregate",
+    "reactive_downscale_window",
     # ---------------- 50-slot window ends here ----------------
-    "workload_monitor_ttl", "user_sessions",
+    "batch_job_completion", "pod_assignment_groups",
+    "flow_control_aggregate", "workload_monitor_ttl", "user_sessions",
     # Overflow (both-SF pytest parity continues to cover these with the
     # driver-grade comparator): the remaining r03 keys — the D-cohort
     # (D1/D2/D30/D32/D33/D35/D36), next round's rotation candidates —

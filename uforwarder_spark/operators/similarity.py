@@ -543,22 +543,21 @@ SELECT vec_id, label, cluster, round(dist, 6) AS sq_dist FROM a2
 
 def _kmeans_assign(e, centroids):
     """E-step: nearest centroid per vector, as a STATELESS row-local
-    fold — the k-row centroid frame collapses to ONE array<struct
+    map — the k-row centroid frame collapses to ONE array<struct
     (cluster, c)> row (static-side agg), broadcasts, and each vector
-    folds over it keeping the strictly-smaller distance (array sorted
-    by cluster ⇒ lower-cluster tiebreak, same order as min(struct(dist,
-    cluster))). No vec×k fan-out, no per-vec aggregation, no shuffle —
-    the E-step is a pure map over the vector scan; streaming E18 runs
-    the identical fold online."""
+    takes array_min over (dist, cluster) structs: lexicographic min =
+    smallest distance with lower-cluster tiebreak (the same order as
+    the previous CASE-based fold, which computed every distance TWICE —
+    condition + kept struct). No vec×k fan-out, no per-vec aggregation,
+    no shuffle — the E-step is a pure map over the vector scan;
+    streaming E18 runs the IDENTICAL kernel (it calls this function)."""
     packed = centroids.agg(
         F.expr("array_sort(collect_list(struct(cluster, c))) AS cents")
     )
     dist = _SQD_SPARK.format(v="v", c="cent.c")
     pick = F.expr(
-        "aggregate(cents, "
-        "CAST(NULL AS struct<cluster: int, dist: double>), "
-        f"(best, cent) -> CASE WHEN best IS NULL OR {dist} < best.dist "
-        f"THEN struct(cent.cluster AS cluster, {dist} AS dist) ELSE best END)"
+        "array_min(transform(cents, "
+        f"cent -> struct({dist} AS dist, cent.cluster AS cluster)))"
     )
     return (
         e.crossJoin(F.broadcast(packed))

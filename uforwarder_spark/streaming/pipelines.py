@@ -1241,29 +1241,13 @@ def cluster_assign_stream(stream: DataFrame, centroids: DataFrame) -> DataFrame:
 
     Ties break to the lower cluster id, like D40 (the fold keeps the
     strictly-smaller distance only)."""
-    packed = centroids.agg(
-        F.expr(
-            "array_sort(collect_list(struct(cluster, c))) AS cents"
-        )
-    )
-    dist = (
-        "aggregate(zip_with(v, cent.c, (x, y) -> (x - y) * (x - y)), 0.0D, "
-        "(acc, x) -> acc + x)"
-    )
-    pick = F.expr(
-        "aggregate(cents, "
-        "CAST(NULL AS struct<cluster: int, dist: double>), "
-        f"(best, cent) -> CASE WHEN best IS NULL OR {dist} < best.dist "
-        f"THEN struct(cent.cluster AS cluster, {dist} AS dist) ELSE best END)"
-    )
-    return (
-        stream.crossJoin(F.broadcast(packed))
-        .withColumn("pick", pick)
-        .select(
-            "vec_id", "label",
-            F.col("pick.cluster").alias("cluster"),
-            F.round("pick.dist", 6).alias("sq_dist"),
-        )
+    from ..operators.similarity import _kmeans_assign
+
+    return _kmeans_assign(stream, centroids).select(
+        "vec_id",
+        "label",
+        "cluster",
+        F.round("dist", 6).alias("sq_dist"),
     )
 
 
