@@ -1030,3 +1030,37 @@ def test_embedding_agreement_flags_disagreeing_pairs(spark, tmp_path):
     assert got[(0, 1)].embeddings_agree and got[(0, 1)].cosine == 1.0
     assert not got[(2, 3)].embeddings_agree and got[(2, 3)].cosine == 0.0
     assert all(r.jaccard >= 0.5 for r in got.values())
+
+
+def test_ngram_decon_short_docs_and_quoted_eval_text(spark, edge_dir, tmp_path):
+    """Non-vacuous D67. (a) On the edge corpus every doc is shorter
+    than the 13-token window, so no doc contributes grams — the
+    operator must still return EVERY non-eval doc with zero counts
+    (the short-doc CASE guard, the published rule). (b) On a seeded
+    corpus, doc 1 quotes eval doc 51's 13-gram inside a LONGER page —
+    the exact scenario D20's whole-doc hash misses — and must be the
+    only contaminated doc, attributed to exactly one eval doc."""
+    from uforwarder_spark.operators.dedup import ngram_decontamination
+
+    rows = ngram_decontamination(spark, edge_dir).collect()
+    assert len(rows) > 0
+    assert all(r.n_gram_hits == 0 and not r.contaminated for r in rows)
+
+    eval_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    docs = [
+        # quotes the full 13-gram inside a longer page -> contaminated
+        (1, "intro words then " + eval_text + " and a trailing sentence", "en", "web", 99),
+        # shares only a 12-gram prefix -> clean under the 13-gram rule
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima", "en", "web", 75),
+        (3, "completely unrelated words about nothing in particular at all", "en", "books", 62),
+        (51, eval_text, "en", "eval", 80),  # eval-set member (hash60(md5('51')) % 50 == 0)
+    ]
+    d = tmp_path / "decon"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in ngram_decontamination(spark, str(d)).collect()}
+    assert 51 not in got  # eval docs are not training candidates
+    assert got[1].contaminated and got[1].n_eval_docs == 1 and got[1].n_gram_hits >= 1
+    assert not got[2].contaminated and got[2].n_gram_hits == 0
+    assert not got[3].contaminated
