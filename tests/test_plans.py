@@ -550,3 +550,17 @@ def test_pq_estep_is_rowlocal_and_topk_limit_first(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_multiquery_ivf_windows_partition_per_query(spark):
+    # D69: both rank windows must carry the per-query partition key — a
+    # global (empty-partition-spec) window would funnel every query's
+    # candidates through one reducer; probed cells and the query batch
+    # broadcast onto the corpus scan
+    import re
+
+    plan = plan_of(spark, "ann_multiquery_ivf")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("qid" in s for s in specs)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

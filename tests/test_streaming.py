@@ -1579,3 +1579,45 @@ def test_e30_system_load_converges_to_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e31_query_serving_matches_batch(spark, tmp_path):
+    """E31: the union of streamed per-query result pages equals batch
+    D69 row-for-row — same probed cells, same candidates, same ranks —
+    regardless of how the query workload is chunked into batches."""
+    from uforwarder_spark.operators.similarity import (
+        QUERY_MOD,
+        _emb,
+        ann_multiquery_ivf,
+    )
+
+    e = _emb(spark, SF_SMALL)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    src = tmp_path / "src"
+    med = q.agg(F.expr("percentile_approx(qid, 0.5)")).collect()[0][0]
+    q.filter(F.col("qid") <= med).coalesce(1).write.parquet(str(src / "f0"))
+    q.filter(F.col("qid") > med).coalesce(1).write.parquet(str(src / "f1"))
+    _age_files(src, {"f0": -10, "f1": 0})
+
+    stream = (
+        spark.readStream.schema("qid long, qv array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "pages")
+    qy = P.ann_query_serving_pipeline(stream, e, out, str(tmp_path / "ckpt"))
+    qy.awaitTermination(timeout=300)
+
+    cols = ["qid", "vec_id", "label", "cosine", "rank"]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        ann_multiquery_ivf(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

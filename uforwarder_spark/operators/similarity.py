@@ -1208,3 +1208,119 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+# --- D69 -----------------------------------------------------------------
+QUERY_MOD = 100   # vec_id % QUERY_MOD == 0 -> the query workload
+MQ_TOPK = 5       # hits returned per query
+
+MQ_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) > 0
+),
+queries AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0
+),
+corpus AS (
+  SELECT vec_id, label, v FROM e WHERE vec_id % {QUERY_MOD} <> 0
+),
+rep_ids AS (
+  SELECT label, min(vec_id) AS vec_id FROM e GROUP BY label
+),
+reps AS (
+  SELECT e.label, e.v AS rep_v FROM e JOIN rep_ids r
+    ON e.label = r.label AND e.vec_id = r.vec_id
+),
+probed AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, r.label,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_cos_expr('duck', 'r.rep_v', 'q.qv')} DESC, r.label
+           ) AS rn
+    FROM queries q CROSS JOIN reps r
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.qid, c.vec_id, c.label,
+         {_cos_expr('duck', 'c.v', 'q.qv')} AS cos_raw
+  FROM probed p
+  JOIN corpus c ON c.label = p.label
+  JOIN queries q ON q.qid = p.qid
+)
+SELECT qid, vec_id, label, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {MQ_TOPK}
+"""
+
+
+def ivf_multiquery_topk(queries: DataFrame, corpus: DataFrame, reps: DataFrame) -> DataFrame:
+    """Per-query IVF search over a (qid, qv) workload frame — the shared
+    kernel of batch D69 and the live E31 query-serving pipeline. Probes
+    each query's {N_PROBE} best cells by representative cosine, scores
+    exactly inside probed cells only, and ranks per query.
+
+    SCALE: reps is O(cells) and broadcasts; the probe stage is
+    |queries|×|cells| row-local work with a per-QUERY (never global)
+    rank window; the probed (qid, label) table — |queries|·{N_PROBE}
+    rows — broadcasts onto the corpus scan so only probed cells are
+    read (cell-partitioned layout prunes at the scan at 100 TB); the
+    final rank window partitions by qid, candidates bounded by the
+    probed cells. No global sort anywhere."""
+    wprobe = Window.partitionBy("qid").orderBy(
+        F.desc("rep_cos"), F.col("label")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(reps))
+        .withColumn("rep_cos", F.expr(_cos_expr("spark", "rep_v", "qv")))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", "label")
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(probed), "label")
+        .join(F.broadcast(queries), "qid")
+        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= MQ_TOPK)
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register("ann_multiquery_ivf", MQ_IVF_ORACLE)
+def ann_multiquery_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query IVF ANN — the SERVING shape: every vec_id % 100 == 0
+    vector is a query (a workload, not the single vec-0 probe the other
+    ANN keys use), searched against the remaining corpus through the
+    D13 coarse-cell index (min-vec_id medoid representatives, exact
+    cosine inside the {N_PROBE} probed cells), top {MQ_TOPK} per query
+    with rank. This is the batch twin of the live E31 query-serving
+    stream — both run the shared ivf_multiquery_topk kernel.
+
+    Exactness: the same sequential-fold cosine as D6/D13; per-query
+    rank windows tie-break on (cosine desc, vec_id) — candidate sets
+    and ranks are bit-identical to the oracle.
+
+    Reference analogue: none — training-data similarity family (the
+    batched-query FAISS search path)."""
+    e = _emb(spark, sf_dir)
+    rep_ids = e.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    reps = e.join(F.broadcast(rep_ids), ["label", "vec_id"]).select(
+        "label", F.col("v").alias("rep_v")
+    )
+    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") % QUERY_MOD != 0)
+    return ivf_multiquery_topk(queries, corpus, reps)

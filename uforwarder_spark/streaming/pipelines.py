@@ -1990,3 +1990,50 @@ def system_load_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str)
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E31: live ANN query serving --------------------------------------------
+def ann_query_serving_pipeline(
+    query_stream: DataFrame, emb: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E31: the live twin of batch D69 — a stream of query vectors
+    served against the STATIC corpus through the IVF coarse-cell index
+    (the FAISS search path as a serving loop). The index frames — cell
+    representatives and the cell-tagged corpus — are built once from
+    the static embeddings table and persisted before the first trigger;
+    each micro-batch of (qid, qv) queries runs the SHARED
+    ivf_multiquery_topk kernel and lands its per-query top-K pages in a
+    batchId-keyed sink. Stateless per query, so replays overwrite their
+    own batch_id=N directory (idempotent under at-least-once); the
+    union of streamed pages equals batch D69 row-for-row (the stream
+    test asserts it).
+
+    SCALE: per trigger the probe stage is |batch queries| × O(cells)
+    row-local work; the probed (qid, cell) table broadcasts onto the
+    cell-partitioned corpus so only probed cells are scanned; rank
+    windows partition per query. Nothing re-reads the corpus between
+    triggers beyond the probed cells, and no state accumulates."""
+    from ..operators.similarity import QUERY_MOD, ivf_multiquery_topk
+
+    rep_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    reps = (
+        emb.join(F.broadcast(rep_ids), ["label", "vec_id"])
+        .select("label", F.col("v").alias("rep_v"))
+        .persist()
+    )
+    reps.count()  # materialize once, before the first trigger
+    corpus = emb.filter(F.col("vec_id") % QUERY_MOD != 0).persist()
+    corpus.count()
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        queries = batch_df.select("qid", "qv")
+        ivf_multiquery_topk(queries, corpus, reps).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        query_stream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
