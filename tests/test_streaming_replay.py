@@ -1168,3 +1168,77 @@ def test_e28_phash_replay_idempotent_and_matches_batch(
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 4),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e31_query_serving_replay_idempotent_and_matches_batch(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E31 property: for ANY chunking of the query workload and a
+    replayed batch (re-served bit-identical against the static index),
+    the union of streamed pages equals batch D69's."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        QUERY_MOD,
+        _emb,
+        ann_multiquery_ivf,
+    )
+
+    e = _emb(spark, SF_SMALL)
+    q_pdf = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .toPandas()
+    )
+    schema = "qid long, qv array<double>"
+    rows = list(q_pdf.itertuples(index=False))
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = [
+        pd.DataFrame([r for r, c in zip(rows, assignment) if c == k],
+                     columns=["qid", "qv"])
+        for k in range(n_chunks)
+    ]
+    chunks = [c for c in chunks if len(c)] or [q_pdf]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e31rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.ann_query_serving_pipeline(stream, e, os.path.join(tmp, "out"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    before = _sorted_pdf(spark, f"{tmp}/out/batch_id={bid}")
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], schema, src, now, start_idx=restart_at)
+    run_phase()
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(spark, f"{tmp}/out/batch_id={bid}"), before, check_exact=True
+    )
+
+    cols = ["qid", "vec_id", "label", "cosine", "rank"]
+    got = (
+        spark.read.parquet(f"{tmp}/out")
+        .select(cols).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        ann_multiquery_ivf(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
