@@ -629,3 +629,118 @@ def dsir_ratio_frame(cnt: DataFrame) -> DataFrame:
             f" - ln((cr + 1.0D) / (nr + {DSIR_BUCKETS}.0D)), 8) AS DECIMAL(18,8))"
         ).alias("lr"),
     )
+
+
+# --- D70 -----------------------------------------------------------------
+# Snapshot-diff membership rules (deterministic, so both engines derive
+# the same "previous snapshot" from the current table): doc_id % 10 == 7
+# docs are new in the current snapshot (absent from prior); % 10 == 3
+# docs were edited (prior text = the first half of the current text);
+# % 10 == 5 docs additionally had a prior-only ghost twin (doc_id
+# offset by 10^9) that was removed.
+SNAP_REMOVED_OFFSET = 1_000_000_000
+
+SNAPSHOT_DIFF_ORACLE = f"""
+WITH cur AS (
+  SELECT doc_id, source, text, n_chars FROM documents
+),
+prior AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 3
+              THEN substr(text, 1, CAST(n_chars // 2 AS INTEGER)) ELSE text END AS text
+  FROM cur WHERE doc_id % 10 <> 7
+  UNION ALL
+  SELECT doc_id + {SNAP_REMOVED_OFFSET}, source, text
+  FROM cur WHERE doc_id % 10 = 5
+),
+j AS (
+  SELECT coalesce(c.source, p.source) AS source,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN md5(c.text) <> md5(p.text) THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CAST(coalesce(strlen(c.text), 0) - coalesce(strlen(p.text), 0) AS BIGINT)
+           AS bytes_delta
+  FROM cur c FULL OUTER JOIN prior p ON c.doc_id = p.doc_id
+)
+SELECT source, status,
+       count(*) AS n_docs,
+       CAST(sum(bytes_delta) AS BIGINT) AS bytes_delta
+FROM j GROUP BY source, status
+"""
+
+
+@register("corpus_snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff — the snapshot comparison every managed
+    training corpus needs (the Delta-/LakeFS-style audit): given the
+    current documents table and the prior snapshot, classify every doc
+    as added / removed / changed / unchanged (content identity by text
+    hash, not metadata) and roll byte deltas up per source. The prior
+    snapshot here is derived by deterministic rules (10%% of docs are
+    new, 10%% were edited, 10%% had a removed ghost twin) so the diff
+    is oracle-checkable; a production caller passes two real snapshot
+    frames to ``snapshot_diff_frames``.
+
+    SCALE: one hash-partitioned FULL OUTER join on the doc key (both
+    snapshots shuffle once, co-partitioned), text hashed to 16 bytes
+    BEFORE the compare so full documents never ride the join twice,
+    then an O(sources × 4) partial-agg rollup. This is exactly the
+    shape snapshot diffing runs at 100 TB — no broadcast assumption on
+    either side.
+
+    Reference analogue: none — training-data pipeline management
+    (SURVEY §2 D-family)."""
+    cur = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    prior = cur.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.expr("substr(text, 1, CAST(n_chars DIV 2 AS INT))"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        cur.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + SNAP_REMOVED_OFFSET).alias("doc_id"),
+            "source",
+            "text",
+        )
+    )
+    return snapshot_diff_frames(cur.drop("n_chars"), prior)
+
+
+def snapshot_diff_frames(cur: DataFrame, prior: DataFrame) -> DataFrame:
+    """The D70 diff kernel over two (doc_id, source, text) snapshot
+    frames — hash early, one co-partitioned full outer join, per-source
+    rollup."""
+    c = cur.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.expr("CAST(octet_length(text) AS BIGINT)").alias("nb"),
+    )
+    p = prior.select(
+        F.col("doc_id").alias("p_doc_id"),
+        F.col("source").alias("p_source"),
+        F.md5("text").alias("p_h"),
+        F.expr("CAST(octet_length(text) AS BIGINT)").alias("p_nb"),
+    )
+    j = c.join(p, c.doc_id == p.p_doc_id, "full_outer").select(
+        F.coalesce("source", "p_source").alias("source"),
+        F.when(F.col("p_doc_id").isNull(), "added")
+        .when(F.col("doc_id").isNull(), "removed")
+        .when(F.col("h") != F.col("p_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (F.coalesce("nb", F.lit(0)) - F.coalesce("p_nb", F.lit(0)))
+        .cast("bigint")
+        .alias("bytes_delta"),
+    )
+    return j.groupBy("source", "status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bytes_delta").cast("bigint").alias("bytes_delta"),
+    )
