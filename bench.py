@@ -70,6 +70,10 @@ HEADLINE2 = [
     "funnel_conversion",
     "dedup_connected_components",
     "semdedup_prune",
+    "ngram_decontamination",
+    "ann_topk_pq",
+    "ann_multiquery_ivf",
+    "corpus_snapshot_diff",
 ]
 BASELINE2 = {
     "ann_topk_ivf_int8": 1.066,
@@ -80,6 +84,13 @@ BASELINE2 = {
     "funnel_conversion": 0.535,
     "dedup_connected_components": 1.663,
     "semdedup_prune": 1.096,
+    # pinned later in round 6 on a host window whose witness read
+    # 0.1061; raw numbers normalized to BASELINE2_CAL (x 0.1156/0.1061)
+    # so the whole set shares one calibration anchor
+    "ngram_decontamination": 0.721,
+    "ann_topk_pq": 1.649,
+    "ann_multiquery_ivf": 0.594,
+    "corpus_snapshot_diff": 0.589,
 }
 BASELINE2_CAL = 0.1156  # single-core witness on the r06 pin host
 BASELINE2_CAL_MC = 0.0406  # 32-thread witness on the r06 pin host
