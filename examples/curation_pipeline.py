@@ -31,7 +31,8 @@ STAGES = [
     ("9. next-token entropy per source (predictability)", "ngram_entropy"),
     ("10. distinct-token cardinality (HLL sketch + audit)", "hll_distinct_tokens"),
     ("11. heavy hitters (count-min sketch + audit)", "cms_heavy_hitters"),
-    ("12. train/eval contamination check", "contamination_check"),
+    ("12. train/eval contamination check (whole-doc)", "contamination_check"),
+    ("12a. train/eval contamination check (any 13-gram)", "ngram_decontamination"),
     ("12b. cluster purity before cluster-level pruning", "kmeans_cluster_purity"),
     # -- filtering + sampling --------------------------------------------
     ("13. Gopher-style quality gate", "quality_filter_gopher"),
@@ -45,9 +46,12 @@ STAGES = [
     ("16c. tokenizer fertility per (lang, source)", "tokenizer_fertility"),
     ("17. padding-waste audit for batch buckets", "length_bucketing"),
     ("18. fixed-length sequence packing", "sequence_packing"),
+    ("18b. snapshot diff vs the previous corpus version", "corpus_snapshot_diff"),
     ("19. sharded shuffle export", "corpus_shuffle_export"),
     # -- serving-side similarity -----------------------------------------
     ("20. ANN over embeddings: quantized scan + rescore", "ann_topk_int8_rescore"),
+    ("20b. ANN with PQ codes (ADC + exact rescore)", "ann_topk_pq"),
+    ("20c. batched query workload through the IVF index", "ann_multiquery_ivf"),
     ("21. corpus search: BM25 top-k", "bm25_topk"),
     ("22. storage dedup: content-defined chunks", "cdc_chunking"),
 ]
