@@ -564,3 +564,15 @@ def test_multiquery_ivf_windows_partition_per_query(spark):
     assert specs and all("qid" in s for s in specs)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_joins_copartitioned_not_broadcast(spark):
+    # D70: BOTH snapshot sides are corpus-scale, so the full-outer join
+    # must be a co-partitioned SortMergeJoin (no broadcast assumption),
+    # with text hashed in the project BELOW the exchange (md5 riding
+    # the shuffle, never document bytes)
+    plan = plan_of(spark, "corpus_snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    seg = plan.split("SortMergeJoin")[0]  # above the join: agg + status
+    assert "md5" not in seg  # hashes computed below, not re-derived above

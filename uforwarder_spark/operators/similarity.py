@@ -1312,6 +1312,12 @@ def ann_multiquery_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank windows tie-break on (cosine desc, vec_id) — candidate sets
     and ranks are bit-identical to the oracle.
 
+    SCALE: see ivf_multiquery_topk (the shared kernel) — per-QUERY
+    rank windows (never global), O(cells) representative table and the
+    |queries|·N_PROBE probed table broadcast onto the cell-partitioned
+    corpus scan so only probed cells are read; candidates per query
+    bounded by the probed cells.
+
     Reference analogue: none — training-data similarity family (the
     batched-query FAISS search path)."""
     e = _emb(spark, sf_dir)
