@@ -746,3 +746,185 @@ def test_phash_dedup_equals_bruteforce_replay(spark, tmp_path_factory, texts, du
         assert got[i].canonical_id == min(
             j for j, h2 in hashes.items() if h2 == h
         )
+
+
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha bravo charlie delta echo fox golf hotel".split()),
+            min_size=1, max_size=30,
+        ).map(" ".join),
+        min_size=5, max_size=25,
+    ),
+    quotes=st.lists(st.integers(0, 24), min_size=0, max_size=5),
+)
+def test_ngram_decon_equals_python_replay(spark, tmp_path_factory, texts, quotes):
+    """D67 invariant: for ANY corpus — including docs that QUOTE another
+    doc's text inside a longer page (the `quotes` indices append a full
+    copy of an earlier doc plus padding) — the flagged set, per-doc
+    distinct-gram counts, and eval-doc attributions equal a pure-Python
+    sliding-window replay using the same eval-membership hash rule."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import (
+        EVAL_MOD,
+        NGRAM_DECON_N,
+        ngram_decontamination,
+    )
+
+    all_texts = list(texts) + [
+        "padding words before " + texts[q % len(texts)] + " padding words after"
+        for q in quotes
+    ]
+    rows = [(i, t, "en", f"src{i % 3:02d}", len(t)) for i, t in enumerate(all_texts)]
+    d = tmp_path_factory.mktemp("decon_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def is_eval(doc_id: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % EVAL_MOD == 0
+
+    import re as _re
+
+    def grams(t: str) -> list[str]:
+        toks = [x for x in _re.split(r"[^a-z0-9]+", t.lower()) if x]
+        return [
+            " ".join(toks[i : i + NGRAM_DECON_N])
+            for i in range(len(toks) - NGRAM_DECON_N + 1)
+        ]
+
+    eval_grams: dict[str, set[int]] = {}
+    for i, t in enumerate(all_texts):
+        if is_eval(i):
+            for g in grams(t):
+                eval_grams.setdefault(g, set()).add(i)
+    want = {}
+    for i, t in enumerate(all_texts):
+        if is_eval(i):
+            continue
+        hit_g = {g for g in grams(t) if g in eval_grams}
+        hit_e = set().union(*(eval_grams[g] for g in hit_g)) if hit_g else set()
+        want[i] = (len(hit_g), len(hit_e), bool(hit_g))
+
+    got = {
+        r.doc_id: (r.n_gram_hits, r.n_eval_docs, r.contaminated)
+        for r in ngram_decontamination(spark, str(d)).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    n_docs=st.integers(5, 40),
+    edit_seed=st.randoms(use_true_random=False),
+)
+def test_snapshot_diff_equals_python_replay(spark, tmp_path_factory, n_docs, edit_seed):
+    """D70 invariant: for ANY doc-id set, the status classification and
+    per-source byte deltas equal a pure-Python replay of the derivation
+    rules (added = id%10==7, changed = id%10==3 halved prior text,
+    removed ghost = id%10==5 offset twin)."""
+    from uforwarder_spark.operators.training import (
+        SNAP_REMOVED_OFFSET,
+        corpus_snapshot_diff,
+    )
+
+    rows = []
+    for i in range(n_docs):
+        doc_id = i * edit_seed.randint(1, 7) + edit_seed.randint(0, 3)
+        words = ["w%d" % edit_seed.randint(0, 9) for _ in range(edit_seed.randint(2, 20))]
+        rows.append((doc_id, " ".join(words), "en", f"src{doc_id % 3:02d}"))
+    rows = list({r[0]: r for r in rows}.values())  # distinct doc_ids
+    d = tmp_path_factory.mktemp("snap_prop")
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    want: dict[tuple[str, str], list[int]] = {}
+
+    def add(src, status, delta):
+        want.setdefault((src, status), [0, 0])
+        want[(src, status)][0] += 1
+        want[(src, status)][1] += delta
+
+    for doc_id, t, _, src in rows:
+        n = len(t)
+        if doc_id % 10 == 7:
+            add(src, "added", n)
+        elif doc_id % 10 == 3:
+            prior = t[: (n // 2)]
+            add(src, "changed" if prior != t else "unchanged", n - len(prior))
+        else:
+            add(src, "unchanged", 0)
+        if doc_id % 10 == 5:
+            add(src, "removed", -n)
+    got = {
+        (r.source, r.status): [r.n_docs, r.bytes_delta]
+        for r in corpus_snapshot_diff(spark, str(d)).collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_pq_equals_numpy_replay(spark):
+    """The REAL ann_topk_pq operator at sf0.01 equals an explicit numpy
+    PQ replay — normalize, 8×8 subvectors, seed codebooks from the 16
+    lowest vec_ids, one rounded M-step, re-encode, ADC with the query's
+    distance table, top-50 by (adc, vec_id), exact-cosine top-10 — at
+    the level that matters: the returned ids and ranks (float folds are
+    nearly-exact on this data; scores are oracle-checked elsewhere)."""
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_MED
+    from uforwarder_spark.operators.similarity import (
+        MQ_TOPK,  # noqa: F401  (import keeps the constants together)
+        PQ_K,
+        PQ_M,
+        PQ_RESCORE,
+        PQ_SUB,
+        ann_topk_pq,
+    )
+
+    got = [(r.vec_id, r.label) for r in ann_topk_pq(spark, SF_MED).collect()]
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, label, embedding::DOUBLE[] FROM "
+        f"read_parquet('{SF_MED}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([v[0] for v in vecs])
+    labels = {v[0]: v[1] for v in vecs}
+    X = np.array([v[2] for v in vecs])
+    keep = (X * X).sum(axis=1) > 0
+    ids, X = ids[keep], X[keep]
+    U = X / np.sqrt((X * X).sum(axis=1))[:, None]
+    S = U.reshape(len(U), PQ_M, PQ_SUB)  # (n, m, sub)
+    C = S[:PQ_K].transpose(1, 0, 2).copy()  # (m, code, sub): seeds
+    for _ in range(1):
+        d2 = ((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)  # (n, m, code)
+        a1 = d2.argmin(axis=2)  # ties -> first (lowest code)
+        C = np.stack([
+            np.stack([
+                np.round(S[a1[:, m] == k, m], 7).sum(axis=0) / (a1[:, m] == k).sum()
+                if (a1[:, m] == k).any() else C[m, k]
+                for k in range(PQ_K)
+            ])
+            for m in range(PQ_M)
+        ])
+    corpus = ids != 0
+    d2 = ((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d2.argmin(axis=2)  # (n, m)
+    qi = int(np.where(ids == 0)[0][0])
+    dtab = ((S[qi][:, None, :] - C) ** 2).sum(axis=2)  # (m, code)
+    adc = dtab[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+    order = sorted(
+        (float(adc[i]), int(ids[i]), i) for i in range(len(ids)) if corpus[i]
+    )[:PQ_RESCORE]
+    qv = X[qi]
+    def cos(i):
+        v = X[i]
+        return float(v @ qv / np.sqrt((v @ v) * (qv @ qv)))
+    top = sorted(((-cos(i), int(ids[i])) for _, _, i in order))[:10]
+    want = [(vid, labels[vid]) for _, vid in top]
+    assert got == want
