@@ -928,3 +928,84 @@ def test_pq_equals_numpy_replay(spark):
     top = sorted(((-cos(i), int(ids[i])) for _, _, i in order))[:10]
     want = [(vid, labels[vid]) for _, vid in top]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    jobs=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "error"]),
+            st.integers(0, 3),
+            st.integers(1, 40),   # n_msgs (non-SKIP)
+            st.integers(0, 5),    # n_skip
+        ),
+        min_size=2, max_size=12, unique_by=lambda j: (j[0], j[1]),
+    ),
+    span_minutes=st.integers(10, 5000),
+)
+def test_system_load_equals_python_model(spark, jobs, span_minutes):
+    """B22 invariant: for ANY per-job message mix and time span, the
+    per-topic demand (micro scale units), cap counts, and system ratio
+    equal a pure-Python replay of the micro-unit integer pipeline —
+    including the SKIP rules (SKIP rows stretch the span but join no
+    job counters)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.operators.controller import (
+        LOAD_BPS_PER_WORKER,
+        LOAD_CAP_MICRO,
+        LOAD_MPS_PER_WORKER,
+        system_load_from,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for k, (topic, pid, n, n_skip) in enumerate(jobs):
+        for i in range(n):
+            rows.append((topic, pid, base + pd.Timedelta(minutes=(k * 37 + i) % span_minutes),
+                         100 + 7 * i, "OK"))
+        for i in range(n_skip):
+            rows.append((topic, pid, base + pd.Timedelta(minutes=span_minutes), 50, "SKIP"))
+    mdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["topic", "part_id", "ts", "size_bytes", "outcome"]),
+        "topic string, part_id long, ts timestamp, size_bytes long, outcome string",
+    )
+    span_df = mdf.selectExpr(
+        "max(unix_timestamp(ts)) - min(unix_timestamp(ts)) AS span"
+    )
+    jb = (
+        mdf.filter("outcome <> 'SKIP'")
+        .groupBy("topic", "part_id")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("size_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+    got = {
+        r.topic: (r.n_jobs, r.n_capped, r.demand_micro, r.system_load, r.utilization)
+        for r in system_load_from(jb, span_df).collect()
+    }
+
+    # pure-Python replay
+    span = int((max(r[2] for r in rows) - min(r[2] for r in rows)).total_seconds())
+    per_topic: dict[str, list[int]] = {}
+    for topic, pid, n, n_skip in jobs:
+        n_bytes = sum(100 + 7 * i for i in range(n))
+        scale = max(
+            (float(n) / float(span)) / LOAD_MPS_PER_WORKER,
+            (float(n_bytes) / float(span)) / LOAD_BPS_PER_WORKER,
+        )
+        micro = int(math.floor(scale * 1000000.0))
+        t = per_topic.setdefault(topic, [0, 0, 0])
+        t[0] += 1
+        t[1] += micro >= LOAD_CAP_MICRO
+        t[2] += min(micro, LOAD_CAP_MICRO)
+    demand = sum(v[2] for v in per_topic.values())
+    cap = 4 * LOAD_CAP_MICRO
+    ratio = round(demand / cap, 8)
+    util = "under" if demand / cap < 1.0 else ("over" if demand / cap > 1.0 else "balanced")
+    want = {t: (v[0], v[1], v[2], ratio, util) for t, v in per_topic.items()}
+    assert got == want
