@@ -226,3 +226,21 @@ def test_decode_json_payload(spark):
     assert by_off[1].payload_decoded.user == 7
     assert by_off[1].payload_decoded.amount == 1.5
     assert by_off[2].payload_decoded is None or by_off[2].payload_decoded.user is None
+
+
+def test_cell_partitioned_embeddings_prune_ivf_probe(spark, tmp_path):
+    """The IVF SCALE claim D13/D62/D69 make — 'at 100 TB the corpus is
+    partitioned by cell, so probing prunes whole partitions at the
+    scan' — demonstrated for real: embeddings written
+    ``partitionBy(label)``, a probed-cells predicate compiles to
+    PartitionFilters (directories pruned before any row is read), and
+    the pruned read returns exactly the probed cells' rows."""
+    e = model.load_table(spark, SF_SMALL, "embeddings")
+    e.write.partitionBy("label").mode("overwrite").parquet(str(tmp_path / "cells"))
+    back = spark.read.parquet(str(tmp_path / "cells"))
+    probed = back.filter(F.col("label").isin(0, 1))
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan
+    assert "label" in plan.split("PartitionFilters")[1][:200]
+    want = e.filter(F.col("label").isin(0, 1)).count()
+    assert probed.count() == want and want > 0
