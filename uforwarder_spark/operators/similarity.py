@@ -967,7 +967,11 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: no uForwarder twin — D-family mandate
     (embedding-space curation audit)."""
     a = _kmeans_a2(spark, sf_dir).select("vec_id", "label", "cluster")
-    cell = a.groupBy("cluster", "label").agg(F.count("*").alias("c"))
+    cell = a.groupBy("cluster", "label").agg(F.count("*").alias("c")).persist()
+    # persist (the _emb rule): tot/best/maj are three plan branches over
+    # this k·|labels|-row frame — without the barrier each branch
+    # re-runs the ENTIRE kmeans pipeline below it (measured 2.2 s →
+    # 1.2 s at sf0.1); the cached frame is control-plane-sized
     tot = cell.groupBy("cluster").agg(F.sum("c").cast("bigint").alias("n"))
     best = cell.groupBy("cluster").agg(F.max("c").alias("c_max"))
     maj = (
