@@ -10,9 +10,10 @@ round-trips, not just single-query state carry, are what converge to
 the batch-twin / pure-Python model.
 
 Part 2 (round-5 verdict item 3): ALL the batchId-versioned
-foreachBatch monitors — E19 mixture weights, E20 Bloom gate, E21
-entropy, E22 HLL, E23 HDR quantiles, E25 BM25 index, E27 DSIR, E28
-phash dedup, E29 decontamination, E30 system load.
+foreachBatch pipelines — E15 incremental dedup, E19 mixture weights,
+E20 Bloom gate, E21 entropy, E22 HLL, E23 HDR quantiles, E25 BM25
+index, E27 DSIR, E28 phash dedup, E29 decontamination, E30 system
+load, E31 query serving.
 These go further than a restart: the harness deletes the newest
 checkpoint commit marker between phases, so the restarted query
 REPLAYS the last batch with the same batch_id (true at-least-once),
@@ -1242,3 +1243,51 @@ def test_e31_query_serving_replay_idempotent_and_matches_batch(
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e15_incremental_dedup_replay_idempotent_and_matches_batch(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E15 property: for ANY arrival chunking of the incoming side and a
+    replayed batch (re-decided bit-identical against the static corpus
+    signature index), the union of streamed decisions equals batch
+    D36's."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import incremental_dedup
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    corpus = all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
+    incoming_pdf = (
+        all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+        .toPandas()[DOCS_COLS]
+    )
+
+    def make_query(stream, tmp, ckpt):
+        return P.incremental_dedup_pipeline(
+            stream, corpus, os.path.join(tmp, "out"), ckpt
+        )
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, incoming_pdf, make_query, ["{tmp}/out/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e15rr",
+    )
+    cols = ["doc_id", "match_doc_id", "jaccard", "action"]
+    got = (
+        spark.read.parquet(f"{tmp}/out")
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        incremental_dedup(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
