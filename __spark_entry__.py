@@ -22,16 +22,16 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-6 window (round-5 verdict, next-round item 1): rotate onto the
 # now-oldest cohorts. Slot arithmetic (counted, not estimated):
-# 12 new/changed-this-round + 9 r02 relational cohort + 25 r03 A-cohort
-# + 4 r03 B-cohort = 50 exactly (B16-B21 and C10 slide to the
+# 13 new/changed-this-round + 9 r02 relational cohort + 25 r03 A-cohort
+# + 3 r03 B-cohort = 50 exactly (B15-B21 and C10 slide to the
 # overflow head, keeping their r03 rows + both-SF pytest parity).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (12): D67-D70/B22 are new; D64
+    # -- (a) new or changed this round (13): D67-D71/B22 are new; D64
     #    moved to the shared phash kernels; D31/D42/D62 moved to the
     #    shared sq8_codebook kernel; D40/D41/D59 moved to the
     #    array_min E-step kernel --
     "ngram_decontamination", "ann_topk_pq", "ann_multiquery_ivf",
-    "corpus_snapshot_diff", "system_load_ratio",
+    "corpus_snapshot_diff", "lsh_recall_audit", "system_load_ratio",
     "multimodal_phash_dedup",
     "embedding_int8_quantize", "ann_topk_int8_rescore",
     "ann_topk_ivf_int8",
@@ -53,10 +53,10 @@ _KEY_PRIORITY = [
     "unprocessed_limiter", "delay_process", "dlq_dispatch_tokens",
     "inflight_bootstrap", "inflight_pending_order",
     "dlq_produce_batches", "inflight_usage_critical",
-    # -- (d) r03 B-cohort (4) --
+    # -- (d) r03 B-cohort (3) --
     "job_commands", "workload_assignment", "autoscale_prediction",
-    "worker_lease_reassignment",
     # ---------------- 50-slot window ends here ----------------
+    "worker_lease_reassignment",
     "scale_window_proposal", "reactive_downscale_window",
     "batch_job_completion", "pod_assignment_groups",
     "flow_control_aggregate", "workload_monitor_ttl", "user_sessions",

@@ -1064,3 +1064,40 @@ def test_ngram_decon_short_docs_and_quoted_eval_text(spark, edge_dir, tmp_path):
     assert got[1].contaminated and got[1].n_eval_docs == 1 and got[1].n_gram_hits >= 1
     assert not got[2].contaminated and got[2].n_gram_hits == 0
     assert not got[3].contaminated
+
+
+def test_lsh_recall_audit_mid_curve_on_seeded_pairs(spark, tmp_path):
+    """Non-vacuous D71: natural corpora only exercise the S-curve's
+    ends (random pairs sit in decile 0, dups in decile 9), so seed ~48
+    isolated pairs with Jaccard ≈ 0.45-0.55 (shared core shingles +
+    per-pair salt words) and check the mid-decile observed collision
+    rate sits within 3σ-binomial of the theoretical 1-(1-j^4)^8."""
+    from uforwarder_spark.operators.dedup import AUDIT_MOD, lsh_recall_audit
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliett".split()
+    docs = []
+    did = 0
+    for p in range(48):
+        # two docs sharing a 12-token core; each adds 4 private tokens
+        core = [words[(p + i) % 10] + str(p) for i in range(12)]
+        a = core + [f"xx{p}w{i}" for i in range(4)]
+        b = core + [f"yy{p}w{i}" for i in range(4)]
+        for text_toks in (a, b):
+            docs.append((did * AUDIT_MOD, " ".join(text_toks), "en", "web",
+                         len(" ".join(text_toks))))  # all ids sampled
+            did += 1
+    d = tmp_path / "scurve"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {r.decile: r for r in lsh_recall_audit(spark, str(d)).collect()}
+    mid = [r for dec, r in rows.items() if 3 <= dec <= 6]
+    n_mid = sum(r.n_pairs for r in mid)
+    assert n_mid >= 40  # the seeded pairs landed mid-curve
+    obs = sum(r.n_candidates for r in mid) / n_mid
+    exp = sum(r.expected_rate * r.n_pairs for r in mid) / n_mid
+    sigma = (exp * (1 - exp) / n_mid) ** 0.5
+    assert abs(obs - exp) <= max(3 * sigma, 0.15), (obs, exp)
+    # the unrelated cross pairs stay in decile 0 and (almost) never collide
+    assert rows[0].observed_rate <= 0.01

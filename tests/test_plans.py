@@ -576,3 +576,11 @@ def test_snapshot_diff_joins_copartitioned_not_broadcast(spark):
     assert "BroadcastHashJoin" not in plan
     seg = plan.split("SortMergeJoin")[0]  # above the join: agg + status
     assert "md5" not in seg  # hashes computed below, not re-derived above
+
+
+def test_lsh_audit_sample_pairs_are_broadcast_not_cartesian(spark):
+    # D71: the all-pairs stage runs over a bounded broadcast sample —
+    # BroadcastNestedLoopJoin, never a partitioned CartesianProduct
+    plan = plan_of(spark, "lsh_recall_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1349,3 +1349,138 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("hit_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# --- D71 -----------------------------------------------------------------
+AUDIT_MOD = 4  # doc_id % 4 == 0 -> the recall-audit sample (bounded size)
+
+_Q8 = "((({q})*({q}))*(({q})*({q})))*((({q})*({q}))*(({q})*({q})))"
+
+
+def _scurve_expr(j: str) -> str:
+    """1 - (1 - j^4)^8 via pure multiplications (identical op order in
+    both engines — pow() would route through each engine's libm)."""
+    s4 = f"(({j})*({j})*({j})*({j}))"
+    return f"(1.0 - {_Q8.format(q=f'(1.0 - {s4})')})"
+
+
+_AUDIT_COLL_DUCK = " OR ".join(
+    f"(a.s{4 * b} = b.s{4 * b} AND a.s{4 * b + 1} = b.s{4 * b + 1} "
+    f"AND a.s{4 * b + 2} = b.s{4 * b + 2} AND a.s{4 * b + 3} = b.s{4 * b + 3})"
+    for b in range(N_BANDS)
+)
+
+LSH_AUDIT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+  WHERE doc_id % {AUDIT_MOD} = 0
+),
+sh3 AS (
+  SELECT doc_id, {_shingle3_duck()} AS g3 FROM t
+),
+ex AS (
+  SELECT doc_id, {H_DUCK.format(col='sh')} % {P} AS hm
+  FROM (SELECT doc_id, unnest(g3) AS sh FROM sh3)
+),
+sig AS (
+  SELECT doc_id,
+         {_SIG_MINS_DUCK}
+  FROM ex GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN {_AUDIT_COLL_DUCK} THEN 1 ELSE 0 END AS collided,
+         CAST(len(list_intersect(sa.g3, sb.g3)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.g3, sb.g3))) AS j
+  FROM sig a
+  JOIN sig b ON a.doc_id < b.doc_id
+  JOIN sh3 sa ON sa.doc_id = a.doc_id
+  JOIN sh3 sb ON sb.doc_id = b.doc_id
+)
+SELECT CAST(least(floor(j * 10.0), 9.0) AS INTEGER) AS decile,
+       count(*) AS n_pairs,
+       CAST(sum(collided) AS BIGINT) AS n_candidates,
+       round(CAST(sum(collided) AS DOUBLE) / count(*), 6) AS observed_rate,
+       round(sum({_scurve_expr('j')}) / count(*), 6) AS expected_rate
+FROM pairs GROUP BY decile
+"""
+
+
+@register("lsh_recall_audit", LSH_AUDIT_ORACLE)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter audit — the number that justifies trusting D2's
+    (b=8 bands × r=4 rows) at 100 TB: on a deterministic bounded sample
+    (doc_id % {AUDIT_MOD} == 0), ALL pairs are scored with exact
+    3-shingle Jaccard and the real signature band-collision outcome,
+    then bucketed by Jaccard decile: observed candidate rate vs the
+    theoretical S-curve 1 − (1 − j⁴)⁸. A gap between the curves means
+    the hash family is misbehaving; a curve whose knee sits below the
+    dedup threshold means recall is being lost — checked from DATA, not
+    assumed from theory.
+
+    Exactness: the S-curve is pure multiplications (pow() would route
+    through each engine's libm), Jaccard is an exact int ratio, rates
+    divide exact counts; the per-decile expected-rate mean rounds at 6
+    dp AFTER the sum (order-insensitive at these magnitudes).
+
+    SCALE: the audit is O(sample²) with a FIXED sample size — constant
+    work at any corpus scale (the production recall-audit pattern:
+    sampled ground truth, never all-pairs). The sample side broadcasts,
+    so the pair stage is a BroadcastNestedLoopJoin over bounded rows,
+    never a partitioned cartesian."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % AUDIT_MOD == 0)
+    sh3 = (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.expr(_shingle3_spark()).alias("g3"))
+        .withColumn(
+            "hs", F.expr(f"transform(g3, sh -> {H_SPARK.format(col='sh')} % {P})")
+        )
+    )
+    a_lit = "array(" + ", ".join(map(str, A)) + ")"
+    b_lit = "array(" + ", ".join(map(str, B)) + ")"
+    sides = sh3.select(
+        "doc_id",
+        "g3",
+        F.expr(
+            f"transform(sequence(0, {N_PERM - 1}), k -> "
+            f"array_min(transform(hs, h -> (h * {a_lit}[k] + {b_lit}[k]) % {P})))"
+        ).alias("sig"),
+    ).persist()  # both pair sides read this frame; bounded sample size
+    left = sides.select(
+        F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a"), F.col("sig").alias("sig_a")
+    )
+    right = sides.select(
+        F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b"), F.col("sig").alias("sig_b")
+    )
+    coll = F.expr(
+        f"exists(sequence(0, {N_BANDS - 1}), b -> "
+        "sig_a[4*b] = sig_b[4*b] AND sig_a[4*b+1] = sig_b[4*b+1] "
+        "AND sig_a[4*b+2] = sig_b[4*b+2] AND sig_a[4*b+3] = sig_b[4*b+3])"
+    )
+    jac = F.expr(
+        "CAST(size(array_intersect(g3_a, g3_b)) AS DOUBLE)"
+        " / size(array_union(g3_a, g3_b))"
+    )
+    pairs = (
+        left.crossJoin(F.broadcast(right))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            F.when(coll, 1).otherwise(0).alias("collided"),
+            jac.alias("j"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.expr("CAST(least(floor(j * 10.0), 9.0) AS INT)").alias("decile")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("collided").cast("bigint").alias("n_candidates"),
+            F.round(
+                F.sum("collided").cast("double") / F.count("*"), 6
+            ).alias("observed_rate"),
+            F.round(
+                F.sum(F.expr(_scurve_expr("j"))) / F.count("*"), 6
+            ).alias("expected_rate"),
+        )
+    )
