@@ -5,6 +5,11 @@
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is fully materialized via the noop
 sink (no collect-to-driver cost, no skipped projections).
+
+stdout is exactly one compact JSON line (< 2000 chars by construction,
+so the driver's tail-truncated record always parses and always carries
+the calibration witnesses + both totals); the full record with per-line
+ratio tables is written to bench_full.json and stderr.
 """
 
 from __future__ import annotations
@@ -208,35 +213,60 @@ def main() -> None:
         for n in HEADLINE2
         if n in BASELINE2 and sf == "0.1"
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value2": total2,
-                "queries2": timings2,
-                "calibration_sec": cal,
-                "calibration_mc_sec": _calibration_mc_sec(),
-                "host_factor_vs_baseline": host_factor,
-                "host_factor_vs_baseline2": host_factor2,
-                "ratios": ratios,
-                "ratios2": ratios2,
-                "ratio_total_calibrated": round(
-                    total / sum(BASELINE.values()) / host_factor, 3
-                )
-                if sf == "0.1"
-                else None,
-                "ratio2_total_calibrated": round(
-                    total2 / sum(BASELINE2.values()) / host_factor2, 3
-                )
-                if sf == "0.1"
-                else None,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    mc = _calibration_mc_sec()
+    ratio_total = (
+        round(total / sum(BASELINE.values()) / host_factor, 3) if sf == "0.1" else None
     )
+    ratio2_total = (
+        round(total2 / sum(BASELINE2.values()) / host_factor2, 3)
+        if sf == "0.1"
+        else None
+    )
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the JSON it finds there. Round 6's single long line lost its head
+    # (value/queries/witnesses) to that truncation — BENCH_r06.json
+    # recorded "parsed": null and the contention-vs-regression
+    # adjudication became impossible from the official record. So:
+    # stdout carries EXACTLY ONE compact JSON line, kept under 2000
+    # chars by construction (per-line ratio dicts are derivable from
+    # queries + the pinned baselines + the witnesses, so they are
+    # replaced by the decision they exist for: the breach-name lists);
+    # the full record with both ratio tables goes to stderr and
+    # bench_full.json for the builder.
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value2": total2,
+        "queries2": timings2,
+        "calibration_sec": cal,
+        "calibration_mc_sec": mc,
+        "host_factor_vs_baseline": host_factor,
+        "host_factor_vs_baseline2": host_factor2,
+        "ratio_total_calibrated": ratio_total,
+        "ratio2_total_calibrated": ratio2_total,
+        "per_line_breaches": sorted(
+            n for n, r in ratios.items() if r["ratio_calibrated"] > 1.3
+        ),
+        "per_line_breaches2": sorted(
+            n for n, r in ratios2.items() if r["ratio_calibrated"] > 1.3
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full = dict(compact, ratios=ratios, ratios2=ratios2)
+    line = json.dumps(compact)
+    # belt-and-braces: if some future addition pushes past the window,
+    # shed the least essential fields rather than lose parseability
+    for shed in ("queries2", "queries", "per_line_breaches2", "per_line_breaches"):
+        if len(line) <= 1900:
+            break
+        compact.pop(shed, None)
+        line = json.dumps(compact)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

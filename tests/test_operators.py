@@ -1032,3 +1032,40 @@ def test_pq_recall_against_bruteforce(spark):
     for r in pq:
         assert 0.0 <= r.approx_l2 <= 4.0
         assert -1.0 <= r.cosine <= 1.0
+
+
+def test_system_load_zero_span_guard(spark):
+    """B22/E30 regression (r06 ADVICE): seconds-truncated timestamps
+    make the observed span 0 whenever every message lands within one
+    second — the first E30 micro-batch routinely does. Unguarded,
+    Spark's x/0 -> NULL plus least(NULL, cap) skipping nulls silently
+    turned every job's demand into the full cap (n_capped = 0, load =
+    n_jobs/4 — wrong but plausible), while DuckDB raised on the
+    inf -> bigint cast. greatest(span, 1) clamps the denominator: a
+    sub-second window is one second of observation, so the rates stay
+    finite and both engines agree."""
+    from uforwarder_spark.operators.controller import (
+        LOAD_CAP_MICRO,
+        system_load_from,
+    )
+
+    jobs = spark.createDataFrame(
+        [("t", 0, 10, 400), ("t", 1, 2_000_000, 1)],
+        "topic string, part_id int, n_msgs bigint, n_bytes bigint",
+    )
+    span = spark.createDataFrame([(0,)], "span bigint")
+    got = {r.topic: r for r in system_load_from(jobs, span).collect()}
+    # job (t,0): scale = max(10/0.001, 400/0.08) = 10_000 units ->
+    # 10e9 micro, capped; job (t,1) caps too -> n_capped = 2, demand =
+    # 2*cap. The broken path reported the same demand with n_capped=0.
+    assert got["t"].n_capped == 2
+    assert got["t"].demand_micro == 2 * LOAD_CAP_MICRO
+    # and the guard must not distort a normal (span > 0) derivation:
+    # 1 msg / 1 byte over ~28 hours is far under one worker's capacity
+    tiny = spark.createDataFrame(
+        [("t", 0, 1, 1)], "topic string, part_id int, n_msgs bigint, n_bytes bigint"
+    )
+    wide = spark.createDataFrame([(100_000,)], "span bigint")
+    got0 = system_load_from(tiny, wide).collect()[0]
+    assert got0.n_capped == 0
+    assert 0 < got0.demand_micro < LOAD_CAP_MICRO

@@ -529,13 +529,14 @@ def test_pivot_with_values_is_single_pass(spark):
 
 
 def test_ngram_decon_eval_set_broadcasts_corpus_never_shuffles(spark):
-    # D67: both joins must be broadcast — the benchmark-sized eval-gram
-    # set into the corpus gram stream, and the (rare) hit table back
-    # onto the doc spine — so no exchange ever hash-partitions the
-    # corpus; the only exchange is the partial-agg of join survivors
+    # D67: the benchmark-sized eval-gram set must broadcast into the
+    # corpus gram stream (bounded at any corpus scale). The hit-table
+    # re-join onto the doc spine deliberately carries NO hint —
+    # contamination volume is data-dependent, so that strategy is
+    # AQE's call (broadcast when the measured hit table is small,
+    # shuffle join when a pathological corpus makes it large)
     plan = plan_of(spark, "ngram_decontamination")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan  # grams are codegen'd transform/md5
 

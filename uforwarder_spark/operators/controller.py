@@ -1423,10 +1423,18 @@ LOAD_MPS_PER_WORKER = 0.001  # messages/sec one worker absorbs
 LOAD_BPS_PER_WORKER = 0.08   # bytes/sec one worker absorbs
 LOAD_CAP_MICRO = 80_000      # per-worker capacity: 0.08 scale units, micro
 
+# greatest(span, 1): seconds-truncated timestamps make span = 0 whenever
+# every observed message lands within one second (e.g. the FIRST E30
+# micro-batch). Without the guard Spark's div-by-zero yields NULL and
+# least(NULL, cap) skips nulls, so every job's demand silently becomes
+# the full cap while n_capped stays 0; DuckDB instead raises on the
+# inf -> bigint cast. Clamping the denominator to one second keeps both
+# engines bit-identical and the rates finite (a sub-second window is
+# treated as one second of observation).
 _LOAD_SCALE_MICRO = (
     "CAST(floor(greatest("
-    f"(CAST(n_msgs AS DOUBLE) / CAST(span AS DOUBLE)) / {LOAD_MPS_PER_WORKER}, "
-    f"(CAST(n_bytes AS DOUBLE) / CAST(span AS DOUBLE)) / {LOAD_BPS_PER_WORKER}"
+    f"(CAST(n_msgs AS DOUBLE) / CAST(greatest(span, 1) AS DOUBLE)) / {LOAD_MPS_PER_WORKER}, "
+    f"(CAST(n_bytes AS DOUBLE) / CAST(greatest(span, 1) AS DOUBLE)) / {LOAD_BPS_PER_WORKER}"
     ") * 1000000.0) AS BIGINT)"
 )
 

@@ -1314,9 +1314,14 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len) grams ≈ a few hundred MB worst case — the published pipelines
     do exactly this with a Bloom/exact hash set). The corpus pays one
     scan + explode; the only shuffle is the per-doc partial-agg count
-    over BROADCAST-JOIN SURVIVORS (contaminated docs only — rare by
-    construction), and the hit table re-joins the doc spine broadcast,
-    so the corpus is never shuffled at all.
+    over BROADCAST-JOIN SURVIVORS (contaminated docs only). The hit
+    table's re-join onto the doc spine carries NO explicit broadcast
+    hint: contamination volume is data-dependent (a scraped corpus
+    full of quoted eval text could make `hits` arbitrarily large), so
+    the strategy is left to AQE, which broadcasts when the measured
+    hit table is under the threshold and falls back to a shuffle join
+    when it is not — only the eval-gram table, bounded by benchmark
+    size at any corpus scale, is unconditionally broadcast.
 
     Reference: decontamination has no uForwarder counterpart; it is the
     training-data gate (SURVEY §2 D-family) composed from D24's chunk
@@ -1340,7 +1345,7 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(~is_eval)
         .select("doc_id", "source")
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -1401,7 +1406,8 @@ SELECT CAST(least(floor(j * 10.0), 9.0) AS INTEGER) AS decile,
        count(*) AS n_pairs,
        CAST(sum(collided) AS BIGINT) AS n_candidates,
        round(CAST(sum(collided) AS DOUBLE) / count(*), 6) AS observed_rate,
-       round(sum({_scurve_expr('j')}) / count(*), 6) AS expected_rate
+       round(CAST(sum(CAST(round({_scurve_expr('j')}, 7) AS DECIMAL(20,7)))
+             AS DOUBLE) / count(*), 6) AS expected_rate
 FROM pairs GROUP BY decile
 """
 
@@ -1420,8 +1426,10 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the S-curve is pure multiplications (pow() would route
     through each engine's libm), Jaccard is an exact int ratio, rates
-    divide exact counts; the per-decile expected-rate mean rounds at 6
-    dp AFTER the sum (order-insensitive at these magnitudes).
+    divide exact counts; each S-curve term rounds to 7 dp and sums as
+    DECIMAL(20,7) (the M-step convention) so the per-decile mean is
+    summation-order-free before the final 6-dp round — no last-ulp
+    flake from Spark's partition order vs DuckDB's scan order.
 
     SCALE: the audit is O(sample²) with a FIXED sample size — constant
     work at any corpus scale (the production recall-audit pattern:
@@ -1479,8 +1487,18 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("collided").cast("double") / F.count("*"), 6
             ).alias("observed_rate"),
+            # round each S-curve term to 7 dp and sum as DECIMAL (the
+            # M-step pattern): the per-decile mean is then order-free,
+            # so Spark's partition-dependent double-summation order
+            # cannot flip the 6-dp rounding vs DuckDB's scan order.
             F.round(
-                F.sum(F.expr(_scurve_expr("j"))) / F.count("*"), 6
+                F.sum(
+                    F.expr(
+                        f"CAST(round({_scurve_expr('j')}, 7) AS DECIMAL(20,7))"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
             ).alias("expected_rate"),
         )
     )

@@ -311,7 +311,8 @@ q AS (
   SELECT vec_id, label, v,
          list_transform(range(len(v)),
            i -> CASE WHEN scales[i + 1] = 0 THEN mins[i + 1]
-                     ELSE round((v[i + 1] - mins[i + 1]) / scales[i + 1])
+                     ELSE least(greatest(
+                            round((v[i + 1] - mins[i + 1]) / scales[i + 1]), 0), 255)
                           * scales[i + 1] + mins[i + 1] END) AS r
   FROM e CROSS JOIN code
 ),
@@ -347,10 +348,14 @@ def sq8_codebook(e: DataFrame, sample_fraction: float | None = None) -> DataFram
     (1) a sampled codebook changes the CODES, so any bit-exact oracle
     must share the identical sample — the registry oracles assume the
     full-corpus codebook; (2) out-of-sample values can fall outside the
-    sampled [min, max], so a production sampled build must clamp the
-    quantized code into [0, 255] (harmless here: the exact-rescore
-    stages re-rank with true floats, and D31's audit columns would
-    surface the added reconstruction error rather than hide it)."""
+    sampled [min, max] — which is why every quantize/reconstruct site
+    (_RECON_SPARK and the three DuckDB oracle twins) clamps the code
+    into [0, 255] with least/greatest around the round: a no-op under
+    the exact full-corpus codebook (codes are in-range by
+    construction, so oracle hash parity is untouched) and the FAISS
+    saturating-cast behavior under a sampled one (out-of-range values
+    pin to the nearest representable code; D31's audit columns surface
+    the added reconstruction error rather than hide it)."""
     if sample_fraction is not None:
         e = e.sample(fraction=sample_fraction, seed=7)
     dims = (
@@ -367,6 +372,21 @@ def sq8_codebook(e: DataFrame, sample_fraction: float | None = None) -> DataFram
         F.expr("transform(_mins, s -> s.mn)").alias("mins"),
         F.expr("transform(_scales, s -> s.scale)").alias("scales"),
     )
+
+
+# Shared int8 reconstruct (dequantize) expression over a broadcast
+# (mins, scales) codebook row — used by D31/D42/D62. The
+# least/greatest clamp pins the implicit code into [0, 255]: a no-op
+# for the exact full-corpus codebook (so the DuckDB-oracle hash parity
+# is untouched) and the saturating-cast safety net sq8_codebook's
+# sample_fraction path requires for out-of-sample values.
+_RECON_SPARK = (
+    "transform(v, (x, i) -> CASE WHEN element_at(scales, i + 1) = 0D "
+    "THEN element_at(mins, i + 1) "
+    "ELSE least(greatest("
+    "round((x - element_at(mins, i + 1)) / element_at(scales, i + 1)), 0D), 255D) "
+    "* element_at(scales, i + 1) + element_at(mins, i + 1) END)"
+)
 
 
 @register("embedding_int8_quantize", INT8_QUANT_ORACLE)
@@ -390,15 +410,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling; same role as FAISS SQ8 storage)."""
     e = _emb(spark, sf_dir)
     code = sq8_codebook(e)
-    q = e.crossJoin(F.broadcast(code)).withColumn(
-        "r",
-        F.expr(
-            "transform(v, (x, i) -> CASE WHEN element_at(scales, i + 1) = 0D "
-            "THEN element_at(mins, i + 1) "
-            "ELSE round((x - element_at(mins, i + 1)) / element_at(scales, i + 1)) "
-            "* element_at(scales, i + 1) + element_at(mins, i + 1) END)"
-        ),
-    )
+    q = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
     err = q.select(
         "vec_id",
         "label",
@@ -704,13 +716,6 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESCORE_CAND = 50  # approximate candidates kept from the quantized scan
 RESCORE_K = 10  # final exact top-k
 
-_RECON_SPARK = (
-    "transform(v, (x, i) -> CASE WHEN element_at(scales, i + 1) = 0D "
-    "THEN element_at(mins, i + 1) "
-    "ELSE round((x - element_at(mins, i + 1)) / element_at(scales, i + 1)) "
-    "* element_at(scales, i + 1) + element_at(mins, i + 1) END)"
-)
-
 INT8_RESCORE_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -729,7 +734,8 @@ q AS (
   SELECT vec_id, label, v,
          list_transform(range(len(v)),
            i -> CASE WHEN scales[i + 1] = 0 THEN mins[i + 1]
-                     ELSE round((v[i + 1] - mins[i + 1]) / scales[i + 1])
+                     ELSE least(greatest(
+                            round((v[i + 1] - mins[i + 1]) / scales[i + 1]), 0), 255)
                           * scales[i + 1] + mins[i + 1] END) AS r
   FROM e CROSS JOIN code
 ),
@@ -823,7 +829,8 @@ q AS (
   SELECT vec_id, label, v,
          list_transform(range(len(v)),
            i -> CASE WHEN scales[i + 1] = 0 THEN mins[i + 1]
-                     ELSE round((v[i + 1] - mins[i + 1]) / scales[i + 1])
+                     ELSE least(greatest(
+                            round((v[i + 1] - mins[i + 1]) / scales[i + 1]), 0), 255)
                           * scales[i + 1] + mins[i + 1] END) AS r
   FROM e CROSS JOIN code
 ),

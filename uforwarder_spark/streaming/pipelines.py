@@ -1878,13 +1878,19 @@ def contamination_gate_pipeline(
         per_doc = ghits.groupBy("doc_id").agg(
             F.countDistinct("g").alias("n_gram_hits")
         )
-        gmatches = (
+        # source re-join direction: the survivor aggregate (one row per
+        # contaminated (doc, eval_doc) pair — rare by construction) is
+        # the BROADCAST side; the full batch projection stays the probe
+        # side and never shuffles, keeping the docstring's "only
+        # broadcast-join survivors are shuffled" claim literally true.
+        gm_agg = (
             ghits.groupBy("doc_id", "eval_doc_id")
             .agg(F.countDistinct("g").alias("n_shared_grams"))
             .join(F.broadcast(per_doc), "doc_id")
-            .join(
-                batch_df.select("doc_id", "source"), "doc_id"
-            )
+        )
+        gmatches = (
+            batch_df.select("doc_id", "source")
+            .join(F.broadcast(gm_agg), "doc_id")
             .select(
                 "doc_id",
                 "source",
