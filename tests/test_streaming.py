@@ -1621,3 +1621,87 @@ def test_e31_query_serving_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_e32_snapshot_diff_converges_to_batch(spark, tmp_path):
+    """E32: after the CDC feed drains — every current doc upserted
+    once, every prior-only doc tombstoned — the running ledger equals
+    batch D70 bit-for-bit. The feed is split across 4 files so the
+    per-(source, status) counters actually fold across several
+    micro-batches, and upserts/tombstones land in different triggers."""
+    import os
+
+    from uforwarder_spark.operators.training import (
+        SNAP_REMOVED_OFFSET,
+        corpus_snapshot_diff,
+        load_parallel,
+    )
+
+    cur = load_parallel(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    prior = (
+        cur.filter(F.col("doc_id") % 10 != 7)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.expr("substr(text, 1, CAST(n_chars DIV 2 AS INT))"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            cur.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + SNAP_REMOVED_OFFSET).alias("doc_id"),
+                "source",
+                "text",
+            )
+        )
+    )
+    events = (
+        cur.select(
+            "doc_id", "source", "text", F.lit("upsert").alias("op")
+        ).unionByName(
+            cur.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + SNAP_REMOVED_OFFSET).alias("doc_id"),
+                "source",
+                F.lit(None).cast("string").alias("text"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+    src = str(tmp_path / "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.snapshot_diff_pipeline(stream, prior, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/ledger")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the ledger actually folded across triggers
+    cols = ["source", "status", "n_docs", "bytes_delta"]
+    got = (
+        spark.read.parquet(f"{state}/ledger/batch_id={last}")
+        .select(cols)
+        .toPandas()
+        .sort_values(["source", "status"])
+        .reset_index(drop=True)
+    )
+    want = (
+        corpus_snapshot_diff(spark, SF_SMALL)
+        .select(cols)
+        .toPandas()
+        .sort_values(["source", "status"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -32,6 +32,8 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from uforwarder_spark.streaming import pipelines as P
 
 SETTINGS = dict(
@@ -1291,3 +1293,119 @@ def test_e15_incremental_dedup_replay_idempotent_and_matches_batch(
     )
     assert len(got) == len(exp) and len(got) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _snapshot_fixtures(spark):
+    """(events_pdf, prior_df): the D70 deterministic prior + the CDC
+    feed (every current doc upserted, every prior-only ghost
+    tombstoned) whose drained fold must equal batch D70."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.training import SNAP_REMOVED_OFFSET
+
+    cur = load_parallel(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    prior = (
+        cur.filter(F.col("doc_id") % 10 != 7)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.expr("substr(text, 1, CAST(n_chars DIV 2 AS INT))"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            cur.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + SNAP_REMOVED_OFFSET).alias("doc_id"),
+                "source",
+                "text",
+            )
+        )
+    )
+    events = (
+        cur.select("doc_id", "source", "text", F.lit("upsert").alias("op"))
+        .unionByName(
+            cur.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + SNAP_REMOVED_OFFSET).alias("doc_id"),
+                "source",
+                F.lit(None).cast("string").alias("text"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+    return events.toPandas()[["doc_id", "source", "text", "op"]], prior
+
+
+EVENTS_SCHEMA = "doc_id long, source string, text string, op string"
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e32_snapshot_diff_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E32 property: the per-(source, status) ledger fold survives ANY
+    chunking of the CDC feed + a replayed batch (the injected duplicate
+    batchId must re-write bit-identical ledger state), and the drained
+    ledger equals batch D70 bit-for-bit."""
+    from uforwarder_spark.operators.training import corpus_snapshot_diff
+    from tests.conftest import SF_SMALL
+
+    events_pdf, prior = _snapshot_fixtures(spark)
+    cols = list(events_pdf.columns)
+    rows = list(events_pdf.itertuples(index=False))
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = [
+        pd.DataFrame([r for r, c in zip(rows, assignment) if c == k], columns=cols)
+        for k in range(n_chunks)
+    ]
+    chunks = [c for c in chunks if len(c)] or [events_pdf]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e32rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.snapshot_diff_pipeline(stream, prior, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], EVENTS_SCHEMA, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    path = f"{tmp}/state/ledger/batch_id={bid}"
+    before = _sorted_pdf(spark, path)
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], EVENTS_SCHEMA, src, now, start_idx=restart_at)
+    run_phase()
+    pd.testing.assert_frame_equal(_sorted_pdf(spark, path), before, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/ledger")
+        if d.startswith("batch_id=")
+    )
+    out_cols = ["source", "status", "n_docs", "bytes_delta"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/ledger/batch_id={last}")
+        .select(out_cols).toPandas()
+        .sort_values(["source", "status"]).reset_index(drop=True)
+    )
+    want = (
+        corpus_snapshot_diff(spark, SF_SMALL)
+        .select(out_cols).toPandas()
+        .sort_values(["source", "status"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -713,21 +713,37 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_frames(cur.drop("n_chars"), prior)
 
 
-def snapshot_diff_frames(cur: DataFrame, prior: DataFrame) -> DataFrame:
-    """The D70 diff kernel over two (doc_id, source, text) snapshot
-    frames — hash early, one co-partitioned full outer join, per-source
-    rollup."""
-    c = cur.select(
+def snapshot_hash_frame(snap: DataFrame) -> DataFrame:
+    """(doc_id, source, h, nb): a snapshot reduced to its 16-byte text
+    hash + byte length — the representation the diff actually joins on
+    (full documents never ride the join) and the per-doc state the live
+    E32 ledger keeps instead of text."""
+    return snap.select(
         "doc_id",
         "source",
         F.md5("text").alias("h"),
         F.expr("CAST(octet_length(text) AS BIGINT)").alias("nb"),
     )
-    p = prior.select(
+
+
+def snapshot_diff_frames(cur: DataFrame, prior: DataFrame) -> DataFrame:
+    """The D70 diff kernel over two (doc_id, source, text) snapshot
+    frames — hash early, one co-partitioned full outer join, per-source
+    rollup."""
+    return snapshot_diff_hashed(snapshot_hash_frame(cur), snapshot_hash_frame(prior))
+
+
+def snapshot_diff_hashed(c: DataFrame, p_raw: DataFrame) -> DataFrame:
+    """The join+rollup half of the D70 kernel over two already-hashed
+    (doc_id, source, h, nb) frames — shared by batch D70 and the live
+    E32 ledger fold (which restricts the prior side per micro-batch
+    BEFORE calling this, so only touched doc_ids ever reach the
+    join)."""
+    p = p_raw.select(
         F.col("doc_id").alias("p_doc_id"),
         F.col("source").alias("p_source"),
-        F.md5("text").alias("p_h"),
-        F.expr("CAST(octet_length(text) AS BIGINT)").alias("p_nb"),
+        F.col("h").alias("p_h"),
+        F.col("nb").alias("p_nb"),
     )
     j = c.join(p, c.doc_id == p.p_doc_id, "full_outer").select(
         F.coalesce("source", "p_source").alias("source"),

@@ -2043,3 +2043,72 @@ def ann_query_serving_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E32: live incremental snapshot diff ------------------------------------
+def snapshot_diff_pipeline(
+    change_stream: DataFrame, prior: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E32: the live twin of batch D70 — the Delta-/LakeFS-style
+    snapshot audit maintained continuously from a CDC feed instead of
+    recomputed per publish. ``change_stream`` carries doc events
+    (doc_id, source, text, op) with op = 'upsert' | 'delete' (a
+    tombstone for a prior doc); ``prior`` is the last PUBLISHED
+    snapshot (doc_id, source, text). Each micro-batch classifies ONLY
+    its touched docs against the prior — added / removed / changed /
+    unchanged, through the shared ``snapshot_diff_hashed`` kernel — and
+    folds the per-(source, status) doc counts + byte deltas into the
+    batchId-versioned running ledger at ``{state_dir}/ledger/batch_id=N``.
+    After the current snapshot has fully streamed past (every current
+    doc upserted once, every prior-only doc tombstoned), the ledger
+    equals batch D70's table bit-for-bit (the stream test asserts it).
+    Contract: at most one event per doc_id per trigger (a log-compacted
+    CDC topic's delivery shape).
+
+    Replays re-derive batch N's ledger from the batch_id=N-1 state and
+    overwrite batch_id=N — idempotent under at-least-once redelivery
+    (the E15/E30 shape, covered by the replay-injection harness).
+
+    SCALE: the prior snapshot is reduced ONCE to its 16-byte hash form
+    (doc_id, source, h, nb) — 100 TB of text becomes tens of GB of
+    state — and each trigger touches it through a BROADCAST semi-
+    restriction on the batch's doc_ids, so the prior is never shuffled
+    and full documents never leave their scan; the full-outer diff then
+    joins two O(batch)-sized frames, and the ledger fold is an
+    O(sources × 4) partial agg. On a real deployment the hashed prior
+    is a doc_id-bucketed table so the touched-id probe also prunes
+    files instead of re-scanning the hash frame per trigger."""
+    from ..operators.training import snapshot_diff_hashed, snapshot_hash_frame
+
+    prior_h = snapshot_hash_frame(prior).persist()
+    prior_h.count()  # materialize the hash form once, before trigger 1
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ups = snapshot_hash_frame(
+            batch_df.filter(F.col("op") == "upsert").select("doc_id", "source", "text")
+        )
+        touched = batch_df.select("doc_id").distinct()
+        p_touched = prior_h.join(F.broadcast(touched), "doc_id")
+        batch_ledger = snapshot_diff_hashed(ups, p_touched)
+        prev = _read_state_parquet(spark, f"{state_dir}/ledger/batch_id={batch_id - 1}")
+        merged = (
+            batch_ledger
+            if prev is None
+            else batch_ledger.unionByName(prev)
+            .groupBy("source", "status")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("bytes_delta").cast("bigint").alias("bytes_delta"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/ledger/batch_id={batch_id}"
+        )
+
+    return (
+        change_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
