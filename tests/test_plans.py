@@ -585,3 +585,15 @@ def test_lsh_audit_sample_pairs_are_broadcast_not_cartesian(spark):
     plan = plan_of(spark, "lsh_recall_audit")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_refresh_rowlocal_no_corpus_join(spark):
+    # D72: both E-steps must be row-local folds over broadcast centroid
+    # rows (the chained pass-through means no corpus-sized vec_id
+    # re-join exists anywhere), the per-cell joins broadcast, and
+    # nothing goes cartesian or through Python
+    plan = plan_of(spark, "ivf_index_refresh")
+    assert "BroadcastNestedLoopJoin" in plan  # packed centroid rows
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan

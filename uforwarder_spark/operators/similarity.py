@@ -575,7 +575,8 @@ def _kmeans_assign(e, centroids):
         e.crossJoin(F.broadcast(packed))
         .withColumn("pick", pick)
         .select(
-            "vec_id", "label", "v",
+            *e.columns,  # pass-through, so chained assigns (D72) keep
+            # the prior cell without a corpus-sized vec_id re-join
             F.col("pick.cluster").alias("cluster"),
             F.col("pick.dist").alias("dist"),
         )
@@ -623,6 +624,14 @@ def _kmeans_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.row_number().over(w) - 1).cast("int").alias("cluster"), F.col("v").alias("c"))
     )
     a1 = _kmeans_assign(e, seeds)
+    return _kmeans_assign(e, _kmeans_mstep(a1))
+
+
+def _kmeans_mstep(a1: DataFrame) -> DataFrame:
+    """M-step: per-cluster component means from an assignment frame
+    (cluster, v) — each component rounds to 7 dp and sums DECIMAL
+    (exact, order-free), one double division. Shared by the D40/D41/D59
+    Lloyd chain and the D72 index-refresh re-train."""
     per_dim = (
         a1.select("cluster", F.posexplode("v").alias("d", "x"))
         .groupBy("cluster", "d")
@@ -633,10 +642,9 @@ def _kmeans_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
-    cent2 = per_dim.groupBy("cluster").agg(
+    return per_dim.groupBy("cluster").agg(
         F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias("c")
     )
-    return _kmeans_assign(e, cent2)
 
 
 # --- D41 -----------------------------------------------------------------
@@ -1341,3 +1349,125 @@ def ann_multiquery_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.filter(F.col("vec_id") % QUERY_MOD != 0)
     return ivf_multiquery_topk(queries, corpus, reps)
+
+
+# --- D72 -----------------------------------------------------------------
+IVF_REFRESH_ORACLE = (
+    _KM_CTES
+    + f""",
+trans AS (
+  SELECT a1.vec_id, a1.cluster AS old_cell, a2.cluster AS new_cell
+  FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+),
+before_t AS (
+  SELECT old_cell AS cell, count(*) AS n_before,
+         CAST(sum(CASE WHEN old_cell = new_cell THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stay
+  FROM trans GROUP BY old_cell
+),
+after_t AS (
+  SELECT new_cell AS cell, count(*) AS n_after FROM trans GROUP BY new_cell
+),
+shift AS (
+  SELECT s.cluster AS cell,
+         round({_SQD_DUCK.format(v='s.c', c='c2.c')}, 6) AS centroid_shift
+  FROM seeds s JOIN cent2 c2 ON s.cluster = c2.cluster
+)
+SELECT b.cell, b.n_before,
+       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+       b.n_stay,
+       CAST(b.n_before - b.n_stay AS BIGINT) AS n_moved_out,
+       CAST(coalesce(a.n_after, 0) - b.n_stay AS BIGINT) AS n_moved_in,
+       round(CAST(b.n_before - b.n_stay AS DOUBLE) / b.n_before, 6) AS churn_rate,
+       sh.centroid_shift
+FROM before_t b
+LEFT JOIN after_t a ON a.cell = b.cell
+JOIN shift sh ON sh.cell = b.cell
+"""
+)
+
+
+@register("ivf_index_refresh", IVF_REFRESH_ORACLE)
+def ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index refresh — the ANN story's day-2 operation (FAISS
+    re-train): the corpus has drifted since the index was built, so
+    re-derive the cell representatives from the CURRENT members (one
+    decimal-exact Lloyd M-step over the existing assignment — D40's
+    kernel), re-assign, and emit the per-cell churn audit that tells
+    the operator what the refresh costs: members before/after, stays,
+    moves out/in, churn rate, and how far each representative drifted.
+    Only the n_moved_in arrivals per cell need their codes re-encoded
+    (their SQ8/PQ codes are relative to the new cell); the audit is the
+    number that decides whether to pay that re-encode at all.
+
+    Determinism across engines: the "as-built" representatives are the
+    D40 seed convention (k lowest vec_ids — no RNG), the re-train is
+    the shared decimal-exact M-step, squared distances are sequential
+    folds, argmin ties break to the lower cell id; churn_rate divides
+    exact counts once and centroid_shift is one rounded fold.
+
+    SCALE: NO full re-encode and NO corpus self-join — the old and new
+    cells are computed in ONE chained row-local pass (both centroid
+    tables collapse to broadcast array rows; _kmeans_assign passes the
+    prior cell through, so there is no corpus-sized vec_id re-join),
+    then ONE partial agg to the <= k^2-row transition table; everything
+    downstream is O(k) arithmetic. Two corpus scans total (M-step
+    branch + transition branch), zero corpus shuffles beyond the
+    M-step's (cluster, dim) agg.
+
+    Reference analogue: none — training-data pipeline family (FAISS
+    day-2 index maintenance)."""
+    e = _emb(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cluster"),
+            F.col("v").alias("c"),
+        )
+    )
+    a1 = _kmeans_assign(e, seeds)
+    cent2 = _kmeans_mstep(a1)
+    t = _kmeans_assign(
+        a1.select("vec_id", "v", F.col("cluster").alias("old_cell")), cent2
+    ).select("old_cell", F.col("cluster").alias("new_cell"))
+    g = t.groupBy("old_cell", "new_cell").agg(F.count("*").alias("n"))
+    before = g.groupBy(F.col("old_cell").alias("cell")).agg(
+        F.sum("n").cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("old_cell") == F.col("new_cell"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_stay"),
+    )
+    after = g.groupBy(F.col("new_cell").alias("cell")).agg(
+        F.sum("n").cast("bigint").alias("n_after")
+    )
+    shift = (
+        seeds.select("cluster", F.col("c").alias("oc"))
+        .join(cent2.select("cluster", F.col("c").alias("nc")), "cluster")
+        .select(
+            F.col("cluster").alias("cell"),
+            F.round(F.expr(_SQD_SPARK.format(v="oc", c="nc")), 6).alias(
+                "centroid_shift"
+            ),
+        )
+    )
+    n_after = F.coalesce(F.col("n_after"), F.lit(0))
+    return (
+        before.join(after, "cell", "left")
+        .join(F.broadcast(shift), "cell")
+        .select(
+            "cell",
+            "n_before",
+            n_after.cast("bigint").alias("n_after"),
+            "n_stay",
+            (F.col("n_before") - F.col("n_stay")).cast("bigint").alias("n_moved_out"),
+            (n_after - F.col("n_stay")).cast("bigint").alias("n_moved_in"),
+            F.round(
+                (F.col("n_before") - F.col("n_stay")).cast("double")
+                / F.col("n_before"),
+                6,
+            ).alias("churn_rate"),
+            "centroid_shift",
+        )
+    )
