@@ -1101,3 +1101,48 @@ def test_lsh_recall_audit_mid_curve_on_seeded_pairs(spark, tmp_path):
     assert abs(obs - exp) <= max(3 * sigma, 0.15), (obs, exp)
     # the unrelated cross pairs stay in decile 0 and (almost) never collide
     assert rows[0].observed_rate <= 0.01
+
+
+def test_exact_substring_spans_merge_and_count(spark, tmp_path):
+    """Non-vacuous D73: a seeded corpus with a KNOWN repeated 60-token
+    span shared by two docs, a clean doc, and a doc whose repetition
+    is internal (the same 55-token run twice in one doc) — the
+    published rule counts same-doc repeats too. Checks the exact span
+    arithmetic: a repeated run of L tokens yields L-W+1 duplicated
+    windows merging into ONE island of exactly L duplicated tokens."""
+    from uforwarder_spark.operators.dedup import ES_W, exact_substring_dedup
+
+    W = ES_W
+    shared = " ".join(f"tok{i}" for i in range(60))  # 60-token shared run
+    uniq_a = " ".join(f"ua{i}" for i in range(40))
+    uniq_b = " ".join(f"ub{i}" for i in range(40))
+    run55 = " ".join(f"rep{i}" for i in range(55))
+    filler = " ".join(f"fill{i}" for i in range(60))
+    docs = [
+        (1, uniq_a + " " + shared, "en", "web", 10),
+        (2, shared + " " + uniq_b, "en", "web", 10),
+        (3, " ".join(f"clean{i}" for i in range(80)), "en", "books", 10),
+        (4, run55 + " " + filler + " " + run55, "en", "web", 10),
+    ]
+    d = tmp_path / "es"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in exact_substring_dedup(spark, str(d)).collect()}
+
+    # docs 1 and 2: exactly the 60 shared tokens are duplicated —
+    # 60-W+1 = 11 windows, one island, 60 tokens
+    for did in (1, 2):
+        r = got[did]
+        assert r.flagged and r.n_spans == 1
+        assert r.n_dup_windows == 60 - W + 1
+        assert r.n_dup_tokens == 60
+    assert got[1].n_tokens == 100 and got[2].n_tokens == 100
+    # doc 3: clean
+    assert not got[3].flagged and got[3].n_dup_tokens == 0 and got[3].n_spans == 0
+    # doc 4: the 55-token run repeats WITHIN the doc — both copies are
+    # duplicated text (2 islands of 55 tokens, 6 windows each)
+    r = got[4]
+    assert r.flagged and r.n_spans == 2
+    assert r.n_dup_windows == 2 * (55 - W + 1)
+    assert r.n_dup_tokens == 2 * 55

@@ -597,3 +597,20 @@ def test_ivf_refresh_rowlocal_no_corpus_join(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_exact_substring_hash_agg_partial_and_doc_windows(spark):
+    # D73: the only corpus-scale shuffle groups 24-byte (hash, doc, pos)
+    # rows — it must partial-aggregate map-side; the island windows run
+    # per doc (a global window would funnel every position through one
+    # reducer); tokenizing/hashing stays JVM-side
+    import re
+
+    plan = plan_of(spark, "exact_substring_dedup")
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "partitionBy" not in seg or "doc_id" in seg
+    assert not re.search(r"Window .*partitionBy=\[\]", plan)

@@ -1502,3 +1502,147 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_rate"),
         )
     )
+
+
+# --- D73 -----------------------------------------------------------------
+# Exact-substring dedup window width (tokens) — the published rule
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): any span of >= 50 tokens that appears more than once in the
+# corpus is duplicated text.
+ES_W = 50
+
+EXACT_SUBSTRING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+spine AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t WHERE len(toks) >= {ES_W}
+),
+w AS (
+  SELECT doc_id, p,
+         md5(array_to_string(toks[p + 1 : p + {ES_W}], ' ')) AS h
+  FROM t, unnest(range(len(toks) - {ES_W} + 1)) AS u(p)
+  WHERE len(toks) >= {ES_W}
+),
+duph AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+pos AS (SELECT w.doc_id, w.p FROM w JOIN duph ON w.h = duph.h),
+flags AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {ES_W} THEN 1 ELSE 0 END AS flag
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, island, count(*) AS n_win,
+         min(p) AS p0, max(p) AS p1
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(p1 + {ES_W} - p0) AS BIGINT) AS n_dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(d.n_spans, 0) AS n_spans,
+       coalesce(d.n_dup_tokens, 0) AS n_dup_tokens,
+       round(CAST(coalesce(d.n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 6)
+         AS dup_frac,
+       coalesce(d.n_dup_tokens, 0) > 0 AS flagged
+FROM spine s LEFT JOIN per_doc d ON s.doc_id = d.doc_id
+"""
+
+
+@register("exact_substring_dedup", EXACT_SUBSTRING_ORACLE)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at the published grade (Lee et al. 2022):
+    find every token covered by a repeated span of >= {ES_W} tokens —
+    the rule the paper implements with a corpus-level suffix array —
+    and report, per doc, the maximal duplicated spans and the token
+    mass they cover (the spans a training pipeline cuts OUT of the
+    text, rather than dropping the doc). Equivalence to the suffix-
+    array formulation: a span of length L >= W repeats iff every one
+    of its L-W+1 token W-windows repeats, so the union of repeated
+    W-windows IS the set of positions covered by some repeated >= W
+    span — computed here as one distributed group-by instead of a
+    suffix array. Per doc with >= W tokens: window positions whose
+    W-gram repeats corpus-wide (>= 2 occurrences anywhere, same doc
+    included) merge into maximal islands (gap > W starts a new span);
+    output = span count, duplicated-window count, duplicated token
+    mass, and the duplicated fraction. This closes the gap D24 (fixed
+    chunks), D30 (containment) and D55 (CDC chunks) approximate: those
+    anchor on chunk boundaries; this one is boundary-free and exact.
+
+    Exactness: counts and span arithmetic are integers; dup_frac is
+    one division of exact ints rounded at 6 dp; md5-collision
+    probability is negligible and identical in both engines.
+
+    SCALE: the window stage emits one (16-byte hash, doc_id, pos) row
+    per token position — O(total tokens) rows, the same order as any
+    tokenizing scan — and the only corpus-scale shuffle groups those
+    24-byte rows by hash (partial-agg first, so unique hashes ship one
+    row per partition). Duplicated positions (join survivors only) pay
+    the per-doc island windows, partitioned by doc_id. The W-times
+    hashing constant in the window map is the honest cost of staying
+    JVM-side/declarative; at 100 TB swap the inner map for an O(n)
+    polynomial rolling hash (mapInPandas, Arrow-batched) with the
+    identical downstream plan — the shuffle shape, which is what
+    scale-limits this operator, does not change. No suffix array, no
+    all-pairs, no driver-side state.
+
+    Reference analogue: none — training-data dedup family
+    (SURVEY §2 D; Lee et al. 2022 exact-substring rule)."""
+    docs = _docs(spark, sf_dir)
+    t = (
+        docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {ES_W}"))
+        .select("doc_id", "toks", F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"))
+    )
+    spine = t.select("doc_id", "n_tokens")
+    wins = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {ES_W}), p -> "
+                f"struct(p, md5(concat_ws(' ', slice(toks, p + 1, {ES_W}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+    duph = wins.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    pos = wins.join(duph.select("h"), "h").select("doc_id", "p")
+    byp = Window.partitionBy("doc_id").orderBy("p")
+    isl = pos.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("p") - F.lag("p").over(byp) > ES_W, 1).otherwise(0)
+        ).over(byp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.count("*").alias("n_win"), F.min("p").alias("p0"), F.max("p").alias("p1")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_win").cast("bigint").alias("n_dup_windows"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("p1") + ES_W - F.col("p0")).cast("bigint").alias("n_dup_tokens"),
+    )
+    z = F.lit(0).cast("bigint")
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_windows", z).alias("n_dup_windows"),
+        F.coalesce("n_spans", z).alias("n_spans"),
+        F.coalesce("n_dup_tokens", z).alias("n_dup_tokens"),
+        F.round(
+            F.coalesce("n_dup_tokens", z).cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+        (F.coalesce("n_dup_tokens", z) > 0).alias("flagged"),
+    )
