@@ -1197,20 +1197,34 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("array_sort(collect_list(struct(d, mean)))").alias("dm"))
         .select("m", "code", F.expr("transform(dm, s -> s.mean)").alias("c"))
     )
-    codes = _pq_assign(subs.filter(F.col("vec_id") != 0), cent2).drop("sub")
     qsubs = subs.filter(F.col("vec_id") == 0).select("m", F.col("sub").alias("qsub"))
     dtab = (
         qsubs.join(F.broadcast(cent2), "m")
         .withColumn("dval", F.expr(_SQD_SPARK.format(v="qsub", c="c")))
         .select("m", "code", "dval")
     )
+    # Encode + ADC fused into ONE shuffle-free map over the corpus scan:
+    # the trained codebook entries carry their own ADC term (dval joined
+    # in — {PQ_M}·{PQ_K} rows, static side), collapse to one sorted
+    # broadcast array row, and each vector folds over its subspaces
+    # taking argmin(dist, code).dval directly. This replaces the old
+    # encode explode (n·M rows) + (m, code) join + per-vec_id
+    # collect_list re-aggregation — a full corpus shuffle — with zero
+    # exchanges; the m-ascending fold keeps the ADC sum bit-identical.
+    cbe = cent2.join(dtab, ["m", "code"]).agg(
+        F.expr("array_sort(collect_list(struct(m, code, c, dval))) AS cbe")
+    )
+    dist_m = _SQD_SPARK.format(v=f"slice(u, m * {PQ_SUB} + 1, {PQ_SUB})", c="cent.c")
+    adc_expr = F.expr(
+        f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, (acc, m) -> "
+        "acc + array_min(transform(filter(cbe, e0 -> e0.m = m), "
+        f"cent -> struct({dist_m} AS dist, cent.code AS code, cent.dval AS dval)"
+        ")).dval)"
+    )
     approx = (
-        codes.join(F.broadcast(dtab), ["m", "code"])
-        .groupBy("vec_id")
-        .agg(F.expr("array_sort(collect_list(struct(m, dval)))").alias("ds"))
-        .withColumn(
-            "adc", F.expr("aggregate(ds, 0.0D, (acc, p) -> acc + p.dval)")
-        )
+        nrm.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cbe))
+        .select("vec_id", adc_expr.alias("adc"))
     )
     cand = approx.orderBy("adc", "vec_id").limit(PQ_RESCORE).select("vec_id", "adc")
     qrow = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
