@@ -20,55 +20,58 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # keys with the OLDEST driver evidence. Keys beyond the window stay
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
-# Round-6 window (round-5 verdict, next-round item 1): rotate onto the
-# now-oldest cohorts. Slot arithmetic (counted, not estimated):
-# 13 new/changed-this-round + 9 r02 relational cohort + 25 r03 A-cohort
-# + 3 r03 B-cohort = 50 exactly (B15-B21 and C10 slide to the
-# overflow head, keeping their r03 rows + both-SF pytest parity).
+# Round-7 window (round-6 verdict, next-round item 2): rotate onto the
+# now-oldest evidence. Slot arithmetic (counted, not estimated):
+# 13 new/changed-this-round + 15 r03 leftovers + 22 oldest-r04 cohort
+# = 50 exactly.
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (13): D67-D71/B22 are new; D64
-    #    moved to the shared phash kernels; D31/D42/D62 moved to the
-    #    shared sq8_codebook kernel; D40/D41/D59 moved to the
-    #    array_min E-step kernel --
-    "ngram_decontamination", "ann_topk_pq", "ann_multiquery_ivf",
-    "corpus_snapshot_diff", "lsh_recall_audit", "system_load_ratio",
-    "multimodal_phash_dedup",
+    # -- (a) new or changed this round (13): D72/D73 are new; B22/E30
+    #    gained the zero-span guard; D71 the decimal expected-rate sum;
+    #    D31/D42/D62 the clamped shared reconstruct expr; D67 the
+    #    AQE-decided spine join; D68 the fused encode+ADC map; D70 the
+    #    split hash/diff kernel; D40/D41/D59 the pass-through assign +
+    #    factored M-step --
+    "ivf_index_refresh", "exact_substring_dedup",
+    "system_load_ratio", "lsh_recall_audit",
     "embedding_int8_quantize", "ann_topk_int8_rescore",
-    "ann_topk_ivf_int8",
+    "ann_topk_ivf_int8", "ngram_decontamination", "ann_topk_pq",
+    "corpus_snapshot_diff",
     "kmeans_embedding_assign", "semdedup_prune", "kmeans_cluster_purity",
-    # -- (b) r02 relational cohort (9): oldest driver rows in the repo,
-    #    four of them slid to overflow in the r05 window --
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue", "top_customers_window",
-    "orders_without_lineitems", "customer_order_stats",
-    "running_revenue", "rollup_revenue", "tpch_q4_order_priority",
-    # -- (c) r03 A-cohort (25): A1-A11, A13/A14, A16/A17, A20-A27,
-    #    A29, A31 (A12/A15/A19/A30 are driver-r5; A28/A32-A36 r4) --
-    "fetch_offset_range", "filter_messages", "route_messages",
-    "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
-    "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
-    "dlq_messages", "dlq_resurrection", "throughput_windows",
-    "consumer_lag", "pipeline_health", "retry_backoff_eligibility",
-    "log_compaction", "checkpoint_resume", "dlq_purge",
-    "unprocessed_limiter", "delay_process", "dlq_dispatch_tokens",
-    "inflight_bootstrap", "inflight_pending_order",
-    "dlq_produce_batches", "inflight_usage_critical",
-    # -- (d) r03 B-cohort (3) --
-    "job_commands", "workload_assignment", "autoscale_prediction",
-    # ---------------- 50-slot window ends here ----------------
-    "worker_lease_reassignment",
-    "scale_window_proposal", "reactive_downscale_window",
-    "batch_job_completion", "pod_assignment_groups",
-    "flow_control_aggregate", "workload_monitor_ttl", "user_sessions",
-    # Overflow (both-SF pytest parity continues to cover these with the
-    # driver-grade comparator): the remaining r03 keys — the D-cohort
-    # (D1/D2/D30/D32/D33/D35/D36), next round's rotation candidates —
-    # then token_bucket_exact (rows-only by design — no SQL oracle; its
-    # driver-r4 hash-green twin token_bucket_summary pins the shared
-    # applyInPandas kernel).
+    # -- (b) r03 leftovers (15): the oldest driver rows in the repo --
+    "worker_lease_reassignment", "scale_window_proposal",
+    "reactive_downscale_window", "batch_job_completion",
+    "pod_assignment_groups", "flow_control_aggregate",
+    "workload_monitor_ttl", "user_sessions",
     "dedup_exact", "dedup_minhash_lsh", "containment_pairs",
     "corpus_shuffle_export", "sequence_packing",
     "embedding_centroid_outliers", "incremental_dedup",
+    # -- (c) oldest r04 cohort (22): the relational C-block (C1,
+    #    C12-C28) + A28/A32-A34 --
+    "tpch_q1_pricing_summary", "tpch_q10_returned_revenue",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+    "tpch_q15_top_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity", "tpch_q9_product_profit",
+    "tpch_q22_idle_balances", "tpch_q19_disjunctive_filter",
+    "funnel_conversion", "retention_cohorts", "asof_join_purchases",
+    "range_join_error_impact", "cube_revenue", "pivot_priority_revenue",
+    "fetcher_throughput", "resq_routing", "aimd_inflight_limiter",
+    "head_blocking_cancel",
+    # ---------------- 50-slot window ends here ----------------
+    # Overflow (both-SF pytest parity continues to cover these with the
+    # driver-grade comparator): the remaining r04 keys — A35/A36,
+    # D8/D34/D37-D39/D44/D45/D47-D49/D51-D53/D55-D58/D60/D61 — are next
+    # round's rotation candidates; then token_bucket_exact (rows-only
+    # by design — no SQL oracle; its driver-r4 hash-green twin
+    # token_bucket_summary pins the shared applyInPandas kernel).
+    "token_bucket_summary", "linger_sampler", "lang_id",
+    "mixture_interleave", "ngram_novelty", "source_lang_kl",
+    "importance_sampling_weights", "zipf_fit", "ngram_entropy",
+    "weighted_sample_ares", "cms_heavy_hitters", "hll_distinct_tokens",
+    "source_overlap_matrix", "token_budget_allocation",
+    "timeseries_znorm_topk", "cdc_chunking", "window_outliers",
+    "bm25_topk", "tokenizer_fertility", "unigram_perplexity",
+    "blocklist_filter",
     "token_bucket_exact",
 ]
 
