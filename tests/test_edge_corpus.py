@@ -1146,3 +1146,36 @@ def test_exact_substring_spans_merge_and_count(spark, tmp_path):
     assert r.flagged and r.n_spans == 2
     assert r.n_dup_windows == 2 * (55 - W + 1)
     assert r.n_dup_tokens == 2 * 55
+
+
+def test_incr_substring_gate_is_asymmetric(spark, tmp_path):
+    """Non-vacuous D74: the gate must flag ONLY incoming spans present
+    in the EXISTING corpus — a 60-token run shared by two INCOMING docs
+    (src1/src3) must NOT flag (no incoming-incoming pairs), while the
+    incoming doc quoting an existing doc's run must flag exactly that
+    span; existing docs never appear in the output."""
+    from uforwarder_spark.operators.dedup import ES_W, incr_substring_dedup
+
+    W = ES_W
+    ex_run = " ".join(f"ex{i}" for i in range(60))
+    in_run = " ".join(f"inr{i}" for i in range(60))
+    pad = " ".join(f"pad{i}" for i in range(40))
+    docs = [
+        (1, pad + " " + ex_run, "en", "src0", 10),           # existing
+        (2, " ".join(f"other{i}" for i in range(80)), "en", "src2", 10),  # existing
+        (3, ex_run + " " + " ".join(f"ua{i}" for i in range(40)), "en", "src1", 10),
+        (4, in_run + " " + pad, "en", "src1", 10),           # incoming
+        (5, pad + " " + in_run, "en", "src3", 10),           # incoming
+    ]
+    d = tmp_path / "ies"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in incr_substring_dedup(spark, str(d)).collect()}
+    assert set(got) == {3, 4, 5}  # incoming docs only
+    # doc 3 quotes the existing run: exactly 60 tokens, one span
+    assert got[3].flagged and got[3].n_spans == 1
+    assert got[3].n_dup_windows == 60 - W + 1 and got[3].n_dup_tokens == 60
+    # docs 4/5 share a run ONLY with each other -> asymmetry keeps them clean
+    assert not got[4].flagged and got[4].n_dup_tokens == 0
+    assert not got[5].flagged and got[5].n_dup_tokens == 0

@@ -614,3 +614,12 @@ def test_exact_substring_hash_agg_partial_and_doc_windows(spark):
         seg = plan[m.start() : m.start() + 400]
         assert "partitionBy" not in seg or "doc_id" in seg
     assert not re.search(r"Window .*partitionBy=\[\]", plan)
+
+
+def test_incr_substring_no_cartesian_no_python(spark):
+    # D74: the asymmetric probe must never cartesian; hashing stays
+    # JVM-side; island windows partition per doc (checked via D73's
+    # shared kernel test)
+    plan = plan_of(spark, "incr_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan

@@ -1409,3 +1409,50 @@ def test_e32_snapshot_diff_replay_idempotent_and_converges(
         .sort_values(["source", "status"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e33_substring_gate_replay_idempotent_and_matches_batch(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E33 property: for ANY arrival chunking of the incoming crawl and
+    a replayed batch (re-gated bit-identical against the static corpus
+    window-hash index), the union of streamed span verdicts equals
+    batch D74's."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import incr_substring_dedup
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    corpus = all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
+    incoming_pdf = (
+        all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+        .toPandas()[DOCS_COLS]
+    )
+
+    def make_query(stream, tmp, ckpt):
+        return P.substring_gate_pipeline(stream, corpus, os.path.join(tmp, "out"), ckpt)
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, incoming_pdf, make_query, ["{tmp}/out/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e33rr",
+    )
+    cols = [
+        "doc_id", "n_tokens", "n_dup_windows", "n_spans",
+        "n_dup_tokens", "dup_frac", "flagged",
+    ]
+    got = (
+        spark.read.parquet(f"{tmp}/out")
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        incr_substring_dedup(spark, SF_SMALL)
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

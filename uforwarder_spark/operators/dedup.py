@@ -1601,14 +1601,31 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — training-data dedup family
     (SURVEY §2 D; Lee et al. 2022 exact-substring rule)."""
-    docs = _docs(spark, sf_dir)
-    t = (
+    t = es_token_frame(_docs(spark, sf_dir))
+    wins = es_window_frame(t)
+    duph = wins.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    pos = wins.join(duph.select("h"), "h").select("doc_id", "p")
+    return es_span_stats(pos, t.select("doc_id", "n_tokens"))
+
+
+def es_token_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, n_tokens) for docs long enough to contain a
+    W-token span — the shared head of D73/D74/E33."""
+    return (
         docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
         .filter(F.expr(f"size(toks) >= {ES_W}"))
-        .select("doc_id", "toks", F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"))
+        .select(
+            "doc_id", "toks", F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens")
+        )
     )
-    spine = t.select("doc_id", "n_tokens")
-    wins = t.select(
+
+
+def es_window_frame(t: DataFrame) -> DataFrame:
+    """(doc_id, p, h): one 16-byte window hash per token position — the
+    exact-substring signature stream. At 100 TB the existing-corpus
+    output of this frame is a persisted DISTINCT-hash table updated per
+    ingest, not recomputed (the D36 band-table convention)."""
+    return t.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -1617,8 +1634,12 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
-    duph = wins.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
-    pos = wins.join(duph.select("h"), "h").select("doc_id", "p")
+
+
+def es_span_stats(pos: DataFrame, spine: DataFrame) -> DataFrame:
+    """Merge duplicated window positions into maximal islands (gap > W
+    starts a new span) and roll up per doc against the (doc_id,
+    n_tokens) spine — the shared tail of D73/D74/E33."""
     byp = Window.partitionBy("doc_id").orderBy("p")
     isl = pos.withColumn(
         "island",
@@ -1646,3 +1667,103 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_frac"),
         (F.coalesce("n_dup_tokens", z) > 0).alias("flagged"),
     )
+
+
+# --- D74 -----------------------------------------------------------------
+INCR_ES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(substring(source, 4) AS INTEGER) % 2 AS side,
+         {TOKENS_DUCK} AS toks
+  FROM documents
+),
+spine AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t WHERE side = 1 AND len(toks) >= {ES_W}
+),
+w AS (
+  SELECT doc_id, side, p,
+         md5(array_to_string(toks[p + 1 : p + {ES_W}], ' ')) AS h
+  FROM t, unnest(range(len(toks) - {ES_W} + 1)) AS u(p)
+  WHERE len(toks) >= {ES_W}
+),
+pos AS (
+  SELECT doc_id, p FROM w
+  WHERE side = 1 AND h IN (SELECT h FROM w WHERE side = 0)
+),
+flags AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {ES_W} THEN 1 ELSE 0 END AS flag
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, island, count(*) AS n_win,
+         min(p) AS p0, max(p) AS p1
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(p1 + {ES_W} - p0) AS BIGINT) AS n_dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(d.n_spans, 0) AS n_spans,
+       coalesce(d.n_dup_tokens, 0) AS n_dup_tokens,
+       round(CAST(coalesce(d.n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 6)
+         AS dup_frac,
+       coalesce(d.n_dup_tokens, 0) > 0 AS flagged
+FROM spine s LEFT JOIN per_doc d ON s.doc_id = d.doc_id
+"""
+
+
+@register("incr_substring_dedup", INCR_ES_ORACLE)
+def incr_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup — D73's rule in D36's
+    production shape: a NEW batch of documents (odd-numbered sources
+    stand in for the fresh crawl) is checked AGAINST the existing
+    corpus (even-numbered sources) for shared >= {ES_W}-token spans;
+    re-running the whole-corpus D73 per ingest would re-shuffle the
+    full window stream every time. The check is ASYMMETRIC — only
+    incoming windows probe the existing DISTINCT-hash set (no
+    incoming-incoming or existing-existing pairs) — and per incoming
+    doc the matching positions merge into maximal islands exactly as
+    in D73: the spans to cut before the crawl enters the corpus.
+
+    SCALE: the existing corpus contributes ONE DISTINCT 16-byte hash
+    per unique window — at 100 TB a persisted, hash-bucketed index
+    table updated per ingest (the D36 band-table convention), so each
+    ingest pays |batch| window hashing plus a semi-join whose probe
+    side is batch-sized; survivors only reach the per-doc island
+    windows. Live E33 runs the identical kernel per micro-batch.
+
+    Reference analogue: none — training-data dedup family
+    (SURVEY §2 D; Lee et al. 2022 rule, at-ingest form)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "side", F.expr("CAST(substring(source, 4) AS INT) % 2")
+    )
+    t_in = es_token_frame(docs.filter(F.col("side") == 1))
+    ex_h = es_window_frame(es_token_frame(docs.filter(F.col("side") == 0))).select(
+        "h"
+    ).distinct()
+    return incr_substring_frame(t_in, ex_h)
+
+
+def incr_substring_frame(t_in: DataFrame, ex_h: DataFrame) -> DataFrame:
+    """The D74 gate kernel: incoming token frames vs a (persisted)
+    existing-corpus DISTINCT window-hash table — shared by batch D74
+    and the live E33 ingest gate."""
+    pos = (
+        es_window_frame(t_in)
+        .join(ex_h, "h", "leftsemi")
+        .select("doc_id", "p")
+    )
+    return es_span_stats(pos, t_in.select("doc_id", "n_tokens"))

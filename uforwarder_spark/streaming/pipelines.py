@@ -2112,3 +2112,45 @@ def snapshot_diff_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E33: live exact-substring ingest gate ----------------------------------
+def substring_gate_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E33: the live twin of batch D74 — the Lee-et-al exact-substring
+    rule as an at-ingest gate: each micro-batch of crawled docs is
+    checked for >= 50-token spans already present in the PUBLISHED
+    corpus, through the shared ``incr_substring_frame`` kernel, and its
+    per-doc span verdicts (the spans to cut before the doc enters the
+    corpus) land in a batchId-keyed sink. Stateless per batch, so
+    replays overwrite their own batch_id=N directory (idempotent under
+    at-least-once); the union of streamed verdicts equals batch D74
+    row-for-row (the stream test asserts it).
+
+    SCALE: the corpus index is built ONCE — one DISTINCT 16-byte hash
+    per unique corpus window, persisted before the first trigger (at
+    100 TB a hash-bucketed index table maintained per publish, the
+    D36 band-table convention); each trigger pays |batch| window
+    hashing plus a semi-join probed from the batch side, and only
+    matching positions reach the per-doc island windows. Documents
+    shorter than the window emit nothing, exactly as in batch."""
+    from ..operators.dedup import es_token_frame, es_window_frame, incr_substring_frame
+
+    ex_h = (
+        es_window_frame(es_token_frame(corpus_docs)).select("h").distinct().persist()
+    )
+    ex_h.count()  # materialize the index once, before the first trigger
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t_in = es_token_frame(batch_df.select("doc_id", "text"))
+        incr_substring_frame(t_in, ex_h).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
