@@ -623,3 +623,14 @@ def test_incr_substring_no_cartesian_no_python(spark):
     plan = plan_of(spark, "incr_substring_dedup")
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_quality_classifier_is_shuffle_free_map(spark):
+    # D75: the classifier scan is a pure per-row fold — any exchange
+    # means the embarrassingly-parallel scoring stopped being one;
+    # tokens never explode and never reach Python
+    plan = plan_of(spark, "quality_classifier_score")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "pythonUDF" not in plan

@@ -1009,3 +1009,183 @@ def test_system_load_equals_python_model(spark, jobs, span_minutes):
     util = "under" if demand / cap < 1.0 else ("over" if demand / cap > 1.0 else "balanced")
     want = {t: (v[0], v[1], v[2], ratio, util) for t, v in per_topic.items()}
     assert got == want
+
+
+def test_ivf_refresh_equals_numpy_churn(spark):
+    """The REAL ivf_index_refresh operator at sf0.001 equals a numpy
+    replay: first assignment against the seed representatives, one
+    decimal-rounded M-step, second assignment, then the per-cell
+    before/after/stay/moved/shift table computed by hand."""
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import K_CLUSTERS, ivf_index_refresh
+
+    got = {
+        r.cell: (r.n_before, r.n_after, r.n_stay, r.n_moved_out, r.n_moved_in)
+        for r in ivf_index_refresh(spark, SF_SMALL).collect()
+    }
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([v[0] for v in vecs])
+    X = np.array([v[1] for v in vecs])
+    keep = (X * X).sum(axis=1) > 0
+    ids, X = ids[keep], X[keep]
+    C0 = X[:K_CLUSTERS]
+    d2 = ((X[:, None, :] - C0[None, :, :]) ** 2).sum(axis=2)
+    a1 = d2.argmin(axis=1)
+    C1 = np.stack([
+        np.round(X[a1 == k], 7).sum(axis=0) / (a1 == k).sum()
+        if (a1 == k).any() else C0[k]
+        for k in range(K_CLUSTERS)
+    ])
+    d2b = ((X[:, None, :] - C1[None, :, :]) ** 2).sum(axis=2)
+    a2 = d2b.argmin(axis=1)
+    want = {}
+    for k in range(K_CLUSTERS):
+        n_before = int((a1 == k).sum())
+        if n_before == 0:
+            continue
+        n_after = int((a2 == k).sum())
+        n_stay = int(((a1 == k) & (a2 == k)).sum())
+        want[k] = (n_before, n_after, n_stay, n_before - n_stay, n_after - n_stay)
+    assert got == want
+
+
+def _es_python_replay(tokens_by_doc, W, ex_hashes=None):
+    """Pure-Python exact-substring replay: duplicated window positions
+    (corpus-wide count >= 2, or membership in ex_hashes for the
+    asymmetric D74 form) merged into maximal islands per doc."""
+    from collections import Counter
+
+    wins = {
+        i: [" ".join(t[p : p + W]) for p in range(len(t) - W + 1)]
+        for i, t in tokens_by_doc.items()
+        if len(t) >= W
+    }
+    cnt = Counter()
+    for ws in wins.values():
+        cnt.update(ws)
+    out = {}
+    for i, ws in wins.items():
+        if ex_hashes is None:
+            pos = [p for p, w in enumerate(ws) if cnt[w] > 1]
+        else:
+            pos = [p for p, w in enumerate(ws) if w in ex_hashes]
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= W:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        n_dup = sum(p1 + W - p0 for p0, p1 in spans)
+        out[i] = (
+            len(tokens_by_doc[i]),
+            len(pos),
+            len(spans),
+            n_dup,
+        )
+    return out
+
+
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    n_docs=st.integers(4, 10),
+    gen_seed=st.randoms(use_true_random=False),
+)
+def test_exact_substring_equals_python_replay(spark, tmp_path_factory, n_docs, gen_seed):
+    """D73 + D74 invariant: for ANY corpus with planted shared runs —
+    cross-doc, within-doc, and cross-SIDE — both operators equal the
+    pure-Python sliding-window + island-merge replay (symmetric
+    corpus-wide for D73; asymmetric vs the even-source window set for
+    D74)."""
+    from uforwarder_spark.operators.dedup import (
+        ES_W,
+        exact_substring_dedup,
+        incr_substring_dedup,
+    )
+
+    W = ES_W
+    toks = {}
+    for i in range(n_docs):
+        base = [f"d{i}t{j}" for j in range(gen_seed.randrange(40, 120))]
+        if i >= 2 and gen_seed.random() < 0.6:
+            donor = toks[gen_seed.randrange(i)]
+            if len(donor) >= W + 10:
+                start = gen_seed.randrange(len(donor) - W - 9)
+                base = base + donor[start : start + W + 10]  # planted cross run
+        if gen_seed.random() < 0.3:
+            run = [f"r{i}x{j}" for j in range(W + 5)]
+            base = run + base + run  # planted within-doc repeat
+        toks[i] = base
+    rows = [
+        (i, " ".join(t), "en", f"src{i % 4}", len(t)) for i, t in toks.items()
+    ]
+    d = tmp_path_factory.mktemp("es_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    want = _es_python_replay(toks, W)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.n_spans, r.n_dup_tokens)
+        for r in exact_substring_dedup(spark, str(d)).collect()
+    }
+    assert got == want
+
+    ex = {i: t for i, t in toks.items() if i % 4 in (0, 2)}  # src0/src2
+    inc = {i: t for i, t in toks.items() if i % 4 in (1, 3)}
+    ex_wins = set()
+    for i, t in ex.items():
+        ex_wins.update(" ".join(t[p : p + W]) for p in range(len(t) - W + 1))
+    want_in = _es_python_replay(inc, W, ex_hashes=ex_wins)
+    got_in = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.n_spans, r.n_dup_tokens)
+        for r in incr_substring_dedup(spark, str(d)).collect()
+    }
+    assert got_in == want_in
+
+
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(words, min_size=1, max_size=8))
+def test_quality_classifier_equals_python_replay(spark, tmp_path_factory, texts):
+    """D75 invariant: margin, decile and keep equal a pure-Python
+    replay of the hashed-linear rule (md5 60-bit bucket, Knuth
+    multiplicative weight, integer sum, one division)."""
+    import hashlib
+    import math
+
+    from uforwarder_spark.functions.text import (
+        QC_MULT,
+        QC_NB,
+        quality_classifier_score,
+    )
+
+    docs = [" ".join(t) for t in texts]
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(docs)]
+    d = tmp_path_factory.mktemp("qc_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def k_of(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return ((h % QC_NB) * QC_MULT) % (2 * QC_NB)
+
+    want = {}
+    for i, t in enumerate(docs):
+        toks = [x for x in t.lower().split() if x]
+        if not toks:
+            continue
+        sum_k = sum(k_of(x) for x in toks)
+        n = len(toks)
+        margin = (sum_k - QC_NB * n) / (QC_NB * n)
+        dec = int(min(max(math.floor((margin + 1.0) * 5.0), 0), 9))
+        want[i] = (n, round(margin, 6), dec, sum_k > QC_NB * n)
+    got = {
+        r.doc_id: (r.n_tokens, r.margin, r.quality_decile, r.keep)
+        for r in quality_classifier_score(spark, str(d)).collect()
+    }
+    assert got == want

@@ -2039,3 +2039,106 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("blocked_ratio"),
         (hits == 0).alias("keep"),
     )
+
+
+# --- D75 -----------------------------------------------------------------
+# Hashed-linear quality classifier (the fastText / DCLM / FineWeb-Edu
+# model-filter SHAPE): NB hashed unigram buckets, one weight per
+# bucket, per-doc mean weight as the decision margin. The weights here
+# are derived deterministically from the bucket id (Knuth
+# multiplicative hash) so the operator is oracle-checkable with no
+# model file; a production deployment swaps `QC_W_EXPR` for a trained
+# weight table (broadcast array, identical plan).
+QC_NB = 1024          # feature buckets
+QC_MULT = 2654435761  # Knuth's 2^32 / phi multiplier
+
+
+def _qc_sumk(dialect: str) -> str:
+    """Σ over tokens of k(t) = (bucket(t) * QC_MULT) % (2*QC_NB) — an
+    exact BIGINT in both engines; the margin divides it once."""
+    from ..model import H_DUCK, H_SPARK
+
+    if dialect == "spark":
+        h = H_SPARK.format(col="t")
+        return (
+            f"aggregate(transform(ts, t -> (({h} % {QC_NB}) * {QC_MULT}) "
+            f"% {2 * QC_NB}), 0L, (a, x) -> a + x)"
+        )
+    h = H_DUCK.format(col="t")
+    return (
+        f"list_reduce(list_transform(ts, t -> (({h} % {QC_NB}) * {QC_MULT}) "
+        f"% {2 * QC_NB}), (a, x) -> a + x)"
+    )
+
+
+QC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+),
+m AS (
+  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST({_qc_sumk('duck')} AS BIGINT) AS sum_k
+  FROM t WHERE len(ts) > 0
+)
+SELECT doc_id, source, n_tokens,
+       round(CAST(sum_k - {QC_NB} * n_tokens AS DOUBLE)
+             / ({QC_NB}.0 * n_tokens), 6) AS margin,
+       CAST(least(greatest(floor((CAST(sum_k - {QC_NB} * n_tokens AS DOUBLE)
+             / ({QC_NB}.0 * n_tokens) + 1.0) * 5.0), 0), 9) AS INTEGER)
+         AS quality_decile,
+       sum_k > {QC_NB} * n_tokens AS keep
+FROM m
+"""
+
+
+@register("quality_classifier_score", QC_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering in the published pipelines' shape
+    (CCNet's LM filter, DCLM's fastText classifier, FineWeb-Edu's
+    scorer): hash each token into one of {QC_NB} feature buckets, score
+    the doc as the mean bucket weight (a linear model over hashed
+    unigram counts), threshold at 0 for the keep decision, and bin the
+    margin into quality deciles for mixture planning. Weights are
+    bucket-id-derived (Knuth multiplicative hash → w(b) =
+    k(b)/{QC_NB} − 1 ∈ [−1, 1)) so the operator needs no model file;
+    swapping in trained weights = replacing one broadcast array, same
+    plan.
+
+    Exactness: the per-doc sum is pure BIGINT arithmetic (Σ k(t)), so
+    summation order cannot matter; the margin performs ONE double
+    division — bit-identical cross-engine — and the decile floors the
+    same double in both dialects.
+
+    SCALE: a pure per-row fold — the margin is computed inside the
+    projection with ZERO shuffles and zero joins (the classic
+    embarrassingly-parallel classifier scan); a trained weight table
+    adds one broadcast. No explode: tokens never leave their row.
+
+    Reference analogue: none — training-data quality family (model
+    filter; complements D9's heuristics and D15's Gopher rules)."""
+    docs = _docs(spark, sf_dir)
+    sum_k = _qc_sumk("spark")
+    m = (
+        docs.select("doc_id", "source", F.expr(TOKENS_SPARK).alias("ts"))
+        .filter(F.expr("size(ts) > 0"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(size(ts) AS BIGINT)").alias("n_tokens"),
+            F.expr(f"CAST({sum_k} AS BIGINT)").alias("sum_k"),
+        )
+    )
+    margin = F.expr(
+        f"CAST(sum_k - {QC_NB} * n_tokens AS DOUBLE) / ({QC_NB}.0D * n_tokens)"
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(margin, 6).alias("margin"),
+        F.expr(
+            f"CAST(least(greatest(floor((CAST(sum_k - {QC_NB} * n_tokens AS DOUBLE)"
+            f" / ({QC_NB}.0D * n_tokens) + 1.0D) * 5.0D), 0D), 9D) AS INT)"
+        ).alias("quality_decile"),
+        (F.col("sum_k") > QC_NB * F.col("n_tokens")).alias("keep"),
+    )
