@@ -1069,3 +1069,30 @@ def test_system_load_zero_span_guard(spark):
     got0 = system_load_from(tiny, wide).collect()[0]
     assert got0.n_capped == 0
     assert 0 < got0.demand_micro < LOAD_CAP_MICRO
+
+
+def test_knn_graph_recall_against_bruteforce(spark):
+    """D76 is approximate by design — the gate is per-vector recall
+    against exact brute-force neighbors, not score equality (the
+    oracle's job). For the query vector's row (vec_id 0), the graph's
+    top-5 must overlap the exact top-5 by >= 2 on this data, every
+    rank sequence must be 1..deg without gaps, and no self-edges."""
+    from tests.conftest import SF_MED
+    from uforwarder_spark.operators.similarity import (
+        KNN_K,
+        ann_topk_bruteforce,
+        knn_graph_lsh,
+    )
+
+    edges = knn_graph_lsh(spark, SF_MED).collect()
+    assert all(e.src != e.dst for e in edges)
+    by_src = {}
+    for e in edges:
+        by_src.setdefault(e.src, []).append(e)
+    for src, es in by_src.items():
+        ranks = sorted(x.rank for x in es)
+        assert ranks == list(range(1, len(es) + 1))
+        assert len(es) <= KNN_K
+    bf5 = {r.vec_id for r in ann_topk_bruteforce(spark, SF_MED).collect()[:5]}
+    graph0 = {e.dst for e in by_src.get(0, [])}
+    assert len(graph0 & bf5) >= 2

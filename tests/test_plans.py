@@ -634,3 +634,17 @@ def test_quality_classifier_is_shuffle_free_map(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "Generate" not in plan  # no explode
     assert "pythonUDF" not in plan
+
+
+def test_knn_graph_bands_shuffle_ids_only_window_per_src(spark):
+    # D76: the band self-join must consume (vec_id, band, bv) rows only
+    # (vectors are fetched AFTER the distinct id-pair stage via hash
+    # joins); the rank window must partition per src — a global window
+    # would funnel every edge through one reducer
+    import re
+
+    plan = plan_of(spark, "knn_graph_lsh")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert not re.search(r"Window .*partitionBy=\[\]", plan)
+    assert "row_number" in plan

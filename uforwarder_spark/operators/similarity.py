@@ -1485,3 +1485,102 @@ def ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_shift",
         )
     )
+
+
+# --- D76 -----------------------------------------------------------------
+KNN_K = 5  # neighbors kept per vector in the kNN graph
+
+KNN_GRAPH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v, {_bucket_expr('duck', 'v')} AS bucket FROM e
+),
+banded AS (
+  SELECT vec_id, v, {_band_cols('duck')} FROM sig
+),
+band_rows AS (
+  SELECT vec_id, 0 AS band, band0 AS bv FROM banded
+  UNION ALL SELECT vec_id, 1, band1 FROM banded
+  UNION ALL SELECT vec_id, 2, band2 FROM banded
+  UNION ALL SELECT vec_id, 3, band3 FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM band_rows a
+  JOIN band_rows b ON a.band = b.band AND a.bv = b.bv AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT p.src, p.dst, {_cos_expr('duck', 'ea.v', 'eb.v')} AS c
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.src
+  JOIN e eb ON eb.vec_id = p.dst
+),
+ranked AS (
+  SELECT src, dst, c,
+         row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rnk
+  FROM scored
+)
+SELECT src, dst, CAST(rnk AS INTEGER) AS rank, round(c, 6) AS cosine
+FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+
+@register("knn_graph_lsh", KNN_GRAPH_ORACLE)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level approximate kNN GRAPH — the bulk primitive under
+    graph-based dedup, SemDeDup-style pruning and diversity sampling:
+    every vector gets its top-{KNN_K} neighbors among the vectors
+    sharing at least one LSH band (D7's random-hyperplane 16-bit
+    signature, 4 bands × 4 bits), with exact cosine computed only
+    inside buckets. Completes the similarity family's shapes: D6/D7
+    single-query, D69 batched queries, this one all-pairs-graph.
+
+    Determinism: the signature is a fixed literal hyperplane fold, the
+    cosine a sequential fold, ranks break ties to the lower dst id —
+    edge SETS, not just scores, are bit-identical cross-engine.
+
+    SCALE: the signature map is O(n); the band self-join shuffles only
+    (vec_id, band-value) pairs — 4 rows per vector, uniform by
+    construction; candidate (src, dst) id-pairs are DISTINCT-ed
+    BEFORE any vector is fetched, so each surviving pair pays one
+    cosine and the vectors ride exactly two co-partitioned hash joins
+    (at 100 TB both sides bucket by vec_id). The rank window
+    partitions per src — never global. Candidate count is bounded by
+    colliding-bucket products, never n²; graph output is O(n·k).
+
+    Reference analogue: none — training-data similarity family
+    (SURVEY §2 D)."""
+    e = _emb(spark, sf_dir)
+    sig = e.withColumn("bucket", F.expr(_BUCKET_FOLD.format(v="v")))
+    band_rows = sig.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, (bucket DIV shiftleft(1L, 4 * b)) % 16 AS bv))"
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bv")
+    a = band_rows.select(
+        F.col("vec_id").alias("src"), "band", "bv"
+    )
+    b = band_rows.select(F.col("vec_id").alias("dst"), "band", "bv")
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    scored = (
+        pairs.join(e.select(F.col("vec_id").alias("src"), F.col("v").alias("av")), "src")
+        .join(e.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv2")), "dst")
+        .select("src", "dst", F.expr(_cos_expr("spark", "av", "bv2")).alias("c"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", F.col("rank").cast("int").alias("rank"), F.round("c", 6).alias("cosine"))
+    )
