@@ -22,19 +22,19 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-7 window (round-6 verdict, next-round item 2): rotate onto the
 # now-oldest evidence. Slot arithmetic (counted, not estimated):
-# 16 new/changed-this-round + 15 r03 leftovers + 19 oldest-r04 cohort
-# = 50 exactly (resq_routing, aimd_inflight_limiter and
-# head_blocking_cancel slide to the overflow head, keeping their r04
-# rows + both-SF pytest parity).
+# 17 new/changed-this-round + 15 r03 leftovers + 18 oldest-r04 cohort
+# = 50 exactly (fetcher_throughput, resq_routing,
+# aimd_inflight_limiter and head_blocking_cancel slide to the overflow
+# head, keeping their r04 rows + both-SF pytest parity).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (16): D72-D76 are new; B22/E30
+    # -- (a) new or changed this round (17): D72-D77 are new; B22/E30
     #    gained the zero-span guard; D71 the decimal expected-rate sum;
     #    D31/D42/D62 the clamped shared reconstruct expr; D67 the
     #    AQE-decided spine join; D68 the fused encode+ADC map; D70 the
     #    split hash/diff kernel; D40/D41/D59 the pass-through assign +
     #    factored M-step --
     "ivf_index_refresh", "exact_substring_dedup", "incr_substring_dedup",
-    "quality_classifier_score", "knn_graph_lsh",
+    "quality_classifier_score", "knn_graph_lsh", "incr_knn_edges",
     "system_load_ratio", "lsh_recall_audit",
     "embedding_int8_quantize", "ann_topk_int8_rescore",
     "ann_topk_ivf_int8", "ngram_decontamination", "ann_topk_pq",
@@ -58,9 +58,9 @@ _KEY_PRIORITY = [
     "tpch_q22_idle_balances", "tpch_q19_disjunctive_filter",
     "funnel_conversion", "retention_cohorts", "asof_join_purchases",
     "range_join_error_impact", "cube_revenue", "pivot_priority_revenue",
-    "fetcher_throughput",
     # ---------------- 50-slot window ends here ----------------
-    "resq_routing", "aimd_inflight_limiter", "head_blocking_cancel",
+    "fetcher_throughput", "resq_routing", "aimd_inflight_limiter",
+    "head_blocking_cancel",
     # Overflow (both-SF pytest parity continues to cover these with the
     # driver-grade comparator): the remaining r04 keys — A35/A36,
     # D8/D34/D37-D39/D44/D45/D47-D49/D51-D53/D55-D58/D60/D61 — are next

@@ -1748,3 +1748,39 @@ def test_e33_substring_gate_matches_batch(spark, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     assert want.flagged.any()  # non-vacuous: real cross-side spans exist
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e34_knn_ingest_matches_batch(spark, tmp_path):
+    """E34: the union of streamed per-arrival edge pages equals batch
+    D77 row-for-row, regardless of how the arrivals are chunked into
+    micro-batches (the existing band/vector index is static)."""
+    import os
+
+    from uforwarder_spark.operators.similarity import _emb, incr_knn_edges
+
+    e = _emb(spark, SF_SMALL)
+    incoming = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "v")
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    src = str(tmp_path / "src")
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.knn_ingest_pipeline(stream, existing, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    assert len(os.listdir(out)) >= 2  # the ingest actually ran per trigger
+    cols = ["src", "dst", "rank", "cosine"]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values(["src", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        incr_knn_edges(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values(["src", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

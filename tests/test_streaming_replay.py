@@ -1456,3 +1456,71 @@ def test_e33_substring_gate_replay_idempotent_and_matches_batch(
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e34_knn_ingest_replay_idempotent_and_matches_batch(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E34 property: for ANY arrival chunking of the vector stream and
+    a replayed batch (re-scored bit-identical against the static band
+    index), the union of streamed edges equals batch D77's."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import _emb, incr_knn_edges
+
+    e = _emb(spark, SF_SMALL)
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    incoming_pdf = (
+        e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "v").toPandas()
+    )
+    vec_schema = "vec_id long, v array<double>"
+    rows = list(incoming_pdf.itertuples(index=False))
+    chunks = []
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    for k in range(n_chunks):
+        part = pd.DataFrame(
+            [r for r, c in zip(rows, assignment) if c == k], columns=["vec_id", "v"]
+        )
+        if len(part):
+            chunks.append(part)
+    chunks = chunks or [incoming_pdf]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e34rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(vec_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.knn_ingest_pipeline(stream, existing, os.path.join(tmp, "out"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], vec_schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    path = f"{tmp}/out/batch_id={bid}"
+    before = _sorted_pdf(spark, path)
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], vec_schema, src, now, start_idx=restart_at)
+    run_phase()
+    pd.testing.assert_frame_equal(_sorted_pdf(spark, path), before, check_exact=True)
+
+    cols = ["src", "dst", "rank", "cosine"]
+    got = (
+        spark.read.parquet(f"{tmp}/out")
+        .select(cols).toPandas().sort_values(["src", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        incr_knn_edges(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values(["src", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

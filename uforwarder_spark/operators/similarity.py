@@ -1553,16 +1553,7 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data similarity family
     (SURVEY §2 D)."""
     e = _emb(spark, sf_dir)
-    sig = e.withColumn("bucket", F.expr(_BUCKET_FOLD.format(v="v")))
-    band_rows = sig.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> "
-                "struct(b AS band, (bucket DIV shiftleft(1L, 4 * b)) % 16 AS bv))"
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bv")
+    band_rows = knn_band_frame(e)  # the shared D76/D77/E34 band table
     a = band_rows.select(
         F.col("vec_id").alias("src"), "band", "bv"
     )
@@ -1583,4 +1574,127 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= KNN_K)
         .select("src", "dst", F.col("rank").cast("int").alias("rank"), F.round("c", 6).alias("cosine"))
+    )
+
+
+# --- D77 -----------------------------------------------------------------
+INCR_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v, vec_id % 2 AS side, {_bucket_expr('duck', 'v')} AS bucket FROM e
+),
+banded AS (
+  SELECT vec_id, side, {_band_cols('duck')} FROM sig
+),
+band_rows AS (
+  SELECT vec_id, side, 0 AS band, band0 AS bv FROM banded
+  UNION ALL SELECT vec_id, side, 1, band1 FROM banded
+  UNION ALL SELECT vec_id, side, 2, band2 FROM banded
+  UNION ALL SELECT vec_id, side, 3, band3 FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM band_rows a
+  JOIN band_rows b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.side = 1 AND b.side = 0
+),
+scored AS (
+  SELECT p.src, p.dst, {_cos_expr('duck', 'ea.v', 'eb.v')} AS c
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.src
+  JOIN e eb ON eb.vec_id = p.dst
+),
+ranked AS (
+  SELECT src, dst, c,
+         row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rnk
+  FROM scored
+)
+SELECT src, dst, CAST(rnk AS INTEGER) AS rank, round(c, 6) AS cosine
+FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+
+@register("incr_knn_edges", INCR_KNN_ORACLE)
+def incr_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph ingest — D76's edges in D36's production
+    shape: a NEW batch of embeddings (odd vec_ids stand in for the
+    fresh arrivals) gets its top-{KNN_K} neighbors AGAINST the existing
+    index (even vec_ids) — the operation an embedding store runs per
+    ingest, where rebuilding the whole D76 graph would re-shuffle every
+    band row. The band probe is ASYMMETRIC (incoming × existing only),
+    candidates DISTINCT-ed before any vector is fetched, rank windows
+    per incoming src. Live E34 runs the identical kernel per
+    micro-batch.
+
+    SCALE: the existing corpus contributes its persisted (vec_id, band,
+    bv) table (the D36 band-table convention — maintained per ingest,
+    not recomputed) plus vec_id-bucketed vectors for the dst fetch;
+    each ingest pays |batch| signature folds, a band join whose probe
+    side is batch-sized, one cosine per surviving pair, and a per-src
+    rank window. Never n² and never a graph rebuild.
+
+    Reference analogue: none — training-data similarity family
+    (SURVEY §2 D)."""
+    e = _emb(spark, sf_dir)
+    incoming = e.filter(F.col("vec_id") % 2 == 1)
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    return incr_knn_frame(incoming, knn_band_frame(existing), existing)
+
+
+def knn_band_frame(vecs: DataFrame) -> DataFrame:
+    """(vec_id, band, bv): the 4-band LSH table of a vector frame — at
+    100 TB the existing-corpus output is a persisted table updated per
+    ingest (the D36 band-table convention). Shared by D76/D77/E34."""
+    sig = vecs.withColumn("bucket", F.expr(_BUCKET_FOLD.format(v="v")))
+    return sig.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, (bucket DIV shiftleft(1L, 4 * b)) % 16 AS bv))"
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bv")
+
+
+def incr_knn_frame(
+    incoming: DataFrame, ex_bands: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """The D77 ingest kernel: incoming vectors vs a (persisted)
+    existing-corpus band table + vector table — shared by batch D77 and
+    the live E34 pipeline."""
+    in_bands = knn_band_frame(incoming.select("vec_id", "v")).select(
+        F.col("vec_id").alias("src"), "band", "bv"
+    )
+    pairs = (
+        in_bands.join(
+            ex_bands.select(F.col("vec_id").alias("dst"), "band", "bv"),
+            ["band", "bv"],
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    scored = (
+        pairs.join(
+            incoming.select(F.col("vec_id").alias("src"), F.col("v").alias("av")),
+            "src",
+        )
+        .join(
+            existing.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv2")),
+            "dst",
+        )
+        .select("src", "dst", F.expr(_cos_expr("spark", "av", "bv2")).alias("c"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "src",
+            "dst",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("c", 6).alias("cosine"),
+        )
     )

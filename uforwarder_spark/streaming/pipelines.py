@@ -2154,3 +2154,45 @@ def substring_gate_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E34: live kNN-graph ingest ---------------------------------------------
+def knn_ingest_pipeline(
+    vec_stream: DataFrame, existing: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E34: the live twin of batch D77 — the embedding store's ingest
+    loop: each micro-batch of newly embedded vectors gets its
+    top-K neighbors against the EXISTING index through the shared
+    ``incr_knn_frame`` kernel (band probe → distinct candidate pairs →
+    one cosine per pair → per-src rank window), landing edge pages in
+    a batchId-keyed sink. The existing-corpus band table and vector
+    table are built and persisted once before the first trigger (at
+    100 TB: a persisted band table + vec_id-bucketed vectors,
+    maintained per publish — the D36 band-table convention). Stateless
+    per batch, so replays overwrite their own batch_id=N directory
+    (idempotent under at-least-once); the union of streamed edges
+    equals batch D77 row-for-row (the stream test asserts it).
+
+    SCALE: per trigger the work is |batch| signature folds + a band
+    join probed from the batch side + one cosine per surviving pair;
+    nothing rebuilds the graph and nothing re-reads the corpus beyond
+    the dst fetch for survivors."""
+    from ..operators.similarity import incr_knn_frame, knn_band_frame
+
+    ex = existing.persist()
+    ex.count()
+    ex_bands = knn_band_frame(ex).persist()
+    ex_bands.count()  # materialize the index once, before the first trigger
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df.select("vec_id", "v")
+        incr_knn_frame(incoming, ex_bands, ex).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        vec_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
