@@ -1179,3 +1179,37 @@ def test_incr_substring_gate_is_asymmetric(spark, tmp_path):
     # docs 4/5 share a run ONLY with each other -> asymmetry keeps them clean
     assert not got[4].flagged and got[4].n_dup_tokens == 0
     assert not got[5].flagged and got[5].n_dup_tokens == 0
+
+
+def test_span_removal_cuts_exactly_the_islands(spark, tmp_path):
+    """Non-vacuous D78: on the seeded corpus the cleaned output must be
+    exactly the original tokens minus the duplicated islands — checked
+    against a by-hand reconstruction, including a fully-duplicated doc
+    that must clean to the empty string."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import substring_span_removal
+
+    shared = " ".join(f"tok{i}" for i in range(60))
+    uniq_a = " ".join(f"ua{i}" for i in range(40))
+    uniq_b = " ".join(f"ub{i}" for i in range(40))
+    docs = [
+        (1, uniq_a + " " + shared, "en", "src0", 10),
+        (2, shared + " " + uniq_b, "en", "src1", 10),
+        (3, shared, "en", "src2", 10),  # nothing but the shared run
+        (4, " ".join(f"clean{i}" for i in range(80)), "en", "src3", 10),
+    ]
+    d = tmp_path / "sr"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in substring_span_removal(spark, str(d)).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1].n_tokens_cut == 60 and got[1].cleaned_md5 == md5(uniq_a)
+    assert got[2].n_tokens_cut == 60 and got[2].cleaned_md5 == md5(uniq_b)
+    # doc 3 is ALL duplicated text -> empty after the cut
+    assert got[3].n_tokens_kept == 0 and got[3].cleaned_md5 == md5("")
+    assert got[4].n_tokens_cut == 0 and got[4].cleaned_md5 == md5(
+        " ".join(f"clean{i}" for i in range(80))
+    )

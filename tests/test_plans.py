@@ -648,3 +648,13 @@ def test_knn_graph_bands_shuffle_ids_only_window_per_src(spark):
     assert "pythonUDF" not in plan
     assert not re.search(r"Window .*partitionBy=\[\]", plan)
     assert "row_number" in plan
+
+
+def test_span_removal_is_rowlocal_after_detection(spark):
+    # D78: detection shares D73's plan; the cut itself must be a
+    # row-local filter-with-index (ranges join back doc-keyed, full
+    # documents never re-shuffle, nothing through Python)
+    plan = plan_of(spark, "substring_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()

@@ -1147,6 +1147,37 @@ def test_exact_substring_equals_python_replay(spark, tmp_path_factory, n_docs, g
     }
     assert got_in == want_in
 
+    # D78: the cut output equals the python replay's kept-token re-join
+    import hashlib
+    from collections import Counter
+
+    from uforwarder_spark.operators.dedup import substring_span_removal
+
+    wins = {
+        i: [" ".join(t[p : p + W]) for p in range(len(t) - W + 1)]
+        for i, t in toks.items()
+        if len(t) >= W
+    }
+    cnt = Counter()
+    for ws in wins.values():
+        cnt.update(ws)
+    want_clean = {}
+    for i, ws in wins.items():
+        covered = set()
+        for p, w in enumerate(ws):
+            if cnt[w] > 1:
+                covered.update(range(p, p + W))
+        kept = [t for j, t in enumerate(toks[i]) if j not in covered]
+        want_clean[i] = (
+            len(toks[i]) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got_clean = {
+        r.doc_id: (r.n_tokens_cut, r.cleaned_md5)
+        for r in substring_span_removal(spark, str(d)).collect()
+    }
+    assert got_clean == want_clean
+
 
 @settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(texts=st.lists(words, min_size=1, max_size=8))

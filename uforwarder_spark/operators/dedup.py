@@ -1636,10 +1636,10 @@ def es_window_frame(t: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
 
 
-def es_span_stats(pos: DataFrame, spine: DataFrame) -> DataFrame:
-    """Merge duplicated window positions into maximal islands (gap > W
-    starts a new span) and roll up per doc against the (doc_id,
-    n_tokens) spine — the shared tail of D73/D74/E33."""
+def es_spans(pos: DataFrame) -> DataFrame:
+    """(doc_id, island, n_win, p0, p1): duplicated window positions
+    merged into maximal islands (gap > W starts a new span) — shared by
+    the D73/D74 stats rollup and the D78 span-removal transform."""
     byp = Window.partitionBy("doc_id").orderBy("p")
     isl = pos.withColumn(
         "island",
@@ -1647,9 +1647,16 @@ def es_span_stats(pos: DataFrame, spine: DataFrame) -> DataFrame:
             F.when(F.col("p") - F.lag("p").over(byp) > ES_W, 1).otherwise(0)
         ).over(byp.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = isl.groupBy("doc_id", "island").agg(
+    return isl.groupBy("doc_id", "island").agg(
         F.count("*").alias("n_win"), F.min("p").alias("p0"), F.max("p").alias("p1")
     )
+
+
+def es_span_stats(pos: DataFrame, spine: DataFrame) -> DataFrame:
+    """Merge duplicated window positions into maximal islands (gap > W
+    starts a new span) and roll up per doc against the (doc_id,
+    n_tokens) spine — the shared tail of D73/D74/E33."""
+    spans = es_spans(pos)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("n_win").cast("bigint").alias("n_dup_windows"),
         F.count("*").cast("bigint").alias("n_spans"),
@@ -1767,3 +1774,116 @@ def incr_substring_frame(t_in: DataFrame, ex_h: DataFrame) -> DataFrame:
         .select("doc_id", "p")
     )
     return es_span_stats(pos, t_in.select("doc_id", "n_tokens"))
+
+
+# --- D78 -----------------------------------------------------------------
+SPAN_REMOVAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+spine AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t WHERE len(toks) >= {ES_W}
+),
+w AS (
+  SELECT doc_id, p,
+         md5(array_to_string(toks[p + 1 : p + {ES_W}], ' ')) AS h
+  FROM t, unnest(range(len(toks) - {ES_W} + 1)) AS u(p)
+  WHERE len(toks) >= {ES_W}
+),
+duph AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+pos AS (SELECT w.doc_id, w.p FROM w JOIN duph ON w.h = duph.h),
+flags AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {ES_W} THEN 1 ELSE 0 END AS flag
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, min(p) AS p0, max(p) AS p1
+  FROM isl GROUP BY doc_id, island
+),
+ranges AS (
+  SELECT doc_id, list(struct_pack(p0 := p0, p1 := p1)) AS rs
+  FROM spans GROUP BY doc_id
+),
+cleaned AS (
+  SELECT s.doc_id, s.n_tokens,
+         list_filter(
+           list_transform(range(len(s.toks)), i ->
+             CASE WHEN r.rs IS NOT NULL AND len(list_filter(r.rs,
+                    x -> i >= x.p0 AND i < x.p1 + {ES_W})) > 0
+                  THEN NULL ELSE s.toks[i + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM spine s LEFT JOIN ranges r ON s.doc_id = r.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_tokens_cut,
+       -- coalesce: DuckDB's array_to_string([]) is NULL; Spark's
+       -- concat_ws over an empty array is '' — a fully-cut doc must
+       -- hash the empty string identically in both engines
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+FROM cleaned
+"""
+
+
+@register("substring_span_removal", SPAN_REMOVAL_ORACLE)
+def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of exact-substring dedup (Lee et al. 2022
+    publish their deduplicated corpora this way): D73 finds the
+    >= {ES_W}-token spans repeated anywhere in the corpus; this
+    operator CUTS them — every token covered by a duplicated island is
+    removed, the remainder re-joins in original order, and each doc
+    emits its kept/cut token accounting plus the md5 of the cleaned
+    text (the content identity downstream snapshots and D70-style
+    diffs key on). Docs with no duplicated span pass through with
+    n_tokens_cut = 0.
+
+    Exactness: token positions are integers, the kept-token filter is
+    a deterministic per-index membership test against the doc's island
+    ranges, and both engines md5 the identical single-space re-join.
+
+    SCALE: detection is exactly D73's plan (one window-hash scan, one
+    partial-agged corpus group-by, survivor-only island windows); the
+    removal itself is ROW-LOCAL — each doc's island ranges (O(spans)
+    structs) join back to its token row and the cut is one
+    filter-with-index over the token array, so full documents never
+    shuffle (the doc-keyed ranges table does, O(flagged docs) rows).
+
+    Reference analogue: none — training-data dedup family
+    (SURVEY §2 D; the corpus-rewrite shape)."""
+    t = es_token_frame(_docs(spark, sf_dir))
+    wins = es_window_frame(t)
+    duph = wins.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    pos = wins.join(duph.select("h"), "h").select("doc_id", "p")
+    ranges = (
+        es_spans(pos)
+        .groupBy("doc_id")
+        .agg(F.expr("collect_list(struct(p0, p1))").alias("rs"))
+    )
+    kept = F.expr(
+        f"filter(toks, (tok, i) -> NOT exists(rs2, x -> i >= x.p0 AND i < x.p1 + {ES_W}))"
+    )
+    return (
+        t.join(ranges, "doc_id", "left")
+        .withColumn("rs2", F.expr("coalesce(rs, array())"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(size(kept) AS BIGINT)").alias("n_tokens_kept"),
+            F.expr("CAST(n_tokens - size(kept) AS BIGINT)").alias("n_tokens_cut"),
+            F.expr("md5(concat_ws(' ', kept))").alias("cleaned_md5"),
+        )
+    )
