@@ -1784,3 +1784,53 @@ def test_e34_knn_ingest_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e35_quality_mixture_converges_to_batch(spark, tmp_path):
+    """E35: after the doc stream drains, the per-(source, decile)
+    mixture state equals batch D75 rolled up bit-for-bit (additive
+    counters through the shared qc_frame kernel)."""
+    import os
+
+    from uforwarder_spark.functions.text import quality_classifier_score
+    from uforwarder_spark.model import load_parallel
+
+    src = str(tmp_path / "src")
+    load_parallel(spark, SF_SMALL, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.quality_mixture_pipeline(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/mix")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the merge path ran
+    cols = ["source", "quality_decile", "n_docs", "n_tokens", "n_keep"]
+    got = (
+        spark.read.parquet(f"{state}/mix/batch_id={last}")
+        .select(cols).toPandas()
+        .sort_values(["source", "quality_decile"]).reset_index(drop=True)
+    )
+    want = (
+        quality_classifier_score(spark, SF_SMALL)
+        .groupBy("source", "quality_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
+        )
+        .select(cols).toPandas()
+        .sort_values(["source", "quality_decile"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1524,3 +1524,53 @@ def test_e34_knn_ingest_replay_idempotent_and_matches_batch(
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e35_quality_mixture_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E35 property: the additive (source, decile) counters survive ANY
+    chunking + a replayed batch (bit-identical re-write), and the
+    drained state equals batch D75 rolled up."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import quality_classifier_score
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = load_parallel(spark, SF_SMALL, "documents").toPandas()[DOCS_COLS]
+
+    def make_query(stream, tmp, ckpt):
+        return P.quality_mixture_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+
+    tmp, ckpt, bid = _monitor_replay_run(
+        spark, docs_pdf, make_query, ["{tmp}/state/mix/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e35rr",
+    )
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/mix")
+        if d.startswith("batch_id=")
+    )
+    cols = ["source", "quality_decile", "n_docs", "n_tokens", "n_keep"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/mix/batch_id={last}")
+        .select(cols).toPandas()
+        .sort_values(["source", "quality_decile"]).reset_index(drop=True)
+    )
+    want = (
+        quality_classifier_score(spark, SF_SMALL)
+        .groupBy("source", "quality_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
+        )
+        .select(cols).toPandas()
+        .sort_values(["source", "quality_decile"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

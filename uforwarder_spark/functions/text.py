@@ -2116,7 +2116,13 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — training-data quality family (model
     filter; complements D9's heuristics and D15's Gopher rules)."""
-    docs = _docs(spark, sf_dir)
+    return qc_frame(_docs(spark, sf_dir))
+
+
+def qc_frame(docs: DataFrame) -> DataFrame:
+    """The D75 classifier kernel over a (doc_id, source, text) frame —
+    shared by batch D75 and the live E35 mixture monitor (one
+    definition, so the gate and the monitor cannot drift)."""
     sum_k = _qc_sumk("spark")
     m = (
         docs.select("doc_id", "source", F.expr(TOKENS_SPARK).alias("ts"))

@@ -2196,3 +2196,59 @@ def knn_ingest_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E35: live quality-mixture monitor --------------------------------------
+def quality_mixture_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E35: the live twin of batch D75's mixture rollup — the
+    per-(source, quality-decile) composition of the corpus maintained
+    continuously as docs land (the number a crawl operator watches to
+    see a source's quality drift BEFORE the next training mix is cut).
+    Each micro-batch scores its docs through the SHARED qc_frame
+    kernel and folds per-(source, decile) doc/token/keep counters
+    additively into ``{state_dir}/mix/batch_id=N`` — the E19/E30
+    batchId-versioned shape, idempotent under at-least-once replays.
+    After the stream drains, the state equals batch D75 grouped by
+    (source, quality_decile) bit-for-bit (the stream test asserts it).
+
+    SCALE: the classifier is a zero-shuffle per-row fold; per trigger
+    the only exchange is the partial agg to O(sources × 10) rows,
+    merged against O(sources × 10) state. Nothing ever re-reads the
+    corpus."""
+    from ..functions.text import qc_frame
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_mix = (
+            qc_frame(batch_df.select("doc_id", "source", "text"))
+            .groupBy("source", "quality_decile")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_keep"),
+            )
+        )
+        prev = _read_state_parquet(spark, f"{state_dir}/mix/batch_id={batch_id - 1}")
+        merged = (
+            batch_mix
+            if prev is None
+            else batch_mix.unionByName(prev)
+            .groupBy("source", "quality_decile")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum("n_keep").cast("bigint").alias("n_keep"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/mix/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
