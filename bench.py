@@ -103,6 +103,32 @@ BASELINE2 = {
 BASELINE2_CAL = 0.1156  # single-core witness on the r06 pin host
 BASELINE2_CAL_MC = 0.0406  # 32-thread witness on the r06 pin host
 
+# Third-generation headline set (pinned round 7, same protocol): the
+# operators added after BASELINE2 froze — the exact-substring dedup
+# family, the kNN-graph pair, the IVF refresh, and the classifier scan.
+# Raw seconds from the pin host (idle, warm, best-of-3) plus that
+# host's witnesses measured in the SAME run.
+HEADLINE3 = [
+    "ivf_index_refresh",
+    "exact_substring_dedup",
+    "incr_substring_dedup",
+    "substring_span_removal",
+    "quality_classifier_score",
+    "knn_graph_lsh",
+    "incr_knn_edges",
+]
+BASELINE3 = {
+    "ivf_index_refresh": 2.125,
+    "exact_substring_dedup": 0.805,
+    "incr_substring_dedup": 0.786,
+    "substring_span_removal": 0.867,
+    "quality_classifier_score": 0.292,
+    "knn_graph_lsh": 4.099,
+    "incr_knn_edges": 4.439,
+}
+BASELINE3_CAL = 0.1159  # single-core witness on the r07 pin host
+BASELINE3_CAL_MC = 0.0385  # 32-thread witness on the r07 pin host
+
 
 def _calibration_sec() -> float:
     """Single-core host-speed witness: md5 over a fixed 64 MiB buffer,
@@ -166,7 +192,7 @@ def main() -> None:
     # executor throughput, the quantity that matters at scale, instead
     # of one-time driver compile cost.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + HEADLINE2:
+    for name in HEADLINE + HEADLINE2 + HEADLINE3:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
@@ -174,7 +200,8 @@ def main() -> None:
     # scheduler hiccup; the min reflects the plan's steady-state cost.
     timings: dict[str, float] = {}
     timings2: dict[str, float] = {}
-    for sink, names in ((timings, HEADLINE), (timings2, HEADLINE2)):
+    timings3: dict[str, float] = {}
+    for sink, names in ((timings, HEADLINE), (timings2, HEADLINE2), (timings3, HEADLINE3)):
         for name in names:
             fn = QUERIES[name]
             best = float("inf")
@@ -192,9 +219,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total2 = round(sum(timings2.values()), 3)
+    total3 = round(sum(timings3.values()), 3)
     cal = _calibration_sec()
     host_factor = round(cal / BASELINE_CAL, 3)
     host_factor2 = round(cal / BASELINE2_CAL, 3)
+    host_factor3 = round(cal / BASELINE3_CAL, 3)
     # Per-line ratios vs the pinned baselines, raw and host-calibrated —
     # BASELINE.md's 1.3x-per-line rule, machine-checked every run.
     ratios = {
@@ -213,12 +242,25 @@ def main() -> None:
         for n in HEADLINE2
         if n in BASELINE2 and sf == "0.1"
     }
+    ratios3 = {
+        n: {
+            "ratio_vs_baseline": round(timings3[n] / BASELINE3[n], 2),
+            "ratio_calibrated": round(timings3[n] / BASELINE3[n] / host_factor3, 2),
+        }
+        for n in HEADLINE3
+        if n in BASELINE3 and sf == "0.1"
+    }
     mc = _calibration_mc_sec()
     ratio_total = (
         round(total / sum(BASELINE.values()) / host_factor, 3) if sf == "0.1" else None
     )
     ratio2_total = (
         round(total2 / sum(BASELINE2.values()) / host_factor2, 3)
+        if sf == "0.1"
+        else None
+    )
+    ratio3_total = (
+        round(total3 / sum(BASELINE3.values()) / host_factor3, 3)
         if sf == "0.1"
         else None
     )
@@ -240,25 +282,35 @@ def main() -> None:
         "queries": timings,
         "value2": total2,
         "queries2": timings2,
+        "value3": total3,
+        "queries3": timings3,
         "calibration_sec": cal,
         "calibration_mc_sec": mc,
         "host_factor_vs_baseline": host_factor,
         "host_factor_vs_baseline2": host_factor2,
+        "host_factor_vs_baseline3": host_factor3,
         "ratio_total_calibrated": ratio_total,
         "ratio2_total_calibrated": ratio2_total,
+        "ratio3_total_calibrated": ratio3_total,
         "per_line_breaches": sorted(
             n for n, r in ratios.items() if r["ratio_calibrated"] > 1.3
         ),
         "per_line_breaches2": sorted(
             n for n, r in ratios2.items() if r["ratio_calibrated"] > 1.3
         ),
+        "per_line_breaches3": sorted(
+            n for n, r in ratios3.items() if r["ratio_calibrated"] > 1.3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    full = dict(compact, ratios=ratios, ratios2=ratios2)
+    full = dict(compact, ratios=ratios, ratios2=ratios2, ratios3=ratios3)
     line = json.dumps(compact)
     # belt-and-braces: if some future addition pushes past the window,
     # shed the least essential fields rather than lose parseability
-    for shed in ("queries2", "queries", "per_line_breaches2", "per_line_breaches"):
+    for shed in (
+        "queries3", "queries2", "queries",
+        "per_line_breaches3", "per_line_breaches2", "per_line_breaches",
+    ):
         if len(line) <= 1900:
             break
         compact.pop(shed, None)
