@@ -117,17 +117,23 @@ HEADLINE3 = [
     "knn_graph_lsh",
     "incr_knn_edges",
 ]
+# Re-pinned after the round-7 normalized-dot optimization (unit
+# vectors computed once per vector, single dot fold per candidate
+# pair) roughly halved both kNN lines — the pin reflects the shipped
+# code, so future regressions can't hide under the pre-optimization
+# numbers. First pin for reference: knn_graph_lsh 4.099,
+# incr_knn_edges 4.439 at cal 0.1159.
 BASELINE3 = {
-    "ivf_index_refresh": 2.125,
-    "exact_substring_dedup": 0.805,
-    "incr_substring_dedup": 0.786,
-    "substring_span_removal": 0.867,
-    "quality_classifier_score": 0.292,
-    "knn_graph_lsh": 4.099,
-    "incr_knn_edges": 4.439,
+    "ivf_index_refresh": 2.042,
+    "exact_substring_dedup": 0.845,
+    "incr_substring_dedup": 0.82,
+    "substring_span_removal": 0.811,
+    "quality_classifier_score": 0.304,
+    "knn_graph_lsh": 2.007,
+    "incr_knn_edges": 2.069,
 }
-BASELINE3_CAL = 0.1159  # single-core witness on the r07 pin host
-BASELINE3_CAL_MC = 0.0385  # 32-thread witness on the r07 pin host
+BASELINE3_CAL = 0.1146  # single-core witness on the r07 pin host
+BASELINE3_CAL_MC = 0.0428  # 32-thread witness on the r07 pin host
 
 
 def _calibration_sec() -> float:

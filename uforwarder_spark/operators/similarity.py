@@ -1490,9 +1490,24 @@ def ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D76 -----------------------------------------------------------------
 KNN_K = 5  # neighbors kept per vector in the kNN graph
 
+# Per-pair score = ONE dot fold over pre-normalized unit vectors (the
+# D68 normalization shape) instead of the 3-fold dot/sqrt(dot*dot)
+# cosine: mathematically the same number, 3x less per-pair float work
+# on the ~n*hundreds candidate set, and both engines run the identical
+# normalize-then-fold op order so results stay bit-comparable.
+_UNIT_SPARK = (
+    f"transform(v, x -> x / sqrt({_DOT_SPARK.format(a='v', b='v')}))"
+)
+_UNIT_DUCK = (
+    f"list_transform(v, x -> x / sqrt({_DOT_DUCK.format(a='v', b='v')}))"
+)
+
 KNN_GRAPH_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+en AS (
+  SELECT vec_id, {_UNIT_DUCK} AS u FROM e
 ),
 sig AS (
   SELECT vec_id, v, {_bucket_expr('duck', 'v')} AS bucket FROM e
@@ -1512,10 +1527,10 @@ pairs AS (
   JOIN band_rows b ON a.band = b.band AND a.bv = b.bv AND a.vec_id <> b.vec_id
 ),
 scored AS (
-  SELECT p.src, p.dst, {_cos_expr('duck', 'ea.v', 'eb.v')} AS c
+  SELECT p.src, p.dst, {_DOT_DUCK.format(a='ea.u', b='eb.u')} AS c
   FROM pairs p
-  JOIN e ea ON ea.vec_id = p.src
-  JOIN e eb ON eb.vec_id = p.dst
+  JOIN en ea ON ea.vec_id = p.src
+  JOIN en eb ON eb.vec_id = p.dst
 ),
 ranked AS (
   SELECT src, dst, c,
@@ -1564,10 +1579,11 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    en = e.select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
     scored = (
-        pairs.join(e.select(F.col("vec_id").alias("src"), F.col("v").alias("av")), "src")
-        .join(e.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv2")), "dst")
-        .select("src", "dst", F.expr(_cos_expr("spark", "av", "bv2")).alias("c"))
+        pairs.join(en.select(F.col("vec_id").alias("src"), F.col("u").alias("au")), "src")
+        .join(en.select(F.col("vec_id").alias("dst"), F.col("u").alias("bu")), "dst")
+        .select("src", "dst", F.expr(_DOT_SPARK.format(a="au", b="bu")).alias("c"))
     )
     wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
     return (
@@ -1581,6 +1597,9 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_KNN_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+en AS (
+  SELECT vec_id, {_UNIT_DUCK} AS u FROM e
 ),
 sig AS (
   SELECT vec_id, v, vec_id % 2 AS side, {_bucket_expr('duck', 'v')} AS bucket FROM e
@@ -1601,10 +1620,10 @@ pairs AS (
   WHERE a.side = 1 AND b.side = 0
 ),
 scored AS (
-  SELECT p.src, p.dst, {_cos_expr('duck', 'ea.v', 'eb.v')} AS c
+  SELECT p.src, p.dst, {_DOT_DUCK.format(a='ea.u', b='eb.u')} AS c
   FROM pairs p
-  JOIN e ea ON ea.vec_id = p.src
-  JOIN e eb ON eb.vec_id = p.dst
+  JOIN en ea ON ea.vec_id = p.src
+  JOIN en eb ON eb.vec_id = p.dst
 ),
 ranked AS (
   SELECT src, dst, c,
@@ -1678,14 +1697,18 @@ def incr_knn_frame(
     )
     scored = (
         pairs.join(
-            incoming.select(F.col("vec_id").alias("src"), F.col("v").alias("av")),
+            incoming.select(
+                F.col("vec_id").alias("src"), F.expr(_UNIT_SPARK).alias("au")
+            ),
             "src",
         )
         .join(
-            existing.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv2")),
+            existing.select(
+                F.col("vec_id").alias("dst"), F.expr(_UNIT_SPARK).alias("bu")
+            ),
             "dst",
         )
-        .select("src", "dst", F.expr(_cos_expr("spark", "av", "bv2")).alias("c"))
+        .select("src", "dst", F.expr(_DOT_SPARK.format(a="au", b="bu")).alias("c"))
     )
     wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
     return (
