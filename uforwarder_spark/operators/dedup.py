@@ -1511,6 +1511,46 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus is duplicated text.
 ES_W = 50
 
+# Shared island-merge CTE chain (flags -> isl -> spans) and per-doc
+# stats tail, interpolated into the D73/D74/D78 oracles (the _KM_CTES
+# convention) so the gap rule and rollup cannot silently diverge
+# between the three oracle twins of the one Spark kernel (es_spans /
+# es_span_stats). Requires a CTE named `pos` (doc_id, p) upstream;
+# D78 ignores the extra n_win column.
+_ES_ISLAND_CTES = f"""flags AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {ES_W} THEN 1 ELSE 0 END AS flag
+  FROM pos
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, island, count(*) AS n_win,
+         min(p) AS p0, max(p) AS p1
+  FROM isl GROUP BY doc_id, island
+)"""
+
+_ES_STATS_TAIL = f"""per_doc AS (
+  SELECT doc_id,
+         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(p1 + {ES_W} - p0) AS BIGINT) AS n_dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(d.n_spans, 0) AS n_spans,
+       coalesce(d.n_dup_tokens, 0) AS n_dup_tokens,
+       round(CAST(coalesce(d.n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 6)
+         AS dup_frac,
+       coalesce(d.n_dup_tokens, 0) > 0 AS flagged
+FROM spine s LEFT JOIN per_doc d ON s.doc_id = d.doc_id"""
+
 EXACT_SUBSTRING_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
@@ -1527,38 +1567,8 @@ w AS (
 ),
 duph AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
 pos AS (SELECT w.doc_id, w.p FROM w JOIN duph ON w.h = duph.h),
-flags AS (
-  SELECT doc_id, p,
-         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                   > {ES_W} THEN 1 ELSE 0 END AS flag
-  FROM pos
-),
-isl AS (
-  SELECT doc_id, p,
-         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
-                         ROWS UNBOUNDED PRECEDING) AS island
-  FROM flags
-),
-spans AS (
-  SELECT doc_id, island, count(*) AS n_win,
-         min(p) AS p0, max(p) AS p1
-  FROM isl GROUP BY doc_id, island
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
-         CAST(count(*) AS BIGINT) AS n_spans,
-         CAST(sum(p1 + {ES_W} - p0) AS BIGINT) AS n_dup_tokens
-  FROM spans GROUP BY doc_id
-)
-SELECT s.doc_id, s.n_tokens,
-       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
-       coalesce(d.n_spans, 0) AS n_spans,
-       coalesce(d.n_dup_tokens, 0) AS n_dup_tokens,
-       round(CAST(coalesce(d.n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 6)
-         AS dup_frac,
-       coalesce(d.n_dup_tokens, 0) > 0 AS flagged
-FROM spine s LEFT JOIN per_doc d ON s.doc_id = d.doc_id
+{_ES_ISLAND_CTES},
+{_ES_STATS_TAIL}
 """
 
 
@@ -1697,38 +1707,8 @@ pos AS (
   SELECT doc_id, p FROM w
   WHERE side = 1 AND h IN (SELECT h FROM w WHERE side = 0)
 ),
-flags AS (
-  SELECT doc_id, p,
-         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                   > {ES_W} THEN 1 ELSE 0 END AS flag
-  FROM pos
-),
-isl AS (
-  SELECT doc_id, p,
-         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
-                         ROWS UNBOUNDED PRECEDING) AS island
-  FROM flags
-),
-spans AS (
-  SELECT doc_id, island, count(*) AS n_win,
-         min(p) AS p0, max(p) AS p1
-  FROM isl GROUP BY doc_id, island
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
-         CAST(count(*) AS BIGINT) AS n_spans,
-         CAST(sum(p1 + {ES_W} - p0) AS BIGINT) AS n_dup_tokens
-  FROM spans GROUP BY doc_id
-)
-SELECT s.doc_id, s.n_tokens,
-       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
-       coalesce(d.n_spans, 0) AS n_spans,
-       coalesce(d.n_dup_tokens, 0) AS n_dup_tokens,
-       round(CAST(coalesce(d.n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 6)
-         AS dup_frac,
-       coalesce(d.n_dup_tokens, 0) > 0 AS flagged
-FROM spine s LEFT JOIN per_doc d ON s.doc_id = d.doc_id
+{_ES_ISLAND_CTES},
+{_ES_STATS_TAIL}
 """
 
 
@@ -1793,22 +1773,7 @@ w AS (
 ),
 duph AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
 pos AS (SELECT w.doc_id, w.p FROM w JOIN duph ON w.h = duph.h),
-flags AS (
-  SELECT doc_id, p,
-         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                   > {ES_W} THEN 1 ELSE 0 END AS flag
-  FROM pos
-),
-isl AS (
-  SELECT doc_id, p,
-         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
-                         ROWS UNBOUNDED PRECEDING) AS island
-  FROM flags
-),
-spans AS (
-  SELECT doc_id, min(p) AS p0, max(p) AS p1
-  FROM isl GROUP BY doc_id, island
-),
+{_ES_ISLAND_CTES},
 ranges AS (
   SELECT doc_id, list(struct_pack(p0 := p0, p1 := p1)) AS rs
   FROM spans GROUP BY doc_id

@@ -195,16 +195,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the bucket is a fold over a nested hyperplane literal so the
     codegen stays small."""
     e = _emb(spark, sf_dir)
-    sig = e.withColumn("bucket", F.expr(_BUCKET_FOLD.format(v="v")))
-    band_rows = sig.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> "
-                "struct(b AS band, (bucket DIV shiftleft(1L, 4 * b)) % 16 AS bv))"
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bv")
+    band_rows = knn_band_frame(e)  # the shared D7/D76/D77/E34 band table
     qrows = band_rows.filter(F.col("vec_id") == 0).select("band", "bv")
     cand = (
         band_rows.filter(F.col("vec_id") != 0)

@@ -1880,17 +1880,21 @@ def contamination_gate_pipeline(
         )
         # source re-join direction: the survivor aggregate (one row per
         # contaminated (doc, eval_doc) pair — rare by construction) is
-        # the BROADCAST side; the full batch projection stays the probe
-        # side and never shuffles, keeping the docstring's "only
-        # broadcast-join survivors are shuffled" claim literally true.
+        # the SMALL side and the full batch projection the probe side.
+        # No explicit broadcast hint: contamination volume is
+        # data-dependent (a micro-batch full of quoted eval text could
+        # blow a forced broadcast — the same reasoning that removed
+        # batch D67's spine hint), so AQE broadcasts when the measured
+        # aggregate is small and falls back to a shuffle join when a
+        # pathological batch makes it large.
         gm_agg = (
             ghits.groupBy("doc_id", "eval_doc_id")
             .agg(F.countDistinct("g").alias("n_shared_grams"))
-            .join(F.broadcast(per_doc), "doc_id")
+            .join(per_doc, "doc_id")
         )
         gmatches = (
             batch_df.select("doc_id", "source")
-            .join(F.broadcast(gm_agg), "doc_id")
+            .join(gm_agg, "doc_id")
             .select(
                 "doc_id",
                 "source",
