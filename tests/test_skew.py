@@ -195,3 +195,35 @@ def test_minhash_band_join_hot_bucket_aqe_splits(spark, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_exact_substring_hot_window_hash(spark, tmp_path):
+    """D73 under the adversarial boilerplate shape: 200 docs all carry
+    the SAME 60-token run (one window hash owns ~200x its fair share of
+    the corpus group-by), plus per-doc unique tails. The hash group-by
+    must partial-aggregate the hot key map-side (no straggler carrying
+    raw positions), and the answer must stay exact: every doc's shared
+    run is duplicated (one island, 60 tokens), no unique tail is."""
+    from uforwarder_spark.operators.dedup import ES_W, exact_substring_dedup
+
+    boiler = " ".join(f"boil{i}" for i in range(60))
+    docs = [
+        (i, boiler + " " + " ".join(f"d{i}u{j}" for j in range(40)), "en", f"src{i % 4}", 10)
+        for i in range(200)
+    ]
+    d = tmp_path / "hot"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    out = exact_substring_dedup(spark, str(d))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the hot hash must meet a partial (map-side) aggregate before any
+    # exchange — the property that bounds the straggler reducer to one
+    # combined row per partition instead of 200 raw position rows
+    assert plan.count("HashAggregate") >= 2
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 200
+    for i, r in rows.items():
+        assert r.n_spans == 1 and r.n_dup_tokens == 60
+        assert r.n_dup_windows == 60 - ES_W + 1
+        assert r.n_tokens == 100

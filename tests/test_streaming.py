@@ -1834,3 +1834,58 @@ def test_e35_quality_mixture_converges_to_batch(spark, tmp_path):
         .sort_values(["source", "quality_decile"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def _asbuilt_reps(e):
+    from pyspark.sql import Window as W
+
+    from uforwarder_spark.operators.similarity import K_CLUSTERS
+
+    w = W.orderBy("vec_id")
+    return (
+        e.orderBy("vec_id").limit(K_CLUSTERS)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cluster"),
+            F.col("v").alias("c"),
+        )
+    )
+
+
+def test_e36_index_drift_converges_to_batch(spark, tmp_path):
+    """E36: after the vector stream drains, the derived drift table
+    equals batch D79 bit-for-bit (additive count + DECIMAL-summed
+    distance counters through the shared drift_stats_from kernel)."""
+    import os
+
+    from uforwarder_spark.operators.similarity import _emb, index_drift_stats
+
+    e = _emb(spark, SF_SMALL)
+    reps = _asbuilt_reps(e)
+    src = str(tmp_path / "src")
+    e.select("vec_id", "v").repartition(4).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.index_drift_pipeline(stream, reps, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/drift")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the merge path ran
+    cols = ["cell", "n_members", "mean_sq_dist", "load_share", "drifted", "overloaded"]
+    got = (
+        spark.read.parquet(f"{state}/drift/batch_id={last}")
+        .select(cols).toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    want = (
+        index_drift_stats(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    assert bool(want.drifted.any()) and bool((~want.drifted).any())  # non-vacuous
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1574,3 +1574,72 @@ def test_e35_quality_mixture_replay_idempotent_and_converges(
         .sort_values(["source", "quality_decile"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e36_index_drift_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E36 property: the per-cell (count, DECIMAL-dist) counters
+    survive ANY chunking + a replayed batch (bit-identical re-write),
+    and the drained drift table equals batch D79's."""
+    from tests.conftest import SF_SMALL
+    from tests.test_streaming import _asbuilt_reps
+    from uforwarder_spark.operators.similarity import _emb, index_drift_stats
+
+    e = _emb(spark, SF_SMALL)
+    reps = _asbuilt_reps(e)
+    vec_pdf = e.select("vec_id", "v").toPandas()
+    vec_schema = "vec_id long, v array<double>"
+    rows = list(vec_pdf.itertuples(index=False))
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = [
+        pd.DataFrame([r for r, c in zip(rows, assignment) if c == k], columns=["vec_id", "v"])
+        for k in range(n_chunks)
+    ]
+    chunks = [c for c in chunks if len(c)] or [vec_pdf]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e36rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(vec_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.index_drift_pipeline(stream, reps, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], vec_schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    paths = [f"{tmp}/state/cells/batch_id={bid}", f"{tmp}/state/drift/batch_id={bid}"]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], vec_schema, src, now, start_idx=restart_at)
+    run_phase()
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/drift")
+        if d.startswith("batch_id=")
+    )
+    cols = ["cell", "n_members", "mean_sq_dist", "load_share", "drifted", "overloaded"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/drift/batch_id={last}")
+        .select(cols).toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    want = (
+        index_drift_stats(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

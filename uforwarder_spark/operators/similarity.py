@@ -1712,3 +1712,101 @@ def incr_knn_frame(
             F.round("c", 6).alias("cosine"),
         )
     )
+
+
+# --- D79 -----------------------------------------------------------------
+# Refresh-trigger thresholds: a cell whose mean squared assignment
+# distance exceeds DRIFT_T has drifted from its representative; a cell
+# holding more than OVERLOAD_SHARE of the corpus is an imbalance
+# hotspot. Either condition is the operator's cue to run the D72
+# refresh.
+DRIFT_T = 1.625
+OVERLOAD_SHARE = 0.13
+
+DRIFT_ORACLE = (
+    _KM_CTES
+    + f""",
+tot AS (SELECT count(*) AS n_total FROM a1),
+per_cell AS (
+  SELECT cluster, count(*) AS n_members,
+         CAST(sum(CAST(round(dist, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*)
+           AS md
+  FROM a1 GROUP BY cluster
+)
+SELECT cluster AS cell,
+       CAST(n_members AS BIGINT) AS n_members,
+       round(md, 6) AS mean_sq_dist,
+       round(CAST(n_members AS DOUBLE) / t.n_total, 6) AS load_share,
+       md > {DRIFT_T} AS drifted,
+       CAST(n_members AS DOUBLE) / t.n_total > {OVERLOAD_SHARE} AS overloaded
+FROM per_cell CROSS JOIN tot t
+"""
+)
+
+
+@register("index_drift_stats", DRIFT_ORACLE)
+def index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MONITOR half of the day-2 index loop (D72 is the act): per
+    IVF cell, how far the members have drifted from the as-built
+    representative (mean squared assignment distance) and how much of
+    the corpus the cell holds — with the two boolean cues (drifted /
+    overloaded) an operator alerts on before paying the D72 re-train.
+    The as-built representatives are the D40 seed convention, so the
+    three operators (monitor → refresh → churn audit) describe the
+    same index.
+
+    Exactness: distances are sequential folds; per-cell sums round to
+    7 dp and sum DECIMAL (order-free) with ONE double division; the
+    flags compare that same division result to the threshold in both
+    engines, and displayed values round at 6 dp after the compare is
+    decided.
+
+    SCALE: one row-local E-step over the corpus scan (broadcast
+    packed representatives — the shared _kmeans_assign kernel), one
+    partial agg to O(k) rows, a 1-row total broadcast. The live E36
+    twin folds the identical per-cell counters additively per
+    micro-batch.
+
+    Reference analogue: none — training-data similarity family
+    (FAISS day-2 index maintenance, the trigger side)."""
+    e = _emb(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cluster"),
+            F.col("v").alias("c"),
+        )
+    )
+    cells = (
+        _kmeans_assign(e, seeds)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.expr("CAST(round(dist, 7) AS DECIMAL(20,7))")).alias("sum_d"),
+        )
+    )
+    return drift_stats_from(cells)
+
+
+def drift_stats_from(cells: DataFrame) -> DataFrame:
+    """The D79 stats derivation from a per-cell counter frame
+    (cluster, n_members, sum_d DECIMAL(20,7)) — shared by batch D79
+    and the live E36 monitor, whose state folds the same counters
+    additively (DECIMAL addition is exact, so the drained state
+    re-derives the identical table)."""
+    tot = cells.agg(F.sum("n_members").cast("bigint").alias("n_total"))
+    md = F.col("sum_d").cast("double") / F.col("n_members")
+    share = F.col("n_members").cast("double") / F.col("n_total")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster").alias("cell"),
+            "n_members",
+            F.round(md, 6).alias("mean_sq_dist"),
+            F.round(share, 6).alias("load_share"),
+            (md > DRIFT_T).alias("drifted"),
+            (share > OVERLOAD_SHARE).alias("overloaded"),
+        )
+    )

@@ -2256,3 +2256,67 @@ def quality_mixture_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: 
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E36: live index-drift monitor ------------------------------------------
+def index_drift_pipeline(
+    vec_stream: DataFrame, reps: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E36: the live twin of batch D79 — the index-refresh TRIGGER
+    maintained continuously: each micro-batch of vectors is assigned to
+    the as-built representatives (the shared _kmeans_assign kernel,
+    broadcast packed reps, row-local), and per-cell (count,
+    DECIMAL-summed squared distance) counters fold additively into
+    ``{state_dir}/cells/batch_id=N``; the derived drift table
+    (``{state_dir}/drift/batch_id=N``) goes through the SHARED
+    drift_stats_from derivation, so after the stream drains it equals
+    batch D79 bit-for-bit — DECIMAL addition is exact, so arrival
+    chunking cannot move a single bit. Replays re-merge the same batch
+    into the same directory (idempotent under at-least-once; the
+    E19/E30 shape). When a drift row flips ``drifted``/``overloaded``,
+    the operator runs the D72 refresh — monitor, act, audit: one index
+    story.
+
+    SCALE: per trigger the E-step is a row-local fold over the batch,
+    the only exchange is the O(k) partial agg, and state is O(k) rows
+    forever. Nothing ever re-reads the corpus."""
+    from ..operators.similarity import _kmeans_assign, drift_stats_from
+
+    packed = reps.persist()
+    packed.count()  # materialize once, before the first trigger
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_cells = (
+            _kmeans_assign(batch_df.select("vec_id", "v"), packed)
+            .groupBy("cluster")
+            .agg(
+                F.count("*").cast("bigint").alias("n_members"),
+                F.sum(F.expr("CAST(round(dist, 7) AS DECIMAL(20,7))")).alias("sum_d"),
+            )
+        )
+        prev = _read_state_parquet(spark, f"{state_dir}/cells/batch_id={batch_id - 1}")
+        merged = (
+            batch_cells
+            if prev is None
+            else batch_cells.unionByName(prev)
+            .groupBy("cluster")
+            .agg(
+                F.sum("n_members").cast("bigint").alias("n_members"),
+                F.sum("sum_d").cast("decimal(20,7)").alias("sum_d"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/cells/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/cells/batch_id={batch_id}")
+        drift_stats_from(state).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/drift/batch_id={batch_id}"
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
