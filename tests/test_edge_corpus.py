@@ -1213,3 +1213,47 @@ def test_span_removal_cuts_exactly_the_islands(spark, tmp_path):
     assert got[4].n_tokens_cut == 0 and got[4].cleaned_md5 == md5(
         " ".join(f"clean{i}" for i in range(80))
     )
+
+
+def test_decon_span_removal_cuts_only_the_quote(spark, tmp_path):
+    """Non-vacuous D80: the doc quoting a full eval 13-gram inside a
+    longer page loses EXACTLY the quoted window's tokens (not the whole
+    doc — the surgical alternative to D67's drop); the 12-gram-prefix
+    doc and the unrelated doc pass through byte-identical; eval docs
+    never appear. Reuses D67's seeded scenario so the two operators'
+    verdicts can be compared on the same corpus."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import (
+        decon_span_removal,
+        ngram_decontamination,
+    )
+
+    eval_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    pre, post = "intro words then", "and a trailing sentence"
+    docs = [
+        (1, pre + " " + eval_text + " " + post, "en", "web", 99),
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima", "en", "web", 75),
+        (3, "completely unrelated words about nothing in particular at all", "en", "books", 62),
+        (51, eval_text, "en", "eval", 80),  # eval member (hash rule)
+    ]
+    d = tmp_path / "dsr"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in decon_span_removal(spark, str(d)).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    assert set(got) == {1, 2, 3}
+    # doc 1: exactly the 13 quoted tokens cut; intro + trailing survive
+    r = got[1]
+    assert r.n_spans == 1 and r.n_matched_windows == 1 and r.n_tokens_cut == 13
+    assert r.cleaned_md5 == md5((pre + " " + post).lower())
+    # doc 2 (12-gram prefix only) and doc 3 pass through untouched
+    assert got[2].n_tokens_cut == 0 and got[2].cleaned_md5 == md5(docs[1][1].lower())
+    assert got[3].n_tokens_cut == 0
+
+    # consistency with the D67 verdict on the same corpus: cut iff drop
+    d67 = {r.doc_id: r.contaminated for r in ngram_decontamination(spark, str(d)).collect()}
+    for did, r in got.items():
+        assert (r.n_tokens_cut > 0) == d67[did]

@@ -663,3 +663,17 @@ def test_span_removal_is_rowlocal_after_detection(spark):
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+def test_decon_span_removal_broadcast_gate_rowlocal_cut(spark):
+    # D80: the benchmark-sized eval-gram set broadcasts into the corpus
+    # gram stream; only survivors reach the per-doc island windows
+    # (keyed per doc); the cut is a row-local filter-with-index
+    plan = plan_of(spark, "decon_span_removal")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert "windowspecdefinition(doc_id#" in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, f"global window: {line}"

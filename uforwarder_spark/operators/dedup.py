@@ -1517,10 +1517,10 @@ ES_W = 50
 # between the three oracle twins of the one Spark kernel (es_spans /
 # es_span_stats). Requires a CTE named `pos` (doc_id, p) upstream;
 # D78 ignores the extra n_win column.
-_ES_ISLAND_CTES = f"""flags AS (
+_ES_ISLAND_TPL = """flags AS (
   SELECT doc_id, p,
          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                   > {ES_W} THEN 1 ELSE 0 END AS flag
+                   > {W} THEN 1 ELSE 0 END AS flag
   FROM pos
 ),
 isl AS (
@@ -1534,6 +1534,8 @@ spans AS (
          min(p) AS p0, max(p) AS p1
   FROM isl GROUP BY doc_id, island
 )"""
+
+_ES_ISLAND_CTES = _ES_ISLAND_TPL.format(W=ES_W)
 
 _ES_STATS_TAIL = f"""per_doc AS (
   SELECT doc_id,
@@ -1646,15 +1648,16 @@ def es_window_frame(t: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
 
 
-def es_spans(pos: DataFrame) -> DataFrame:
+def es_spans(pos: DataFrame, w: int = ES_W) -> DataFrame:
     """(doc_id, island, n_win, p0, p1): duplicated window positions
-    merged into maximal islands (gap > W starts a new span) — shared by
-    the D73/D74 stats rollup and the D78 span-removal transform."""
+    merged into maximal islands (gap > w starts a new span) — shared by
+    the D73/D74 stats rollup, the D78 span-removal transform, and (at
+    w = NGRAM_DECON_N) the D80 decontamination rewrite."""
     byp = Window.partitionBy("doc_id").orderBy("p")
     isl = pos.withColumn(
         "island",
         F.sum(
-            F.when(F.col("p") - F.lag("p").over(byp) > ES_W, 1).otherwise(0)
+            F.when(F.col("p") - F.lag("p").over(byp) > w, 1).otherwise(0)
         ).over(byp.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return isl.groupBy("doc_id", "island").agg(
@@ -1848,6 +1851,144 @@ def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.expr("CAST(size(kept) AS BIGINT)").alias("n_tokens_kept"),
+            F.expr("CAST(n_tokens - size(kept) AS BIGINT)").alias("n_tokens_cut"),
+            F.expr("md5(concat_ws(' ', kept))").alias("cleaned_md5"),
+        )
+    )
+
+
+# --- D80 -----------------------------------------------------------------
+DECON_SPAN_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+),
+ev AS (
+  SELECT doc_id FROM t
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {EVAL_MOD} = 0
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         md5(array_to_string(list_slice(ts, i, i + {NGRAM_DECON_N - 1}), ' ')) AS g
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {NGRAM_DECON_N - 2})) AS i FROM t)
+),
+eg AS (
+  SELECT DISTINCT g FROM grams JOIN ev ON grams.doc_id = ev.doc_id
+),
+pos AS (
+  SELECT c.doc_id, c.p FROM grams c JOIN eg ON c.g = eg.g
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM ev)
+),
+{{island}},
+ranges AS (
+  SELECT doc_id, list(struct_pack(p0 := p0, p1 := p1)) AS rs,
+         CAST(sum(n_win) AS BIGINT) AS n_matched_windows,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, source, ts, CAST(len(ts) AS BIGINT) AS n_tokens
+  FROM t WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+),
+cleaned AS (
+  SELECT b.doc_id, b.source, b.n_tokens,
+         coalesce(r.n_matched_windows, 0) AS n_matched_windows,
+         coalesce(r.n_spans, 0) AS n_spans,
+         list_filter(
+           list_transform(range(len(b.ts)), i ->
+             CASE WHEN r.rs IS NOT NULL AND len(list_filter(r.rs,
+                    x -> i >= x.p0 AND i < x.p1 + {NGRAM_DECON_N})) > 0
+                  THEN NULL ELSE b.ts[i + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM base b LEFT JOIN ranges r ON b.doc_id = r.doc_id
+)
+SELECT doc_id, source, n_tokens, n_matched_windows, n_spans,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_tokens_cut,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+FROM cleaned
+""".format(island=_ES_ISLAND_TPL.format(W=NGRAM_DECON_N))
+
+
+@register("decon_span_removal", DECON_SPAN_ORACLE)
+def decon_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination — the surgical alternative to D67's
+    drop verdict, and what several published pipelines actually do:
+    instead of discarding a whole page that quotes benchmark text, CUT
+    exactly the spans that overlap the eval set (every token covered by
+    a matched {NGRAM_DECON_N}-gram, adjacent matches merged into
+    maximal islands via the shared es_spans kernel at w={NGRAM_DECON_N})
+    and keep the rest. Per non-eval doc: matched-window and span
+    counts, tokens cut, and the cleaned-text md5; clean docs — and docs
+    shorter than the window — pass through with zero cut. Eval docs
+    are held out, not rewritten (the D67 convention).
+
+    SCALE: the eval 13-gram set is benchmark-sized at any corpus scale
+    and broadcasts; the corpus pays one scan + gram explode, only
+    broadcast-join survivors reach the per-doc island windows, and the
+    cut is the D78 ROW-LOCAL filter-with-index — full documents never
+    shuffle (the doc-keyed ranges table does, O(contaminated docs)
+    rows).
+
+    Reference analogue: none — training-data decontamination family
+    (SURVEY §2 D; composes D67's gate with D78's rewrite)."""
+    all_docs = _docs(spark, sf_dir)
+    is_eval = decon_eval_filter()
+    eval_grams = (
+        decon_grams_frame(all_docs.filter(is_eval).select("doc_id", "text"))
+        .select("g")
+        .distinct()
+    )
+    t = all_docs.filter(~is_eval).select(
+        "doc_id",
+        "source",
+        F.expr(TOKENS_SPARK).alias("ts"),
+    ).withColumn("n_tokens", F.expr("CAST(size(ts) AS BIGINT)"))
+    pos = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(ts) >= {NGRAM_DECON_N} THEN "
+                    f"transform(sequence(0, size(ts) - {NGRAM_DECON_N}), p -> "
+                    f"struct(CAST(p AS BIGINT) AS p, "
+                    f"md5(concat_ws(' ', slice(ts, p + 1, {NGRAM_DECON_N}))) AS g)) "
+                    "ELSE array() END"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.p").alias("p"), F.col("w.g").alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id", "p")
+    )
+    ranges = (
+        es_spans(pos, w=NGRAM_DECON_N)
+        .groupBy("doc_id")
+        .agg(
+            F.expr("collect_list(struct(p0, p1))").alias("rs"),
+            F.sum("n_win").cast("bigint").alias("n_matched_windows"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+    )
+    kept = F.expr(
+        f"filter(ts, (tok, i) -> NOT exists(rs2, x -> i >= x.p0 AND i < x.p1 + {NGRAM_DECON_N}))"
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        t.join(ranges, "doc_id", "left")
+        .withColumn("rs2", F.expr("coalesce(rs, array())"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("n_matched_windows", z).alias("n_matched_windows"),
+            F.coalesce("n_spans", z).alias("n_spans"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_matched_windows",
+            "n_spans",
             F.expr("CAST(n_tokens - size(kept) AS BIGINT)").alias("n_tokens_cut"),
             F.expr("md5(concat_ws(' ', kept))").alias("cleaned_md5"),
         )
