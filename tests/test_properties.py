@@ -1220,3 +1220,119 @@ def test_quality_classifier_equals_python_replay(spark, tmp_path_factory, texts)
         for r in quality_classifier_score(spark, str(d)).collect()
     }
     assert got == want
+
+
+def test_index_drift_equals_numpy_stats(spark):
+    """D79 invariant: the per-cell drift table at sf0.001 equals a
+    numpy replay of one E-step + count/mean/share/flag arithmetic."""
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        DRIFT_T,
+        K_CLUSTERS,
+        OVERLOAD_SHARE,
+        index_drift_stats,
+    )
+
+    got = {
+        r.cell: (r.n_members, r.mean_sq_dist, r.load_share, r.drifted, r.overloaded)
+        for r in index_drift_stats(spark, SF_SMALL).collect()
+    }
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([v[0] for v in vecs])
+    X = np.array([v[1] for v in vecs])
+    keep = (X * X).sum(axis=1) > 0
+    X = X[keep]
+    C = X[:K_CLUSTERS]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a1 = d2.argmin(axis=1)
+    dmin = d2.min(axis=1)
+    total = len(X)
+    want = {}
+    for k in range(K_CLUSTERS):
+        m = a1 == k
+        n = int(m.sum())
+        if n == 0:
+            continue
+        md = float(np.round(dmin[m], 7).sum() / n)
+        share = n / total
+        want[k] = (
+            n,
+            round(md, 6),
+            round(share, 6),
+            md > DRIFT_T,
+            share > OVERLOAD_SHARE,
+        )
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(words, min_size=3, max_size=8),
+    quotes=st.lists(st.integers(0, 6), max_size=3),
+)
+def test_decon_span_removal_equals_python_replay(spark, tmp_path_factory, texts, quotes):
+    """D80 invariant: for ANY corpus — including docs quoting an eval
+    doc's text inside a longer page — the cut token set equals a pure-
+    Python replay of gram-match → island-merge → covered-position
+    union, and the cleaned md5 matches the remaining tokens."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import (
+        EVAL_MOD,
+        NGRAM_DECON_N,
+        decon_span_removal,
+    )
+
+    base = [" ".join(t) for t in texts]
+    all_texts = base + [
+        "padding words before " + base[q % len(base)] + " padding words after"
+        for q in quotes
+    ]
+    rows = [(i, t, "en", f"src{i % 3:02d}", len(t)) for i, t in enumerate(all_texts)]
+    d = tmp_path_factory.mktemp("dsr_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def is_eval(doc_id: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % EVAL_MOD == 0
+
+    import re as _re
+
+    W = NGRAM_DECON_N
+
+    def toks_of(t):
+        return [x for x in _re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    eval_grams = set()
+    for i, t in enumerate(all_texts):
+        if is_eval(i):
+            tk = toks_of(t)
+            eval_grams.update(
+                " ".join(tk[p : p + W]) for p in range(len(tk) - W + 1)
+            )
+    want = {}
+    for i, t in enumerate(all_texts):
+        if is_eval(i):
+            continue
+        tk = toks_of(t)
+        covered = set()
+        for p in range(max(len(tk) - W + 1, 0)):
+            if " ".join(tk[p : p + W]) in eval_grams:
+                covered.update(range(p, p + W))
+        kept = [x for j, x in enumerate(tk) if j not in covered]
+        want[i] = (
+            len(tk),
+            len(tk) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_cut, r.cleaned_md5)
+        for r in decon_span_removal(spark, str(d)).collect()
+    }
+    assert got == want
