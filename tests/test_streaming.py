@@ -1889,3 +1889,64 @@ def test_e36_index_drift_converges_to_batch(spark, tmp_path):
     )
     assert bool(want.drifted.any()) and bool((~want.drifted).any())  # non-vacuous
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e37_decon_span_matches_batch(spark, tmp_path):
+    """E37: the union of streamed per-doc span-cut rows equals batch
+    D80 row-for-row, regardless of how the crawl is chunked into
+    micro-batches (the eval 13-gram set is static; incoming eval docs
+    are held out, exactly as in batch). The corpus is sf0.001 (volume)
+    plus the D80 seeded quote scenario (doc 51 is an eval member by the
+    hash rule; doc 1 quotes its full 13-gram) so real cuts exist."""
+    import os
+
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import decon_span_removal
+
+    eval_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    )
+    seeded = spark.createDataFrame(
+        [
+            (1, "intro words then " + eval_text + " and a trailing sentence", "en", "web", 99),
+            (51, eval_text, "en", "eval", 80),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    all_docs = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+        .unionByName(seeded)
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    all_docs.write.mode("overwrite").parquet(f"{corpus_dir}/documents.parquet")
+    all_docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    src = str(tmp_path / "src")
+    all_docs.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.decon_span_pipeline(stream, all_docs, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    assert len(os.listdir(out)) >= 2  # the rewrite actually ran per trigger
+    cols = [
+        "doc_id", "source", "n_tokens", "n_matched_windows",
+        "n_spans", "n_tokens_cut", "cleaned_md5",
+    ]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        decon_span_removal(spark, corpus_dir)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (want.n_tokens_cut > 0).any()  # non-vacuous: real cuts exist
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

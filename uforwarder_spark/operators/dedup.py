@@ -1937,7 +1937,17 @@ def decon_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .distinct()
     )
-    t = all_docs.filter(~is_eval).select(
+    return decon_span_frame(all_docs.filter(~is_eval), eval_grams)
+
+
+def decon_span_frame(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Shared kernel of batch D80 and live E37 (one definition, so the
+    batch sweep and the at-ingest gate cannot drift): ``docs`` is a
+    (doc_id, source, text) frame of NON-eval candidates; ``eval_grams``
+    the distinct eval {NGRAM_DECON_N}-gram md5 set (benchmark-sized at
+    any corpus scale, so it is unconditionally broadcast). Emits one
+    row per doc with span/cut accounting + cleaned-text md5."""
+    t = docs.select(
         "doc_id",
         "source",
         F.expr(TOKENS_SPARK).alias("ts"),

@@ -2320,3 +2320,55 @@ def index_drift_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E37: live span-level decontamination ------------------------------------
+def decon_span_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E37: the live twin of batch D80 — span-level decontamination as
+    an at-ingest REWRITE instead of E29's drop verdict: each micro-batch
+    of crawled docs has every token covered by a matched eval 13-gram
+    cut (adjacent matches merged into maximal islands) through the
+    shared ``decon_span_frame`` kernel, and the per-doc cut accounting +
+    cleaned-text md5 land in a batchId-keyed sink. Incoming eval docs
+    are held out, not rewritten (the D67/D80 convention — they are not
+    training candidates). Stateless per batch, so replays overwrite
+    their own batch_id=N directory (idempotent under at-least-once);
+    the union of streamed rows equals batch D80 row-for-row (the
+    stream test asserts it).
+
+    SCALE: the eval 13-gram set is benchmark-sized at ANY corpus scale
+    — built once from the held-out set, persisted before the first
+    trigger, broadcast per trigger by the shared kernel. Each trigger
+    pays |batch| tokenization + one gram explode; only broadcast-join
+    survivors reach the per-doc island windows, and the cut is the D78
+    ROW-LOCAL filter-with-index — full documents never shuffle."""
+    from ..operators.dedup import (
+        decon_eval_filter,
+        decon_grams_frame,
+        decon_span_frame,
+    )
+
+    eval_grams = (
+        decon_grams_frame(corpus_docs.filter(decon_eval_filter()).select("doc_id", "text"))
+        .select("g")
+        .distinct()
+        .persist()
+    )
+    eval_grams.count()  # materialize once, before the first trigger
+
+    def rewrite(batch_df: DataFrame, batch_id: int) -> None:
+        candidates = batch_df.filter(~decon_eval_filter()).select(
+            "doc_id", "source", "text"
+        )
+        decon_span_frame(candidates, eval_grams).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(rewrite)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
