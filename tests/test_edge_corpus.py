@@ -1257,3 +1257,19 @@ def test_decon_span_removal_cuts_only_the_quote(spark, tmp_path):
     d67 = {r.doc_id: r.contaminated for r in ngram_decontamination(spark, str(d)).collect()}
     for did, r in got.items():
         assert (r.n_tokens_cut > 0) == d67[did]
+
+
+def test_kmv_degrades_to_exact_on_tiny_sources(spark, edge_dir):
+    """D81 edge: when every source holds fewer than K distinct shingles
+    the sketches ARE the sets — the KMV estimates must equal the exact
+    audit bit-for-bit (k_used < K path)."""
+    from uforwarder_spark.operators.dedup import KMV_K, kmv_sketch_overlap
+
+    rows = kmv_sketch_overlap(spark, edge_dir).collect()
+    assert len(rows) == 1  # sources {books, web} -> one pair
+    r = rows[0]
+    assert (r.src_a, r.src_b) == ("books", "web")
+    assert r.k_used < KMV_K
+    assert r.kmv_jacc == r.exact_jacc and r.jacc_abs_err == 0.0
+    assert r.kmv_union_est == float(r.n_a + r.n_b - r.exact_inter)
+    assert abs(r.kmv_inter_est - r.exact_inter) <= 0.01

@@ -1096,3 +1096,21 @@ def test_knn_graph_recall_against_bruteforce(spark):
     bf5 = {r.vec_id for r in ann_topk_bruteforce(spark, SF_MED).collect()[:5]}
     graph0 = {e.dst for e in by_src.get(0, [])}
     assert len(graph0 & bf5) >= 2
+
+
+def test_kmv_sketch_accuracy_at_sf(spark):
+    """D81: at sf0.001 every source's shingle set exceeds K=256, so the
+    estimator branch is live on real data — the Jaccard estimate must
+    track the exact audit within sketch error, and union estimates must
+    sit within 25% of the exact union."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.dedup import KMV_K, kmv_sketch_overlap
+
+    rows = kmv_sketch_overlap(spark, SF_SMALL).collect()
+    assert len(rows) == 190  # 20 sources -> C(20,2) pairs
+    assert all(r.k_used == KMV_K for r in rows)  # estimator branch live
+    errs = [r.jacc_abs_err for r in rows]
+    assert sum(errs) / len(errs) < 0.05
+    for r in rows:
+        exact_union = r.n_a + r.n_b - r.exact_inter
+        assert abs(r.kmv_union_est - exact_union) / exact_union < 0.25

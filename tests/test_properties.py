@@ -1336,3 +1336,58 @@ def test_decon_span_removal_equals_python_replay(spark, tmp_path_factory, texts,
         for r in decon_span_removal(spark, str(d)).collect()
     }
     assert got == want
+
+
+def test_kmv_sketch_overlap_equals_python_replay(spark):
+    """D81 invariant: every column of the pair table at sf0.001 equals
+    a pure-Python replay of the bottom-k estimator (same md5 hash
+    space, same bottom-k union, same IEEE op order)."""
+    import hashlib
+    import re as _re
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.dedup import KMV_K, KMV_SPACE, kmv_sketch_overlap
+
+    got = {
+        (r.src_a, r.src_b): r for r in kmv_sketch_overlap(spark, SF_SMALL).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT source, lower(text) FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    sets: dict[str, set[int]] = {}
+    for src, txt in docs:
+        ts = [t for t in _re.split("[^a-z0-9]+", txt) if t]
+        gs = (
+            {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+            if len(ts) >= 3
+            else {" ".join(ts)}
+        )
+        sets.setdefault(src, set()).update(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in gs
+        )
+    srcs = sorted(sets)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            A, B = sets[a], sets[b]
+            ka, kb = set(sorted(A)[:KMV_K]), set(sorted(B)[:KMV_K])
+            X = sorted(ka | kb)[:KMV_K]
+            k_used, hk = len(X), X[-1]
+            n_both = sum(1 for h in X if h in ka and h in kb)
+            inter, union = len(A & B), len(A | B)
+            r = got[(a, b)]
+            assert (r.n_a, r.n_b, r.exact_inter, r.k_used) == (
+                len(A), len(B), inter, k_used,
+            )
+            assert r.exact_jacc == round(inter / (len(A) + len(B) - inter), 8)
+            assert r.kmv_jacc == round(n_both / k_used, 8)
+            want_union = (
+                float(k_used)
+                if k_used < KMV_K
+                else (float(KMV_K - 1) * float(KMV_SPACE)) / float(hk)
+            )
+            assert r.kmv_union_est == round(want_union, 4)
+            assert r.kmv_inter_est == round(r.kmv_jacc * r.kmv_union_est, 4)
+            assert r.jacc_abs_err == round(abs(r.kmv_jacc - r.exact_jacc), 8)

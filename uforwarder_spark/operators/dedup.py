@@ -2003,3 +2003,206 @@ def decon_span_frame(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
             F.expr("md5(concat_ws(' ', kept))").alias("cleaned_md5"),
         )
     )
+
+
+# --- D81 -----------------------------------------------------------------
+KMV_K = 256  # bottom-k sketch size (stderr(J_est) ~ 1/sqrt(k) ~ 0.06)
+KMV_SPACE = 1 << 60  # the 60-bit md5 hash space H_SPARK/H_DUCK draw from
+
+KMV_ORACLE = f"""
+WITH t AS (
+  SELECT source, {TOKENS_DUCK} AS ts FROM documents
+),
+hs AS (
+  SELECT DISTINCT source, {H_DUCK.format(col='sh')} AS h
+  FROM (SELECT source, unnest({_shingle3_duck()}) AS sh FROM t)
+),
+n_exact AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY source
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hs) WHERE rn <= {KMV_K}
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM n_exact a JOIN n_exact b ON a.source < b.source
+),
+m AS (
+  SELECT p.src_a, p.src_b, s.h,
+         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ina,
+         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS inb
+  FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+  GROUP BY p.src_a, p.src_b, s.h
+),
+mk AS (
+  SELECT src_a, src_b, h, ina, inb,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM m
+),
+est AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS k_used,
+         max(h) AS hk,
+         CAST(sum(ina * inb) AS BIGINT) AS n_both
+  FROM mk WHERE rn <= {KMV_K}
+  GROUP BY src_a, src_b
+),
+fin AS (
+  SELECT e.src_a, e.src_b, na.n AS n_a, nb.n AS n_b,
+         CAST(coalesce(i.n_inter, 0) AS BIGINT) AS exact_inter,
+         round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+               / (na.n + nb.n - coalesce(i.n_inter, 0)), 8) AS exact_jacc,
+         e.k_used,
+         round(CAST(e.n_both AS DOUBLE) / e.k_used, 8) AS kmv_jacc,
+         round(CASE WHEN e.k_used < {KMV_K} THEN CAST(e.k_used AS DOUBLE)
+                    ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({KMV_SPACE} AS DOUBLE)
+                         / CAST(e.hk AS DOUBLE) END, 4) AS kmv_union_est
+  FROM est e
+  JOIN n_exact na ON na.source = e.src_a
+  JOIN n_exact nb ON nb.source = e.src_b
+  LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+)
+SELECT src_a, src_b, n_a, n_b, exact_inter, exact_jacc, k_used, kmv_jacc,
+       kmv_union_est,
+       round(kmv_jacc * kmv_union_est, 4) AS kmv_inter_est,
+       round(abs(kmv_jacc - exact_jacc), 8) AS jacc_abs_err
+FROM fin
+"""
+
+
+@register("kmv_sketch_overlap", KMV_ORACLE)
+def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch set-overlap between sources — the
+    set-OPERATION sketch the repo's CMS (D48) and HLL (D49) cannot
+    express: Beyer et al. 2007's k-minimum-values synopsis supports
+    union, intersection and Jaccard estimates between per-source
+    3-shingle sets, the signal behind "which sources share content"
+    without D51's requirement that near-dup PAIRS already exist. Per
+    source the sketch is the {KMV_K} smallest 60-bit md5 shingle
+    hashes; per source pair (a < b): J_est = |X ∩ A_k ∩ B_k| / k over
+    the bottom-k X of the sketch union, union_est = (k-1)·|H|/h_(k)
+    (exact when the union sketch is under k — tiny sources degrade to
+    exact sets, edge-tested), intersection_est = J_est · union_est.
+    Every estimate ships next to its exact audit (the D48/D49
+    convention): exact per-source cardinalities, exact intersection,
+    exact Jaccard, and |J_est − J|.
+
+    Cardinalities are hash-space (distinct 60-bit values): collisions
+    are ~|V|²/2^61 and both engines see the identical ones, so the
+    audit is bit-reproducible.
+
+    SCALE: the corpus pays ONE scan + shingle explode and ONE
+    vocab-bounded distinct on (source, h); the bottom-k window runs
+    per source with WindowGroupLimit pushdown (partial limit map-side
+    before the exchange), so the sketch table is |sources|·k rows —
+    CONSTANT at any corpus scale — and all pair math is
+    O(|sources|²·k) on broadcast frames. The exact-audit columns
+    (n_exact / inter) are vocab-bounded aggregations that exist to
+    grade the sketch; a 100 TB run keeps only the sketch path and
+    drops the audit (the published deployment shape — sketches are
+    mergeable across partitions and across daily corpus snapshots).
+
+    Reference analogue: none — training-data corpus-profiling family
+    (SURVEY §2 D; completes the sketch set D48/D49/D54)."""
+    docs = _docs(spark, sf_dir)
+    hs = (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .select("source", F.explode(F.expr(_shingle3_spark())).alias("sh"))
+        .select("source", F.expr(H_SPARK.format(col="sh")).alias("h"))
+        .distinct()
+    )
+    n_exact = hs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        hs.select(F.col("source").alias("src_a"), "h")
+        .join(hs.select(F.col("source").alias("src_b"), "h"), "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sk = (
+        hs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = n_exact.select("source")
+    pairs = srcs.select(F.col("source").alias("src_a")).join(
+        F.broadcast(srcs.select(F.col("source").alias("src_b"))),
+        F.col("src_a") < F.col("src_b"),
+    )
+    m = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("src_a"), 1).otherwise(0)
+            ).alias("ina"),
+            F.max(
+                F.when(F.col("source") == F.col("src_b"), 1).otherwise(0)
+            ).alias("inb"),
+        )
+    )
+    est = (
+        m.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("src_a", "src_b").orderBy("h")),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.max("h").alias("hk"),
+            F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("n_both"),
+        )
+    )
+    na = n_exact.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = n_exact.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("exact_inter", F.coalesce("n_inter", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "exact_jacc",
+            F.round(
+                F.col("exact_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("exact_inter")),
+                8,
+            ),
+        )
+        .withColumn(
+            "kmv_jacc", F.round(F.col("n_both").cast("double") / F.col("k_used"), 8)
+        )
+        .withColumn(
+            "kmv_union_est",
+            F.expr(
+                f"round(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE) "
+                f"ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({KMV_SPACE} AS DOUBLE) "
+                f"/ CAST(hk AS DOUBLE) END, 4)"
+            ),
+        )
+        .withColumn(
+            "kmv_inter_est", F.round(F.col("kmv_jacc") * F.col("kmv_union_est"), 4)
+        )
+        .withColumn(
+            "jacc_abs_err", F.round(F.abs(F.col("kmv_jacc") - F.col("exact_jacc")), 8)
+        )
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "exact_inter", "exact_jacc",
+            "k_used", "kmv_jacc", "kmv_union_est", "kmv_inter_est",
+            "jacc_abs_err",
+        )
+    )
