@@ -22,14 +22,14 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-7 window (round-6 verdict, next-round item 2): rotate onto the
 # now-oldest evidence. Slot arithmetic (counted, not estimated):
-# 22 new/changed-this-round + 15 r03 leftovers + 13 oldest-r04 cohort
-# = 50 exactly (retention_cohorts, asof_join_purchases,
+# 23 new/changed-this-round + 15 r03 leftovers + 12 oldest-r04 cohort
+# = 50 exactly (funnel_conversion, retention_cohorts, asof_join_purchases,
 # range_join_error_impact, cube_revenue, pivot_priority_revenue,
 # fetcher_throughput, resq_routing, aimd_inflight_limiter and
 # head_blocking_cancel slide to the overflow head, keeping their r04
 # rows + both-SF pytest parity).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (22): D72-D81 are new; B22/E30
+    # -- (a) new or changed this round (23): D72-D82 are new; B22/E30
     #    gained the zero-span guard; D71 the decimal expected-rate sum;
     #    D31/D42/D62 the clamped shared reconstruct expr; D67 the
     #    AQE-decided spine join; D68 the fused encode+ADC map; D70 the
@@ -39,7 +39,7 @@ _KEY_PRIORITY = [
     "ivf_index_refresh", "exact_substring_dedup", "incr_substring_dedup",
     "quality_classifier_score", "knn_graph_lsh", "incr_knn_edges",
     "substring_span_removal", "ann_topk_lsh", "index_drift_stats",
-    "decon_span_removal", "kmv_sketch_overlap",
+    "decon_span_removal", "kmv_sketch_overlap", "knn_graph_pagerank",
     "system_load_ratio", "lsh_recall_audit",
     "embedding_int8_quantize", "ann_topk_int8_rescore",
     "ann_topk_ivf_int8", "ngram_decontamination", "ann_topk_pq",
@@ -61,9 +61,8 @@ _KEY_PRIORITY = [
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity", "tpch_q9_product_profit",
     "tpch_q22_idle_balances", "tpch_q19_disjunctive_filter",
-    "funnel_conversion",
     # ---------------- 50-slot window ends here ----------------
-    "retention_cohorts", "asof_join_purchases",
+    "funnel_conversion", "retention_cohorts", "asof_join_purchases",
     "range_join_error_impact", "cube_revenue", "pivot_priority_revenue",
     "fetcher_throughput", "resq_routing", "aimd_inflight_limiter",
     "head_blocking_cancel",

@@ -677,3 +677,15 @@ def test_decon_span_removal_broadcast_gate_rowlocal_cut(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert line.count("], [") >= 2, f"global window: {line}"
+
+
+def test_pagerank_iterations_shuffle_ids_only(spark):
+    # D82: each power iteration must be a hash join on the edge key plus
+    # an integer partial agg — nothing through Python, no cartesian
+    # beyond the 1-row node-count broadcast, and the global top-50 must
+    # plan limit-first (TakeOrderedAndProject), never a full sort or a
+    # global window over all n nodes
+    plan = plan_of(spark, "knn_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1391,3 +1391,45 @@ def test_kmv_sketch_overlap_equals_python_replay(spark):
             assert r.kmv_union_est == round(want_union, 4)
             assert r.kmv_inter_est == round(r.kmv_jacc * r.kmv_union_est, 4)
             assert r.jacc_abs_err == round(abs(r.kmv_jacc - r.exact_jacc), 8)
+
+
+def test_knn_graph_pagerank_equals_python_replay(spark):
+    """D82 invariant: the fixed-point PageRank over D76's edges equals a
+    pure-Python integer replay (same BIGINT 1e-12 units, same integer
+    divisions, same unrolled iterations) row-for-row on the top-50 —
+    and the replay's div-by-zero on any out_deg=0 node doubles as the
+    no-sinks-by-construction proof on real data."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        PR_BASE,
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOPK,
+        knn_graph_lsh,
+        knn_graph_pagerank,
+    )
+
+    edges = [
+        (e.src, e.dst)
+        for e in knn_graph_lsh(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out_deg = dict.fromkeys(nodes, 0)
+    in_deg = dict.fromkeys(nodes, 0)
+    for s, d in edges:
+        out_deg[s] += 1
+        in_deg[d] += 1
+    n = len(nodes)
+    p = {v: PR_SCALE // n for v in nodes}
+    for _ in range(PR_ITERS):
+        contrib = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            contrib[d] += p[s] // out_deg[s]  # raises iff a sink exists
+        p = {v: PR_BASE // n + (PR_D_NUM * contrib[v]) // PR_D_DEN for v in nodes}
+    want = sorted(nodes, key=lambda v: (-p[v], v))[:PR_TOPK]
+    got = knn_graph_pagerank(spark, SF_SMALL).collect()
+    assert [(r.vec_id, r.pr_e12, r.out_deg, r.in_deg, r.rank) for r in got] == [
+        (v, p[v], out_deg[v], in_deg[v], i + 1) for i, v in enumerate(want)
+    ]

@@ -1493,8 +1493,10 @@ _UNIT_DUCK = (
     f"list_transform(v, x -> x / sqrt({_DOT_DUCK.format(a='v', b='v')}))"
 )
 
-KNN_GRAPH_ORACLE = f"""
-WITH e AS (
+# The whole-corpus banded candidate -> scored -> ranked CTE chain, ONE
+# module constant shared by the D76 edge oracle and the D82 PageRank
+# oracle (the substring-island convention: one definition, no drift).
+_KNN_EDGES_CTES = f"""e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ),
 en AS (
@@ -1527,7 +1529,10 @@ ranked AS (
   SELECT src, dst, c,
          row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rnk
   FROM scored
-)
+)"""
+
+KNN_GRAPH_ORACLE = f"""
+WITH {_KNN_EDGES_CTES}
 SELECT src, dst, CAST(rnk AS INTEGER) AS rank, round(c, 6) AS cosine
 FROM ranked WHERE rnk <= {KNN_K}
 """
@@ -1808,5 +1813,158 @@ def drift_stats_from(cells: DataFrame) -> DataFrame:
             F.round(share, 6).alias("load_share"),
             (md > DRIFT_T).alias("drifted"),
             (share > OVERLOAD_SHARE).alias("overloaded"),
+        )
+    )
+
+
+# --- D82 -----------------------------------------------------------------
+PR_SCALE = 10**12  # PageRank mass in 1e-12 fixed-point units
+PR_BASE = 150_000_000_000  # (1 - d) * PR_SCALE with damping d = 0.85
+PR_D_NUM, PR_D_DEN = 85, 100  # d as an exact integer ratio
+PR_ITERS = 3  # fixed, unrolled in both engines
+PR_TOPK = 50
+
+
+def _pr_iter_duck(i: int) -> str:
+    return f"""c{i} AS (
+  SELECT g.dst AS vec_id, CAST(sum(p.p // p.out_deg) AS BIGINT) AS s
+  FROM edges g JOIN pr{i - 1} p ON p.vec_id = g.src
+  GROUP BY g.dst
+),
+pr{i} AS (
+  SELECT nd.vec_id, nd.out_deg,
+         CAST(({PR_BASE} // n.n)
+              + ({PR_D_NUM} * coalesce(c{i}.s, 0)) // {PR_D_DEN} AS BIGINT) AS p
+  FROM nodes nd
+  LEFT JOIN c{i} ON c{i}.vec_id = nd.vec_id
+  CROSS JOIN n
+)"""
+
+
+KNN_PAGERANK_ORACLE = f"""
+WITH {_KNN_EDGES_CTES},
+edges AS (
+  SELECT src, dst FROM ranked WHERE rnk <= {KNN_K}
+),
+nodes AS (
+  SELECT u.vec_id,
+         CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+         CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
+  FROM (SELECT src AS vec_id FROM edges UNION SELECT dst FROM edges) u
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON o.src = u.vec_id
+  LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON i.dst = u.vec_id
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (
+  SELECT vec_id, out_deg, CAST({PR_SCALE} // n.n AS BIGINT) AS p
+  FROM nodes CROSS JOIN n
+),
+{_pr_iter_duck(1)},
+{_pr_iter_duck(2)},
+{_pr_iter_duck(3)}
+SELECT vec_id, out_deg, in_deg, pr_e12, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT nd.vec_id, nd.out_deg, nd.in_deg, pr{PR_ITERS}.p AS pr_e12,
+         row_number() OVER (ORDER BY pr{PR_ITERS}.p DESC, nd.vec_id) AS rnk
+  FROM pr{PR_ITERS} JOIN nodes nd ON nd.vec_id = pr{PR_ITERS}.vec_id
+)
+WHERE rnk <= {PR_TOPK}
+"""
+
+
+@register("knn_graph_pagerank", KNN_PAGERANK_ORACLE)
+def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the D76 kNN similarity graph (Page et al. 1999,
+    damping 0.85, {PR_ITERS} unrolled power iterations) — the graph
+    centrality signal corpus-curation pipelines use for quality and
+    diversity weighting: Common Crawl publishes exactly this family of
+    host-graph rank scores, and CCNet/RefinedWeb-style filters consume
+    them to prefer well-connected sources; on a similarity graph, high
+    rank marks the corpus's dense semantic cores (down-weight for
+    diversity) and near-zero rank its isolated fringe (review queue).
+    Emits the top-{PR_TOPK} vectors by rank with in/out degree and the
+    fixed-point score.
+
+    Exactness (the B22 micro-unit convention): rank mass lives in
+    BIGINT 1e-12 units; every step is integer division and an
+    order-free BIGINT sum, so the result is bit-identical across
+    engines, partitionings and arrival orders — no double ever sums.
+    The kNN edge set has NO sinks by construction (band-sharing is
+    symmetric, so any node appearing as a dst has at least one
+    candidate and therefore out-degree >= 1), hence no dangling-mass
+    term; isolated vectors (no band-mates) are outside the graph by
+    definition.
+
+    SCALE: the edge set is O(n*k) rows and is persisted ONCE (the
+    release_operator_caches contract) so the {PR_ITERS} iterations
+    re-read a materialized frame instead of re-running the band join;
+    each iteration is one co-partitioned hash join on the edge key plus
+    one map-side-combinable integer partial agg — at 100 TB both sides
+    bucket by vec_id and the per-iteration shuffle carries only
+    (vec_id, BIGINT) pairs. The node count rides a 1-row broadcast; the
+    global top-{PR_TOPK} plans limit-first (TakeOrderedAndProject),
+    never a global window over n rows.
+
+    Reference analogue: none — training-data graph/curation family
+    (SURVEY §2 D; composes D76's edges)."""
+    edges = knn_graph_lsh(spark, sf_dir).select("src", "dst").persist()
+    outd = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("od"))
+    ind = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("idg"))
+    ids = (
+        edges.select(F.col("src").alias("vec_id"))
+        .union(edges.select(F.col("dst").alias("vec_id")))
+        .distinct()
+    )
+    nodes = (
+        ids.join(outd.withColumnRenamed("src", "vec_id"), "vec_id", "left")
+        .join(ind.withColumnRenamed("dst", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("od", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("idg", F.lit(0)).cast("bigint").alias("in_deg"),
+        )
+        .persist()
+    )
+    n_row = nodes.agg(F.count("*").cast("bigint").alias("n"))
+    pr = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select(
+            "vec_id",
+            "out_deg",
+            F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("p"),
+        )
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                pr.select(F.col("vec_id").alias("src"), "out_deg", "p"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.expr("p DIV out_deg")).cast("bigint").alias("s"))
+            .withColumnRenamed("dst", "vec_id")
+        )
+        pr = (
+            nodes.select("vec_id", "out_deg")
+            .join(contrib, "vec_id", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "vec_id",
+                "out_deg",
+                F.expr(
+                    f"CAST(({PR_BASE} DIV n) + ({PR_D_NUM} * "
+                    f"coalesce(s, CAST(0 AS BIGINT))) DIV {PR_D_DEN} AS BIGINT)"
+                ).alias("p"),
+            )
+        )
+    top = (
+        pr.join(nodes.select("vec_id", "in_deg"), "vec_id")
+        .orderBy(F.col("p").desc(), "vec_id")
+        .limit(PR_TOPK)
+    )
+    w = Window.orderBy(F.col("p").desc(), "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "vec_id", "out_deg", "in_deg", F.col("p").alias("pr_e12"), "rank"
         )
     )
