@@ -1950,3 +1950,49 @@ def test_e37_decon_span_matches_batch(spark, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     assert (want.n_tokens_cut > 0).any()  # non-vacuous: real cuts exist
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e38_kmv_sketches_converge_to_batch(spark, tmp_path):
+    """E38: after the doc stream drains, the folded per-source KMV
+    sketches yield pair estimates equal to batch D81's estimate columns
+    bit-for-bit (sketch mergeability: distinct-union + bottom-k per
+    trigger = bottom-k of the whole corpus)."""
+    import os
+
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import kmv_sketch_overlap
+
+    src = str(tmp_path / "src")
+    load_parallel(spark, SF_SMALL, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.kmv_sketch_pipeline(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/pairs")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 1  # the merge path ran
+    cols = ["src_a", "src_b", "k_used", "kmv_jacc", "kmv_union_est", "kmv_inter_est"]
+    got = (
+        spark.read.parquet(f"{state}/pairs/batch_id={last}")
+        .select(cols).toPandas()
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    )
+    want = (
+        kmv_sketch_overlap(spark, SF_SMALL)
+        .select(cols).toPandas()
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

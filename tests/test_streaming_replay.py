@@ -1643,3 +1643,49 @@ def test_e36_index_drift_replay_idempotent_and_converges(
         .select(cols).toPandas().sort_values("cell").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e38_kmv_sketch_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E38 property: per-source bottom-k sketch state survives ANY
+    chunking + a replayed batch bit-identically (distinct-union is
+    idempotent), and the drained pair estimates equal batch D81's
+    estimate columns."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import kmv_sketch_overlap
+
+    docs_pdf = load_parallel(spark, SF_SMALL, "documents").toPandas()[DOCS_COLS]
+
+    def make_query(stream, tmp, ckpt):
+        return P.kmv_sketch_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+
+    tmp, ckpt, bid = _monitor_replay_run(
+        spark, docs_pdf, make_query,
+        ["{tmp}/state/sketch/batch_id={bid}", "{tmp}/state/pairs/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e38rr",
+    )
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/pairs")
+        if d.startswith("batch_id=")
+    )
+    cols = ["src_a", "src_b", "k_used", "kmv_jacc", "kmv_union_est", "kmv_inter_est"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/pairs/batch_id={last}")
+        .select(cols).toPandas()
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    )
+    want = (
+        kmv_sketch_overlap(spark, SF_SMALL)
+        .select(cols).toPandas()
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -2113,12 +2113,7 @@ def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data corpus-profiling family
     (SURVEY §2 D; completes the sketch set D48/D49/D54)."""
     docs = _docs(spark, sf_dir)
-    hs = (
-        docs.withColumn("ts", F.expr(TOKENS_SPARK))
-        .select("source", F.explode(F.expr(_shingle3_spark())).alias("sh"))
-        .select("source", F.expr(H_SPARK.format(col="sh")).alias("h"))
-        .distinct()
-    )
+    hs = kmv_hash_frame(docs)
     n_exact = hs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     inter = (
         hs.select(F.col("source").alias("src_a"), "h")
@@ -2127,14 +2122,66 @@ def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("bigint").alias("n_inter"))
     )
-    sk = (
+    est = kmv_pair_estimates(kmv_bottomk(hs))
+    na = n_exact.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = n_exact.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("exact_inter", F.coalesce("n_inter", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "exact_jacc",
+            F.round(
+                F.col("exact_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("exact_inter")),
+                8,
+            ),
+        )
+        .withColumn(
+            "jacc_abs_err", F.round(F.abs(F.col("kmv_jacc") - F.col("exact_jacc")), 8)
+        )
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "exact_inter", "exact_jacc",
+            "k_used", "kmv_jacc", "kmv_union_est", "kmv_inter_est",
+            "jacc_abs_err",
+        )
+    )
+
+
+def kmv_hash_frame(docs: DataFrame) -> DataFrame:
+    """Distinct (source, 60-bit 3-shingle hash) pairs — the exact sets
+    the KMV sketches summarize. Shared by batch D81 (sketch + audit)
+    and live E38 (per-batch sketch fold)."""
+    return (
+        docs.withColumn("ts", F.expr(TOKENS_SPARK))
+        .select("source", F.explode(F.expr(_shingle3_spark())).alias("sh"))
+        .select("source", F.expr(H_SPARK.format(col="sh")).alias("h"))
+        .distinct()
+    )
+
+
+def kmv_bottomk(hs: DataFrame) -> DataFrame:
+    """The per-source KMV sketch: bottom-{KMV_K} hashes via a per-source
+    rank window (WindowGroupLimit pushes the limit map-side). Merge rule
+    (E38's fold): distinct-union any sketches, bottom-k again —
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) = bottom-k(A ∪ B)."""
+    return (
         hs.withColumn(
             "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
         )
         .filter(F.col("rn") <= KMV_K)
         .select("source", "h")
     )
-    srcs = n_exact.select("source")
+
+
+def kmv_pair_estimates(sk: DataFrame) -> DataFrame:
+    """Per source pair (a < b): bottom-k-union stats and the KMV
+    estimates (k_used, kmv_jacc, kmv_union_est, kmv_inter_est) from
+    sketches ALONE — exactly what a sketch-only deployment (or E38's
+    folded state) can produce; batch D81 joins the exact audit on top.
+    All inputs are |sources|·k rows, so every frame here broadcasts."""
+    srcs = sk.select("source").distinct()
     pairs = srcs.select(F.col("source").alias("src_a")).join(
         F.broadcast(srcs.select(F.col("source").alias("src_b"))),
         F.col("src_a") < F.col("src_b"),
@@ -2155,7 +2202,7 @@ def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inb"),
         )
     )
-    est = (
+    return (
         m.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("src_a", "src_b").orderBy("h")),
@@ -2166,22 +2213,6 @@ def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("k_used"),
             F.max("h").alias("hk"),
             F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("n_both"),
-        )
-    )
-    na = n_exact.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
-    nb = n_exact.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
-    return (
-        est.join(F.broadcast(na), "src_a")
-        .join(F.broadcast(nb), "src_b")
-        .join(inter, ["src_a", "src_b"], "left")
-        .withColumn("exact_inter", F.coalesce("n_inter", F.lit(0)).cast("bigint"))
-        .withColumn(
-            "exact_jacc",
-            F.round(
-                F.col("exact_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("exact_inter")),
-                8,
-            ),
         )
         .withColumn(
             "kmv_jacc", F.round(F.col("n_both").cast("double") / F.col("k_used"), 8)
@@ -2197,12 +2228,8 @@ def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "kmv_inter_est", F.round(F.col("kmv_jacc") * F.col("kmv_union_est"), 4)
         )
-        .withColumn(
-            "jacc_abs_err", F.round(F.abs(F.col("kmv_jacc") - F.col("exact_jacc")), 8)
-        )
         .select(
-            "src_a", "src_b", "n_a", "n_b", "exact_inter", "exact_jacc",
-            "k_used", "kmv_jacc", "kmv_union_est", "kmv_inter_est",
-            "jacc_abs_err",
+            "src_a", "src_b", "k_used", "kmv_jacc", "kmv_union_est",
+            "kmv_inter_est",
         )
     )

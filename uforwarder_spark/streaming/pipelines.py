@@ -2372,3 +2372,53 @@ def decon_span_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E38: live KMV source-overlap sketches -----------------------------------
+def kmv_sketch_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E38: the live twin of batch D81's sketch path — per-source KMV
+    (bottom-k) shingle sketches maintained continuously as docs land,
+    with the pair-wise overlap estimates re-derived per trigger. This
+    is the KMV deployment shape Beyer et al. designed for: sketches are
+    MERGEABLE, so each micro-batch's bottom-k folds into state by
+    distinct-union + bottom-k again (bottom-k(bottom-k(A) ∪
+    bottom-k(B)) = bottom-k(A ∪ B)), and after the stream drains the
+    state IS the sketch of the whole corpus — the estimate columns
+    equal batch D81's bit-for-bit (the stream test asserts it; the
+    exact-audit columns are the batch grader's job and are exactly what
+    a live deployment drops). State re-merged by a replayed batch is
+    unchanged (set union is idempotent — the E19/E30 shape).
+
+    SCALE: per trigger the corpus-facing work is |batch| tokenization +
+    one shingle explode + one batch-vocab-bounded distinct; the fold
+    touches only |sources|·k state rows, and the pair derivation is
+    O(|sources|²·k) on broadcast frames through the SHARED
+    kmv_pair_estimates kernel. Nothing ever re-reads the corpus, and
+    state is |sources|·k rows forever."""
+    from ..operators.dedup import kmv_bottomk, kmv_hash_frame, kmv_pair_estimates
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kmv_bottomk(kmv_hash_frame(batch_df.select("source", "text")))
+        prev = _read_state_parquet(
+            spark, f"{state_dir}/sketch/batch_id={batch_id - 1}"
+        )
+        merged = kmv_bottomk(
+            batch_sk
+            if prev is None
+            else batch_sk.unionByName(prev).distinct()
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/sketch/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/sketch/batch_id={batch_id}")
+        kmv_pair_estimates(state).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/pairs/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
