@@ -1114,3 +1114,39 @@ def test_kmv_sketch_accuracy_at_sf(spark):
     for r in rows:
         exact_union = r.n_a + r.n_b - r.exact_inter
         assert abs(r.kmv_union_est - exact_union) / exact_union < 0.25
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """D83: fused rows must carry per-arm ranks that replay the RRF
+    formula exactly, each arm's ranks are a prefix of 1..ARM_K with no
+    repeats, and the output is the rrf-descending top-10 of the fused
+    candidate union (so a doc present in BOTH arms at rank 1 would beat
+    any single-arm doc by construction)."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        RRF_ARM_K,
+        RRF_K0,
+        RRF_TOPK,
+        hybrid_rrf_retrieval,
+    )
+
+    rows = hybrid_rrf_retrieval(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= RRF_TOPK
+    lex_ranks = [r.lex_rank for r in rows if r.lex_rank is not None]
+    sem_ranks = [r.sem_rank for r in rows if r.sem_rank is not None]
+    assert len(lex_ranks) == len(set(lex_ranks))
+    assert len(sem_ranks) == len(set(sem_ranks))
+    assert all(1 <= x <= RRF_ARM_K for x in lex_ranks + sem_ranks)
+    scores = []
+    for r in rows:
+        want = round(
+            (1.0 / (RRF_K0 + r.lex_rank) if r.lex_rank is not None else 0.0)
+            + (1.0 / (RRF_K0 + r.sem_rank) if r.sem_rank is not None else 0.0),
+            6,
+        )
+        assert r.rrf_score == want
+        # arm scores ride along iff the doc is in that arm
+        assert (r.bm25_score is None) == (r.lex_rank is None)
+        assert (r.cosine is None) == (r.sem_rank is None)
+        scores.append(r.rrf_score)
+    assert scores == sorted(scores, reverse=True)

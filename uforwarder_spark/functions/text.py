@@ -1809,8 +1809,10 @@ def bm25_doclen_frame(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(f"size({TOKENS_SPARK})").alias("dl"))
 
 
-def bm25_topk_from(tf: DataFrame, dl: DataFrame) -> DataFrame:
-    """Close the BM25 ranking from index frames — shared with E25."""
+def bm25_topk_from(tf: DataFrame, dl: DataFrame, k: int = BM25_TOPK) -> DataFrame:
+    """Close the BM25 ranking from index frames — shared with E25 and
+    the D83 hybrid-retrieval lexical arm (which widens the cut to its
+    per-arm depth)."""
     n_av = dl.agg(
         F.count("*").cast("bigint").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avdl"),
@@ -1832,7 +1834,7 @@ def bm25_topk_from(tf: DataFrame, dl: DataFrame) -> DataFrame:
         contrib.groupBy("doc_id")
         .agg(F.sum("c").alias("sc"))
         .orderBy(F.col("sc").desc(), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(k)
         .select("doc_id", F.col("sc").cast("double").alias("bm25_score"))
     )
 

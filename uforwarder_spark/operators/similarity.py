@@ -1968,3 +1968,163 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "out_deg", "in_deg", F.col("p").alias("pr_e12"), "rank"
         )
     )
+
+
+# --- D83 -----------------------------------------------------------------
+# Reciprocal-rank fusion of the lexical (BM25, D57) and semantic (exact
+# cosine, D6) retrieval arms — the standard hybrid-search combiner
+# (Cormack, Clarke & Buettcher, SIGIR 2009: RRF score = sum over arms of
+# 1/(k0 + rank), k0 = 60), the shape Elasticsearch/Vespa/OpenSearch ship
+# for "BM25 + vector" retrieval and the hard-negative-mining front-end of
+# a training-data pipeline.
+RRF_ARM_K = 20  # per-arm candidate depth
+RRF_K0 = 60  # the published smoothing constant
+RRF_TOPK = 10
+
+from ..functions.text import (  # noqa: E402  (D83's lexical-arm constants)
+    _BM25_TERMS_DUCK,
+    BM25_B,
+    BM25_K1,
+    TOKENS_DUCK,
+)
+
+_RRF_RAW_DUCK = (
+    f"coalesce(1.0 / ({RRF_K0} + l.lex_rank), 0.0)"
+    f" + coalesce(1.0 / ({RRF_K0} + s.sem_rank), 0.0)"
+)
+
+HYBRID_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents WHERE doc_id <> 0
+),
+dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+n_av AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+  WHERE term IN (SELECT unnest({_BM25_TERMS_DUCK}))
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(round(
+           ln((n_av.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * t.tf * ({BM25_K1} + 1)
+             / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / n_av.avdl)),
+           8) AS DECIMAL(18,8)) AS c
+  FROM tf t
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN n_av
+),
+lex AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25_score
+  FROM contrib GROUP BY doc_id
+  ORDER BY sum(c) DESC, doc_id LIMIT {RRF_ARM_K}
+),
+lexr AS (
+  SELECT doc_id, bm25_score,
+         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS INT)
+           AS lex_rank
+  FROM lex
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id, {_cos_expr('duck', 'e.v', 'q.qv')} AS cos_raw
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> 0
+  ORDER BY {_cos_expr('duck', 'e.v', 'q.qv')} DESC, e.vec_id
+  LIMIT {RRF_ARM_K}
+),
+semr AS (
+  SELECT doc_id, cos_raw,
+         CAST(row_number() OVER (ORDER BY cos_raw DESC, doc_id) AS INT)
+           AS sem_rank
+  FROM sem
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       l.lex_rank AS lex_rank, s.sem_rank AS sem_rank,
+       round(l.bm25_score, 6) AS bm25_score,
+       round(s.cos_raw, 6) AS cosine,
+       round({_RRF_RAW_DUCK}, 6) AS rrf_score
+FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+ORDER BY {_RRF_RAW_DUCK} DESC, coalesce(l.doc_id, s.doc_id)
+LIMIT {RRF_TOPK}
+"""
+
+
+@register("hybrid_rrf_retrieval", HYBRID_RRF_ORACLE)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    the BM25 lexical arm (D57's kernels, fixed query terms) and the exact
+    cosine semantic arm (D6's kernel, query vector = vec 0) each produce
+    their top-RRF_ARM_K candidates; each doc's fused score is
+    sum(1 / (60 + rank)) over the arms it appears in, top-RRF_TOPK fused
+    docs returned with per-arm ranks and scores. The doc_id==vec_id
+    identity is the D66 cross-modal convention; the query doc (id 0) is
+    held out of both arms.
+
+    Exactness: BM25 arm scores are DECIMAL-exact sums (D57); the cosine
+    is the sequential fold shared by every ANN operator, so per-arm
+    ranks — and therefore the two-term RRF sum, evaluated row-locally in
+    a fixed order — are bit-identical across engines.
+
+    SCALE: each arm is already the scale-path plan (posting-slice
+    explode cut pre-shuffle + TakeOrdered for BM25; broadcast query +
+    per-partition top-k merge for cosine). Fusion itself touches two
+    <=RRF_ARM_K-row frames: the rank windows and the full-outer join run
+    on constant-size data at ANY corpus scale (the D52 convention), so
+    the combiner adds zero data-sized shuffles. At 100 TB with a query
+    BATCH, the same plan partitions by query id (D69's serving shape)
+    and the windows become per-query.
+
+    Reference analogue: none (training-data pipeline family — hybrid
+    corpus search / hard-negative mining)."""
+    from ..functions.text import bm25_doclen_frame, bm25_tf_frame, bm25_topk_from
+
+    docs = (
+        load_parallel(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", "text")
+    )
+    lex = bm25_topk_from(bm25_tf_frame(docs), bm25_doclen_frame(docs), k=RRF_ARM_K)
+    wl = Window.orderBy(F.col("bm25_score").desc(), "doc_id")
+    lexr = lex.withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(RRF_ARM_K)
+        .select(F.col("vec_id").alias("doc_id"), "cos_raw")
+    )
+    ws = Window.orderBy(F.col("cos_raw").desc(), "doc_id")
+    semr = sem.withColumn("sem_rank", F.row_number().over(ws).cast("int"))
+
+    rrf_raw = F.expr(
+        f"coalesce(1.0D / ({RRF_K0} + lex_rank), 0.0D)"
+        f" + coalesce(1.0D / ({RRF_K0} + sem_rank), 0.0D)"
+    )
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .withColumn("rrf_raw", rrf_raw)
+        .orderBy(F.col("rrf_raw").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("bm25_score", 6).alias("bm25_score"),
+            F.round("cos_raw", 6).alias("cosine"),
+            F.round("rrf_raw", 6).alias("rrf_score"),
+        )
+    )
