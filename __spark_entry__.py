@@ -22,12 +22,14 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-7 window (round-6 verdict, next-round item 2): rotate onto the
 # now-oldest evidence. Slot arithmetic (counted, not estimated):
-# 23 new/changed-this-round + 15 r03 leftovers + 12 oldest-r04 cohort
-# = 50 exactly (funnel_conversion, retention_cohorts, asof_join_purchases,
-# range_join_error_impact, cube_revenue, pivot_priority_revenue,
-# fetcher_throughput, resq_routing, aimd_inflight_limiter and
-# head_blocking_cancel slide to the overflow head, keeping their r04
-# rows + both-SF pytest parity).
+# 26 new/changed-this-round + 15 r03 leftovers + 9 oldest-r04 cohort
+# = 50 exactly (tpch_q9_product_profit, tpch_q22_idle_balances,
+# tpch_q19_disjunctive_filter, funnel_conversion,
+# retention_cohorts, asof_join_purchases, range_join_error_impact,
+# cube_revenue, pivot_priority_revenue, fetcher_throughput,
+# resq_routing, aimd_inflight_limiter and head_blocking_cancel slide
+# to the overflow head, keeping their r04 rows + both-SF pytest
+# parity).
 _KEY_PRIORITY = [
     # -- (a) new or changed this round (23): D72-D82 are new; B22/E30
     #    gained the zero-span guard; D71 the decimal expected-rate sum;
@@ -36,6 +38,7 @@ _KEY_PRIORITY = [
     #    split hash/diff kernel; D40/D41/D59 the pass-through assign +
     #    factored M-step; D7 moved to the shared knn_band_frame kernel
     #    and D76/D77 to the normalized-dot score --
+    "hybrid_rrf_retrieval", "heaps_vocab_growth", "hybrid_rrf_multiquery",
     "ivf_index_refresh", "exact_substring_dedup", "incr_substring_dedup",
     "quality_classifier_score", "knn_graph_lsh", "incr_knn_edges",
     "substring_span_removal", "ann_topk_lsh", "index_drift_stats",
@@ -59,9 +62,10 @@ _KEY_PRIORITY = [
     "tpch_q14_promo_revenue", "tpch_q18_large_orders",
     "tpch_q15_top_supplier", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity", "tpch_q9_product_profit",
-    "tpch_q22_idle_balances", "tpch_q19_disjunctive_filter",
+    "tpch_q17_small_quantity",
     # ---------------- 50-slot window ends here ----------------
+    "tpch_q9_product_profit",
+    "tpch_q22_idle_balances", "tpch_q19_disjunctive_filter",
     "funnel_conversion", "retention_cohorts", "asof_join_purchases",
     "range_join_error_impact", "cube_revenue", "pivot_priority_revenue",
     "fetcher_throughput", "resq_routing", "aimd_inflight_limiter",

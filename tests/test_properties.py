@@ -1433,3 +1433,54 @@ def test_knn_graph_pagerank_equals_python_replay(spark):
     assert [(r.vec_id, r.pr_e12, r.out_deg, r.in_deg, r.rank) for r in got] == [
         (v, p[v], out_deg[v], in_deg[v], i + 1) for i, v in enumerate(want)
     ]
+
+
+def test_heaps_vocab_growth_equals_numpy_replay(spark):
+    """D84 invariant: every fitted column at sf0.001 equals a pure
+    Python/numpy replay of the Heaps curve (same tokenization, same
+    doc-id order, same 8-dp-rounded ln terms, same OLS closed form)."""
+    import re as _re
+
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import heaps_vocab_growth
+
+    got = {r.source: r for r in heaps_vocab_growth(spark, SF_SMALL).collect()}
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, lower(text) FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') ORDER BY source, doc_id"
+    ).fetchall()
+    by_src: dict[str, list[tuple[int, list[str]]]] = {}
+    for src, did, txt in docs:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", txt) if t]
+        by_src.setdefault(src, []).append((did, toks))
+    assert set(got) == set(by_src)
+    for src, rows in by_src.items():
+        seen: set[str] = set()
+        pts = []
+        big_n = 0
+        for _did, toks in rows:  # already doc_id-ordered
+            big_n += len(toks)
+            seen.update(toks)
+            if big_n > 0 and len(seen) > 0:
+                pts.append((big_n, len(seen)))
+        r = got[src]
+        assert r.n_points == len(pts)
+        assert r.n_tokens == pts[-1][0] and r.n_types == pts[-1][1]
+        x = np.array([round(float(np.log(p[0])), 8) for p in pts])
+        y = np.array([round(float(np.log(p[1])), 8) for p in pts])
+        xy = np.array([round(float(np.log(p[0]) * np.log(p[1])), 8) for p in pts])
+        xx = np.array([round(float(np.log(p[0]) ** 2), 8) for p in pts])
+        n = len(pts)
+        # decimal sums are exact; float64 sums of 8-dp values match to 1e-9
+        dxx = n * xx.sum() - x.sum() ** 2
+        num = n * xy.sum() - x.sum() * y.sum()
+        if dxx != 0:
+            assert abs(r.heaps_beta - num / dxx) < 1e-5
+            # the synthetic corpus has a tiny CLOSED vocabulary, so every
+            # source saturates almost immediately — exactly the templated-
+            # source signature the operator flags: low beta, mediocre r2
+            assert 0.0 <= r.heaps_beta < 0.5  # == 0.0 when doc 1 exhausts the vocab
+            assert r.r2 is not None and 0.0 <= r.r2 <= 1.0

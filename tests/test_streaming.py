@@ -1996,3 +1996,56 @@ def test_e38_kmv_sketches_converge_to_batch(spark, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e39_hybrid_serving_matches_batch(spark, tmp_path):
+    """E39: the union of streamed per-query fused pages equals batch
+    D85 row-for-row — same arm ranks, same RRF scores — regardless of
+    how the request workload is chunked into micro-batches."""
+    from uforwarder_spark.functions.text import TOKENS_SPARK
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.similarity import (
+        _RRF_QUERY_MOD,
+        _emb,
+        hybrid_rrf_multiquery,
+    )
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    e = _emb(spark, SF_SMALL)
+    reqs = (
+        docs.filter(F.col("doc_id") % _RRF_QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.array_distinct(F.expr(TOKENS_SPARK)).alias("terms"),
+        )
+        .join(
+            e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")),
+            "qid",
+        )
+    )
+    src = tmp_path / "src"
+    med = reqs.agg(F.expr("percentile_approx(qid, 0.5)")).collect()[0][0]
+    reqs.filter(F.col("qid") <= med).coalesce(1).write.parquet(str(src / "f0"))
+    reqs.filter(F.col("qid") > med).coalesce(1).write.parquet(str(src / "f1"))
+    _age_files(src, {"f0": -10, "f1": 0})
+
+    stream = (
+        spark.readStream.schema("qid long, terms array<string>, qv array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "pages")
+    qy = P.hybrid_serving_pipeline(stream, docs, e, out, str(tmp_path / "ckpt"))
+    qy.awaitTermination(timeout=300)
+
+    cols = ["qid", "doc_id", "lex_rank", "sem_rank", "bm25_score", "cosine", "rrf_score", "rank"]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        hybrid_rrf_multiquery(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -2150,3 +2150,169 @@ def qc_frame(docs: DataFrame) -> DataFrame:
         ).alias("quality_decile"),
         (F.col("sum_k") > QC_NB * F.col("n_tokens")).alias("keep"),
     )
+
+
+# --- D84 -----------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit (Heaps 1978; Baeza-Yates & Ribeiro-Neto):
+# V(N) ~= K * N^beta over the source's doc-id-ordered ingest prefix. The
+# growth-side complement of D44's rank-frequency Zipf fit: natural text
+# keeps beta ~0.4-0.6 with high r^2, while templated/synthetic or heavily
+# duplicated sources saturate early (low beta) or grow linearly (beta->1,
+# e.g. id-like token streams) — a standard corpus fingerprint for spotting
+# both, and the estimator behind "how much vocab will 10x more data add".
+HEAPS_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+per_doc AS (
+  SELECT source, doc_id, CAST(len(ts) AS BIGINT) AS n_toks FROM toks
+),
+first_occ AS (
+  SELECT source, token, min(doc_id) AS fd
+  FROM (SELECT source, doc_id, unnest(ts) AS token FROM toks)
+  GROUP BY source, token
+),
+new_types AS (
+  SELECT source, fd AS doc_id, CAST(count(*) AS BIGINT) AS nt
+  FROM first_occ GROUP BY source, fd
+),
+curve AS (
+  SELECT p.source, p.doc_id,
+         sum(p.n_toks) OVER w AS big_n,
+         sum(coalesce(t.nt, 0)) OVER w AS v
+  FROM per_doc p LEFT JOIN new_types t USING (source, doc_id)
+  WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+xy AS (
+  SELECT source,
+         CAST(round(ln(CAST(big_n AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+         CAST(round(ln(CAST(v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y,
+         CAST(round(ln(CAST(big_n AS DOUBLE)) * ln(CAST(v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS xy,
+         CAST(round(ln(CAST(big_n AS DOUBLE)) * ln(CAST(big_n AS DOUBLE)), 8) AS DECIMAL(18,8)) AS xx,
+         CAST(round(ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS yy,
+         big_n, v
+  FROM curve WHERE big_n > 0 AND v > 0
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(max(big_n) AS BIGINT) AS n_tokens,
+         CAST(max(v) AS BIGINT) AS n_types,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+         CAST(sum(yy) AS DOUBLE) AS syy
+  FROM xy GROUP BY source
+)
+SELECT source, n_points, n_tokens, n_types,
+       CASE WHEN n_points * sxx - sx * sx = 0 THEN NULL
+            ELSE round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6) END
+         AS heaps_beta,
+       CASE WHEN n_points * sxx - sx * sx = 0 THEN NULL
+            ELSE round((sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx)
+                       / n_points, 6) END
+         AS heaps_lnk,
+       CASE WHEN (n_points * sxx - sx * sx) * (n_points * syy - sy * sy) = 0 THEN NULL
+            ELSE round((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy)
+                       / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)), 6) END
+         AS r2
+FROM s
+"""
+
+
+@register("heaps_vocab_growth", HEAPS_ORACLE)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps'-law fit: OLS of ln(vocab size) on ln(cumulative
+    tokens) over the doc-id-ordered ingest curve — V(N) ≈ K·N^β, the
+    vocabulary-GROWTH fingerprint complementing D44's Zipf
+    rank-frequency fit (the two laws are duals). Low β = the source
+    saturates (templated/duplicated); β near 1 = open-ended token
+    stream (ids, hashes); natural text sits between with high r².
+    Also the planning estimator for "how much new vocab does 10× more
+    of this source buy".
+
+    Exactness: the curve points are exact BIGINT cumulative sums; each
+    ln/product term is rounded to 8 dp and cast to DECIMAL before the
+    per-source sums (exact, order-free — the D44/D38 pattern); the
+    slope/intercept/r² are scalar double expressions on the sums,
+    identical in both engines; degenerate fits (single point, zero
+    variance) emit NULL, not inf.
+
+    SCALE: first-occurrence is one (source, token) partial agg — the
+    vocab frame, orders of magnitude smaller than the corpus; the
+    cumulative window runs over ONE ROW PER DOC (two BIGINTs wide),
+    partitioned by source — per-source sort parallelism, nothing
+    token-sized shuffles. At extreme per-source doc counts the
+    cumulative becomes the D34 two-pass range-partitioned position
+    kernel; the OLS sums are map-side partial aggs.
+
+    Reference analogue: none (training-data pipeline family — corpus
+    fingerprinting next to D44/D45)."""
+    toks = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.expr(TOKENS_SPARK).alias("ts")
+    )
+    per_doc = toks.select(
+        "source", "doc_id", F.expr("CAST(size(ts) AS BIGINT)").alias("n_toks")
+    )
+    first_occ = (
+        toks.select("source", "doc_id", F.explode("ts").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    new_types = (
+        first_occ.groupBy("source", F.col("fd").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("nt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        per_doc.join(new_types, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("n_toks").over(w).alias("big_n"),
+            F.sum(F.coalesce(F.col("nt"), F.lit(0))).over(w).alias("v"),
+        )
+        .filter((F.col("big_n") > 0) & (F.col("v") > 0))
+    )
+    lx = F.log(F.col("big_n").cast("double"))
+    ly = F.log(F.col("v").cast("double"))
+    xy = curve.select(
+        "source",
+        "big_n",
+        "v",
+        F.round(lx, 8).cast("decimal(18,8)").alias("x"),
+        F.round(ly, 8).cast("decimal(18,8)").alias("y"),
+        F.round(lx * ly, 8).cast("decimal(18,8)").alias("xy"),
+        F.round(lx * lx, 8).cast("decimal(18,8)").alias("xx"),
+        F.round(ly * ly, 8).cast("decimal(18,8)").alias("yy"),
+    )
+    s = xy.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.max("big_n").cast("bigint").alias("n_tokens"),
+        F.max("v").cast("bigint").alias("n_types"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_points")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "source",
+        "n_points",
+        "n_tokens",
+        "n_types",
+        F.when(dxx == 0, F.lit(None)).otherwise(F.round(num / dxx, 6)).alias("heaps_beta"),
+        F.when(dxx == 0, F.lit(None))
+        .otherwise(F.round((F.col("sy") - num / dxx * F.col("sx")) / n, 6))
+        .alias("heaps_lnk"),
+        F.when(dxx * dyy == 0, F.lit(None))
+        .otherwise(F.round(num * num / (dxx * dyy), 6))
+        .alias("r2"),
+    )

@@ -2128,3 +2128,240 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 6).alias("rrf_score"),
         )
     )
+
+
+# --- D85 -----------------------------------------------------------------
+# Multi-query hybrid retrieval — D83's RRF in D69's SERVING shape, with
+# the query derived from a document ("more-like-this" hybrid search:
+# the Elasticsearch MLT + kNN pattern, RRF-fused per Cormack et al.
+# 2009). Every doc_id % QUERY_MOD == 0 document is a query: its own
+# DISTINCT tokens are the lexical arm's terms, its embedding
+# (vec_id == doc_id, the D66 convention) is the semantic arm's vector;
+# both arms search the remaining corpus, fuse per query, top-RRF_MQ_TOPK.
+RRF_MQ_TOPK = 5
+_RRF_QUERY_MOD = 100  # the D69 workload convention
+
+
+def rrf_multiquery_frame(
+    qterms: DataFrame,
+    qvecs: DataFrame,
+    tf: DataFrame,
+    dl: DataFrame,
+    corpus_vecs: DataFrame,
+) -> DataFrame:
+    """Close the multi-query RRF ranking from serving-index frames —
+    shared by batch D85 and live E39.
+
+    Inputs: ``qterms`` (qid, term) DISTINCT per query; ``qvecs``
+    (qid, qv); ``tf`` (doc_id, term, tf) corpus postings; ``dl``
+    (doc_id, dl) corpus doc lengths; ``corpus_vecs`` (doc_id, v)
+    unit-searchable corpus vectors. Query frames are request-sized and
+    broadcast; corpus frames are the persisted serving index.
+
+    SCALE: df/n/avdl are tiny aggregates; the lexical join touches only
+    postings of the batch's terms (qterms broadcast); the semantic arm
+    broadcasts the query batch onto the corpus scan (per-partition
+    top-k semantics via the per-qid rank windows — WindowGroupLimit
+    pushes the rank<=K filter down); fusion joins two
+    O(|queries|·ARM_K)-row frames. Nothing corpus-sized shuffles; at
+    100 TB the semantic arm swaps to the IVF probed path (D69) with
+    the same downstream kernel."""
+    n_av = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avdl"),
+    )
+    batch_terms = qterms.select("term").distinct()
+    tfq = tf.join(F.broadcast(batch_terms), "term")
+    df = tfq.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    from ..functions.text import BM25_B, BM25_K1
+
+    sat = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avdl"))
+    )
+    contrib = (
+        tfq.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_av))
+        .select(
+            "qid", "doc_id", F.round(idf * sat, 8).cast("decimal(18,8)").alias("c")
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("sc").desc(), "doc_id")
+    lexr = (
+        contrib.groupBy("qid", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+        .withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .filter(F.col("lex_rank") <= RRF_ARM_K)
+        .select("qid", "doc_id", F.col("sc").cast("double").alias("bm25_score"), "lex_rank")
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "doc_id")
+    semr = (
+        corpus_vecs.crossJoin(F.broadcast(qvecs))
+        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        .withColumn("sem_rank", F.row_number().over(ws).cast("int"))
+        .filter(F.col("sem_rank") <= RRF_ARM_K)
+        .select("qid", "doc_id", "cos_raw", "sem_rank")
+    )
+    rrf_raw = F.expr(
+        f"coalesce(1.0D / ({RRF_K0} + lex_rank), 0.0D)"
+        f" + coalesce(1.0D / ({RRF_K0} + sem_rank), 0.0D)"
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf_raw").desc(), "doc_id")
+    return (
+        lexr.join(semr, ["qid", "doc_id"], "full_outer")
+        .withColumn("rrf_raw", rrf_raw)
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= RRF_MQ_TOPK)
+        .select(
+            "qid",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("bm25_score", 6).alias("bm25_score"),
+            F.round("cos_raw", 6).alias("cosine"),
+            F.round("rrf_raw", 6).alias("rrf_score"),
+            "rank",
+        )
+    )
+
+
+_MQ_RRF_RAW_DUCK = (
+    f"coalesce(1.0 / ({RRF_K0} + lex_rank), 0.0)"
+    f" + coalesce(1.0 / ({RRF_K0} + sem_rank), 0.0)"
+)
+
+HYBRID_RRF_MQ_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+qids AS (SELECT doc_id AS qid FROM documents WHERE doc_id % {_RRF_QUERY_MOD} = 0),
+corpus AS (SELECT doc_id, ts FROM toks WHERE doc_id % {_RRF_QUERY_MOD} <> 0),
+dl AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+n_av AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avdl
+  FROM dl
+),
+qterms AS (
+  SELECT DISTINCT q.qid, t.term
+  FROM qids q JOIN (SELECT doc_id, unnest(ts) AS term FROM toks) t
+    ON t.doc_id = q.qid
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.qid, t.doc_id,
+         CAST(round(
+           ln((n_av.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * t.tf * ({BM25_K1} + 1)
+             / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / n_av.avdl)),
+           8) AS DECIMAL(18,8)) AS c
+  FROM qterms qt
+  JOIN tf t USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN n_av
+),
+lex AS (
+  SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS bm25_score,
+         row_number() OVER (PARTITION BY qid ORDER BY sum(c) DESC, doc_id) AS rn
+  FROM contrib GROUP BY qid, doc_id
+),
+lexr AS (
+  SELECT qid, doc_id, bm25_score, CAST(rn AS INT) AS lex_rank
+  FROM lex WHERE rn <= {RRF_ARM_K}
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) > 0
+),
+qv AS (SELECT q.qid, e.v AS qv FROM qids q JOIN e ON e.vec_id = q.qid),
+sem0 AS (
+  SELECT qv.qid, e.vec_id AS doc_id,
+         {_cos_expr('duck', 'e.v', 'qv.qv')} AS cos_raw
+  FROM e CROSS JOIN qv
+  WHERE e.vec_id % {_RRF_QUERY_MOD} <> 0
+),
+semr AS (
+  SELECT qid, doc_id, cos_raw, CAST(rn AS INT) AS sem_rank
+  FROM (
+    SELECT qid, doc_id, cos_raw,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, doc_id) AS rn
+    FROM sem0
+  ) WHERE rn <= {RRF_ARM_K}
+),
+fused AS (
+  SELECT qid, doc_id, lex_rank, sem_rank, bm25_score, cos_raw,
+         {_MQ_RRF_RAW_DUCK} AS rrf_raw
+  FROM lexr FULL OUTER JOIN semr USING (qid, doc_id)
+)
+SELECT qid, doc_id, lex_rank, sem_rank,
+       round(bm25_score, 6) AS bm25_score,
+       round(cos_raw, 6) AS cosine,
+       round(rrf_raw, 6) AS rrf_score,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_raw DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {RRF_MQ_TOPK}
+"""
+
+
+@register("hybrid_rrf_multiquery", HYBRID_RRF_MQ_ORACLE)
+def hybrid_rrf_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query hybrid retrieval — D83's RRF combiner in D69's
+    serving shape, query-by-document ("more-like-this" hybrid search):
+    every doc_id % 100 == 0 document queries the remaining corpus with
+    its own DISTINCT tokens (BM25 arm, D57's model over the corpus-side
+    postings) and its embedding (exact-cosine arm, vec_id == doc_id per
+    the D66 convention); per query the two top-20 arms fuse by
+    sum(1/(60+rank)) and the top-5 fused docs are returned with per-arm
+    ranks and scores. Batch twin of live E39 — both run the shared
+    rrf_multiquery_frame kernel.
+
+    Exactness: DECIMAL-summed BM25 contributions, the shared sequential
+    cosine fold, and per-qid row_number windows tie-broken on doc_id —
+    ranks and the row-local two-term RRF sum are bit-identical across
+    engines.
+
+    SCALE: see rrf_multiquery_frame. Query-side frames are
+    request-sized and broadcast; only the batch's posting slice and one
+    corpus-vector scan are touched; every window is per-QUERY.
+
+    Reference analogue: none (training-data pipeline family — hybrid
+    corpus search / hard-negative mining at serving granularity)."""
+    from ..functions.text import TOKENS_SPARK
+
+    toks = (
+        load_parallel(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
+        .persist()  # shared by the query- and corpus-side derivations;
+        # released by release_operator_caches (the documented contract)
+    )
+    qids = toks.filter(F.col("doc_id") % _RRF_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("qid"), "ts"
+    )
+    qterms = qids.select("qid", F.explode("ts").alias("term")).distinct()
+    corpus = toks.filter(F.col("doc_id") % _RRF_QUERY_MOD != 0)
+    tf = (
+        corpus.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = corpus.select("doc_id", F.expr("CAST(size(ts) AS BIGINT)").alias("dl"))
+    e = _emb(spark, sf_dir)
+    qvecs = (
+        e.join(F.broadcast(qids.select("qid")), e.vec_id == F.col("qid"))
+        .select("qid", F.col("v").alias("qv"))
+    )
+    corpus_vecs = e.filter(F.col("vec_id") % _RRF_QUERY_MOD != 0).select(
+        F.col("vec_id").alias("doc_id"), "v"
+    )
+    return rrf_multiquery_frame(qterms, qvecs, tf, dl, corpus_vecs)

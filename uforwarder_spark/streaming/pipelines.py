@@ -2422,3 +2422,74 @@ def kmv_sketch_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E39: live hybrid-RRF query serving --------------------------------------
+def hybrid_serving_pipeline(
+    query_stream: DataFrame,
+    docs: DataFrame,
+    emb: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """E39: the live twin of batch D85 — a stream of hybrid retrieval
+    requests (qid, terms array, qv vector: the "more-like-this" request
+    a serving tier receives) answered against the STATIC corpus through
+    both arms — the BM25 posting/doc-length index and the corpus vector
+    table — fused per query by reciprocal-rank (the D83 combiner).
+    The serving index frames are built once from the static tables and
+    persisted before the first trigger; each micro-batch runs the
+    SHARED rrf_multiquery_frame kernel and lands per-query top-K pages
+    in a batchId-keyed sink. Stateless per query, so replays overwrite
+    their own batch_id=N directory (idempotent under at-least-once);
+    the union of streamed pages equals batch D85 row-for-row (the
+    stream test asserts it).
+
+    SCALE: per trigger the lexical arm touches only the batch's posting
+    slice (batch terms broadcast onto the persisted tf table) and the
+    semantic arm broadcasts the request batch onto one corpus-vector
+    scan; every window is per-QUERY; no state accumulates. At 100 TB
+    the vector arm swaps to the IVF probed path (E31) with the same
+    fusion kernel downstream."""
+    from ..functions.text import TOKENS_SPARK
+    from ..operators.similarity import _RRF_QUERY_MOD, rrf_multiquery_frame
+
+    corpus = (
+        docs.filter(F.col("doc_id") % _RRF_QUERY_MOD != 0)
+        .select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
+        .persist()
+    )
+    corpus.count()  # materialize once, before the first trigger
+    tf = (
+        corpus.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    tf.count()
+    dl = corpus.select(
+        "doc_id", F.expr("CAST(size(ts) AS BIGINT)").alias("dl")
+    ).persist()
+    dl.count()
+    corpus_vecs = (
+        emb.filter(F.col("vec_id") % _RRF_QUERY_MOD != 0)
+        .select(F.col("vec_id").alias("doc_id"), "v")
+        .persist()
+    )
+    corpus_vecs.count()
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        qterms = batch_df.select(
+            "qid", F.explode("terms").alias("term")
+        ).distinct()
+        qvecs = batch_df.select("qid", "qv")
+        rrf_multiquery_frame(qterms, qvecs, tf, dl, corpus_vecs).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        query_stream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
