@@ -1484,3 +1484,55 @@ def test_heaps_vocab_growth_equals_numpy_replay(spark):
             # source signature the operator flags: low beta, mediocre r2
             assert 0.0 <= r.heaps_beta < 0.5  # == 0.0 when doc 1 exhausts the vocab
             assert r.r2 is not None and 0.0 <= r.r2 <= 1.0
+
+
+def test_pmi_collocations_equals_python_replay(spark):
+    """D86 invariant: the top-K table at sf0.001 equals a pure-Python
+    replay — same tokenization, same adjacent-pair counting, same
+    min-count floor, same single-ln PMI rounded to 6 dp, same
+    (pmi desc, pair) cut and ranking."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+        pmi_collocations,
+    )
+
+    got = pmi_collocations(spark, SF_SMALL).collect()
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT lower(text) FROM read_parquet('{SF_SMALL}/documents.parquet')"
+        ).fetchall()
+    ]
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for txt in texts:
+        ts = [w for w in _re.split(r"[^a-z0-9]+", txt) if w]
+        uni.update(ts)
+        pairs.update(zip(ts, ts[1:]))
+    n = sum(uni.values())
+    m = sum(pairs.values())
+    scored = [
+        (
+            round(math.log((c / m) / ((uni[a] / n) * (uni[b] / n))), 6),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in pairs.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[:PMI_TOPK]
+    assert len(got) == len(want)
+    for r, (pmi, a, b, c) in zip(got, want):
+        assert (r.tok_l, r.tok_r, r.pair_freq) == (a, b, c)
+        assert r.freq_l == uni[a] and r.freq_r == uni[b]
+        assert abs(r.pmi - pmi) <= 1e-6

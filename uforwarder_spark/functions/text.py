@@ -2316,3 +2316,127 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num * num / (dxx * dyy), 6))
         .alias("r2"),
     )
+
+
+# --- D86 -----------------------------------------------------------------
+# PMI collocation extraction (Church & Hanks 1990): pointwise mutual
+# information over adjacent token pairs — the association-strength dual
+# of D27's raw pair frequencies (frequent-but-independent pairs score
+# ~0, "New York"-style collocations score high). The standard pass for
+# multi-word-expression mining and tokenizer/vocab curation; the
+# min-count floor is the published guard against rare-pair PMI blowup.
+PMI_MIN_COUNT = 5
+PMI_TOPK = 15
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT {TOKENS_DUCK} AS ts FROM documents
+),
+uni AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(ts) AS token FROM toks) GROUP BY token
+),
+n_tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM uni),
+pairs AS (
+  SELECT ts[i] AS tok_l, ts[i + 1] AS tok_r
+  FROM toks, unnest(range(1, len(ts))) t(i)
+  WHERE len(ts) >= 2
+),
+pc AS (
+  SELECT tok_l, tok_r, CAST(count(*) AS BIGINT) AS pair_freq
+  FROM pairs GROUP BY tok_l, tok_r
+),
+m_tot AS (SELECT CAST(sum(pair_freq) AS BIGINT) AS m FROM pc),
+scored AS (
+  SELECT pc.tok_l, pc.tok_r, pc.pair_freq,
+         ul.freq AS freq_l, ur.freq AS freq_r,
+         round(ln((CAST(pc.pair_freq AS DOUBLE) / m_tot.m)
+                  / ((CAST(ul.freq AS DOUBLE) / n_tot.n)
+                     * (CAST(ur.freq AS DOUBLE) / n_tot.n))), 6) AS pmi
+  FROM pc
+  JOIN uni ul ON ul.token = pc.tok_l
+  JOIN uni ur ON ur.token = pc.tok_r
+  CROSS JOIN n_tot CROSS JOIN m_tot
+  WHERE pc.pair_freq >= {PMI_MIN_COUNT}
+),
+topk AS (
+  SELECT * FROM scored ORDER BY pmi DESC, tok_l, tok_r LIMIT {PMI_TOPK}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, tok_l, tok_r) AS INT) AS rank,
+       tok_l, tok_r, pair_freq, freq_l, freq_r, pmi
+FROM topk
+"""
+
+
+@register("pmi_collocations", PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) over adjacent
+    token pairs with the published min-count floor — high-PMI pairs are
+    the multi-word expressions a tokenizer should keep whole, and the
+    association dual of D27's frequency-ranked merge pairs (a pair can
+    be frequent yet independent). Top-K with per-pair uni/pair counts.
+
+    Exactness: all counts are exact BIGINT aggregates; the PMI double
+    is ONE ln of an identically-parenthesized ratio (the D44-verified
+    ln agreement), rounded to 6 dp BEFORE the ordering in BOTH engines
+    so sub-6-dp libm noise cannot reorder the cut; ties break on the
+    token pair.
+
+    SCALE: zip-adjacent is a per-doc map; pair and unigram counts
+    partial-aggregate map-side; the unigram table is vocab-sized and
+    broadcasts onto the pair table twice; N/M are 1-row broadcasts; the
+    global top-K is limit-first (TakeOrderedAndProject, the D27 rule) —
+    never a full sort, nothing corpus-sized shuffles twice.
+
+    Reference analogue: none (training-data pipeline family —
+    tokenizer/vocab curation next to D27/D18)."""
+    toks = _docs(spark, sf_dir).select(F.expr(TOKENS_SPARK).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    n_tot = uni.agg(F.sum("freq").cast("bigint").alias("n"))
+    pc = (
+        toks.filter(F.expr("size(ts) >= 2"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
+                    F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
+                )
+            ).alias("p")
+        )
+        .select("p.tok_l", "p.tok_r")
+        .groupBy("tok_l", "tok_r")
+        .agg(F.count("*").cast("bigint").alias("pair_freq"))
+    )
+    m_tot = pc.agg(F.sum("pair_freq").cast("bigint").alias("m"))
+    scored = (
+        pc.filter(F.col("pair_freq") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("token", "tok_l").withColumnRenamed("freq", "freq_l")), "tok_l")
+        .join(F.broadcast(uni.withColumnRenamed("token", "tok_r").withColumnRenamed("freq", "freq_r")), "tok_r")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("pair_freq").cast("double") / F.col("m"))
+                    / (
+                        (F.col("freq_l").cast("double") / F.col("n"))
+                        * (F.col("freq_r").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    topk = scored.orderBy(F.col("pmi").desc(), "tok_l", "tok_r").limit(PMI_TOPK)
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("pmi").desc(), "tok_l", "tok_r"))
+        .cast("int"),
+    ).select("rank", "tok_l", "tok_r", "pair_freq", "freq_l", "freq_r", "pmi")
