@@ -1536,3 +1536,55 @@ def test_pmi_collocations_equals_python_replay(spark):
         assert (r.tok_l, r.tok_r, r.pair_freq) == (a, b, c)
         assert r.freq_l == uni[a] and r.freq_r == uni[b]
         assert abs(r.pmi - pmi) <= 1e-6
+
+
+def test_jl_projection_audit_equals_numpy_replay(spark):
+    """D87 invariant: every audit row at sf0.001 equals a numpy replay
+    of the md5-derived sparse projection (same matrix, same sequential
+    fold results at 6 dp), and the measured distortion sits in the
+    1/sqrt(k) JL regime — large enough here that the audit's verdict
+    on k=16 is 'not safe for cosine thresholds', which is the point."""
+    import hashlib as _hl
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        DIM,
+        JL_K,
+        JL_PAIR_MOD,
+        jl_projection_audit,
+    )
+
+    got = {r.vec_a: r for r in jl_projection_audit(spark, SF_SMALL).collect()}
+    vecs = {
+        vid: np.array(v, dtype=np.float64)
+        for vid, v in duckdb.sql(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+        ).fetchall()
+    }
+    s = math.sqrt(3.0 / JL_K)
+    R = np.zeros((JL_K, DIM))
+    for j in range(JL_K):
+        for d in range(DIM):
+            h = int(_hl.md5(f"jl:{j}:{d}".encode()).hexdigest()[:8], 16) % 6
+            R[j, d] = s if h == 0 else (-s if h == 1 else 0.0)
+
+    def cos(a, b):
+        return float(a @ b / math.sqrt((a @ a) * (b @ b)))
+
+    errs = []
+    for va_id in got:
+        assert va_id % JL_PAIR_MOD == 0
+        a, b = vecs[va_id], vecs[va_id + 1]
+        r = got[va_id]
+        assert abs(r.cos_full - cos(a, b)) < 1e-5
+        assert abs(r.cos_proj - cos(R @ a, R @ b)) < 1e-5
+        assert abs(r.abs_err - abs(r.cos_full - r.cos_proj)) < 2e-6
+        errs.append(r.abs_err)
+    mean_err = sum(errs) / len(errs)
+    assert 0.05 < mean_err < 0.45  # the 1/sqrt(16)=0.25 additive regime
+    assert max(errs) < 1.0

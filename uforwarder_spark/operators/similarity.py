@@ -2365,3 +2365,130 @@ def hybrid_rrf_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "v"
     )
     return rrf_multiquery_frame(qterms, qvecs, tf, dl, corpus_vecs)
+
+
+# --- D87 -----------------------------------------------------------------
+# Johnson-Lindenstrauss sparse random projection (Achlioptas 2003:
+# entries +1/0/-1 with prob 1/6, 2/3, 1/6, scaled sqrt(3/k)) from
+# DIM=64 down to JL_K=16, plus the distortion audit that decides
+# whether the projected space is safe to cluster/dedup in — the
+# dimension-reduction member of the compression family next to D31's
+# scalar and D68's product quantization. Projection matrix entries are
+# md5-derived (the _hp_weights convention) so both engines fold the
+# SAME constant literals.
+JL_K = 16
+JL_PAIR_MOD = 20  # audit pairs: (vec_id, vec_id+1) for vec_id % 20 == 0
+
+
+def _jl_weights(j: int) -> list[float]:
+    """Row j of the sparse JL matrix: md5('jl:<j>:<d>') mod 6 -> 0 maps
+    to +1, 1 maps to -1, else 0 (the 1/6, 1/6, 2/3 Achlioptas split);
+    scale sqrt(3/k) folds into the literal so the projection is one
+    fused multiply-add chain."""
+    import math
+
+    s = math.sqrt(3.0 / JL_K)
+    out = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[:8], 16) % 6
+        out.append(s if h == 0 else (-s if h == 1 else 0.0))
+    return out
+
+
+def _jl_literal(j: int, dialect: str) -> str:
+    vals = ", ".join(repr(x) for x in _jl_weights(j))
+    return f"array({vals})" if dialect == "spark" else f"[{vals}]"
+
+
+def _jl_proj(dialect: str, v: str) -> str:
+    """Project v to JL_K dims: each output dim is the D6-convention
+    sequential fold against one constant row literal."""
+    dims = []
+    for j in range(JL_K):
+        w = _jl_literal(j, dialect)
+        if dialect == "spark":
+            dims.append(
+                f"aggregate(zip_with({v}, {w}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+        else:
+            dims.append(
+                f"list_reduce(list_transform(range({DIM}), d -> {v}[d + 1] * ({w})[d + 1]), (x, y) -> x + y)"
+            )
+    inner = ", ".join(dims)
+    return f"array({inner})" if dialect == "spark" else f"[{inner}]"
+
+
+JL_AUDIT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) > 0
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.v AS va, b.v AS vb,
+         {_jl_proj('duck', 'a.v')} AS pa,
+         {_jl_proj('duck', 'b.v')} AS pb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % {JL_PAIR_MOD} = 0
+),
+s AS (
+  SELECT vec_a, vec_b,
+         round({_cos_expr('duck', 'va', 'vb')}, 6) AS cos_full,
+         round({_cos_expr('duck', 'pa', 'pb')}, 6) AS cos_proj
+  FROM p
+)
+SELECT vec_a, vec_b, cos_full, cos_proj,
+       round(abs(cos_full - cos_proj), 6) AS abs_err
+FROM s ORDER BY vec_a
+"""
+
+
+@register("jl_projection_audit", JL_AUDIT_ORACLE)
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (Achlioptas 2003 JL transform, 64 → 16
+    dims, ±1/0 entries at 1/6-2/3-1/6 with sqrt(3/k) scale) with the
+    cosine-distortion audit over a deterministic pair sample — the
+    go/no-go check before running clustering or near-dup search in the
+    cheap projected space. Completes the compression family: D31
+    quantizes values (SQ8), D68 quantizes subspaces (PQ), D87 reduces
+    dimensions (JL); all three carry their own exactness audit.
+
+    Exactness: the projection matrix is md5-derived constant literals
+    (the D7 hyperplane convention), every dot product is the shared
+    sequential fold, and outputs are rounded to 6 dp — bit-identical
+    across engines.
+
+    SCALE: the projection is a row-local map (16 folds over one
+    64-float row — at 100 TB this is the cheap pass that shrinks every
+    downstream shuffle 4×); the audit joins consecutive vec_ids on a
+    co-partitioned equi-key (a 1/{JL_PAIR_MOD} sample, no broadcast
+    assumption) and touches nothing else.
+
+    Reference analogue: none (training-data pipeline family —
+    embedding compression next to D31/D42/D68)."""
+    e = _emb(spark, sf_dir)
+    a = e.filter(F.col("vec_id") % JL_PAIR_MOD == 0).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("vec_a"), F.col("v").alias("vb"))
+    pairs = a.join(b, "vec_a").select(
+        "vec_a",
+        (F.col("vec_a") + 1).alias("vec_b"),
+        "va",
+        "vb",
+        F.expr(_jl_proj("spark", "va")).alias("pa"),
+        F.expr(_jl_proj("spark", "vb")).alias("pb"),
+    )
+    s = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(F.expr(_cos_expr("spark", "va", "vb")), 6).alias("cos_full"),
+        F.round(F.expr(_cos_expr("spark", "pa", "pb")), 6).alias("cos_proj"),
+    )
+    return s.select(
+        "vec_a",
+        "vec_b",
+        "cos_full",
+        "cos_proj",
+        F.round(F.abs(F.col("cos_full") - F.col("cos_proj")), 6).alias("abs_err"),
+    ).orderBy("vec_a")
