@@ -2049,3 +2049,58 @@ def test_e39_hybrid_serving_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_e40_vocab_growth_converges_to_batch(spark, tmp_path):
+    """E40: after a doc-id-ordered drain (3 files, so the vocab/moment
+    state actually folds across several micro-batches and carry-ins are
+    exercised), the fit table derived from the final state equals batch
+    D84 bit-for-bit — DECIMAL moment addition is exact, so chunking
+    cannot move a bit."""
+    from uforwarder_spark.functions.text import heaps_vocab_growth
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents").select(
+        "source", "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    n = docs.count()
+    cuts = sorted(
+        r.doc_id
+        for r in docs.select("doc_id").orderBy("doc_id").collect()
+    )
+    c1, c2 = cuts[n // 3], cuts[2 * n // 3]
+    docs.filter(F.col("doc_id") <= c1).coalesce(1).write.parquet(str(src / "f0"))
+    docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    docs.filter(F.col("doc_id") > c2).coalesce(1).write.parquet(str(src / "f2"))
+    _age_files(src, {"f0": -20, "f1": -10, "f2": 0})
+
+    stream = (
+        spark.readStream.schema("source string, doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "state")
+    qy = P.vocab_growth_pipeline(stream, state, str(tmp_path / "ckpt"))
+    qy.awaitTermination(timeout=300)
+
+    import os
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/fit")
+        if d.startswith("batch_id=")
+    )
+    assert last >= 2  # the fold really crossed micro-batches
+    cols = ["source", "n_points", "n_tokens", "n_types", "heaps_beta", "heaps_lnk", "r2"]
+    got = (
+        spark.read.parquet(f"{state}/fit/batch_id={last}")
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        heaps_vocab_growth(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

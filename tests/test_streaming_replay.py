@@ -1689,3 +1689,81 @@ def test_e38_kmv_sketch_replay_idempotent_and_converges(
         .sort_values(["src_a", "src_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    cut_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e40_vocab_growth_replay_idempotent_and_converges(
+    spark, n_chunks, cut_seed, restart_at
+):
+    """E40 property: the vocab/moment state survives an injected
+    duplicate batchId (bit-identical re-write) and ANY doc-id-ordered
+    chunking (contiguous cuts — the pipeline's per-key ordered-delivery
+    contract), and the drained fit table equals batch D84's."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import heaps_vocab_growth
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .select("source", "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    schema = "source string, doc_id long, text string"
+    n = len(docs_pdf)
+    cuts = sorted(cut_seed.sample(range(1, n), n_chunks - 1))
+    bounds = [0] + cuts + [n]
+    chunks = [
+        docs_pdf.iloc[bounds[i] : bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e40rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.vocab_growth_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    paths = [
+        f"{tmp}/state/vocab/batch_id={bid}",
+        f"{tmp}/state/moments/batch_id={bid}",
+        f"{tmp}/state/fit/batch_id={bid}",
+    ]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], schema, src, now, start_idx=restart_at)
+    run_phase()
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/fit")
+        if d.startswith("batch_id=")
+    )
+    cols = ["source", "n_points", "n_tokens", "n_types", "heaps_beta", "heaps_lnk", "r2"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/fit/batch_id={last}")
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        heaps_vocab_growth(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -2277,9 +2277,15 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("big_n") > 0) & (F.col("v") > 0))
     )
+    return heaps_fit_from(heaps_moments_frame(heaps_xy_frame(curve)))
+
+
+def heaps_xy_frame(curve: DataFrame) -> DataFrame:
+    """8-dp-rounded DECIMAL OLS terms per curve point (the D44/D38
+    pattern) — shared by batch D84 and live E40."""
     lx = F.log(F.col("big_n").cast("double"))
     ly = F.log(F.col("v").cast("double"))
-    xy = curve.select(
+    return curve.select(
         "source",
         "big_n",
         "v",
@@ -2289,15 +2295,38 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lx * lx, 8).cast("decimal(18,8)").alias("xx"),
         F.round(ly * ly, 8).cast("decimal(18,8)").alias("yy"),
     )
-    s = xy.groupBy("source").agg(
+
+
+def heaps_moments_frame(xy: DataFrame) -> DataFrame:
+    """Per-source OLS moment sums over curve points. Every column is
+    additive (DECIMAL sums, counts) or MAX-mergeable (running totals),
+    so E40 folds per-batch moment frames into state exactly — DECIMAL
+    addition is order-free, MAX is idempotent."""
+    return xy.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_points"),
         F.max("big_n").cast("bigint").alias("n_tokens"),
         F.max("v").cast("bigint").alias("n_types"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum("xy").cast("double").alias("sxy"),
-        F.sum("xx").cast("double").alias("sxx"),
-        F.sum("yy").cast("double").alias("syy"),
+        F.sum("x").alias("sx_d"),
+        F.sum("y").alias("sy_d"),
+        F.sum("xy").alias("sxy_d"),
+        F.sum("xx").alias("sxx_d"),
+        F.sum("yy").alias("syy_d"),
+    )
+
+
+def heaps_fit_from(moments: DataFrame) -> DataFrame:
+    """Close the Heaps fit from per-source moment sums — shared by
+    batch D84 and live E40 (fit re-derived per trigger)."""
+    s = moments.select(
+        "source",
+        "n_points",
+        "n_tokens",
+        "n_types",
+        F.col("sx_d").cast("double").alias("sx"),
+        F.col("sy_d").cast("double").alias("sy"),
+        F.col("sxy_d").cast("double").alias("sxy"),
+        F.col("sxx_d").cast("double").alias("sxx"),
+        F.col("syy_d").cast("double").alias("syy"),
     )
     n = F.col("n_points")
     dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")

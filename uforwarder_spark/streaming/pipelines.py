@@ -2493,3 +2493,141 @@ def hybrid_serving_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E40: live vocabulary-growth monitor -------------------------------------
+def vocab_growth_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E40: the live twin of batch D84 — the per-source Heaps'-law
+    vocabulary-growth fit maintained continuously as docs land (the
+    monitor that tells a crawl operator a source has gone templated —
+    its β collapsing — while the crawl is still running, instead of at
+    the next corpus audit). Each micro-batch extends the per-source
+    ingest curve: tokens anti-join the batchId-versioned vocab state to
+    find genuinely-new types, per-doc curve points pick up the running
+    (N, V) carry-in from state, and the points' 8-dp DECIMAL OLS terms
+    (the SHARED heaps_xy_frame kernel) fold ADDITIVELY into per-source
+    moment state — DECIMAL addition is exact and order-free, so after
+    the stream drains doc-id-ordered (the E24/E26 per-key delivery
+    convention) the fit table re-derived through the SHARED
+    heaps_fit_from kernel equals batch D84 bit-for-bit (the stream
+    test asserts it). Replays re-derive batch N's state from
+    batch_id=N-1 and overwrite — idempotent under at-least-once
+    redelivery (the E19/E30 shape, replay-injection proven).
+
+    SCALE: per trigger the corpus-facing work is |batch| tokenization +
+    one batch-vocab-bounded first-occurrence agg + an anti-join against
+    the vocab state (vocab-sized — orders of magnitude below the
+    corpus, the E21/E25 state class); the curve window sees one row per
+    BATCH DOC; moment state is O(sources)·9 forever. Nothing ever
+    re-reads the corpus."""
+    from pyspark.sql import Window
+
+    from ..functions.text import (
+        TOKENS_SPARK,
+        heaps_fit_from,
+        heaps_moments_frame,
+        heaps_xy_frame,
+    )
+
+    _M_COLS = ["sx_d", "sy_d", "sxy_d", "sxx_d", "syy_d"]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            "source", "doc_id", F.expr(TOKENS_SPARK).alias("ts")
+        )
+        per_doc = toks.select(
+            "source", "doc_id", F.expr("CAST(size(ts) AS BIGINT)").alias("n_toks")
+        )
+        exploded = toks.select("source", "doc_id", F.explode("ts").alias("token"))
+        batch_vocab = exploded.groupBy("source", "token").agg(
+            F.min("doc_id").alias("fd")
+        )
+        prev_vocab = _read_state_parquet(
+            spark, f"{state_dir}/vocab/batch_id={batch_id - 1}"
+        )
+        new_first = (
+            batch_vocab
+            if prev_vocab is None
+            else batch_vocab.join(prev_vocab, ["source", "token"], "left_anti")
+        )
+        new_types = new_first.groupBy(
+            "source", F.col("fd").alias("doc_id")
+        ).agg(F.count("*").cast("bigint").alias("nt"))
+        prev_m = _read_state_parquet(
+            spark, f"{state_dir}/moments/batch_id={batch_id - 1}"
+        )
+        carry = (
+            prev_m.select(
+                "source",
+                F.col("n_tokens").alias("base_n"),
+                F.col("n_types").alias("base_v"),
+            )
+            if prev_m is not None
+            else None
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        curve = per_doc.join(new_types, ["source", "doc_id"], "left")
+        if carry is not None:
+            curve = curve.join(F.broadcast(carry), "source", "left")
+        else:
+            curve = curve.withColumn("base_n", F.lit(None).cast("bigint")).withColumn(
+                "base_v", F.lit(None).cast("bigint")
+            )
+        curve = curve.select(
+            "source",
+            "doc_id",
+            (
+                F.sum("n_toks").over(w) + F.coalesce(F.col("base_n"), F.lit(0))
+            ).alias("big_n"),
+            (
+                F.sum(F.coalesce(F.col("nt"), F.lit(0))).over(w)
+                + F.coalesce(F.col("base_v"), F.lit(0))
+            ).alias("v"),
+        ).filter((F.col("big_n") > 0) & (F.col("v") > 0))
+        batch_m = heaps_moments_frame(heaps_xy_frame(curve))
+        merged = (
+            batch_m
+            if prev_m is None
+            else batch_m.unionByName(prev_m)
+            .groupBy("source")
+            .agg(
+                F.sum("n_points").cast("bigint").alias("n_points"),
+                F.max("n_tokens").cast("bigint").alias("n_tokens"),
+                F.max("n_types").cast("bigint").alias("n_types"),
+                *[F.sum(c).alias(c) for c in _M_COLS],
+            )
+        )
+        merged = merged.select(
+            "source",
+            "n_points",
+            "n_tokens",
+            "n_types",
+            *[F.col(c).cast("decimal(28,8)").alias(c) for c in _M_COLS],
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/moments/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/moments/batch_id={batch_id}")
+        heaps_fit_from(state).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/fit/batch_id={batch_id}"
+        )
+        new_vocab = batch_vocab.select("source", "token")
+        if prev_vocab is not None:
+            new_vocab = new_vocab.unionByName(
+                prev_vocab.select("source", "token")
+            ).distinct()
+        new_vocab.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/vocab/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
