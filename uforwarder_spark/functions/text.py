@@ -1279,6 +1279,14 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none (training-data pipeline family)."""
     tok = _docs(spark, sf_dir).select("source", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
     cnt = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    return zipf_fit_from(cnt)
+
+
+def zipf_fit_from(cnt: DataFrame) -> DataFrame:
+    """Close the Zipf fit from a (source, token, c) count frame —
+    shared by batch D44 and live E41 (counts are additive state; ranks
+    and the fit re-derive per trigger because rank order shifts as
+    counts grow — rank terms are NOT mergeable, counts are)."""
     ranked = cnt.withColumn(
         "r",
         F.row_number().over(Window.partitionBy("source").orderBy(F.col("c").desc(), "token")),

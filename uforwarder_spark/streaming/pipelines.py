@@ -2631,3 +2631,59 @@ def vocab_growth_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E41: live Zipf-drift monitor ---------------------------------------------
+def zipf_drift_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E41: the live twin of batch D44 — the per-source Zipf
+    rank-frequency fit maintained continuously as docs land (slope
+    drifting away from ≈ −1 is the live signature of a source turning
+    templated/synthetic mid-crawl — the distribution-shape complement
+    of E40's growth-side β). Per micro-batch the (source, token) counts
+    fold ADDITIVELY into batchId-versioned state (vocab-bounded, the
+    E21 class); the fit CANNOT fold — rank order shifts as counts grow
+    — so slope/r² re-derive per trigger from the merged counts through
+    the SHARED zipf_fit_from kernel. Counts are exact integers, so the
+    drained fit equals batch D44 bit-for-bit under ANY chunking (no
+    ordered-delivery requirement — unlike E40, nothing here depends on
+    doc order). Replays re-derive batch N's state from batch_id=N-1
+    and overwrite — idempotent (the E19/E30 shape).
+
+    SCALE: per trigger the corpus-facing work is |batch| tokenization +
+    one batch-vocab-bounded partial agg; the fold and the re-derive
+    touch only the vocab-sized count state (the rank window partitions
+    BY SOURCE over the vocab frame, never the corpus). Nothing ever
+    re-reads the corpus; state is vocab-bounded forever."""
+    from ..functions.text import TOKENS_SPARK, zipf_fit_from
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_cnt = (
+            batch_df.select("source", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+            .groupBy("source", "token")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        prev = _read_state_parquet(
+            spark, f"{state_dir}/counts/batch_id={batch_id - 1}"
+        )
+        merged = (
+            batch_cnt
+            if prev is None
+            else batch_cnt.unionByName(prev)
+            .groupBy("source", "token")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/counts/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id}")
+        zipf_fit_from(state).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/fit/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
