@@ -689,3 +689,18 @@ def test_pagerank_iterations_shuffle_ids_only(spark):
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contrastive_triplets_windows_per_anchor(spark):
+    # D89: composes D76's candidate chain, so the same rules hold —
+    # no cartesian, nothing through Python, and BOTH rank windows
+    # (positive pick + hard-negative pick) keyed per anchor, never
+    # global
+    plan = plan_of(spark, "contrastive_triplets")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("row_number") >= 2
+    assert "windowspecdefinition(src#" in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, f"global window: {line}"

@@ -2104,3 +2104,77 @@ def test_e40_vocab_growth_converges_to_batch(spark, tmp_path):
         .select(cols).toPandas().sort_values("source").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e42_perplexity_gate_matches_batch(spark, tmp_path):
+    """E42: the union of streamed per-doc perplexity rows equals batch
+    D88 row-for-row when the stream replays the LM's own corpus,
+    regardless of micro-batch chunking (scoring is row-group-local
+    given a fixed LM)."""
+    import os
+
+    from uforwarder_spark.functions.text import bigram_perplexity
+    from uforwarder_spark.model import load_parallel
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "src")
+    all_docs.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.perplexity_gate_pipeline(stream, all_docs, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    assert len(os.listdir(out)) >= 2  # scoring actually ran per trigger
+    cols = ["doc_id", "n_tok", "ce_unigram", "ce_bigram", "order_gain"]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        bigram_perplexity(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e42_oov_text_scores_finitely(spark):
+    """The kernel's left-join backoff: a crawled doc whose tokens and
+    bigrams are absent from the LM corpus still scores finite
+    cross-entropies (unseen bigram -> pure 0.3*p_add1 backoff, unseen
+    token -> add-1 with count 0), and its order_gain is negative (the
+    LM explains none of its word order)."""
+    import numpy as np
+
+    from uforwarder_spark.functions.text import (
+        bigram_lm_frames,
+        bigram_score_frame,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    oov = spark.createDataFrame(
+        [(10, "zyx wvu zyx qrs"), (11, "the cat sat")], ["doc_id", "text"]
+    )
+    uni, pc, ctx, tot = bigram_lm_frames(corpus)
+    got = (
+        bigram_score_frame(oov, uni, pc, ctx, tot)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == [10, 11]
+    assert np.isfinite(got.ce_bigram).all() and np.isfinite(got.ce_unigram).all()
+    # fully-OOV doc: every bigram term is pure backoff, so the bigram CE
+    # exceeds the unigram CE by exactly -ln(0.3) on the non-first tokens
+    assert got.loc[0, "order_gain"] < 0
+    # in-LM doc: observed bigrams beat the unigram model
+    assert got.loc[1, "order_gain"] > 0

@@ -2477,3 +2477,228 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("pmi").desc(), "tok_l", "tok_r"))
         .cast("int"),
     ).select("rank", "tok_l", "tok_r", "pair_freq", "freq_l", "freq_r", "pmi")
+
+
+# --- D88 -----------------------------------------------------------------
+BIGRAM_PPL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {TOKENS_DUCK} AS ts FROM documents
+),
+toks AS (
+  SELECT doc_id, i AS pos, ts[i] AS t
+  FROM d, unnest(range(1, len(ts) + 1)) u(i)
+),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vsize
+  FROM uni
+),
+tok_nll AS (
+  SELECT doc_id, pos,
+         CAST(round(-ln((c + 1.0) / (n + vsize)), 8) AS DECIMAL(18,8)) AS nll_u
+  FROM toks JOIN uni USING (t) CROSS JOIN tot
+),
+pairs AS (
+  SELECT doc_id, ts[i] AS tok_l, ts[i + 1] AS tok_r
+  FROM d, unnest(range(1, len(ts))) u(i)
+  WHERE len(ts) >= 2
+),
+pc AS (
+  SELECT tok_l, tok_r, CAST(count(*) AS BIGINT) AS pf
+  FROM pairs GROUP BY tok_l, tok_r
+),
+ctx AS (
+  SELECT tok_l, CAST(count(*) AS BIGINT) AS cx FROM pairs GROUP BY tok_l
+),
+bi_nll AS (
+  SELECT p.doc_id,
+         CAST(round(-ln(0.7 * (CAST(pf AS DOUBLE) / cx)
+                        + 0.3 * ((c + 1.0) / (n + vsize))), 8)
+              AS DECIMAL(18,8)) AS nll_b
+  FROM pairs p
+  JOIN pc USING (tok_l, tok_r)
+  JOIN ctx USING (tok_l)
+  JOIN uni ON uni.t = p.tok_r
+  CROSS JOIN tot
+),
+docu AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         sum(nll_u) AS su,
+         sum(CASE WHEN pos = 1 THEN nll_u END) AS fu
+  FROM tok_nll GROUP BY doc_id
+),
+docb AS (
+  SELECT doc_id, sum(nll_b) AS sb FROM bi_nll GROUP BY doc_id
+)
+SELECT doc_id, n_tok,
+       round(CAST(su AS DOUBLE) / n_tok, 6) AS ce_unigram,
+       round((CAST(fu AS DOUBLE) + coalesce(CAST(sb AS DOUBLE), 0.0))
+             / n_tok, 6) AS ce_bigram,
+       round(CAST(su AS DOUBLE) / n_tok
+             - (CAST(fu AS DOUBLE) + coalesce(CAST(sb AS DOUBLE), 0.0))
+               / n_tok, 6) AS order_gain
+FROM docu LEFT JOIN docb USING (doc_id)
+"""
+
+
+def _bigram_streams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared tokenization for the D88/E42 kernels: the positioned
+    token stream (doc_id, pos, t) and the adjacent-pair stream
+    (doc_id, tok_l, tok_r) of a (doc_id, text) frame."""
+    d = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
+    toks = d.select("doc_id", F.posexplode("ts").alias("pos", "t"))
+    pairs = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
+                    F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.tok_l", "p.tok_r")
+    )
+    return toks, pairs
+
+
+def bigram_lm_frames(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """LM-build half of D88: train the add-1 unigram + ML bigram model
+    on a (doc_id, text) corpus. Returns (uni, pc, ctx, tot) — the
+    (token, count) vocab frame, the (tok_l, tok_r, count) bigram frame,
+    the (tok_l, context-count) frame, and the 1-row (n, vsize) totals.
+    Each is one partial agg over the token / pair streams; E42 builds
+    these ONCE from the published corpus and persists them as the
+    serving index."""
+    toks, pairs = _bigram_streams(docs)
+    uni = toks.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("vsize"),
+    )
+    pc = pairs.groupBy("tok_l", "tok_r").agg(
+        F.count("*").cast("bigint").alias("pf")
+    )
+    ctx = pairs.groupBy("tok_l").agg(F.count("*").cast("bigint").alias("cx"))
+    return uni, pc, ctx, tot
+
+
+def bigram_score_frame(
+    docs: DataFrame,
+    uni: DataFrame,
+    pc: DataFrame,
+    ctx: DataFrame,
+    tot: DataFrame,
+) -> DataFrame:
+    """Scoring half of D88/E42: per-doc cross-entropies of a
+    (doc_id, text) frame under a FIXED interpolated bigram LM. All LM
+    joins are LEFT so out-of-vocabulary ingest text scores finitely —
+    an unseen bigram falls back to the pure 0.3·p_add1 term, an unseen
+    token to add-1 with count 0; on in-LM text (batch D88, the E42
+    equality test) the expressions reduce bit-identically to the
+    inner-join oracle values."""
+    toks, pairs = _bigram_streams(docs)
+    tok_nll = (
+        toks.join(uni, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("vsize"))
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("nll_u"),
+        )
+    )
+    p_ml = F.when(
+        F.col("pf").isNotNull() & F.col("cx").isNotNull(),
+        F.col("pf").cast("double") / F.col("cx"),
+    ).otherwise(F.lit(0.0))
+    bi_nll = (
+        pairs.join(pc, ["tok_l", "tok_r"], "left")
+        .join(ctx, "tok_l", "left")
+        .join(uni.withColumnRenamed("t", "tok_r"), "tok_r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.lit(0.7) * p_ml
+                    + F.lit(0.3)
+                    * (
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("n") + F.col("vsize"))
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("nll_b"),
+        )
+    )
+    docu = tok_nll.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.sum("nll_u").alias("su"),
+        F.sum(F.when(F.col("pos") == 0, F.col("nll_u"))).alias("fu"),
+    )
+    docb = bi_nll.groupBy("doc_id").agg(F.sum("nll_b").alias("sb"))
+    ce_u = F.col("su").cast("double") / F.col("n_tok")
+    ce_b = (
+        F.col("fu").cast("double")
+        + F.coalesce(F.col("sb").cast("double"), F.lit(0.0))
+    ) / F.col("n_tok")
+    return (
+        docu.join(docb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(ce_u, 6).alias("ce_unigram"),
+            F.round(ce_b, 6).alias("ce_bigram"),
+            F.round(ce_u - ce_b, 6).alias("order_gain"),
+        )
+    )
+
+
+@register("bigram_perplexity", BIGRAM_PPL_ORACLE)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer-interpolated
+    BIGRAM LM trained on the corpus itself — the word-ORDER-aware
+    upgrade of D60's unigram filter (the signal class a KenLM n-gram
+    scorer adds in CCNet: `"the the the"` is head-band under a unigram
+    model and tail-band here).  Per token at position i ≥ 2:
+    p = 0.7·p_ML(t_i | t_{i−1}) + 0.3·p_add1(t_i); the document's
+    first token is scored by the add-1 unigram alone.  Emits per doc
+    both cross-entropies and `order_gain` = ce_unigram − ce_bigram —
+    how many nats/token the local word order explains; near-zero or
+    negative gain marks shuffled/bag-of-words text that D60 cannot
+    distinguish from prose.
+
+    Exactness: every −ln is rounded to 8 dp and cast to DECIMAL before
+    the per-doc sum (order-free, the D38/D60 pattern); the interpolated
+    probability is built from exact-integer ratios with identically
+    parenthesized double arithmetic in both engines.
+
+    SCALE: the LM is two vocab-bounded frames — (token, count) and
+    (bigram, count) — each built by one partial agg over the token /
+    pair streams and joined back by their uniform hash keys (AQE
+    broadcasts them when they fit; at 100 TB the bigram table is large
+    but ≪ corpus, and the joins co-partition on the token key).
+    Per-doc reduction is one more partial agg.  No windows, nothing
+    pairwise, zero Python.  Kernels shared with live E42, which trains
+    the frames once from the published corpus and scores each ingest
+    micro-batch statelessly.
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    uni, pc, ctx, tot = bigram_lm_frames(docs)
+    return bigram_score_frame(docs, uni, pc, ctx, tot)

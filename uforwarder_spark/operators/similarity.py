@@ -2492,3 +2492,96 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_proj",
         F.round(F.abs(F.col("cos_full") - F.col("cos_proj")), 6).alias("abs_err"),
     ).orderBy("vec_a")
+
+
+# --- D89 -----------------------------------------------------------------
+TRIPLET_MARGIN = 0.05  # positive must beat the hard negative by this cosine gap
+
+CONTRASTIVE_ORACLE = f"""
+WITH {_KNN_EDGES_CTES},
+pos AS (
+  SELECT src, dst AS pos_id, c AS pos_c FROM ranked WHERE rnk = 1
+),
+neg AS (
+  SELECT r.src, r.dst AS neg_id, r.c AS neg_c,
+         row_number() OVER (PARTITION BY r.src ORDER BY r.c DESC, r.dst)
+           AS nrnk
+  FROM ranked r
+  JOIN pos p ON p.src = r.src
+  WHERE r.c <= p.pos_c - {TRIPLET_MARGIN}
+)
+SELECT pos.src AS anchor, pos.pos_id, round(pos.pos_c, 6) AS pos_cosine,
+       neg.neg_id, round(neg.neg_c, 6) AS neg_cosine,
+       round(pos.pos_c - neg.neg_c, 6) AS margin
+FROM pos JOIN neg ON neg.src = pos.src AND neg.nrnk = 1
+"""
+
+
+@register("contrastive_triplets", CONTRASTIVE_ORACLE)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for embedding-model training (the
+    DPR / SimCSE / sentence-transformers curation shape): per anchor
+    vector, positive = its nearest band-sharing neighbor, hard
+    negative = the MOST similar candidate at least {TRIPLET_MARGIN}
+    cosine BELOW the positive — similar enough to be informative,
+    separated enough to not be a false negative. Anchors whose
+    candidate set has no such gap emit no triplet (a near-duplicate
+    clique yields nothing — correct: there is no contrast to learn).
+    Composes D76's banded candidate chain the way D82 composes its
+    edges; the downstream USE of the kNN machinery, not a re-derivation.
+
+    Determinism: candidates, cosines and both rank windows are the
+    D76 chain (fixed literal hyperplanes, sequential dot folds, ties
+    to the lower dst), and the margin cut compares raw doubles that
+    are bit-identical across engines — triplet SETS match exactly.
+
+    SCALE: identical candidate bounds to D76 (band self-join on
+    (vec_id, band-value) rows, DISTINCT id-pairs before any vector is
+    fetched, cosines only inside buckets); the scored frame is
+    persisted once (release_operator_caches contract) because the
+    positive and negative branches both read it; both windows
+    partition per anchor — never global. Output is O(n) triplets.
+
+    Reference analogue: none — training-data similarity family
+    (SURVEY §2 D; composes D76's candidates)."""
+    e = _emb(spark, sf_dir)
+    band_rows = knn_band_frame(e)
+    a = band_rows.select(F.col("vec_id").alias("src"), "band", "bv")
+    b = band_rows.select(F.col("vec_id").alias("dst"), "band", "bv")
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    en = e.select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
+    scored = (
+        pairs.join(
+            en.select(F.col("vec_id").alias("src"), F.col("u").alias("au")), "src"
+        )
+        .join(en.select(F.col("vec_id").alias("dst"), F.col("u").alias("bu")), "dst")
+        .select(
+            "src", "dst", F.expr(_DOT_SPARK.format(a="au", b="bu")).alias("c")
+        )
+        .persist()  # read by both the positive and hard-negative branches
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    pos = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select("src", F.col("dst").alias("pos_id"), F.col("c").alias("pos_c"))
+    )
+    neg = (
+        scored.join(pos, "src")
+        .filter(F.col("c") <= F.col("pos_c") - F.lit(TRIPLET_MARGIN))
+        .withColumn("nrnk", F.row_number().over(wr))
+        .filter(F.col("nrnk") == 1)
+    )
+    return neg.select(
+        F.col("src").alias("anchor"),
+        "pos_id",
+        F.round("pos_c", 6).alias("pos_cosine"),
+        F.col("dst").alias("neg_id"),
+        F.round("c", 6).alias("neg_cosine"),
+        F.round(F.col("pos_c") - F.col("c"), 6).alias("margin"),
+    )

@@ -2687,3 +2687,50 @@ def zipf_drift_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E42: live perplexity gate -------------------------------------------------
+def perplexity_gate_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E42: the live twin of batch D88 — at-ingest perplexity scoring
+    against a PUBLISHED interpolated bigram LM: the (uni, bigram,
+    context, totals) frames are trained once from the corpus via the
+    shared ``bigram_lm_frames`` kernel and persisted before the first
+    trigger (the E33/E34/E39 once-built serving-index shape; a D72-style
+    refresh swaps them between triggers); each micro-batch of crawled
+    docs scores statelessly through the shared ``bigram_score_frame``
+    kernel — ce_unigram / ce_bigram / order_gain per doc, the CCNet-band
+    admission signal — into a batchId-keyed sink. Replays overwrite
+    their own batch_id=N directory (idempotent under at-least-once);
+    the union of streamed rows equals batch D88 row-for-row when the
+    stream replays the LM's own corpus (the stream test asserts it),
+    and out-of-vocabulary ingest text scores finitely through the
+    kernel's documented left-join backoff.
+
+    SCALE: the LM frames are vocab-bounded at ANY corpus scale and are
+    never rebuilt per trigger; each trigger pays |batch| tokenization +
+    the token-key joins against the persisted frames (AQE broadcasts
+    them when they fit) + one per-doc partial agg. Nothing re-reads the
+    corpus; nothing is pairwise."""
+    from ..functions.text import bigram_lm_frames, bigram_score_frame
+
+    uni, pc, ctx, tot = bigram_lm_frames(corpus_docs.select("doc_id", "text"))
+    frames = [f.persist() for f in (uni, pc, ctx, tot)]
+    for f in frames:
+        f.count()  # materialize the serving index before the first trigger
+    uni, pc, ctx, tot = frames
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        bigram_score_frame(
+            batch_df.select("doc_id", "text"), uni, pc, ctx, tot
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
