@@ -1844,3 +1844,83 @@ def test_e41_zipf_drift_replay_idempotent_and_converges(
         .select(cols).toPandas().sort_values("source").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e43_pmi_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E43 property: the unigram AND pair count states survive ANY
+    random chunking (counts are order-free) plus an injected duplicate
+    batchId (bit-identical re-write), and the drained top-K PMI table
+    equals batch D86."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import pmi_collocations
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .select("source", "doc_id", "text")
+        .toPandas()
+    )
+    schema = "source string, doc_id long, text string"
+    rows = list(docs_pdf.itertuples(index=False))
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = [
+        pd.DataFrame(
+            [r for r, c in zip(rows, assignment) if c == k],
+            columns=["source", "doc_id", "text"],
+        )
+        for k in range(n_chunks)
+    ]
+    chunks = [c for c in chunks if len(c)] or [docs_pdf]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e43rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.pmi_collocation_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    paths = [
+        f"{tmp}/state/uni/batch_id={bid}",
+        f"{tmp}/state/pc/batch_id={bid}",
+        f"{tmp}/state/topk/batch_id={bid}",
+    ]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], schema, src, now, start_idx=restart_at)
+    run_phase()
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/topk")
+        if d.startswith("batch_id=")
+    )
+    cols = ["rank", "tok_l", "tok_r", "pair_freq", "freq_l", "freq_r", "pmi"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/topk/batch_id={last}")
+        .select(cols).toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    want = (
+        pmi_collocations(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

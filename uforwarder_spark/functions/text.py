@@ -2405,50 +2405,15 @@ FROM topk
 """
 
 
-@register("pmi_collocations", PMI_ORACLE)
-def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation extraction by pointwise mutual information (Church &
-    Hanks 1990): PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) over adjacent
-    token pairs with the published min-count floor — high-PMI pairs are
-    the multi-word expressions a tokenizer should keep whole, and the
-    association dual of D27's frequency-ranked merge pairs (a pair can
-    be frequent yet independent). Top-K with per-pair uni/pair counts.
-
-    Exactness: all counts are exact BIGINT aggregates; the PMI double
-    is ONE ln of an identically-parenthesized ratio (the D44-verified
-    ln agreement), rounded to 6 dp BEFORE the ordering in BOTH engines
-    so sub-6-dp libm noise cannot reorder the cut; ties break on the
-    token pair.
-
-    SCALE: zip-adjacent is a per-doc map; pair and unigram counts
-    partial-aggregate map-side; the unigram table is vocab-sized and
-    broadcasts onto the pair table twice; N/M are 1-row broadcasts; the
-    global top-K is limit-first (TakeOrderedAndProject, the D27 rule) —
-    never a full sort, nothing corpus-sized shuffles twice.
-
-    Reference analogue: none (training-data pipeline family —
-    tokenizer/vocab curation next to D27/D18)."""
-    toks = _docs(spark, sf_dir).select(F.expr(TOKENS_SPARK).alias("ts"))
-    uni = (
-        toks.select(F.explode("ts").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-    )
+def pmi_topk_from(uni: DataFrame, pc: DataFrame) -> DataFrame:
+    """Score-and-rank half of D86, shared with live E43: given the
+    exact (token, freq) unigram table and (tok_l, tok_r, pair_freq)
+    adjacent-pair table — which fold ADDITIVELY across micro-batches —
+    re-derive the top-{K} PMI collocations. N and M come from the
+    tables themselves (1-row broadcasts), so the kernel is a pure
+    function of the counts: merged-state input equals whole-corpus
+    input bit-for-bit."""
     n_tot = uni.agg(F.sum("freq").cast("bigint").alias("n"))
-    pc = (
-        toks.filter(F.expr("size(ts) >= 2"))
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
-                    F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
-                )
-            ).alias("p")
-        )
-        .select("p.tok_l", "p.tok_r")
-        .groupBy("tok_l", "tok_r")
-        .agg(F.count("*").cast("bigint").alias("pair_freq"))
-    )
     m_tot = pc.agg(F.sum("pair_freq").cast("bigint").alias("m"))
     scored = (
         pc.filter(F.col("pair_freq") >= PMI_MIN_COUNT)
@@ -2477,6 +2442,54 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("pmi").desc(), "tok_l", "tok_r"))
         .cast("int"),
     ).select("rank", "tok_l", "tok_r", "pair_freq", "freq_l", "freq_r", "pmi")
+
+
+@register("pmi_collocations", PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) over adjacent
+    token pairs with the published min-count floor — high-PMI pairs are
+    the multi-word expressions a tokenizer should keep whole, and the
+    association dual of D27's frequency-ranked merge pairs (a pair can
+    be frequent yet independent). Top-K with per-pair uni/pair counts.
+
+    Exactness: all counts are exact BIGINT aggregates; the PMI double
+    is ONE ln of an identically-parenthesized ratio (the D44-verified
+    ln agreement), rounded to 6 dp BEFORE the ordering in BOTH engines
+    so sub-6-dp libm noise cannot reorder the cut; ties break on the
+    token pair.
+
+    SCALE: zip-adjacent is a per-doc map; pair and unigram counts
+    partial-aggregate map-side; the unigram table is vocab-sized and
+    broadcasts onto the pair table twice; N/M are 1-row broadcasts; the
+    global top-K is limit-first (TakeOrderedAndProject, the D27 rule) —
+    never a full sort, nothing corpus-sized shuffles twice.
+
+    Reference analogue: none (training-data pipeline family —
+    tokenizer/vocab curation next to D27/D18). Score-and-rank kernel
+    shared with live E43, which folds the two count tables additively
+    per micro-batch and re-derives the top-K per trigger."""
+    toks = _docs(spark, sf_dir).select(F.expr(TOKENS_SPARK).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pc = (
+        toks.filter(F.expr("size(ts) >= 2"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
+                    F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
+                )
+            ).alias("p")
+        )
+        .select("p.tok_l", "p.tok_r")
+        .groupBy("tok_l", "tok_r")
+        .agg(F.count("*").cast("bigint").alias("pair_freq"))
+    )
+    return pmi_topk_from(uni, pc)
 
 
 # --- D88 -----------------------------------------------------------------

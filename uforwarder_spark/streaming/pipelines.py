@@ -2734,3 +2734,89 @@ def perplexity_gate_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E43: live PMI collocation monitor -----------------------------------------
+def pmi_collocation_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E43: the live twin of batch D86 — the top-K PMI collocation
+    table maintained continuously as docs land (a new high-PMI pair
+    appearing mid-crawl is the live signature of a phrase entering the
+    corpus — the association-side complement of E41's distribution
+    fit). Per micro-batch the unigram AND adjacent-pair counts fold
+    ADDITIVELY into batchId-versioned state (vocab- / pair-bounded,
+    the E21/E41 class); PMI and the top-K CANNOT fold — every count
+    shifts every probability — so the table re-derives per trigger
+    from the merged counts through the SHARED ``pmi_topk_from`` kernel
+    (N and M come from the state tables themselves). Counts are exact
+    integers, so the drained table equals batch D86 bit-for-bit under
+    ANY chunking; replays re-derive batch N's state from batch_id=N-1
+    and overwrite — idempotent (the E19/E30 shape).
+
+    SCALE: per trigger the corpus-facing work is |batch| tokenization
+    + two batch-vocab-bounded partial aggs; the fold and the re-derive
+    touch only the vocab-/pair-sized count state (the kernel's top-K is
+    limit-first, its joins broadcast the vocab table). Nothing ever
+    re-reads the corpus; state is vocab-bounded forever."""
+    from ..functions.text import TOKENS_SPARK, pmi_topk_from
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ts = batch_df.select(F.expr(TOKENS_SPARK).alias("ts"))
+        batch_uni = (
+            ts.select(F.explode("ts").alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("bigint").alias("freq"))
+        )
+        batch_pc = (
+            ts.filter(F.expr("size(ts) >= 2"))
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
+                        F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
+                    )
+                ).alias("p")
+            )
+            .select("p.tok_l", "p.tok_r")
+            .groupBy("tok_l", "tok_r")
+            .agg(F.count("*").cast("bigint").alias("pair_freq"))
+        )
+        prev_uni = _read_state_parquet(
+            spark, f"{state_dir}/uni/batch_id={batch_id - 1}"
+        )
+        prev_pc = _read_state_parquet(
+            spark, f"{state_dir}/pc/batch_id={batch_id - 1}"
+        )
+        uni = (
+            batch_uni
+            if prev_uni is None
+            else batch_uni.unionByName(prev_uni)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("bigint").alias("freq"))
+        )
+        pc = (
+            batch_pc
+            if prev_pc is None
+            else batch_pc.unionByName(prev_pc)
+            .groupBy("tok_l", "tok_r")
+            .agg(F.sum("pair_freq").cast("bigint").alias("pair_freq"))
+        )
+        uni.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/uni/batch_id={batch_id}"
+        )
+        pc.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/pc/batch_id={batch_id}"
+        )
+        pmi_topk_from(
+            spark.read.parquet(f"{state_dir}/uni/batch_id={batch_id}"),
+            spark.read.parquet(f"{state_dir}/pc/batch_id={batch_id}"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/topk/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
