@@ -704,3 +704,16 @@ def test_contrastive_triplets_windows_per_anchor(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert line.count("], [") >= 2, f"global window: {line}"
+
+
+def test_incr_triplet_windows_per_anchor(spark):
+    # D90: the asymmetric D77 chain + D89's margin rule — no cartesian,
+    # nothing through Python, both rank windows keyed per anchor
+    plan = plan_of(spark, "incr_triplet_mining")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("row_number") >= 2
+    assert "windowspecdefinition(src#" in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, f"global window: {line}"

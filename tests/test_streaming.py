@@ -2178,3 +2178,40 @@ def test_e42_oov_text_scores_finitely(spark):
     assert got.loc[0, "order_gain"] < 0
     # in-LM doc: observed bigrams beat the unigram model
     assert got.loc[1, "order_gain"] > 0
+
+
+def test_e44_triplet_mining_matches_batch(spark, tmp_path):
+    """E44: the union of streamed per-arrival triplet pages equals
+    batch D90 row-for-row, regardless of how the arrivals are chunked
+    into micro-batches (the existing band/vector index is static and
+    triplet mining is per-anchor)."""
+    import os
+
+    from uforwarder_spark.operators.similarity import _emb, incr_triplet_mining
+
+    e = _emb(spark, SF_SMALL)
+    incoming = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "v")
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    src = str(tmp_path / "src")
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.triplet_mining_pipeline(stream, existing, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    assert len(os.listdir(out)) >= 2  # the mining actually ran per trigger
+    cols = ["anchor", "pos_id", "pos_cosine", "neg_id", "neg_cosine", "margin"]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values("anchor").reset_index(drop=True)
+    )
+    want = (
+        incr_triplet_mining(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("anchor").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1590,8 +1590,10 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- D77 -----------------------------------------------------------------
-INCR_KNN_ORACLE = f"""
-WITH e AS (
+# The asymmetric incoming(odd)-vs-existing(even) candidate -> scored ->
+# ranked CTE chain, ONE module constant shared by the D77 edge oracle
+# and the D90 triplet oracle (the substring-island convention).
+_INCR_KNN_CTES = f"""e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ),
 en AS (
@@ -1625,7 +1627,10 @@ ranked AS (
   SELECT src, dst, c,
          row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rnk
   FROM scored
-)
+)"""
+
+INCR_KNN_ORACLE = f"""
+WITH {_INCR_KNN_CTES}
 SELECT src, dst, CAST(rnk AS INTEGER) AS rank, round(c, 6) AS cosine
 FROM ranked WHERE rnk <= {KNN_K}
 """
@@ -1674,12 +1679,13 @@ def knn_band_frame(vecs: DataFrame) -> DataFrame:
     ).select("vec_id", "bb.band", "bb.bv")
 
 
-def incr_knn_frame(
+def _incr_scored_frame(
     incoming: DataFrame, ex_bands: DataFrame, existing: DataFrame
 ) -> DataFrame:
-    """The D77 ingest kernel: incoming vectors vs a (persisted)
-    existing-corpus band table + vector table — shared by batch D77 and
-    the live E34 pipeline."""
+    """Banded incoming-vs-existing candidate scores (src, dst, c):
+    batch-side band probe → DISTINCT id-pairs → one normalized-dot
+    cosine per pair. Shared by the D77/E34 edge kernel and the
+    D90/E44 triplet kernel."""
     in_bands = knn_band_frame(incoming.select("vec_id", "v")).select(
         F.col("vec_id").alias("src"), "band", "bv"
     )
@@ -1691,7 +1697,7 @@ def incr_knn_frame(
         .select("src", "dst")
         .distinct()
     )
-    scored = (
+    return (
         pairs.join(
             incoming.select(
                 F.col("vec_id").alias("src"), F.expr(_UNIT_SPARK).alias("au")
@@ -1706,6 +1712,15 @@ def incr_knn_frame(
         )
         .select("src", "dst", F.expr(_DOT_SPARK.format(a="au", b="bu")).alias("c"))
     )
+
+
+def incr_knn_frame(
+    incoming: DataFrame, ex_bands: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """The D77 ingest kernel: incoming vectors vs a (persisted)
+    existing-corpus band table + vector table — shared by batch D77 and
+    the live E34 pipeline."""
+    scored = _incr_scored_frame(incoming, ex_bands, existing)
     wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
     return (
         scored.withColumn("rank", F.row_number().over(wr))
@@ -2585,3 +2600,87 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c", 6).alias("neg_cosine"),
         F.round(F.col("pos_c") - F.col("c"), 6).alias("margin"),
     )
+
+
+# --- D90 -----------------------------------------------------------------
+INCR_TRIPLET_ORACLE = f"""
+WITH {_INCR_KNN_CTES},
+pos AS (
+  SELECT src, dst AS pos_id, c AS pos_c FROM ranked WHERE rnk = 1
+),
+neg AS (
+  SELECT r.src, r.dst AS neg_id, r.c AS neg_c,
+         row_number() OVER (PARTITION BY r.src ORDER BY r.c DESC, r.dst)
+           AS nrnk
+  FROM ranked r
+  JOIN pos p ON p.src = r.src
+  WHERE r.c <= p.pos_c - {TRIPLET_MARGIN}
+)
+SELECT pos.src AS anchor, pos.pos_id, round(pos.pos_c, 6) AS pos_cosine,
+       neg.neg_id, round(neg.neg_c, 6) AS neg_cosine,
+       round(pos.pos_c - neg.neg_c, 6) AS margin
+FROM pos JOIN neg ON neg.src = pos.src AND neg.nrnk = 1
+"""
+
+
+def incr_triplet_frame(
+    incoming: DataFrame, ex_bands: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """The D90 ingest kernel: mine (anchor, positive, hard-negative)
+    triplets for a batch of NEW vectors against the persisted existing
+    index — shared by batch D90 and the live E44 pipeline. Positive =
+    nearest existing candidate, hard negative = most-similar candidate
+    at least {TRIPLET_MARGIN} cosine below it (D89's rule, asymmetric
+    sides)."""
+    scored = _incr_scored_frame(incoming, ex_bands, existing).persist()
+    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    pos = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select("src", F.col("dst").alias("pos_id"), F.col("c").alias("pos_c"))
+    )
+    neg = (
+        scored.join(pos, "src")
+        .filter(F.col("c") <= F.col("pos_c") - F.lit(TRIPLET_MARGIN))
+        .withColumn("nrnk", F.row_number().over(wr))
+        .filter(F.col("nrnk") == 1)
+    )
+    return neg.select(
+        F.col("src").alias("anchor"),
+        "pos_id",
+        F.round("pos_c", 6).alias("pos_cosine"),
+        F.col("dst").alias("neg_id"),
+        F.round("c", 6).alias("neg_cosine"),
+        F.round(F.col("pos_c") - F.col("c"), 6).alias("margin"),
+    )
+
+
+@register("incr_triplet_mining", INCR_TRIPLET_ORACLE)
+def incr_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D89's triplet mining in D36's production shape: each NEW batch
+    of embeddings (odd vec_ids stand in for fresh arrivals) mines its
+    (anchor, positive, hard-negative) training triplets ASYMMETRICALLY
+    against the existing index (even vec_ids) — the continuous
+    curation loop that keeps an embedding model's fine-tuning set
+    growing as the corpus does, without ever re-mining the whole-corpus
+    D89 graph. No incoming-incoming or existing-existing pairs exist
+    by construction.
+
+    Determinism: the D77 candidate chain (fixed literal hyperplanes,
+    sequential dot folds, ties to the lower dst) + D89's raw-double
+    margin cut — triplet SETS are bit-identical cross-engine.
+
+    SCALE: the existing side is the persisted band table +
+    vec_id-bucketed vector table (the D36 convention); each ingest
+    pays batch-sized signature folds + a batch-probed band join + one
+    cosine per DISTINCT surviving pair; the scored frame persists once
+    for the two branches (release_operator_caches contract) and both
+    rank windows partition per anchor. Batch twin of live E44 (shared
+    ``incr_triplet_frame`` kernel).
+
+    Reference analogue: none — training-data similarity family
+    (SURVEY §2 D; composes D77's candidates + D89's rule)."""
+    e = _emb(spark, sf_dir)
+    incoming = e.filter(F.col("vec_id") % 2 == 1)
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    return incr_triplet_frame(incoming, knn_band_frame(existing), existing)

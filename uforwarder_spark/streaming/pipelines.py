@@ -2820,3 +2820,47 @@ def pmi_collocation_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: 
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E44: live contrastive-triplet mining --------------------------------------
+def triplet_mining_pipeline(
+    vec_stream: DataFrame, existing: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E44: the live twin of batch D90 — the embedding-training
+    curation loop run at ingest: each micro-batch of newly embedded
+    vectors mines its (anchor, positive, hard-negative) triplets
+    against the EXISTING index through the shared
+    ``incr_triplet_frame`` kernel (band probe → distinct candidate
+    pairs → one cosine per pair → per-anchor positive pick + margin-cut
+    hard-negative pick), landing triplet pages in a batchId-keyed
+    sink. The existing-corpus band table and vector table are built
+    and persisted once before the first trigger (the E34 serving-index
+    shape). Stateless per batch, so replays overwrite their own
+    batch_id=N directory (idempotent under at-least-once); the union
+    of streamed triplets equals batch D90 row-for-row (the stream test
+    asserts it).
+
+    SCALE: per trigger the work is |batch| signature folds + a
+    batch-probed band join + one cosine per surviving pair; the two
+    per-anchor windows see only the batch's candidates. Nothing
+    re-mines the corpus graph and nothing re-reads the corpus beyond
+    the dst fetch for survivors."""
+    from ..operators.similarity import incr_triplet_frame, knn_band_frame
+
+    ex = existing.persist()
+    ex.count()
+    ex_bands = knn_band_frame(ex).persist()
+    ex_bands.count()  # materialize the index once, before the first trigger
+
+    def mine(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df.select("vec_id", "v")
+        incr_triplet_frame(incoming, ex_bands, ex).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        vec_stream.writeStream.foreachBatch(mine)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
