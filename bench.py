@@ -202,6 +202,26 @@ def main() -> None:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
+    # Spark-native witness: a fixed micro-plan (scan + filter + partial
+    # agg over the sf0.001 lineitem) timed best-of-5 AFTER warmup. The
+    # md5 witnesses measure CPU-core speed; this measures what they
+    # cannot: JVM task-launch / scheduler / codegen overhead — the term
+    # that dominates every sub-second headline line. Motivation
+    # (BASELINE.md round-7 addendum): an idle round-7 host window read
+    # BOTH md5 witnesses ~20% FASTER than the pins while identical-code
+    # raw Spark wall ran ~1.4x the same-session gate run — md5
+    # anti-correlated with engine speed, so per-line adjudication needs
+    # an engine-side witness. On the BASELINE3 pin-generation host this
+    # reads ~0.10-0.13 s (recorded in the addendum).
+    sw_best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        QUERIES["tpch_q6_forecast_revenue"](spark, warm_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sw_best = min(sw_best, time.perf_counter() - t0)
+    spark_witness = round(sw_best, 4)
+
     # best-of-3 per query: one measured run can eat a stray GC pause or
     # scheduler hiccup; the min reflects the plan's steady-state cost.
     timings: dict[str, float] = {}
@@ -292,6 +312,7 @@ def main() -> None:
         "queries3": timings3,
         "calibration_sec": cal,
         "calibration_mc_sec": mc,
+        "spark_witness_sec": spark_witness,
         "host_factor_vs_baseline": host_factor,
         "host_factor_vs_baseline2": host_factor2,
         "host_factor_vs_baseline3": host_factor3,

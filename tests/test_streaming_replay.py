@@ -1924,3 +1924,85 @@ def test_e43_pmi_replay_idempotent_and_converges(
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    cut_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e45_markov_replay_idempotent_and_converges(
+    spark, n_chunks, cut_seed, restart_at
+):
+    """E45 property: the per-user carry + count states survive an
+    injected duplicate batchId (bit-identical re-write) and ANY
+    time-ordered contiguous chunking (the per-user ordered-delivery
+    contract), boundary transitions included, and the drained
+    transition table equals batch D91."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.operators.timeseries import markov_transitions
+
+    ev_pdf = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    n = len(ev_pdf)
+    cuts = sorted(cut_seed.sample(range(1, n), n_chunks - 1))
+    bounds = [0] + cuts + [n]
+    chunks = [
+        ev_pdf.iloc[bounds[i] : bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e45rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.markov_monitor_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    paths = [
+        f"{tmp}/state/carry/batch_id={bid}",
+        f"{tmp}/state/counts/batch_id={bid}",
+        f"{tmp}/state/table/batch_id={bid}",
+    ]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], schema, src, now, start_idx=restart_at)
+    run_phase()
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/table")
+        if d.startswith("batch_id=")
+    )
+    cols = ["event_from", "event_to", "n_trans", "from_total", "prob", "rank"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/table/batch_id={last}")
+        .select(cols).toPandas()
+        .sort_values(["event_from", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        markov_transitions(spark, SF_SMALL)
+        .select(cols).toPandas()
+        .sort_values(["event_from", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -390,3 +390,111 @@ def window_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.greatest(F.min("msq") - F.min("mu") * F.min("mu"), F.lit(0.0))), 6
         ).alias("std_v"),
     )
+
+
+# --- D91 -----------------------------------------------------------------
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS event_from,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS event_to
+  FROM events
+),
+cnt AS (
+  SELECT event_from, event_to, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE event_to IS NOT NULL
+  GROUP BY event_from, event_to
+),
+tot AS (
+  SELECT event_from, CAST(sum(n_trans) AS BIGINT) AS from_total
+  FROM cnt GROUP BY event_from
+)
+SELECT c.event_from, c.event_to, c.n_trans, t.from_total,
+       round(CAST(c.n_trans AS DOUBLE) / t.from_total, 6) AS prob,
+       CAST(row_number() OVER (
+         PARTITION BY c.event_from ORDER BY c.n_trans DESC, c.event_to
+       ) AS INT) AS rank
+FROM cnt c JOIN tot t USING (event_from)
+"""
+
+
+def markov_pairs_frame(events: DataFrame) -> DataFrame:
+    """Adjacency half of D91, shared with live E45: the (event_from,
+    event_to) transition stream of a (user_id, ts, event_id,
+    event_type) frame — one lead window per user, ordered by
+    (ts, event_id) so equal timestamps break on the unique id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("event_to", F.lead("event_type").over(w))
+        .filter(F.col("event_to").isNotNull())
+        .select(F.col("event_type").alias("event_from"), "event_to")
+    )
+
+
+def markov_table_from(cnt: DataFrame) -> DataFrame:
+    """Score-and-rank half of D91, shared with live E45: given the
+    exact (event_from, event_to, n_trans) count table — which folds
+    ADDITIVELY across micro-batches — re-derive row-normalized
+    transition probabilities and per-state ranks. A pure function of
+    the counts: merged-state input equals whole-log input bit-for-bit."""
+    from pyspark.sql import Window
+
+    tot = cnt.groupBy("event_from").agg(
+        F.sum("n_trans").cast("bigint").alias("from_total")
+    )
+    wr = Window.partitionBy("event_from").orderBy(
+        F.col("n_trans").desc(), "event_to"
+    )
+    return (
+        cnt.join(F.broadcast(tot), "event_from")
+        .select(
+            "event_from",
+            "event_to",
+            "n_trans",
+            "from_total",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("from_total"), 6
+            ).alias("prob"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+    )
+
+
+@register("markov_transitions", MARKOV_ORACLE)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    time-ordered event sequence — the behavioral-sequence model under
+    session replay, synthetic-log generation and next-event prediction
+    baselines: per (from, to) event-type pair the exact transition
+    count, the from-state row total, the row-normalized probability
+    and the per-state rank of outgoing transitions.
+
+    Exactness: counts are exact BIGINT aggregates; prob is ONE double
+    division rounded to 6 dp; ranks break ties on the target type.
+    Ordering is (ts, event_id) — the unique id breaks equal
+    timestamps, and ts VALUES are identical across the driver's three
+    parquet ts encodings (load_table normalizes; test_ts_generations
+    covers all three).
+
+    SCALE: the only log-sized work is ONE lead window per user
+    partition (the C10 sessionization class — shuffles the log once by
+    user_id, never a global window); everything downstream is the
+    O(types²) count table with a broadcast row-total join and
+    per-state rank windows over that tiny frame. Kernels shared with
+    live E45, which carries each user's LAST event across micro-batch
+    boundaries so no transition is lost at a batch seam.
+
+    Reference analogue: none (behavioral-analytics family next to
+    C10/C23/C24)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cnt = (
+        markov_pairs_frame(ev)
+        .groupBy("event_from", "event_to")
+        .agg(F.count("*").cast("bigint").alias("n_trans"))
+    )
+    return markov_table_from(cnt)

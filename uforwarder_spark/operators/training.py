@@ -564,6 +564,10 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
     )
+    # NOT persisted: measured at sf0.1, caching the exploded bucket
+    # stream (1.97 s) loses to recomputing the md5 fold in both
+    # codegen-fused branches (1.45 s) — materializing tokens×3 columns
+    # costs more than the second hashing pass it saves
     bt = dsir_token_buckets_frame(docs)
     ratio = dsir_ratio_frame(dsir_counts_frame(bt))
     doc = (

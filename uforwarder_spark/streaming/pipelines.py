@@ -2864,3 +2864,86 @@ def triplet_mining_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E45: live Markov-transition monitor ---------------------------------------
+def markov_monitor_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E45: the live twin of batch D91 — the first-order event-type
+    transition matrix maintained continuously as the event log lands
+    (a transition row surging out of rank is the live signature of a
+    behavior shift — bot traffic, a broken funnel step). The subtle
+    part is the BATCH SEAM: a user's last event in trigger N pairs
+    with their first event in trigger N+1, so a stateless per-batch
+    count would silently drop every boundary transition. Each trigger
+    therefore unions the batchId-versioned per-user CARRY state (each
+    user's single latest (ts, event_id, event_type) row) with the
+    batch, extracts pairs through the shared ``markov_pairs_frame``
+    kernel — one carry row per user means every extracted pair
+    involves a batch event, so nothing double-counts — folds the
+    (from, to) counts ADDITIVELY into batchId-versioned count state,
+    and re-derives probabilities/ranks through the shared
+    ``markov_table_from`` kernel (probabilities cannot fold: every
+    count shifts every row total). Requires (ts, event_id)-ordered
+    per-user delivery, the E40 ordered-delivery class. Counts are
+    exact integers, so the drained table equals batch D91 bit-for-bit
+    under any contiguous time-ordered chunking; replays re-derive
+    batch N's state from batch_id=N-1 and overwrite — idempotent (the
+    E19/E30 shape).
+
+    SCALE: per trigger the work is one lead window over
+    |batch| + |touched users| rows partitioned per user; the carry
+    state is O(users), the count state O(event-types²) forever, and
+    the re-derive touches only the tiny count table. Nothing ever
+    re-reads the log."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import markov_pairs_frame, markov_table_from
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = batch_df.select("user_id", "ts", "event_id", "event_type")
+        prev_carry = _read_state_parquet(
+            spark, f"{state_dir}/carry/batch_id={batch_id - 1}"
+        )
+        prev_counts = _read_state_parquet(
+            spark, f"{state_dir}/counts/batch_id={batch_id - 1}"
+        )
+        combined = ev if prev_carry is None else ev.unionByName(prev_carry)
+        batch_cnt = (
+            markov_pairs_frame(combined)
+            .groupBy("event_from", "event_to")
+            .agg(F.count("*").cast("bigint").alias("n_trans"))
+        )
+        counts = (
+            batch_cnt
+            if prev_counts is None
+            else batch_cnt.unionByName(prev_counts)
+            .groupBy("event_from", "event_to")
+            .agg(F.sum("n_trans").cast("bigint").alias("n_trans"))
+        )
+        w_last = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        carry = (
+            combined.withColumn("rn", F.row_number().over(w_last))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        counts.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/counts/batch_id={batch_id}"
+        )
+        carry.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/carry/batch_id={batch_id}"
+        )
+        markov_table_from(
+            spark.read.parquet(f"{state_dir}/counts/batch_id={batch_id}")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/table/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
