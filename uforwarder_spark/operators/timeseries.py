@@ -498,3 +498,186 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_trans"))
     )
     return markov_table_from(cnt)
+
+
+# --- D92 -----------------------------------------------------------------
+CUSUM_K = 0.5  # Page's reference value (slack, in sigma units)
+CUSUM_H = 5.0  # decision threshold (sigma units); reset-on-alarm
+
+# The sequential CUSUM recurrence s_t = max(0, s_{t-1} + z_t - k), alarm
+# + reset when s_t > h — run JVM-side as ONE higher-order aggregate over
+# the per-type minute-ordered z array (the A33 AIMD fold class: no
+# Python, no applyInPandas; the oracle twin is a DuckDB recursive CTE
+# over the same standardized frame). greatest(...) is repeated rather
+# than bound to a local because BOTH engines must evaluate the
+# IDENTICAL expression tree.
+_CUSUM_STEP = f"greatest(CAST(0.0 AS DOUBLE), acc.s + x.z - {CUSUM_K})"
+_CUSUM_FOLD = f"""aggregate(
+  zs,
+  named_struct(
+    's',        CAST(0.0 AS DOUBLE),
+    'n_al',     CAST(0 AS BIGINT),
+    'first_al', CAST(-1 AS BIGINT),
+    'max_s',    CAST(0.0 AS DOUBLE),
+    'idx',      CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+    's',        CASE WHEN {_CUSUM_STEP} > {CUSUM_H}
+                     THEN CAST(0.0 AS DOUBLE) ELSE {_CUSUM_STEP} END,
+    'n_al',     acc.n_al + CASE WHEN {_CUSUM_STEP} > {CUSUM_H}
+                                THEN 1 ELSE 0 END,
+    'first_al', CASE WHEN acc.first_al = -1 AND {_CUSUM_STEP} > {CUSUM_H}
+                     THEN acc.idx ELSE acc.first_al END,
+    'max_s',    greatest(acc.max_s, {_CUSUM_STEP}),
+    'idx',      acc.idx + CAST(1 AS BIGINT))
+)"""
+
+_CUSUM_STEP_DUCK = f"greatest(CAST(0.0 AS DOUBLE), t.s + b.z - {CUSUM_K})"
+CUSUM_ORACLE = f"""
+WITH RECURSIVE pm AS (
+  SELECT event_type, date_trunc('minute', ts) AS m,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('minute', ts)
+),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM pm GROUP BY event_type
+),
+mu AS (
+  SELECT event_type, n,
+         CAST(sc AS DOUBLE) / n AS mu,
+         sqrt(greatest(
+           CAST(sc2 AS DOUBLE) / n
+             - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n),
+           0.0)) AS sigma
+  FROM st
+),
+numbered AS (
+  SELECT pm.event_type,
+         row_number() OVER (
+           PARTITION BY pm.event_type ORDER BY pm.m
+         ) - 1 AS rn0,
+         CASE WHEN mu.sigma > 0.0
+              THEN (CAST(pm.c AS DOUBLE) - mu.mu) / mu.sigma
+              ELSE 0.0 END AS z
+  FROM pm JOIN mu USING (event_type)
+),
+traj AS (
+  SELECT event_type, rn0,
+         CASE WHEN greatest(CAST(0.0 AS DOUBLE), 0.0 + z - {CUSUM_K})
+                     > {CUSUM_H}
+              THEN CAST(0.0 AS DOUBLE)
+              ELSE greatest(CAST(0.0 AS DOUBLE), 0.0 + z - {CUSUM_K}) END
+           AS s,
+         CAST(CASE WHEN greatest(CAST(0.0 AS DOUBLE), 0.0 + z - {CUSUM_K})
+                          > {CUSUM_H} THEN 1 ELSE 0 END AS BIGINT) AS n_al,
+         CAST(CASE WHEN greatest(CAST(0.0 AS DOUBLE), 0.0 + z - {CUSUM_K})
+                          > {CUSUM_H} THEN 0 ELSE -1 END AS BIGINT)
+           AS first_al,
+         greatest(CAST(0.0 AS DOUBLE),
+                  greatest(CAST(0.0 AS DOUBLE), 0.0 + z - {CUSUM_K}))
+           AS max_s
+  FROM numbered WHERE rn0 = 0
+  UNION ALL
+  SELECT b.event_type, b.rn0,
+         CASE WHEN {_CUSUM_STEP_DUCK} > {CUSUM_H}
+              THEN CAST(0.0 AS DOUBLE) ELSE {_CUSUM_STEP_DUCK} END,
+         t.n_al + CASE WHEN {_CUSUM_STEP_DUCK} > {CUSUM_H}
+                       THEN 1 ELSE 0 END,
+         CASE WHEN t.first_al = -1 AND {_CUSUM_STEP_DUCK} > {CUSUM_H}
+              THEN b.rn0 ELSE t.first_al END,
+         greatest(t.max_s, {_CUSUM_STEP_DUCK})
+  FROM traj t
+  JOIN numbered b
+    ON b.event_type = t.event_type AND b.rn0 = t.rn0 + 1
+),
+last AS (
+  SELECT event_type, max(rn0) AS mr FROM traj GROUP BY event_type
+)
+SELECT t.event_type,
+       t.rn0 + 1 AS n_minutes,
+       t.n_al AS n_alarms,
+       CASE WHEN t.first_al = -1 THEN NULL ELSE t.first_al END
+         AS first_alarm_idx,
+       round(t.max_s, 6) AS max_s,
+       round(t.s, 6) AS final_s
+FROM traj t
+JOIN last l ON t.event_type = l.event_type AND t.rn0 = l.mr
+"""
+
+
+@register("cusum_changepoints", CUSUM_ORACLE)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM changepoint detector over each event type's
+    per-minute arrival-rate series (Page 1954; the SRE rate-shift
+    alarm): counts are standardized against the type's own exact
+    moments, then s_t = max(0, s_{t-1} + z_t − {CUSUM_K}) with alarm +
+    reset at s_t > {CUSUM_H}. Emits per type the minute count, alarm
+    count, first-alarm index, the trajectory's max and its final
+    value — the drift audit a rate-anomaly pipeline keys on.
+
+    Exactness: minute counts and their squares sum as exact BIGINTs;
+    μ/σ/z use identically parenthesized double arithmetic; the
+    recurrence folds in minute order, so every s_t is bit-identical
+    across engines (the A33 class — Spark: ONE higher-order aggregate
+    over the sorted z array inside codegen; DuckDB: a recursive CTE
+    over the same standardized frame).
+
+    SCALE: the log collapses to a (types × occupied-minutes) frame by
+    one partial agg before anything sequential runs; the fold's array
+    is minutes-sized (~526k rows/year per type at ANY event volume —
+    the reduction is what makes the irreducible sequential tail cheap,
+    the A33/A18 argument). For multi-year logs the fold segments per
+    (type, day) with an E45-style carry. Zero Python.
+
+    Reference analogue: none (ops-monitoring family next to D53/D56).
+    """
+    pm = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    st = pm.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    mu_c = F.col("sc").cast("double") / F.col("n")
+    stats = st.select(
+        "event_type",
+        "n",
+        mu_c.alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("sc2").cast("double") / F.col("n") - mu_c * mu_c,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0.0,
+        (F.col("c").cast("double") - F.col("mu")) / F.col("sigma"),
+    ).otherwise(F.lit(0.0))
+    zrows = pm.join(F.broadcast(stats), "event_type").select(
+        "event_type", "m", z.alias("z")
+    )
+    folded = zrows.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(struct(m, z)))").alias("zs")
+    )
+    acc = folded.select(
+        "event_type", F.expr(_CUSUM_FOLD).alias("a")
+    )
+    return acc.select(
+        "event_type",
+        F.col("a.idx").alias("n_minutes"),
+        F.col("a.n_al").alias("n_alarms"),
+        F.when(F.col("a.first_al") == -1, F.lit(None).cast("bigint"))
+        .otherwise(F.col("a.first_al"))
+        .alias("first_alarm_idx"),
+        F.round("a.max_s", 6).alias("max_s"),
+        F.round("a.s", 6).alias("final_s"),
+    )
