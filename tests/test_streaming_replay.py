@@ -2006,3 +2006,105 @@ def test_e45_markov_replay_idempotent_and_converges(
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    cut_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e46_cusum_replay_idempotent_and_converges(
+    spark, n_chunks, cut_seed, restart_at
+):
+    """E46 property: the minute-count state survives an injected
+    duplicate batchId (bit-identical re-write) and ANY time-ordered
+    contiguous chunking — INCLUDING cuts that split a minute across
+    micro-batches (counts re-merge additively) — and the drained
+    trajectory table equals the shared kernel run over the same
+    completed-minute prefix with the same frozen reference stats."""
+    from pyspark.sql import Window
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.operators.timeseries import (
+        cusum_fold_from,
+        cusum_minute_counts,
+        cusum_stats_frame,
+    )
+
+    # sf0.001's minute counts are all 1 (sigma=0 -> flat trajectory), so
+    # seed one mid-log burst minute to make the alarm branch non-vacuous
+    # (the E37 seeded-scenario convention)
+    burst = spark.createDataFrame(
+        [("click", "2024-01-05 12:00:%02d" % (i % 60), 1_000_000 + i) for i in range(30)],
+        ["event_type", "ts_s", "event_id"],
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    full = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_type", "ts", "event_id")
+        .unionByName(burst)
+    )
+    ev_pdf = full.orderBy("ts", "event_id").toPandas()
+    schema = "event_type string, ts timestamp, event_id long"
+    n = len(ev_pdf)
+    cuts = sorted(cut_seed.sample(range(1, n), n_chunks - 1))
+    bounds = [0] + cuts + [n]
+    chunks = [
+        ev_pdf.iloc[bounds[i] : bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e46rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.cusum_monitor_pipeline(stream, full, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    paths = [
+        f"{tmp}/state/minutes/batch_id={bid}",
+        f"{tmp}/state/table/batch_id={bid}",
+    ]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], schema, src, now, start_idx=restart_at)
+    run_phase()
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/table")
+        if d.startswith("batch_id=")
+    )
+    cols = ["event_type", "n_minutes", "n_alarms", "first_alarm_idx", "max_s", "final_s"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/table/batch_id={last}")
+        .select(cols).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    pm = cusum_minute_counts(full)
+    wmax = Window.partitionBy("event_type")
+    completed = (
+        pm.withColumn("mx", F.max("m").over(wmax))
+        .filter(F.col("m") < F.col("mx"))
+        .drop("mx")
+    )
+    want = (
+        cusum_fold_from(completed, cusum_stats_frame(pm))
+        .select(cols).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    assert len(got) > 0 and (got.n_alarms > 0).any()  # non-vacuous: alarms fire
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

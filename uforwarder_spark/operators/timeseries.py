@@ -608,6 +608,71 @@ JOIN last l ON t.event_type = l.event_type AND t.rn0 = l.mr
 """
 
 
+def cusum_minute_counts(events: DataFrame) -> DataFrame:
+    """(event_type, m, c): the per-type per-minute arrival counts — the
+    reduction that prices the sequential tail on minutes instead of
+    events. Counts are ADDITIVE, so partial-minute counts from
+    micro-batches merge by plain sum (the E45 carry uses exactly
+    this)."""
+    return events.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+
+
+def cusum_stats_frame(pm: DataFrame) -> DataFrame:
+    """(event_type, mu, sigma): the reference moments the z-scores
+    standardize against — exact BIGINT count/square sums, identically
+    parenthesized double math. Batch D92 derives them from the scored
+    series itself; live E46 freezes them ONCE from the reference
+    window (the published CUSUM deployment shape) and persists."""
+    st = pm.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    mu_c = F.col("sc").cast("double") / F.col("n")
+    return st.select(
+        "event_type",
+        mu_c.alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("sc2").cast("double") / F.col("n") - mu_c * mu_c,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+
+
+def cusum_fold_from(pm: DataFrame, stats: DataFrame) -> DataFrame:
+    """Standardize-and-fold half of D92, shared with live E46: given a
+    minute-count frame and a FIXED stats frame, run the CUSUM
+    recurrence per type and emit the trajectory audit. A pure function
+    of its inputs, and the fold is PREFIX-STABLE: folding the first k
+    minutes equals truncating the full fold at k — the property E46's
+    completed-minute carry relies on."""
+    z = F.when(
+        F.col("sigma") > 0.0,
+        (F.col("c").cast("double") - F.col("mu")) / F.col("sigma"),
+    ).otherwise(F.lit(0.0))
+    zrows = pm.join(F.broadcast(stats), "event_type").select(
+        "event_type", "m", z.alias("z")
+    )
+    folded = zrows.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(struct(m, z)))").alias("zs")
+    )
+    acc = folded.select("event_type", F.expr(_CUSUM_FOLD).alias("a"))
+    return acc.select(
+        "event_type",
+        F.col("a.idx").alias("n_minutes"),
+        F.col("a.n_al").alias("n_alarms"),
+        F.when(F.col("a.first_al") == -1, F.lit(None).cast("bigint"))
+        .otherwise(F.col("a.first_al"))
+        .alias("first_alarm_idx"),
+        F.round("a.max_s", 6).alias("max_s"),
+        F.round("a.s", 6).alias("final_s"),
+    )
+
+
 @register("cusum_changepoints", CUSUM_ORACLE)
 def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM changepoint detector over each event type's
@@ -634,50 +699,5 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (ops-monitoring family next to D53/D56).
     """
-    pm = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
-        )
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    st = pm.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("c").cast("bigint").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
-    )
-    mu_c = F.col("sc").cast("double") / F.col("n")
-    stats = st.select(
-        "event_type",
-        "n",
-        mu_c.alias("mu"),
-        F.sqrt(
-            F.greatest(
-                F.col("sc2").cast("double") / F.col("n") - mu_c * mu_c,
-                F.lit(0.0),
-            )
-        ).alias("sigma"),
-    )
-    z = F.when(
-        F.col("sigma") > 0.0,
-        (F.col("c").cast("double") - F.col("mu")) / F.col("sigma"),
-    ).otherwise(F.lit(0.0))
-    zrows = pm.join(F.broadcast(stats), "event_type").select(
-        "event_type", "m", z.alias("z")
-    )
-    folded = zrows.groupBy("event_type").agg(
-        F.expr("sort_array(collect_list(struct(m, z)))").alias("zs")
-    )
-    acc = folded.select(
-        "event_type", F.expr(_CUSUM_FOLD).alias("a")
-    )
-    return acc.select(
-        "event_type",
-        F.col("a.idx").alias("n_minutes"),
-        F.col("a.n_al").alias("n_alarms"),
-        F.when(F.col("a.first_al") == -1, F.lit(None).cast("bigint"))
-        .otherwise(F.col("a.first_al"))
-        .alias("first_alarm_idx"),
-        F.round("a.max_s", 6).alias("max_s"),
-        F.round("a.s", 6).alias("final_s"),
-    )
+    pm = cusum_minute_counts(load_table(spark, sf_dir, "events"))
+    return cusum_fold_from(pm, cusum_stats_frame(pm))

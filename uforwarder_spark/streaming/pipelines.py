@@ -2947,3 +2947,79 @@ def markov_monitor_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: s
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E46: live CUSUM rate-anomaly monitor --------------------------------------
+def cusum_monitor_pipeline(
+    stream: DataFrame, reference_events: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E46: the live twin of batch D92 — Page's CUSUM running
+    continuously over the event stream, the deployed shape of a rate
+    alarm: reference moments (μ, σ per type) frozen ONCE from the
+    reference window via the shared ``cusum_stats_frame`` kernel and
+    persisted (the published CUSUM practice — you standardize against
+    the baseline you calibrated, not against a distribution that
+    drifts under you). The boundary subtlety is the INCOMPLETE MINUTE:
+    a minute straddling a trigger would fold a partial count into an
+    irreversible recurrence. Solved additively: per-(type, minute)
+    counts merge by plain sum into batchId-versioned state (straddled
+    minutes complete themselves when their remainder arrives), and the
+    trajectory re-derives per trigger through the shared
+    ``cusum_fold_from`` kernel over COMPLETED minutes only — every
+    minute strictly before the type's latest occupied minute. The fold
+    is prefix-stable, so the drained table equals batch D92 restricted
+    to the same completed prefix, bit-for-bit, under ANY time-ordered
+    chunking; replays re-derive batch N's state from batch_id=N-1 and
+    overwrite — idempotent (the E19/E30 shape).
+
+    SCALE: per trigger the corpus-facing work is one batch-sized
+    partial agg to minutes; the merge and the re-derive touch only the
+    minutes-sized count state (the E21 state class — ~526k rows/year
+    per type at ANY event volume) and the per-type fold runs inside
+    codegen. Nothing ever re-reads the log."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import (
+        cusum_fold_from,
+        cusum_minute_counts,
+        cusum_stats_frame,
+    )
+
+    stats = cusum_stats_frame(
+        cusum_minute_counts(reference_events.select("event_type", "ts"))
+    ).persist()
+    stats.count()  # freeze the reference model before the first trigger
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bm = cusum_minute_counts(batch_df.select("event_type", "ts"))
+        prev = _read_state_parquet(
+            spark, f"{state_dir}/minutes/batch_id={batch_id - 1}"
+        )
+        merged = (
+            bm
+            if prev is None
+            else bm.unionByName(prev)
+            .groupBy("event_type", "m")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/minutes/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/minutes/batch_id={batch_id}")
+        wmax = Window.partitionBy("event_type")
+        completed = (
+            state.withColumn("mx", F.max("m").over(wmax))
+            .filter(F.col("m") < F.col("mx"))
+            .drop("mx")
+        )
+        cusum_fold_from(completed, stats).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/table/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
