@@ -2108,3 +2108,89 @@ def test_e46_cusum_replay_idempotent_and_converges(
     )
     assert len(got) > 0 and (got.n_alarms > 0).any()  # non-vacuous: alarms fire
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e47_doremi_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E47 property: the per-source (n_tok, DECIMAL sum_nll) loss
+    state survives ANY random chunking (DECIMAL sums are order-free)
+    plus an injected duplicate batchId (bit-identical re-write), and
+    the drained mixture equals batch D93 (the LM frozen from the same
+    corpus the stream replays)."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import doremi_weights
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .select("source", "doc_id", "text")
+        .toPandas()
+    )
+    schema = "source string, doc_id long, text string"
+    rows = list(docs_pdf.itertuples(index=False))
+    assignment = [assign_seed.randrange(n_chunks) for _ in rows]
+    chunks = [
+        pd.DataFrame(
+            [r for r, c in zip(rows, assignment) if c == k],
+            columns=["source", "doc_id", "text"],
+        )
+        for k in range(n_chunks)
+    ]
+    chunks = [c for c in chunks if len(c)] or [docs_pdf]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e47rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    corpus = load_parallel(spark, SF_SMALL, "documents")
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.mixture_reweight_pipeline(
+            stream, corpus, os.path.join(tmp, "state"), ckpt
+        )
+        q.awaitTermination(timeout=300)
+
+    _write_chunks(spark, chunks[:restart_at], schema, src, now)
+    run_phase()
+    bid = _inject_replay(ckpt)
+    paths = [
+        f"{tmp}/state/loss/batch_id={bid}",
+        f"{tmp}/state/weights/batch_id={bid}",
+    ]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(spark, chunks[restart_at:], schema, src, now, start_idx=restart_at)
+    run_phase()
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/weights")
+        if d.startswith("batch_id=")
+    )
+    cols = ["source", "n_tok", "mean_ce", "excess", "weight"]
+    got = (
+        spark.read.parquet(f"{tmp}/state/weights/batch_id={last}")
+        .select(cols).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        doremi_weights(spark, SF_SMALL)
+        .select(cols).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

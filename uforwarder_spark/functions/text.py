@@ -2715,3 +2715,162 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     uni, pc, ctx, tot = bigram_lm_frames(docs)
     return bigram_score_frame(docs, uni, pc, ctx, tot)
+
+
+# --- D93 -----------------------------------------------------------------
+DOREMI_ETA = 1.0  # multiplicative-weights step (weight = exp(eta * excess))
+
+DOREMI_ORACLE = f"""
+WITH t AS (
+  SELECT source, {TOKENS_DUCK} AS ts FROM documents
+),
+tok AS (
+  SELECT source, unnest(ts) AS tk FROM t
+),
+uni AS (
+  SELECT tk, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tk
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vsize
+  FROM uni
+),
+nll AS (
+  SELECT source,
+         CAST(round(-ln((c + 1.0) / (n + vsize)), 8) AS DECIMAL(18,8)) AS nll
+  FROM tok JOIN uni USING (tk) CROSS JOIN tot
+),
+loss AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tok, sum(nll) AS sum_nll
+  FROM nll GROUP BY source
+),
+g AS (
+  SELECT sum(sum_nll) AS tot_nll, CAST(sum(n_tok) AS BIGINT) AS tot_n
+  FROM loss
+),
+x AS (
+  SELECT source, n_tok,
+         CAST(sum_nll AS DOUBLE) / n_tok AS mean_ce,
+         round(CAST(sum_nll AS DOUBLE) / n_tok
+               - CAST(tot_nll AS DOUBLE) / tot_n, 8) AS excess
+  FROM loss CROSS JOIN g
+),
+e AS (
+  SELECT *, CAST(round(exp({DOREMI_ETA} * excess), 8) AS DECIMAL(18,8)) AS ew
+  FROM x
+),
+d AS (
+  SELECT sum(ew) AS denom FROM e
+)
+SELECT source, n_tok,
+       round(mean_ce, 6) AS mean_ce,
+       round(excess, 6) AS excess,
+       round(CAST(ew AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS weight
+FROM e CROSS JOIN d
+"""
+
+
+def unigram_loss_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """LM half of D93: the add-1 unigram model (uni, tot) of a
+    (source, text) corpus — one partial agg + a 1-row totals frame.
+    E47 freezes these once from the published corpus (the E42 LM
+    convention) and persists them as the scoring model."""
+    tok = docs.select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tk"))
+    uni = tok.groupBy("tk").agg(F.count("*").cast("bigint").alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("vsize"),
+    )
+    return uni, tot
+
+
+def source_loss_frame(
+    docs: DataFrame, uni: DataFrame, tot: DataFrame
+) -> DataFrame:
+    """Scoring half of D93: (source, n_tok, sum_nll) under a FIXED
+    unigram LM — sum_nll is an 8-dp DECIMAL sum, so the frame folds
+    ADDITIVELY across micro-batches (the E19/E21 state class); shared
+    by batch D93 and live E47."""
+    tok = docs.select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tk"))
+    return (
+        tok.join(uni, "tk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(-F.log((F.col("c") + 1.0) / (F.col("n") + F.col("vsize"))), 8)
+            .cast("decimal(18,8)")
+            .alias("nll"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("nll").alias("sum_nll"),
+        )
+    )
+
+
+def doremi_weights_from(loss: DataFrame) -> DataFrame:
+    """Reweight half of D93, shared with live E47: given the additive
+    per-source (n_tok, sum_nll) loss frame, re-derive token-weighted
+    mean cross-entropies, excess over the corpus mean, and the
+    multiplicative-weights mixture (weight ∝ exp(η·excess),
+    DECIMAL-normalized). A pure function of the loss frame: merged
+    micro-batch state equals whole-corpus input bit-for-bit."""
+    g = loss.agg(
+        F.sum("sum_nll").alias("tot_nll"),
+        F.sum("n_tok").cast("bigint").alias("tot_n"),
+    )
+    mean_ce = F.col("sum_nll").cast("double") / F.col("n_tok")
+    x = loss.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_tok",
+        mean_ce.alias("mean_ce"),
+        F.round(
+            mean_ce - F.col("tot_nll").cast("double") / F.col("tot_n"), 8
+        ).alias("excess"),
+    )
+    e = x.withColumn(
+        "ew",
+        F.round(F.exp(F.lit(DOREMI_ETA) * F.col("excess")), 8).cast(
+            "decimal(18,8)"
+        ),
+    )
+    d = e.agg(F.sum("ew").alias("denom"))
+    return e.crossJoin(F.broadcast(d)).select(
+        "source",
+        "n_tok",
+        F.round("mean_ce", 6).alias("mean_ce"),
+        F.round("excess", 6).alias("excess"),
+        F.round(
+            F.col("ew").cast("double") / F.col("denom").cast("double"), 6
+        ).alias("weight"),
+    )
+
+
+@register("doremi_weights", DOREMI_ORACLE)
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, the
+    multiplicative-weights step of Group DRO): each source's
+    token-weighted mean cross-entropy under the corpus's own add-1
+    unigram LM (the proxy-model loss; a trained proxy swaps in as the
+    same per-source loss frame), its EXCESS over the corpus-wide mean,
+    and the resulting mixture weight ∝ exp(η·excess) — up-weight the
+    domains the reference model finds hardest. The published
+    domain-mixture optimizer next to D34/D39/D52's static mixers.
+
+    Exactness: per-token −ln rounded 8 dp → DECIMAL sums (order-free,
+    the D60 pattern); excess rounded 8 dp BEFORE the exp; each exp
+    rounded 8 dp → DECIMAL before the normalizing sum, so the softmax
+    denominator is order-free and the final weight is ONE double
+    division.
+
+    SCALE: the LM is the vocab frame (one partial agg, joined back by
+    token hash key); per-source reduction is a second partial agg to
+    an O(sources) frame; everything after is arithmetic on that tiny
+    frame with 1-row broadcasts. No windows, nothing pairwise, zero
+    Python. Kernels shared with live E47 (frozen LM + additive loss
+    state).
+
+    Reference analogue: none (training-data pipeline family)."""
+    docs = _docs(spark, sf_dir).select("source", "text")
+    uni, tot = unigram_loss_frames(docs)
+    return doremi_weights_from(source_loss_frame(docs, uni, tot))

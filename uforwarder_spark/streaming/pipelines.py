@@ -3023,3 +3023,80 @@ def cusum_monitor_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E47: live DoReMi mixture monitor -------------------------------------------
+def mixture_reweight_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E47: the live twin of batch D93 — the DoReMi multiplicative-
+    weights mixture maintained continuously as docs land (a domain's
+    weight climbing is the live signature of its text getting harder
+    for the reference model — the signal the next training run's
+    sampler consumes). The unigram scoring LM is frozen ONCE from the
+    published corpus via the shared ``unigram_loss_frames`` kernel and
+    persisted (the E42 LM convention; a proxy-model swap changes only
+    this frame); each micro-batch scores through the shared
+    ``source_loss_frame`` kernel and folds its per-source
+    (n_tok, DECIMAL sum_nll) rows ADDITIVELY into batchId-versioned
+    state (the E19/E21 class); weights CANNOT fold — the corpus mean
+    and the softmax denominator shift with every token — so the
+    mixture re-derives per trigger through the shared
+    ``doremi_weights_from`` kernel. DECIMAL addition is exact, so the
+    drained mixture equals batch D93 bit-for-bit under ANY chunking;
+    replays re-derive batch N's state from batch_id=N-1 and overwrite —
+    idempotent (the E19/E30 shape).
+
+    SCALE: per trigger the corpus-facing work is |batch| tokenization
+    + the token-key join against the persisted vocab frame + one
+    partial agg to O(sources) rows; the fold and the re-derive touch
+    only the O(sources) loss state. Nothing ever re-reads the corpus;
+    state is sources-sized forever."""
+    from ..functions.text import (
+        doremi_weights_from,
+        source_loss_frame,
+        unigram_loss_frames,
+    )
+
+    uni, tot = unigram_loss_frames(corpus_docs.select("source", "text"))
+    frames = [f.persist() for f in (uni, tot)]
+    for f in frames:
+        f.count()  # freeze the scoring LM before the first trigger
+    uni, tot = frames
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_loss = source_loss_frame(
+            batch_df.select("source", "text"), uni, tot
+        )
+        prev = _read_state_parquet(
+            spark, f"{state_dir}/loss/batch_id={batch_id - 1}"
+        )
+        merged = (
+            batch_loss
+            if prev is None
+            else batch_loss.unionByName(prev)
+            .groupBy("source")
+            .agg(
+                F.sum("n_tok").cast("bigint").alias("n_tok"),
+                # decimal(28,8) = Spark's natural sum type for the
+                # (18,8) per-token terms; wide enough for 100 TB-scale
+                # corpus-lifetime sums (10^20 integer digits headroom)
+                F.sum("sum_nll").cast("decimal(28,8)").alias("sum_nll"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/loss/batch_id={batch_id}"
+        )
+        doremi_weights_from(
+            spark.read.parquet(f"{state_dir}/loss/batch_id={batch_id}")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/weights/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
