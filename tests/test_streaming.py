@@ -2215,3 +2215,79 @@ def test_e44_triplet_mining_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e47_oov_domain_scores_through_backoff(spark):
+    """The D93/E47 scoring kernel's left-join backoff: a domain whose
+    live text is entirely out-of-vocabulary still contributes ALL its
+    tokens (add-1 with c=0) — not a silently reduced subset — and its
+    mean cross-entropy exceeds every in-vocabulary domain's (OOV-heavy
+    text is the 'hard' text DoReMi must up-weight, so dropping OOV
+    tokens would bias its weight DOWN)."""
+    from uforwarder_spark.functions.text import (
+        source_loss_frame,
+        unigram_loss_frames,
+    )
+
+    corpus = spark.createDataFrame(
+        [("src0", "the cat sat on the mat"), ("src1", "the dog sat on the rug")],
+        ["source", "text"],
+    )
+    uni, tot = unigram_loss_frames(corpus)
+    ingest = spark.createDataFrame(
+        [("src0", "the cat sat"), ("srcX", "zyx wvu qrs")],
+        ["source", "text"],
+    )
+    got = (
+        source_loss_frame(ingest, uni, tot)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert list(got.source) == ["src0", "srcX"]
+    assert list(got.n_tok) == [3, 3]  # OOV tokens counted, not dropped
+    ce = got.sum_nll.astype(float) / got.n_tok
+    assert ce[1] > ce[0]  # pure-OOV domain scores strictly harder
+
+
+def test_e46_untracked_types_are_surfaced(spark, tmp_path):
+    """E46: an event type absent from the frozen reference window must
+    not vanish — it cannot be standardized, so it lands in the
+    untracked/ output with its minute and event counts while tracked
+    types keep their trajectory rows."""
+    import os
+
+    ref = spark.createDataFrame(
+        [("click", "2024-01-01 00:%02d:00" % i, i) for i in range(10)],
+        ["event_type", "ts_s", "event_id"],
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    novel = spark.createDataFrame(
+        [
+            ("click", "2024-01-01 01:%02d:00" % i, 100 + i)
+            for i in range(5)
+        ]
+        + [("flood", "2024-01-01 01:%02d:00" % i, 200 + i) for i in range(8)],
+        ["event_type", "ts_s", "event_id"],
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    src = str(tmp_path / "src")
+    novel.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = P.cusum_monitor_pipeline(stream, ref, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{state}/untracked")
+        if d.startswith("batch_id=")
+    )
+    untracked = (
+        spark.read.parquet(f"{state}/untracked/batch_id={last}")
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    assert list(untracked.event_type) == ["flood"]
+    assert untracked.loc[0, "n_events_seen"] == 8
+    table = spark.read.parquet(f"{state}/table/batch_id={last}").toPandas()
+    assert set(table.event_type) == {"click"}  # tracked type still monitored

@@ -2405,6 +2405,35 @@ FROM topk
 """
 
 
+def pmi_count_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Count half of D86, shared with live E43: the exact (token, freq)
+    unigram table and (tok_l, tok_r, pair_freq) adjacent-pair table of
+    a (…, text) frame — ONE definition of the pair-extraction
+    expression so batch D86 and E43's per-trigger folds can never
+    drift."""
+    toks = docs.select(F.expr(TOKENS_SPARK).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pc = (
+        toks.filter(F.expr("size(ts) >= 2"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
+                    F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
+                )
+            ).alias("p")
+        )
+        .select("p.tok_l", "p.tok_r")
+        .groupBy("tok_l", "tok_r")
+        .agg(F.count("*").cast("bigint").alias("pair_freq"))
+    )
+    return uni, pc
+
+
 def pmi_topk_from(uni: DataFrame, pc: DataFrame) -> DataFrame:
     """Score-and-rank half of D86, shared with live E43: given the
     exact (token, freq) unigram table and (tok_l, tok_r, pair_freq)
@@ -2466,29 +2495,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a full sort, nothing corpus-sized shuffles twice.
 
     Reference analogue: none (training-data pipeline family —
-    tokenizer/vocab curation next to D27/D18). Score-and-rank kernel
-    shared with live E43, which folds the two count tables additively
-    per micro-batch and re-derives the top-K per trigger."""
-    toks = _docs(spark, sf_dir).select(F.expr(TOKENS_SPARK).alias("ts"))
-    uni = (
-        toks.select(F.explode("ts").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-    )
-    pc = (
-        toks.filter(F.expr("size(ts) >= 2"))
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
-                    F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
-                )
-            ).alias("p")
-        )
-        .select("p.tok_l", "p.tok_r")
-        .groupBy("tok_l", "tok_r")
-        .agg(F.count("*").cast("bigint").alias("pair_freq"))
-    )
+    tokenizer/vocab curation next to D27/D18). Both kernels shared
+    with live E43: pmi_count_frames builds the two additive count
+    tables (per micro-batch there), pmi_topk_from re-derives the
+    top-K."""
+    uni, pc = pmi_count_frames(_docs(spark, sf_dir))
     return pmi_topk_from(uni, pc)
 
 
@@ -2789,14 +2800,25 @@ def source_loss_frame(
     """Scoring half of D93: (source, n_tok, sum_nll) under a FIXED
     unigram LM — sum_nll is an 8-dp DECIMAL sum, so the frame folds
     ADDITIVELY across micro-batches (the E19/E21 state class); shared
-    by batch D93 and live E47."""
+    by batch D93 and live E47. The LM join is LEFT so out-of-vocabulary
+    ingest text scores through the add-1 backoff (c→0) instead of
+    being silently excluded — OOV-heavy text is exactly the "hard"
+    text DoReMi must up-weight, and dropping it would bias its
+    domain's mean_ce LOW (the E42 kernel convention); on in-LM text
+    the expression reduces bit-identically to the inner-join oracle."""
     tok = docs.select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tk"))
     return (
-        tok.join(uni, "tk")
+        tok.join(uni, "tk", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
-            F.round(-F.log((F.col("c") + 1.0) / (F.col("n") + F.col("vsize"))), 8)
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("vsize"))
+                ),
+                8,
+            )
             .cast("decimal(18,8)")
             .alias("nll"),
         )

@@ -1563,11 +1563,24 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — training-data similarity family
     (SURVEY §2 D)."""
-    e = _emb(spark, sf_dir)
-    band_rows = knn_band_frame(e)  # the shared D76/D77/E34 band table
-    a = band_rows.select(
-        F.col("vec_id").alias("src"), "band", "bv"
+    scored = _knn_scored_frame(_emb(spark, sf_dir))
+    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", F.col("rank").cast("int").alias("rank"), F.round("c", 6).alias("cosine"))
     )
+
+
+def _knn_scored_frame(e: DataFrame) -> DataFrame:
+    """Symmetric whole-corpus candidate scores (src, dst, c): band
+    self-join on (vec_id, band, bv) rows, DISTINCT id-pairs before any
+    vector is fetched, one normalized-dot cosine per pair — the Spark
+    twin of the `_KNN_EDGES_CTES` oracle chain, ONE definition shared
+    by D76's graph and D89's triplet mining (the `_incr_scored_frame`
+    convention, symmetric side)."""
+    band_rows = knn_band_frame(e)  # the shared D76/D77/E34 band table
+    a = band_rows.select(F.col("vec_id").alias("src"), "band", "bv")
     b = band_rows.select(F.col("vec_id").alias("dst"), "band", "bv")
     pairs = (
         a.join(b, ["band", "bv"])
@@ -1576,16 +1589,10 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     en = e.select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
-    scored = (
+    return (
         pairs.join(en.select(F.col("vec_id").alias("src"), F.col("u").alias("au")), "src")
         .join(en.select(F.col("vec_id").alias("dst"), F.col("u").alias("bu")), "dst")
         .select("src", "dst", F.expr(_DOT_SPARK.format(a="au", b="bu")).alias("c"))
-    )
-    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= KNN_K)
-        .select("src", "dst", F.col("rank").cast("int").alias("rank"), F.round("c", 6).alias("cosine"))
     )
 
 
@@ -2512,8 +2519,11 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D89 -----------------------------------------------------------------
 TRIPLET_MARGIN = 0.05  # positive must beat the hard negative by this cosine gap
 
-CONTRASTIVE_ORACLE = f"""
-WITH {_KNN_EDGES_CTES},
+# The positive-pick / margin-cut / hard-negative-pick SQL tail, ONE
+# module constant appended to either candidate chain (_KNN_EDGES_CTES
+# for whole-corpus D89, _INCR_KNN_CTES for at-ingest D90) — the
+# substring-island convention: one definition, no drift.
+_TRIPLET_SQL_TAIL = f""",
 pos AS (
   SELECT src, dst AS pos_id, c AS pos_c FROM ranked WHERE rnk = 1
 ),
@@ -2530,6 +2540,38 @@ SELECT pos.src AS anchor, pos.pos_id, round(pos.pos_c, 6) AS pos_cosine,
        round(pos.pos_c - neg.neg_c, 6) AS margin
 FROM pos JOIN neg ON neg.src = pos.src AND neg.nrnk = 1
 """
+
+CONTRASTIVE_ORACLE = f"""
+WITH {_KNN_EDGES_CTES}{_TRIPLET_SQL_TAIL}"""
+
+
+def triplets_from_scored(scored: DataFrame) -> DataFrame:
+    """The triplet-selection kernel over any (src, dst, c) candidate
+    frame — the Spark twin of `_TRIPLET_SQL_TAIL`, ONE definition
+    shared by whole-corpus D89, at-ingest D90 and live E44: positive =
+    top-ranked candidate, hard negative = top-ranked candidate at
+    least {TRIPLET_MARGIN} cosine below it. Callers persist `scored`
+    when both branches should share one materialization."""
+    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    pos = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select("src", F.col("dst").alias("pos_id"), F.col("c").alias("pos_c"))
+    )
+    neg = (
+        scored.join(pos, "src")
+        .filter(F.col("c") <= F.col("pos_c") - F.lit(TRIPLET_MARGIN))
+        .withColumn("nrnk", F.row_number().over(wr))
+        .filter(F.col("nrnk") == 1)
+    )
+    return neg.select(
+        F.col("src").alias("anchor"),
+        "pos_id",
+        F.round("pos_c", 6).alias("pos_cosine"),
+        F.col("dst").alias("neg_id"),
+        F.round("c", 6).alias("neg_cosine"),
+        F.round(F.col("pos_c") - F.col("c"), 6).alias("margin"),
+    )
 
 
 @register("contrastive_triplets", CONTRASTIVE_ORACLE)
@@ -2559,100 +2601,15 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — training-data similarity family
     (SURVEY §2 D; composes D76's candidates)."""
-    e = _emb(spark, sf_dir)
-    band_rows = knn_band_frame(e)
-    a = band_rows.select(F.col("vec_id").alias("src"), "band", "bv")
-    b = band_rows.select(F.col("vec_id").alias("dst"), "band", "bv")
-    pairs = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    en = e.select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
-    scored = (
-        pairs.join(
-            en.select(F.col("vec_id").alias("src"), F.col("u").alias("au")), "src"
-        )
-        .join(en.select(F.col("vec_id").alias("dst"), F.col("u").alias("bu")), "dst")
-        .select(
-            "src", "dst", F.expr(_DOT_SPARK.format(a="au", b="bu")).alias("c")
-        )
-        .persist()  # read by both the positive and hard-negative branches
-    )
-    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
-    pos = (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") == 1)
-        .select("src", F.col("dst").alias("pos_id"), F.col("c").alias("pos_c"))
-    )
-    neg = (
-        scored.join(pos, "src")
-        .filter(F.col("c") <= F.col("pos_c") - F.lit(TRIPLET_MARGIN))
-        .withColumn("nrnk", F.row_number().over(wr))
-        .filter(F.col("nrnk") == 1)
-    )
-    return neg.select(
-        F.col("src").alias("anchor"),
-        "pos_id",
-        F.round("pos_c", 6).alias("pos_cosine"),
-        F.col("dst").alias("neg_id"),
-        F.round("c", 6).alias("neg_cosine"),
-        F.round(F.col("pos_c") - F.col("c"), 6).alias("margin"),
-    )
+    scored = _knn_scored_frame(_emb(spark, sf_dir)).persist()
+    # persisted: read by both the positive and hard-negative branches
+    # (release_operator_caches contract)
+    return triplets_from_scored(scored)
 
 
 # --- D90 -----------------------------------------------------------------
 INCR_TRIPLET_ORACLE = f"""
-WITH {_INCR_KNN_CTES},
-pos AS (
-  SELECT src, dst AS pos_id, c AS pos_c FROM ranked WHERE rnk = 1
-),
-neg AS (
-  SELECT r.src, r.dst AS neg_id, r.c AS neg_c,
-         row_number() OVER (PARTITION BY r.src ORDER BY r.c DESC, r.dst)
-           AS nrnk
-  FROM ranked r
-  JOIN pos p ON p.src = r.src
-  WHERE r.c <= p.pos_c - {TRIPLET_MARGIN}
-)
-SELECT pos.src AS anchor, pos.pos_id, round(pos.pos_c, 6) AS pos_cosine,
-       neg.neg_id, round(neg.neg_c, 6) AS neg_cosine,
-       round(pos.pos_c - neg.neg_c, 6) AS margin
-FROM pos JOIN neg ON neg.src = pos.src AND neg.nrnk = 1
-"""
-
-
-def incr_triplet_frame(
-    incoming: DataFrame, ex_bands: DataFrame, existing: DataFrame
-) -> DataFrame:
-    """The D90 ingest kernel: mine (anchor, positive, hard-negative)
-    triplets for a batch of NEW vectors against the persisted existing
-    index — shared by batch D90 and the live E44 pipeline. Positive =
-    nearest existing candidate, hard negative = most-similar candidate
-    at least {TRIPLET_MARGIN} cosine below it (D89's rule, asymmetric
-    sides)."""
-    scored = _incr_scored_frame(incoming, ex_bands, existing).persist()
-    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
-    pos = (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") == 1)
-        .select("src", F.col("dst").alias("pos_id"), F.col("c").alias("pos_c"))
-    )
-    neg = (
-        scored.join(pos, "src")
-        .filter(F.col("c") <= F.col("pos_c") - F.lit(TRIPLET_MARGIN))
-        .withColumn("nrnk", F.row_number().over(wr))
-        .filter(F.col("nrnk") == 1)
-    )
-    return neg.select(
-        F.col("src").alias("anchor"),
-        "pos_id",
-        F.round("pos_c", 6).alias("pos_cosine"),
-        F.col("dst").alias("neg_id"),
-        F.round("c", 6).alias("neg_cosine"),
-        F.round(F.col("pos_c") - F.col("c"), 6).alias("margin"),
-    )
+WITH {_INCR_KNN_CTES}{_TRIPLET_SQL_TAIL}"""
 
 
 @register("incr_triplet_mining", INCR_TRIPLET_ORACLE)
@@ -2674,13 +2631,17 @@ def incr_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id-bucketed vector table (the D36 convention); each ingest
     pays batch-sized signature folds + a batch-probed band join + one
     cosine per DISTINCT surviving pair; the scored frame persists once
-    for the two branches (release_operator_caches contract) and both
-    rank windows partition per anchor. Batch twin of live E44 (shared
-    ``incr_triplet_frame`` kernel).
+    for the two branches (release_operator_caches contract; E44
+    unpersists per trigger instead) and both rank windows partition
+    per anchor. Batch twin of live E44 (shared ``_incr_scored_frame``
+    + ``triplets_from_scored`` kernels).
 
     Reference analogue: none — training-data similarity family
     (SURVEY §2 D; composes D77's candidates + D89's rule)."""
     e = _emb(spark, sf_dir)
     incoming = e.filter(F.col("vec_id") % 2 == 1)
     existing = e.filter(F.col("vec_id") % 2 == 0)
-    return incr_triplet_frame(incoming, knn_band_frame(existing), existing)
+    scored = _incr_scored_frame(
+        incoming, knn_band_frame(existing), existing
+    ).persist()
+    return triplets_from_scored(scored)

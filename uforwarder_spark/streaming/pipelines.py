@@ -2757,30 +2757,11 @@ def pmi_collocation_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: 
     touch only the vocab-/pair-sized count state (the kernel's top-K is
     limit-first, its joins broadcast the vocab table). Nothing ever
     re-reads the corpus; state is vocab-bounded forever."""
-    from ..functions.text import TOKENS_SPARK, pmi_topk_from
+    from ..functions.text import pmi_count_frames, pmi_topk_from
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ts = batch_df.select(F.expr(TOKENS_SPARK).alias("ts"))
-        batch_uni = (
-            ts.select(F.explode("ts").alias("token"))
-            .groupBy("token")
-            .agg(F.count("*").cast("bigint").alias("freq"))
-        )
-        batch_pc = (
-            ts.filter(F.expr("size(ts) >= 2"))
-            .select(
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(ts, 1, size(ts) - 1)").alias("tok_l"),
-                        F.expr("slice(ts, 2, size(ts) - 1)").alias("tok_r"),
-                    )
-                ).alias("p")
-            )
-            .select("p.tok_l", "p.tok_r")
-            .groupBy("tok_l", "tok_r")
-            .agg(F.count("*").cast("bigint").alias("pair_freq"))
-        )
+        batch_uni, batch_pc = pmi_count_frames(batch_df)
         prev_uni = _read_state_parquet(
             spark, f"{state_dir}/uni/batch_id={batch_id - 1}"
         )
@@ -2830,7 +2811,7 @@ def triplet_mining_pipeline(
     curation loop run at ingest: each micro-batch of newly embedded
     vectors mines its (anchor, positive, hard-negative) triplets
     against the EXISTING index through the shared
-    ``incr_triplet_frame`` kernel (band probe → distinct candidate
+    ``_incr_scored_frame`` + ``triplets_from_scored`` kernels (band probe → distinct candidate
     pairs → one cosine per pair → per-anchor positive pick + margin-cut
     hard-negative pick), landing triplet pages in a batchId-keyed
     sink. The existing-corpus band table and vector table are built
@@ -2845,7 +2826,11 @@ def triplet_mining_pipeline(
     per-anchor windows see only the batch's candidates. Nothing
     re-mines the corpus graph and nothing re-reads the corpus beyond
     the dst fetch for survivors."""
-    from ..operators.similarity import incr_triplet_frame, knn_band_frame
+    from ..operators.similarity import (
+        _incr_scored_frame,
+        knn_band_frame,
+        triplets_from_scored,
+    )
 
     ex = existing.persist()
     ex.count()
@@ -2854,9 +2839,16 @@ def triplet_mining_pipeline(
 
     def mine(batch_df: DataFrame, batch_id: int) -> None:
         incoming = batch_df.select("vec_id", "v")
-        incr_triplet_frame(incoming, ex_bands, ex).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/batch_id={batch_id}")
+        # per-trigger persist released in finally — a long-running
+        # stream must not accumulate one cached frame per trigger
+        # (the incremental_dedup convention)
+        scored = _incr_scored_frame(incoming, ex_bands, ex).persist()
+        try:
+            triplets_from_scored(scored).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            scored.unpersist()
 
     return (
         vec_stream.writeStream.foreachBatch(mine)
@@ -2970,7 +2962,10 @@ def cusum_monitor_pipeline(
     is prefix-stable, so the drained table equals batch D92 restricted
     to the same completed prefix, bit-for-bit, under ANY time-ordered
     chunking; replays re-derive batch N's state from batch_id=N-1 and
-    overwrite — idempotent (the E19/E30 shape).
+    overwrite — idempotent (the E19/E30 shape). Event types ABSENT
+    from the reference window cannot be standardized and are surfaced
+    per trigger in an `untracked/` output (type, minutes, events) —
+    never silently dropped — so the operator knows to re-calibrate.
 
     SCALE: per trigger the corpus-facing work is one batch-sized
     partial agg to minutes; the merge and the re-derive touch only the
@@ -3016,6 +3011,23 @@ def cusum_monitor_pipeline(
         cusum_fold_from(completed, stats).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/table/batch_id={batch_id}")
+        # A type with NO reference moments cannot be standardized — the
+        # fold's stats join would silently drop it, and a brand-new
+        # event type flooding mid-stream is exactly the anomaly class a
+        # rate monitor must not swallow. Surface such types explicitly
+        # so the operator re-calibrates (a D72-style stats refresh)
+        # instead of flying blind.
+        (
+            state.join(stats.select("event_type"), "event_type", "left_anti")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_minutes_seen"),
+                F.sum("c").cast("bigint").alias("n_events_seen"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/untracked/batch_id={batch_id}")
+        )
 
     return (
         stream.writeStream.foreachBatch(fold)
