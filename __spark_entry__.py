@@ -22,8 +22,9 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-7 window (round-6 verdict, next-round item 2): rotate onto the
 # now-oldest evidence. Slot arithmetic (counted, not estimated):
-# 34 new/changed-this-round + 15 r03 leftovers + 1 oldest-r04 cohort
-# = 50 exactly (tpch_q10_returned_revenue, tpch_q14_promo_revenue,
+# 35 new/changed-this-round + 15 r03 leftovers + 0 r04 cohort
+# = 50 exactly (tpch_q1_pricing_summary,
+# tpch_q10_returned_revenue, tpch_q14_promo_revenue,
 # tpch_q18_large_orders,
 # tpch_q15_top_supplier, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q13_customer_distribution,
@@ -36,7 +37,7 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # to the overflow head, keeping their r04 rows + both-SF pytest
 # parity).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (34): D72-D93 are new; B22/E30
+    # -- (a) new or changed this round (35): D72-D94 are new; B22/E30
     #    gained the zero-span guard; D71 the decimal expected-rate sum;
     #    D31/D42/D62 the clamped shared reconstruct expr; D67 the
     #    AQE-decided spine join; D68 the fused encode+ADC map; D70 the
@@ -45,6 +46,7 @@ _KEY_PRIORITY = [
     #    and D76/D77 to the normalized-dot score --
     "bigram_perplexity", "contrastive_triplets", "incr_triplet_mining",
     "markov_transitions", "cusum_changepoints", "doremi_weights",
+    "split_leakage_audit",
     "hybrid_rrf_retrieval", "heaps_vocab_growth", "hybrid_rrf_multiquery",
     "pmi_collocations", "jl_projection_audit",
     "ivf_index_refresh", "exact_substring_dedup", "incr_substring_dedup",
@@ -64,10 +66,10 @@ _KEY_PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "containment_pairs",
     "corpus_shuffle_export", "sequence_packing",
     "embedding_centroid_outliers", "incremental_dedup",
-    # -- (c) oldest r04 cohort (1): the relational C-block head (C1) —
-    #    the rest of the r04 cohort sits just past the line --
-    "tpch_q1_pricing_summary",
     # ---------------- 50-slot window ends here ----------------
+    # (the r04 relational cohort now sits just past the line; its keys
+    # keep their r04 driver rows + both-SF pytest parity)
+    "tpch_q1_pricing_summary",
     "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
     "tpch_q18_large_orders", "tpch_q15_top_supplier",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",

@@ -2233,3 +2233,141 @@ def kmv_pair_estimates(sk: DataFrame) -> DataFrame:
             "kmv_inter_est",
         )
     )
+
+
+# --- D94 -----------------------------------------------------------------
+# Deterministic 10-bucket document split: buckets 0-7 train, 8 val,
+# 9 test — the md5-derived assignment every reproducible pipeline uses
+# so the split survives re-runs and corpus growth.
+_SPLIT_BUCKET_SPARK = f"{H_SPARK.format(col='CAST(doc_id AS STRING)')} % 10"
+_SPLIT_BUCKET_DUCK = f"{H_DUCK.format(col='CAST(doc_id AS VARCHAR)')} % 10"
+_SPLIT_CASE = (
+    "CASE WHEN {b} < 8 THEN 'train' WHEN {b} = 8 THEN 'val' ELSE 'test' END"
+)
+_SPLIT_RANK = "CASE {s} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH pairs AS (
+  {MINHASH_ORACLE}
+),
+sp AS (
+  SELECT doc_id,
+         {_SPLIT_CASE.format(b=_SPLIT_BUCKET_DUCK)} AS split
+  FROM documents
+),
+sizes AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_split FROM sp GROUP BY split
+),
+crossed AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, a.split AS split_a, b.split AS split_b
+  FROM pairs p
+  JOIN sp a ON a.doc_id = p.doc_a
+  JOIN sp b ON b.doc_id = p.doc_b
+  WHERE a.split <> b.split
+),
+norm AS (
+  SELECT jaccard,
+         CASE WHEN {_SPLIT_RANK.format(s='split_a')}
+                   <= {_SPLIT_RANK.format(s='split_b')}
+              THEN split_a ELSE split_b END AS split_lo,
+         CASE WHEN {_SPLIT_RANK.format(s='split_a')}
+                   <= {_SPLIT_RANK.format(s='split_b')}
+              THEN split_b ELSE split_a END AS split_hi,
+         CASE WHEN {_SPLIT_RANK.format(s='split_a')}
+                   <= {_SPLIT_RANK.format(s='split_b')}
+              THEN doc_a ELSE doc_b END AS doc_lo,
+         CASE WHEN {_SPLIT_RANK.format(s='split_a')}
+                   <= {_SPLIT_RANK.format(s='split_b')}
+              THEN doc_b ELSE doc_a END AS doc_hi
+  FROM crossed
+),
+agg AS (
+  SELECT split_lo, split_hi,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+         CAST(count(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi,
+         max(jaccard) AS max_jaccard
+  FROM norm GROUP BY split_lo, split_hi
+)
+SELECT a.split_lo, a.split_hi, a.n_pairs, a.n_docs_lo, a.n_docs_hi,
+       s.n_split AS n_split_hi,
+       round(CAST(a.n_docs_hi AS DOUBLE) / s.n_split, 6)
+         AS contamination_rate,
+       a.max_jaccard
+FROM agg a JOIN sizes s ON s.split = a.split_hi
+"""
+
+
+@register("split_leakage_audit", SPLIT_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test SPLIT-LEAKAGE audit — the check that near-
+    duplicate documents do not straddle a split boundary (the
+    train-test contamination mode Dodge et al. 2021 and the C4/GLUE
+    dup studies document: a model "generalizes" to an eval doc it
+    effectively memorized from train). Documents get the deterministic
+    md5-bucket split (8/1/1); the near-dup pair set is D2's VERIFIED
+    MinHash-LSH output (jaccard ≥ 0.5 inside colliding bands —
+    composed, not re-derived); every cross-split pair rolls up per
+    normalized boundary class with distinct-doc counts on each side,
+    the eval-side split size, and the contamination RATE — the number
+    a release gate thresholds on.
+
+    Determinism: D2's pair set is hash-exact cross-engine; the split
+    is the shared 60-bit md5 family mod 10; jaccard is already rounded
+    6 dp, so max() needs no re-round; the rate is ONE double division.
+
+    SCALE: everything corpus-sized is D2's already-validated plan
+    (banded candidates, verify inside buckets); the split label is a
+    row-local md5, the boundary rollup is an O(pairs) partial agg onto
+    ≤3 rows, split sizes an O(splits) agg joined broadcast. Zero new
+    shuffles beyond D2's.
+
+    Reference analogue: none (training-data pipeline family;
+    composes D2 the way D82 composes D76)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    split_expr = F.expr(
+        _SPLIT_CASE.format(b=f"({_SPLIT_BUCKET_SPARK})")
+    )
+    sp = _docs(spark, sf_dir).select("doc_id", split_expr.alias("split"))
+    sizes = sp.groupBy("split").agg(F.count("*").cast("bigint").alias("n_split"))
+    crossed = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    ra = F.expr(_SPLIT_RANK.format(s="split_a"))
+    rb = F.expr(_SPLIT_RANK.format(s="split_b"))
+    lo_first = ra <= rb
+    norm = crossed.select(
+        "jaccard",
+        F.when(lo_first, F.col("split_a")).otherwise(F.col("split_b")).alias("split_lo"),
+        F.when(lo_first, F.col("split_b")).otherwise(F.col("split_a")).alias("split_hi"),
+        F.when(lo_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_lo"),
+        F.when(lo_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_hi"),
+    )
+    agg = norm.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_lo").cast("bigint").alias("n_docs_lo"),
+        F.countDistinct("doc_hi").cast("bigint").alias("n_docs_hi"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return agg.join(
+        F.broadcast(sizes.withColumnRenamed("split", "split_hi")), "split_hi"
+    ).select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        "n_docs_lo",
+        "n_docs_hi",
+        F.col("n_split").alias("n_split_hi"),
+        F.round(
+            F.col("n_docs_hi").cast("double") / F.col("n_split"), 6
+        ).alias("contamination_rate"),
+        "max_jaccard",
+    )
