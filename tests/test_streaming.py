@@ -2291,3 +2291,103 @@ def test_e46_untracked_types_are_surfaced(spark, tmp_path):
     assert untracked.loc[0, "n_events_seen"] == 8
     table = spark.read.parquet(f"{state}/table/batch_id={last}").toPandas()
     assert set(table.event_type) == {"click"}  # tracked type still monitored
+
+
+def test_e48_split_leakage_gate_matches_batch(spark, tmp_path):
+    """E48: the union of streamed per-doc admission verdicts equals the
+    same kernels run batch-side, regardless of chunking (the existing
+    index and the split rule are static). A near-dup pair is seeded
+    across the train/test boundary (doc 20000 -> train bucket, doc
+    20055 -> test bucket under the md5 split) so the cross_split_leak
+    branch is non-vacuous, plus a same-split pair (20001 train,
+    20002 train) for dup_same_split."""
+    import os
+
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import (
+        _SPLIT_BUCKET_SPARK,
+        _SPLIT_CASE,
+        incr_band_frame,
+        incr_shingle_frame,
+        incremental_dedup_frame,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # existing corpus: even-source docs + two seeded originals
+    ex_seed = spark.createDataFrame(
+        [(20000, base + " one extra tail", "en", "src0", 99),
+         (20001, base + " two extra tail", "en", "src2", 99)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    existing = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
+        .unionByName(ex_seed)
+    )
+    # incoming crawl: odd-source docs + near-dups of the seeds — 20055
+    # lands in the test bucket (cross-split vs 20000's train), 20002 in
+    # train (same split as 20001)
+    in_seed = spark.createDataFrame(
+        [(20055, base + " one extra tails", "en", "src1", 99),
+         (20002, base + " two extra tailz", "en", "src3", 99)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    incoming = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+        .unionByName(in_seed)
+    )
+    src = str(tmp_path / "src")
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.split_leakage_gate_pipeline(stream, existing, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    assert len(os.listdir(out)) >= 2
+    cols = ["doc_id", "split", "match_doc_id", "match_split", "jaccard", "verdict"]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # batch reference through the same kernels
+    split_expr = F.expr(_SPLIT_CASE.format(b=f"({_SPLIT_BUCKET_SPARK})"))
+    ex_sh3 = incr_shingle_frame(existing.select("doc_id", "text"))
+    in_sh3 = incr_shingle_frame(incoming.select("doc_id", "text"))
+    matched = incremental_dedup_frame(in_sh3, incr_band_frame(ex_sh3), ex_sh3)
+    want = (
+        matched.join(incoming.select("doc_id", split_expr.alias("split")), "doc_id")
+        .join(
+            existing.select(
+                F.col("doc_id").alias("match_doc_id"), split_expr.alias("match_split")
+            ),
+            "match_doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "split",
+            "match_doc_id",
+            "match_split",
+            "jaccard",
+            F.when(F.col("match_doc_id").isNull(), "clean")
+            .when(F.col("split") == F.col("match_split"), "dup_same_split")
+            .otherwise("cross_split_leak")
+            .alias("verdict"),
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    vc = got.verdict.value_counts()
+    assert vc.get("cross_split_leak", 0) >= 1  # the seeded leak is caught
+    assert vc.get("dup_same_split", 0) >= 1
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -3112,3 +3112,84 @@ def mixture_reweight_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E48: live split-leakage admission gate -------------------------------------
+def split_leakage_gate_pipeline(
+    stream: DataFrame, existing_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E48: D94's audit turned into the AT-INGEST admission gate — the
+    production shape where leakage is cheapest to stop: before a
+    crawled doc enters its md5-assigned split, it is near-dup-checked
+    (the D36 asymmetric MinHash kernel — batch-probed band join
+    against the persisted corpus index, exact-Jaccard verification
+    inside colliding buckets only) against the EXISTING corpus; a
+    verified match in a DIFFERENT split is flagged
+    ``cross_split_leak`` (admitting it would hand eval answers to
+    train — the Dodge et al. contamination mode D94 audits after the
+    fact), a same-split match is the ordinary ``dup_same_split``
+    dedup decision, and unmatched docs are ``clean``. Per-doc verdict
+    rows land in a batchId-keyed sink. The existing shingle/band/split
+    frames are built and persisted once before the first trigger (the
+    E33/E34 serving-index shape). Stateless per batch, so replays
+    overwrite their own batch_id=N directory (idempotent under
+    at-least-once); the union of streamed verdicts equals the same
+    kernels run batch-side (the stream test asserts it, with a seeded
+    cross-split near-dup so the leak branch is non-vacuous).
+
+    SCALE: per trigger the work is |batch| shingling + the batch-probed
+    band join + one exact Jaccard per surviving candidate + an
+    O(batch) split join; the per-trigger shingle persist is released
+    in a finally (the E44 convention). Nothing re-reads the corpus
+    beyond the shingle fetch for survivors."""
+    from ..operators.dedup import (
+        _SPLIT_BUCKET_SPARK,
+        _SPLIT_CASE,
+        incr_band_frame,
+        incr_shingle_frame,
+        incremental_dedup_frame,
+    )
+
+    split_expr = F.expr(_SPLIT_CASE.format(b=f"({_SPLIT_BUCKET_SPARK})"))
+    ex_sh3 = incr_shingle_frame(existing_docs.select("doc_id", "text")).persist()
+    ex_bands = incr_band_frame(ex_sh3).persist()
+    ex_splits = existing_docs.select(
+        F.col("doc_id").alias("match_doc_id"), split_expr.alias("match_split")
+    ).persist()
+    for f in (ex_sh3, ex_bands, ex_splits):
+        f.count()  # materialize the serving index once, before the first trigger
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        in_docs = batch_df.select("doc_id", "text")
+        in_sh3 = incr_shingle_frame(in_docs).persist()
+        try:
+            matched = incremental_dedup_frame(in_sh3, ex_bands, ex_sh3)
+            (
+                matched.join(
+                    in_docs.select("doc_id", split_expr.alias("split")), "doc_id"
+                )
+                .join(ex_splits, "match_doc_id", "left")
+                .select(
+                    "doc_id",
+                    "split",
+                    "match_doc_id",
+                    "match_split",
+                    "jaccard",
+                    F.when(F.col("match_doc_id").isNull(), "clean")
+                    .when(F.col("split") == F.col("match_split"), "dup_same_split")
+                    .otherwise("cross_split_leak")
+                    .alias("verdict"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/batch_id={batch_id}")
+            )
+        finally:
+            in_sh3.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
