@@ -644,3 +644,157 @@ def phash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned plan is lazy — the _emb rule applies.
     bands = phash_bands_frame(g.select("phash"))
     return phash_match_frame(inc, g, bands)
+
+
+# --- D95 -----------------------------------------------------------------
+AUDIO_FRAME = 40  # samples per analysis frame (int16 PCM)
+# Energy gate between the corpus's frame-energy quartiles so both the
+# voiced and silent branches exercise at every test SF; a real
+# deployment calibrates this against its noise floor.
+AUDIO_ENERGY_T = 26_000_000_000
+
+AUDIO_SEG_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, strlen(text) // 2 AS ns FROM documents
+),
+fr AS (
+  SELECT doc_id, text, f FROM d, unnest(range(ns // {AUDIO_FRAME})) t(f)
+),
+sm AS (
+  SELECT doc_id, f,
+         CAST(sum(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS ssq
+  FROM (
+    SELECT doc_id, f,
+           ord(substr(text, ({AUDIO_FRAME}*f + j)*2 + 1, 1))
+           + 256 * ord(substr(text, ({AUDIO_FRAME}*f + j)*2 + 2, 1)) AS s
+    FROM fr, unnest(range({AUDIO_FRAME})) u(j)
+  ) GROUP BY doc_id, f
+),
+v AS (
+  SELECT doc_id, f, ssq, ssq >= {AUDIO_ENERGY_T} AS voiced FROM sm
+),
+isl AS (
+  SELECT doc_id,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+  FROM v WHERE voiced
+),
+seg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS seg_len
+  FROM isl GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+         CAST(sum(ssq) AS BIGINT) AS sum_ssq
+  FROM v GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_frames, p.n_voiced,
+       coalesce(CAST(count(s.seg_len) AS BIGINT), 0) AS n_segments,
+       coalesce(max(s.seg_len), 0) AS longest_voiced,
+       round(CAST(p.sum_ssq AS DOUBLE) / p.n_frames, 6) AS mean_frame_energy
+FROM per_doc p LEFT JOIN seg s USING (doc_id)
+GROUP BY p.doc_id, p.n_frames, p.n_voiced, p.sum_ssq
+"""
+
+
+def audio_frame_energy(bins: DataFrame) -> DataFrame:
+    """(doc_id, f, ssq): per-frame int16-PCM energy of a (doc_id,
+    payload binary) frame — REAL signal math (little-endian int16
+    decode + exact int64 sum-of-squares over {AUDIO_FRAME}-sample
+    frames, pure numpy — no codec needed), Arrow-batched; payload
+    bytes never leave the stage. Incomplete tail frames drop
+    (standard frame analysis); zero-frame payloads emit no row."""
+    import numpy as np
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fs, ssqs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_samp = len(payload) // 2
+                n_fr = n_samp // AUDIO_FRAME
+                if n_fr == 0:
+                    continue
+                a = (
+                    np.frombuffer(payload, dtype="<i2", count=n_fr * AUDIO_FRAME)
+                    .astype(np.int64)
+                    .reshape(n_fr, AUDIO_FRAME)
+                )
+                e = (a * a).sum(axis=1)
+                ids.extend([doc_id] * n_fr)
+                fs.extend(range(n_fr))
+                ssqs.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {"doc_id": ids, "f": fs, "ssq": ssqs},
+                columns=["doc_id", "f", "ssq"],
+            )
+
+    return bins.mapInPandas(energy_batches, schema="doc_id long, f long, ssq long")
+
+
+@register("audio_silence_segments", AUDIO_SEG_ORACLE)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence/voiced segmentation over opaque PCM payloads — the
+    speech-data curation primitive (VAD-style framing: per-frame
+    energy → threshold gate → voiced islands), completing the
+    multimodal family's modality coverage (image D12/D46/D64, video
+    D29, audio here). The int16 decode and frame energy are REAL
+    numpy signal math (no codec required); only the payload itself is
+    the stand-in (utf-8 text bytes as PCM — ASCII-guarded, so the
+    DuckDB oracle audits the byte math exactly). Per doc: frame count,
+    voiced count, segment count, longest voiced run, mean frame
+    energy — the features a speech pipeline filters and chunks on.
+
+    Exactness: samples and sums-of-squares are exact integers end to
+    end (int64 in the UDF, BIGINT in SQL); the only double is the
+    final mean (ONE division, rounded 6 dp); islands are the D73
+    gaps-and-islands windows keyed per doc.
+
+    SCALE: the energy map is Arrow-batched mapInPandas — payload
+    bytes never shuffle, downstream sees only (doc_id, f, ssq) rows
+    (the D12 rule); island windows partition per doc, rollups are
+    partial aggs. At 100 TB: partition by file locality, frames are
+    1/(2·{AUDIO_FRAME}) the payload bytes.
+
+    Reference analogue: none (training-data pipeline family,
+    multimodal plumbing)."""
+    bins = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    v = audio_frame_energy(bins).withColumn(
+        "voiced", F.col("ssq") >= F.lit(AUDIO_ENERGY_T)
+    )
+    from pyspark.sql import Window
+
+    isl = (
+        v.filter("voiced")
+        .withColumn(
+            "grp",
+            F.col("f")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("f")),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").cast("bigint").alias("seg_len"))
+    )
+    segs = isl.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.max("seg_len").alias("longest_voiced"),
+    )
+    per_doc = v.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("voiced"), 1).otherwise(0)).cast("bigint").alias("n_voiced"),
+        F.sum("ssq").cast("bigint").alias("sum_ssq"),
+    )
+    return (
+        per_doc.join(segs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_voiced",
+            F.coalesce("n_segments", F.lit(0).cast("bigint")).alias("n_segments"),
+            F.coalesce("longest_voiced", F.lit(0).cast("bigint")).alias("longest_voiced"),
+            F.round(
+                F.col("sum_ssq").cast("double") / F.col("n_frames"), 6
+            ).alias("mean_frame_energy"),
+        )
+    )
