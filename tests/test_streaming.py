@@ -2391,3 +2391,44 @@ def test_e48_split_leakage_gate_matches_batch(spark, tmp_path):
     assert vc.get("cross_split_leak", 0) >= 1  # the seeded leak is caught
     assert vc.get("dup_same_split", 0) >= 1
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e49_audio_segments_match_batch(spark, tmp_path):
+    """E49: the union of streamed per-doc segmentation rows equals
+    batch D95 row-for-row regardless of chunking (fully per-doc, so
+    the live twin is stateless)."""
+    import os
+
+    from uforwarder_spark.functions.multimodal import audio_silence_segments
+    from uforwarder_spark.model import load_parallel
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "src")
+    all_docs.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.audio_segment_pipeline(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    assert len(os.listdir(out)) >= 2
+    cols = [
+        "doc_id", "n_frames", "n_voiced", "n_segments",
+        "longest_voiced", "mean_frame_energy",
+    ]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        audio_silence_segments(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got.n_segments > 0).any() and (got.n_voiced < got.n_frames).any()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

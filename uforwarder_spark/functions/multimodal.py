@@ -732,40 +732,15 @@ def audio_frame_energy(bins: DataFrame) -> DataFrame:
     return bins.mapInPandas(energy_batches, schema="doc_id long, f long, ssq long")
 
 
-@register("audio_silence_segments", AUDIO_SEG_ORACLE)
-def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio silence/voiced segmentation over opaque PCM payloads — the
-    speech-data curation primitive (VAD-style framing: per-frame
-    energy → threshold gate → voiced islands), completing the
-    multimodal family's modality coverage (image D12/D46/D64, video
-    D29, audio here). The int16 decode and frame energy are REAL
-    numpy signal math (no codec required); only the payload itself is
-    the stand-in (utf-8 text bytes as PCM — ASCII-guarded, so the
-    DuckDB oracle audits the byte math exactly). Per doc: frame count,
-    voiced count, segment count, longest voiced run, mean frame
-    energy — the features a speech pipeline filters and chunks on.
+def audio_segments_frame(bins: DataFrame) -> DataFrame:
+    """Gate + segment + rollup over a (doc_id, payload) frame — the
+    full D95 pipeline after decode, ONE definition shared by batch D95
+    and live E49 (per-doc semantics, so the live twin is stateless)."""
+    from pyspark.sql import Window
 
-    Exactness: samples and sums-of-squares are exact integers end to
-    end (int64 in the UDF, BIGINT in SQL); the only double is the
-    final mean (ONE division, rounded 6 dp); islands are the D73
-    gaps-and-islands windows keyed per doc.
-
-    SCALE: the energy map is Arrow-batched mapInPandas — payload
-    bytes never shuffle, downstream sees only (doc_id, f, ssq) rows
-    (the D12 rule); island windows partition per doc, rollups are
-    partial aggs. At 100 TB: partition by file locality, frames are
-    1/(2·{AUDIO_FRAME}) the payload bytes.
-
-    Reference analogue: none (training-data pipeline family,
-    multimodal plumbing)."""
-    bins = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
     v = audio_frame_energy(bins).withColumn(
         "voiced", F.col("ssq") >= F.lit(AUDIO_ENERGY_T)
     )
-    from pyspark.sql import Window
-
     isl = (
         v.filter("voiced")
         .withColumn(
@@ -798,3 +773,35 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_frame_energy"),
         )
     )
+
+
+@register("audio_silence_segments", AUDIO_SEG_ORACLE)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence/voiced segmentation over opaque PCM payloads — the
+    speech-data curation primitive (VAD-style framing: per-frame
+    energy → threshold gate → voiced islands), completing the
+    multimodal family's modality coverage (image D12/D46/D64, video
+    D29, audio here). The int16 decode and frame energy are REAL
+    numpy signal math (no codec required); only the payload itself is
+    the stand-in (utf-8 text bytes as PCM — ASCII-guarded, so the
+    DuckDB oracle audits the byte math exactly). Per doc: frame count,
+    voiced count, segment count, longest voiced run, mean frame
+    energy — the features a speech pipeline filters and chunks on.
+
+    Exactness: samples and sums-of-squares are exact integers end to
+    end (int64 in the UDF, BIGINT in SQL); the only double is the
+    final mean (ONE division, rounded 6 dp); islands are the D73
+    gaps-and-islands windows keyed per doc.
+
+    SCALE: the energy map is Arrow-batched mapInPandas — payload
+    bytes never shuffle, downstream sees only (doc_id, f, ssq) rows
+    (the D12 rule); island windows partition per doc, rollups are
+    partial aggs. At 100 TB: partition by file locality, frames are
+    1/(2·{AUDIO_FRAME}) the payload bytes.
+
+    Reference analogue: none (training-data pipeline family,
+    multimodal plumbing)."""
+    bins = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return audio_segments_frame(bins)

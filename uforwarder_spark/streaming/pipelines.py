@@ -3193,3 +3193,39 @@ def split_leakage_gate_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E49: live audio segmentation ----------------------------------------------
+def audio_segment_pipeline(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """E49: the live twin of batch D95 — VAD-style silence/voiced
+    segmentation run at ingest on each micro-batch of audio payloads:
+    the shared ``audio_frame_energy`` kernel (Arrow-batched int16
+    decode + exact int64 frame energies; payload bytes never leave the
+    stage) feeds the same threshold gate + per-doc gaps-and-islands
+    windows, landing per-doc segmentation rows in a batchId-keyed
+    sink — the admission features a speech pipeline filters on
+    (too-silent, too-fragmented) before a clip enters the corpus.
+    Fully per-doc, so stateless per trigger; replays overwrite their
+    own batch_id=N directory (idempotent under at-least-once); the
+    union of streamed rows equals batch D95 row-for-row (the stream
+    test asserts it).
+
+    SCALE: per trigger the work is |batch| payload decode inside ONE
+    Arrow-batched map + batch-sized island windows per doc; no state,
+    nothing ever re-read."""
+    from ..functions.multimodal import audio_segments_frame
+
+    def segment(batch_df: DataFrame, batch_id: int) -> None:
+        bins = batch_df.select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        audio_segments_frame(bins).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(segment)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
