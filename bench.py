@@ -277,6 +277,19 @@ def main() -> None:
         if n in BASELINE3 and sf == "0.1"
     }
     mc = _calibration_mc_sec()
+    # Raw total ratios alongside the calibrated ones: on hosts where the
+    # md5 witness anti-correlates with engine speed (BASELINE.md round-7
+    # addendum), the RAW ratio + spark_witness_sec carry the
+    # adjudication — make that a one-field read, not pin arithmetic.
+    ratio_total_raw = (
+        round(total / sum(BASELINE.values()), 3) if sf == "0.1" else None
+    )
+    ratio2_total_raw = (
+        round(total2 / sum(BASELINE2.values()), 3) if sf == "0.1" else None
+    )
+    ratio3_total_raw = (
+        round(total3 / sum(BASELINE3.values()), 3) if sf == "0.1" else None
+    )
     ratio_total = (
         round(total / sum(BASELINE.values()) / host_factor, 3) if sf == "0.1" else None
     )
@@ -316,6 +329,9 @@ def main() -> None:
         "host_factor_vs_baseline": host_factor,
         "host_factor_vs_baseline2": host_factor2,
         "host_factor_vs_baseline3": host_factor3,
+        "ratio_total_raw": ratio_total_raw,
+        "ratio2_total_raw": ratio2_total_raw,
+        "ratio3_total_raw": ratio3_total_raw,
         "ratio_total_calibrated": ratio_total,
         "ratio2_total_calibrated": ratio2_total,
         "ratio3_total_calibrated": ratio3_total,
