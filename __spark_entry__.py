@@ -22,11 +22,12 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-7 window (round-6 verdict, next-round item 2): rotate onto the
 # now-oldest evidence. Slot arithmetic (counted, not estimated):
-# 36 new/changed-this-round + 14 r03 leftovers + 0 r04 cohort
-# = 50 exactly (incremental_dedup, the last r03 leftover, slides just
-# past the line — new/never-driver-checked keys outrank old-evidence
-# re-checks per the window rule; it keeps its r03 driver row + both-SF
-# pytest parity, and D94/E48 newly exercise its kernels in tests.
+# 37 new/changed-this-round + 13 r03 leftovers + 0 r04 cohort
+# = 50 exactly (embedding_centroid_outliers and incremental_dedup, the
+# last two r03 leftovers, slide just past the line — new/never-
+# driver-checked keys outrank old-evidence re-checks per the window
+# rule; both keep their r03 driver rows + both-SF pytest parity, and
+# D94/E48 newly exercise incremental_dedup's kernels in tests.
 # Then tpch_q1_pricing_summary,
 # tpch_q10_returned_revenue, tpch_q14_promo_revenue,
 # tpch_q18_large_orders,
@@ -41,7 +42,7 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # to the overflow head, keeping their r04 rows + both-SF pytest
 # parity).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (36): D72-D95 are new; B22/E30
+    # -- (a) new or changed this round (37): D72-D96 are new; B22/E30
     #    gained the zero-span guard; D71 the decimal expected-rate sum;
     #    D31/D42/D62 the clamped shared reconstruct expr; D67 the
     #    AQE-decided spine join; D68 the fused encode+ADC map; D70 the
@@ -50,7 +51,7 @@ _KEY_PRIORITY = [
     #    and D76/D77 to the normalized-dot score --
     "bigram_perplexity", "contrastive_triplets", "incr_triplet_mining",
     "markov_transitions", "cusum_changepoints", "doremi_weights",
-    "split_leakage_audit", "audio_silence_segments",
+    "split_leakage_audit", "audio_silence_segments", "kcenter_coreset",
     "hybrid_rrf_retrieval", "heaps_vocab_growth", "hybrid_rrf_multiquery",
     "pmi_collocations", "jl_projection_audit",
     "ivf_index_refresh", "exact_substring_dedup", "incr_substring_dedup",

@@ -2645,3 +2645,136 @@ def incr_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming, knn_band_frame(existing), existing
     ).persist()
     return triplets_from_scored(scored)
+
+
+# --- D96 -----------------------------------------------------------------
+KCENTER_K = 8  # selected coreset size (greedy 2-approximation steps)
+
+# Oracle: the greedy chain as K-1 mechanically generated CTE pairs —
+# sel_i picks the current farthest point (cosine-distance argmax,
+# vec_id tie-break), m_i folds it into the running min-distance. Both
+# engines evaluate the IDENTICAL sequential dot folds and least()
+# chains, so the selected SET (not just the scores) is bit-identical.
+_KC_DIST_DUCK = (
+    "1.0 - " + _DOT_DUCK.format(a="m.u", b="s.u")
+)
+
+
+def _kcenter_oracle() -> str:
+    steps = []
+    for i in range(1, KCENTER_K):
+        steps.append(
+            f"""sel{i} AS (
+  SELECT m.vec_id, m.u, m.d, {i} AS rank
+  FROM m{i - 1} m ORDER BY m.d DESC, m.vec_id LIMIT 1
+),
+m{i} AS (
+  SELECT m.vec_id, m.u,
+         least(m.d, {_KC_DIST_DUCK}) AS d
+  FROM m{i - 1} m CROSS JOIN sel{i} s
+  WHERE m.vec_id <> s.vec_id
+)"""
+        )
+    sel_union = "\nUNION ALL\n".join(
+        f"SELECT rank, vec_id, round(d, 6) AS radius FROM sel{i}"
+        for i in range(1, KCENTER_K)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+en AS (
+  SELECT vec_id, {_UNIT_DUCK} AS u FROM e
+),
+m0 AS (
+  SELECT m.vec_id, m.u,
+         1.0 - {_DOT_DUCK.format(a='m.u', b='s.u')} AS d
+  FROM en m CROSS JOIN (SELECT u FROM en WHERE vec_id = 0) s
+  WHERE m.vec_id <> 0
+),
+{','.join(steps)}
+SELECT 0 AS rank, CAST(0 AS BIGINT) AS vec_id, 0.0 AS radius
+UNION ALL
+{sel_union}
+"""
+
+
+KCENTER_ORACLE = _kcenter_oracle()
+
+
+@register("kcenter_coreset", KCENTER_ORACLE)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus
+    (Gonzalez 1985's farthest-point 2-approximation — the facility-
+    location/coreset data-selection primitive behind diversity-first
+    curation: pick {KCENTER_K} documents that maximally COVER the
+    embedding space, the complement of D41's redundancy pruning and
+    D35's outlier audit). Seeded at vec_id 0 (the D6 query
+    convention); each step selects the point farthest (cosine
+    distance) from everything selected so far and emits its selection
+    radius — the monotone radii are the coverage-vs-budget curve a
+    "how many exemplars do I need" decision reads.
+
+    Exactness: distances are 1 − one sequential dot fold over
+    pre-normalized unit vectors; the running min folds through
+    identical least() chains; each argmax breaks ties on vec_id — the
+    selected SET is bit-identical cross-engine (the D82 unrolled-
+    iteration convention, selection flavor).
+
+    SCALE: each of the {KCENTER_K}−1 unrolled steps is ONE row-local
+    pass over the corpus (the 1-row selected point broadcasts; the
+    running min rides the row), plus a TakeOrdered(1) — no corpus
+    shuffle anywhere, no window, nothing pairwise; cost is K linear
+    scans exactly like the published greedy bound. K is a constant
+    budget (exemplar counts are human-sized); for large K the standard
+    move is this operator per IVF cell (D13's partition) — same
+    kernel, cells in parallel.
+
+    Reference analogue: none (training-data similarity family,
+    selection side)."""
+    e = _emb(spark, sf_dir)
+    en = e.select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
+    seed = en.filter(F.col("vec_id") == 0).select(F.col("u").alias("su"))
+    dist = "1.0D - " + _DOT_SPARK.format(a="u", b="su")
+    m = (
+        en.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(seed))
+        .select("vec_id", "u", F.expr(dist).alias("d"))
+    )
+    picks = [
+        spark.range(1).select(
+            F.lit(0).alias("rank"),
+            F.lit(0).cast("bigint").alias("vec_id"),
+            F.lit(0.0).alias("radius"),
+        )
+    ]
+    for i in range(1, KCENTER_K):
+        sel = (
+            m.orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("sel_id"),
+                F.col("u").alias("su"),
+                F.col("d").alias("sel_d"),
+            )
+        )
+        picks.append(
+            sel.select(
+                F.lit(i).alias("rank"),
+                F.col("sel_id").alias("vec_id"),
+                F.round("sel_d", 6).alias("radius"),
+            )
+        )
+        m = (
+            m.crossJoin(F.broadcast(sel))
+            .filter(F.col("vec_id") != F.col("sel_id"))
+            .select(
+                "vec_id",
+                "u",
+                F.least(F.col("d"), F.expr(dist)).alias("d"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
