@@ -1588,3 +1588,429 @@ def test_jl_projection_audit_equals_numpy_replay(spark):
     mean_err = sum(errs) / len(errs)
     assert 0.05 < mean_err < 0.45  # the 1/sqrt(16)=0.25 additive regime
     assert max(errs) < 1.0
+
+
+def test_bigram_perplexity_equals_python_replay(spark):
+    """D88 invariant: per-doc cross-entropies at sf0.001 equal a pure-
+    Python replay — same tokenization, same add-1 unigram and
+    Jelinek-Mercer bigram interpolation, same 8-dp rounding before the
+    per-doc sums, same first-token rule."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import bigram_perplexity
+
+    got = {r.doc_id: r for r in bigram_perplexity(spark, SF_SMALL).collect()}
+    rows = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    docs = {
+        d: [w for w in _re.split(r"[^a-z0-9]+", t) if w] for d, t in rows
+    }
+    uni: Counter = Counter()
+    pc: Counter = Counter()
+    ctx: Counter = Counter()
+    for ts in docs.values():
+        uni.update(ts)
+        pc.update(zip(ts, ts[1:]))
+        ctx.update(ts[:-1])
+    n, vsize = sum(uni.values()), len(uni)
+
+    def nll_u(t):
+        return round(-math.log((uni[t] + 1.0) / (n + vsize)), 8)
+
+    checked = 0
+    for d, ts in docs.items():
+        if not ts:
+            assert d not in got
+            continue
+        su = sum(nll_u(t) for t in ts)
+        fu = nll_u(ts[0])
+        sb = sum(
+            round(
+                -math.log(
+                    0.7 * (pc[(a, b)] / ctx[a])
+                    + 0.3 * ((uni[b] + 1.0) / (n + vsize))
+                ),
+                8,
+            )
+            for a, b in zip(ts, ts[1:])
+        )
+        r = got[d]
+        assert r.n_tok == len(ts)
+        assert abs(float(r.ce_unigram) - su / len(ts)) <= 2e-6
+        assert abs(float(r.ce_bigram) - (fu + sb) / len(ts)) <= 2e-6
+        checked += 1
+    assert checked == len(got)
+
+
+def _triplet_python_rule(cands, margin):
+    """Shared D89/D90 reference model: per src, positive = best (c desc,
+    dst asc); hard negative = best candidate with c <= pos_c - margin."""
+    by_src: dict = {}
+    for src, dst, c in cands:
+        by_src.setdefault(src, []).append((dst, c))
+    out = {}
+    for src, lst in by_src.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        pos_id, pos_c = lst[0]
+        negs = [(d, c) for d, c in lst if c <= pos_c - margin]
+        if negs:
+            out[src] = (pos_id, pos_c, negs[0][0], negs[0][1])
+    return out
+
+
+def test_contrastive_triplets_equal_python_replay(spark):
+    """D89 invariant: the triplet set at sf0.001 equals the pure-Python
+    selection rule applied to the shared symmetric candidate frame."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        TRIPLET_MARGIN,
+        _emb,
+        _knn_scored_frame,
+        contrastive_triplets,
+    )
+
+    cands = [
+        (r.src, r.dst, r.c)
+        for r in _knn_scored_frame(_emb(spark, SF_SMALL)).collect()
+    ]
+    want = _triplet_python_rule(cands, TRIPLET_MARGIN)
+    got = contrastive_triplets(spark, SF_SMALL).collect()
+    assert len(got) == len(want) and len(got) > 0
+    for r in got:
+        pos_id, pos_c, neg_id, neg_c = want[r.anchor]
+        assert (r.pos_id, r.neg_id) == (pos_id, neg_id)
+        assert abs(r.pos_cosine - round(pos_c, 6)) <= 1e-9
+        assert abs(r.neg_cosine - round(neg_c, 6)) <= 1e-9
+
+
+def test_incr_triplets_equal_python_replay(spark):
+    """D90 invariant: same rule, asymmetric candidate frame."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import (
+        TRIPLET_MARGIN,
+        _emb,
+        _incr_scored_frame,
+        incr_triplet_mining,
+        knn_band_frame,
+    )
+
+    e = _emb(spark, SF_SMALL)
+    incoming = e.filter(F.col("vec_id") % 2 == 1)
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    cands = [
+        (r.src, r.dst, r.c)
+        for r in _incr_scored_frame(
+            incoming, knn_band_frame(existing), existing
+        ).collect()
+    ]
+    want = _triplet_python_rule(cands, TRIPLET_MARGIN)
+    got = incr_triplet_mining(spark, SF_SMALL).collect()
+    assert len(got) == len(want) and len(got) > 0
+    for r in got:
+        pos_id, pos_c, neg_id, neg_c = want[r.anchor]
+        assert (r.pos_id, r.neg_id) == (pos_id, neg_id)
+
+
+def test_markov_transitions_equal_python_replay(spark):
+    """D91 invariant: the transition table at sf0.001 equals a pure-
+    Python replay — per-user (ts, event_id) sort, adjacent pairs,
+    row-normalized probs, (count desc, to asc) ranks."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.timeseries import markov_transitions
+
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchall()
+    seq = defaultdict(list)
+    for u, ts, eid, et in rows:
+        seq[u].append((ts, eid, et))
+    cnt: Counter = Counter()
+    for u, evs in seq.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            cnt[(a, b)] += 1
+    tot = Counter()
+    for (a, _), c in cnt.items():
+        tot[a] += c
+    ranks = {}
+    by_from = defaultdict(list)
+    for (a, b), c in cnt.items():
+        by_from[a].append((b, c))
+    for a, lst in by_from.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for i, (b, _) in enumerate(lst):
+            ranks[(a, b)] = i + 1
+    got = markov_transitions(spark, SF_SMALL).collect()
+    assert len(got) == len(cnt) and len(got) > 0
+    for r in got:
+        k = (r.event_from, r.event_to)
+        assert r.n_trans == cnt[k] and r.from_total == tot[r.event_from]
+        assert r.rank == ranks[k]
+        assert abs(r.prob - round(cnt[k] / tot[r.event_from], 6)) <= 1e-9
+
+
+def test_cusum_equals_python_replay(spark):
+    """D92 invariant: the per-type trajectory audit at sf0.001 equals a
+    pure-Python IEEE replay of the same standardization and the same
+    max(0, s+z-k) / alarm-reset recursion in minute order."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.timeseries import (
+        CUSUM_H,
+        CUSUM_K,
+        cusum_changepoints,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT event_type, date_trunc('minute', ts) FROM read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchall()
+    pm: Counter = Counter(rows)
+    by_type = defaultdict(list)
+    for (et, m), c in pm.items():
+        by_type[et].append((m, c))
+    got = {r.event_type: r for r in cusum_changepoints(spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, lst in by_type.items():
+        lst.sort()
+        cs = [c for _, c in lst]
+        n = len(cs)
+        mu = sum(cs) / n
+        var = sum(c * c for c in cs) / n - mu * mu
+        sigma = max(var, 0.0) ** 0.5
+        s, n_al, first_al, max_s = 0.0, 0, None, 0.0
+        for i, c in enumerate(cs):
+            z = (c - mu) / sigma if sigma > 0.0 else 0.0
+            step = max(0.0, s + z - CUSUM_K)
+            if step > CUSUM_H:
+                n_al += 1
+                if first_al is None:
+                    first_al = i
+                s = 0.0
+            else:
+                s = step
+            max_s = max(max_s, step)
+        r = got[et]
+        assert (r.n_minutes, r.n_alarms, r.first_alarm_idx) == (n, n_al, first_al)
+        assert abs(r.max_s - round(max_s, 6)) <= 1e-6
+        assert abs(r.final_s - round(s, 6)) <= 1e-6
+
+
+def test_doremi_weights_equal_python_replay(spark):
+    """D93 invariant: the mixture at sf0.001 equals a pure-Python
+    replay — same add-1 unigram loss, token-weighted means, excess,
+    exp weights and softmax normalization."""
+    import math
+    import re as _re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import DOREMI_ETA, doremi_weights
+
+    rows = duckdb.sql(
+        f"SELECT source, lower(text) FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    uni: Counter = Counter()
+    per_src = defaultdict(list)
+    for src, t in rows:
+        ts = [w for w in _re.split(r"[^a-z0-9]+", t) if w]
+        uni.update(ts)
+        per_src[src].extend(ts)
+    n, vsize = sum(uni.values()), len(uni)
+    loss = {
+        src: (
+            len(ts),
+            sum(round(-math.log((uni[t] + 1.0) / (n + vsize)), 8) for t in ts),
+        )
+        for src, ts in per_src.items()
+        if ts
+    }
+    tot_nll = sum(s for _, s in loss.values())
+    tot_n = sum(k for k, _ in loss.values())
+    ew = {
+        src: round(
+            math.exp(DOREMI_ETA * round(s / k - tot_nll / tot_n, 8)), 8
+        )
+        for src, (k, s) in loss.items()
+    }
+    denom = sum(ew.values())
+    got = doremi_weights(spark, SF_SMALL).collect()
+    assert len(got) == len(loss) and len(got) > 0
+    for r in got:
+        k, s = loss[r.source]
+        assert r.n_tok == k
+        assert abs(r.mean_ce - round(s / k, 6)) <= 2e-6
+        assert abs(r.weight - round(ew[r.source] / denom, 6)) <= 2e-6
+
+
+def test_split_leakage_equals_python_replay(spark):
+    """D94 invariant: the boundary rollup at sf0.001 equals a pure-
+    Python replay over D2's verified pair set — same md5 split, same
+    normalization, same distinct-doc counts and rate."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        split_leakage_audit,
+    )
+
+    def split(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 10
+        return "train" if b < 8 else ("val" if b == 8 else "test")
+
+    rank = {"train": 0, "val": 1, "test": 2}
+    ids = [
+        d
+        for (d,) in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_SMALL}/documents.parquet')"
+        ).fetchall()
+    ]
+    sizes = defaultdict(int)
+    for d in ids:
+        sizes[split(d)] += 1
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, SF_SMALL).collect()
+    ]
+    agg = defaultdict(lambda: [0, set(), set(), 0.0])
+    for a, b, j in pairs:
+        sa, sb = split(a), split(b)
+        if sa == sb:
+            continue
+        if rank[sa] <= rank[sb]:
+            lo, hi, dl, dh = sa, sb, a, b
+        else:
+            lo, hi, dl, dh = sb, sa, b, a
+        e = agg[(lo, hi)]
+        e[0] += 1
+        e[1].add(dl)
+        e[2].add(dh)
+        e[3] = max(e[3], j)
+    got = split_leakage_audit(spark, SF_SMALL).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        e = agg[(r.split_lo, r.split_hi)]
+        assert (r.n_pairs, r.n_docs_lo, r.n_docs_hi) == (e[0], len(e[1]), len(e[2]))
+        assert r.n_split_hi == sizes[r.split_hi]
+        assert abs(r.max_jaccard - e[3]) <= 1e-9
+        assert abs(r.contamination_rate - round(len(e[2]) / sizes[r.split_hi], 6)) <= 1e-9
+
+
+def test_audio_segments_equal_numpy_replay(spark):
+    """D95 invariant: every segmentation row at sf0.001 equals a numpy
+    replay of the int16 decode, exact frame energies, threshold gate
+    and voiced-run extraction."""
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.multimodal import (
+        AUDIO_ENERGY_T,
+        AUDIO_FRAME,
+        audio_silence_segments,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    got = {r.doc_id: r for r in audio_silence_segments(spark, SF_SMALL).collect()}
+    n_rows = 0
+    for d, t in rows:
+        payload = t.encode("utf-8")
+        n_fr = (len(payload) // 2) // AUDIO_FRAME
+        if n_fr == 0:
+            assert d not in got
+            continue
+        a = (
+            np.frombuffer(payload, dtype="<i2", count=n_fr * AUDIO_FRAME)
+            .astype(np.int64)
+            .reshape(n_fr, AUDIO_FRAME)
+        )
+        ssq = (a * a).sum(axis=1)
+        voiced = ssq >= AUDIO_ENERGY_T
+        segs, run, longest = 0, 0, 0
+        for v in voiced:
+            if v:
+                run += 1
+                if run == 1:
+                    segs += 1
+                longest = max(longest, run)
+            else:
+                run = 0
+        r = got[d]
+        assert (r.n_frames, r.n_voiced, r.n_segments, r.longest_voiced) == (
+            n_fr,
+            int(voiced.sum()),
+            segs,
+            longest,
+        )
+        assert abs(r.mean_frame_energy - round(int(ssq.sum()) / n_fr, 6)) <= 1e-6
+        n_rows += 1
+    assert n_rows == len(got)
+
+
+def test_kcenter_equals_python_replay(spark):
+    """D96 invariant: the selected SET and radii at sf0.001 equal a
+    pure-Python sequential-arithmetic replay of the greedy
+    farthest-point chain (same fold order as the Spark expressions, so
+    argmax ties cannot flip)."""
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import KCENTER_K, kcenter_coreset
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_SMALL}/embeddings.parquet')"
+    ).fetchall()
+
+    def unit(v):
+        acc = 0.0
+        for y in v:
+            acc = acc + y * y
+        s = acc ** 0.5
+        return [x / s for x in v]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    vecs = {d: unit([float(x) for x in v]) for d, v in rows}
+    sel = [(0, 0, 0.0)]
+    d_min = {
+        i: 1.0 - dot(u, vecs[0]) for i, u in vecs.items() if i != 0
+    }
+    for rank in range(1, KCENTER_K):
+        pick = min(d_min, key=lambda i: (-d_min[i], i))
+        sel.append((rank, pick, round(d_min[pick], 6)))
+        pu = vecs[pick]
+        del d_min[pick]
+        for i in list(d_min):
+            nd = 1.0 - dot(vecs[i], pu)
+            if nd < d_min[i]:
+                d_min[i] = nd
+    got = sorted(
+        [(r.rank, r.vec_id, r.radius) for r in kcenter_coreset(spark, SF_SMALL).collect()]
+    )
+    assert got == sel
