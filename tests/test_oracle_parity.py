@@ -36,13 +36,18 @@ def test_parity(name, sf_dir, spark, duck):
 
 @pytest.mark.parametrize("sf_dir", [SF_MED, SF_SMALL], ids=["sf0.01", "sf0.001"])
 def test_documents_ascii_at_parity_sfs(duck, sf_dir):
-    """Guard for the D64/D65 phash oracles (ADVICE r05): the DuckDB SQL
-    mixes byte length (strlen) with character indexing (substr/ord), so
-    Spark (UTF-8 bytes) and DuckDB (codepoints) agree only while the
-    parity corpora are pure ASCII. In UTF-8 every non-ASCII codepoint is
-    multi-byte, so strlen (bytes) == length (chars) ⟺ ASCII; if the
-    generator ever emits non-ASCII text this fails loudly instead of
-    hash-diverging."""
+    """Guard for the D64/D65 phash AND D95/E49 audio oracles (ADVICE
+    r05 + r07): the DuckDB SQL mixes byte length (strlen) with
+    character indexing (substr/ord), so Spark (UTF-8 bytes) and DuckDB
+    (codepoints) agree only while the parity corpora are pure ASCII.
+    D95 additionally decodes SIGNED '<i2' samples in numpy while the
+    oracle computes unsigned ord(lo)+256*ord(hi) — identical iff every
+    hi byte ≤ 0x7f, i.e. ASCII (see
+    test_properties.test_audio_signed_vs_unsigned_divergence for the
+    constructive proof that a high byte flips the gate). In UTF-8 every
+    non-ASCII codepoint is multi-byte, so strlen (bytes) ==
+    length (chars) ⟺ ASCII; if the generator ever emits non-ASCII text
+    this fails loudly instead of hash-diverging."""
     n = duck.execute(
         f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
         "WHERE strlen(text) <> length(text)"

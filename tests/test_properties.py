@@ -1969,6 +1969,43 @@ def test_audio_segments_equal_numpy_replay(spark):
     assert n_rows == len(got)
 
 
+def test_audio_signed_vs_unsigned_divergence():
+    """D95/E49 ASCII-assumption enforcement (ADVICE r07): the Spark
+    kernel decodes SIGNED '<i2' samples while the DuckDB oracle
+    computes unsigned ord(lo)+256*ord(hi). On ASCII payloads every hi
+    byte ≤ 0x7f so sample < 32768 and the two agree sample-for-sample;
+    a single hi byte ≥ 0x80 makes them diverge (signed negative vs
+    unsigned large — different squares). This test proves BOTH halves
+    constructively, so the corpus-level ASCII gate
+    (test_oracle_parity.test_documents_ascii_at_parity_sfs) is the
+    load-bearing guard, not a silent docstring assumption."""
+    import numpy as np
+
+    from uforwarder_spark.functions.multimodal import AUDIO_FRAME
+
+    def signed_ssq(payload: bytes) -> int:
+        a = np.frombuffer(payload, dtype="<i2", count=AUDIO_FRAME).astype(np.int64)
+        return int((a * a).sum())
+
+    def unsigned_ssq(payload: bytes) -> int:  # the DuckDB oracle's math
+        s = [
+            payload[2 * j] + 256 * payload[2 * j + 1]
+            for j in range(AUDIO_FRAME)
+        ]
+        return sum(x * x for x in s)
+
+    # ASCII payload: every byte ≤ 0x7f → exact agreement.
+    ascii_payload = bytes(range(32, 32 + 2 * AUDIO_FRAME))
+    assert all(b <= 0x7F for b in ascii_payload)
+    assert signed_ssq(ascii_payload) == unsigned_ssq(ascii_payload)
+
+    # One hi byte ≥ 0x80 (a UTF-8 continuation byte would do this) →
+    # signed sample −32768+… vs unsigned 32768+…: squares diverge.
+    bad = bytearray(ascii_payload)
+    bad[1] = 0x80
+    assert signed_ssq(bytes(bad)) != unsigned_ssq(bytes(bad))
+
+
 def test_kcenter_equals_python_replay(spark):
     """D96 invariant: the selected SET and radii at sf0.001 equal a
     pure-Python sequential-arithmetic replay of the greedy

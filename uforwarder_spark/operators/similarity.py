@@ -2725,10 +2725,16 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the corpus (the 1-row selected point broadcasts; the
     running min rides the row), plus a TakeOrdered(1) — no corpus
     shuffle anywhere, no window, nothing pairwise; cost is K linear
-    scans exactly like the published greedy bound. K is a constant
-    budget (exemplar counts are human-sized); for large K the standard
-    move is this operator per IVF cell (D13's partition) — same
-    kernel, cells in parallel.
+    scans exactly like the published greedy bound. The running-min
+    frame `m` is localCheckpoint-ed each step (the D16 lineage rule):
+    every step references the previous `m` twice (the argmax AND the
+    fold), so without truncation the LOGICAL plan doubles per step
+    (~2^(K−1) copies of the embedding scan at K={KCENTER_K}) and the
+    analyzer — not the executors — becomes the bottleneck as K grows;
+    with the checkpoint each step is genuinely one linear pass over
+    materialized rows. K is a constant budget (exemplar counts are
+    human-sized); for large K the standard move is this operator per
+    IVF cell (D13's partition) — same kernel, cells in parallel.
 
     Reference analogue: none (training-data similarity family,
     selection side)."""
@@ -2736,10 +2742,16 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = e.select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
     seed = en.filter(F.col("vec_id") == 0).select(F.col("u").alias("su"))
     dist = "1.0D - " + _DOT_SPARK.format(a="u", b="su")
+    # localCheckpoint: each unrolled step below references the previous
+    # `m` twice (argmax + running-min fold), so without lineage
+    # truncation the logical plan doubles per step — 2^(K-1) copies of
+    # the embedding scan by the last pick. Checkpointing bounds every
+    # step to one pass over materialized rows (the D16 rule).
     m = (
         en.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(seed))
         .select("vec_id", "u", F.expr(dist).alias("d"))
+        .localCheckpoint()
     )
     picks = [
         spark.range(1).select(
@@ -2757,6 +2769,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("u").alias("su"),
                 F.col("d").alias("sel_d"),
             )
+            .localCheckpoint()  # 1 row; read by both the pick and the fold
         )
         picks.append(
             sel.select(
@@ -2773,6 +2786,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "u",
                 F.least(F.col("d"), F.expr(dist)).alias("d"),
             )
+            .localCheckpoint()
         )
     out = picks[0]
     for p in picks[1:]:

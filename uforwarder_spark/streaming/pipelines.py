@@ -2967,6 +2967,26 @@ def cusum_monitor_pipeline(
     per trigger in an `untracked/` output (type, minutes, events) —
     never silently dropped — so the operator knows to re-calibrate.
 
+    DETECTION SEMANTICS — one-sided, occupied minutes only (ADVICE
+    r07, stated as a contract rather than implied): (1) "completed"
+    means strictly before the type's latest OCCUPIED minute, so a type
+    that stops emitting entirely keeps its last minute open forever —
+    the data itself can never close it; (2) zero-count minutes never
+    enter the per-minute series (counts come from events, and the fold
+    standardizes only observed minutes), so a rate DROP or a full
+    outage does not push s_t upward and cannot alarm. This monitor is
+    therefore a rate-SURGE detector, exactly mirroring batch D92's
+    occupied-minutes semantics (which is what the batch-equality
+    property proves). A deployment that needs outage/drop alarms
+    composes two known moves ON TOP of this state, neither of which
+    changes the stored counts: close minutes by WALL CLOCK (treat
+    every minute < now//60 as complete — a trigger-time bound, not a
+    data bound) and densify the closed range per type with zero-count
+    rows before the fold (a sequence join against the minutes-sized
+    state, no log re-read); a two-sided CUSUM then runs the same
+    recurrence on −z. Kept out of the default path so the live table
+    stays bit-equal to its batch twin.
+
     SCALE: per trigger the corpus-facing work is one batch-sized
     partial agg to minutes; the merge and the re-derive touch only the
     minutes-sized count state (the E21 state class — ~526k rows/year
