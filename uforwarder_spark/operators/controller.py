@@ -1022,6 +1022,14 @@ def batch_job_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     CANCELED and the group isn't, the group is CANCELED (the batch job
     is complete).
 
+    Streaming flavor: StreamingRpcUriRebalancer.computeJobState
+    (consumerproxy/controller/rebalancer/StreamingRpcUriRebalancer.java:38)
+    is the SAME group-state propagation with CANCELED exempt (rule 2
+    here), minus rule 1 — a streaming job has no end offset, so the
+    commit>=end cancellation branch never applies. Running this
+    operator with every end_offset set beyond max_offset IS the
+    streaming rebalancer's step; no separate key is warranted.
+
     Job spec end offsets are hash-simulated at 50-149% of each
     partition's range so both the completed and the still-running
     branches are exercised; the worker-reported commit offset is the

@@ -633,24 +633,80 @@ def adaptive_inflight_vegas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A16 -----------------------------------------------------------------
 LAG_DEGRADED = 200
 DLQ_UNHEALTHY = 5
+# --- KafkaPipelineIssue taxonomy (per-issue-type accounting) --------------
+# PipelineHealthState keeps 10-s windows, each holding a SET of issues
+# reported in that window; accounting = per (topic, part_id, issue) the
+# number of 10-s windows in which the issue fired (set semantics inside
+# a window — a flood of one issue in one window still counts once,
+# exactly recordIssue/getIssues).
+HEALTH_WIN_S = 10  # PipelineHealthManager.stateWindowDuration
+# Issue-trigger thresholds at the test-SF event grain (the testdata log
+# carries ~1 msg/topic/minute; a production config would reuse A7/A8's
+# RATE_LIMIT/INFLIGHT_LIMIT — same expressions, different literals):
+HEALTH_RATE_LIMIT = 1  # msgs per (topic, minute) before MESSAGE_RATE_LIMITED
+HEALTH_BYTES_LIMIT = 140  # bytes per (topic, minute) before BYTES_RATE_LIMITED
+MED_LAT_HIGH = 104  # MEDIAN_RPC_LATENCY_HIGH: >half the window's RPCs above
+MAX_LAT_HIGH = 195  # MAX_RPC_LATENCY_HIGH: any RPC in the window above
+NO_RETRY_QUEUE_TOPIC = "signup"  # simulated: the one topic with no retry queue
+
 HEALTH_ORACLE = f"""{MSG_CTE},
 flagged AS (
   SELECT topic, part_id, msg_offset, acked, outcome, retry_count,
+         latency_ms,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {HEALTH_WIN_S}) * {HEALTH_WIN_S} AS w10,
+         row_number() OVER (
+           PARTITION BY topic, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60
+           ORDER BY msg_offset) AS rate_rn,
+         sum(size_bytes) OVER (
+           PARTITION BY topic, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60
+           ORDER BY msg_offset ROWS UNBOUNDED PRECEDING) AS bytes_run,
          sum(CASE WHEN acked THEN 0 ELSE 1 END)
            OVER (PARTITION BY topic, part_id ORDER BY msg_offset) AS unacked_upto
   FROM messages
 ),
-per_part AS (
-  SELECT topic, part_id,
+per_win AS (
+  SELECT topic, part_id, w10,
          CAST(sum(CASE WHEN unacked_upto > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lag_msgs,
          CAST(sum(CASE WHEN outcome = 'DLQ'
                         OR (outcome = 'RETRY' AND retry_count >= 5)
                        THEN 1 ELSE 0 END) AS BIGINT) AS dlq_msgs,
-         min(CASE WHEN NOT acked THEN msg_offset END) IS NOT NULL AS has_stuck_head
+         max(CASE WHEN NOT acked THEN 1 ELSE 0 END) AS any_unacked,
+         max(CASE WHEN rate_rn > {HEALTH_RATE_LIMIT} THEN 1 ELSE 0 END) AS f_rate,
+         max(CASE WHEN bytes_run > {HEALTH_BYTES_LIMIT} THEN 1 ELSE 0 END) AS f_bytes,
+         max(CASE WHEN NOT acked AND unacked_upto > {INFLIGHT_LIMIT}
+                  THEN 1 ELSE 0 END) AS f_inflight,
+         max(CASE WHEN outcome IN ('RETRY', 'DLQ') AND msg_offset % 23 = 0
+                  THEN 1 ELSE 0 END) AS f_perm,
+         max(CASE WHEN outcome IN ('RETRY', 'DLQ') AND msg_offset % 23 = 1
+                  THEN 1 ELSE 0 END) AS f_invalid,
+         max(CASE WHEN outcome = 'RETRY' AND topic = '{NO_RETRY_QUEUE_TOPIC}'
+                  THEN 1 ELSE 0 END) AS f_noq,
+         CASE WHEN 2 * sum(CASE WHEN latency_ms > {MED_LAT_HIGH} THEN 1 ELSE 0 END)
+                   > count(*) THEN 1 ELSE 0 END AS f_med,
+         CASE WHEN max(latency_ms) > {MAX_LAT_HIGH} THEN 1 ELSE 0 END AS f_max
   FROM flagged
+  GROUP BY topic, part_id, w10
+),
+per_part AS (
+  SELECT topic, part_id,
+         CAST(sum(lag_msgs) AS BIGINT) AS lag_msgs,
+         CAST(sum(dlq_msgs) AS BIGINT) AS dlq_msgs,
+         max(any_unacked) = 1 AS has_stuck_head,
+         CAST(sum(f_rate) AS BIGINT)     AS wins_msg_rate_limited,
+         CAST(sum(f_bytes) AS BIGINT)    AS wins_bytes_rate_limited,
+         CAST(sum(f_inflight) AS BIGINT) AS wins_inflight_limited,
+         CAST(sum(f_perm) AS BIGINT)     AS wins_permission_denied,
+         CAST(sum(f_invalid) AS BIGINT)  AS wins_invalid_response,
+         CAST(sum(f_noq) AS BIGINT)      AS wins_retry_no_queue,
+         CAST(sum(f_med) AS BIGINT)      AS wins_median_latency_high,
+         CAST(sum(f_max) AS BIGINT)      AS wins_max_latency_high
+  FROM per_win
   GROUP BY topic, part_id
 )
 SELECT topic, part_id, lag_msgs, dlq_msgs, has_stuck_head,
+       wins_msg_rate_limited, wins_bytes_rate_limited, wins_inflight_limited,
+       wins_permission_denied, wins_invalid_response, wins_retry_no_queue,
+       wins_median_latency_high, wins_max_latency_high,
        CASE WHEN dlq_msgs >= {DLQ_UNHEALTHY} THEN 'UNHEALTHY'
             WHEN lag_msgs > {LAG_DEGRADED} THEN 'DEGRADED'
             ELSE 'HEALTHY' END AS health
@@ -661,18 +717,65 @@ FROM per_part
 @register("pipeline_health", HEALTH_ORACLE)
 def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PipelineHealthManager / KafkaPipelineIssue / PipelineHealthState
-    (datatransfer/worker/pipelines/PipelineHealthManager.java): fold the
+    (datatransfer/worker/pipelines/PipelineHealthManager.java,
+    KafkaPipelineIssue.java, PipelineHealthState.java): fold the
     per-partition issue signals — commit lag, stuck head, DLQ pressure —
-    into one health verdict per pipeline, the signal the controller uses
-    to cordon a pipeline.
+    into one health verdict per pipeline, PLUS the full
+    KafkaPipelineIssue taxonomy accounting: per (topic, part_id) and
+    per issue type, the number of {HEALTH_WIN_S}-s health-state windows
+    in which the issue fired. This mirrors PipelineHealthState exactly:
+    recordIssue() adds an issue to the current window's SET (a flood of
+    one issue within one window counts once) and getIssues() reads
+    whole windows, so window-counts — not raw message counts — are the
+    reference's accounting unit. All eight enum members are covered:
+    MESSAGE_RATE_LIMITED (A8's over-rate rule at the test-SF grain),
+    BYTES_RATE_LIMITED (per-minute running byte budget),
+    INFLIGHT_MESSAGE_LIMITED (A7's rule: unacked depth beyond the
+    inflight cap), PERMISSION_DENIED / INVALID_RESPONSE_RECEIVED
+    (deterministic failure-cause classes over the simulated non-OK
+    outcomes, the model.py convention: msg_offset % 23 ∈ {{0, 1}}),
+    RETRY_WITHOUT_RETRY_QUEUE (a RETRY response on the one topic
+    configured without a retry queue), and MEDIAN/MAX_RPC_LATENCY_HIGH
+    (A30's Little's-law alarms at window grain: strictly more than
+    half the window's RPCs above the median threshold / any RPC above
+    the max threshold).
 
-    SCALE: all three signals come out of the same sort-free two-agg
-    pass as A5/A14 — hash aggregation only, no per-partition sort."""
+    Exactness: every flag is an integer CASE over exact integers; the
+    median-high rule is the count form 2·n_above > n (no percentile
+    interpolation), so both engines agree bit-for-bit.
+
+    SCALE: the verdict inputs ride the same per-partition ordered
+    window A5 uses (one shuffle on the native (topic, part_id) shard);
+    the rate/bytes windows key per (topic, minute) — high-cardinality,
+    evenly spread; everything downstream is two partial aggs
+    (windows-sized, then partitions-sized). No Python, no sort beyond
+    the keyed window sorts."""
     m = messages(spark, sf_dir)
-    joined = m.join(F.broadcast(_heads(m)), ["topic", "part_id"])
-    below = F.col("min_unacked").isNull() | (F.col("msg_offset") < F.col("min_unacked"))
-    per_part = joined.groupBy("topic", "part_id").agg(
-        F.sum(F.when(~below, 1).otherwise(0)).alias("lag_msgs"),
+    w10 = F.expr(
+        f"CAST(unix_timestamp(ts) DIV {HEALTH_WIN_S} AS BIGINT) * {HEALTH_WIN_S}"
+    )
+    w60 = F.expr("CAST(unix_timestamp(ts) DIV 60 AS BIGINT) * 60")
+    w_rate = Window.partitionBy("topic", "w60").orderBy("msg_offset")
+    w_part = Window.partitionBy("topic", "part_id").orderBy("msg_offset")
+    flagged = (
+        m.withColumn("w10", w10)
+        .withColumn("w60", w60)
+        .withColumn("rate_rn", F.row_number().over(w_rate))
+        .withColumn(
+            "bytes_run",
+            F.sum("size_bytes").over(
+                w_rate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "unacked_upto",
+            F.sum(F.when(F.col("acked"), 0).otherwise(1)).over(w_part),
+        )
+    )
+    fail = F.col("outcome").isin("RETRY", "DLQ")
+    flag = lambda cond: F.max(F.when(cond, 1).otherwise(0))  # noqa: E731
+    per_win = flagged.groupBy("topic", "part_id", "w10").agg(
+        F.sum(F.when(F.col("unacked_upto") > 0, 1).otherwise(0)).alias("lag_msgs"),
         F.sum(
             F.when(
                 (F.col("outcome") == "DLQ")
@@ -680,7 +783,38 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("dlq_msgs"),
-        F.max("min_unacked").isNotNull().alias("has_stuck_head"),
+        flag(~F.col("acked")).alias("any_unacked"),
+        flag(F.col("rate_rn") > HEALTH_RATE_LIMIT).alias("f_rate"),
+        flag(F.col("bytes_run") > HEALTH_BYTES_LIMIT).alias("f_bytes"),
+        flag((~F.col("acked")) & (F.col("unacked_upto") > INFLIGHT_LIMIT)).alias(
+            "f_inflight"
+        ),
+        flag(fail & (F.col("msg_offset") % 23 == 0)).alias("f_perm"),
+        flag(fail & (F.col("msg_offset") % 23 == 1)).alias("f_invalid"),
+        flag(
+            (F.col("outcome") == "RETRY") & (F.col("topic") == NO_RETRY_QUEUE_TOPIC)
+        ).alias("f_noq"),
+        F.when(
+            2 * F.sum(F.when(F.col("latency_ms") > MED_LAT_HIGH, 1).otherwise(0))
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_med"),
+        F.when(F.max("latency_ms") > MAX_LAT_HIGH, 1).otherwise(0).alias("f_max"),
+    )
+    per_part = per_win.groupBy("topic", "part_id").agg(
+        F.sum("lag_msgs").cast("bigint").alias("lag_msgs"),
+        F.sum("dlq_msgs").cast("bigint").alias("dlq_msgs"),
+        (F.max("any_unacked") == 1).alias("has_stuck_head"),
+        F.sum("f_rate").cast("bigint").alias("wins_msg_rate_limited"),
+        F.sum("f_bytes").cast("bigint").alias("wins_bytes_rate_limited"),
+        F.sum("f_inflight").cast("bigint").alias("wins_inflight_limited"),
+        F.sum("f_perm").cast("bigint").alias("wins_permission_denied"),
+        F.sum("f_invalid").cast("bigint").alias("wins_invalid_response"),
+        F.sum("f_noq").cast("bigint").alias("wins_retry_no_queue"),
+        F.sum("f_med").cast("bigint").alias("wins_median_latency_high"),
+        F.sum("f_max").cast("bigint").alias("wins_max_latency_high"),
     )
     return per_part.select(
         "topic",
@@ -688,6 +822,14 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag_msgs",
         "dlq_msgs",
         "has_stuck_head",
+        "wins_msg_rate_limited",
+        "wins_bytes_rate_limited",
+        "wins_inflight_limited",
+        "wins_permission_denied",
+        "wins_invalid_response",
+        "wins_retry_no_queue",
+        "wins_median_latency_high",
+        "wins_max_latency_high",
         F.when(F.col("dlq_msgs") >= DLQ_UNHEALTHY, "UNHEALTHY")
         .when(F.col("lag_msgs") > LAG_DEGRADED, "DEGRADED")
         .otherwise("HEALTHY")
