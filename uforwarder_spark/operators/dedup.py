@@ -1632,11 +1632,32 @@ def es_token_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+ES_ROLLING_FLAG = "SPARK_GRAFT_ES_ROLLING"
+
+
 def es_window_frame(t: DataFrame) -> DataFrame:
-    """(doc_id, p, h): one 16-byte window hash per token position — the
+    """(doc_id, p, h): one window fingerprint per token position — the
     exact-substring signature stream. At 100 TB the existing-corpus
     output of this frame is a persisted DISTINCT-hash table updated per
-    ingest, not recomputed (the D36 band-table convention)."""
+    ingest, not recomputed (the D36 band-table convention).
+
+    Two kernels, selected by the {ES_ROLLING_FLAG} env var (read at
+    call time so one process can compare both):
+    - default: declarative JVM-side map — md5 of the joined W-gram per
+      position, O(n·W) re-hashing but zero Python (the oracle twin).
+    - "1": O(n) polynomial rolling hash over per-token fingerprints
+      (Arrow-batched mapInPandas) — the 100 TB path, where the W×
+      re-hash constant dominates the window stage. Fingerprint VALUES
+      differ from md5, but within a run every call site sees the same
+      kernel, and the duplicated-position SET — the only thing
+      downstream consumes — is identical (equality test at both SFs:
+      tests/test_properties.py::test_es_rolling_kernel_equivalence).
+    Downstream plans (the group-by/join shuffle shape that actually
+    scale-limits D73/D74/D78/E33) are identical either way."""
+    import os
+
+    if os.environ.get(ES_ROLLING_FLAG) == "1":
+        return _es_window_frame_rolling(t)
     return t.select(
         "doc_id",
         F.explode(
@@ -1646,6 +1667,72 @@ def es_window_frame(t: DataFrame) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+
+
+def _es_window_frame_rolling(t: DataFrame) -> DataFrame:
+    """O(n) rolling-hash kernel behind {ES_ROLLING_FLAG}: per doc, one
+    64-bit polynomial fingerprint per window position computed in a
+    single pass (Rabin-Karp over per-token md5-low-8-byte values, base
+    = the odd FNV prime so B is invertible mod 2^64 and the whole
+    window sweep vectorizes: H(p) = (pref[p+W] − pref[p])·B^{{W-1}}·B^p
+    with pref the B^{{-i}}-weighted prefix sum, everything wrapping in
+    uint64). Cost per doc: n small-string hashes + O(n) vector ops —
+    no W× re-hash. Emitted as a 17-hex-char string so the column stays
+    drop-in schema-compatible with the md5 kernel (downstream group-by
+    / join / DISTINCT plans are typed string either way).
+
+    64-bit collision honesty: at test SFs negligible; at 100 TB
+    (~10^13 windows) a production deployment widens to 128 bits by
+    emitting two independent-base hashes from the SAME single pass —
+    the plan shape does not change."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    B = 1099511628211  # odd ⇒ invertible mod 2^64
+    MOD = 1 << 64
+    POW_W1 = np.uint64(pow(B, ES_W - 1, MOD))
+    BINV = np.uint64(pow(B, -1, MOD))
+    BU = np.uint64(B)
+
+    def roll(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "p": [], "h": []}
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                n = len(toks)
+                if n < ES_W:
+                    continue
+                th = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                        )
+                        for tok in toks
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+                with np.errstate(over="ignore"):
+                    invpow = np.empty(n, dtype=np.uint64)
+                    invpow[0] = 1
+                    np.cumprod(np.full(n - 1, BINV, dtype=np.uint64), out=invpow[1:])
+                    pref = np.zeros(n + 1, dtype=np.uint64)
+                    np.cumsum(th * invpow, out=pref[1:])
+                    bp = np.empty(n - ES_W + 1, dtype=np.uint64)
+                    bp[0] = 1
+                    if n - ES_W > 0:
+                        np.cumprod(np.full(n - ES_W, BU, dtype=np.uint64), out=bp[1:])
+                    hs = (pref[ES_W:] - pref[: n - ES_W + 1]) * POW_W1 * bp
+                m = n - ES_W + 1
+                out["doc_id"].extend([doc_id] * m)
+                out["p"].extend(range(m))
+                out["h"].extend(f"r{x:016x}" for x in hs)
+            yield pd.DataFrame(out, columns=["doc_id", "p", "h"])
+
+    return t.select("doc_id", "toks").mapInPandas(
+        roll, schema="doc_id long, p long, h string"
+    )
 
 
 def es_spans(pos: DataFrame, w: int = ES_W) -> DataFrame:
