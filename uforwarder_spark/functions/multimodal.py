@@ -208,6 +208,118 @@ FROM s
 """
 
 
+def letterbox(w: int, h: int, box: int):
+    """Aspect-preserving letterbox of (w, h) into a box² target, never
+    upscaling — shared by every decoder so the geometry rule cannot
+    drift between the stub and a real decode. Returns
+    (out_w, out_h, scale rounded 6 dp, the engines' half-away-from-zero
+    rounding — numpy/py round half-to-even, emulated explicitly)."""
+    import math
+
+    sc = min(box / w, box / h, 1.0)
+    ow = max(1, int(math.floor(w * sc)))
+    oh = max(1, int(math.floor(h * sc)))
+    return ow, oh, math.floor(sc * 1e6 + 0.5) / 1e6
+
+
+def stub_decode_resize(payload: bytes, box: int):
+    """The deterministic stand-in decoder (SQL-auditable: dims derive
+    from the byte length, the resized checksum re-hashes the payload
+    hash with the output dims). Contract shared by every decoder:
+    (width, height, out_w, out_h, scale6, out_bytes, resized_checksum)."""
+    import hashlib
+
+    n = len(payload)
+    w, h = n % 640 + 1, n % 480 + 1
+    ow, oh, sc6 = letterbox(w, h, box)
+    checksum = hashlib.md5(payload).hexdigest()
+    return (
+        w, h, ow, oh, sc6, ow * oh * 3,
+        hashlib.md5(f"{checksum}:{ow}x{oh}".encode()).hexdigest(),
+    )
+
+
+def ppm_decode_resize(payload: bytes, box: int):
+    """REAL image decode + resize with zero optional dependencies: a
+    binary PPM (P6) parser + numpy nearest-neighbor letterbox resample.
+    Decodes the actual header dims, resamples the actual pixel array,
+    and checksums the actual resized RGB bytes — the integration test
+    (tests/test_swap_points.py) drives the full Spark pipeline through
+    this decoder, proving the real-decode swap is exactly one function
+    (PIL differs only in Image.open/thumbnail inside the same
+    contract)."""
+    import hashlib
+
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM payload")
+    # P6 header: magic, width, height, maxval — whitespace separated.
+    parts = payload.split(maxsplit=4)
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(payload[-w * h * 3 :], dtype=np.uint8).reshape(h, w, 3)
+    ow, oh, sc6 = letterbox(w, h, box)
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    resized = px[ys][:, xs]
+    return (
+        w, h, ow, oh, sc6, ow * oh * 3,
+        hashlib.md5(resized.tobytes()).hexdigest(),
+    )
+
+
+def pil_decode_resize(payload: bytes, box: int):
+    """The PIL-backed decoder for real image formats (PNG/JPEG/...):
+    same contract, one function — tested when PIL is installed
+    (tests/test_swap_points.py skips otherwise; this container ships
+    without it)."""
+    import hashlib
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    w, h = img.size
+    ow, oh, sc6 = letterbox(w, h, box)
+    resized = img.resize((ow, oh), Image.NEAREST)
+    return (
+        w, h, ow, oh, sc6, ow * oh * 3,
+        hashlib.md5(resized.tobytes()).hexdigest(),
+    )
+
+
+def multimodal_resize_frame(bins: DataFrame, decode_resize=stub_decode_resize) -> DataFrame:
+    """The D46 pipeline over any (doc_id, payload binary) frame with a
+    pluggable decoder — `decode_resize` IS the swap point: the Spark
+    plumbing (schema, Arrow batching, payload isolation) is identical
+    for the stub, the dependency-free PPM decoder, and PIL."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "width", "height", "out_width", "out_height",
+            "scale", "out_bytes", "resized_checksum",
+        )
+        for pdf in batches:
+            out = {"doc_id": []}
+            out.update({c: [] for c in cols})
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                vals = decode_resize(bytes(payload), RESIZE_BOX)
+                out["doc_id"].append(doc_id)
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return bins.mapInPandas(
+        resize_batches,
+        schema=(
+            "doc_id long, width int, height int, out_width int, out_height int, "
+            "scale double, out_bytes long, resized_checksum string"
+        ),
+    )
+
+
 @register("multimodal_resize", RESIZE_ORACLE)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing over the opaque binary column: decode dims
@@ -216,61 +328,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     RGB byte estimate / resized-payload checksum — the stage that feeds
     a vision-encoder batch at a fixed input size.
 
-    Real-decode swap point: replace the dims derivation and the
-    checksum line with PIL decode + ``thumbnail``; schema, batching,
-    and partitioning stay as-is.
+    Real-decode swap point — now EXERCISED, not just documented: the
+    kernel is `multimodal_resize_frame(bins, decode_resize=...)`;
+    `ppm_decode_resize` (dependency-free real pixel decode + resample)
+    and `pil_decode_resize` run through the identical Spark plumbing in
+    tests/test_swap_points.py. This registered operator keeps the
+    SQL-auditable stub so the DuckDB oracle stays exact.
 
     SCALE: same contract as D12/D29 — mapInPandas streams Arrow batches
     with bounded memory, payload bytes never shuffle (the stage is a
     pure map and only the small dim/checksum features leave it), and
     the work is embarrassingly parallel over file splits. Closure-
     pickled; workers never import the package."""
-
-    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-        import math
-
-        for pdf in batches:
-            out = {
-                "doc_id": [],
-                "width": [],
-                "height": [],
-                "out_width": [],
-                "out_height": [],
-                "scale": [],
-                "out_bytes": [],
-                "resized_checksum": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                w, h = n % 640 + 1, n % 480 + 1
-                sc = min(RESIZE_BOX / w, RESIZE_BOX / h, 1.0)
-                ow = max(1, int(math.floor(w * sc)))
-                oh = max(1, int(math.floor(h * sc)))
-                checksum = hashlib.md5(payload).hexdigest()
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["out_width"].append(ow)
-                out["out_height"].append(oh)
-                # engines round() half-away-from-zero; numpy rounds
-                # half-to-even — emulate the engines explicitly
-                out["scale"].append(math.floor(sc * 1e6 + 0.5) / 1e6)
-                out["out_bytes"].append(ow * oh * 3)
-                out["resized_checksum"].append(
-                    hashlib.md5(f"{checksum}:{ow}x{oh}".encode()).hexdigest()
-                )
-            yield pd.DataFrame(out)
-
     docs = load_table(spark, sf_dir, "documents")
     bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return bins.mapInPandas(
-        resize_batches,
-        schema=(
-            "doc_id long, width int, height int, out_width int, out_height int, "
-            "scale double, out_bytes long, resized_checksum string"
-        ),
-    )
+    return multimodal_resize_frame(bins)
 
 
 # --- D64 -----------------------------------------------------------------
