@@ -125,9 +125,18 @@ HEADLINE3 = [
 # incr_knn_edges 4.439 at cal 0.1159.
 BASELINE3 = {
     "ivf_index_refresh": 2.042,
-    "exact_substring_dedup": 0.845,
-    "incr_substring_dedup": 0.82,
-    "substring_span_removal": 0.811,
+    # Substring trio re-pinned round 8 (VERDICT r07 #4): the r07 pins
+    # (0.845 / 0.82 / 0.811) came from one favorable window that no
+    # later measurement reproduced — five-plus post-pin windows across
+    # r07/r08 read 0.98-1.22 s raw, including same-generation idle
+    # best-of-5 runs with normal md5 witnesses. Re-pinned at a
+    # normal-host-mode window's best-of-3, sc-normalized to
+    # BASELINE3_CAL (the ann_multiquery_ivf precedent: pin the
+    # REPRODUCIBLE value, not the fast episode). BASELINE.md round-8
+    # addendum has the full measurement trail.
+    "exact_substring_dedup": 1.04,
+    "incr_substring_dedup": 1.07,
+    "substring_span_removal": 1.10,
     "quality_classifier_score": 0.304,
     "knn_graph_lsh": 2.007,
     "incr_knn_edges": 2.069,
