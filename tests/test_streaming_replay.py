@@ -2194,3 +2194,84 @@ def test_e47_doremi_replay_idempotent_and_converges(
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+# --- empty-micro-batch sweep (VERDICT r07 #8) -------------------------------
+# A file-source trigger can legitimately deliver ZERO rows (an empty
+# file, a filtered-out batch). The batchId-versioned monitors read their
+# previous state from batch_id=N-1, so a pipeline that SKIPS writing on
+# an empty batch would silently lose its entire state on the next
+# trigger — and one that mishandles empty frames could write spurious
+# rows. Property: an empty trigger must write batch_id=N state that is
+# bit-identical to batch_id=N-1, for every batchId-versioned state
+# table the pipeline maintains (discovered by walking the state tree,
+# so a pipeline adding a table is covered automatically).
+
+_EMPTY_TRIGGER_MONITORS = [
+    ("e19_weights", "importance_weights_pipeline"),
+    ("e21_entropy", "entropy_monitor_pipeline"),
+    ("e22_hll", "hll_monitor_pipeline"),
+    ("e27_dsir", "dsir_model_pipeline"),
+    ("e35_quality", "quality_mixture_pipeline"),
+    ("e38_kmv", "kmv_sketch_pipeline"),
+    ("e40_vocab", "vocab_growth_pipeline"),
+    ("e41_zipf", "zipf_drift_pipeline"),
+    ("e43_pmi", "pmi_collocation_pipeline"),
+]
+
+
+def _batch_versioned_dirs(state_root):
+    """Every directory under state_root that contains batch_id= children."""
+    found = []
+    for root, dirs, _ in os.walk(state_root):
+        if any(d.startswith("batch_id=") for d in dirs):
+            found.append(root)
+    return found
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name,pipe", _EMPTY_TRIGGER_MONITORS)
+def test_empty_trigger_leaves_state_unchanged(spark, name, pipe):
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .toPandas()[DOCS_COLS]
+        .sort_values("doc_id")  # E40 needs doc-id-ordered delivery
+        .reset_index(drop=True)
+    )
+    tmp = tempfile.mkdtemp(prefix=f"et_{name}")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    state = os.path.join(tmp, "state")
+    now = _time.time() - 1000
+    half = len(docs_pdf) // 2
+    _write_chunks(
+        spark, [docs_pdf.iloc[:half], docs_pdf.iloc[half:]], DOCS_SCHEMA, src, now
+    )
+    make_query = lambda s: getattr(P, pipe)(s, state, ckpt)  # noqa: E731
+    _run_monitor_phase(spark, make_query, src)
+
+    tables = _batch_versioned_dirs(state)
+    assert tables, f"{name}: no batchId-versioned state found"
+    last = max(
+        int(d.split("=")[1])
+        for t in tables
+        for d in os.listdir(t)
+        if d.startswith("batch_id=")
+    )
+    before = {t: _sorted_pdf(spark, f"{t}/batch_id={last}") for t in tables}
+
+    # land ONE empty chunk -> one zero-row micro-batch
+    _write_chunks(spark, [docs_pdf.iloc[0:0]], DOCS_SCHEMA, src, now, start_idx=2)
+    _run_monitor_phase(spark, make_query, src)
+
+    for t, snap in before.items():
+        new = f"{t}/batch_id={last + 1}"
+        assert os.path.isdir(new), (
+            f"{name}: empty trigger wrote no state at {new} — the next "
+            "batch would read batch_id=N-1 and silently lose all state"
+        )
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, new), snap, check_exact=True)
