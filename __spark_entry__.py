@@ -42,38 +42,20 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # to the overflow head, keeping their r04 rows + both-SF pytest
 # parity).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (37): D72-D96 are new; B22/E30
-    #    gained the zero-span guard; D71 the decimal expected-rate sum;
-    #    D31/D42/D62 the clamped shared reconstruct expr; D67 the
-    #    AQE-decided spine join; D68 the fused encode+ADC map; D70 the
-    #    split hash/diff kernel; D40/D41/D59 the pass-through assign +
-    #    factored M-step; D7 moved to the shared knn_band_frame kernel
-    #    and D76/D77 to the normalized-dot score --
-    "bigram_perplexity", "contrastive_triplets", "incr_triplet_mining",
-    "markov_transitions", "cusum_changepoints", "doremi_weights",
-    "split_leakage_audit", "audio_silence_segments", "kcenter_coreset",
-    "hybrid_rrf_retrieval", "heaps_vocab_growth", "hybrid_rrf_multiquery",
-    "pmi_collocations", "jl_projection_audit",
-    "ivf_index_refresh", "exact_substring_dedup", "incr_substring_dedup",
-    "quality_classifier_score", "knn_graph_lsh", "incr_knn_edges",
-    "substring_span_removal", "ann_topk_lsh", "index_drift_stats",
-    "decon_span_removal", "kmv_sketch_overlap", "knn_graph_pagerank",
-    "system_load_ratio", "lsh_recall_audit",
-    "embedding_int8_quantize", "ann_topk_int8_rescore",
-    "ann_topk_ivf_int8", "ngram_decontamination", "ann_topk_pq",
-    "corpus_snapshot_diff",
-    "kmeans_embedding_assign", "semdedup_prune", "kmeans_cluster_purity",
-    # -- (b) r03 leftovers (15): the oldest driver rows in the repo --
-    "worker_lease_reassignment", "scale_window_proposal",
-    "reactive_downscale_window", "batch_job_completion",
-    "pod_assignment_groups", "flow_control_aggregate",
-    "workload_monitor_ttl", "user_sessions",
-    "dedup_exact", "dedup_minhash_lsh", "containment_pairs",
-    "corpus_shuffle_export", "sequence_packing",
+    # -- (a) changed this round (6): pipeline_health gained the full
+    #    KafkaPipelineIssue taxonomy columns (hash CHANGED); the
+    #    exact-substring family moved to the flag-dispatched window
+    #    kernel (default md5 path value-identical, code changed);
+    #    kcenter_coreset gained per-step localCheckpoints;
+    #    multimodal_resize moved to the pluggable-decoder kernel --
+    "pipeline_health", "exact_substring_dedup", "incr_substring_dedup",
+    "substring_span_removal", "kcenter_coreset", "multimodal_resize",
+    # -- (b) the two r03 leftovers that slid past last round's line —
+    #    the oldest driver rows in the repo --
     "embedding_centroid_outliers", "incremental_dedup",
-    # ---------------- 50-slot window ends here ----------------
-    # (the r04 relational cohort now sits just past the line; its keys
-    # keep their r04 driver rows + both-SF pytest parity)
+    # -- (c) the r04 cohort (42 of its 43 keys; blocklist_filter slides
+    #    just past the line and leads next round): relational C1 +
+    #    C12-C28, then A28/A32-A36, then the r04 D keys --
     "tpch_q1_pricing_summary",
     "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
     "tpch_q18_large_orders", "tpch_q15_top_supplier",
@@ -84,20 +66,21 @@ _KEY_PRIORITY = [
     "funnel_conversion", "retention_cohorts", "asof_join_purchases",
     "range_join_error_impact", "cube_revenue", "pivot_priority_revenue",
     "fetcher_throughput", "resq_routing", "aimd_inflight_limiter",
-    "head_blocking_cancel",
-    # Overflow (both-SF pytest parity continues to cover these with the
-    # driver-grade comparator): the remaining r04 keys — A35/A36,
-    # D8/D34/D37-D39/D44/D45/D47-D49/D51-D53/D55-D58/D60/D61 — are next
-    # round's rotation candidates; then token_bucket_exact (rows-only
-    # by design — no SQL oracle; its driver-r4 hash-green twin
-    # token_bucket_summary pins the shared applyInPandas kernel).
-    "token_bucket_summary", "linger_sampler", "lang_id",
-    "mixture_interleave", "ngram_novelty", "source_lang_kl",
+    "head_blocking_cancel", "token_bucket_summary", "linger_sampler",
+    "lang_id", "mixture_interleave", "ngram_novelty", "source_lang_kl",
     "importance_sampling_weights", "zipf_fit", "ngram_entropy",
     "weighted_sample_ares", "cms_heavy_hitters", "hll_distinct_tokens",
     "source_overlap_matrix", "token_budget_allocation",
     "timeseries_znorm_topk", "cdc_chunking", "window_outliers",
     "bm25_topk", "tokenizer_fertility", "unigram_perplexity",
+    # ---------------- 50-slot window ends here ----------------
+    # Past the line (both-SF pytest parity continues to cover every key
+    # with the driver-grade comparator): blocklist_filter is the one
+    # r04 key that did not fit (6 changed + 2 r03 + 43 r04 = 51) and
+    # leads the r09 window; everything after it carries r05+ evidence.
+    # token_bucket_exact stays last (rows-only by design — no SQL
+    # oracle; its hash-green twin token_bucket_summary pins the shared
+    # applyInPandas kernel).
     "blocklist_filter",
     "token_bucket_exact",
 ]
