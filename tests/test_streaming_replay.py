@@ -2275,3 +2275,161 @@ def test_empty_trigger_leaves_state_unchanged(spark, name, pipe):
             "batch would read batch_id=N-1 and silently lose all state"
         )
         pd.testing.assert_frame_equal(_sorted_pdf(spark, new), snap, check_exact=True)
+
+
+def _empty_trigger_check(spark, chunks_pdf, schema, make_query, prefix,
+                         expect_out_dir=None):
+    """Shared empty-trigger harness: land the real chunks, drain,
+    snapshot every batchId-versioned state table at the last batch id,
+    land ONE zero-row chunk, drain again, and assert the empty batch
+    wrote batch_id=N+1 state bit-identical to N. With expect_out_dir,
+    additionally assert the empty trigger's batchId-keyed output page
+    carries zero rows (no spurious decisions)."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    state = os.path.join(tmp, "state")
+    now = _time.time() - 1000
+    _write_chunks(spark, chunks_pdf, schema, src, now)
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        make_query(stream, tmp, ckpt).awaitTermination(timeout=300)
+
+    run_phase()
+    tables = _batch_versioned_dirs(state)
+    out_root = os.path.join(tmp, "out")
+    if expect_out_dir is None:
+        assert tables, f"{prefix}: no batchId-versioned state found"
+    last = max(
+        (
+            int(d.split("=")[1])
+            for root in (tables + ([out_root] if expect_out_dir else []))
+            for d in os.listdir(root)
+            if d.startswith("batch_id=")
+        ),
+    )
+    before = {t: _sorted_pdf(spark, f"{t}/batch_id={last}") for t in tables}
+    _write_chunks(
+        spark, [chunks_pdf[0].iloc[0:0]], schema, src, now, start_idx=len(chunks_pdf)
+    )
+    run_phase()
+    for t, snap in before.items():
+        new = f"{t}/batch_id={last + 1}"
+        assert os.path.isdir(new), (
+            f"{prefix}: empty trigger wrote no state at {new} — the next "
+            "batch would read batch_id=N-1 and silently lose all state"
+        )
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, new), snap, check_exact=True)
+    if expect_out_dir:
+        page = os.path.join(out_root, f"batch_id={last + 1}")
+        if os.path.isdir(page):
+            assert spark.read.parquet(page).count() == 0, (
+                f"{prefix}: empty trigger produced spurious output rows"
+            )
+
+
+def test_empty_trigger_e30_system_load(spark):
+    """E30 empty-trigger property over the message-shaped stream."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import messages
+
+    msg_cols = [
+        "msg_offset", "topic", "part_id", "ts", "size_bytes",
+        "payload_value", "outcome", "retry_count", "acked", "latency_ms",
+    ]
+    msg_schema = (
+        "msg_offset long, topic string, part_id long, ts timestamp, "
+        "size_bytes long, payload_value double, outcome string, "
+        "retry_count long, acked boolean, latency_ms long"
+    )
+    m_pdf = messages(spark, SF_SMALL).toPandas()[msg_cols]
+    half = len(m_pdf) // 2
+    _empty_trigger_check(
+        spark, [m_pdf.iloc[:half], m_pdf.iloc[half:]], msg_schema,
+        lambda s, tmp, ckpt: P.system_load_pipeline(s, os.path.join(tmp, "state"), ckpt),
+        "et_e30",
+    )
+
+
+def test_empty_trigger_e45_markov(spark):
+    """E45 empty-trigger property: the per-user carry state in
+    particular must survive an empty batch — losing it would silently
+    drop every boundary transition afterwards."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_table
+
+    ev_pdf = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    half = len(ev_pdf) // 2
+    _empty_trigger_check(
+        spark, [ev_pdf.iloc[:half], ev_pdf.iloc[half:]], schema,
+        lambda s, tmp, ckpt: P.markov_monitor_pipeline(
+            s, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e45",
+    )
+
+
+def test_empty_trigger_e46_cusum(spark):
+    """E46 empty-trigger property: minute counts, trajectory table and
+    the untracked surface must all re-derive unchanged."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_table
+
+    full = load_table(spark, SF_SMALL, "events").select("event_type", "ts")
+    ev_pdf = full.orderBy("ts").toPandas()
+    schema = "event_type string, ts timestamp"
+    half = len(ev_pdf) // 2
+    _empty_trigger_check(
+        spark, [ev_pdf.iloc[:half], ev_pdf.iloc[half:]], schema,
+        lambda s, tmp, ckpt: P.cusum_monitor_pipeline(
+            s, full, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e46",
+    )
+
+
+def test_empty_trigger_e47_doremi(spark):
+    """E47 empty-trigger property: per-source loss state and the
+    re-derived mixture weights unchanged."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    docs_pdf = docs.toPandas()[DOCS_COLS]
+    half = len(docs_pdf) // 2
+    _empty_trigger_check(
+        spark, [docs_pdf.iloc[:half], docs_pdf.iloc[half:]], DOCS_SCHEMA,
+        lambda s, tmp, ckpt: P.mixture_reweight_pipeline(
+            s, docs, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e47",
+    )
+
+
+def test_empty_trigger_e29_gate_no_spurious_rows(spark):
+    """E29 (stateless gate) empty-trigger property: a zero-row batch
+    must emit zero decision rows into its batchId-keyed page."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    docs_pdf = docs.toPandas()[DOCS_COLS]
+    half = len(docs_pdf) // 2
+    _empty_trigger_check(
+        spark, [docs_pdf.iloc[:half], docs_pdf.iloc[half:]], DOCS_SCHEMA,
+        lambda s, tmp, ckpt: P.contamination_gate_pipeline(
+            s, docs, os.path.join(tmp, "out"), ckpt
+        ),
+        "et_e29",
+        expect_out_dir=True,
+    )

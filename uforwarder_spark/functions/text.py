@@ -2081,6 +2081,49 @@ def _qc_sumk(dialect: str) -> str:
     )
 
 
+def qc_frame_weights(docs: DataFrame, weights) -> DataFrame:
+    """D75 with TRAINED weights — the documented swap as a tested
+    function (tests/test_swap_points.py trains a real least-squares
+    model and drives this kernel with it): the model is ONE array
+    literal of {QC_NB} doubles riding the projection (a broadcast
+    constant), score = mean over tokens of weights[bucket(t)], keep at
+    margin > 0. The plan is the same zero-shuffle, zero-explode,
+    zero-Python per-row fold as the bucket-derived default — swapping
+    models changes one argument, nothing else.
+
+    Exactness note: with arbitrary float weights the per-doc sum is a
+    row-local sequential double fold (deterministic, but not the
+    BIGINT-exact path the oracle-checked default uses — trained models
+    live outside the oracle gate by nature)."""
+    from ..model import H_SPARK
+
+    if len(weights) != QC_NB:
+        raise ValueError(f"need {QC_NB} weights, got {len(weights)}")
+    h = H_SPARK.format(col="t")
+    warr = "array(" + ", ".join(f"{float(w)!r}D" for w in weights) + ")"
+    score = (
+        f"aggregate(transform(ts, t -> element_at({warr}, "
+        f"CAST({h} % {QC_NB} AS INT) + 1)), 0.0D, (a, x) -> a + x) / size(ts)"
+    )
+    m = (
+        docs.select("doc_id", "source", F.expr(TOKENS_SPARK).alias("ts"))
+        .filter(F.expr("size(ts) > 0"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(size(ts) AS BIGINT)").alias("n_tokens"),
+            F.expr(score).alias("score"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("score", 6).alias("margin"),
+        (F.col("score") > 0).alias("keep"),
+    )
+
+
 QC_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
