@@ -181,3 +181,74 @@ def test_quality_classifier_trained_weight_swap(spark):
         margin, keep = got[doc_id]
         assert abs(margin - round(score, 6)) <= 1e-6, doc_id
         assert keep == (score > 0), doc_id
+
+
+def test_perplexity_heldout_lm_swap(spark):
+    """D60 swap point: score one half of the corpus under an LM trained
+    on the OTHER half — the CCNet held-out-LM shape (crawl text scored
+    under a Wikipedia KenLM; here the LM stays a unigram table but the
+    corpus split makes it a genuinely external model with real OOV
+    tokens). Verifies every cross-entropy against a pure-Python replay
+    (add-1 with OOV floor) and that the shared banding tail bands the
+    swapped scores by the same mean/mean+σ rule."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import (
+        perplexity_bands_frame,
+        unigram_ce_frame,
+    )
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    # the synthetic corpus shares one small vocab across all docs, so a
+    # doc with genuinely-unseen tokens is added to force the OOV path a
+    # held-out LM must handle (CCNet's crawl text is full of them)
+    OOV_ID, OOV_TEXT = 10**9 + 1, "zzqx vvwk zzqx qqjy the scan"
+    extra = spark.createDataFrame(
+        [(OOV_ID, OOV_TEXT, "en", "s99", len(OOV_TEXT))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    score_side = docs.filter("doc_id % 2 = 1").unionByName(extra)
+    lm_side = docs.filter("doc_id % 2 = 0")
+    out = {
+        r.doc_id: r
+        for r in perplexity_bands_frame(
+            unigram_ce_frame(score_side, lm_side)
+        ).collect()
+    }
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    rows.append((OOV_ID, OOV_TEXT))
+    tok = lambda s: [t for t in re.split("[^a-z0-9]+", s.lower()) if t]  # noqa: E731
+    lm = Counter()
+    for doc_id, text in rows:
+        if doc_id % 2 == 0:
+            lm.update(tok(text))
+    n, v = sum(lm.values()), len(lm)
+    ces, oov_seen = {}, False
+    for doc_id, text in rows:
+        if doc_id % 2 == 0:
+            continue
+        ts = tok(text)
+        if not ts:
+            continue
+        nlls = [round(-math.log((lm.get(t, 0) + 1.0) / (n + v)), 8) for t in ts]
+        oov_seen = oov_seen or any(t not in lm for t in ts)
+        ces[doc_id] = sum(nlls) / len(nlls)
+    assert oov_seen  # the held-out LM is genuinely external: OOV path exercised
+    assert set(out) == set(ces)
+    mu = sum(round(c, 8) for c in ces.values()) / len(ces)
+    msq = sum(round(c * c, 8) for c in ces.values()) / len(ces)
+    sd = math.sqrt(max(msq - mu * mu, 0.0))
+    for doc_id, ce in ces.items():
+        r = out[doc_id]
+        assert abs(r.cross_entropy - round(ce, 6)) <= 1e-6, doc_id
+        want = "head" if ce < mu else ("middle" if ce < mu + sd else "tail")
+        assert r.ppl_band == want, doc_id

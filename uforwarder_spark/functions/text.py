@@ -1954,30 +1954,54 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg. No windows, nothing pairwise.
 
     Reference analogue: none (training-data pipeline family)."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("t")
-    )
-    cnt = toks.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    docs = _docs(spark, sf_dir)
+    return perplexity_bands_frame(unigram_ce_frame(docs, docs))
+
+
+def unigram_ce_frame(docs: DataFrame, lm_docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, ce): per-doc cross-entropy of `docs` under the
+    add-1 unigram LM trained on `lm_docs` — the D60 scoring kernel with
+    the LM corpus as an explicit argument, which IS the KenLM-class
+    swap point: CCNet scores crawl text under a held-out (Wikipedia)
+    LM, and that shape is exactly `lm_docs != docs` here
+    (tests/test_swap_points.py drives it with a held-out split and a
+    numpy replay). Tokens unseen in the LM corpus score via the add-1
+    floor p = 1/(n + |V|) (left join, count 0 — OOV-safe)."""
+    toks = docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("t"))
+    lm_toks = lm_docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("t"))
+    cnt = lm_toks.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
     tot = cnt.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("vsize"),
     )
     contrib = (
-        toks.join(cnt, "t")
+        toks.join(cnt, "t", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             F.round(
-                -F.log((F.col("c") + 1.0) / (F.col("n") + F.col("vsize"))), 8
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("vsize"))
+                ),
+                8,
             )
             .cast("decimal(18,8)")
             .alias("nll"),
         )
     )
-    doc = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tok"),
         (F.sum("nll").cast("double") / F.count("*")).alias("ce"),
     )
+
+
+def perplexity_bands_frame(doc: DataFrame) -> DataFrame:
+    """Distribution-relative banding over ANY (doc_id, n_tok, ce) score
+    frame (cuts at mean and mean+σ from exact decimal moments) — the
+    D60 tail, shared by the corpus-LM default and any swapped-in
+    scorer: a different LM changes the score frame, never this
+    banding."""
     band = doc.agg(
         (
             F.sum(F.round(F.col("ce"), 8).cast("decimal(18,8)")).cast("double")
