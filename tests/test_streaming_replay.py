@@ -2433,3 +2433,58 @@ def test_empty_trigger_e29_gate_no_spurious_rows(spark):
         "et_e29",
         expect_out_dir=True,
     )
+
+
+def test_empty_trigger_e23_hdr(spark):
+    """E23 empty-trigger property over the message-shaped stream."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import messages
+
+    msg_cols = [
+        "msg_offset", "topic", "part_id", "ts", "size_bytes",
+        "payload_value", "outcome", "retry_count", "acked", "latency_ms",
+    ]
+    msg_schema = (
+        "msg_offset long, topic string, part_id long, ts timestamp, "
+        "size_bytes long, payload_value double, outcome string, "
+        "retry_count long, acked boolean, latency_ms long"
+    )
+    m_pdf = messages(spark, SF_SMALL).toPandas()[msg_cols]
+    half = len(m_pdf) // 2
+    _empty_trigger_check(
+        spark, [m_pdf.iloc[:half], m_pdf.iloc[half:]], msg_schema,
+        lambda s, tmp, ckpt: P.hdr_quantile_pipeline(
+            s, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e23",
+    )
+
+
+def test_empty_trigger_e25_bm25(spark):
+    """E25 empty-trigger property: postings/length index unchanged."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = load_parallel(spark, SF_SMALL, "documents").toPandas()[DOCS_COLS]
+    half = len(docs_pdf) // 2
+    _empty_trigger_check(
+        spark, [docs_pdf.iloc[:half], docs_pdf.iloc[half:]], DOCS_SCHEMA,
+        lambda s, tmp, ckpt: P.bm25_index_pipeline(
+            s, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e25",
+    )
+
+
+def test_empty_trigger_e32_snapshot_diff(spark):
+    """E32 empty-trigger property: the CDC ledger must survive a
+    zero-event trigger unchanged."""
+    events_pdf, prior = _snapshot_fixtures(spark)
+    half = len(events_pdf) // 2
+    _empty_trigger_check(
+        spark, [events_pdf.iloc[:half], events_pdf.iloc[half:]], EVENTS_SCHEMA,
+        lambda s, tmp, ckpt: P.snapshot_diff_pipeline(
+            s, prior, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e32",
+    )
