@@ -485,9 +485,12 @@ def main() -> None:
     line = json.dumps(compact)
     # belt-and-braces: if some future addition pushes past the window,
     # shed the least essential fields rather than lose parseability
+    # shed order: the queries dicts duplicate bench_full.json, so they
+    # go before stage_evidence — the breach verdicts are the one thing
+    # the driver's truncated record must keep (VERDICT r07 #2)
     for shed in (
-        "stage_evidence",
         "queries3", "queries2", "queries",
+        "stage_evidence",
         "per_line_breaches3", "per_line_breaches2", "per_line_breaches",
     ):
         if len(line) <= 1900:
