@@ -2087,3 +2087,196 @@ def test_kcenter_equals_python_replay(spark):
         [(r.rank, r.vec_id, r.radius) for r in kcenter_coreset(spark, SF_SMALL).collect()]
     )
     assert got == sel
+
+
+def test_kcenter_large_k_plan_bounded(spark):
+    """ADVICE r07 (medium) regression proof: before the per-step
+    localCheckpoint, the unrolled greedy chain's LOGICAL plan doubled
+    per step — at k=24 that is ~2^23 copies of the embedding scan and
+    the analyzer alone would hang. With the checkpoint each step is one
+    bounded pass, so k=24 must complete in interactive time AND match a
+    pure-Python greedy replay (same fold order, selection set
+    bit-identical)."""
+    import math
+    import time
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.similarity import kcenter_frame
+    from uforwarder_spark.session import get_spark
+
+    K = 24
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.operators.similarity import _UNIT_SPARK, _emb
+
+    en = _emb(spark, SF_SMALL).select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
+    t0 = time.time()
+    got = [(r.rank, r.vec_id) for r in kcenter_frame(spark, en, K).collect()]
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"k={K} chain took {elapsed:.0f}s — plan not bounded"
+    assert len(got) == K
+
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{SF_SMALL}/embeddings.parquet')"
+        ).fetchall()
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    u = {i: unit(v) for i, v in vecs.items()}
+    sel = [0]
+    d = {
+        i: 1.0 - sum(a * b for a, b in zip(u[i], u[0]))
+        for i in u
+        if i != 0
+    }
+    for _ in range(1, K):
+        far = max(d, key=lambda i: (d[i], -i))
+        sel.append(far)
+        su = u[far]
+        del d[far]
+        for i in d:
+            d[i] = min(d[i], 1.0 - sum(a * b for a, b in zip(u[i], su)))
+    assert [v for _, v in sorted(got)] == sel
+
+
+def test_pipeline_health_taxonomy_equals_python_replay(spark):
+    """A16 (extended r08) invariant: every verdict input and all eight
+    KafkaPipelineIssue window counts at sf0.001 equal a pure-Python
+    replay of the message model, the per-minute rate/byte windows, the
+    unacked-depth fold, and the 10-s set-semantics window accounting —
+    the third independent implementation besides the Spark plan and the
+    DuckDB oracle."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.operators.pipeline import (
+        DLQ_UNHEALTHY,
+        HEALTH_BYTES_LIMIT,
+        HEALTH_RATE_LIMIT,
+        HEALTH_WIN_S,
+        INFLIGHT_LIMIT,
+        LAG_DEGRADED,
+        MAX_LAT_HIGH,
+        MED_LAT_HIGH,
+        NO_RETRY_QUEUE_TOPIC,
+        pipeline_health,
+    )
+
+    rows = duckdb.sql(
+        f"""
+        SELECT event_id, event_type, user_id % 8, epoch(ts)::BIGINT,
+               length(props) + 64
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        """
+    ).fetchall()
+    msgs = []
+    for eid, topic, part, ep, sb in rows:
+        if eid % 97 == 0:
+            outcome, rc = "SKIP", 0
+        elif topic == "error" and eid % 11 == 0:
+            outcome, rc = "DLQ", eid % 6
+        elif topic == "error" or eid % 13 == 0:
+            outcome, rc = "RETRY", eid % 6
+        else:
+            outcome, rc = "OK", 0
+        acked = outcome in ("OK", "SKIP")
+        lat = 5 + (eid * 7) % 200
+        msgs.append((topic, part, eid, ep, sb, outcome, rc, acked, lat))
+
+    # per-(topic, minute) rank + running bytes, offset order
+    by_min = defaultdict(list)
+    for m in msgs:
+        by_min[(m[0], (m[3] // 60) * 60)].append(m)
+    rate_rn, bytes_run = {}, {}
+    for grp in by_min.values():
+        grp.sort(key=lambda m: m[2])
+        run = 0
+        for rn, m in enumerate(grp, 1):
+            run += m[4]
+            rate_rn[m[2]] = rn
+            bytes_run[m[2]] = run
+    # per-(topic, part) unacked depth, offset order
+    by_part = defaultdict(list)
+    for m in msgs:
+        by_part[(m[0], m[1])].append(m)
+    unacked_upto = {}
+    for grp in by_part.values():
+        grp.sort(key=lambda m: m[2])
+        dep = 0
+        for m in grp:
+            dep += 0 if m[7] else 1
+            unacked_upto[m[2]] = dep
+
+    # 10-s windows: set-semantics flags + verdict inputs
+    win = defaultdict(lambda: {
+        "lag": 0, "dlq": 0, "unacked": False, "flags": set(),
+        "n": 0, "above": 0, "maxlat": 0,
+    })
+    for topic, part, eid, ep, sb, outcome, rc, acked, lat in msgs:
+        w = win[(topic, part, (ep // HEALTH_WIN_S) * HEALTH_WIN_S)]
+        if unacked_upto[eid] > 0:
+            w["lag"] += 1
+        if outcome == "DLQ" or (outcome == "RETRY" and rc >= 5):
+            w["dlq"] += 1
+        if not acked:
+            w["unacked"] = True
+        if rate_rn[eid] > HEALTH_RATE_LIMIT:
+            w["flags"].add("rate")
+        if bytes_run[eid] > HEALTH_BYTES_LIMIT:
+            w["flags"].add("bytes")
+        if not acked and unacked_upto[eid] > INFLIGHT_LIMIT:
+            w["flags"].add("inflight")
+        if outcome in ("RETRY", "DLQ") and eid % 23 == 0:
+            w["flags"].add("perm")
+        if outcome in ("RETRY", "DLQ") and eid % 23 == 1:
+            w["flags"].add("invalid")
+        if outcome == "RETRY" and topic == NO_RETRY_QUEUE_TOPIC:
+            w["flags"].add("noq")
+        w["n"] += 1
+        if lat > MED_LAT_HIGH:
+            w["above"] += 1
+        w["maxlat"] = max(w["maxlat"], lat)
+
+    per_part = defaultdict(lambda: defaultdict(int))
+    for (topic, part, _w10), w in win.items():
+        p = per_part[(topic, part)]
+        p["lag"] += w["lag"]
+        p["dlq"] += w["dlq"]
+        p["stuck"] |= w["unacked"]
+        for f in w["flags"]:
+            p[f] += 1
+        if 2 * w["above"] > w["n"]:
+            p["med"] += 1
+        if w["maxlat"] > MAX_LAT_HIGH:
+            p["max"] += 1
+
+    got = {(r.topic, r.part_id): r for r in pipeline_health(spark, SF_SMALL).collect()}
+    assert set(got) == set(per_part)
+    for key, p in per_part.items():
+        r = got[key]
+        assert (r.lag_msgs, r.dlq_msgs, bool(r.has_stuck_head)) == (
+            p["lag"], p["dlq"], bool(p["stuck"])
+        ), key
+        assert (
+            r.wins_msg_rate_limited, r.wins_bytes_rate_limited,
+            r.wins_inflight_limited, r.wins_permission_denied,
+            r.wins_invalid_response, r.wins_retry_no_queue,
+            r.wins_median_latency_high, r.wins_max_latency_high,
+        ) == (
+            p["rate"], p["bytes"], p["inflight"], p["perm"],
+            p["invalid"], p["noq"], p["med"], p["max"],
+        ), key
+        want = (
+            "UNHEALTHY" if p["dlq"] >= DLQ_UNHEALTHY
+            else "DEGRADED" if p["lag"] > LAG_DEGRADED
+            else "HEALTHY"
+        )
+        assert r.health == want, key

@@ -2740,6 +2740,15 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection side)."""
     e = _emb(spark, sf_dir)
     en = e.select("vec_id", F.expr(_UNIT_SPARK).alias("u"))
+    return kcenter_frame(spark, en, KCENTER_K)
+
+
+def kcenter_frame(spark: SparkSession, en: DataFrame, k: int) -> DataFrame:
+    """The D96 greedy chain over any (vec_id, u unit-vector) frame with
+    the budget as a parameter — k linear localCheckpoint-bounded passes
+    (tests/test_properties.py::test_kcenter_large_k_plan_bounded proves
+    the chain stays tractable at k well beyond the registered budget,
+    which the pre-checkpoint 2^(k−1) plan could not)."""
     seed = en.filter(F.col("vec_id") == 0).select(F.col("u").alias("su"))
     dist = "1.0D - " + _DOT_SPARK.format(a="u", b="su")
     # localCheckpoint: each unrolled step below references the previous
@@ -2760,7 +2769,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("radius"),
         )
     ]
-    for i in range(1, KCENTER_K):
+    for i in range(1, k):
         sel = (
             m.orderBy(F.col("d").desc(), "vec_id")
             .limit(1)
