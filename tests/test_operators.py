@@ -1150,3 +1150,120 @@ def test_hybrid_rrf_fusion_semantics(spark):
         assert (r.cosine is None) == (r.sem_rank is None)
         scores.append(r.rrf_score)
     assert scores == sorted(scores, reverse=True)
+
+
+# --- A16 pipeline health issue taxonomy (r08) ----------------------------
+HMSG_COLS = [
+    "topic", "part_id", "msg_offset", "ts", "size_bytes",
+    "outcome", "retry_count", "acked", "latency_ms",
+]
+
+
+def _hmsgs(spark, rows):
+    from uforwarder_spark.operators.pipeline import pipeline_health_frame
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    full = [
+        (t, p, o, base.replace(second=0) if ts is None else ts, sb, oc, rc, ak, lat)
+        for (t, p, o, ts, sb, oc, rc, ak, lat) in rows
+    ]
+    return pipeline_health_frame(spark.createDataFrame(full, HMSG_COLS))
+
+
+def _t(sec):
+    from datetime import timedelta
+
+    return datetime(2024, 1, 1, 0, 0, 0) + timedelta(seconds=sec)
+
+
+def test_health_issue_window_set_semantics(spark):
+    """Two over-rate messages in the SAME 10-s window count ONE window;
+    split across two windows they count two (PipelineHealthState's
+    recordIssue set-per-window rule)."""
+    from uforwarder_spark.operators.pipeline import HEALTH_RATE_LIMIT
+
+    def rows(second_of_third):
+        # three msgs in one minute -> rate ranks 1,2,3; ranks 2 and 3
+        # exceed HEALTH_RATE_LIMIT=1
+        assert HEALTH_RATE_LIMIT == 1
+        return [
+            ("t", 0, 1, _t(1), 10, "OK", 0, True, 50),
+            ("t", 0, 2, _t(2), 10, "OK", 0, True, 50),
+            ("t", 0, 3, _t(second_of_third), 10, "OK", 0, True, 50),
+        ]
+
+    same = _hmsgs(spark, rows(3)).collect()[0]
+    assert same.wins_msg_rate_limited == 1
+    split = _hmsgs(spark, rows(11)).collect()[0]  # third msg in next 10-s window
+    assert split.wins_msg_rate_limited == 2
+
+
+def test_health_median_rule_is_strict_majority(spark):
+    """Exactly half the window's RPCs above the threshold is NOT
+    median-high (2*n_above > n is strict); one more flips it."""
+    from uforwarder_spark.operators.pipeline import MED_LAT_HIGH
+
+    lo, hi = MED_LAT_HIGH, MED_LAT_HIGH + 1  # lo does NOT count as above
+    half = _hmsgs(spark, [
+        ("t", 0, 1, _t(0), 10, "OK", 0, True, lo),
+        ("t", 0, 2, _t(1), 10, "OK", 0, True, hi),
+        ("t", 0, 3, _t(2), 10, "OK", 0, True, lo),
+        ("t", 0, 4, _t(3), 10, "OK", 0, True, hi),
+    ]).collect()[0]
+    assert half.wins_median_latency_high == 0
+    major = _hmsgs(spark, [
+        ("t", 0, 1, _t(0), 10, "OK", 0, True, lo),
+        ("t", 0, 2, _t(1), 10, "OK", 0, True, hi),
+        ("t", 0, 3, _t(2), 10, "OK", 0, True, hi),
+    ]).collect()[0]
+    assert major.wins_median_latency_high == 1
+
+
+def test_health_bytes_and_maxlat_boundaries_exclusive(spark):
+    """bytes_run == limit and max latency == threshold do NOT flag;
+    one past either does."""
+    from uforwarder_spark.operators.pipeline import (
+        HEALTH_BYTES_LIMIT,
+        MAX_LAT_HIGH,
+    )
+
+    at = _hmsgs(spark, [
+        ("t", 0, 1, _t(0), HEALTH_BYTES_LIMIT, "OK", 0, True, MAX_LAT_HIGH),
+    ]).collect()[0]
+    assert at.wins_bytes_rate_limited == 0
+    assert at.wins_max_latency_high == 0
+    past = _hmsgs(spark, [
+        ("t", 0, 1, _t(0), HEALTH_BYTES_LIMIT + 1, "OK", 0, True, MAX_LAT_HIGH + 1),
+    ]).collect()[0]
+    assert past.wins_bytes_rate_limited == 1
+    assert past.wins_max_latency_high == 1
+
+
+def test_health_inflight_issue_at_depth_boundary(spark):
+    """Unacked depth == INFLIGHT_LIMIT does not flag; the (limit+1)-th
+    concurrently-unacked message does (A7's admit rule)."""
+    from uforwarder_spark.operators.pipeline import INFLIGHT_LIMIT
+
+    def burst(n):
+        return [
+            ("t", 0, i, _t(0), 10, "RETRY", 1, False, 50) for i in range(1, n + 1)
+        ]
+
+    at = _hmsgs(spark, burst(INFLIGHT_LIMIT)).collect()[0]
+    assert at.wins_inflight_limited == 0
+    over = _hmsgs(spark, burst(INFLIGHT_LIMIT + 1)).collect()[0]
+    assert over.wins_inflight_limited == 1
+
+
+def test_health_retry_queue_config_is_per_topic(spark):
+    """A RETRY on the queueless topic flags RETRY_WITHOUT_RETRY_QUEUE;
+    the same RETRY on a queued topic does not."""
+    from uforwarder_spark.operators.pipeline import NO_RETRY_QUEUE_TOPIC
+
+    rows = [
+        (NO_RETRY_QUEUE_TOPIC, 0, 3, _t(0), 10, "RETRY", 1, False, 50),
+        ("click", 0, 4, _t(0), 10, "RETRY", 1, False, 50),
+    ]
+    got = {r.topic: r for r in _hmsgs(spark, rows).collect()}
+    assert got[NO_RETRY_QUEUE_TOPIC].wins_retry_no_queue == 1
+    assert got["click"].wins_retry_no_queue == 0

@@ -750,7 +750,14 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     evenly spread; everything downstream is two partial aggs
     (windows-sized, then partitions-sized). No Python, no sort beyond
     the keyed window sorts."""
-    m = messages(spark, sf_dir)
+    return pipeline_health_frame(messages(spark, sf_dir))
+
+
+def pipeline_health_frame(m: DataFrame) -> DataFrame:
+    """Frame-level A16 over any messages-shaped frame (unit-testable on
+    hand-built edge cases, the reference's PipelineHealthManagerTest
+    style — window-boundary, exactly-at-limit, exactly-half-latency
+    rows)."""
     w10 = F.expr(
         f"CAST(unix_timestamp(ts) DIV {HEALTH_WIN_S} AS BIGINT) * {HEALTH_WIN_S}"
     )
