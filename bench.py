@@ -179,7 +179,12 @@ def _host_mode(sc: float, mc: float, sw: float) -> str:
         return "anti_correlated"
     if sw_hi:
         return "engine_slow"
-    return "normal"
+    if SC_BAND[0] * 0.95 <= sc <= SC_BAND[1] * 1.15 and mc <= MC_BAND[1] * 1.15:
+        return "normal"
+    # witnesses outside every documented signature (e.g. slow single-
+    # core md5 with a normal engine witness): surface it rather than
+    # calling it normal — an adjudicator must look at the triple.
+    return "unclassified"
 
 
 def _stage_evidence(spark, fn, sf_dir: str) -> dict:
@@ -430,12 +435,19 @@ def main() -> None:
     stage_full: dict[str, dict] = {}
     stage_compact: dict[str, dict] = {}
     for name in breach_names:
-        ev = _stage_evidence(spark, QUERIES[name], sf_dir)
+        # never let the evidence pass cost the record itself: a failure
+        # here (py4j API drift, a one-off rerun blowing up) must not
+        # lose the timing JSON the whole round's adjudication reads
+        # (the round-6 lost-record failure mode)
+        try:
+            ev = _stage_evidence(spark, QUERIES[name], sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            ev = {"error": f"{type(exc).__name__}: {exc}"[:200]}
         stage_full[name] = ev
         # compact carries ONLY the adjudicating number per line
         # (sched_overhead_share); wall/exec/stage tables live in
         # bench_full.json
-        stage_compact[name] = ev["sched_overhead_share"]
+        stage_compact[name] = ev.get("sched_overhead_share")
 
     compact = {
         "metric": "headline_queries_total_wall",

@@ -2172,7 +2172,8 @@ def test_pipeline_health_taxonomy_equals_python_replay(spark):
 
     rows = duckdb.sql(
         f"""
-        SELECT event_id, event_type, user_id % 8, epoch(ts)::BIGINT,
+        SELECT event_id, event_type, user_id % 8,
+               CAST(floor(epoch(ts)) AS BIGINT),
                length(props) + 64
         FROM read_parquet('{SF_SMALL}/events.parquet')
         """

@@ -252,3 +252,74 @@ def test_perplexity_heldout_lm_swap(spark):
         assert abs(r.cross_entropy - round(ce, 6)) <= 1e-6, doc_id
         want = "head" if ce < mu else ("middle" if ce < mu + sd else "tail")
         assert r.ppl_band == want, doc_id
+
+
+def test_resize_default_closure_is_self_contained(spark):
+    """D12-contract regression (review r08): the REGISTERED operator's
+    default decode must pickle by VALUE — executors never import this
+    package. Proven by unpickling and running the mapInPandas closure
+    in a subprocess where the package is not importable. Also pins the
+    inline default to the module-level stub (same outputs), so the two
+    copies cannot drift."""
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark import cloudpickle
+
+    from uforwarder_spark.functions.multimodal import stub_decode_resize
+
+    class Dummy:
+        def select(self, *a, **k):
+            return self
+
+        def mapInPandas(self, fn, schema):
+            self.fn = fn
+            return self
+
+    d = Dummy()
+    multimodal_resize_frame(d)
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        f.write(cloudpickle.dumps(d.fn))
+        path = f.name
+    code = (
+        "import sys, pickle, pandas as pd\n"
+        f"fn = pickle.load(open({path!r}, 'rb'))\n"
+        "out = list(fn(iter([pd.DataFrame({'doc_id': [1], "
+        "'payload': [b'abcdef' * 10]})])))\n"
+        "assert out[0].shape[0] == 1\n"
+        "assert not any(m.startswith('uforwarder_spark') for m in sys.modules)\n"
+        "print('OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""},
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+    # inline default == module stub on a payload sample
+    payloads = [b"", b"x", b"abcdef" * 50, bytes(range(256)) * 3]
+    df = _bins_df(spark, payloads)
+    got_default = sorted(tuple(r) for r in multimodal_resize_frame(df).collect())
+    got_stub = sorted(
+        tuple(r)
+        for r in multimodal_resize_frame(df, decode_resize=stub_decode_resize).collect()
+    )
+    assert got_default == got_stub
+
+
+def test_ppm_decoder_header_robustness():
+    """Review r08: the raster must be located from the header (one
+    whitespace byte after maxval), not the payload end — trailing bytes
+    and '#' comments are legal and must not shift pixels."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    base = b"P6\n5 4\n255\n" + px.tobytes()
+    with_trailer = base + b"\n# trailing metadata"
+    with_comment = b"P6\n# a comment line\n5 4\n# another\n255\n" + px.tobytes()
+    want = ppm_decode_resize(base, RESIZE_BOX)
+    assert ppm_decode_resize(with_trailer, RESIZE_BOX) == want
+    assert ppm_decode_resize(with_comment, RESIZE_BOX) == want
+    with pytest.raises(ValueError):
+        ppm_decode_resize(b"P6\n5 4\n255\n" + px.tobytes()[:-1], RESIZE_BOX)

@@ -254,12 +254,34 @@ def ppm_decode_resize(payload: bytes, box: int):
 
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM payload")
-    # P6 header: magic, width, height, maxval — whitespace separated.
-    parts = payload.split(maxsplit=4)
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    # P6 header: magic, width, height, maxval — whitespace-separated
+    # tokens, '#' comments running to end-of-line allowed between them;
+    # the raster starts EXACTLY ONE whitespace byte after the maxval
+    # token (per the netpbm spec — anchoring at the payload end instead
+    # would misalign on files with trailing bytes; review r08).
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        toks.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in toks)
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
-    px = np.frombuffer(payload[-w * h * 3 :], dtype=np.uint8).reshape(h, w, 3)
+    raster = pos + 1  # the single whitespace byte after maxval
+    if len(payload) < raster + w * h * 3:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=raster).reshape(
+        h, w, 3
+    )
     ow, oh, sc6 = letterbox(w, h, box)
     ys = (np.arange(oh) * h) // oh
     xs = (np.arange(ow) * w) // ow
@@ -290,11 +312,36 @@ def pil_decode_resize(payload: bytes, box: int):
     )
 
 
-def multimodal_resize_frame(bins: DataFrame, decode_resize=stub_decode_resize) -> DataFrame:
+def multimodal_resize_frame(bins: DataFrame, decode_resize=None) -> DataFrame:
     """The D46 pipeline over any (doc_id, payload binary) frame with a
     pluggable decoder — `decode_resize` IS the swap point: the Spark
     plumbing (schema, Arrow batching, payload isolation) is identical
-    for the stub, the dependency-free PPM decoder, and PIL."""
+    for the stub, the dependency-free PPM decoder, and PIL.
+
+    Default (None) uses a fully-inline copy of the stub so the
+    registered operator's closure stays SELF-CONTAINED — cloudpickle
+    serializes a module-level function by reference, which would force
+    executors to import this package (the D12 contract forbids that);
+    a caller-supplied decoder is the caller's deployment choice."""
+    if decode_resize is None:
+        box = RESIZE_BOX
+
+        def decode_resize(payload: bytes, _box: int = box):  # noqa: F811
+            import hashlib
+            import math
+
+            n = len(payload)
+            w, h = n % 640 + 1, n % 480 + 1
+            sc = min(_box / w, _box / h, 1.0)
+            ow = max(1, int(math.floor(w * sc)))
+            oh = max(1, int(math.floor(h * sc)))
+            checksum = hashlib.md5(payload).hexdigest()
+            return (
+                w, h, ow, oh,
+                math.floor(sc * 1e6 + 0.5) / 1e6,
+                ow * oh * 3,
+                hashlib.md5(f"{checksum}:{ow}x{oh}".encode()).hexdigest(),
+            )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
