@@ -2281,3 +2281,66 @@ def test_pipeline_health_taxonomy_equals_python_replay(spark):
             else "HEALTHY"
         )
         assert r.health == want, key
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_extra=st.integers(0, 120),
+    vocab=st.integers(1, 9),
+    seed=st.integers(0, 10**6),
+)
+def test_es_rolling_hash_matches_naive_polynomial(n_extra, vocab, seed):
+    """D73 rolling-kernel math property: for random token sequences
+    (including the n == W edge), the vectorized invertible-base prefix
+    formulation equals a direct O(n·W) polynomial evaluation at every
+    window position, and equal 50-gram contents hash equal."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from uforwarder_spark.operators.dedup import ES_W
+
+    rng = random.Random(seed)
+    n = ES_W + n_extra
+    toks = [f"t{rng.randrange(vocab)}" for _ in range(n)]
+
+    B = 1099511628211
+    MOD = 1 << 64
+    POW_W1 = np.uint64(pow(B, ES_W - 1, MOD))
+    BINV = np.uint64(pow(B, -1, MOD))
+    BU = np.uint64(B)
+    th = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=n,
+    )
+    with np.errstate(over="ignore"):
+        invpow = np.empty(n, dtype=np.uint64)
+        invpow[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, BINV, dtype=np.uint64), out=invpow[1:])
+        pref = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(th * invpow, out=pref[1:])
+        bp = np.empty(n - ES_W + 1, dtype=np.uint64)
+        bp[0] = 1
+        if n - ES_W > 0:
+            np.cumprod(np.full(n - ES_W, BU, dtype=np.uint64), out=bp[1:])
+        hs = (pref[ES_W:] - pref[: n - ES_W + 1]) * POW_W1 * bp
+
+    def naive(p):
+        h = 0
+        for j in range(ES_W):
+            h = (h * B + int(th[p + j])) % MOD
+        return h
+
+    grams = {}
+    for p in range(n - ES_W + 1):
+        assert int(hs[p]) == naive(p), p
+        g = tuple(toks[p : p + ES_W])
+        if g in grams:
+            assert hs[p] == grams[g]  # equal contents -> equal fingerprint
+        grams[g] = hs[p]
