@@ -42,20 +42,23 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # to the overflow head, keeping their r04 rows + both-SF pytest
 # parity).
 _KEY_PRIORITY = [
-    # -- (a) changed this round (6): pipeline_health gained the full
+    # -- (a) new or changed this round (7): bpe_train_merges is NEW
+    #    (D97, iterated BPE training); pipeline_health gained the full
     #    KafkaPipelineIssue taxonomy columns (hash CHANGED); the
     #    exact-substring family moved to the flag-dispatched window
     #    kernel (default md5 path value-identical, code changed);
     #    kcenter_coreset gained per-step localCheckpoints;
     #    multimodal_resize moved to the pluggable-decoder kernel --
+    "bpe_train_merges",
     "pipeline_health", "exact_substring_dedup", "incr_substring_dedup",
     "substring_span_removal", "kcenter_coreset", "multimodal_resize",
     # -- (b) the two r03 leftovers that slid past last round's line —
     #    the oldest driver rows in the repo --
     "embedding_centroid_outliers", "incremental_dedup",
-    # -- (c) the r04 cohort (42 of its 43 keys; blocklist_filter slides
-    #    just past the line and leads next round): relational C1 +
-    #    C12-C28, then A28/A32-A36, then the r04 D keys --
+    # -- (c) the r04 cohort (41 of its 43 keys; unigram_perplexity and
+    #    blocklist_filter slide just past the line and lead next
+    #    round): relational C1 + C12-C28, then A28/A32-A36, then the
+    #    r04 D keys --
     "tpch_q1_pricing_summary",
     "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
     "tpch_q18_large_orders", "tpch_q15_top_supplier",
@@ -72,15 +75,16 @@ _KEY_PRIORITY = [
     "weighted_sample_ares", "cms_heavy_hitters", "hll_distinct_tokens",
     "source_overlap_matrix", "token_budget_allocation",
     "timeseries_znorm_topk", "cdc_chunking", "window_outliers",
-    "bm25_topk", "tokenizer_fertility", "unigram_perplexity",
+    "bm25_topk", "tokenizer_fertility",
     # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every key
-    # with the driver-grade comparator): blocklist_filter is the one
-    # r04 key that did not fit (6 changed + 2 r03 + 43 r04 = 51) and
-    # leads the r09 window; everything after it carries r05+ evidence.
-    # token_bucket_exact stays last (rows-only by design — no SQL
-    # oracle; its hash-green twin token_bucket_summary pins the shared
-    # applyInPandas kernel).
+    # with the driver-grade comparator): unigram_perplexity and
+    # blocklist_filter are the two r04 keys that did not fit
+    # (7 new/changed + 2 r03 + 43 r04 = 52) and lead the r09 window;
+    # everything after them carries r05+ evidence. token_bucket_exact
+    # stays last (rows-only by design — no SQL oracle; its hash-green
+    # twin token_bucket_summary pins the shared applyInPandas kernel).
+    "unigram_perplexity",
     "blocklist_filter",
     "token_bucket_exact",
 ]

@@ -731,3 +731,14 @@ def test_incr_triplet_windows_per_anchor(spark):
     specs = window_partition_keys(spark, "incr_triplet_mining")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("src" in keys for keys in specs)
+
+
+def test_bpe_train_corpus_work_is_one_scan(spark):
+    # D97: the ONLY corpus-sized work is the word-frequency partial agg
+    # (one scan); all K training steps run on the vocab frame via
+    # localCheckpoints — no cartesian beyond the 1-row winner
+    # broadcast, nothing through Python, and the winner pick plans
+    # limit-first (TakeOrderedAndProject), never a global sort.
+    plan = plan_of(spark, "bpe_train_merges")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan

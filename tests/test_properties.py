@@ -2344,3 +2344,49 @@ def test_es_rolling_hash_matches_naive_polynomial(n_extra, vocab, seed):
         if g in grams:
             assert hs[p] == grams[g]  # equal contents -> equal fingerprint
         grams[g] = hs[p]
+
+
+def test_bpe_train_equals_python_replay(spark):
+    """D97 invariant: the K-step merge table at sf0.001 equals a
+    pure-Python reference BPE trainer (Sennrich get_stats/merge_vocab
+    shape: word-freq table, per-step pair count, leftmost-greedy
+    non-overlapping re-segmentation) — the third independent
+    implementation besides the Spark fold and the DuckDB recursive
+    CTE."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import BPE_STEPS, bpe_train_merges
+
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    freq = Counter()
+    for (text,) in rows:
+        freq.update(t for t in re.split("[^a-z0-9]+", text.lower()) if t)
+    segs = {w: list(w) + ["</w>"] for w in freq}
+
+    merges = []
+    for step in range(1, BPE_STEPS + 1):
+        pairs = Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, cnt))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+
+    got = sorted(tuple(r) for r in bpe_train_merges(spark, SF_SMALL).collect())
+    assert got == merges
