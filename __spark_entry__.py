@@ -20,45 +20,31 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # keys with the OLDEST driver evidence. Keys beyond the window stay
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
-# Round-7 window (round-6 verdict, next-round item 2): rotate onto the
-# now-oldest evidence. Slot arithmetic (counted, not estimated):
-# 37 new/changed-this-round + 13 r03 leftovers + 0 r04 cohort
-# = 50 exactly (embedding_centroid_outliers and incremental_dedup, the
-# last two r03 leftovers, slide just past the line — new/never-
-# driver-checked keys outrank old-evidence re-checks per the window
-# rule; both keep their r03 driver rows + both-SF pytest parity, and
-# D94/E48 newly exercise incremental_dedup's kernels in tests.
-# Then tpch_q1_pricing_summary,
-# tpch_q10_returned_revenue, tpch_q14_promo_revenue,
-# tpch_q18_large_orders,
-# tpch_q15_top_supplier, tpch_q7_volume_shipping,
-# tpch_q8_market_share, tpch_q13_customer_distribution,
-# tpch_q17_small_quantity, tpch_q9_product_profit,
-# tpch_q22_idle_balances,
-# tpch_q19_disjunctive_filter, funnel_conversion,
-# retention_cohorts, asof_join_purchases, range_join_error_impact,
-# cube_revenue, pivot_priority_revenue, fetcher_throughput,
-# resq_routing, aimd_inflight_limiter and head_blocking_cancel slide
-# to the overflow head, keeping their r04 rows + both-SF pytest
-# parity).
+# Round-8 window (round-7 verdict item 1): rotate onto the now-oldest
+# evidence. Slot arithmetic (counted, not estimated): 8 new/changed
+# this round + 2 r03 leftovers + 40 of the 43 r04-cohort keys = 50
+# exactly; tokenizer_fertility, unigram_perplexity and
+# blocklist_filter slide just past the line (keeping their r04 driver
+# rows + both-SF pytest parity) and lead the r09 window.
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (7): bpe_train_merges is NEW
-    #    (D97, iterated BPE training); pipeline_health gained the full
+    # -- (a) new or changed this round (8): bpe_train_merges and
+    #    bpe_apply_fertility are NEW (D97/D98, iterated BPE training +
+    #    its encode/fertility side); pipeline_health gained the full
     #    KafkaPipelineIssue taxonomy columns (hash CHANGED); the
     #    exact-substring family moved to the flag-dispatched window
     #    kernel (default md5 path value-identical, code changed);
     #    kcenter_coreset gained per-step localCheckpoints;
     #    multimodal_resize moved to the pluggable-decoder kernel --
-    "bpe_train_merges",
+    "bpe_train_merges", "bpe_apply_fertility",
     "pipeline_health", "exact_substring_dedup", "incr_substring_dedup",
     "substring_span_removal", "kcenter_coreset", "multimodal_resize",
     # -- (b) the two r03 leftovers that slid past last round's line —
     #    the oldest driver rows in the repo --
     "embedding_centroid_outliers", "incremental_dedup",
-    # -- (c) the r04 cohort (41 of its 43 keys; unigram_perplexity and
-    #    blocklist_filter slide just past the line and lead next
-    #    round): relational C1 + C12-C28, then A28/A32-A36, then the
-    #    r04 D keys --
+    # -- (c) the r04 cohort (40 of its 43 keys; tokenizer_fertility,
+    #    unigram_perplexity and blocklist_filter slide just past the
+    #    line and lead next round): relational C1 + C12-C28, then
+    #    A28/A32-A36, then the r04 D keys --
     "tpch_q1_pricing_summary",
     "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
     "tpch_q18_large_orders", "tpch_q15_top_supplier",
@@ -75,15 +61,17 @@ _KEY_PRIORITY = [
     "weighted_sample_ares", "cms_heavy_hitters", "hll_distinct_tokens",
     "source_overlap_matrix", "token_budget_allocation",
     "timeseries_znorm_topk", "cdc_chunking", "window_outliers",
-    "bm25_topk", "tokenizer_fertility",
+    "bm25_topk",
     # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every key
-    # with the driver-grade comparator): unigram_perplexity and
-    # blocklist_filter are the two r04 keys that did not fit
-    # (7 new/changed + 2 r03 + 43 r04 = 52) and lead the r09 window;
-    # everything after them carries r05+ evidence. token_bucket_exact
-    # stays last (rows-only by design — no SQL oracle; its hash-green
-    # twin token_bucket_summary pins the shared applyInPandas kernel).
+    # with the driver-grade comparator): tokenizer_fertility,
+    # unigram_perplexity and blocklist_filter are the three r04 keys
+    # that did not fit (8 new/changed + 2 r03 + 43 r04 = 53) and lead
+    # the r09 window; everything after them carries r05+ evidence.
+    # token_bucket_exact stays last (rows-only by design — no SQL
+    # oracle; its hash-green twin token_bucket_summary pins the shared
+    # applyInPandas kernel).
+    "tokenizer_fertility",
     "unigram_perplexity",
     "blocklist_filter",
     "token_bucket_exact",

@@ -742,3 +742,13 @@ def test_bpe_train_corpus_work_is_one_scan(spark):
     plan = plan_of(spark, "bpe_train_merges")
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_bpe_apply_joins_vocab_not_cartesian(spark):
+    # D98: the apply side is one corpus token explode joined to the
+    # vocab-sized segmentation table by the word key — no cartesian, no
+    # Python, and the per-source rollup partial-aggregates
+    plan = plan_of(spark, "bpe_apply_fertility")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()

@@ -2390,3 +2390,60 @@ def test_bpe_train_equals_python_replay(spark):
 
     got = sorted(tuple(r) for r in bpe_train_merges(spark, SF_SMALL).collect())
     assert got == merges
+
+
+def test_bpe_apply_equals_python_replay(spark):
+    """D98 invariant: per-source fertility/compression at sf0.001 equal
+    a pure-Python apply of the replayed D97 trainer's final
+    segmentations to the corpus word occurrences."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import BPE_STEPS, bpe_apply_fertility
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    tok = lambda s: [t for t in re.split("[^a-z0-9]+", s.lower()) if t]  # noqa: E731
+    freq = Counter()
+    for _d, _s, text in rows:
+        freq.update(tok(text))
+    segs = {w: list(w) + ["</w>"] for w in freq}
+    for _step in range(BPE_STEPS):
+        pairs = Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        (l, r), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+
+    agg = defaultdict(lambda: [set(), 0, 0, 0])  # docs, ws, bpe, chars
+    for doc_id, source, text in rows:
+        for w in tok(text):
+            a = agg[source]
+            a[0].add(doc_id)
+            a[1] += 1
+            a[2] += len(segs[w])
+            a[3] += len(w)
+    got = {r.source: r for r in bpe_apply_fertility(spark, SF_SMALL).collect()}
+    assert set(got) == set(agg)
+    for src, (docs_set, ws, bpe, chars) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.ws_tokens, r.bpe_tokens, r.n_chars) == (
+            len(docs_set), ws, bpe, chars
+        ), src
+        assert abs(r.fertility - round(bpe / ws, 6)) <= 1e-9
+        assert abs(r.chars_per_token - round(chars / bpe, 6)) <= 1e-9
+        assert r.fertility > 1.0  # '</w>' guarantees >= 1 subword per word

@@ -3008,12 +3008,7 @@ r{i} AS (
 w{i} AS MATERIALIZED (
   SELECT word, freq, trim(acc) AS sym_str FROM r{i} WHERE pos = len(s) + 1
 )""")
-    union = "\nUNION ALL\n".join(
-        f"SELECT {i} AS step, l AS tok_l, r AS tok_r, cnt AS pair_freq FROM b{i}"
-        for i in range(1, BPE_STEPS + 1)
-    )
-    return f"""
-WITH RECURSIVE t AS (
+    prefix = f"""WITH RECURSIVE t AS (
   SELECT {TOKENS_DUCK} AS ts FROM documents
 ),
 w0 AS MATERIALIZED (
@@ -3022,12 +3017,36 @@ w0 AS MATERIALIZED (
   FROM (SELECT unnest(ts) AS word FROM t)
   GROUP BY word
 ),
-{','.join(chain)}
-{union}
-"""
+{','.join(chain)}"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS tok_l, r AS tok_r, cnt AS pair_freq FROM b{i}"
+        for i in range(1, BPE_STEPS + 1)
+    )
+    train = f"{prefix}\n{union}"
+    # D98 twin: the FINAL segmentations (w_K) applied back to the
+    # per-source word occurrences — same chain, one definition.
+    apply = f"""{prefix},
+seg AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(sym_str, ' ')) AS BIGINT) AS n_syms
+  FROM w{BPE_STEPS}
+),
+occ AS (
+  SELECT doc_id, source, unnest({TOKENS_DUCK}) AS word FROM documents
+)
+SELECT o.source,
+       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS ws_tokens,
+       CAST(sum(g.n_syms) AS BIGINT) AS bpe_tokens,
+       CAST(sum(strlen(o.word)) AS BIGINT) AS n_chars,
+       round(CAST(sum(g.n_syms) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(strlen(o.word)) AS DOUBLE) / sum(g.n_syms), 6)
+         AS chars_per_token
+FROM occ o JOIN seg g ON o.word = g.word
+GROUP BY o.source"""
+    return train, apply
 
 
-BPE_TRAIN_ORACLE = _bpe_oracle()
+BPE_TRAIN_ORACLE, BPE_APPLY_ORACLE = _bpe_oracle()
 
 
 @register("bpe_train_merges", BPE_TRAIN_ORACLE)
@@ -3064,8 +3083,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — training-data pipeline family
     (tokenizer training; completes D27's merge-step count)."""
-    docs = _docs(spark, sf_dir)
-    words = (
+    merges, _final = bpe_train_frames(_bpe_words_frame(_docs(spark, sf_dir)))
+    return merges
+
+
+def _bpe_words_frame(docs: DataFrame) -> DataFrame:
+    """(word, freq, sym_str): the BPE training input — the corpus
+    reduced to word counts with char + '</w>' initial segmentations.
+    The ONLY corpus-sized stage of the D97/D98 family."""
+    return (
         docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("freq"))
@@ -3078,6 +3104,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def bpe_train_frames(words: DataFrame):
+    """The K-step training chain over a (word, freq, sym_str) frame —
+    ONE definition shared by D97 (returns the merge table) and D98
+    (returns the final segmentations the merges imply). Returns
+    (merges_df, final_words_df)."""
     merges = []
     cur = words
     fold = (
@@ -3122,4 +3155,53 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return out, cur
+
+
+@register("bpe_apply_fertility", BPE_APPLY_ORACLE)
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of D97 — the trained tokenizer applied back to
+    the corpus: per source, whitespace-word occurrences, total subword
+    tokens under the trained {BPE_STEPS}-merge segmentation ('</w>'
+    counted with its word, the published convention), character mass,
+    FERTILITY (subwords per word — D58's metric under an actually-
+    trained tokenizer instead of the regex stand-in) and characters
+    per trained token (the compression a vocab budget buys) — the
+    numbers a tokenizer-training loop reads to decide whether more
+    merges are worth it, per source.
+
+    Exactness: integer sums (occurrences, symbol counts, char lengths)
+    with two final rounded divisions; the segmentation table is D97's
+    chain — one definition, so train and apply cannot drift.
+
+    SCALE: training touches only the vocab frame (D97); the apply side
+    pays one corpus token explode joined to the vocab-sized (word,
+    n_syms) table by its uniform word key (AQE broadcasts it), then a
+    per-source partial agg. Same-corpus training means no OOV; at
+    ingest time unseen words fall back to character count + 1 — a left
+    join and one coalesce, same plan.
+
+    Reference analogue: none — training-data pipeline family
+    (tokenizer training, apply/fertility side)."""
+    docs = _docs(spark, sf_dir)
+    _merges, final = bpe_train_frames(_bpe_words_frame(docs))
+    seg = final.select(
+        "word",
+        F.expr("CAST(size(split(sym_str, ' ')) AS BIGINT)").alias("n_syms"),
+    )
+    occ = docs.select(
+        "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+    )
+    j = occ.join(seg, "word")
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("ws_tokens"),
+        F.sum("n_syms").cast("bigint").alias("bpe_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("n_syms").cast("double") / F.count("*"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("word")).cast("double") / F.sum("n_syms"), 6
+        ).alias("chars_per_token"),
+    )
