@@ -3249,3 +3249,109 @@ def audio_segment_pipeline(stream: DataFrame, out_dir: str, checkpoint_dir: str)
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E50: live tokenizer-fertility monitor -----------------------------------
+def bpe_fertility_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E50: the live twin of batch D98 — per-source fertility under the
+    TRAINED tokenizer maintained continuously as docs land (fertility
+    climbing on a source is the live signature of its text drifting
+    away from the tokenizer's training distribution — the signal that
+    schedules a re-train, exactly the drift class E36 watches for the
+    IVF index and E41 for the token distribution). The segmentation
+    table is trained ONCE from the published corpus via the shared
+    D97 chain (``bpe_train_frames`` over ``_bpe_words_frame`` — the
+    E42 frozen-LM convention; a re-train swaps one frame) and
+    persisted before the first trigger. Each micro-batch explodes its
+    tokens, LEFT-joins the frozen vocab (an unseen word falls back to
+    character count + 1 — the at-ingest OOV rule D98's docstring
+    states; the published corpus itself never hits it), and folds
+    per-source (n_docs, ws_tokens, bpe_tokens, n_chars) ADDITIVELY
+    into ``{state_dir}/fert/batch_id=N`` (the E19/E35 class,
+    idempotent under at-least-once replays); fertility and
+    chars-per-token re-derive per trigger into
+    ``{state_dir}/ratios/batch_id=N`` (ratios cannot fold). After the
+    stream drains the published corpus, the ratio table equals batch
+    D98 bit-for-bit (integer sums are exact; the stream test asserts
+    it).
+
+    SCALE: training is vocab-bounded and happens once; per trigger the
+    corpus-facing work is one batch-sized token explode joined to the
+    broadcast vocab table + an O(sources) partial agg merged against
+    O(sources) state. Nothing ever re-reads the corpus."""
+    from ..functions.text import _bpe_words_frame, bpe_train_frames
+
+    _merges, final = bpe_train_frames(_bpe_words_frame(corpus_docs))
+    seg = final.select(
+        "word",
+        F.expr("CAST(size(split(sym_str, ' ')) AS BIGINT)").alias("n_syms"),
+    ).persist()
+    seg.count()  # freeze the trained segmentation before the first trigger
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.tokenize import TOKENS_SPARK
+
+        spark = batch_df.sparkSession
+        occ = batch_df.select(
+            "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+        )
+        batch_sums = (
+            occ.join(seg, "word", "left")
+            .select(
+                "doc_id",
+                "source",
+                "word",
+                F.coalesce(
+                    F.col("n_syms"),
+                    (F.length("word") + 1).cast("bigint"),  # OOV: chars + </w>
+                ).alias("n_syms"),
+            )
+            .groupBy("source")
+            .agg(
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.count("*").cast("bigint").alias("ws_tokens"),
+                F.sum("n_syms").cast("bigint").alias("bpe_tokens"),
+                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            )
+        )
+        prev = _read_state_parquet(spark, f"{state_dir}/fert/batch_id={batch_id - 1}")
+        merged = (
+            batch_sums
+            if prev is None
+            else batch_sums.unionByName(prev)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+                F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+                F.sum("n_chars").cast("bigint").alias("n_chars"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/fert/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/fert/batch_id={batch_id}")
+        state.select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/ratios/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
