@@ -144,6 +144,24 @@ BASELINE3 = {
 BASELINE3_CAL = 0.1146  # single-core witness on the r07 pin host
 BASELINE3_CAL_MC = 0.0428  # 32-thread witness on the r07 pin host
 
+# Fourth-generation headline set (pinned round 8): the iterated-BPE
+# training family added this round. Same protocol: raw seconds from an
+# idle pin window (two windows measured, values stable at ±10%: train
+# 2.325/2.349, apply 2.825/2.575; pinned at the normal-sc window) plus
+# that window's witnesses. Both lines are checkpoint-chain-bound
+# (vocab-sized work behind 17 tiny jobs), so they price scheduler
+# latency like the substring trio — read breaches through
+# stage_evidence.
+HEADLINE4 = [
+    "bpe_train_merges",
+    "bpe_apply_fertility",
+]
+BASELINE4 = {
+    "bpe_train_merges": 2.35,
+    "bpe_apply_fertility": 2.58,
+}
+BASELINE4_CAL = 0.105  # single-core witness on the r08 pin window
+
 # Pinned Spark-native witness (round 8, VERDICT r07 #7): the engine-
 # overhead witness was introduced in round 7, so the only same-
 # generation reference values are that session's idle gate runs —
@@ -304,7 +322,7 @@ def main() -> None:
     # executor throughput, the quantity that matters at scale, instead
     # of one-time driver compile cost.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + HEADLINE2 + HEADLINE3:
+    for name in HEADLINE + HEADLINE2 + HEADLINE3 + HEADLINE4:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
@@ -333,7 +351,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings2: dict[str, float] = {}
     timings3: dict[str, float] = {}
-    for sink, names in ((timings, HEADLINE), (timings2, HEADLINE2), (timings3, HEADLINE3)):
+    timings4: dict[str, float] = {}
+    for sink, names in (
+        (timings, HEADLINE),
+        (timings2, HEADLINE2),
+        (timings3, HEADLINE3),
+        (timings4, HEADLINE4),
+    ):
         for name in names:
             fn = QUERIES[name]
             best = float("inf")
@@ -352,10 +376,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total2 = round(sum(timings2.values()), 3)
     total3 = round(sum(timings3.values()), 3)
+    total4 = round(sum(timings4.values()), 3)
     cal = _calibration_sec()
     host_factor = round(cal / BASELINE_CAL, 3)
     host_factor2 = round(cal / BASELINE2_CAL, 3)
     host_factor3 = round(cal / BASELINE3_CAL, 3)
+    host_factor4 = round(cal / BASELINE4_CAL, 3)
     # Per-line ratios vs the pinned baselines, raw and host-calibrated —
     # BASELINE.md's 1.3x-per-line rule, machine-checked every run.
     ratios = {
@@ -382,6 +408,14 @@ def main() -> None:
         for n in HEADLINE3
         if n in BASELINE3 and sf == "0.1"
     }
+    ratios4 = {
+        n: {
+            "ratio_vs_baseline": round(timings4[n] / BASELINE4[n], 2),
+            "ratio_calibrated": round(timings4[n] / BASELINE4[n] / host_factor4, 2),
+        }
+        for n in HEADLINE4
+        if n in BASELINE4 and sf == "0.1"
+    }
     mc = _calibration_mc_sec()
     # Raw total ratios alongside the calibrated ones: on hosts where the
     # md5 witness anti-correlates with engine speed (BASELINE.md round-7
@@ -396,6 +430,9 @@ def main() -> None:
     ratio3_total_raw = (
         round(total3 / sum(BASELINE3.values()), 3) if sf == "0.1" else None
     )
+    ratio4_total_raw = (
+        round(total4 / sum(BASELINE4.values()), 3) if sf == "0.1" else None
+    )
     ratio_total = (
         round(total / sum(BASELINE.values()) / host_factor, 3) if sf == "0.1" else None
     )
@@ -406,6 +443,11 @@ def main() -> None:
     )
     ratio3_total = (
         round(total3 / sum(BASELINE3.values()) / host_factor3, 3)
+        if sf == "0.1"
+        else None
+    )
+    ratio4_total = (
+        round(total4 / sum(BASELINE4.values()) / host_factor4, 3)
         if sf == "0.1"
         else None
     )
@@ -430,6 +472,7 @@ def main() -> None:
             [n for n, r in ratios.items() if r["ratio_calibrated"] > 1.3]
             + [n for n, r in ratios2.items() if r["ratio_calibrated"] > 1.3]
             + [n for n, r in ratios3.items() if r["ratio_calibrated"] > 1.3]
+            + [n for n, r in ratios4.items() if r["ratio_calibrated"] > 1.3]
         )
     )
     stage_full: dict[str, dict] = {}
@@ -458,6 +501,8 @@ def main() -> None:
         "queries2": timings2,
         "value3": total3,
         "queries3": timings3,
+        "value4": total4,
+        "queries4": timings4,
         "calibration_sec": cal,
         "calibration_mc_sec": mc,
         "spark_witness_sec": spark_witness,
@@ -467,9 +512,11 @@ def main() -> None:
         "ratio_total_raw": ratio_total_raw,
         "ratio2_total_raw": ratio2_total_raw,
         "ratio3_total_raw": ratio3_total_raw,
+        "ratio4_total_raw": ratio4_total_raw,
         "ratio_total_calibrated": ratio_total,
         "ratio2_total_calibrated": ratio2_total,
         "ratio3_total_calibrated": ratio3_total,
+        "ratio4_total_calibrated": ratio4_total,
         "per_line_breaches": sorted(
             n for n, r in ratios.items() if r["ratio_calibrated"] > 1.3
         ),
@@ -478,6 +525,9 @@ def main() -> None:
         ),
         "per_line_breaches3": sorted(
             n for n, r in ratios3.items() if r["ratio_calibrated"] > 1.3
+        ),
+        "per_line_breaches4": sorted(
+            n for n, r in ratios4.items() if r["ratio_calibrated"] > 1.3
         ),
         "spark_witness_factor": round(spark_witness / SPARK_WITNESS_PIN, 3),
         "host_mode": _host_mode(cal, mc, spark_witness),
@@ -489,9 +539,11 @@ def main() -> None:
         host_factor_vs_baseline=host_factor,
         host_factor_vs_baseline2=host_factor2,
         host_factor_vs_baseline3=host_factor3,
+        host_factor_vs_baseline4=host_factor4,
         ratios=ratios,
         ratios2=ratios2,
         ratios3=ratios3,
+        ratios4=ratios4,
         stage_evidence_full=stage_full,
     )
     line = json.dumps(compact)
@@ -501,8 +553,9 @@ def main() -> None:
     # go before stage_evidence — the breach verdicts are the one thing
     # the driver's truncated record must keep (VERDICT r07 #2)
     for shed in (
-        "queries3", "queries2", "queries",
+        "queries4", "queries3", "queries2", "queries",
         "stage_evidence",
+        "per_line_breaches4",
         "per_line_breaches3", "per_line_breaches2", "per_line_breaches",
     ):
         if len(line) <= 1900:
