@@ -162,6 +162,18 @@ BASELINE4 = {
 }
 BASELINE4_CAL = 0.105  # single-core witness on the r08 pin window
 
+# The pinned generations in one table — adding a headline family is ONE
+# row here (review r08: the per-generation plumbing in main() was four
+# verbatim copies with ~15 coordinated touch points; a missed one
+# silently dropped that family's breach detection). The empty suffix is
+# the historic r03 field naming ("value"/"queries"/"ratio_total_raw").
+GENERATIONS = [
+    ("", HEADLINE, BASELINE, BASELINE_CAL),
+    ("2", HEADLINE2, BASELINE2, BASELINE2_CAL),
+    ("3", HEADLINE3, BASELINE3, BASELINE3_CAL),
+    ("4", HEADLINE4, BASELINE4, BASELINE4_CAL),
+]
+
 # Pinned Spark-native witness (round 8, VERDICT r07 #7): the engine-
 # overhead witness was introduced in round 7, so the only same-
 # generation reference values are that session's idle gate runs —
@@ -322,9 +334,12 @@ def main() -> None:
     # executor throughput, the quantity that matters at scale, instead
     # of one-time driver compile cost.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + HEADLINE2 + HEADLINE3 + HEADLINE4:
-        QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
+    for _sfx, names, _b, _c in GENERATIONS:
+        for name in names:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
 
     # Spark-native witness: a fixed micro-plan (scan + filter + partial
     # agg over the sf0.001 lineitem) timed best-of-5 AFTER warmup. The
@@ -348,16 +363,15 @@ def main() -> None:
 
     # best-of-3 per query: one measured run can eat a stray GC pause or
     # scheduler hiccup; the min reflects the plan's steady-state cost.
-    timings: dict[str, float] = {}
-    timings2: dict[str, float] = {}
-    timings3: dict[str, float] = {}
-    timings4: dict[str, float] = {}
-    for sink, names in (
-        (timings, HEADLINE),
-        (timings2, HEADLINE2),
-        (timings3, HEADLINE3),
-        (timings4, HEADLINE4),
-    ):
+    # One data-driven pass over the pinned generations (review r08:
+    # previously four verbatim copies of this plumbing — a missed touch
+    # point when adding a generation silently dropped that family's
+    # breach detection). Field names keep their historic suffixes
+    # ("" for the r03 set, "2".."4" after), so every recorded
+    # BENCH_r{N}.json stays comparable.
+    gens = {}
+    for sfx, names, baseline, base_cal in GENERATIONS:
+        timings: dict[str, float] = {}
         for name in names:
             fn = QUERIES[name]
             best = float("inf")
@@ -365,92 +379,49 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
-            sink[name] = round(best, 3)
+            timings[name] = round(best, 3)
             # a few operators persist() intermediates reused across plan
-            # branches; within one query's best-of-3 Spark's cache manager
-            # dedupes identical plans (and re-runs legitimately reuse the
-            # cache, as a session user's would), but across QUERIES the
-            # entries differ and would accumulate — drop them here
+            # branches; within one query's best-of-3 Spark's cache
+            # manager dedupes identical plans (and re-runs legitimately
+            # reuse the cache, as a session user's would), but across
+            # QUERIES the entries differ and would accumulate
             spark.catalog.clearCache()
+        gens[sfx] = {"timings": timings, "total": round(sum(timings.values()), 3)}
 
-    total = round(sum(timings.values()), 3)
-    total2 = round(sum(timings2.values()), 3)
-    total3 = round(sum(timings3.values()), 3)
-    total4 = round(sum(timings4.values()), 3)
     cal = _calibration_sec()
-    host_factor = round(cal / BASELINE_CAL, 3)
-    host_factor2 = round(cal / BASELINE2_CAL, 3)
-    host_factor3 = round(cal / BASELINE3_CAL, 3)
-    host_factor4 = round(cal / BASELINE4_CAL, 3)
-    # Per-line ratios vs the pinned baselines, raw and host-calibrated —
-    # BASELINE.md's 1.3x-per-line rule, machine-checked every run.
-    ratios = {
-        n: {
-            "ratio_vs_baseline": round(timings[n] / BASELINE[n], 2),
-            "ratio_calibrated": round(timings[n] / BASELINE[n] / host_factor, 2),
-        }
-        for n in HEADLINE
-        if n in BASELINE and sf == "0.1"
-    }
-    ratios2 = {
-        n: {
-            "ratio_vs_baseline": round(timings2[n] / BASELINE2[n], 2),
-            "ratio_calibrated": round(timings2[n] / BASELINE2[n] / host_factor2, 2),
-        }
-        for n in HEADLINE2
-        if n in BASELINE2 and sf == "0.1"
-    }
-    ratios3 = {
-        n: {
-            "ratio_vs_baseline": round(timings3[n] / BASELINE3[n], 2),
-            "ratio_calibrated": round(timings3[n] / BASELINE3[n] / host_factor3, 2),
-        }
-        for n in HEADLINE3
-        if n in BASELINE3 and sf == "0.1"
-    }
-    ratios4 = {
-        n: {
-            "ratio_vs_baseline": round(timings4[n] / BASELINE4[n], 2),
-            "ratio_calibrated": round(timings4[n] / BASELINE4[n] / host_factor4, 2),
-        }
-        for n in HEADLINE4
-        if n in BASELINE4 and sf == "0.1"
-    }
     mc = _calibration_mc_sec()
-    # Raw total ratios alongside the calibrated ones: on hosts where the
-    # md5 witness anti-correlates with engine speed (BASELINE.md round-7
-    # addendum), the RAW ratio + spark_witness_sec carry the
-    # adjudication — make that a one-field read, not pin arithmetic.
-    ratio_total_raw = (
-        round(total / sum(BASELINE.values()), 3) if sf == "0.1" else None
-    )
-    ratio2_total_raw = (
-        round(total2 / sum(BASELINE2.values()), 3) if sf == "0.1" else None
-    )
-    ratio3_total_raw = (
-        round(total3 / sum(BASELINE3.values()), 3) if sf == "0.1" else None
-    )
-    ratio4_total_raw = (
-        round(total4 / sum(BASELINE4.values()), 3) if sf == "0.1" else None
-    )
-    ratio_total = (
-        round(total / sum(BASELINE.values()) / host_factor, 3) if sf == "0.1" else None
-    )
-    ratio2_total = (
-        round(total2 / sum(BASELINE2.values()) / host_factor2, 3)
-        if sf == "0.1"
-        else None
-    )
-    ratio3_total = (
-        round(total3 / sum(BASELINE3.values()) / host_factor3, 3)
-        if sf == "0.1"
-        else None
-    )
-    ratio4_total = (
-        round(total4 / sum(BASELINE4.values()) / host_factor4, 3)
-        if sf == "0.1"
-        else None
-    )
+    for sfx, names, baseline, base_cal in GENERATIONS:
+        g = gens[sfx]
+        hf = round(cal / base_cal, 3)
+        g["host_factor"] = hf
+        # Per-line ratios vs the pinned baseline, raw and
+        # host-calibrated — BASELINE.md's 1.3x-per-line rule,
+        # machine-checked every run.
+        g["ratios"] = {
+            n: {
+                "ratio_vs_baseline": round(g["timings"][n] / baseline[n], 2),
+                "ratio_calibrated": round(
+                    g["timings"][n] / baseline[n] / hf, 2
+                ),
+            }
+            for n in names
+            if n in baseline and sf == "0.1"
+        }
+        # Raw total ratios alongside the calibrated ones: on hosts where
+        # the md5 witness anti-correlates with engine speed (BASELINE.md
+        # round-7 addendum), the RAW ratio + spark_witness_sec carry the
+        # adjudication — one-field reads, not pin arithmetic.
+        pin_total = sum(baseline.values())
+        g["ratio_raw"] = (
+            round(g["total"] / pin_total, 3) if sf == "0.1" else None
+        )
+        g["ratio_cal"] = (
+            round(g["total"] / pin_total / hf, 3) if sf == "0.1" else None
+        )
+        g["breaches"] = sorted(
+            n for n, r in g["ratios"].items() if r["ratio_calibrated"] > 1.3
+        )
+
     # The driver records only the LAST 2000 chars of stdout and parses
     # the JSON it finds there. Round 6's single long line lost its head
     # (value/queries/witnesses) to that truncation — BENCH_r06.json
@@ -468,12 +439,7 @@ def main() -> None:
     # witness inference. Compact stdout carries the 3-number verdict
     # per line; the full per-stage tables go to bench_full.json.
     breach_names = sorted(
-        set(
-            [n for n, r in ratios.items() if r["ratio_calibrated"] > 1.3]
-            + [n for n, r in ratios2.items() if r["ratio_calibrated"] > 1.3]
-            + [n for n, r in ratios3.items() if r["ratio_calibrated"] > 1.3]
-            + [n for n, r in ratios4.items() if r["ratio_calibrated"] > 1.3]
-        )
+        {n for sfx, *_ in GENERATIONS for n in gens[sfx]["breaches"]}
     )
     stage_full: dict[str, dict] = {}
     stage_compact: dict[str, dict] = {}
@@ -492,59 +458,37 @@ def main() -> None:
         # bench_full.json
         stage_compact[name] = ev.get("sched_overhead_share")
 
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "value2": total2,
-        "queries2": timings2,
-        "value3": total3,
-        "queries3": timings3,
-        "value4": total4,
-        "queries4": timings4,
-        "calibration_sec": cal,
-        "calibration_mc_sec": mc,
-        "spark_witness_sec": spark_witness,
-        # host_factor_vs_baseline{,2,3} moved to bench_full.json only —
-        # derivable as calibration_sec / BASELINE*_CAL, and the chars
-        # fund the stage-evidence verdicts instead
-        "ratio_total_raw": ratio_total_raw,
-        "ratio2_total_raw": ratio2_total_raw,
-        "ratio3_total_raw": ratio3_total_raw,
-        "ratio4_total_raw": ratio4_total_raw,
-        "ratio_total_calibrated": ratio_total,
-        "ratio2_total_calibrated": ratio2_total,
-        "ratio3_total_calibrated": ratio3_total,
-        "ratio4_total_calibrated": ratio4_total,
-        "per_line_breaches": sorted(
-            n for n, r in ratios.items() if r["ratio_calibrated"] > 1.3
-        ),
-        "per_line_breaches2": sorted(
-            n for n, r in ratios2.items() if r["ratio_calibrated"] > 1.3
-        ),
-        "per_line_breaches3": sorted(
-            n for n, r in ratios3.items() if r["ratio_calibrated"] > 1.3
-        ),
-        "per_line_breaches4": sorted(
-            n for n, r in ratios4.items() if r["ratio_calibrated"] > 1.3
-        ),
-        "spark_witness_factor": round(spark_witness / SPARK_WITNESS_PIN, 3),
-        "host_mode": _host_mode(cal, mc, spark_witness),
-        "stage_evidence": stage_compact,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    compact = {"metric": "headline_queries_total_wall"}
+    compact["value"] = gens[""]["total"]
+    compact["unit"] = "sec"
+    compact["queries"] = gens[""]["timings"]
+    for sfx, *_ in GENERATIONS[1:]:
+        compact[f"value{sfx}"] = gens[sfx]["total"]
+        compact[f"queries{sfx}"] = gens[sfx]["timings"]
+    compact["calibration_sec"] = cal
+    compact["calibration_mc_sec"] = mc
+    compact["spark_witness_sec"] = spark_witness
+    # host_factor_vs_baseline{sfx} live in bench_full.json only —
+    # derivable as calibration_sec / BASELINE*_CAL; the chars fund the
+    # stage-evidence verdicts instead
+    for sfx, *_ in GENERATIONS:
+        compact[f"ratio{sfx}_total_raw"] = gens[sfx]["ratio_raw"]
+    for sfx, *_ in GENERATIONS:
+        compact[f"ratio{sfx}_total_calibrated"] = gens[sfx]["ratio_cal"]
+    for sfx, *_ in GENERATIONS:
+        compact[f"per_line_breaches{sfx}"] = gens[sfx]["breaches"]
+    compact["spark_witness_factor"] = round(spark_witness / SPARK_WITNESS_PIN, 3)
+    compact["host_mode"] = _host_mode(cal, mc, spark_witness)
+    compact["stage_evidence"] = stage_compact
+    compact["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     full = dict(
         compact,
-        host_factor_vs_baseline=host_factor,
-        host_factor_vs_baseline2=host_factor2,
-        host_factor_vs_baseline3=host_factor3,
-        host_factor_vs_baseline4=host_factor4,
-        ratios=ratios,
-        ratios2=ratios2,
-        ratios3=ratios3,
-        ratios4=ratios4,
         stage_evidence_full=stage_full,
+        **{
+            f"host_factor_vs_baseline{sfx}": gens[sfx]["host_factor"]
+            for sfx, *_ in GENERATIONS
+        },
+        **{f"ratios{sfx}": gens[sfx]["ratios"] for sfx, *_ in GENERATIONS},
     )
     line = json.dumps(compact)
     # belt-and-braces: if some future addition pushes past the window,
@@ -552,12 +496,12 @@ def main() -> None:
     # shed order: the queries dicts duplicate bench_full.json, so they
     # go before stage_evidence — the breach verdicts are the one thing
     # the driver's truncated record must keep (VERDICT r07 #2)
-    for shed in (
-        "queries4", "queries3", "queries2", "queries",
-        "stage_evidence",
-        "per_line_breaches4",
-        "per_line_breaches3", "per_line_breaches2", "per_line_breaches",
-    ):
+    shed_order = (
+        [f"queries{sfx}" for sfx, *_ in reversed(GENERATIONS)]
+        + ["stage_evidence"]
+        + [f"per_line_breaches{sfx}" for sfx, *_ in reversed(GENERATIONS)]
+    )
+    for shed in shed_order:
         if len(line) <= 1900:
             break
         compact.pop(shed, None)

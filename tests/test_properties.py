@@ -2346,6 +2346,37 @@ def test_es_rolling_hash_matches_naive_polynomial(n_extra, vocab, seed):
         grams[g] = hs[p]
 
 
+def _bpe_reference_train(freq, steps):
+    """Pure-Python reference BPE trainer (Sennrich get_stats/merge_vocab
+    shape) shared by the D97 and D98 replays: returns (merge table rows,
+    final segmentations). ONE definition so the two property tests
+    cannot assert different reference semantics."""
+    from collections import Counter
+
+    segs = {w: list(w) + ["</w>"] for w in freq}
+    merges = []
+    for step in range(1, steps + 1):
+        pairs = Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, cnt))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
 def test_bpe_train_equals_python_replay(spark):
     """D97 invariant: the K-step merge table at sf0.001 equals a
     pure-Python reference BPE trainer (Sennrich get_stats/merge_vocab
@@ -2367,26 +2398,7 @@ def test_bpe_train_equals_python_replay(spark):
     freq = Counter()
     for (text,) in rows:
         freq.update(t for t in re.split("[^a-z0-9]+", text.lower()) if t)
-    segs = {w: list(w) + ["</w>"] for w in freq}
-
-    merges = []
-    for step in range(1, BPE_STEPS + 1):
-        pairs = Counter()
-        for w, syms in segs.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += freq[w]
-        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((step, l, r, cnt))
-        for w, syms in segs.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            segs[w] = out
+    merges, _segs = _bpe_reference_train(freq, BPE_STEPS)
 
     got = sorted(tuple(r) for r in bpe_train_merges(spark, SF_SMALL).collect())
     assert got == merges
@@ -2411,23 +2423,7 @@ def test_bpe_apply_equals_python_replay(spark):
     freq = Counter()
     for _d, _s, text in rows:
         freq.update(tok(text))
-    segs = {w: list(w) + ["</w>"] for w in freq}
-    for _step in range(BPE_STEPS):
-        pairs = Counter()
-        for w, syms in segs.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += freq[w]
-        (l, r), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        for w, syms in segs.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            segs[w] = out
+    _merges, segs = _bpe_reference_train(freq, BPE_STEPS)
 
     agg = defaultdict(lambda: [set(), 0, 0, 0])  # docs, ws, bpe, chars
     for doc_id, source, text in rows:
@@ -2447,3 +2443,48 @@ def test_bpe_apply_equals_python_replay(spark):
         assert abs(r.fertility - round(bpe / ws, 6)) <= 1e-9
         assert abs(r.chars_per_token - round(chars / bpe, 6)) <= 1e-9
         assert r.fertility > 1.0  # '</w>' guarantees >= 1 subword per word
+
+
+def test_bpe_merge_exhaustion_matches_oracle(spark):
+    """Review r08 regression: a corpus supporting fewer than BPE_STEPS
+    merges must NOT annihilate the vocabulary — Spark's loop breaks on
+    an empty winner (the checkpointed frame makes the check free) and
+    the final segmentations pass through, exactly the oracle's
+    NULL-scalar-subquery behavior. Verified end-to-end: the Spark
+    operator equals the DuckDB apply oracle on a one-doc corpus where
+    merges exhaust after two steps."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from uforwarder_spark.functions.text import (
+        BPE_APPLY_ORACLE,
+        _bpe_words_frame,
+        bpe_apply_fertility,
+        bpe_train_frames,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bpeexh")
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "en", "s0", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+    merges, final = bpe_train_frames(_bpe_words_frame(docs))
+    got_merges = sorted(tuple(r) for r in merges.collect())
+    # 'ab' -> a b </w>: step1 merges the winning pair, step2 the next,
+    # then the single word is one symbol and no pairs remain
+    assert 1 <= len(got_merges) <= 2
+    finals = final.collect()
+    assert len(finals) == 1 and finals[0].sym_str == "ab</w>"  # NOT annihilated
+
+    got = sorted(tuple(r) for r in bpe_apply_fertility(spark, tmp).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(BPE_APPLY_ORACLE).fetchall())
+    assert got == want

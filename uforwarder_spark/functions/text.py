@@ -2974,7 +2974,7 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_STEPS = 8
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle() -> tuple[str, str]:
     chain = []
     for i in range(1, BPE_STEPS + 1):
         prev = f"w{i - 1}"
@@ -3139,6 +3139,14 @@ def bpe_train_frames(words: DataFrame):
         best = (
             pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).localCheckpoint()
         )
+        # Merge exhaustion (review r08): a corpus can support fewer than
+        # BPE_STEPS merges (every word fully merged). The winner frame is
+        # already checkpointed, so the emptiness check is a free read —
+        # without it the crossJoin below would annihilate the entire
+        # vocabulary frame, silently emptying the final segmentations
+        # while the oracle's NULL scalar subquery passes words through.
+        if not best.take(1):
+            break
         merges.append(
             best.select(
                 F.lit(i).alias("step"),
@@ -3151,6 +3159,13 @@ def bpe_train_frames(words: DataFrame):
             cur.crossJoin(F.broadcast(best.select("l", "r")))
             .select("word", "freq", F.expr(fold).alias("sym_str"))
             .localCheckpoint()
+        )
+    if not merges:  # zero-pair corpus (e.g. the zero-row sweep)
+        return (
+            words.sparkSession.createDataFrame(
+                [], "step int, tok_l string, tok_r string, pair_freq bigint"
+            ),
+            cur,
         )
     out = merges[0]
     for m in merges[1:]:
