@@ -1994,15 +1994,60 @@ def test_es_rolling_kernel_equivalence(spark, sf_dir):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    assert os.environ.get(ES_ROLLING_FLAG) != "1"
+    assert os.environ.get(ES_ROLLING_FLAG) not in ("1", "2")
     base = rows(exact_substring_dedup(spark, sf_dir))
+    for mode in ("1", "2"):  # "2" = the dual-base 128-bit collision guard
+        os.environ[ES_ROLLING_FLAG] = mode
+        try:
+            rolled = rows(exact_substring_dedup(spark, sf_dir))
+        finally:
+            del os.environ[ES_ROLLING_FLAG]
+        assert base == rolled, f"kernel mode {mode} diverged from md5 kernel"
+    assert any(r[4] > 0 for r in base)  # non-vacuous: some dup tokens exist
+
+
+def test_es_state_kernel_guard(spark):
+    """ADVICE r08: persisted exact-substring window-hash state written
+    under one kernel must FAIL FAST when read under another — the guard
+    keys off the hash format (md5 = 32 hex, rolling = 'r'+16, dual =
+    'd'+32). Matched-format state passes through value-identical;
+    mismatched state raises at scan time."""
+    import os
+
+    from uforwarder_spark.operators.dedup import (
+        ES_ROLLING_FLAG,
+        es_current_kernel,
+        es_state_kernel_guard,
+    )
+
+    assert os.environ.get(ES_ROLLING_FLAG) not in ("1", "2")
+    assert es_current_kernel() == "md5"
+    md5_state = spark.createDataFrame(
+        [("a" * 32,), ("0123456789abcdef0123456789abcdef",)], "h string"
+    )
+    rolling_state = spark.createDataFrame([("r" + "b" * 16,)], "h string")
+
+    # Matched kernel: rows pass through unchanged.
+    got = sorted(r.h for r in es_state_kernel_guard(md5_state).collect())
+    assert got == sorted(["a" * 32, "0123456789abcdef0123456789abcdef"])
+
+    # Mismatched kernel (rolling-format state under the md5 kernel):
+    # the scan itself raises, naming both kernels.
+    import pytest
+
+    with pytest.raises(Exception, match="kernel mismatch"):
+        es_state_kernel_guard(rolling_state).collect()
+
+    # And the flip side: md5 state under the rolling kernel.
     os.environ[ES_ROLLING_FLAG] = "1"
     try:
-        rolled = rows(exact_substring_dedup(spark, sf_dir))
+        assert es_current_kernel() == "rolling"
+        with pytest.raises(Exception, match="kernel mismatch"):
+            es_state_kernel_guard(md5_state).collect()
+        got = [r.h for r in es_state_kernel_guard(rolling_state).collect()]
+        assert got == ["r" + "b" * 16]
     finally:
         del os.environ[ES_ROLLING_FLAG]
-    assert base == rolled
-    assert any(r[4] > 0 for r in base)  # non-vacuous: some dup tokens exist
 
 
 def test_audio_signed_vs_unsigned_divergence():

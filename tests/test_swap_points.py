@@ -323,3 +323,59 @@ def test_ppm_decoder_header_robustness():
     assert ppm_decode_resize(with_comment, RESIZE_BOX) == want
     with pytest.raises(ValueError):
         ppm_decode_resize(b"P6\n5 4\n255\n" + px.tobytes()[:-1], RESIZE_BOX)
+
+
+def test_resize_error_policy(spark):
+    """ADVICE r08: a corrupt payload must not be able to kill a
+    real-decode deployment. The policy lives in the Spark plumbing
+    (per-row inside the Arrow batch loop), so it holds for ANY decoder:
+    - on_error='raise' (default): the corrupt row fails the job —
+      the oracle-checked contract, unchanged;
+    - on_error='skip': corrupt rows are dropped, good rows survive;
+    - on_error='null': every row kept, decode columns nulled and
+      `decode_error` names the exception for corruption-rate audits."""
+    good, pixels = _make_ppm(8, 6, 3)
+    bins = _bins_df(spark, [good, b"not an image", good])
+
+    with pytest.raises(Exception, match="not a binary PPM"):
+        multimodal_resize_frame(bins, decode_resize=ppm_decode_resize).collect()
+
+    kept = (
+        multimodal_resize_frame(
+            bins, decode_resize=ppm_decode_resize, on_error="skip"
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in kept] == [0, 2]
+    assert kept[0].width == 8 and kept[0].height == 6
+
+    rows = (
+        multimodal_resize_frame(
+            bins, decode_resize=ppm_decode_resize, on_error="null"
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in rows] == [0, 1, 2]
+    assert rows[0].decode_error is None and rows[2].decode_error is None
+    assert rows[0].resized_checksum == rows[2].resized_checksum
+    assert rows[1].width is None and rows[1].resized_checksum is None
+    assert "not a binary PPM" in rows[1].decode_error
+
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal_resize_frame(bins, on_error="ignore")
+
+
+def test_qc_frame_weights_rejects_nonfinite():
+    """ADVICE r08: a NaN/inf weight (degenerate least-squares fit)
+    previously rendered an invalid SQL literal ('nanD') and died with
+    an opaque parse error at plan time — now it's a descriptive
+    ValueError before any SQL is built."""
+    from uforwarder_spark.functions.text import QC_NB, qc_frame_weights
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        ws = [0.1] * QC_NB
+        ws[QC_NB // 2] = bad
+        with pytest.raises(ValueError, match="not finite"):
+            qc_frame_weights(None, ws)

@@ -312,7 +312,9 @@ def pil_decode_resize(payload: bytes, box: int):
     )
 
 
-def multimodal_resize_frame(bins: DataFrame, decode_resize=None) -> DataFrame:
+def multimodal_resize_frame(
+    bins: DataFrame, decode_resize=None, on_error: str = "raise"
+) -> DataFrame:
     """The D46 pipeline over any (doc_id, payload binary) frame with a
     pluggable decoder — `decode_resize` IS the swap point: the Spark
     plumbing (schema, Arrow batching, payload isolation) is identical
@@ -322,7 +324,19 @@ def multimodal_resize_frame(bins: DataFrame, decode_resize=None) -> DataFrame:
     registered operator's closure stays SELF-CONTAINED — cloudpickle
     serializes a module-level function by reference, which would force
     executors to import this package (the D12 contract forbids that);
-    a caller-supplied decoder is the caller's deployment choice."""
+    a caller-supplied decoder is the caller's deployment choice.
+
+    Error policy (`on_error`): real decoders raise on corrupt payloads,
+    and with the default "raise" one bad image fails the Spark stage —
+    correct for the oracle-checked stub (its inputs cannot be corrupt)
+    but wrong for a production decode over scraped data. "skip" drops
+    rows whose decode raises; "null" keeps every row, nulling the seven
+    decode columns and adding a `decode_error` string column (null on
+    success) so the corpus can audit its corruption rate. The policy is
+    applied per row INSIDE the Arrow batch loop — a corrupt payload can
+    never kill the job under "skip"/"null"."""
+    if on_error not in ("raise", "skip", "null"):
+        raise ValueError(f"on_error must be raise|skip|null, got {on_error!r}")
     if decode_resize is None:
         box = RESIZE_BOX
 
@@ -343,6 +357,8 @@ def multimodal_resize_frame(bins: DataFrame, decode_resize=None) -> DataFrame:
                 hashlib.md5(f"{checksum}:{ow}x{oh}".encode()).hexdigest(),
             )
 
+    with_err = on_error == "null"
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
             "width", "height", "out_width", "out_height",
@@ -351,20 +367,33 @@ def multimodal_resize_frame(bins: DataFrame, decode_resize=None) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": []}
             out.update({c: [] for c in cols})
+            if with_err:
+                out["decode_error"] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                vals = decode_resize(bytes(payload), RESIZE_BOX)
+                try:
+                    vals = decode_resize(bytes(payload), RESIZE_BOX)
+                    err = None
+                except Exception as exc:  # noqa: BLE001 — policy boundary
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    vals = (None,) * len(cols)
+                    err = f"{type(exc).__name__}: {exc}"
                 out["doc_id"].append(doc_id)
                 for c, v in zip(cols, vals):
                     out[c].append(v)
+                if with_err:
+                    out["decode_error"].append(err)
             yield pd.DataFrame(out)
 
-    return bins.mapInPandas(
-        resize_batches,
-        schema=(
-            "doc_id long, width int, height int, out_width int, out_height int, "
-            "scale double, out_bytes long, resized_checksum string"
-        ),
+    schema = (
+        "doc_id long, width int, height int, out_width int, out_height int, "
+        "scale double, out_bytes long, resized_checksum string"
     )
+    if with_err:
+        schema += ", decode_error string"
+    return bins.mapInPandas(resize_batches, schema=schema)
 
 
 @register("multimodal_resize", RESIZE_ORACLE)

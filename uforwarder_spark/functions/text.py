@@ -927,7 +927,7 @@ SELECT doc_id, source,
        CAST(n_ips AS BIGINT) AS n_ips,
        CAST(n_phones AS BIGINT) AS n_phones,
        CAST(n_emails + n_ips + n_phones AS BIGINT) AS n_redactions,
-       CAST(strlen(redacted) AS BIGINT) AS redacted_len,
+       CAST(length(redacted) AS BIGINT) AS redacted_len,
        md5(redacted) AS redacted_hash
 FROM red
 """
@@ -2123,6 +2123,15 @@ def qc_frame_weights(docs: DataFrame, weights) -> DataFrame:
 
     if len(weights) != QC_NB:
         raise ValueError(f"need {QC_NB} weights, got {len(weights)}")
+    import math
+
+    for i, w in enumerate(weights):
+        if not math.isfinite(float(w)):
+            raise ValueError(
+                f"weight[{i}] = {w!r} is not finite; a NaN/inf weight (e.g. "
+                "from a degenerate least-squares fit) would render an invalid "
+                "SQL literal — refit or clip the model before scoring"
+            )
     h = H_SPARK.format(col="t")
     warr = "array(" + ", ".join(f"{float(w)!r}D" for w in weights) + ")"
     score = (
@@ -3037,9 +3046,9 @@ SELECT o.source,
        CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS ws_tokens,
        CAST(sum(g.n_syms) AS BIGINT) AS bpe_tokens,
-       CAST(sum(strlen(o.word)) AS BIGINT) AS n_chars,
+       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
        round(CAST(sum(g.n_syms) AS DOUBLE) / count(*), 6) AS fertility,
-       round(CAST(sum(strlen(o.word)) AS DOUBLE) / sum(g.n_syms), 6)
+       round(CAST(sum(length(o.word)) AS DOUBLE) / sum(g.n_syms), 6)
          AS chars_per_token
 FROM occ o JOIN seg g ON o.word = g.word
 GROUP BY o.source"""
