@@ -458,6 +458,31 @@ def main() -> None:
         # bench_full.json
         stage_compact[name] = ev.get("sched_overhead_share")
 
+    # Mechanical per-breach verdict (VERDICT r08 #4): a calibrated
+    # breach whose captured sched_overhead_share >= 0.4 is machine-
+    # labeled "host_priced" — >=40% of its wall is stage-boundary /
+    # scheduler latency, the class BASELINE.md addendum 3 documents on
+    # plan-asserted unchanged plans (tests/test_plans.py pins the plan
+    # shapes; a plan regression would fail CI before it reached here).
+    # Only sched-share < 0.4 breaches demand plan work; a failed
+    # evidence capture stays actionable ("no_evidence") rather than
+    # silently excused. The record keeps every breach; the ACTIONABLE
+    # list is the adjudication — zero prose needed.
+    SCHED_SHARE_HOST_PRICED = 0.4
+    breach_verdicts = {
+        name: (
+            "no_evidence"
+            if stage_compact[name] is None
+            else "host_priced"
+            if stage_compact[name] >= SCHED_SHARE_HOST_PRICED
+            else "plan_work"
+        )
+        for name in breach_names
+    }
+    actionable = sorted(
+        n for n, v in breach_verdicts.items() if v != "host_priced"
+    )
+
     compact = {"metric": "headline_queries_total_wall"}
     compact["value"] = gens[""]["total"]
     compact["unit"] = "sec"
@@ -480,6 +505,8 @@ def main() -> None:
     compact["spark_witness_factor"] = round(spark_witness / SPARK_WITNESS_PIN, 3)
     compact["host_mode"] = _host_mode(cal, mc, spark_witness)
     compact["stage_evidence"] = stage_compact
+    compact["breach_verdicts"] = breach_verdicts
+    compact["actionable_breaches"] = actionable
     compact["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     full = dict(
         compact,
@@ -496,10 +523,14 @@ def main() -> None:
     # shed order: the queries dicts duplicate bench_full.json, so they
     # go before stage_evidence — the breach verdicts are the one thing
     # the driver's truncated record must keep (VERDICT r07 #2)
+    # breach_verdicts duplicates stage_evidence + the 0.4 rule, so it
+    # sheds first; actionable_breaches is the adjudication itself and
+    # sheds dead last (after even the per-line breach name lists)
     shed_order = (
         [f"queries{sfx}" for sfx, *_ in reversed(GENERATIONS)]
-        + ["stage_evidence"]
+        + ["breach_verdicts", "stage_evidence"]
         + [f"per_line_breaches{sfx}" for sfx, *_ in reversed(GENERATIONS)]
+        + ["actionable_breaches"]
     )
     for shed in shed_order:
         if len(line) <= 1900:
