@@ -27,53 +27,59 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # blocklist_filter slide just past the line (keeping their r04 driver
 # rows + both-SF pytest parity) and lead the r09 window.
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (8): bpe_train_merges and
-    #    bpe_apply_fertility are NEW (D97/D98, iterated BPE training +
-    #    its encode/fertility side); pipeline_health gained the full
-    #    KafkaPipelineIssue taxonomy columns (hash CHANGED); the
-    #    exact-substring family moved to the flag-dispatched window
-    #    kernel (default md5 path value-identical, code changed);
-    #    kcenter_coreset gained per-step localCheckpoints;
-    #    multimodal_resize moved to the pluggable-decoder kernel --
-    "bpe_train_merges", "bpe_apply_fertility",
-    "pipeline_health", "exact_substring_dedup", "incr_substring_dedup",
-    "substring_span_removal", "kcenter_coreset", "multimodal_resize",
-    # -- (b) the two r03 leftovers that slid past last round's line —
-    #    the oldest driver rows in the repo --
-    "embedding_centroid_outliers", "incremental_dedup",
-    # -- (c) the r04 cohort (40 of its 43 keys; tokenizer_fertility,
-    #    unigram_perplexity and blocklist_filter slide just past the
-    #    line and lead next round): relational C1 + C12-C28, then
-    #    A28/A32-A36, then the r04 D keys --
-    "tpch_q1_pricing_summary",
-    "tpch_q10_returned_revenue", "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders", "tpch_q15_top_supplier",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity", "tpch_q9_product_profit",
-    "tpch_q22_idle_balances", "tpch_q19_disjunctive_filter",
-    "funnel_conversion", "retention_cohorts", "asof_join_purchases",
-    "range_join_error_impact", "cube_revenue", "pivot_priority_revenue",
-    "fetcher_throughput", "resq_routing", "aimd_inflight_limiter",
-    "head_blocking_cancel", "token_bucket_summary", "linger_sampler",
-    "lang_id", "mixture_interleave", "ngram_novelty", "source_lang_kl",
-    "importance_sampling_weights", "zipf_fit", "ngram_entropy",
-    "weighted_sample_ares", "cms_heavy_hitters", "hll_distinct_tokens",
-    "source_overlap_matrix", "token_budget_allocation",
-    "timeseries_znorm_topk", "cdc_chunking", "window_outliers",
-    "bm25_topk",
+    # -- (a) new or changed this round (5): unigram_lm_train and
+    #    unigram_lm_fertility are NEW (D99/D100, Kudo-2018 unigram-LM
+    #    tokenizer training + its encode/fertility side — the other
+    #    published tokenizer endpoint next to D97/D98's BPE);
+    #    pii_redaction and bpe_apply_fertility had their DuckDB
+    #    oracles moved from strlen (bytes) to length (chars) to match
+    #    Spark F.length semantics (ADVICE r08 — values identical on
+    #    the ASCII-gated corpus, oracle text changed);
+    #    incr_substring_dedup's state side now scans through the
+    #    kernel-identity guard (plan changed, values identical) --
+    "unigram_lm_train", "unigram_lm_fertility",
+    "pii_redaction", "bpe_apply_fertility", "incr_substring_dedup",
+    # -- (b) the three r04-evidence keys that slid past last round's
+    #    line — the oldest driver rows in the repo --
+    "tokenizer_fertility", "unigram_perplexity", "blocklist_filter",
+    # -- (c) 42 of the 46 r05-evidence keys (pii_redaction above is
+    #    the 46th): the A12/A15/A19/A30 pipeline quartet, the B1-B11
+    #    controller block, then the r01-text/D cohort. The three
+    #    deferred to lead r10 — token_count, quality_score,
+    #    multimodal_meta — are the ones whose kernels are already
+    #    pinned by fresher keys (the shared tokenizer via
+    #    tokenizer_fertility above, the QC family via
+    #    quality_classifier_score r07, the multimodal metadata path
+    #    via multimodal_resize r08) --
+    "latency_percentiles", "adaptive_inflight_vegas",
+    "worker_pipeline_summary", "latency_littles_law",
+    "partition_assignment", "load_balance_stats", "autoscale_decision",
+    "batch_job_offsets", "partition_expansion", "hibernating_jobs",
+    "colocating_assignment", "autoscale_hysteresis",
+    "pod_aware_assignment", "range_assignment",
+    "rebalancer_shadow_compare",
+    "dedup_simhash", "ngram_jaccard_pairs", "embedding_cosine_pairs",
+    "ann_topk_bruteforce", "doc_fingerprint", "ann_topk_ivf",
+    "dedup_representatives", "quality_filter_gopher",
+    "dedup_connected_components", "stratified_sample", "vocab_topk",
+    "minhash_jaccard_estimate", "contamination_check", "tfidf_top_terms",
+    "lang_id_confusion", "corpus_stats", "chunk_dedup",
+    "repetition_stats", "corpus_prep_funnel", "bpe_merge_pairs",
+    "multimodal_frame_sample", "bloom_dedup_prefilter",
+    "length_bucketing", "hdr_histogram_quantiles", "dsir_selection",
+    "phash_incremental_dedup", "dedup_embedding_agreement",
     # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every key
-    # with the driver-grade comparator): tokenizer_fertility,
-    # unigram_perplexity and blocklist_filter are the three r04 keys
-    # that did not fit (8 new/changed + 2 r03 + 43 r04 = 53) and lead
-    # the r09 window; everything after them carries r05+ evidence.
+    # with the driver-grade comparator): token_count, quality_score and
+    # multimodal_meta are the three r05 keys that did not fit
+    # (5 new/changed + 3 r04 + 45 remaining r05 = 53) and lead the r10
+    # window together with the r06 cohort (38 keys).
     # token_bucket_exact stays last (rows-only by design — no SQL
     # oracle; its hash-green twin token_bucket_summary pins the shared
     # applyInPandas kernel).
-    "tokenizer_fertility",
-    "unigram_perplexity",
-    "blocklist_filter",
+    "token_count",
+    "quality_score",
+    "multimodal_meta",
     "token_bucket_exact",
 ]
 

@@ -2533,3 +2533,138 @@ def test_bpe_merge_exhaustion_matches_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.execute(BPE_APPLY_ORACLE).fetchall())
     assert got == want
+
+
+@_parametrize_parity_sfs()
+def test_unigram_lm_replay(spark, sf_dir):
+    """D99/D100 property replay — a third, pure-Python implementation
+    of the whole hard-EM chain (seed → K × (Viterbi E-step, prune,
+    +1-smoothed M-step) → fertility) from the parquet bytes, compared
+    value-for-value against the Spark operators at both parity SFs.
+    Every score is an integer micro-unit BIGINT, so the replay is
+    bit-exact, including the (score, last-piece-length) tie-break."""
+    import math
+
+    import duckdb
+
+    from uforwarder_spark.functions.text import (
+        SP_MAXL,
+        SP_MULTI_KEEP,
+        SP_SEED_MULTI,
+        unigram_lm_fertility,
+        unigram_lm_train,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    tok = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '')"
+    words = dict(
+        con.execute(
+            f"SELECT word, count(*) FROM (SELECT unnest({tok}) AS word "
+            f"FROM documents) GROUP BY word"
+        ).fetchall()
+    )
+    occ = con.execute(
+        f"SELECT source, word, count(*) FROM (SELECT source, unnest({tok}) AS word "
+        f"FROM documents) GROUP BY source, word"
+    ).fetchall()
+    ndocs = dict(
+        con.execute(
+            f"SELECT source, count(DISTINCT doc_id) FROM documents "
+            f"WHERE len({tok}) > 0 GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+
+    def seed(words):
+        cnt: dict = {}
+        for w, f in words.items():
+            for L in range(1, SP_MAXL + 1):
+                for s in range(len(w) - L + 1):
+                    p = w[s : s + L]
+                    cnt[p] = cnt.get(p, 0) + f
+        chars = {p: c for p, c in cnt.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in cnt.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:SP_SEED_MULTI]
+        return dict(chars) | dict(multi)
+
+    def lp_of(cnts, smooth):
+        t = sum(c + smooth for c in cnts.values())
+        return {
+            p: int(round(round(math.log((c + smooth) / t), 8) * 1e8))
+            for p, c in cnts.items()
+        }
+
+    def viterbi(word, lp):
+        n = len(word)
+        best = [(0, 0)] + [None] * n
+        for k in range(1, n + 1):
+            b = None
+            for l in range(1, min(SP_MAXL, k) + 1):
+                v = lp.get(word[k - l : k])
+                if v is None:
+                    continue
+                cand = (best[k - l][0] + v, l)
+                if b is None or cand > b:
+                    b = cand
+            best[k] = b
+        pieces, k = [], n
+        while k > 0:
+            l = best[k][1]
+            pieces.append(word[k - l : k])
+            k -= l
+        return pieces
+
+    kept = seed(words)
+    lp = lp_of(kept, 0)
+    for keep in SP_MULTI_KEEP:
+        cnt = {p: 0 for p in lp}
+        for w, f in words.items():
+            for p in viterbi(w, lp):
+                cnt[p] += f
+        chars = {p: c for p, c in cnt.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in cnt.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:keep]
+        kept = dict(chars) | dict(multi)
+        lp = lp_of(kept, 1)
+
+    # --- train: piece set, counts, logprobs, ranks ---
+    got = {r.piece: r for r in unigram_lm_train(spark, sf_dir).collect()}
+    assert set(got) == set(kept)
+    ranks = {
+        p: i + 1
+        for i, p in enumerate(
+            sorted(kept, key=lambda p: (-kept[p], p))
+        )
+    }
+    for p, r in got.items():
+        assert r.em_cnt == kept[p], p
+        assert int(round(r.logprob * 1e8)) == lp[p], p
+        assert r.piece_len == len(p) and r.vrank == ranks[p], p
+    # non-vacuous: multi-char pieces survive with real usage counts
+    assert any(len(p) > 1 and kept[p] > 0 for p in kept)
+
+    # --- fertility: per-source aggregates under the final model ---
+    npieces = {w: len(viterbi(w, lp)) for w in words}
+    exp: dict = {}
+    for source, word, c in occ:
+        d = exp.setdefault(source, [0, 0, 0])  # ws, sp, chars
+        d[0] += c
+        d[1] += c * npieces[word]
+        d[2] += c * len(word)
+    rows = {r.source: r for r in unigram_lm_fertility(spark, sf_dir).collect()}
+    assert set(rows) == set(exp)
+    for s, (ws, sp, ch) in exp.items():
+        r = rows[s]
+        assert (r.n_docs, r.ws_tokens, r.sp_tokens, r.n_chars) == (
+            ndocs[s], ws, sp, ch,
+        ), s
+        assert abs(r.fertility - round(sp / ws, 6)) <= 1e-9
+        assert abs(r.chars_per_token - round(ch / sp, 6)) <= 1e-9

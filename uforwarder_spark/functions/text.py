@@ -3229,3 +3229,445 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word")).cast("double") / F.sum("n_syms"), 6
         ).alias("chars_per_token"),
     )
+
+
+# --- D99 / D100 ----------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018; the SentencePiece unigram
+# family) — the OTHER published tokenizer endpoint next to D97's BPE:
+# seed a substring vocabulary from corpus counts, run K hard-EM rounds
+# (Viterbi E-step expected counts, prune to a shrinking multi-piece
+# budget, +1-smoothed M-step re-estimation), ship the final (piece,
+# logprob) model. D100 applies the trained model back to the corpus
+# (Viterbi segmentation) and reports per-source fertility — the D98
+# twin for this family.
+SP_MAXL = 4  # max piece length (seed + DP lookback bound)
+SP_SEED_MULTI = 40  # multi-char pieces kept at seeding
+SP_MULTI_KEEP = (28, 20, 14)  # per-EM-round multi-piece budgets (~0.7 shrink)
+
+
+def _sp_oracle() -> tuple[str, str]:
+    """DuckDB twins of D99/D100. The Viterbi DP is a recursive CTE per
+    word over prefix lengths, in PURE SCALAR form: candidate last-piece
+    log-probs are pre-joined and pivoted to one (word, end-pos) row
+    with lp1..lp{SP_MAXL} columns, the recursion carries a sliding
+    window of the last {SP_MAXL} best scores (b0..b{SP_MAXL-1} BIGINT
+    columns) plus the chosen-length HISTORY as a digit string, and the
+    backtrace is a second recursion walking that string with substr.
+    No LIST column ever crosses a recursion boundary: DuckDB evaluates
+    both a correlated scalar subquery over a derived materialized CTE
+    and element-indexing of a carried LIST(STRUCT) column
+    NONDETERMINISTICALLY inside recursive CTEs (both found building
+    this oracle — the forward pass was stable while the same best[k]
+    read in the backtrace recursion flipped between runs).
+    MATERIALIZED on every multiply-referenced CTE is load-bearing (the
+    D97 exponential-re-evaluation lesson).
+
+    Tie-break parity: the CASE ladder tests longer pieces first with
+    >= comparisons, so equal scores resolve to the LONGEST last piece
+    — the same (score, length) lexicographic max the Spark kernel's
+    tuple compare and the pure-Python replay use."""
+    subs = " UNION ALL ".join(
+        f"SELECT substr(word, s + 1, {L}) AS piece, freq FROM w0, "
+        f"unnest(range(length(word) - {L} + 1)) t(s)"
+        for L in range(1, SP_MAXL + 1)
+    )
+    edges = " UNION ALL ".join(
+        f"SELECT word, s + {L} AS k, {L} AS l, substr(word, s + 1, {L}) AS piece "
+        f"FROM w0, unnest(range(length(word) - {L} + 1)) t(s)"
+        for L in range(1, SP_MAXL + 1)
+    )
+    lp_pivot = ",\n         ".join(
+        f"max(CASE WHEN e.l = {L} THEN v.lp END) AS lp{L}"
+        for L in range(1, SP_MAXL + 1)
+    )
+    # x_L = score ending with a length-L piece: prev best b_{L-1} + lp_L
+    xs = {L: f"(r.b{L - 1} + c.lp{L})" for L in range(1, SP_MAXL + 1)}
+    # argmax with ties to the longest piece: test L descending; a NULL
+    # competitor never blocks (coalesce to self).
+    sel_arms = []
+    for L in range(SP_MAXL, 1, -1):
+        conds = [f"{xs[L]} IS NOT NULL"] + [
+            f"{xs[L]} >= coalesce({xs[M]}, {xs[L]})" for M in range(L - 1, 0, -1)
+        ]
+        sel_arms.append(f"WHEN {' AND '.join(conds)} THEN {L}")
+    sel = "CASE " + " ".join(sel_arms) + " ELSE 1 END"
+    nb = (
+        "CASE " + sel + " "
+        + " ".join(f"WHEN {L} THEN {xs[L]}" for L in range(SP_MAXL, 1, -1))
+        + f" ELSE {xs[1]} END"
+    )
+    init_bs = ", ".join(
+        ["CAST(0 AS BIGINT) AS b0"]
+        + [f"CAST(NULL AS BIGINT) AS b{i}" for i in range(1, SP_MAXL)]
+    )
+    shift_bs = ", ".join([f"{nb} AS b0"] + [f"r.b{i - 1} AS b{i}" for i in range(1, SP_MAXL)])
+
+    def vit_block(tag: str, model: str) -> str:
+        return f"""cand{tag} AS MATERIALIZED (
+  SELECT e.word, e.k,
+         {lp_pivot}
+  FROM ({edges}) e JOIN {model} v ON v.piece = e.piece
+  GROUP BY e.word, e.k
+),
+vit{tag} AS (
+  SELECT word, freq, 0 AS k, {init_bs}, '' AS hist FROM w0
+  UNION ALL
+  SELECT r.word, r.freq, r.k + 1, {shift_bs},
+         r.hist || CAST({sel} AS VARCHAR) AS hist
+  FROM vit{tag} r JOIN cand{tag} c ON c.word = r.word AND c.k = r.k + 1
+),
+f{tag} AS MATERIALIZED (
+  SELECT word, freq, hist FROM vit{tag} WHERE k = length(word)
+),
+bt{tag} AS (
+  SELECT word, freq, length(word) AS k, hist FROM f{tag}
+  UNION ALL
+  SELECT word, freq, k - CAST(substr(hist, k, 1) AS INT), hist
+  FROM bt{tag} WHERE k > 0
+)"""
+
+    def lp_expr(cnt: str, total_from: str) -> str:
+        return (
+            f"CAST(round(ln(CAST({cnt} AS DOUBLE) / (SELECT CAST(sum(cnt + 1) "
+            f"AS DOUBLE) FROM {total_from})), 8) AS DECIMAL(18,8))"
+        )
+
+    chain = []
+    for r, keep in enumerate(SP_MULTI_KEEP, 1):
+        prev = f"l{r - 1}"
+        lpd = lp_expr("cnt + 1", f"k{r}")
+        chain.append(f"""{vit_block(str(r), prev)},
+c{r} AS MATERIALIZED (
+  SELECT substr(word, k - CAST(substr(hist, k, 1) AS INT) + 1,
+                CAST(substr(hist, k, 1) AS INT)) AS piece,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM bt{r} WHERE k > 0 GROUP BY piece
+),
+k{r} AS MATERIALIZED (
+  SELECT v.piece, v.len, coalesce(c.cnt, 0) AS cnt
+  FROM {prev} v LEFT JOIN c{r} c ON v.piece = c.piece WHERE v.len = 1
+  UNION ALL
+  SELECT * FROM (
+    SELECT v.piece, v.len, coalesce(c.cnt, 0) AS cnt
+    FROM {prev} v LEFT JOIN c{r} c ON v.piece = c.piece WHERE v.len > 1
+    ORDER BY cnt DESC, v.piece LIMIT {keep})
+),
+l{r} AS MATERIALIZED (
+  SELECT piece, len, cnt, {lpd} AS lpd,
+         CAST({lpd} * 100000000 AS BIGINT) AS lp
+  FROM k{r}
+)""")
+    last = f"l{len(SP_MULTI_KEEP)}"
+    seed_lpd = (
+        "CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) "
+        "FROM v0)), 8) AS DECIMAL(18,8))"
+    )
+    prefix = f"""WITH RECURSIVE t AS (SELECT {TOKENS_DUCK} AS ts FROM documents),
+w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(ts) AS word FROM t) GROUP BY word
+),
+sub AS MATERIALIZED (
+  SELECT piece, length(piece) AS len, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM ({subs}) GROUP BY piece
+),
+v0 AS MATERIALIZED (
+  SELECT piece, len, cnt FROM sub WHERE len = 1
+  UNION ALL
+  SELECT * FROM (SELECT piece, len, cnt FROM sub WHERE len > 1
+                 ORDER BY cnt DESC, piece LIMIT {SP_SEED_MULTI})
+),
+l0 AS MATERIALIZED (
+  SELECT piece, len, CAST({seed_lpd} * 100000000 AS BIGINT) AS lp
+  FROM v0
+),
+{','.join(chain)}"""
+    train = f"""{prefix}
+SELECT piece, CAST(len AS BIGINT) AS piece_len, cnt AS em_cnt,
+       CAST(lpd AS DOUBLE) AS logprob,
+       CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS vrank
+FROM {last}"""
+    apply = f"""{prefix},
+{vit_block("F", last)},
+seg AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+  FROM btF WHERE k > 0 GROUP BY word
+),
+occ AS (
+  SELECT doc_id, source, unnest({TOKENS_DUCK}) AS word FROM documents
+)
+SELECT o.source,
+       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS ws_tokens,
+       CAST(sum(g.n_pieces) AS BIGINT) AS sp_tokens,
+       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
+       round(CAST(sum(g.n_pieces) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(length(o.word)) AS DOUBLE) / sum(g.n_pieces), 6)
+         AS chars_per_token
+FROM occ o JOIN seg g ON o.word = g.word
+GROUP BY o.source"""
+    return train, apply
+
+
+UNIGRAM_TRAIN_ORACLE, UNIGRAM_APPLY_ORACLE = _sp_oracle()
+
+
+def _sp_words_frame(docs: DataFrame) -> DataFrame:
+    """(word, freq): the unigram-LM training input — the corpus reduced
+    to word counts (like BPE, the unigram trainer never crosses word
+    boundaries, so counts are the entire training input). The ONLY
+    corpus-sized stage of the D99/D100 family."""
+    return (
+        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .localCheckpoint()
+    )
+
+
+def _sp_viterbi_kernel(vocab: dict, maxl: int, mode: str):
+    """Arrow-batched Viterbi kernel over the (word, freq) frame with
+    the model as a closure-captured plain dict {piece: lp_micro} —
+    integer micro-unit (1e-8) scores, so the DP is BIGINT-exact in
+    Spark, DuckDB and the pure-Python replay alike. Tie-break: max
+    (score, last-piece-length) — the struct field-major comparison the
+    oracle's list_reduce uses. mode='counts' emits per-batch
+    (piece, freq-weighted use count) partials (map-side combine before
+    the vocab-sized shuffle); mode='npieces' emits (word, n_pieces).
+    Everything the closure touches is defined inline (the D46
+    cloudpickle rule), so executors never import this package."""
+    vb = dict(vocab)
+
+    def run(batches):
+        import pandas as pd
+
+        def viterbi(word):
+            n = len(word)
+            best = [(0, 0)] + [None] * n
+            for k in range(1, n + 1):
+                b = None
+                for l in range(1, min(maxl, k) + 1):
+                    v = vb.get(word[k - l : k])
+                    if v is None:
+                        continue
+                    prev = best[k - l]
+                    if prev is None:
+                        continue
+                    cand = (prev[0] + v, l)
+                    if b is None or cand > b:
+                        b = cand
+                best[k] = b
+            pieces, k = [], n
+            while k > 0:
+                l = best[k][1]
+                pieces.append(word[k - l : k])
+                k -= l
+            return pieces
+
+        for pdf in batches:
+            if mode == "counts":
+                acc: dict = {}
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    for p in viterbi(word):
+                        acc[p] = acc.get(p, 0) + int(freq)
+                yield pd.DataFrame(
+                    {"piece": list(acc.keys()), "cnt": list(acc.values())}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "word": pdf["word"],
+                        "n_pieces": [len(viterbi(w)) for w in pdf["word"]],
+                    }
+                )
+
+    return run
+
+
+def _sp_lp_frame(kept: DataFrame, smooth: int) -> DataFrame:
+    """M-step: (piece, len, cnt) → + (lpd DECIMAL(18,8), lp BIGINT
+    micro-units): lp = round(ln((cnt+smooth)/Σ(cnt+smooth)), 8). The
+    total is a 1-row broadcast (house pattern); DECIMAL → micro BIGINT
+    is exact in both engines."""
+    tot = kept.agg(
+        F.sum(F.col("cnt") + F.lit(smooth)).cast("double").alias("lm_total")
+    )
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "len",
+            "cnt",
+            F.round(
+                F.log((F.col("cnt") + F.lit(smooth)).cast("double") / F.col("lm_total")),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("lpd"),
+        )
+        .withColumn("lp", (F.col("lpd") * 100000000).cast("bigint"))
+    )
+
+
+def sp_seed_frame(words: DataFrame) -> DataFrame:
+    """Seed vocabulary: every substring of length 1..{SP_MAXL} of every
+    word, occurrence-weighted by word freq (multiplicity within a word
+    counts, the suffix-count convention); ALL single chars (required
+    coverage — never pruned, so every word stays segmentable) + the top
+    {SP_SEED_MULTI} multi-char pieces by (count, piece). Vocab-sized
+    work: the explode runs on the distinct-word frame, not the
+    corpus."""
+    sub = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, least({SP_MAXL}, length(word))), "
+                    f"L -> transform(sequence(1, length(word) - L + 1), "
+                    f"s -> substring(word, s, L))))"
+                )
+            ).alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .withColumn("len", F.length("piece"))
+    )
+    chars = sub.filter(F.col("len") == 1)
+    multi = (
+        sub.filter(F.col("len") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(SP_SEED_MULTI)
+    )
+    return chars.unionByName(multi).select("piece", "len", "cnt")
+
+
+def sp_train_frames(words: DataFrame):
+    """The hard-EM training chain over a (word, freq) frame — ONE
+    definition shared by D99 (returns the final model) and D100
+    (segments under it), so train and apply cannot drift. Per round:
+    collect the O(V) model (the published trainer's own in-memory
+    residency — a vocabulary, not data; it rides back to executors as
+    the Viterbi kernel's closure), E-step Viterbi counts with map-side
+    partial aggregation, prune multi-char pieces to the round's budget
+    (chars always kept — coverage), +1-smoothed M-step. Each round
+    localCheckpoints (the D96/D97 unrolled-loop rule)."""
+    v = _sp_lp_frame(sp_seed_frame(words), 0).localCheckpoint()
+    for keep in SP_MULTI_KEEP:
+        vocab = {r["piece"]: r["lp"] for r in v.select("piece", "lp").collect()}
+        counts = (
+            words.mapInPandas(
+                _sp_viterbi_kernel(vocab, SP_MAXL, "counts"),
+                schema="piece string, cnt long",
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        joined = (
+            v.select("piece", "len")
+            .join(counts, "piece", "left")
+            .select("piece", "len", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
+        )
+        chars = joined.filter(F.col("len") == 1)
+        multi = (
+            joined.filter(F.col("len") > 1)
+            .orderBy(F.col("cnt").desc(), "piece")
+            .limit(keep)
+        )
+        v = _sp_lp_frame(chars.unionByName(multi), 1).localCheckpoint()
+    return v
+
+
+@register("unigram_lm_train", UNIGRAM_TRAIN_ORACLE)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D99: unigram-LM tokenizer TRAINING (Kudo 2018 — the
+    SentencePiece unigram family; the other published tokenizer
+    endpoint next to D97's BPE). Seed = all ≤{SP_MAXL}-char substrings
+    of the word-count table ({SP_SEED_MULTI} best multi-char pieces +
+    every single char); then {len(SP_MULTI_KEEP)} hard-EM rounds: the
+    E-step Viterbi-segments every distinct word under the current
+    piece log-probs (integer micro-unit scores; ties to the longest
+    last piece) and accumulates freq-weighted piece-use counts, the
+    prune step keeps the round's multi-piece budget by (count, piece)
+    with single chars never pruned (required character coverage, the
+    published trainer's rule), and the M-step re-estimates
+    +1-smoothed log-probs. Output = the shipped model: (piece,
+    piece_len, em_cnt, logprob, vrank).
+
+    Exactness: counts are exact BIGINTs; log-probs are
+    round(ln(·), 8) DECIMAL(18,8) (the Zipf/tfidf ln convention) and
+    enter the DP as exact 1e-8 micro-unit BIGINTs, so Viterbi scores,
+    tie-breaks, prunes and ranks are bit-identical in Spark, the
+    DuckDB recursive-CTE oracle, and the pure-Python property replay
+    (hard EM — the Viterbi-approximated E-step variant of Kudo's
+    forward-backward EM; count-based pruning stands in for the
+    likelihood-loss prune, both documented simplifications).
+
+    SCALE: the ONLY corpus-sized work is the word-frequency partial
+    agg (one scan — shared shape with D97); seeding explodes
+    substrings of the DISTINCT-WORD frame; every EM round is one
+    Arrow-batched integer DP over that same frame (O(len·{SP_MAXL})
+    per word) + a vocab-sized shuffle of map-side-combined counts.
+    The model collect is O(V) rows — the in-memory model every
+    published trainer holds; it returns to executors as a broadcast
+    closure. At 100 TB: corpus 10^11 docs → words frame ~10^7 rows;
+    all {len(SP_MULTI_KEEP)} rounds touch only that.
+
+    Reference analogue: none — training-data pipeline family
+    (tokenizer training; completes the unigram-LM endpoint D97/D98
+    left open)."""
+    final = sp_train_frames(_sp_words_frame(_docs(spark, sf_dir)))
+    w = Window.orderBy(F.col("cnt").desc(), "piece")
+    return final.select(
+        "piece",
+        F.col("len").cast("bigint").alias("piece_len"),
+        F.col("cnt").alias("em_cnt"),
+        F.col("lpd").cast("double").alias("logprob"),
+        F.row_number().over(w).cast("bigint").alias("vrank"),
+    )
+
+
+@register("unigram_lm_fertility", UNIGRAM_APPLY_ORACLE)
+def unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D100: the ENCODE side of D99 — the trained unigram-LM applied
+    back to the corpus (Viterbi segmentation under the final model,
+    the same shared kernel the E-step used, so train and apply cannot
+    drift): per source, word occurrences, total unigram-LM pieces,
+    character mass, fertility (pieces per word) and characters per
+    piece — D98's report under the OTHER tokenizer family, so a vocab
+    budget can be compared across BPE and unigram-LM on equal terms.
+
+    Exactness: integer sums + two final rounded divisions (the D98
+    convention); segmentation ties identical to D99's DP.
+
+    SCALE: training = D99 (vocab-sized); apply = one corpus token
+    explode joined to the vocab-of-words-sized (word, n_pieces) table
+    (AQE broadcasts it) + a per-source partial agg — the D98 plan.
+    Same-corpus training ⇒ no OOV; unseen-charset ingest would take
+    the same left join + per-char fallback.
+
+    Reference analogue: none — training-data pipeline family
+    (tokenizer apply/fertility, unigram-LM side)."""
+    docs = _docs(spark, sf_dir)
+    words = _sp_words_frame(docs)
+    final = sp_train_frames(words)
+    vocab = {r["piece"]: r["lp"] for r in final.select("piece", "lp").collect()}
+    seg = words.mapInPandas(
+        _sp_viterbi_kernel(vocab, SP_MAXL, "npieces"),
+        schema="word string, n_pieces long",
+    )
+    occ = docs.select(
+        "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+    )
+    j = occ.join(seg, "word")
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("ws_tokens"),
+        F.sum("n_pieces").cast("bigint").alias("sp_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        F.round(F.sum("n_pieces").cast("double") / F.count("*"), 6).alias(
+            "fertility"
+        ),
+        F.round(
+            F.sum(F.length("word")).cast("double") / F.sum("n_pieces"), 6
+        ).alias("chars_per_token"),
+    )
