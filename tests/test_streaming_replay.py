@@ -2555,3 +2555,85 @@ def test_empty_trigger_e50_fertility(spark):
         ),
         "et_e50",
     )
+
+
+# --- ordered-delivery contract (VERDICT r08 #2) ------------------------------
+def test_ordered_delivery_contract_enforced(spark):
+    """E24/E26/E45 ordered-delivery contract: the stateful machines'
+    batch-equality proofs hold under per-user ordered delivery — real
+    Kafka guarantees order per PARTITION only, so a topic NOT keyed by
+    user could deliver a user's events out of order across triggers.
+    That case must be a HARD ERROR naming the contract, never a silent
+    divergence from the batch twin: each pipeline here receives a
+    within-user out-of-order delivery ACROSS chunk boundaries (chunk 2
+    carries an event that precedes chunk 1's) and must fail its query
+    with the contract message. In-order chunked delivery of the same
+    machines stays bit-equal to batch (the randomized replay tests
+    above)."""
+    import pytest
+
+    import datetime as dt
+
+    def expect_violation(chunks, schema, transform, tag):
+        tmp = tempfile.mkdtemp(prefix=f"ooo_{tag}")
+        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
+        with pytest.raises(Exception, match="ordered-delivery contract"):
+            _run_phase(spark, transform, schema, src, ckpt, "append", [])
+
+    # E24 funnel: user 0's chunk-2 event_id (5) precedes chunk-1's (10).
+    cols = ["user_id", "event_id", "event_type"]
+    schema = "user_id long, event_id long, event_type string"
+    expect_violation(
+        [
+            pd.DataFrame([(0, 10, "view"), (1, 11, "view")], columns=cols),
+            pd.DataFrame([(0, 5, "click"), (1, 12, "click")], columns=cols),
+        ],
+        schema,
+        P.funnel_stream,
+        "e24",
+    )
+
+    # E26 as-of: same disorder shape, value column present.
+    cols_v = ["user_id", "event_id", "event_type", "value"]
+    schema_v = "user_id long, event_id long, event_type string, value double"
+    expect_violation(
+        [
+            pd.DataFrame([(0, 10, "view", 1.0), (1, 11, "view", 1.0)], columns=cols_v),
+            pd.DataFrame(
+                [(0, 5, "purchase", 9.0), (1, 12, "purchase", 2.0)], columns=cols_v
+            ),
+        ],
+        schema_v,
+        P.asof_stream,
+        "e26",
+    )
+
+    # E45 markov: user 0's chunk-2 (ts, event_id) precedes the carried
+    # last-seen from chunk 1 — the foreachBatch guard raises at scan.
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    cols_m = ["user_id", "ts", "event_id", "event_type"]
+    schema_m = "user_id long, ts timestamp, event_id long, event_type string"
+    m_chunks = [
+        pd.DataFrame(
+            [(0, t0 + dt.timedelta(minutes=9), 10, "view"),
+             (1, t0 + dt.timedelta(minutes=9), 11, "view")],
+            columns=cols_m,
+        ),
+        pd.DataFrame(
+            [(0, t0 + dt.timedelta(minutes=1), 5, "click"),
+             (1, t0 + dt.timedelta(minutes=10), 12, "click")],
+            columns=cols_m,
+        ),
+    ]
+    tmp = tempfile.mkdtemp(prefix="ooo_e45")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    _write_chunks(spark, m_chunks, schema_m, src, _time.time() - 1000)
+    stream = (
+        spark.readStream.schema(schema_m)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    with pytest.raises(Exception, match="ordered-delivery contract"):
+        q = P.markov_monitor_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)

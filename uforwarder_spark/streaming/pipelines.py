@@ -1520,6 +1520,7 @@ FUNNEL_STATE_SCHEMA = StructType(
         StructField("e1", LongType()),
         StructField("e2", LongType()),
         StructField("e3", LongType()),
+        StructField("max_eid", LongType()),
     ]
 )
 FUNNEL_OUTPUT_SCHEMA = StructType(
@@ -1534,16 +1535,36 @@ FUNNEL_OUTPUT_SCHEMA = StructType(
 def _funnel_machine(key, pdfs: Iterator, state: GroupState):
     """Per-user funnel progression: first view, first click after it,
     first purchase after that (event_id order). Emits one row per step
-    the user NEWLY reaches — the live twin of batch C23, exact when
-    each user's events arrive in event_id order (Kafka's per-key
-    ordering guarantee; the test feeds range-partitioned files)."""
+    the user NEWLY reaches — the live twin of batch C23.
+
+    ORDERED-DELIVERY CONTRACT (enforced, not assumed): within one
+    trigger events sort by event_id before folding, so intra-batch
+    disorder is free; ACROSS triggers state cannot rewind, so the
+    source must deliver each user's events in event_id order — real
+    Kafka guarantees order per PARTITION, so the producer must key the
+    topic by user (the reference's own assumption: its fetcher consumes
+    each partition in offset order, AbstractKafkaFetcherThread.java).
+    The machine keeps the max event_id it has folded per user and
+    FAILS FAST with this contract's name when a later trigger delivers
+    an earlier event — a mis-keyed topic can never silently diverge
+    from the proven batch twin
+    (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced)."""
     import pandas as pd
 
     rows = []
     for pdf in pdfs:
         rows.extend(zip((int(x) for x in pdf["event_id"]), pdf["event_type"]))
     rows.sort()  # one sort across ALL Arrow chunks of this group
-    e1, e2, e3 = state.get if state.exists else (None, None, None)
+    e1, e2, e3, max_eid = (
+        state.get if state.exists else (None, None, None, None)
+    )
+    if rows and max_eid is not None and rows[0][0] <= max_eid:
+        raise ValueError(
+            f"ordered-delivery contract violated for user {key[0]}: event_id "
+            f"{rows[0][0]} arrived after {max_eid} was already folded — key "
+            f"the source topic by user (per-partition order is Kafka's only "
+            f"guarantee) or re-ingest in order"
+        )
     out = []
     for eid, etype in rows:
         if e1 is None and etype == "view":
@@ -1555,7 +1576,9 @@ def _funnel_machine(key, pdfs: Iterator, state: GroupState):
         elif e2 is not None and e3 is None and etype == "purchase" and eid > e2:
             e3 = eid
             out.append((key[0], 3, eid))
-    state.update((e1, e2, e3))
+    if rows:
+        max_eid = rows[-1][0] if max_eid is None else max(max_eid, rows[-1][0])
+    state.update((e1, e2, e3, max_eid))
     yield pd.DataFrame(out, columns=["user_id", "step", "event_id"])
 
 
@@ -1623,7 +1646,9 @@ def bm25_index_pipeline(
 
 
 # --- E26: live as-of join ---------------------------------------------------
-ASOF_STATE_SCHEMA = StructType([StructField("last_view", LongType())])
+ASOF_STATE_SCHEMA = StructType(
+    [StructField("last_view", LongType()), StructField("max_eid", LongType())]
+)
 ASOF_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -1638,8 +1663,16 @@ ASOF_OUTPUT_SCHEMA = StructType(
 def _asof_machine(key, pdfs: Iterator, state: GroupState):
     """Per-user streaming as-of: carry the most recent view id; each
     purchase emits its match row immediately — the live twin of batch
-    C25 (exact under per-key ordered delivery, Kafka's guarantee).
-    ONE long of state per user, emitted rows never revised."""
+    C25. Two longs of state per user, emitted rows never revised.
+
+    ORDERED-DELIVERY CONTRACT (enforced, not assumed): intra-batch
+    disorder sorts away; across triggers the carried last-view cannot
+    rewind, so the source must be keyed by user (per-partition order
+    is Kafka's only guarantee — the reference's fetcher makes the same
+    per-partition assumption, AbstractKafkaFetcherThread.java). The
+    machine tracks the max folded event_id per user and FAILS FAST on
+    a later trigger delivering an earlier event
+    (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced)."""
     import pandas as pd
 
     rows = []
@@ -1652,7 +1685,14 @@ def _asof_machine(key, pdfs: Iterator, state: GroupState):
             )
         )
     rows.sort()  # one sort across ALL Arrow chunks of this group
-    (last_view,) = state.get if state.exists else (None,)
+    last_view, max_eid = state.get if state.exists else (None, None)
+    if rows and max_eid is not None and rows[0][0] <= max_eid:
+        raise ValueError(
+            f"ordered-delivery contract violated for user {key[0]}: event_id "
+            f"{rows[0][0]} arrived after {max_eid} was already folded — key "
+            f"the source topic by user (per-partition order is Kafka's only "
+            f"guarantee) or re-ingest in order"
+        )
     out = []
     for eid, etype, val in rows:
         if etype == "view":
@@ -1667,7 +1707,9 @@ def _asof_machine(key, pdfs: Iterator, state: GroupState):
                     None if last_view is None else eid - last_view,
                 )
             )
-    state.update((last_view,))
+    if rows:
+        max_eid = rows[-1][0] if max_eid is None else max(max_eid, rows[-1][0])
+    state.update((last_view, max_eid))
     yield pd.DataFrame(
         out,
         columns=["user_id", "purchase_id", "purchase_value", "prior_view_id", "id_gap"],
@@ -2875,12 +2917,23 @@ def markov_monitor_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: s
     (from, to) counts ADDITIVELY into batchId-versioned count state,
     and re-derives probabilities/ranks through the shared
     ``markov_table_from`` kernel (probabilities cannot fold: every
-    count shifts every row total). Requires (ts, event_id)-ordered
-    per-user delivery, the E40 ordered-delivery class. Counts are
-    exact integers, so the drained table equals batch D91 bit-for-bit
-    under any contiguous time-ordered chunking; replays re-derive
-    batch N's state from batch_id=N-1 and overwrite — idempotent (the
-    E19/E30 shape).
+    count shifts every row total). Counts are exact integers, so the
+    drained table equals batch D91 bit-for-bit under any contiguous
+    time-ordered chunking; replays re-derive batch N's state from
+    batch_id=N-1 and overwrite — idempotent (the E19/E30 shape).
+
+    ORDERED-DELIVERY CONTRACT (enforced, not assumed): the carry
+    mechanism is sound only if each user's events arrive in
+    (ts, event_id) order across triggers — real Kafka guarantees order
+    per PARTITION, so the producer must key the topic by user (the
+    reference's fetcher makes the same per-partition assumption,
+    AbstractKafkaFetcherThread.java). Each trigger therefore guards
+    the batch at scan time: any event sorting BEFORE its user's
+    carried last-seen (ts, event_id) raises a descriptive error inside
+    the projection (executor-side ``raise_error`` — fail-fast on the
+    first violating row, no extra pass), so a mis-keyed topic can
+    never silently drop or double-count a boundary transition
+    (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced).
 
     SCALE: per trigger the work is one lead window over
     |batch| + |touched users| rows partitioned per user; the carry
@@ -2900,6 +2953,40 @@ def markov_monitor_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: s
         prev_counts = _read_state_parquet(
             spark, f"{state_dir}/counts/batch_id={batch_id - 1}"
         )
+        if prev_carry is not None:
+            # ordered-delivery guard: a batch event sorting before its
+            # user's carried last-seen key violates the per-user order
+            # contract — raise at scan time rather than mis-count.
+            carry_keys = prev_carry.select(
+                "user_id", F.struct("ts", "event_id").alias("carry_key")
+            )
+            ev = (
+                ev.join(carry_keys, "user_id", "left")
+                .withColumn(
+                    "event_id",
+                    F.when(
+                        F.col("carry_key").isNull()
+                        | (F.struct("ts", "event_id") >= F.col("carry_key")),
+                        F.col("event_id"),
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "ordered-delivery contract violated for user "
+                                ),
+                                F.col("user_id").cast("string"),
+                                F.lit(
+                                    ": an event arrived before the user's carried "
+                                    "last-seen (ts, event_id) — key the source "
+                                    "topic by user (per-partition order is "
+                                    "Kafka's only guarantee) or re-ingest in order"
+                                ),
+                            )
+                        )
+                    ),
+                )
+                .drop("carry_key")
+            )
         combined = ev if prev_carry is None else ev.unionByName(prev_carry)
         batch_cnt = (
             markov_pairs_frame(combined)
