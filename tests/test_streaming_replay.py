@@ -2557,6 +2557,142 @@ def test_empty_trigger_e50_fertility(spark):
     )
 
 
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e51_unigram_fertility_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E51 property: per-source additive sums survive ANY chunking + a
+    replayed batch, and the drained ratio table equals batch D100
+    bit-for-bit (frozen same-corpus model; integer sums exact)."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import unigram_lm_fertility
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    docs_pdf = docs.toPandas()[DOCS_COLS]
+
+    def make_query(stream, tmp, ckpt):
+        return P.unigram_fertility_pipeline(
+            stream, docs, os.path.join(tmp, "state"), ckpt
+        )
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, docs_pdf, make_query,
+        ["{tmp}/state/fert/batch_id={bid}", "{tmp}/state/ratios/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e51rr",
+    )
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/ratios")
+        if d.startswith("batch_id=")
+    )
+    cols = [
+        "source", "n_docs", "ws_tokens", "sp_tokens", "n_chars",
+        "fertility", "chars_per_token",
+    ]
+    got = (
+        spark.read.parquet(f"{tmp}/state/ratios/batch_id={last}")
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        unigram_lm_fertility(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e51_oov_words_segment_exactly(spark):
+    """E51 OOV exactness: a live batch containing words the trained
+    model never saw must report the model's TRUE Viterbi segmentation
+    (the per-trigger unseen-word kernel pass), not a fallback bound —
+    checked against the pure-Python Viterbi under the same collected
+    model."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import (
+        SP_MAXL,
+        _sp_words_frame,
+        sp_train_frames,
+    )
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    final = sp_train_frames(_sp_words_frame(docs))
+    vocab = {r["piece"]: r["lp"] for r in final.select("piece", "lp").collect()}
+
+    def viterbi_n(word):
+        n = len(word)
+        best = [(0, 0)] + [None] * n
+        for k in range(1, n + 1):
+            b = None
+            for l in range(1, min(SP_MAXL, k) + 1):
+                v = vocab.get(word[k - l : k])
+                if v is None or best[k - l] is None:
+                    continue
+                cand = (best[k - l][0] + v, l)
+                if b is None or cand > b:
+                    b = cand
+            best[k] = b
+        cnt, k = 0, n
+        while k > 0:
+            k -= best[k][1]
+            cnt += 1
+        return cnt
+
+    oov_text = "thequery queryjoin hashhash"  # concatenations: unseen words
+    oov_words = oov_text.split()
+    want_sp = sum(viterbi_n(w) for w in oov_words)
+    pdf = pd.DataFrame(
+        [(900001, oov_text, "en", "oov", len(oov_text))],
+        columns=DOCS_COLS,
+    )
+    tmp = tempfile.mkdtemp(prefix="e51oov")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    _write_chunks(spark, [pdf], DOCS_SCHEMA, src, _time.time() - 1000)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    q = P.unigram_fertility_pipeline(stream, docs, os.path.join(tmp, "state"), ckpt)
+    q.awaitTermination(timeout=300)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/ratios")
+        if d.startswith("batch_id=")
+    )
+    row = (
+        spark.read.parquet(f"{tmp}/state/ratios/batch_id={last}")
+        .filter(F.col("source") == "oov")
+        .collect()[0]
+    )
+    assert row.ws_tokens == len(oov_words)
+    assert row.sp_tokens == want_sp
+    assert row.n_chars == sum(len(w) for w in oov_words)
+
+
+def test_empty_trigger_e51_unigram_fertility(spark):
+    """E51 empty-trigger property."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    docs_pdf = docs.toPandas()[DOCS_COLS]
+    half = len(docs_pdf) // 2
+    _empty_trigger_check(
+        spark, [docs_pdf.iloc[:half], docs_pdf.iloc[half:]], DOCS_SCHEMA,
+        lambda s, tmp, ckpt: P.unigram_fertility_pipeline(
+            s, docs, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e51",
+    )
+
+
 # --- ordered-delivery contract (VERDICT r08 #2) ------------------------------
 def test_ordered_delivery_contract_enforced(spark):
     """E24/E26/E45 ordered-delivery contract: the stateful machines'

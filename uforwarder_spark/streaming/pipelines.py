@@ -3442,3 +3442,124 @@ def bpe_fertility_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E51: live unigram-LM fertility monitor ----------------------------------
+def unigram_fertility_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E51: the live twin of batch D100 — per-source fertility under
+    the TRAINED unigram-LM tokenizer (Kudo 2018, D99) maintained
+    continuously as docs land; with E50 this closes the live side of
+    BOTH published tokenizer families, so a deployment can watch BPE
+    and unigram fertility drift on the same stream and compare vocab
+    budgets online. The model is trained ONCE from the published
+    corpus via the shared D99 chain (``sp_train_frames`` over
+    ``_sp_words_frame`` — the E42/E50 frozen-model convention; a
+    re-train swaps one frame) and its per-word segment counts are
+    persisted before the first trigger.
+
+    OOV handling is EXACT, not a bound: each trigger left-anti-joins
+    the batch's distinct words against the frozen (word, n_pieces)
+    table and Viterbi-segments only the unseen remainder through the
+    SAME closure-captured kernel the trainer's E-step used — so the
+    live monitor reports the trained model's true segmentation for ANY
+    input text, and the published corpus replays bit-equal to batch
+    D100 (no unseen words there by construction; a word containing a
+    character outside the trained charset takes the kernel's
+    documented per-char floor).
+
+    Per-source (n_docs, ws_tokens, sp_tokens, n_chars) fold ADDITIVELY
+    into ``{state_dir}/fert/batch_id=N`` (the E19/E35 idempotent
+    class); fertility and chars-per-token re-derive per trigger into
+    ``{state_dir}/ratios/batch_id=N`` (ratios cannot fold).
+
+    SCALE: training is vocab-bounded and happens once; per trigger the
+    work is one batch-sized token explode, a join against the frozen
+    vocab-of-words table, an Arrow-batched integer DP over only the
+    batch's UNSEEN distinct words, and an O(sources) partial agg
+    merged against O(sources) state. Nothing ever re-reads the corpus."""
+    from ..functions.text import (
+        SP_MAXL,
+        _sp_viterbi_kernel,
+        _sp_words_frame,
+        sp_train_frames,
+    )
+
+    final = sp_train_frames(_sp_words_frame(corpus_docs))
+    vocab = {r["piece"]: r["lp"] for r in final.select("piece", "lp").collect()}
+    words = _sp_words_frame(corpus_docs)
+    seg = words.mapInPandas(
+        _sp_viterbi_kernel(vocab, SP_MAXL, "npieces"),
+        schema="word string, n_pieces long",
+    ).persist()
+    seg.count()  # freeze the trained segmentation before the first trigger
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.tokenize import TOKENS_SPARK
+
+        spark = batch_df.sparkSession
+        occ = batch_df.select(
+            "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+        )
+        # exact OOV path: segment only the batch's unseen distinct words
+        unseen = (
+            occ.select("word", F.lit(1).cast("bigint").alias("freq"))
+            .distinct()
+            .join(seg.select("word"), "word", "left_anti")
+        )
+        seg_b = seg.unionByName(
+            unseen.mapInPandas(
+                _sp_viterbi_kernel(vocab, SP_MAXL, "npieces"),
+                schema="word string, n_pieces long",
+            )
+        )
+        batch_sums = (
+            occ.join(seg_b, "word")
+            .groupBy("source")
+            .agg(
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.count("*").cast("bigint").alias("ws_tokens"),
+                F.sum("n_pieces").cast("bigint").alias("sp_tokens"),
+                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            )
+        )
+        prev = _read_state_parquet(spark, f"{state_dir}/fert/batch_id={batch_id - 1}")
+        merged = (
+            batch_sums
+            if prev is None
+            else batch_sums.unionByName(prev)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+                F.sum("sp_tokens").cast("bigint").alias("sp_tokens"),
+                F.sum("n_chars").cast("bigint").alias("n_chars"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/fert/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/fert/batch_id={batch_id}")
+        state.select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "sp_tokens",
+            "n_chars",
+            F.round(
+                F.col("sp_tokens").cast("double") / F.col("ws_tokens"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("sp_tokens"), 6
+            ).alias("chars_per_token"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/ratios/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
