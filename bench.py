@@ -162,6 +162,25 @@ BASELINE4 = {
 }
 BASELINE4_CAL = 0.105  # single-core witness on the r08 pin window
 
+# Fifth-generation headline set (pinned round 9): the unigram-LM
+# tokenizer family (D99/D100). Protocol per the substring-trio lesson:
+# best-of-5 in TWO idle windows (train 2.486/2.703, fertility
+# 2.922/3.275 — stable at ±10%), pinned at the midpoints; both
+# windows' sc witnesses normal-band (0.1061/0.1036) while the spark
+# witness read 0.24-0.26 (engine-overhead-heavy host generation, the
+# BENCH_r08 0.1752 class) — both lines are EM-checkpoint-chain-bound
+# (vocab-sized work behind 3 collect+count rounds), so like BASELINE4
+# they price scheduler latency: read breaches through stage_evidence.
+HEADLINE5 = [
+    "unigram_lm_train",
+    "unigram_lm_fertility",
+]
+BASELINE5 = {
+    "unigram_lm_train": 2.60,
+    "unigram_lm_fertility": 3.10,
+}
+BASELINE5_CAL = 0.105  # single-core witness on the r09 pin windows
+
 # The pinned generations in one table — adding a headline family is ONE
 # row here (review r08: the per-generation plumbing in main() was four
 # verbatim copies with ~15 coordinated touch points; a missed one
@@ -172,6 +191,7 @@ GENERATIONS = [
     ("2", HEADLINE2, BASELINE2, BASELINE2_CAL),
     ("3", HEADLINE3, BASELINE3, BASELINE3_CAL),
     ("4", HEADLINE4, BASELINE4, BASELINE4_CAL),
+    ("5", HEADLINE5, BASELINE5, BASELINE5_CAL),
 ]
 
 # Pinned Spark-native witness (round 8, VERDICT r07 #7): the engine-
@@ -441,9 +461,25 @@ def main() -> None:
     breach_names = sorted(
         {n for sfx, *_ in GENERATIONS for n in gens[sfx]["breaches"]}
     )
+    _raw_ratio_pre = {
+        n: r["ratio_vs_baseline"]
+        for sfx, *_ in GENERATIONS
+        for n, r in gens[sfx]["ratios"].items()
+    }
+    _sw_factor_pre = spark_witness / SPARK_WITNESS_PIN
     stage_full: dict[str, dict] = {}
     stage_compact: dict[str, dict] = {}
     for name in breach_names:
+        # cal_artifact lines (verdict rule 1 below) skip the evidence
+        # re-run — their adjudication reads the raw ratio + engine
+        # witness, not stage skew, so the rerun would be pure cost
+        if (
+            _raw_ratio_pre.get(name) is not None
+            and _raw_ratio_pre[name] <= 1.3
+            and _sw_factor_pre <= 1.1
+        ):
+            stage_compact[name] = None
+            continue
         # never let the evidence pass cost the record itself: a failure
         # here (py4j API drift, a one-off rerun blowing up) must not
         # lose the timing JSON the whole round's adjudication reads
@@ -458,29 +494,51 @@ def main() -> None:
         # bench_full.json
         stage_compact[name] = ev.get("sched_overhead_share")
 
-    # Mechanical per-breach verdict (VERDICT r08 #4): a calibrated
-    # breach whose captured sched_overhead_share >= 0.4 is machine-
-    # labeled "host_priced" — >=40% of its wall is stage-boundary /
-    # scheduler latency, the class BASELINE.md addendum 3 documents on
-    # plan-asserted unchanged plans (tests/test_plans.py pins the plan
-    # shapes; a plan regression would fail CI before it reached here).
-    # Only sched-share < 0.4 breaches demand plan work; a failed
-    # evidence capture stays actionable ("no_evidence") rather than
-    # silently excused. The record keeps every breach; the ACTIONABLE
-    # list is the adjudication — zero prose needed.
+    # Mechanical per-breach verdict (VERDICT r08 #4), two rules applied
+    # in order:
+    # 1. "cal_artifact": the line's RAW ratio is inside the 1.3x bar
+    #    and the spark witness reads the ENGINE at/near its pin
+    #    (factor <= 1.1) — the md5 witness ran fast while the engine
+    #    did not, so host-calibration inflated the ratio past the bar.
+    #    This is the round-7 anti-correlation adjudication
+    #    (BASELINE.md addendum) as code: a line cannot need plan work
+    #    when its uncalibrated wall is at pin on an at-pin engine.
+    # 2. "host_priced": captured sched_overhead_share >= 0.4 — >=40%
+    #    of the wall is stage-boundary / scheduler latency, the class
+    #    BASELINE.md addendum 3 documents on plan-asserted unchanged
+    #    plans (tests/test_plans.py pins the plan shapes; a plan
+    #    regression would fail CI before it reached here).
+    # Everything else is "plan_work"; a failed evidence capture stays
+    # actionable ("no_evidence") rather than silently excused. The
+    # record keeps every breach; the ACTIONABLE list is the
+    # adjudication — zero prose needed.
     SCHED_SHARE_HOST_PRICED = 0.4
-    breach_verdicts = {
-        name: (
-            "no_evidence"
-            if stage_compact[name] is None
-            else "host_priced"
-            if stage_compact[name] >= SCHED_SHARE_HOST_PRICED
-            else "plan_work"
-        )
-        for name in breach_names
+    SW_FACTOR_AT_PIN = 1.1
+    raw_ratio = {
+        n: r["ratio_vs_baseline"]
+        for sfx, *_ in GENERATIONS
+        for n, r in gens[sfx]["ratios"].items()
     }
+    sw_factor = spark_witness / SPARK_WITNESS_PIN
+
+    def _verdict(name: str) -> str:
+        if (
+            raw_ratio.get(name) is not None
+            and raw_ratio[name] <= 1.3
+            and sw_factor <= SW_FACTOR_AT_PIN
+        ):
+            return "cal_artifact"
+        if stage_compact[name] is None:
+            return "no_evidence"
+        if stage_compact[name] >= SCHED_SHARE_HOST_PRICED:
+            return "host_priced"
+        return "plan_work"
+
+    breach_verdicts = {name: _verdict(name) for name in breach_names}
     actionable = sorted(
-        n for n, v in breach_verdicts.items() if v != "host_priced"
+        n
+        for n, v in breach_verdicts.items()
+        if v not in ("host_priced", "cal_artifact")
     )
 
     compact = {"metric": "headline_queries_total_wall"}
