@@ -237,6 +237,30 @@ def _host_mode(sc: float, mc: float, sw: float) -> str:
     return "unclassified"
 
 
+def breach_verdict(raw_ratio, sw_factor, sched_share) -> str:
+    """Mechanical per-breach adjudication (VERDICT r08 #4 + the r09
+    cal_artifact refinement), unit-tested in tests/test_bench_gate.py:
+    - 'cal_artifact': RAW ratio inside the 1.3x bar while the spark
+      witness reads the engine at/near pin (factor <= 1.1) — the md5
+      witness ran fast and calibration inflated the ratio (the r07
+      anti-correlation adjudication as code). Takes priority: a line
+      cannot need plan work when its uncalibrated wall is at pin on an
+      at-pin engine.
+    - 'host_priced': captured sched_overhead_share >= 0.4 on a
+      plan-asserted unchanged plan (tests/test_plans.py pins shapes) —
+      stage-boundary/scheduler latency, not compute.
+    - 'no_evidence': the evidence capture failed — stays actionable.
+    - 'plan_work': everything else — the only verdict that demands
+      attention."""
+    if raw_ratio is not None and raw_ratio <= 1.3 and sw_factor <= 1.1:
+        return "cal_artifact"
+    if sched_share is None:
+        return "no_evidence"
+    if sched_share >= 0.4:
+        return "host_priced"
+    return "plan_work"
+
+
 def _stage_evidence(spark, fn, sf_dir: str) -> dict:
     """Per-stage wall/task-time evidence for a flagged line (VERDICT r07
     #2): re-run the query once and read the stages it created from the
@@ -470,13 +494,11 @@ def main() -> None:
     stage_full: dict[str, dict] = {}
     stage_compact: dict[str, dict] = {}
     for name in breach_names:
-        # cal_artifact lines (verdict rule 1 below) skip the evidence
+        # cal_artifact lines (see breach_verdict) skip the evidence
         # re-run — their adjudication reads the raw ratio + engine
         # witness, not stage skew, so the rerun would be pure cost
-        if (
-            _raw_ratio_pre.get(name) is not None
-            and _raw_ratio_pre[name] <= 1.3
-            and _sw_factor_pre <= 1.1
+        if breach_verdict(_raw_ratio_pre.get(name), _sw_factor_pre, None) == (
+            "cal_artifact"
         ):
             stage_compact[name] = None
             continue
@@ -494,47 +516,15 @@ def main() -> None:
         # bench_full.json
         stage_compact[name] = ev.get("sched_overhead_share")
 
-    # Mechanical per-breach verdict (VERDICT r08 #4), two rules applied
-    # in order:
-    # 1. "cal_artifact": the line's RAW ratio is inside the 1.3x bar
-    #    and the spark witness reads the ENGINE at/near its pin
-    #    (factor <= 1.1) — the md5 witness ran fast while the engine
-    #    did not, so host-calibration inflated the ratio past the bar.
-    #    This is the round-7 anti-correlation adjudication
-    #    (BASELINE.md addendum) as code: a line cannot need plan work
-    #    when its uncalibrated wall is at pin on an at-pin engine.
-    # 2. "host_priced": captured sched_overhead_share >= 0.4 — >=40%
-    #    of the wall is stage-boundary / scheduler latency, the class
-    #    BASELINE.md addendum 3 documents on plan-asserted unchanged
-    #    plans (tests/test_plans.py pins the plan shapes; a plan
-    #    regression would fail CI before it reached here).
-    # Everything else is "plan_work"; a failed evidence capture stays
-    # actionable ("no_evidence") rather than silently excused. The
-    # record keeps every breach; the ACTIONABLE list is the
-    # adjudication — zero prose needed.
-    SCHED_SHARE_HOST_PRICED = 0.4
-    SW_FACTOR_AT_PIN = 1.1
-    raw_ratio = {
-        n: r["ratio_vs_baseline"]
-        for sfx, *_ in GENERATIONS
-        for n, r in gens[sfx]["ratios"].items()
+    # Mechanical per-breach verdicts (the `breach_verdict` rule above,
+    # unit-tested): the record keeps every breach; the ACTIONABLE list
+    # is the adjudication — zero prose needed.
+    breach_verdicts = {
+        name: breach_verdict(
+            _raw_ratio_pre.get(name), _sw_factor_pre, stage_compact[name]
+        )
+        for name in breach_names
     }
-    sw_factor = spark_witness / SPARK_WITNESS_PIN
-
-    def _verdict(name: str) -> str:
-        if (
-            raw_ratio.get(name) is not None
-            and raw_ratio[name] <= 1.3
-            and sw_factor <= SW_FACTOR_AT_PIN
-        ):
-            return "cal_artifact"
-        if stage_compact[name] is None:
-            return "no_evidence"
-        if stage_compact[name] >= SCHED_SHARE_HOST_PRICED:
-            return "host_priced"
-        return "plan_work"
-
-    breach_verdicts = {name: _verdict(name) for name in breach_names}
     actionable = sorted(
         n
         for n, v in breach_verdicts.items()

@@ -1,0 +1,50 @@
+"""Unit tests for bench.py's mechanical adjudication — the verdict
+rules the round record's actionable_breaches list is built from. Pure
+functions, no Spark session."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import MC_BAND, SC_BAND, SPARK_WITNESS_PIN, _host_mode, breach_verdict
+
+
+def test_breach_verdict_cal_artifact_priority():
+    # raw inside the bar + engine at pin → cal_artifact, regardless of
+    # sched share or even a failed evidence capture
+    assert breach_verdict(1.15, 1.009, None) == "cal_artifact"
+    assert breach_verdict(1.15, 1.009, 0.9) == "cal_artifact"
+    assert breach_verdict(1.30, 1.10, 0.1) == "cal_artifact"  # boundary
+
+
+def test_breach_verdict_host_priced():
+    # raw over the bar (calibration not the cause) + sched share >= 0.4
+    assert breach_verdict(1.5, 1.0, 0.4) == "host_priced"
+    assert breach_verdict(1.5, 1.0, 0.788) == "host_priced"
+    # engine NOT at pin: cal rule can't excuse, sched share decides
+    assert breach_verdict(1.1, 1.5, 0.51) == "host_priced"
+
+
+def test_breach_verdict_plan_work_and_no_evidence():
+    assert breach_verdict(1.5, 1.0, 0.39) == "plan_work"
+    assert breach_verdict(1.1, 1.5, 0.1) == "plan_work"
+    # failed evidence capture on a non-excused line stays actionable
+    assert breach_verdict(1.5, 1.0, None) == "no_evidence"
+    assert breach_verdict(None, 1.0, None) == "no_evidence"
+
+
+def test_host_mode_signatures():
+    sc_mid = (SC_BAND[0] + SC_BAND[1]) / 2
+    mc_mid = (MC_BAND[0] + MC_BAND[1]) / 2
+    sw_pin = SPARK_WITNESS_PIN
+    assert _host_mode(sc_mid, mc_mid, sw_pin) == "normal"
+    # r04/r05 noisy-neighbor signature: mc elevated
+    assert _host_mode(sc_mid, MC_BAND[1] * 1.3, sw_pin) == "contended"
+    # r07 signature: md5 fast while engine slow
+    assert _host_mode(SC_BAND[0] * 0.8, mc_mid, sw_pin * 1.4) == "anti_correlated"
+    # engine slow on an in-band md5 host
+    assert _host_mode(sc_mid, mc_mid, sw_pin * 1.4) == "engine_slow"
+    # outside every documented signature → surfaced, not silently normal
+    assert _host_mode(SC_BAND[1] * 2.0, mc_mid, sw_pin) == "unclassified"
