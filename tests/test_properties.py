@@ -2668,3 +2668,105 @@ def test_unigram_lm_replay(spark, sf_dir):
         ), s
         assert abs(r.fertility - round(sp / ws, 6)) <= 1e-9
         assert abs(r.chars_per_token - round(ch / sp, 6)) <= 1e-9
+
+
+def _uni_py_train(words: dict):
+    """Pure-Python twin of sp_train_frames (third implementation) —
+    shared by the parquet replay above and the synthetic-corpus
+    property test below."""
+    import math
+
+    from uforwarder_spark.functions.text import (
+        SP_MAXL,
+        SP_MULTI_KEEP,
+        SP_SEED_MULTI,
+    )
+
+    def lp_of(cnts, smooth):
+        t = sum(c + smooth for c in cnts.values())
+        return {
+            p: int(round(round(math.log((c + smooth) / t), 8) * 1e8))
+            for p, c in cnts.items()
+        }
+
+    def viterbi(word, lp):
+        n = len(word)
+        best = [(0, 0)] + [None] * n
+        for k in range(1, n + 1):
+            b = None
+            for l in range(1, min(SP_MAXL, k) + 1):
+                v = lp.get(word[k - l : k])
+                if v is None or best[k - l] is None:
+                    continue
+                cand = (best[k - l][0] + v, l)
+                if b is None or cand > b:
+                    b = cand
+            best[k] = b
+        pieces, k = [], n
+        while k > 0:
+            l = best[k][1]
+            pieces.append(word[k - l : k])
+            k -= l
+        return pieces
+
+    cnt: dict = {}
+    for w, f in words.items():
+        for L in range(1, SP_MAXL + 1):
+            for s in range(len(w) - L + 1):
+                p = w[s : s + L]
+                cnt[p] = cnt.get(p, 0) + f
+    chars = {p: c for p, c in cnt.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:SP_SEED_MULTI]
+    kept = dict(chars) | dict(multi)
+    lp = lp_of(kept, 0)
+    for keep in SP_MULTI_KEEP:
+        c2 = {p: 0 for p in lp}
+        for w, f in words.items():
+            for p in viterbi(w, lp):
+                c2[p] += f
+        chars = {p: c for p, c in c2.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in c2.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:keep]
+        kept = dict(chars) | dict(multi)
+        lp = lp_of(kept, 1)
+    return kept, lp, viterbi
+
+
+def test_unigram_lm_synthetic_corpora(spark):
+    """D99 edge-case property: the Spark training chain must equal the
+    pure-Python model on synthetic corpora the parquet testdata cannot
+    produce — a two-letter alphabet forcing massive count TIES (the
+    (count, piece) prune tie-break and the (score, length) DP
+    tie-break both load-bearing), multi-piece budgets LARGER than the
+    candidate pool (prune keeps everything), words shorter than the
+    max piece length, and a single-char-only corpus (zero multi-char
+    candidates end-to-end)."""
+    from uforwarder_spark.functions.text import sp_train_frames
+
+    corpora = [
+        # tie-heavy: ab-alphabet, repeated structures
+        {"ab": 10, "ba": 10, "aab": 10, "abb": 10, "a": 7, "b": 7},
+        # budget exhaustion: fewer multi candidates than every keep
+        {"ab": 3, "b": 2},
+        # single-char-only corpus: no multi-char pieces exist
+        {"a": 5},
+        # words shorter than SP_MAXL mixed with one long repeat
+        {"abababab": 4, "ab": 9, "ba": 9},
+    ]
+    for words in corpora:
+        kept, lp, _viterbi = _uni_py_train(words)
+        wdf = spark.createDataFrame(
+            [(w, f) for w, f in words.items()], "word string, freq long"
+        )
+        got = {
+            r.piece: (r.cnt, r.lp)
+            for r in sp_train_frames(wdf).select("piece", "cnt", "lp").collect()
+        }
+        assert set(got) == set(kept), (words, set(got) ^ set(kept))
+        for p in kept:
+            assert got[p] == (kept[p], lp[p]), (words, p, got[p], (kept[p], lp[p]))

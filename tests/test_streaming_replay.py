@@ -2625,6 +2625,8 @@ def test_e51_oov_words_segment_exactly(spark):
     final = sp_train_frames(_sp_words_frame(docs))
     vocab = {r["piece"]: r["lp"] for r in final.select("piece", "lp").collect()}
 
+    from uforwarder_spark.functions.text import UNK_LP_MICRO
+
     def viterbi_n(word):
         n = len(word)
         best = [(0, 0)] + [None] * n
@@ -2637,6 +2639,8 @@ def test_e51_oov_words_segment_exactly(spark):
                 cand = (best[k - l][0] + v, l)
                 if b is None or cand > b:
                     b = cand
+            if b is None:  # unseen char: the kernel's unk floor
+                b = (best[k - 1][0] + UNK_LP_MICRO, 1)
             best[k] = b
         cnt, k = 0, n
         while k > 0:
@@ -2644,7 +2648,10 @@ def test_e51_oov_words_segment_exactly(spark):
             cnt += 1
         return cnt
 
-    oov_text = "thequery queryjoin hashhash"  # concatenations: unseen words
+    # concatenations = unseen WORDS; 'zx' chars are outside the trained
+    # CHARSET entirely (the corpus alphabet has no x/z) — the unk-floor
+    # path that previously crashed the backtrace
+    oov_text = "thequery queryjoin hashhash zxhash"
     oov_words = oov_text.split()
     want_sp = sum(viterbi_n(w) for w in oov_words)
     pdf = pd.DataFrame(

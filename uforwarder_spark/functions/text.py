@@ -3425,6 +3425,9 @@ def _sp_words_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+UNK_LP_MICRO = -30 * 10**8  # unk-char floor: ln p = -30 in 1e-8 micro-units
+
+
 def _sp_viterbi_kernel(vocab: dict, maxl: int, mode: str):
     """Arrow-batched Viterbi kernel over the (word, freq) frame with
     the model as a closure-captured plain dict {piece: lp_micro} —
@@ -3435,8 +3438,17 @@ def _sp_viterbi_kernel(vocab: dict, maxl: int, mode: str):
     (piece, freq-weighted use count) partials (map-side combine before
     the vocab-sized shuffle); mode='npieces' emits (word, n_pieces).
     Everything the closure touches is defined inline (the D46
-    cloudpickle rule), so executors never import this package."""
+    cloudpickle rule), so executors never import this package.
+
+    OOV-charset floor: single chars are never pruned, so any word over
+    the TRAINED charset always segments; a character the model never
+    saw (impossible for the oracle-checked same-corpus ops, reachable
+    for live ingest through E51) scores the documented floor
+    UNK_LP_MICRO = -30e8 (ln p = -30, far below any trained piece) as
+    its own single-char piece — the SentencePiece unk convention — so
+    the DP is total and a stray byte can never kill a trigger."""
     vb = dict(vocab)
+    unk = UNK_LP_MICRO
 
     def run(batches):
         import pandas as pd
@@ -3456,6 +3468,8 @@ def _sp_viterbi_kernel(vocab: dict, maxl: int, mode: str):
                     cand = (prev[0] + v, l)
                     if b is None or cand > b:
                         b = cand
+                if b is None:  # unseen char: the unk single-char floor
+                    b = (best[k - 1][0] + unk, 1)
                 best[k] = b
             pieces, k = [], n
             while k > 0:
