@@ -752,3 +752,50 @@ def test_bpe_apply_joins_vocab_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+def test_q12_filter_pushes_and_single_fact_shuffle(spark):
+    # C29: the year filter reaches the lineitem scan; the only
+    # fact-sized join is lineitem⋈orders on orderkey (SMJ at real SF,
+    # AQE may broadcast at test SF); the 2-row conditional agg is
+    # partial
+    plan = plan_of(spark, "tpch_q12_shipmode_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q21_is_one_linear_fact_pipeline(spark):
+    # C30: the EXISTS / NOT-EXISTS pair of Q21 must NOT appear as fact
+    # self-joins — the derivation is per-order counts over the
+    # (orderkey, suppkey) residue, so each of the 4 tables is scanned
+    # exactly once and the multi-supplier / sole-late tests are ONE
+    # per-order window, never a self-referencing branch that would make
+    # Spark build the lineitem subtree twice
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert plan.count("Scan parquet") == 4, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+    specs = window_partition_keys(spark, "tpch_q21_waiting_suppliers")
+    assert specs and all("l_orderkey" in keys for keys in specs), specs
+
+
+def test_q16_anti_join_broadcasts_and_no_fact_smj(spark):
+    # C31: the complaint list is a broadcast LEFT ANTI join and part is
+    # a broadcast dim — the only fact-sized exchange is the DISTINCT on
+    # the (partkey, suppkey) pair, never a shuffle JOIN
+    plan = plan_of(spark, "tpch_q16_supplier_part_types")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_dims_broadcast_and_scalar_attaches_as_1row_bnlj(spark):
+    # C32: supplier/nation broadcast (fact never shuffles for a join);
+    # the global total attaches as the house-standard broadcast 1-row
+    # cross join — the ONLY nested-loop join allowed in the plan
+    plan = plan_of(spark, "tpch_q11_important_balances")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("HashAggregate") >= 2

@@ -1531,3 +1531,258 @@ def pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"`{p_}`").alias(f"p{i + 1}") for i, p_ in enumerate(PIVOT_PRIORITIES)
     ]
     return p.select(*renames)
+
+
+# --- C29 -----------------------------------------------------------------
+Q12_ORACLE = """
+WITH l AS (
+  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 14 DAY THEN 'EXPRESS'
+              WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 'REGULAR'
+              ELSE 'DEFERRED' END AS ship_bucket,
+         o_orderpriority AS prio
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT ship_bucket,
+       CAST(sum(CASE WHEN prio IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN prio NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM l
+WHERE ship_bucket IN ('REGULAR', 'DEFERRED')
+GROUP BY ship_bucket
+ORDER BY ship_bucket
+"""
+
+
+@register("tpch_q12_shipmode_priority", Q12_ORACLE)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the synthetic lineitem has no l_shipmode /
+    commit/receipt dates, so "ship mode" becomes the DERIVED ship-lag
+    bucket — EXPRESS <=14d, REGULAR <=60d, DEFERRED beyond — and Q12's
+    two-mode filter keeps the slow pair): did low-priority orders ride
+    the slow buckets?  The high/low split is Q12's conditional
+    aggregate, verbatim.
+
+    Lag compares raw timestamps (l_shipdate <= o_orderdate + INTERVAL),
+    never datediff — identical semantics in Spark and DuckDB even if a
+    timestamp ever carries a time-of-day component.
+
+    SCALE: the ONLY fact-sized exchange is lineitem join orders on
+    orderkey (both fact tables at real SF — SMJ is the right plan; AQE
+    may broadcast at test SF); the year filter prunes lineitem at the
+    scan, the bucket filter is map-side post-join, and the 2-row
+    conditional agg is partial before its tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    bucket = (
+        F.when(
+            F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS"), "EXPRESS"
+        )
+        .when(F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), "REGULAR")
+        .otherwise("DEFERRED")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("ship_bucket", bucket)
+        .filter(F.col("ship_bucket").isin("REGULAR", "DEFERRED"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+# --- C30 -----------------------------------------------------------------
+Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_9'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("tpch_q21_waiting_suppliers", Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 "suppliers who kept orders waiting" (adapted: "late"
+    is shipped >60 days after the order date — the synthetic schema has
+    no commit/receipt dates): for finished ('F') orders, count each
+    nation-NATION_9 supplier's late lineitems on MULTI-supplier orders
+    where it was the ONLY late supplier.  The oracle keeps Q21's
+    literal correlated EXISTS / NOT-EXISTS self-join pair, so the two
+    engines derive the answer through genuinely different shapes.
+
+    SCALE: the published plan for Q21 needs TWO extra self-joins of the
+    fact table; this derivation collapses both into per-order counts —
+    one (orderkey, suppkey) partial agg (late flag + late-row count)
+    followed by a per-ORDER window over that residue — so lineitem is
+    scanned exactly once, in one linear pipeline with no self-
+    referencing branch (a groupBy + join-back would make Spark build
+    the fact subtree twice), and every exchange after the
+    lineitem-orders orderkey join carries only per-(order,supplier)
+    residue rows.  EXISTS(other supplier) == n_suppliers > 1 and
+    NOT EXISTS(other late supplier) == n_late_suppliers == 1 exactly
+    because counts are computed per order.  supplier/nation broadcast;
+    the top-20 is a TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int")
+    # one pass over F-order lineitems -> per-(order, supplier) residue
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("is_late"), F.sum("late").alias("late_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waits = (
+        ls.withColumn("n_suppliers", F.count("*").over(w))
+        .withColumn("n_late_suppliers", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late_suppliers") == 1)
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    return (
+        waits.join(F.broadcast(s), waits.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# --- C31 -----------------------------------------------------------------
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = ps.l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16_supplier_part_types", Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape "parts/supplier relationship" (adapted: the
+    synthetic schema has no partsupp table, so the part-supplier
+    relation is RECONSTRUCTED as DISTINCT (l_partkey, l_suppkey) from
+    the fact log — who ever shipped what; "customer complaints" becomes
+    a negative account balance): how many qualified suppliers can serve
+    each (brand, type, size) slice, excluding one brand, one type, and
+    suppliers on the complaint list (Q16's NOT IN).
+
+    SCALE: the ONLY fact-sized exchange is the DISTINCT on the pair key
+    (map-side partial dedup first); the complaint list is a broadcast
+    LEFT ANTI join (s_suppkey is never NULL, so NOT IN == anti join),
+    the brand/type/size filters push into the broadcast part dim's
+    scan, and count(DISTINCT suppkey) is Spark's standard two-shuffle
+    expand — both on slice-sized residue, not the fact table."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    complaints = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        pairs.join(F.broadcast(complaints), pairs.l_suppkey == complaints.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- C32 -----------------------------------------------------------------
+Q11_ORACLE = """
+WITH nv AS (
+  SELECT n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, CAST(round(value_dec, 2) AS DOUBLE) AS value
+FROM nv
+WHERE value_dec > (SELECT sum(value_dec) FROM nv) * CAST(0.042 AS DECIMAL(8,4))
+ORDER BY value DESC
+"""
+
+
+@register("tpch_q11_important_balances", Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape "important stock concentration" (adapted: no
+    partsupp, so "value held" becomes revenue shipped BY each
+    supplier nation): nations whose revenue exceeds a fixed fraction
+    (0.042) of the GLOBAL total — Q11's defining HAVING-above-a-
+    scalar-subquery pattern.
+
+    Exactness: the per-nation sums AND the global total stay DECIMAL
+    (exact, associative), and the threshold comparison multiplies
+    decimals — both engines compare the same exact rationals, so the
+    kept set is identical; rounding to DOUBLE happens only in the
+    final projection.
+
+    SCALE: supplier + nation broadcast, so the fact table never
+    shuffles for a join; one partial agg to 25 nation rows; the global
+    total re-aggregates those 25 rows and rides back as a broadcast
+    1-row cross join (the repo's standard scalar-attach) — no second
+    fact scan, unlike the literal Q11 which scans partsupp twice."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    nv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("value_dec"))
+    )
+    total = nv.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        nv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * F.lit("0.042").cast("decimal(8,4)"))
+        .select("n_name", F.round("value_dec", 2).cast("double").alias("value"))
+        .orderBy(F.col("value").desc())
+    )
