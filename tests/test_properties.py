@@ -2770,3 +2770,86 @@ def test_unigram_lm_synthetic_corpora(spark):
         assert set(got) == set(kept), (words, set(got) ^ set(kept))
         for p in kept:
             assert got[p] == (kept[p], lp[p]), (words, p, got[p], (kept[p], lp[p]))
+
+
+def test_markov_segment_and_carry_equals_default(spark):
+    """D91 hot-key fallback (SCALE.md round 9): segment-and-carry must
+    be VALUE-IDENTICAL to the single-window path — on real sf0.001
+    events for several K, and on a synthetic hot frame (one user owning
+    ~99% of rows, duplicate timestamps every 3 events so equal-ts
+    ordering and segment assignment interact) against a pure-Python
+    adjacency count. Also asserts the decomposition actually splits the
+    hot sort: the within-segment window partitions by (user_id, seg)."""
+    import json
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.operators.timeseries import markov_pairs_frame
+
+    import os
+
+    from tests.conftest import SF_SMALL
+
+    def cnts(df):
+        return sorted(
+            map(tuple, df.groupBy("event_from", "event_to").count().collect())
+        )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    base = cnts(markov_pairs_frame(ev))
+    for k in (2, 5, 32):
+        assert cnts(markov_pairs_frame(ev, segments=k)) == base, k
+
+    rows, eid = [], 0
+    for i in range(900):
+        rows.append((1, 1000 + i // 3, eid, ["a", "b", "c", "d"][eid % 4]))
+        eid += 1
+    for i in range(12):
+        rows.append((2, 1000 + i * 25, eid, ["a", "b", "c"][eid % 3]))
+        eid += 1
+    hot = (
+        spark.createDataFrame(
+            rows, "user_id long, tsec long, event_id long, event_type string"
+        ).select(
+            "user_id", F.col("tsec").cast("timestamp").alias("ts"),
+            "event_id", "event_type",
+        )
+    )
+    c, byu = Counter(), {}
+    for u, tsec, e, ty in rows:
+        byu.setdefault(u, []).append((tsec, e, ty))
+    for seq in byu.values():
+        seq.sort()
+        for i in range(len(seq) - 1):
+            c[(seq[i][2], seq[i + 1][2])] += 1
+    py = sorted((f, t, n) for (f, t), n in c.items())
+    assert cnts(markov_pairs_frame(hot)) == py
+    for k in (4, 7):
+        assert cnts(markov_pairs_frame(hot, segments=k)) == py, k
+
+    # the env flag drives the same path (read once per call, values
+    # identical) — and the within-segment window is keyed (user_id, seg)
+    os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"] = "4"
+    try:
+        seg_df = markov_pairs_frame(hot)
+        assert cnts(seg_df) == py
+        nodes = json.loads(seg_df._jdf.queryExecution().optimizedPlan().toJSON())
+        keyed = []
+        for n in nodes:
+            if n.get("class", "").endswith("logical.Window"):
+                keys = [
+                    en.get("name")
+                    for tree in (n.get("partitionSpec") or [])
+                    for en in tree
+                    if en.get("class", "").endswith("AttributeReference")
+                ]
+                keyed.append(keys)
+        assert any(
+            "user_id" in ks and "seg" in ks for ks in keyed
+        ), f"hot sort not split: {keyed}"
+    finally:
+        del os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"]

@@ -419,19 +419,79 @@ FROM cnt c JOIN tot t USING (event_from)
 """
 
 
-def markov_pairs_frame(events: DataFrame) -> DataFrame:
+def markov_pairs_frame(events: DataFrame, segments: int | None = None) -> DataFrame:
     """Adjacency half of D91, shared with live E45: the (event_from,
     event_to) transition stream of a (user_id, ts, event_id,
     event_type) frame — one lead window per user, ordered by
-    (ts, event_id) so equal timestamps break on the unique id."""
+    (ts, event_id) so equal timestamps break on the unique id.
+
+    Hot-key fallback (``SPARK_GRAFT_HOTKEY_SEGMENTS=K`` or the
+    ``segments`` arg, K > 1): the SEGMENT-AND-CARRY decomposition
+    docs/SCALE.md round-9 prescribes for the per-user sequential-window
+    class, where one user owning a data-sized share of events would
+    serialize the per-user sort into a single task.  The global time
+    span (a 1-row broadcast — never a per-user bounds table, which
+    would itself be |users|-sized) is cut into K contiguous ranges;
+    the lead window runs per (user_id, segment) — the hot user's sort
+    becomes K parallel tasks — and the K−1 seam transitions per user
+    are recovered from per-segment first/last rows (an O(|users|·K)
+    residue), exactly E45's carry rule with segments instead of
+    triggers.  Exact under all flag values: equal timestamps land in
+    the same segment (the range is a function of ts alone), so
+    per-segment (ts, event_id) order concatenates to the global order,
+    and lead-over-nonempty-segments skips empty ranges.  Values are
+    flag-independent (equality-tested), so unlike ES_ROLLING there is
+    no persisted-state kernel-identity concern."""
+    import os
+
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        events.withColumn("event_to", F.lead("event_type").over(w))
+    if segments is None:
+        segments = int(os.environ.get("SPARK_GRAFT_HOTKEY_SEGMENTS", "0") or 0)
+    if segments <= 1:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.withColumn("event_to", F.lead("event_type").over(w))
+            .filter(F.col("event_to").isNotNull())
+            .select(F.col("event_type").alias("event_from"), "event_to")
+        )
+
+    span = events.agg(
+        F.min("ts").cast("long").alias("t_lo"),
+        (F.max("ts").cast("long") + 1).alias("t_hi"),  # right-open
+    )
+    seg = F.least(
+        F.lit(segments - 1),
+        F.floor(
+            (F.col("ts").cast("long") - F.col("t_lo"))
+            * segments
+            / (F.col("t_hi") - F.col("t_lo"))
+        ),
+    ).alias("seg")
+    ev = events.crossJoin(F.broadcast(span)).select(
+        "user_id", "ts", "event_id", "event_type", seg
+    )
+    w_in = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    within = (
+        ev.withColumn("event_to", F.lead("event_type").over(w_in))
         .filter(F.col("event_to").isNotNull())
         .select(F.col("event_type").alias("event_from"), "event_to")
     )
+    # (ts, event_id) is unique, so event_type never participates in the
+    # struct ordering — first_s/last_s are the true boundary rows.
+    bounds = ev.groupBy("user_id", "seg").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_s"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("last_s"),
+    )
+    w_seam = Window.partitionBy("user_id").orderBy("seg")
+    seams = (
+        bounds.withColumn(
+            "event_to", F.lead(F.col("first_s.event_type")).over(w_seam)
+        )
+        .filter(F.col("event_to").isNotNull())
+        .select(F.col("last_s.event_type").alias("event_from"), "event_to")
+    )
+    return within.unionAll(seams)
 
 
 def markov_table_from(cnt: DataFrame) -> DataFrame:
@@ -485,7 +545,10 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(types²) count table with a broadcast row-total join and
     per-state rank windows over that tiny frame. Kernels shared with
     live E45, which carries each user's LAST event across micro-batch
-    boundaries so no transition is lost at a batch seam.
+    boundaries so no transition is lost at a batch seam. A key owning
+    a data-sized row share serializes the per-user window into one
+    task — `SPARK_GRAFT_HOTKEY_SEGMENTS=K` enables the equality-proven
+    segment-and-carry decomposition (docs/SCALE.md round 9).
 
     Reference analogue: none (behavioral-analytics family next to
     C10/C23/C24)."""
