@@ -181,6 +181,27 @@ BASELINE5 = {
 }
 BASELINE5_CAL = 0.105  # single-core witness on the r09 pin windows
 
+# Sixth-generation headline set (pinned round 9): the four TPC-H
+# shapes that completed the family (C29-C32). Protocol: best-of-3 in
+# TWO idle windows at sf0.1, pinned at the midpoints (BASELINE.md
+# round-9 addendum records both windows + witnesses). All four are
+# single-job scan-dominated relational plans — no checkpoint chain —
+# so unlike BASELINE4/5 their breaches read directly, not through
+# stage_evidence.
+HEADLINE6 = [
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q16_supplier_part_types",
+    "tpch_q11_important_balances",
+]
+BASELINE6 = {
+    "tpch_q12_shipmode_priority": 0.52,
+    "tpch_q21_waiting_suppliers": 0.95,
+    "tpch_q16_supplier_part_types": 0.98,
+    "tpch_q11_important_balances": 0.95,
+}
+BASELINE6_CAL = 0.107  # single-core witness midpoint, r09 pin windows
+
 # The pinned generations in one table — adding a headline family is ONE
 # row here (review r08: the per-generation plumbing in main() was four
 # verbatim copies with ~15 coordinated touch points; a missed one
@@ -192,6 +213,7 @@ GENERATIONS = [
     ("3", HEADLINE3, BASELINE3, BASELINE3_CAL),
     ("4", HEADLINE4, BASELINE4, BASELINE4_CAL),
     ("5", HEADLINE5, BASELINE5, BASELINE5_CAL),
+    ("6", HEADLINE6, BASELINE6, BASELINE6_CAL),
 ]
 
 # Pinned Spark-native witness (round 8, VERDICT r07 #7): the engine-
