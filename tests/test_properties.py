@@ -2853,3 +2853,85 @@ def test_markov_segment_and_carry_equals_default(spark):
         ), f"hot sort not split: {keyed}"
     finally:
         del os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"]
+
+
+def test_sessions_segment_and_carry_equals_default(spark):
+    """C10 hot-key fallback (SCALE.md round 9): the island-merge seam —
+    unlike D91's one-transition carry, every downstream island id must
+    re-base. Value-identity on real sf0.001 events for several K, and
+    on a synthetic frame exercising the hard seams: a session spanning
+    MANY segments (events every 10 min across the whole span), gaps
+    exactly at/over/under the 1800 s threshold, users absent from
+    middle segments (the seam lag must skip empty ranges), and a
+    single-event user — against a pure-Python sessionizer."""
+    import os
+
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.plans.relational import SESSION_GAP_S, sessions_frame
+
+    def sess(df, k=None):
+        return sorted(
+            map(
+                tuple,
+                sessions_frame(df, segments=k)
+                .groupBy("user_id", "session_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    (
+                        F.expr("CAST(unix_timestamp(max(ts)) AS BIGINT)")
+                        - F.expr("CAST(unix_timestamp(min(ts)) AS BIGINT)")
+                    ).alias("d"),
+                )
+                .collect(),
+            )
+        )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    base = sess(ev)
+    for k in (2, 5, 32):
+        assert sess(ev, k) == base, k
+
+    rows, eid = [], 0
+    for i in range(200):  # one giant session spanning every segment
+        rows.append((1, 600 * i, eid))
+        eid += 1
+    for i in range(40):  # 2h gap then a second burst
+        rows.append((1, 600 * 200 + 7200 + 300 * i, eid))
+        eid += 1
+    for t in [0, 1799, 3600, 5401, 5402, 200000, 200001]:  # threshold edges
+        rows.append((2, t, eid))
+        eid += 1
+    rows.append((3, 123456, eid))  # single-event user
+    df = (
+        spark.createDataFrame(rows, "user_id long, tsec long, event_id long")
+        .select("user_id", F.col("tsec").cast("timestamp").alias("ts"), "event_id")
+    )
+    byu = defaultdict(list)
+    for u, t, e in rows:
+        byu[u].append((t, e))
+    py = []
+    for u, seq in byu.items():
+        seq.sort()
+        sid, cur = 0, [seq[0]]
+        for prev, nxt in zip(seq, seq[1:]):
+            if nxt[0] - prev[0] > SESSION_GAP_S:
+                py.append((u, sid, len(cur), cur[-1][0] - cur[0][0]))
+                sid, cur = sid + 1, [nxt]
+            else:
+                cur.append(nxt)
+        py.append((u, sid, len(cur), cur[-1][0] - cur[0][0]))
+    py = sorted(py)
+    assert sess(df) == py
+    for k in (2, 3, 4, 7, 16):
+        assert sess(df, k) == py, k
+
+    os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"] = "4"
+    try:
+        assert sess(df) == py
+    finally:
+        del os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"]
