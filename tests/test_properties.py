@@ -2903,7 +2903,10 @@ def test_sessions_segment_and_carry_equals_default(spark):
     for i in range(40):  # 2h gap then a second burst
         rows.append((1, 600 * 200 + 7200 + 300 * i, eid))
         eid += 1
-    for t in [0, 1799, 3600, 5401, 5402, 200000, 200001]:  # threshold edges
+    # threshold edges: gaps of exactly 1799 / 1800 / 1801 s — the
+    # at-threshold 1800 gap pins the seam rule's STRICT '>' (a
+    # regression to '>=' passes on 1799 and 1801 alike)
+    for t in [0, 1799, 3599, 5400, 5402, 200000, 200001]:
         rows.append((2, t, eid))
         eid += 1
     rows.append((3, 123456, eid))  # single-event user

@@ -71,3 +71,50 @@ def salted_agg(
         stage2_aggs.append(_MERGES[fn](f"_p_{out}").alias(out))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*stage1_aggs)
     return partial.groupBy(*keys).agg(*stage2_aggs)
+
+
+def hotkey_segments(env_default: int = 0) -> int:
+    """Parse ``SPARK_GRAFT_HOTKEY_SEGMENTS`` defensively: the
+    segment-and-carry fallback is an opt-in performance flag, so a
+    malformed value (``auto``, ``8x``, a typo) must fall back to the
+    default single-window path, never crash plan-build for flag-off-
+    equivalent workloads (C10 / D91 / every E45 micro-batch)."""
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_HOTKEY_SEGMENTS", "")
+    try:
+        return int(raw) if raw else env_default
+    except ValueError:
+        return env_default
+
+
+def segment_by_span(events, segments: int):
+    """Shared segment-binning half of the segment-and-carry hot-key
+    fallback (C10 `sessions_frame`, D91 `markov_pairs_frame`): append a
+    ``seg`` column cutting the frame's GLOBAL time span (a 1-row
+    broadcast — never a |users|-sized bounds table) into `segments`
+    contiguous right-open ranges.
+
+    The load-bearing invariants the exactness proofs depend on live
+    here, once: seg is a function of ts ALONE (equal timestamps share a
+    segment, so per-key per-segment (ts, event_id) order concatenates
+    to the global per-key order); the upper bound is right-open (+1 s)
+    so the max-ts row maps below `segments`; the floor of the double
+    division is monotone non-decreasing in ts and clamped by least().
+    Binning is at SECOND granularity (ts cast to long), matching the
+    repo's epoch arithmetic."""
+    from pyspark.sql import functions as F
+
+    span = events.agg(
+        F.min("ts").cast("long").alias("t_lo"),
+        (F.max("ts").cast("long") + 1).alias("t_hi"),  # right-open
+    )
+    seg = F.least(
+        F.lit(segments - 1),
+        F.floor(
+            (F.col("ts").cast("long") - F.col("t_lo"))
+            * segments
+            / (F.col("t_hi") - F.col("t_lo"))
+        ),
+    ).alias("seg")
+    return events.crossJoin(F.broadcast(span)).select(*events.columns, seg)

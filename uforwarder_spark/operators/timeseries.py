@@ -437,17 +437,18 @@ def markov_pairs_frame(events: DataFrame, segments: int | None = None) -> DataFr
     are recovered from per-segment first/last rows (an O(|users|·K)
     residue), exactly E45's carry rule with segments instead of
     triggers.  Exact under all flag values: equal timestamps land in
-    the same segment (the range is a function of ts alone), so
-    per-segment (ts, event_id) order concatenates to the global order,
-    and lead-over-nonempty-segments skips empty ranges.  Values are
+    the same segment (the range is a function of ts alone — see
+    `segment_by_span` for the shared invariants), so per-segment
+    (ts, event_id) order concatenates to the global order, and
+    lead-over-nonempty-segments skips empty ranges.  Values are
     flag-independent (equality-tested), so unlike ES_ROLLING there is
     no persisted-state kernel-identity concern."""
-    import os
-
     from pyspark.sql import Window
 
+    from .skew import hotkey_segments, segment_by_span
+
     if segments is None:
-        segments = int(os.environ.get("SPARK_GRAFT_HOTKEY_SEGMENTS", "0") or 0)
+        segments = hotkey_segments()
     if segments <= 1:
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         return (
@@ -456,20 +457,8 @@ def markov_pairs_frame(events: DataFrame, segments: int | None = None) -> DataFr
             .select(F.col("event_type").alias("event_from"), "event_to")
         )
 
-    span = events.agg(
-        F.min("ts").cast("long").alias("t_lo"),
-        (F.max("ts").cast("long") + 1).alias("t_hi"),  # right-open
-    )
-    seg = F.least(
-        F.lit(segments - 1),
-        F.floor(
-            (F.col("ts").cast("long") - F.col("t_lo"))
-            * segments
-            / (F.col("t_hi") - F.col("t_lo"))
-        ),
-    ).alias("seg")
-    ev = events.crossJoin(F.broadcast(span)).select(
-        "user_id", "ts", "event_id", "event_type", seg
+    ev = segment_by_span(
+        events.select("user_id", "ts", "event_id", "event_type"), segments
     )
     w_in = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
     within = (

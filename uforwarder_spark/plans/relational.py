@@ -431,17 +431,18 @@ def sessions_frame(events: DataFrame, segments: int | None = None) -> DataFrame:
     OFFSET (running sum of seam starts + local starts over earlier
     segments), which joins back on (user_id, seg) — the window's own
     partitioning, so no extra event-sized shuffle. Exact under all
-    flag values: segment assignment is a function of ts alone, so
-    per-segment order concatenates to the global order; a session
-    spanning any number of segments (including empty ones — the seam
-    lag skips them) chains through seam_start = 0. Values are
-    flag-independent (equality-tested)."""
-    import os
-
+    flag values: segment assignment is a function of ts alone (see
+    `segment_by_span` for the shared invariants), so per-segment order
+    concatenates to the global order; a session spanning any number of
+    segments (including empty ones — the seam lag skips them) chains
+    through seam_start = 0. Values are flag-independent
+    (equality-tested)."""
     from pyspark.sql import Window
 
+    from ..operators.skew import hotkey_segments, segment_by_span
+
     if segments is None:
-        segments = int(os.environ.get("SPARK_GRAFT_HOTKEY_SEGMENTS", "0") or 0)
+        segments = hotkey_segments()
     epoch = F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
     if segments <= 1:
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -455,19 +456,7 @@ def sessions_frame(events: DataFrame, segments: int | None = None) -> DataFrame:
             .drop("new_session")
         )
 
-    span = events.agg(
-        F.min("ts").cast("long").alias("t_lo"),
-        (F.max("ts").cast("long") + 1).alias("t_hi"),  # right-open
-    )
-    seg = F.least(
-        F.lit(segments - 1),
-        F.floor(
-            (F.col("ts").cast("long") - F.col("t_lo"))
-            * segments
-            / (F.col("t_hi") - F.col("t_lo"))
-        ),
-    ).alias("seg")
-    ev = events.crossJoin(F.broadcast(span)).select(*events.columns, seg)
+    ev = segment_by_span(events, segments)
     w_in = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
     loc = ev.withColumn(
         "new_local",
@@ -1677,7 +1666,12 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ship_bucket")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # mirror the oracle's NOT IN exactly: a NULL priority counts
+            # in NEITHER bucket (when(~high) is NULL→otherwise 0, same
+            # as CASE NULL NOT IN (...) THEN 1 ELSE 0) — never the
+            # complement when(high, 0).otherwise(1), which would count
+            # a NULL row as low and hash-diverge on nullable data
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
         .orderBy("ship_bucket")
     )
@@ -1788,12 +1782,16 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE: the ONLY fact-sized exchange is the DISTINCT on the pair key
     (map-side partial dedup first); the complaint list is a broadcast
-    LEFT ANTI join (s_suppkey is never NULL, so NOT IN == anti join),
-    the brand/type/size filters push into the broadcast part dim's
-    scan, and count(DISTINCT suppkey) is Spark's standard two-shuffle
+    LEFT ANTI join (s_suppkey is never NULL on the subquery side, and
+    the probe side filters l_suppkey IS NOT NULL because NOT IN drops
+    a NULL probe row while anti join would keep it — both NULL
+    positions handled, so NOT IN == anti join exactly), the
+    brand/type/size filters push into the broadcast part dim's scan,
+    and count(DISTINCT suppkey) is Spark's standard two-shuffle
     expand — both on slice-sized residue, not the fact table."""
     pairs = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
@@ -1827,7 +1825,9 @@ WITH nv AS (
 )
 SELECT n_name, CAST(round(value_dec, 2) AS DOUBLE) AS value
 FROM nv
-WHERE value_dec > (SELECT sum(value_dec) FROM nv) * CAST(0.042 AS DECIMAL(8,4))
+WHERE CAST(value_dec AS DECIMAL(28,6)) * CAST(1000 AS DECIMAL(4,0))
+    > (SELECT CAST(sum(value_dec) AS DECIMAL(28,6)) FROM nv)
+      * CAST(42 AS DECIMAL(2,0))
 ORDER BY value DESC
 """
 
@@ -1841,9 +1841,15 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-subquery pattern.
 
     Exactness: the per-nation sums AND the global total stay DECIMAL
-    (exact, associative), and the threshold comparison multiplies
-    decimals — both engines compare the same exact rationals, so the
-    kept set is identical; rounding to DOUBLE happens only in the
+    (exact, associative), and the 0.042 threshold compares as
+    INTEGER-SCALED decimals — value·1000 > total·42 on operands
+    down-cast to DECIMAL(28,6) so neither engine's product exceeds
+    its precision cap (a naive total × 0.042 overflows Spark's
+    precision 38 and gets silently rounded under allowPrecisionLoss,
+    while DuckDB resolves the overflow differently — the one place
+    the two engines could disagree). The (28,6) down-cast bounds
+    values at 10^22: unreachable for money totals, and chosen so
+    both products stay exact. Rounding to DOUBLE happens only in the
     final projection.
 
     SCALE: supplier + nation broadcast, so the fact table never
@@ -1863,10 +1869,13 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).alias("value_dec"))
     )
-    total = nv.agg(F.sum("value_dec").alias("total_dec"))
+    total = nv.agg(F.sum("value_dec").cast("decimal(28,6)").alias("total_dec"))
     return (
         nv.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") > F.col("total_dec") * F.lit("0.042").cast("decimal(8,4)"))
+        .filter(
+            F.col("value_dec").cast("decimal(28,6)") * F.lit(1000).cast("decimal(4,0)")
+            > F.col("total_dec") * F.lit(42).cast("decimal(2,0)")
+        )
         .select("n_name", F.round("value_dec", 2).cast("double").alias("value"))
         .orderBy(F.col("value").desc())
     )
