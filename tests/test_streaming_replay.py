@@ -2780,3 +2780,159 @@ def test_ordered_delivery_contract_enforced(spark):
     with pytest.raises(Exception, match="ordered-delivery contract"):
         q = P.markov_monitor_pipeline(stream, os.path.join(tmp, "state"), ckpt)
         q.awaitTermination(timeout=300)
+
+
+def test_markov_reorder_gate_absorbs_bounded_disorder(spark):
+    """E45 + reorder_gate (the VERDICT r08 option-(b) mechanism): a
+    stream whose within-user disorder is BOUNDED by W seconds — rows
+    shuffled inside W-second buckets, then randomly chunked, so
+    disorder crosses trigger boundaries — drains through
+    markov_monitor_pipeline(reorder_watermark_s=W) to the EXACT batch
+    D91 table. The drain's final watermark advance is a sentinel event
+    W+100 s past the real max (one lone event = zero transitions, so
+    the batch table is unchanged); without the gate this same delivery
+    trips the ordered-delivery guard."""
+    import random
+
+    import datetime as dt  # noqa: F401  (parity with sibling tests)
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_table
+    from uforwarder_spark.operators.timeseries import markov_transitions
+
+    W = 600
+    ev_pdf = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    rng = random.Random(4501)
+    # shuffle WITHIN W-second buckets: arrival disorder ≤ W by construction
+    bucket = (ev_pdf["ts"].astype("int64") // 10**9 // W).to_numpy()
+    idx = []
+    start = 0
+    for i in range(1, len(ev_pdf) + 1):
+        if i == len(ev_pdf) or bucket[i] != bucket[start]:
+            blk = list(range(start, i))
+            rng.shuffle(blk)
+            idx.extend(blk)
+            start = i
+    shuffled = ev_pdf.iloc[idx].reset_index(drop=True)
+    n = len(shuffled)
+    # force one chunk cut between a within-user inversion pair so the
+    # disorder provably crosses a trigger boundary (a cut elsewhere
+    # would let the fold's intra-batch sort absorb it and the gate-off
+    # leg below would vacuously pass)
+    last_pos: dict[int, int] = {}
+    inv_cut = None
+    for i in range(n):
+        r = shuffled.iloc[i]
+        u = int(r["user_id"])
+        if u in last_pos and inv_cut is None:
+            p = shuffled.iloc[last_pos[u]]
+            if (r["ts"], r["event_id"]) < (p["ts"], p["event_id"]):
+                inv_cut = i  # boundary lands between the inverted pair
+        last_pos[u] = i
+    assert inv_cut is not None, "seeded shuffle produced no within-user inversion"
+    cuts = sorted(set(rng.sample(range(1, n), 11)) | {inv_cut})
+    bounds = [0] + cuts + [n]
+    chunks = [
+        shuffled.iloc[bounds[i] : bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    sentinel_ts = ev_pdf["ts"].max() + pd.Timedelta(seconds=W + 100)
+    chunks.append(
+        pd.DataFrame(
+            [(10**9, sentinel_ts, 10**12, "view")],
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+
+    def drain(tag, **kw):
+        tmp = tempfile.mkdtemp(prefix=tag)
+        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        q = P.markov_monitor_pipeline(stream, os.path.join(tmp, "state"), ckpt, **kw)
+        q.awaitTermination(timeout=300)
+        last = max(
+            int(d.split("=")[1])
+            for d in os.listdir(f"{tmp}/state/table")
+            if d.startswith("batch_id=")
+        )
+        return spark.read.parquet(f"{tmp}/state/table/batch_id={last}")
+
+    cols = ["event_from", "event_to", "n_trans", "from_total", "prob", "rank"]
+    got = (
+        drain("e45gate", reorder_watermark_s=W)
+        .select(cols).toPandas()
+        .sort_values(["event_from", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        markov_transitions(spark, SF_SMALL)
+        .select(cols).toPandas()
+        .sort_values(["event_from", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # composition: gate OFF, same bounded-disorder delivery → the
+    # enforced contract guard fires (proves the gate, not luck, is
+    # what restored equality above)
+    import pytest
+
+    with pytest.raises(Exception, match="ordered-delivery contract"):
+        drain("e45nogate")
+
+
+def test_markov_reorder_gate_beyond_watermark_still_fails_fast(spark):
+    """Gate + guard composition on > W lateness: an event arriving
+    AFTER the stream max already passed its ts + W is beyond what the
+    gate promises to absorb — it must flow through and trip the
+    enforced ordered-delivery contract, never silently fold."""
+    import datetime as dt
+
+    import pytest
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    chunks = [
+        pd.DataFrame(
+            [
+                (0, t0, 1, "view"),
+                (0, t0 + dt.timedelta(minutes=5), 2, "click"),
+                (1, t0 + dt.timedelta(minutes=30), 3, "view"),
+            ],
+            columns=cols,
+        ),
+        # user 0's 12:01 event arrives after max reached 12:30 — 29 min
+        # late against W=60 s: released immediately (wm=12:39), sorts
+        # before the carried 12:05 → contract error
+        pd.DataFrame(
+            [
+                (0, t0 + dt.timedelta(minutes=1), 4, "purchase"),
+                (2, t0 + dt.timedelta(minutes=40), 5, "view"),
+            ],
+            columns=cols,
+        ),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    tmp = tempfile.mkdtemp(prefix="e45late")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    with pytest.raises(Exception, match="ordered-delivery contract"):
+        q = P.markov_monitor_pipeline(
+            stream, os.path.join(tmp, "state"), ckpt, reorder_watermark_s=60
+        )
+        q.awaitTermination(timeout=300)
