@@ -21,15 +21,17 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-9 window (round-8 verdict item 1): rotate onto the now-oldest
-# evidence. Slot arithmetic (counted, not estimated): 9 new/changed
-# this round + the 3 r04 leaders + 38 of the 46 r05-cohort keys = 50
-# exactly; seven r05 keys slide just past the line (keeping their r05
+# evidence. Slot arithmetic (counted, not estimated): 11 new/changed
+# this round + the 3 r04 leaders + 36 of the 46 r05-cohort keys = 50
+# exactly; nine r05 keys slide just past the line (keeping their r05
 # driver rows + both-SF pytest parity) and lead the r10 window.
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (9): unigram_lm_train and
+    # -- (a) new or changed this round (11): unigram_lm_train and
     #    unigram_lm_fertility are NEW (D99/D100, Kudo-2018 unigram-LM
-    #    tokenizer training + its encode/fertility side — the other
-    #    published tokenizer endpoint next to D97/D98's BPE);
+    #    tokenizer training + its encode/fertility side);
+    #    wordpiece_train_merges and wordpiece_apply_fertility are NEW
+    #    (D101/D102 — the THIRD published tokenizer family, the D97
+    #    chain with the likelihood-gain pick);
     #    tpch_q12/q21/q16/q11 are NEW (C29–C32, the TPC-H shapes the
     #    cut-down schema can still express — Q21's EXISTS/NOT-EXISTS
     #    pair collapsed to per-order counts, Q16's NOT IN as broadcast
@@ -41,23 +43,26 @@ _KEY_PRIORITY = [
     #    incr_substring_dedup's state side now scans through the
     #    kernel-identity guard (plan changed, values identical) --
     "unigram_lm_train", "unigram_lm_fertility",
+    "wordpiece_train_merges", "wordpiece_apply_fertility",
     "tpch_q12_shipmode_priority", "tpch_q21_waiting_suppliers",
     "tpch_q16_supplier_part_types", "tpch_q11_important_balances",
     "pii_redaction", "bpe_apply_fertility", "incr_substring_dedup",
     # -- (b) the three r04-evidence keys that slid past last round's
     #    line — the oldest driver rows in the repo --
     "tokenizer_fertility", "unigram_perplexity", "blocklist_filter",
-    # -- (c) 38 of the 46 r05-evidence keys (pii_redaction above is
+    # -- (c) 36 of the 46 r05-evidence keys (pii_redaction above is
     #    the 46th): the A12/A15/A19/A30 pipeline quartet, the B1-B11
-    #    controller block, then the r01-text/D cohort. The seven
+    #    controller block, then the r01-text/D cohort. The nine
     #    deferred to lead r10 — token_count, quality_score,
     #    multimodal_meta, hdr_histogram_quantiles, dsir_selection,
-    #    phash_incremental_dedup, dedup_embedding_agreement — are the
-    #    ones whose kernels are already pinned by fresher keys (the
-    #    shared tokenizer via tokenizer_fertility above, the QC family
-    #    via quality_classifier_score r07, the multimodal paths via
+    #    phash_incremental_dedup, dedup_embedding_agreement,
+    #    bloom_dedup_prefilter, length_bucketing — are the ones whose
+    #    kernels are already pinned by fresher keys (the shared
+    #    tokenizer via tokenizer_fertility above, the QC family via
+    #    quality_classifier_score r07, the multimodal paths via
     #    multimodal_resize r08 and the r06 phash pair, the HDR/DSIR
-    #    kernels via their r07/r08 streaming twins) --
+    #    kernels via their r07/r08 streaming twins, the Bloom bitset
+    #    via D36's r08 row, the bucketing window via D33's r07 row) --
     "latency_percentiles", "adaptive_inflight_vegas",
     "worker_pipeline_summary", "latency_littles_law",
     "partition_assignment", "load_balance_stats", "autoscale_decision",
@@ -72,19 +77,18 @@ _KEY_PRIORITY = [
     "minhash_jaccard_estimate", "contamination_check", "tfidf_top_terms",
     "lang_id_confusion", "corpus_stats", "chunk_dedup",
     "repetition_stats", "corpus_prep_funnel", "bpe_merge_pairs",
-    "multimodal_frame_sample", "bloom_dedup_prefilter",
-    "length_bucketing",
+    "multimodal_frame_sample",
     # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every key
-    # with the driver-grade comparator): token_count, quality_score,
-    # multimodal_meta, hdr_histogram_quantiles, dsir_selection,
-    # phash_incremental_dedup and dedup_embedding_agreement are the
-    # seven r05 keys that did not fit (9 new/changed + 3 r04 + 38
-    # remaining r05 = 50 exactly) and lead the r10 window together
-    # with the r06 cohort (38 keys).
+    # with the driver-grade comparator): the nine r05 keys named in
+    # (c) did not fit (11 new/changed + 3 r04 + 36 remaining r05 = 50
+    # exactly) and lead the r10 window together with the r06 cohort
+    # (38 keys).
     # token_bucket_exact stays last (rows-only by design — no SQL
     # oracle; its hash-green twin token_bucket_summary pins the shared
     # applyInPandas kernel).
+    "bloom_dedup_prefilter",
+    "length_bucketing",
     "hdr_histogram_quantiles",
     "dsir_selection",
     "phash_incremental_dedup",

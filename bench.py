@@ -202,6 +202,24 @@ BASELINE6 = {
 }
 BASELINE6_CAL = 0.107  # single-core witness midpoint, r09 pin windows
 
+# Seventh-generation headline set (pinned round 9): the WordPiece
+# family (D101/D102), completing the third published tokenizer
+# trainer. Protocol per BASELINE4/5/6: best-of-3 at sf0.1 in TWO
+# windows, pinned at midpoints (BASELINE.md round-9 addendum 3 has
+# the trail + witnesses). Both lines are checkpoint-chain-bound like
+# the BPE/unigram families (K merge steps, each a tiny argmax job on
+# the vocab frame), so they price scheduler latency — read breaches
+# through stage_evidence.
+HEADLINE7 = [
+    "wordpiece_train_merges",
+    "wordpiece_apply_fertility",
+]
+BASELINE7 = {
+    "wordpiece_train_merges": 2.58,
+    "wordpiece_apply_fertility": 2.83,
+}
+BASELINE7_CAL = 0.107  # single-core witness midpoint, r09 normal pin windows
+
 # The pinned generations in one table — adding a headline family is ONE
 # row here (review r08: the per-generation plumbing in main() was four
 # verbatim copies with ~15 coordinated touch points; a missed one
@@ -214,6 +232,7 @@ GENERATIONS = [
     ("4", HEADLINE4, BASELINE4, BASELINE4_CAL),
     ("5", HEADLINE5, BASELINE5, BASELINE5_CAL),
     ("6", HEADLINE6, BASELINE6, BASELINE6_CAL),
+    ("7", HEADLINE7, BASELINE7, BASELINE7_CAL),
 ]
 
 # Pinned Spark-native witness (round 8, VERDICT r07 #7): the engine-

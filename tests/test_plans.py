@@ -799,3 +799,22 @@ def test_q11_dims_broadcast_and_scalar_attaches_as_1row_bnlj(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_wordpiece_train_corpus_work_is_one_scan(spark):
+    # D101: same plan discipline as D97 — corpus-sized work is the one
+    # word-frequency partial agg; the per-step symbol-count aggs and
+    # argmax joins run on the checkpoint-bounded vocab frame; no
+    # cartesian beyond the 1-row winner broadcast, nothing in Python
+    plan = plan_of(spark, "wordpiece_train_merges")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+
+
+def test_wordpiece_apply_joins_vocab_not_cartesian(spark):
+    # D102: one corpus token explode joined to the vocab-sized
+    # segmentation table by the word key; per-source rollup partial
+    plan = plan_of(spark, "wordpiece_apply_fertility")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()

@@ -2936,3 +2936,72 @@ def test_markov_reorder_gate_beyond_watermark_still_fails_fast(spark):
             stream, os.path.join(tmp, "state"), ckpt, reorder_watermark_s=60
         )
         q.awaitTermination(timeout=300)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e52_wordpiece_fertility_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E52 property: per-source additive sums survive ANY chunking + a
+    replayed batch (bit-identical re-write), and the drained ratio
+    table equals batch D102 bit-for-bit (frozen same-corpus WordPiece
+    segmentation ⇒ the OOV branch never fires on the published
+    corpus)."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.functions.text import wordpiece_apply_fertility
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    docs_pdf = docs.toPandas()[DOCS_COLS]
+
+    def make_query(stream, tmp, ckpt):
+        return P.wordpiece_fertility_pipeline(
+            stream, docs, os.path.join(tmp, "state"), ckpt
+        )
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, docs_pdf, make_query,
+        ["{tmp}/state/fert/batch_id={bid}", "{tmp}/state/ratios/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e52rr",
+    )
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/ratios")
+        if d.startswith("batch_id=")
+    )
+    cols = [
+        "source", "n_docs", "ws_tokens", "wp_tokens", "n_chars",
+        "fertility", "chars_per_token",
+    ]
+    got = (
+        spark.read.parquet(f"{tmp}/state/ratios/batch_id={last}")
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        wordpiece_apply_fertility(spark, SF_SMALL)
+        .select(cols).toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_empty_trigger_e52_fertility(spark):
+    """E52 empty-trigger property."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents")
+    docs_pdf = docs.toPandas()[DOCS_COLS]
+    half = len(docs_pdf) // 2
+    _empty_trigger_check(
+        spark, [docs_pdf.iloc[:half], docs_pdf.iloc[half:]], DOCS_SCHEMA,
+        lambda s, tmp, ckpt: P.wordpiece_fertility_pipeline(
+            s, docs, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e52",
+    )

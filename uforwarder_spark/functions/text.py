@@ -3231,6 +3231,269 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D101 / D102 ---------------------------------------------------------
+# WordPiece tokenizer training (Schuster & Nakajima 2012 — the BERT
+# family), the THIRD published tokenizer family next to D97's BPE and
+# D99's unigram-LM. WordPiece's DEFINING delta from BPE is the pick
+# rule: merge the pair maximizing count(pair) / (count(l)·count(r)) —
+# the mutual-information / likelihood-gain merge — instead of raw pair
+# frequency. The merge mechanics (leftmost-greedy non-overlapping
+# re-segmentation over the (word, freq) table) are deliberately shared
+# with D97 so the two trainers are comparable on equal terms; the BERT
+# '##' continuation marker is display convention, not algorithm, and
+# is omitted like D97 omits it.
+WP_STEPS = BPE_STEPS
+
+
+def _wp_oracle() -> tuple[str, str]:
+    """DuckDB twins of D101/D102 — the _bpe_oracle chain with the
+    WordPiece pick: per step a symbol-count CTE joins the pair table
+    and the winner maximizes the IEEE-double score
+    cnt/(lcnt·rcnt). Cross-engine exactness of the SELECTION: the
+    operands are exact BIGINTs < 2^53, and IEEE-754 multiply/divide
+    are correctly rounded, so Spark and DuckDB order candidates
+    identically (ties broken (l, r)); the OUTPUT carries the three
+    integer counts rather than a rounded quotient so the hashed frame
+    stays integer-exact."""
+    chain = []
+    for i in range(1, WP_STEPS + 1):
+        prev = f"w{i - 1}"
+        chain.append(f"""p{i} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym_str, ' ') AS s, freq FROM {prev}),
+       unnest(range(1, len(s))) t(i)
+  GROUP BY l, r
+),
+c{i} AS MATERIALIZED (
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
+  FROM (SELECT unnest(string_split(sym_str, ' ')) AS sym, freq FROM {prev})
+  GROUP BY sym
+),
+b{i} AS MATERIALIZED (
+  SELECT p.l, p.r, p.cnt, cl.scnt AS lcnt, cr.scnt AS rcnt
+  FROM p{i} p
+  JOIN c{i} cl ON cl.sym = p.l
+  JOIN c{i} cr ON cr.sym = p.r
+  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(cl.scnt AS DOUBLE) * CAST(cr.scnt AS DOUBLE)) DESC,
+           p.l, p.r
+  LIMIT 1
+),
+r{i} AS (
+  SELECT word, freq, string_split(sym_str, ' ') AS s, 1 AS pos,
+         CAST('' AS VARCHAR) AS acc
+  FROM {prev}
+  UNION ALL
+  SELECT word, freq, s,
+         CASE WHEN pos < len(s) AND s[pos] = (SELECT l FROM b{i})
+                   AND s[pos + 1] = (SELECT r FROM b{i})
+              THEN pos + 2 ELSE pos + 1 END,
+         acc || ' ' ||
+         CASE WHEN pos < len(s) AND s[pos] = (SELECT l FROM b{i})
+                   AND s[pos + 1] = (SELECT r FROM b{i})
+              THEN s[pos] || s[pos + 1] ELSE s[pos] END
+  FROM r{i} WHERE pos <= len(s)
+),
+w{i} AS MATERIALIZED (
+  SELECT word, freq, trim(acc) AS sym_str FROM r{i} WHERE pos = len(s) + 1
+)""")
+    prefix = f"""WITH RECURSIVE t AS (
+  SELECT {TOKENS_DUCK} AS ts FROM documents
+),
+w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS sym_str
+  FROM (SELECT unnest(ts) AS word FROM t)
+  GROUP BY word
+),
+{','.join(chain)}"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS tok_l, r AS tok_r, cnt AS pair_freq, "
+        f"lcnt AS l_freq, rcnt AS r_freq FROM b{i}"
+        for i in range(1, WP_STEPS + 1)
+    )
+    train = f"{prefix}\n{union}"
+    apply = f"""{prefix},
+seg AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(sym_str, ' ')) AS BIGINT) AS n_syms
+  FROM w{WP_STEPS}
+),
+occ AS (
+  SELECT doc_id, source, unnest({TOKENS_DUCK}) AS word FROM documents
+)
+SELECT o.source,
+       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS ws_tokens,
+       CAST(sum(g.n_syms) AS BIGINT) AS wp_tokens,
+       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
+       round(CAST(sum(g.n_syms) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(length(o.word)) AS DOUBLE) / sum(g.n_syms), 6)
+         AS chars_per_token
+FROM occ o JOIN seg g ON o.word = g.word
+GROUP BY o.source"""
+    return train, apply
+
+
+WP_TRAIN_ORACLE, WP_APPLY_ORACLE = _wp_oracle()
+
+
+def wp_train_frames(words: DataFrame):
+    """The K-step WordPiece training chain over a (word, freq, sym_str)
+    frame — ONE definition shared by D101 (merge table) and D102
+    (final segmentations), the bpe_train_frames shape with the
+    WordPiece pick rule. Returns (merges_df, final_words_df)."""
+    merges = []
+    cur = words
+    fold = (
+        "concat_ws(' ', aggregate(split(sym_str, ' '), "
+        "CAST(array() AS ARRAY<STRING>), "
+        "(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l "
+        "AND x = r "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))) "
+        "ELSE concat(acc, array(x)) END))"
+    )
+    for i in range(1, WP_STEPS + 1):
+        pairs = (
+            cur.select("freq", F.expr("split(sym_str, ' ')").alias("s"))
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(s, 1, size(s) - 1)").alias("l"),
+                        F.expr("slice(s, 2, size(s) - 1)").alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        syms = (
+            cur.select("freq", F.explode(F.expr("split(sym_str, ' ')")).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("bigint").alias("scnt"))
+        )
+        # WordPiece pick: argmax of cnt/(lcnt·rcnt) — IEEE doubles on
+        # exact BIGINT operands order identically in Spark and DuckDB
+        best = (
+            pairs.join(
+                syms.select(F.col("sym").alias("l"), F.col("scnt").alias("lcnt")), "l"
+            )
+            .join(
+                syms.select(F.col("sym").alias("r"), F.col("scnt").alias("rcnt")), "r"
+            )
+            .orderBy(
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("lcnt").cast("double") * F.col("rcnt").cast("double"))
+                ).desc(),
+                "l",
+                "r",
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        # merge exhaustion: same guard as bpe_train_frames
+        if not best.take(1):
+            break
+        merges.append(
+            best.select(
+                F.lit(i).alias("step"),
+                F.col("l").alias("tok_l"),
+                F.col("r").alias("tok_r"),
+                F.col("cnt").alias("pair_freq"),
+                F.col("lcnt").alias("l_freq"),
+                F.col("rcnt").alias("r_freq"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("l", "r")))
+            .select("word", "freq", F.expr(fold).alias("sym_str"))
+            .localCheckpoint()
+        )
+    if not merges:  # zero-pair corpus (e.g. the zero-row sweep)
+        return (
+            words.sparkSession.createDataFrame(
+                [],
+                "step int, tok_l string, tok_r string, pair_freq bigint, "
+                "l_freq bigint, r_freq bigint",
+            ),
+            cur,
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out, cur
+
+
+@register("wordpiece_train_merges", WP_TRAIN_ORACLE)
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated WordPiece TRAINING (Schuster & Nakajima 2012 — the
+    BERT tokenizer family, the THIRD published trainer next to D97's
+    BPE and D99's unigram-LM): same one-corpus-scan reduction to the
+    (word, freq) table and the same canonical leftmost-greedy
+    non-overlapping merge as D97, but each of the {WP_STEPS} steps
+    merges the pair maximizing count(pair)/(count(l)·count(r)) — the
+    likelihood-gain / mutual-information rule that prefers cohesive
+    pairs over merely frequent ones. Output = the ordered merge table
+    with the pair AND both symbol counts (the score's exact integer
+    operands), so the shipped frame is integer-exact while the argmax
+    itself compares IEEE doubles — exact operands < 2^53, correctly
+    rounded multiply/divide, so Spark and DuckDB order candidates
+    identically (ties (l, r)).
+
+    SCALE: identical to D97 — the ONLY corpus-sized work is the
+    word-frequency partial agg; every step adds one vocab-sized
+    symbol-count agg + two broadcast-sized joins before the argmax,
+    all on the checkpoint-bounded (word, freq, segmentation) frame.
+
+    Reference analogue: none — training-data pipeline family
+    (completes the third published tokenizer trainer)."""
+    merges, _final = wp_train_frames(_bpe_words_frame(_docs(spark, sf_dir)))
+    return merges
+
+
+@register("wordpiece_apply_fertility", WP_APPLY_ORACLE)
+def wordpiece_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of D101 (the D98/D100 twin for the WordPiece
+    family): per source, word occurrences, subword tokens under the
+    trained {WP_STEPS}-merge WordPiece segmentation, char mass,
+    fertility and chars-per-token — so a vocab budget is now
+    comparable across ALL THREE published tokenizer families (BPE /
+    unigram-LM / WordPiece) on equal corpus terms.
+
+    Exactness: integer sums with two final rounded divisions; the
+    segmentation table is D101's chain — one definition, train and
+    apply cannot drift.
+
+    SCALE: training touches only the vocab frame; the apply side is
+    one corpus token explode joined to the vocab-sized (word, n_syms)
+    table (AQE broadcast) + a per-source partial agg — the D98 plan.
+
+    Reference analogue: none — training-data pipeline family
+    (tokenizer training, apply/fertility side)."""
+    docs = _docs(spark, sf_dir)
+    _merges, final = wp_train_frames(_bpe_words_frame(docs))
+    seg = final.select(
+        "word",
+        F.expr("CAST(size(split(sym_str, ' ')) AS BIGINT)").alias("n_syms"),
+    )
+    occ = docs.select(
+        "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+    )
+    j = occ.join(seg, "word")
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("ws_tokens"),
+        F.sum("n_syms").cast("bigint").alias("wp_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("n_syms").cast("double") / F.count("*"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("word")).cast("double") / F.sum("n_syms"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 # --- D99 / D100 ----------------------------------------------------------
 # Unigram-LM tokenizer training (Kudo 2018; the SentencePiece unigram
 # family) — the OTHER published tokenizer endpoint next to D97's BPE:

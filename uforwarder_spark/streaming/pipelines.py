@@ -3624,3 +3624,106 @@ def unigram_fertility_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E52: live WordPiece fertility monitor ------------------------------------
+def wordpiece_fertility_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E52: the live twin of batch D102 — per-source fertility under
+    the TRAINED WordPiece tokenizer maintained continuously as docs
+    land; with E50 (BPE) and E51 (unigram-LM) this puts ALL THREE
+    published tokenizer families' fertility drift on the same stream,
+    so vocab budgets stay comparable online across every trainer the
+    repo ships. The segmentation table is trained ONCE from the
+    published corpus via the shared D101 chain (``wp_train_frames``
+    over ``_bpe_words_frame`` — the E42/E50 frozen-model convention;
+    a re-train swaps one frame) and persisted before the first
+    trigger. Each micro-batch explodes its tokens, LEFT-joins the
+    frozen vocab (an unseen word falls back to character count + 1 —
+    the E50 at-ingest OOV rule; the published corpus never hits it),
+    and folds per-source (n_docs, ws_tokens, wp_tokens, n_chars)
+    ADDITIVELY into ``{state_dir}/fert/batch_id=N`` (the E19/E35
+    idempotent class); fertility and chars-per-token re-derive per
+    trigger into ``{state_dir}/ratios/batch_id=N`` (ratios cannot
+    fold). After the stream drains the published corpus, the ratio
+    table equals batch D102 bit-for-bit.
+
+    SCALE: training is vocab-bounded and happens once; per trigger the
+    corpus-facing work is one batch-sized token explode joined to the
+    broadcast vocab table + an O(sources) partial agg merged against
+    O(sources) state. Nothing ever re-reads the corpus."""
+    from ..functions.text import _bpe_words_frame, wp_train_frames
+
+    _merges, final = wp_train_frames(_bpe_words_frame(corpus_docs))
+    seg = final.select(
+        "word",
+        F.expr("CAST(size(split(sym_str, ' ')) AS BIGINT)").alias("n_syms"),
+    ).persist()
+    seg.count()  # freeze the trained segmentation before the first trigger
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.tokenize import TOKENS_SPARK
+
+        spark = batch_df.sparkSession
+        occ = batch_df.select(
+            "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+        )
+        batch_sums = (
+            occ.join(seg, "word", "left")
+            .select(
+                "doc_id",
+                "source",
+                "word",
+                F.coalesce(
+                    F.col("n_syms"),
+                    (F.length("word") + 1).cast("bigint"),  # OOV: chars + </w>
+                ).alias("n_syms"),
+            )
+            .groupBy("source")
+            .agg(
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.count("*").cast("bigint").alias("ws_tokens"),
+                F.sum("n_syms").cast("bigint").alias("wp_tokens"),
+                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            )
+        )
+        prev = _read_state_parquet(spark, f"{state_dir}/fert/batch_id={batch_id - 1}")
+        merged = (
+            batch_sums
+            if prev is None
+            else batch_sums.unionByName(prev)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+                F.sum("wp_tokens").cast("bigint").alias("wp_tokens"),
+                F.sum("n_chars").cast("bigint").alias("n_chars"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/fert/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/fert/batch_id={batch_id}")
+        state.select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "wp_tokens",
+            "n_chars",
+            F.round(
+                F.col("wp_tokens").cast("double") / F.col("ws_tokens"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("wp_tokens"), 6
+            ).alias("chars_per_token"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/ratios/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
