@@ -3055,3 +3055,27 @@ def test_wordpiece_apply_equals_python_replay(spark):
         assert abs(r.fertility - round(wp / ws, 6)) <= 1e-9
         assert abs(r.chars_per_token - round(chars / wp, 6)) <= 1e-9
         assert r.fertility > 1.0
+
+
+def test_hotkey_segments_env_parses_defensively():
+    """Review-pass regression: SPARK_GRAFT_HOTKEY_SEGMENTS is an opt-in
+    performance flag — a malformed value must fall back to the default
+    single-window path (0), never raise at plan-build time."""
+    import os
+
+    from uforwarder_spark.operators.skew import hotkey_segments
+
+    cases = {"": 0, "8": 8, "auto": 0, "8x": 0, " ": 0, "-3": -3, "0": 0}
+    old = os.environ.get("SPARK_GRAFT_HOTKEY_SEGMENTS")
+    try:
+        for raw, want in cases.items():
+            os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"] = raw
+            assert hotkey_segments() == want, raw
+        del os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"]
+        assert hotkey_segments() == 0
+        assert hotkey_segments(3) == 3
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_HOTKEY_SEGMENTS", None)
+        else:
+            os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"] = old
