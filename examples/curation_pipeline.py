@@ -44,6 +44,10 @@ STAGES = [
     # -- export to the loader --------------------------------------------
     ("16b. integer token quotas (largest remainder)", "token_budget_allocation"),
     ("16c. tokenizer fertility per (lang, source)", "tokenizer_fertility"),
+    ("16d. train a BPE tokenizer on the corpus", "bpe_train_merges"),
+    ("16e. fertility under the trained BPE vocab", "bpe_apply_fertility"),
+    ("16f. fertility under a unigram-LM (SentencePiece) vocab", "unigram_lm_fertility"),
+    ("16g. fertility under a WordPiece (BERT) vocab", "wordpiece_apply_fertility"),
     ("17. padding-waste audit for batch buckets", "length_bucketing"),
     ("18. fixed-length sequence packing", "sequence_packing"),
     ("18b. snapshot diff vs the previous corpus version", "corpus_snapshot_diff"),
