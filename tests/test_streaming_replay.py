@@ -3005,3 +3005,115 @@ def test_empty_trigger_e52_fertility(spark):
         ),
         "et_e52",
     )
+
+
+def test_funnel_asof_reorder_buffer_absorbs_bounded_disorder(spark):
+    """E24/E26 option-(b): the count-bounded per-user reorder buffer
+    (reorder_last_n=B) absorbs any within-user disorder of positional
+    displacement ≤ B — proven by delivering sf0.001 events shuffled
+    inside B-sized blocks of the global event_id order (per-user
+    displacement ≤ B−1), randomly chunked with a FORCED within-user
+    cross-chunk inversion. The machines' appended output must equal a
+    pure-Python plain fold over each user's all-but-min(B, n)-newest
+    prefix (held residue = exactly the B newest per user — the
+    completed-prefix convention, proven by induction in the machine
+    docstring); the SAME delivery through the plain machines trips the
+    enforced contract, proving the buffer (not luck) absorbed it."""
+    import random
+
+    import pytest
+
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_table
+
+    B = 8
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    rng = random.Random(2426)
+    idx = list(range(len(ev)))
+    for s in range(0, len(idx), B):
+        blk = idx[s : s + B]
+        rng.shuffle(blk)
+        idx[s : s + B] = blk
+    sh = ev.iloc[idx].reset_index(drop=True)
+    n = len(sh)
+    # force a cut between a within-user inversion pair (as in the E45
+    # gate test) so the disorder provably crosses a trigger boundary
+    last_pos: dict[int, int] = {}
+    inv_cut = None
+    for i in range(n):
+        r = sh.iloc[i]
+        u = int(r["user_id"])
+        if u in last_pos and inv_cut is None and r["event_id"] < sh.iloc[last_pos[u]]["event_id"]:
+            inv_cut = i
+        last_pos[u] = i
+    assert inv_cut is not None
+    cuts = sorted(set(rng.sample(range(1, n), 9)) | {inv_cut})
+    bounds = [0] + cuts + [n]
+    chunks = [
+        sh.iloc[bounds[i] : bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    schema = "user_id long, event_id long, event_type string, value double"
+
+    # pure-Python expected folds over the per-user truncated prefixes
+    from collections import defaultdict
+
+    byu = defaultdict(list)
+    for r in ev.itertuples(index=False):
+        byu[int(r.user_id)].append((int(r.event_id), r.event_type, float(r.value)))
+    want_funnel, want_asof = set(), set()
+    for u, seq in byu.items():
+        seq.sort()
+        pref = seq[: -min(B, len(seq))] if len(seq) else []
+        e1 = e2 = e3 = None
+        last_view = None
+        for eid, et, val in pref:
+            if e1 is None and et == "view":
+                e1 = eid
+                want_funnel.add((u, 1, eid))
+            elif e1 is not None and e2 is None and et == "click" and eid > e1:
+                e2 = eid
+                want_funnel.add((u, 2, eid))
+            elif e2 is not None and e3 is None and et == "purchase" and eid > e2:
+                e3 = eid
+                want_funnel.add((u, 3, eid))
+            if et == "view":
+                last_view = eid
+            elif et == "purchase":
+                want_asof.add(
+                    (u, eid, val, last_view,
+                     None if last_view is None else eid - last_view)
+                )
+
+    def run(transform, tag):
+        tmp = tempfile.mkdtemp(prefix=tag)
+        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
+        collected = []
+        _run_phase(spark, transform, schema, src, ckpt, "append", collected)
+        return [tuple(r) for _bid, rows in collected for r in rows]
+
+    got_f = run(lambda s: P.funnel_stream(s, reorder_last_n=B), "e24rb")
+    assert len(got_f) == len(set(got_f))  # append-only, never revised
+    assert set(got_f) == want_funnel
+
+    got_a = run(lambda s: P.asof_stream(s, reorder_last_n=B), "e26rb")
+    assert len(got_a) == len(set(got_a))
+    assert set(got_a) == want_asof
+
+    # the same delivery through the PLAIN machines violates the contract
+    for transform, tag in [
+        (P.funnel_stream, "e24rb_no"),
+        (P.asof_stream, "e26rb_no"),
+    ]:
+        tmp = tempfile.mkdtemp(prefix=tag)
+        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
+        with pytest.raises(Exception, match="ordered-delivery contract"):
+            _run_phase(spark, transform, schema, src, ckpt, "append", [])

@@ -1631,11 +1631,92 @@ def _funnel_machine(key, pdfs: Iterator, state: GroupState):
     yield pd.DataFrame(out, columns=["user_id", "step", "event_id"])
 
 
-def funnel_stream(stream: DataFrame) -> DataFrame:
+FUNNEL_REORDER_STATE_SCHEMA = StructType(
+    [
+        StructField("e1", LongType()),
+        StructField("e2", LongType()),
+        StructField("e3", LongType()),
+        StructField("max_eid", LongType()),
+        StructField("held_eids", ArrayType(LongType())),
+        StructField("held_types", ArrayType(StringType())),
+    ]
+)
+
+
+def _funnel_machine_reorder(last_n: int):
+    """The _funnel_machine with a count-bounded per-user reorder
+    buffer — the sequence-number analogue of E45's ts-watermark
+    ``reorder_gate`` (event_id is the order key here, so the horizon
+    is a COUNT, not a time): each trigger merges the user's held
+    residue with the incoming rows, releases all but the `last_n`
+    newest into the fold, and holds those newest in state. Any
+    within-user disorder of positional displacement ≤ last_n is
+    absorbed; an event arriving after `last_n` later events were
+    already released is beyond the buffer's promise and trips the
+    SAME enforced contract (the mechanisms compose, exactly like
+    gate + guard on E45). Drained output equals the plain machine on
+    the per-user all-but-`last_n`-newest prefix — the monitor's
+    completed prefix, the E46 occupied-minutes convention."""
+
+    def machine(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip((int(x) for x in pdf["event_id"]), pdf["event_type"]))
+        if state.exists:
+            e1, e2, e3, max_eid, h_eids, h_types = state.get
+            rows.extend(zip((int(x) for x in h_eids or []), h_types or []))
+        else:
+            e1 = e2 = e3 = max_eid = None
+        rows.sort()
+        release, held = (
+            (rows[:-last_n], rows[-last_n:]) if len(rows) > last_n else ([], rows)
+        )
+        if release and max_eid is not None and release[0][0] <= max_eid:
+            raise ValueError(
+                f"ordered-delivery contract violated for user {key[0]}: event_id "
+                f"{release[0][0]} arrived after {max_eid} was already folded and "
+                f"after more than reorder_last_n={last_n} later events — widen "
+                f"the buffer, key the source topic by user, or re-ingest in order"
+            )
+        out = []
+        for eid, etype in release:
+            if e1 is None and etype == "view":
+                e1 = eid
+                out.append((key[0], 1, eid))
+            elif e1 is not None and e2 is None and etype == "click" and eid > e1:
+                e2 = eid
+                out.append((key[0], 2, eid))
+            elif e2 is not None and e3 is None and etype == "purchase" and eid > e2:
+                e3 = eid
+                out.append((key[0], 3, eid))
+        if release:
+            max_eid = release[-1][0] if max_eid is None else max(max_eid, release[-1][0])
+        state.update(
+            (e1, e2, e3, max_eid, [e for e, _ in held], [t for _, t in held])
+        )
+        yield pd.DataFrame(out, columns=["user_id", "step", "event_id"])
+
+    return machine
+
+
+def funnel_stream(stream: DataFrame, reorder_last_n: int | None = None) -> DataFrame:
     """E24: live ordered-funnel tracking. State is THREE longs per user
     (bounded by user cardinality, not stream length); each trigger
     shuffles only its micro-batch on user_id. Emitted step rows are
-    exactly the first-reach events batch C23 counts."""
+    exactly the first-reach events batch C23 counts.
+    ``reorder_last_n=B`` absorbs within-user disorder of displacement
+    ≤ B via a count-bounded holdback (see _funnel_machine_reorder);
+    default None keeps the plain enforced-contract machine."""
+    if reorder_last_n is not None:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _funnel_machine_reorder(reorder_last_n),
+            FUNNEL_OUTPUT_SCHEMA,
+            FUNNEL_REORDER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     return stream.groupBy("user_id").applyInPandasWithState(
         _funnel_machine,
         FUNNEL_OUTPUT_SCHEMA,
@@ -1765,11 +1846,109 @@ def _asof_machine(key, pdfs: Iterator, state: GroupState):
     )
 
 
-def asof_stream(stream: DataFrame) -> DataFrame:
+ASOF_REORDER_STATE_SCHEMA = StructType(
+    [
+        StructField("last_view", LongType()),
+        StructField("max_eid", LongType()),
+        StructField("held_eids", ArrayType(LongType())),
+        StructField("held_types", ArrayType(StringType())),
+        StructField("held_values", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _asof_machine_reorder(last_n: int):
+    """The _asof_machine behind the same count-bounded per-user
+    reorder buffer as _funnel_machine_reorder: hold the `last_n`
+    newest events, fold only the stable prefix, fail fast on
+    beyond-buffer lateness. Drained output equals the plain machine
+    on the per-user all-but-`last_n`-newest prefix."""
+
+    def machine(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    (int(x) for x in pdf["event_id"]),
+                    pdf["event_type"],
+                    (float(x) for x in pdf["value"]),
+                )
+            )
+        if state.exists:
+            last_view, max_eid, h_eids, h_types, h_vals = state.get
+            rows.extend(
+                zip(
+                    (int(x) for x in h_eids or []),
+                    h_types or [],
+                    (float(x) for x in h_vals or []),
+                )
+            )
+        else:
+            last_view = max_eid = None
+        rows.sort()
+        release, held = (
+            (rows[:-last_n], rows[-last_n:]) if len(rows) > last_n else ([], rows)
+        )
+        if release and max_eid is not None and release[0][0] <= max_eid:
+            raise ValueError(
+                f"ordered-delivery contract violated for user {key[0]}: event_id "
+                f"{release[0][0]} arrived after {max_eid} was already folded and "
+                f"after more than reorder_last_n={last_n} later events — widen "
+                f"the buffer, key the source topic by user, or re-ingest in order"
+            )
+        out = []
+        for eid, etype, val in release:
+            if etype == "view":
+                last_view = eid
+            elif etype == "purchase":
+                out.append(
+                    (
+                        key[0],
+                        eid,
+                        val,
+                        last_view,
+                        None if last_view is None else eid - last_view,
+                    )
+                )
+        if release:
+            max_eid = release[-1][0] if max_eid is None else max(max_eid, release[-1][0])
+        state.update(
+            (
+                last_view,
+                max_eid,
+                [e for e, _, _ in held],
+                [t for _, t, _ in held],
+                [v for _, _, v in held],
+            )
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "purchase_id", "purchase_value", "prior_view_id", "id_gap",
+            ],
+        )
+
+    return machine
+
+
+def asof_stream(stream: DataFrame, reorder_last_n: int | None = None) -> DataFrame:
     """E26: live as-of join (purchases asof views). Structured Streaming
     has no asof join either — this is its canonical stateful
     re-expression: one long of state per user, append-only output,
-    exactly the rows batch C25 computes."""
+    exactly the rows batch C25 computes. ``reorder_last_n=B`` absorbs
+    within-user disorder of displacement ≤ B (see
+    _asof_machine_reorder); default None keeps the plain
+    enforced-contract machine."""
+    if reorder_last_n is not None:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _asof_machine_reorder(reorder_last_n),
+            ASOF_OUTPUT_SCHEMA,
+            ASOF_REORDER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     return stream.groupBy("user_id").applyInPandasWithState(
         _asof_machine,
         ASOF_OUTPUT_SCHEMA,
