@@ -3117,3 +3117,90 @@ def test_funnel_asof_reorder_buffer_absorbs_bounded_disorder(spark):
         _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
         with pytest.raises(Exception, match="ordered-delivery contract"):
             _run_phase(spark, transform, schema, src, ckpt, "append", [])
+
+
+def test_reorder_gate_equal_ts_at_watermark_boundary(spark):
+    """Review-pass regression (strictness of the gate's release): two
+    equal-second events with inverted event_ids, the earlier-id one
+    arriving a trigger later, with the first trigger's max placing
+    them EXACTLY at the watermark — 0 seconds of disorder, squarely
+    inside the ≤ W promise. A ≤-release would emit (ts,5) before
+    (ts,4) and crash the fold's guard; the strict < holds both until
+    the watermark passes them and the drain equals batch D91."""
+    import datetime as dt
+
+    from uforwarder_spark.operators.timeseries import (
+        markov_pairs_frame,
+        markov_table_from,
+    )
+    from pyspark.sql import functions as F
+
+    W = 600
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    chunks = [
+        # max ts = t0+600 → wm = t0 exactly; (t0, 5) must be HELD
+        pd.DataFrame(
+            [(1, t0, 5, "view"), (2, t0 + dt.timedelta(seconds=W), 6, "view")],
+            columns=cols,
+        ),
+        pd.DataFrame([(1, t0, 4, "view")], columns=cols),
+        # sentinel advances the watermark past everything
+        pd.DataFrame(
+            [(3, t0 + dt.timedelta(seconds=2 * W + 100), 7, "view")], columns=cols
+        ),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    tmp = tempfile.mkdtemp(prefix="e45wmb")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    q = P.markov_monitor_pipeline(
+        stream, os.path.join(tmp, "state"), ckpt, reorder_watermark_s=W
+    )
+    q.awaitTermination(timeout=300)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/table")
+        if d.startswith("batch_id=")
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{tmp}/state/table/batch_id={last}")
+            .select("event_from", "event_to", "n_trans")
+            .collect(),
+        )
+    )
+    all_ev = spark.createDataFrame(pd.concat(chunks), schema)
+    want = sorted(
+        map(
+            tuple,
+            markov_table_from(
+                markov_pairs_frame(all_ev)
+                .groupBy("event_from", "event_to")
+                .agg(F.count("*").cast("bigint").alias("n_trans"))
+            )
+            .select("event_from", "event_to", "n_trans")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_reorder_last_n_rejects_degenerate_buffer(spark):
+    """Review-pass regression: reorder_last_n=0 would release nothing
+    forever while held state grows unbounded — rejected at plan-build
+    for both machines."""
+    import pytest
+
+    stream = spark.readStream.format("rate").load()
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="reorder_last_n must be >= 1"):
+            P.funnel_stream(stream, reorder_last_n=bad)
+        with pytest.raises(ValueError, match="reorder_last_n must be >= 1"):
+            P.asof_stream(stream, reorder_last_n=bad)

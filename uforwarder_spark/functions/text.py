@@ -2983,22 +2983,31 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_STEPS = 8
 
 
-def _bpe_oracle() -> tuple[str, str]:
+def _merge_oracle(steps: int, pick_ctes, union_cols: str, tokens_alias: str):
+    """Shared DuckDB-oracle builder for the merge-trainer family (D97
+    BPE / D101 WordPiece): the per-step pair-count CTE, the recursive
+    re-segmentation walk and the apply-side fertility query are ONE
+    definition — the only trainer-specific piece is `pick_ctes(i,
+    prev)`, the CTE text ending in the 1-row winner b{i}, plus the
+    winner's output columns and the apply side's token column name
+    (review r09: the WP copy of this builder dropped the MATERIALIZED
+    rationale and would have diverged on the next CTE fix).
+
+    MATERIALIZED is load-bearing: without it every step's three
+    references to w{i-1} (pair count, merge base, scalar subqueries)
+    re-evaluate the whole upstream chain — an exponential
+    re-execution that exhausts file descriptors on the parquet leaf
+    by step ~6."""
     chain = []
-    for i in range(1, BPE_STEPS + 1):
+    for i in range(1, steps + 1):
         prev = f"w{i - 1}"
-        # MATERIALIZED is load-bearing: without it every step's three
-        # references to w{{i-1}} (pair count, merge base, scalar
-        # subqueries) re-evaluate the whole upstream chain — an
-        # exponential re-execution that exhausts file descriptors on
-        # the parquet leaf by step ~6.
         chain.append(f"""p{i} AS MATERIALIZED (
   SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(sym_str, ' ') AS s, freq FROM {prev}),
        unnest(range(1, len(s))) t(i)
   GROUP BY l, r
 ),
-b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+{pick_ctes(i, prev)},
 r{i} AS (
   SELECT word, freq, string_split(sym_str, ' ') AS s, 1 AS pos,
          CAST('' AS VARCHAR) AS acc
@@ -3028,16 +3037,15 @@ w0 AS MATERIALIZED (
 ),
 {','.join(chain)}"""
     union = "\nUNION ALL\n".join(
-        f"SELECT {i} AS step, l AS tok_l, r AS tok_r, cnt AS pair_freq FROM b{i}"
-        for i in range(1, BPE_STEPS + 1)
+        f"SELECT {i} AS step, {union_cols} FROM b{i}" for i in range(1, steps + 1)
     )
     train = f"{prefix}\n{union}"
-    # D98 twin: the FINAL segmentations (w_K) applied back to the
+    # apply twin: the FINAL segmentations (w_K) applied back to the
     # per-source word occurrences — same chain, one definition.
     apply = f"""{prefix},
 seg AS MATERIALIZED (
   SELECT word, CAST(len(string_split(sym_str, ' ')) AS BIGINT) AS n_syms
-  FROM w{BPE_STEPS}
+  FROM w{steps}
 ),
 occ AS (
   SELECT doc_id, source, unnest({TOKENS_DUCK}) AS word FROM documents
@@ -3045,7 +3053,7 @@ occ AS (
 SELECT o.source,
        CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS ws_tokens,
-       CAST(sum(g.n_syms) AS BIGINT) AS bpe_tokens,
+       CAST(sum(g.n_syms) AS BIGINT) AS {tokens_alias},
        CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
        round(CAST(sum(g.n_syms) AS DOUBLE) / count(*), 6) AS fertility,
        round(CAST(sum(length(o.word)) AS DOUBLE) / sum(g.n_syms), 6)
@@ -3055,7 +3063,18 @@ GROUP BY o.source"""
     return train, apply
 
 
-BPE_TRAIN_ORACLE, BPE_APPLY_ORACLE = _bpe_oracle()
+def _bpe_pick_ctes(i: int, prev: str) -> str:
+    """BPE winner: most frequent pair, ties (l, r)."""
+    return (
+        f"b{i} AS MATERIALIZED "
+        f"(SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1)"
+    )
+
+
+BPE_TRAIN_ORACLE, BPE_APPLY_ORACLE = _merge_oracle(
+    BPE_STEPS, _bpe_pick_ctes, "l AS tok_l, r AS tok_r, cnt AS pair_freq",
+    "bpe_tokens",
+)
 
 
 @register("bpe_train_merges", BPE_TRAIN_ORACLE)
@@ -3115,22 +3134,28 @@ def _bpe_words_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_frames(words: DataFrame):
-    """The K-step training chain over a (word, freq, sym_str) frame —
-    ONE definition shared by D97 (returns the merge table) and D98
-    (returns the final segmentations the merges imply). Returns
-    (merges_df, final_words_df)."""
+_MERGE_FOLD = (
+    "concat_ws(' ', aggregate(split(sym_str, ' '), "
+    "CAST(array() AS ARRAY<STRING>), "
+    "(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l "
+    "AND x = r "
+    "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))) "
+    "ELSE concat(acc, array(x)) END))"
+)
+
+
+def _merge_train_frames(words: DataFrame, steps: int, pick_best, emit, empty_schema: str):
+    """Shared K-step merge-training loop (D97 BPE / D101 WordPiece)
+    over a (word, freq, sym_str) frame: per step build the exact
+    pair-count frame, pick the 1-row winner via `pick_best(pairs,
+    cur)` (MUST return a localCheckpoint-ed frame — the emptiness
+    check and the re-segmentation both read it), emit the winner row
+    via `emit(best, i)`, re-segment with the canonical leftmost-greedy
+    non-overlapping fold (_MERGE_FOLD — one definition, review r09).
+    Returns (merges_df, final_words_df)."""
     merges = []
     cur = words
-    fold = (
-        "concat_ws(' ', aggregate(split(sym_str, ' '), "
-        "CAST(array() AS ARRAY<STRING>), "
-        "(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l "
-        "AND x = r "
-        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))) "
-        "ELSE concat(acc, array(x)) END))"
-    )
-    for i in range(1, BPE_STEPS + 1):
+    for i in range(1, steps + 1):
         pairs = (
             cur.select("freq", F.expr("split(sym_str, ' ')").alias("s"))
             .select(
@@ -3145,41 +3170,50 @@ def bpe_train_frames(words: DataFrame):
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
         )
-        best = (
-            pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).localCheckpoint()
-        )
+        best = pick_best(pairs, cur)
         # Merge exhaustion (review r08): a corpus can support fewer than
-        # BPE_STEPS merges (every word fully merged). The winner frame is
+        # `steps` merges (every word fully merged). The winner frame is
         # already checkpointed, so the emptiness check is a free read —
         # without it the crossJoin below would annihilate the entire
         # vocabulary frame, silently emptying the final segmentations
         # while the oracle's NULL scalar subquery passes words through.
         if not best.take(1):
             break
-        merges.append(
-            best.select(
-                F.lit(i).alias("step"),
-                F.col("l").alias("tok_l"),
-                F.col("r").alias("tok_r"),
-                F.col("cnt").alias("pair_freq"),
-            )
-        )
+        merges.append(emit(best, i))
         cur = (
             cur.crossJoin(F.broadcast(best.select("l", "r")))
-            .select("word", "freq", F.expr(fold).alias("sym_str"))
+            .select("word", "freq", F.expr(_MERGE_FOLD).alias("sym_str"))
             .localCheckpoint()
         )
     if not merges:  # zero-pair corpus (e.g. the zero-row sweep)
-        return (
-            words.sparkSession.createDataFrame(
-                [], "step int, tok_l string, tok_r string, pair_freq bigint"
-            ),
-            cur,
-        )
+        return words.sparkSession.createDataFrame([], empty_schema), cur
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out, cur
+
+
+def bpe_train_frames(words: DataFrame):
+    """The K-step BPE training chain over a (word, freq, sym_str)
+    frame — ONE definition shared by D97 (returns the merge table) and
+    D98 (returns the final segmentations the merges imply). Returns
+    (merges_df, final_words_df)."""
+
+    def pick(pairs, _cur):
+        return pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).localCheckpoint()
+
+    def emit(best, i):
+        return best.select(
+            F.lit(i).alias("step"),
+            F.col("l").alias("tok_l"),
+            F.col("r").alias("tok_r"),
+            F.col("cnt").alias("pair_freq"),
+        )
+
+    return _merge_train_frames(
+        words, BPE_STEPS, pick, emit,
+        "step int, tok_l string, tok_r string, pair_freq bigint",
+    )
 
 
 @register("bpe_apply_fertility", BPE_APPLY_ORACLE)
@@ -3245,26 +3279,14 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 WP_STEPS = BPE_STEPS
 
 
-def _wp_oracle() -> tuple[str, str]:
-    """DuckDB twins of D101/D102 — the _bpe_oracle chain with the
-    WordPiece pick: per step a symbol-count CTE joins the pair table
-    and the winner maximizes the IEEE-double score
-    cnt/(lcnt·rcnt). Cross-engine exactness of the SELECTION: the
-    operands are exact BIGINTs < 2^53, and IEEE-754 multiply/divide
-    are correctly rounded, so Spark and DuckDB order candidates
-    identically (ties broken (l, r)); the OUTPUT carries the three
-    integer counts rather than a rounded quotient so the hashed frame
+def _wp_pick_ctes(i: int, prev: str) -> str:
+    """WordPiece winner: per-step symbol counts joined onto the pair
+    table; argmax of the IEEE-double score cnt/(lcnt·rcnt) — exact
+    BIGINT operands < 2^53 and correctly-rounded multiply/divide, so
+    Spark and DuckDB order candidates identically (ties (l, r)). The
+    winner carries the three integer operands so the shipped frame
     stays integer-exact."""
-    chain = []
-    for i in range(1, WP_STEPS + 1):
-        prev = f"w{i - 1}"
-        chain.append(f"""p{i} AS MATERIALIZED (
-  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
-  FROM (SELECT string_split(sym_str, ' ') AS s, freq FROM {prev}),
-       unnest(range(1, len(s))) t(i)
-  GROUP BY l, r
-),
-c{i} AS MATERIALIZED (
+    return f"""c{i} AS MATERIALIZED (
   SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
   FROM (SELECT unnest(string_split(sym_str, ' ')) AS sym, freq FROM {prev})
   GROUP BY sym
@@ -3277,95 +3299,24 @@ b{i} AS MATERIALIZED (
   ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(cl.scnt AS DOUBLE) * CAST(cr.scnt AS DOUBLE)) DESC,
            p.l, p.r
   LIMIT 1
-),
-r{i} AS (
-  SELECT word, freq, string_split(sym_str, ' ') AS s, 1 AS pos,
-         CAST('' AS VARCHAR) AS acc
-  FROM {prev}
-  UNION ALL
-  SELECT word, freq, s,
-         CASE WHEN pos < len(s) AND s[pos] = (SELECT l FROM b{i})
-                   AND s[pos + 1] = (SELECT r FROM b{i})
-              THEN pos + 2 ELSE pos + 1 END,
-         acc || ' ' ||
-         CASE WHEN pos < len(s) AND s[pos] = (SELECT l FROM b{i})
-                   AND s[pos + 1] = (SELECT r FROM b{i})
-              THEN s[pos] || s[pos + 1] ELSE s[pos] END
-  FROM r{i} WHERE pos <= len(s)
-),
-w{i} AS MATERIALIZED (
-  SELECT word, freq, trim(acc) AS sym_str FROM r{i} WHERE pos = len(s) + 1
-)""")
-    prefix = f"""WITH RECURSIVE t AS (
-  SELECT {TOKENS_DUCK} AS ts FROM documents
-),
-w0 AS MATERIALIZED (
-  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS sym_str
-  FROM (SELECT unnest(ts) AS word FROM t)
-  GROUP BY word
-),
-{','.join(chain)}"""
-    union = "\nUNION ALL\n".join(
-        f"SELECT {i} AS step, l AS tok_l, r AS tok_r, cnt AS pair_freq, "
-        f"lcnt AS l_freq, rcnt AS r_freq FROM b{i}"
-        for i in range(1, WP_STEPS + 1)
-    )
-    train = f"{prefix}\n{union}"
-    apply = f"""{prefix},
-seg AS MATERIALIZED (
-  SELECT word, CAST(len(string_split(sym_str, ' ')) AS BIGINT) AS n_syms
-  FROM w{WP_STEPS}
-),
-occ AS (
-  SELECT doc_id, source, unnest({TOKENS_DUCK}) AS word FROM documents
+)"""
+
+
+WP_TRAIN_ORACLE, WP_APPLY_ORACLE = _merge_oracle(
+    WP_STEPS, _wp_pick_ctes,
+    "l AS tok_l, r AS tok_r, cnt AS pair_freq, lcnt AS l_freq, rcnt AS r_freq",
+    "wp_tokens",
 )
-SELECT o.source,
-       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS ws_tokens,
-       CAST(sum(g.n_syms) AS BIGINT) AS wp_tokens,
-       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
-       round(CAST(sum(g.n_syms) AS DOUBLE) / count(*), 6) AS fertility,
-       round(CAST(sum(length(o.word)) AS DOUBLE) / sum(g.n_syms), 6)
-         AS chars_per_token
-FROM occ o JOIN seg g ON o.word = g.word
-GROUP BY o.source"""
-    return train, apply
-
-
-WP_TRAIN_ORACLE, WP_APPLY_ORACLE = _wp_oracle()
 
 
 def wp_train_frames(words: DataFrame):
-    """The K-step WordPiece training chain over a (word, freq, sym_str)
-    frame — ONE definition shared by D101 (merge table) and D102
-    (final segmentations), the bpe_train_frames shape with the
-    WordPiece pick rule. Returns (merges_df, final_words_df)."""
-    merges = []
-    cur = words
-    fold = (
-        "concat_ws(' ', aggregate(split(sym_str, ' '), "
-        "CAST(array() AS ARRAY<STRING>), "
-        "(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l "
-        "AND x = r "
-        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))) "
-        "ELSE concat(acc, array(x)) END))"
-    )
-    for i in range(1, WP_STEPS + 1):
-        pairs = (
-            cur.select("freq", F.expr("split(sym_str, ' ')").alias("s"))
-            .select(
-                "freq",
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(s, 1, size(s) - 1)").alias("l"),
-                        F.expr("slice(s, 2, size(s) - 1)").alias("r"),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        )
+    """The K-step WordPiece training chain over a (word, freq,
+    sym_str) frame — ONE definition shared by D101 (merge table) and
+    D102 (final segmentations): the shared _merge_train_frames loop
+    with the WordPiece pick rule. Returns (merges_df,
+    final_words_df)."""
+
+    def pick(pairs, cur):
         syms = (
             cur.select("freq", F.explode(F.expr("split(sym_str, ' ')")).alias("sym"))
             .groupBy("sym")
@@ -3373,7 +3324,7 @@ def wp_train_frames(words: DataFrame):
         )
         # WordPiece pick: argmax of cnt/(lcnt·rcnt) — IEEE doubles on
         # exact BIGINT operands order identically in Spark and DuckDB
-        best = (
+        return (
             pairs.join(
                 syms.select(F.col("sym").alias("l"), F.col("scnt").alias("lcnt")), "l"
             )
@@ -3391,37 +3342,22 @@ def wp_train_frames(words: DataFrame):
             .limit(1)
             .localCheckpoint()
         )
-        # merge exhaustion: same guard as bpe_train_frames
-        if not best.take(1):
-            break
-        merges.append(
-            best.select(
-                F.lit(i).alias("step"),
-                F.col("l").alias("tok_l"),
-                F.col("r").alias("tok_r"),
-                F.col("cnt").alias("pair_freq"),
-                F.col("lcnt").alias("l_freq"),
-                F.col("rcnt").alias("r_freq"),
-            )
+
+    def emit(best, i):
+        return best.select(
+            F.lit(i).alias("step"),
+            F.col("l").alias("tok_l"),
+            F.col("r").alias("tok_r"),
+            F.col("cnt").alias("pair_freq"),
+            F.col("lcnt").alias("l_freq"),
+            F.col("rcnt").alias("r_freq"),
         )
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("l", "r")))
-            .select("word", "freq", F.expr(fold).alias("sym_str"))
-            .localCheckpoint()
-        )
-    if not merges:  # zero-pair corpus (e.g. the zero-row sweep)
-        return (
-            words.sparkSession.createDataFrame(
-                [],
-                "step int, tok_l string, tok_r string, pair_freq bigint, "
-                "l_freq bigint, r_freq bigint",
-            ),
-            cur,
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out, cur
+
+    return _merge_train_frames(
+        words, WP_STEPS, pick, emit,
+        "step int, tok_l string, tok_r string, pair_freq bigint, "
+        "l_freq bigint, r_freq bigint",
+    )
 
 
 @register("wordpiece_train_merges", WP_TRAIN_ORACLE)

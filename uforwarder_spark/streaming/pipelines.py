@@ -96,18 +96,24 @@ def reorder_gate(
     per-key (ts, event_id)-ordered across triggers and the downstream
     fold's batch-equality proof applies to it unchanged.
 
-    Why released order holds: an event t is released at the first
-    trigger whose watermark (max combined ts − watermark_s) reaches t;
-    for some event t' > t to have been released EARLIER, an earlier
-    trigger's max must have exceeded t' + watermark_s ≥ t +
-    watermark_s — i.e. t itself arrived after its watermark passed,
-    which is exactly the > watermark_s lateness the gate does NOT
-    promise to fix. Such an event flows through and trips the fold's
+    Why released order holds: release is STRICT (ts < max − W, hold
+    ts ≥ max − W — strictness is load-bearing: with ≤, two
+    equal-second events with inverted ids exactly at the watermark
+    would release out of order, a 0-second disorder inside the
+    promise). Under the ≤ W bound every not-yet-arrived event t'
+    satisfies max ≤ t' + W, i.e. t' ≥ wm, while every released event
+    is strictly < wm — so anything already released precedes every
+    missing event, equal-timestamp ties included. An event arriving
+    after its watermark strictly passed is the > W lateness the gate
+    does NOT promise to fix: it flows through and trips the fold's
     enforced contract guard (fail-fast with the contract's name), so
     the two mechanisms COMPOSE: the gate absorbs bounded disorder,
     the guard still catches unbounded lateness — Structured
     Streaming's own watermark semantics, but fail-fast instead of
-    silently dropping.
+    silently dropping. A NULL ts cannot be held (it would never
+    release): it passes through to the fold, where the batch twin's
+    own semantics (and the guard, once a carry exists) apply — gate
+    on and gate off treat corrupt rows identically.
 
     The held residue is batchId-versioned parquet like every other
     state table (replay-idempotent: batch N re-derives from N−1). The
@@ -124,8 +130,12 @@ def reorder_gate(
         (F.max("ts").cast("long") - watermark_s).alias("wm")
     )
     c = combined.crossJoin(F.broadcast(wm))
-    released = c.filter(F.col("ts").cast("long") <= F.col("wm")).drop("wm")
-    held = c.filter(F.col("ts").cast("long") > F.col("wm")).drop("wm")
+    released = c.filter(
+        (F.col("ts").cast("long") < F.col("wm")) | F.col("ts").isNull()
+    ).drop("wm")
+    held = c.filter(
+        (F.col("ts").cast("long") >= F.col("wm")) & F.col("ts").isNotNull()
+    ).drop("wm")
     held.coalesce(1).write.mode("overwrite").parquet(
         f"{state_dir}/held/batch_id={batch_id}"
     )
@@ -1631,6 +1641,44 @@ def _funnel_machine(key, pdfs: Iterator, state: GroupState):
     yield pd.DataFrame(out, columns=["user_id", "step", "event_id"])
 
 
+def _reorder_split(key, rows: list, last_n: int, max_eid):
+    """Shared hold/release protocol of the count-bounded reorder
+    machines (E24/E26): sort the merged held+incoming rows (event_id
+    leads each tuple), split off the `last_n`-newest as the new held
+    residue, and fail fast — the SAME contract the plain machines
+    enforce — if a release row sorts at or below the already-folded
+    max_eid (beyond-buffer lateness: ≥ last_n + 1 later events
+    preceded it). One definition so the guard condition and message
+    cannot drift between the two machines. Returns
+    (release, held, new_max_eid)."""
+    rows.sort()
+    release, held = (
+        (rows[:-last_n], rows[-last_n:]) if len(rows) > last_n else ([], rows)
+    )
+    if release and max_eid is not None and release[0][0] <= max_eid:
+        raise ValueError(
+            f"ordered-delivery contract violated for user {key[0]}: event_id "
+            f"{release[0][0]} arrived after {max_eid} was already folded and "
+            f"after more than reorder_last_n={last_n} later events — widen "
+            f"the buffer, key the source topic by user, or re-ingest in order"
+        )
+    new_max = max_eid
+    if release:
+        new_max = release[-1][0] if max_eid is None else max(max_eid, release[-1][0])
+    return release, held, new_max
+
+
+def _validate_reorder_last_n(last_n: int) -> None:
+    """reorder_last_n=0 would make rows[:-0] the empty slice — a
+    machine that releases NOTHING forever while the held arrays grow
+    unbounded, silently. Reject degenerate buffers at plan-build."""
+    if last_n < 1:
+        raise ValueError(
+            f"reorder_last_n must be >= 1 (got {last_n}); use None for the "
+            "plain enforced-contract machine"
+        )
+
+
 FUNNEL_REORDER_STATE_SCHEMA = StructType(
     [
         StructField("e1", LongType()),
@@ -1669,17 +1717,7 @@ def _funnel_machine_reorder(last_n: int):
             rows.extend(zip((int(x) for x in h_eids or []), h_types or []))
         else:
             e1 = e2 = e3 = max_eid = None
-        rows.sort()
-        release, held = (
-            (rows[:-last_n], rows[-last_n:]) if len(rows) > last_n else ([], rows)
-        )
-        if release and max_eid is not None and release[0][0] <= max_eid:
-            raise ValueError(
-                f"ordered-delivery contract violated for user {key[0]}: event_id "
-                f"{release[0][0]} arrived after {max_eid} was already folded and "
-                f"after more than reorder_last_n={last_n} later events — widen "
-                f"the buffer, key the source topic by user, or re-ingest in order"
-            )
+        release, held, max_eid = _reorder_split(key, rows, last_n, max_eid)
         out = []
         for eid, etype in release:
             if e1 is None and etype == "view":
@@ -1691,8 +1729,6 @@ def _funnel_machine_reorder(last_n: int):
             elif e2 is not None and e3 is None and etype == "purchase" and eid > e2:
                 e3 = eid
                 out.append((key[0], 3, eid))
-        if release:
-            max_eid = release[-1][0] if max_eid is None else max(max_eid, release[-1][0])
         state.update(
             (e1, e2, e3, max_eid, [e for e, _ in held], [t for _, t in held])
         )
@@ -1710,6 +1746,7 @@ def funnel_stream(stream: DataFrame, reorder_last_n: int | None = None) -> DataF
     ≤ B via a count-bounded holdback (see _funnel_machine_reorder);
     default None keeps the plain enforced-contract machine."""
     if reorder_last_n is not None:
+        _validate_reorder_last_n(reorder_last_n)
         return stream.groupBy("user_id").applyInPandasWithState(
             _funnel_machine_reorder(reorder_last_n),
             FUNNEL_OUTPUT_SCHEMA,
@@ -1887,17 +1924,7 @@ def _asof_machine_reorder(last_n: int):
             )
         else:
             last_view = max_eid = None
-        rows.sort()
-        release, held = (
-            (rows[:-last_n], rows[-last_n:]) if len(rows) > last_n else ([], rows)
-        )
-        if release and max_eid is not None and release[0][0] <= max_eid:
-            raise ValueError(
-                f"ordered-delivery contract violated for user {key[0]}: event_id "
-                f"{release[0][0]} arrived after {max_eid} was already folded and "
-                f"after more than reorder_last_n={last_n} later events — widen "
-                f"the buffer, key the source topic by user, or re-ingest in order"
-            )
+        release, held, max_eid = _reorder_split(key, rows, last_n, max_eid)
         out = []
         for eid, etype, val in release:
             if etype == "view":
@@ -1912,8 +1939,6 @@ def _asof_machine_reorder(last_n: int):
                         None if last_view is None else eid - last_view,
                     )
                 )
-        if release:
-            max_eid = release[-1][0] if max_eid is None else max(max_eid, release[-1][0])
         state.update(
             (
                 last_view,
@@ -1942,6 +1967,7 @@ def asof_stream(stream: DataFrame, reorder_last_n: int | None = None) -> DataFra
     _asof_machine_reorder); default None keeps the plain
     enforced-contract machine."""
     if reorder_last_n is not None:
+        _validate_reorder_last_n(reorder_last_n)
         return stream.groupBy("user_id").applyInPandasWithState(
             _asof_machine_reorder(reorder_last_n),
             ASOF_OUTPUT_SCHEMA,
@@ -3579,43 +3605,33 @@ def audio_segment_pipeline(stream: DataFrame, out_dir: str, checkpoint_dir: str)
 
 
 # --- E50: live tokenizer-fertility monitor -----------------------------------
-def bpe_fertility_pipeline(
-    stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
+def _fertility_monitor_pipeline(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    token_field: str,
+    attach_nsyms,
 ):
-    """E50: the live twin of batch D98 — per-source fertility under the
-    TRAINED tokenizer maintained continuously as docs land (fertility
-    climbing on a source is the live signature of its text drifting
-    away from the tokenizer's training distribution — the signal that
-    schedules a re-train, exactly the drift class E36 watches for the
-    IVF index and E41 for the token distribution). The segmentation
-    table is trained ONCE from the published corpus via the shared
-    D97 chain (``bpe_train_frames`` over ``_bpe_words_frame`` — the
-    E42 frozen-LM convention; a re-train swaps one frame) and
-    persisted before the first trigger. Each micro-batch explodes its
-    tokens, LEFT-joins the frozen vocab (an unseen word falls back to
-    character count + 1 — the at-ingest OOV rule D98's docstring
-    states; the published corpus itself never hits it), and folds
-    per-source (n_docs, ws_tokens, bpe_tokens, n_chars) ADDITIVELY
-    into ``{state_dir}/fert/batch_id=N`` (the E19/E35 class,
-    idempotent under at-least-once replays); fertility and
-    chars-per-token re-derive per trigger into
-    ``{state_dir}/ratios/batch_id=N`` (ratios cannot fold). After the
-    stream drains the published corpus, the ratio table equals batch
-    D98 bit-for-bit (integer sums are exact; the stream test asserts
-    it).
+    """Shared foreachBatch body of the tokenizer-fertility monitors
+    (E50 BPE / E51 unigram-LM / E52 WordPiece): per trigger one
+    batch-sized token explode handed to `attach_nsyms(occ)` — the ONLY
+    family-specific piece, returning (doc_id, source, word, n_syms)
+    under the frozen trained model (left join + chars+1 OOV for
+    E50/E52; exact Viterbi OOV for E51) — then per-source
+    (n_docs, ws_tokens, {token_field}, n_chars) folded ADDITIVELY into
+    ``{state_dir}/fert/batch_id=N`` (the E19/E35 idempotent class:
+    replays re-derive batch N from N−1 and overwrite bit-identically)
+    and fertility / chars-per-token re-derived per trigger into
+    ``{state_dir}/ratios/batch_id=N`` (ratios cannot fold). One
+    definition for all three families (review r09 — the r08 bench
+    refactor's lesson: verbatim fold copies with coordinated touch
+    points silently diverge on the next edit).
 
-    SCALE: training is vocab-bounded and happens once; per trigger the
-    corpus-facing work is one batch-sized token explode joined to the
-    broadcast vocab table + an O(sources) partial agg merged against
-    O(sources) state. Nothing ever re-reads the corpus."""
-    from ..functions.text import _bpe_words_frame, bpe_train_frames
-
-    _merges, final = bpe_train_frames(_bpe_words_frame(corpus_docs))
-    seg = final.select(
-        "word",
-        F.expr("CAST(size(split(sym_str, ' ')) AS BIGINT)").alias("n_syms"),
-    ).persist()
-    seg.count()  # freeze the trained segmentation before the first trigger
+    SCALE: training is vocab-bounded and happens once in the wrapper;
+    per trigger the corpus-facing work is the explode + the
+    vocab-table join inside attach_nsyms + an O(sources) partial agg
+    merged against O(sources) state. Nothing ever re-reads the
+    corpus."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         from ..functions.tokenize import TOKENS_SPARK
@@ -3624,24 +3640,11 @@ def bpe_fertility_pipeline(
         occ = batch_df.select(
             "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
         )
-        batch_sums = (
-            occ.join(seg, "word", "left")
-            .select(
-                "doc_id",
-                "source",
-                "word",
-                F.coalesce(
-                    F.col("n_syms"),
-                    (F.length("word") + 1).cast("bigint"),  # OOV: chars + </w>
-                ).alias("n_syms"),
-            )
-            .groupBy("source")
-            .agg(
-                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-                F.count("*").cast("bigint").alias("ws_tokens"),
-                F.sum("n_syms").cast("bigint").alias("bpe_tokens"),
-                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
-            )
+        batch_sums = attach_nsyms(occ).groupBy("source").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("ws_tokens"),
+            F.sum("n_syms").cast("bigint").alias(token_field),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
         )
         prev = _read_state_parquet(spark, f"{state_dir}/fert/batch_id={batch_id - 1}")
         merged = (
@@ -3652,7 +3655,7 @@ def bpe_fertility_pipeline(
             .agg(
                 F.sum("n_docs").cast("bigint").alias("n_docs"),
                 F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
-                F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+                F.sum(token_field).cast("bigint").alias(token_field),
                 F.sum("n_chars").cast("bigint").alias("n_chars"),
             )
         )
@@ -3664,13 +3667,13 @@ def bpe_fertility_pipeline(
             "source",
             "n_docs",
             "ws_tokens",
-            "bpe_tokens",
+            token_field,
             "n_chars",
             F.round(
-                F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+                F.col(token_field).cast("double") / F.col("ws_tokens"), 6
             ).alias("fertility"),
             F.round(
-                F.col("n_chars").cast("double") / F.col("bpe_tokens"), 6
+                F.col("n_chars").cast("double") / F.col(token_field), 6
             ).alias("chars_per_token"),
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/ratios/batch_id={batch_id}"
@@ -3684,41 +3687,77 @@ def bpe_fertility_pipeline(
     )
 
 
+def _frozen_seg_attach(seg: DataFrame):
+    """The E50/E52 attach_nsyms: LEFT-join the frozen (word, n_syms)
+    vocab; an unseen word falls back to character count + 1 (chars +
+    '</w>' — the at-ingest OOV rule D98's docstring states; the
+    published corpus itself never hits it)."""
+
+    def attach(occ: DataFrame) -> DataFrame:
+        return occ.join(seg, "word", "left").select(
+            "doc_id",
+            "source",
+            "word",
+            F.coalesce(
+                F.col("n_syms"), (F.length("word") + 1).cast("bigint")
+            ).alias("n_syms"),
+        )
+
+    return attach
+
+
+def bpe_fertility_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E50: the live twin of batch D98 — per-source fertility under the
+    TRAINED BPE tokenizer maintained continuously as docs land
+    (fertility climbing on a source is the live signature of its text
+    drifting away from the tokenizer's training distribution — the
+    signal that schedules a re-train, the drift class E36 watches for
+    the IVF index and E41 for the token distribution). The
+    segmentation table is trained ONCE from the published corpus via
+    the shared D97 chain (``bpe_train_frames`` over
+    ``_bpe_words_frame`` — the E42 frozen-LM convention; a re-train
+    swaps one frame) and persisted before the first trigger; the fold
+    is the shared ``_fertility_monitor_pipeline``. After the stream
+    drains the published corpus, the ratio table equals batch D98
+    bit-for-bit (integer sums are exact; the stream test asserts
+    it)."""
+    from ..functions.text import _bpe_words_frame, bpe_train_frames
+
+    _merges, final = bpe_train_frames(_bpe_words_frame(corpus_docs))
+    seg = final.select(
+        "word",
+        F.expr("CAST(size(split(sym_str, ' ')) AS BIGINT)").alias("n_syms"),
+    ).persist()
+    seg.count()  # freeze the trained segmentation before the first trigger
+    return _fertility_monitor_pipeline(
+        stream, state_dir, checkpoint_dir, "bpe_tokens", _frozen_seg_attach(seg)
+    )
+
+
 # --- E51: live unigram-LM fertility monitor ----------------------------------
 def unigram_fertility_pipeline(
     stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
 ):
     """E51: the live twin of batch D100 — per-source fertility under
-    the TRAINED unigram-LM tokenizer (Kudo 2018, D99) maintained
-    continuously as docs land; with E50 this closes the live side of
-    BOTH published tokenizer families, so a deployment can watch BPE
-    and unigram fertility drift on the same stream and compare vocab
-    budgets online. The model is trained ONCE from the published
+    the TRAINED unigram-LM tokenizer (Kudo 2018, D99); with E50/E52
+    all three published tokenizer families' fertility drift is watched
+    on the same stream. The model is trained ONCE from the published
     corpus via the shared D99 chain (``sp_train_frames`` over
-    ``_sp_words_frame`` — the E42/E50 frozen-model convention; a
-    re-train swaps one frame) and its per-word segment counts are
-    persisted before the first trigger.
+    ``_sp_words_frame`` — the E42/E50 frozen-model convention) and its
+    per-word segment counts persisted before the first trigger; the
+    fold is the shared ``_fertility_monitor_pipeline``.
 
     OOV handling is EXACT, not a bound: each trigger left-anti-joins
     the batch's distinct words against the frozen (word, n_pieces)
     table and Viterbi-segments only the unseen remainder through the
-    SAME closure-captured kernel the trainer's E-step used — so the
-    live monitor reports the trained model's true segmentation for ANY
+    SAME closure-captured kernel the trainer's E-step used — the live
+    monitor reports the trained model's true segmentation for ANY
     input text, and the published corpus replays bit-equal to batch
     D100 (no unseen words there by construction; a word containing a
     character outside the trained charset takes the kernel's
-    documented per-char floor).
-
-    Per-source (n_docs, ws_tokens, sp_tokens, n_chars) fold ADDITIVELY
-    into ``{state_dir}/fert/batch_id=N`` (the E19/E35 idempotent
-    class); fertility and chars-per-token re-derive per trigger into
-    ``{state_dir}/ratios/batch_id=N`` (ratios cannot fold).
-
-    SCALE: training is vocab-bounded and happens once; per trigger the
-    work is one batch-sized token explode, a join against the frozen
-    vocab-of-words table, an Arrow-batched integer DP over only the
-    batch's UNSEEN distinct words, and an O(sources) partial agg
-    merged against O(sources) state. Nothing ever re-reads the corpus."""
+    documented per-char floor)."""
     from ..functions.text import (
         SP_MAXL,
         _sp_viterbi_kernel,
@@ -3735,13 +3774,7 @@ def unigram_fertility_pipeline(
     ).persist()
     seg.count()  # freeze the trained segmentation before the first trigger
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        from ..functions.tokenize import TOKENS_SPARK
-
-        spark = batch_df.sparkSession
-        occ = batch_df.select(
-            "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
-        )
+    def attach(occ: DataFrame) -> DataFrame:
         # exact OOV path: segment only the batch's unseen distinct words
         unseen = (
             occ.select("word", F.lit(1).cast("bigint").alias("freq"))
@@ -3754,54 +3787,12 @@ def unigram_fertility_pipeline(
                 schema="word string, n_pieces long",
             )
         )
-        batch_sums = (
-            occ.join(seg_b, "word")
-            .groupBy("source")
-            .agg(
-                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-                F.count("*").cast("bigint").alias("ws_tokens"),
-                F.sum("n_pieces").cast("bigint").alias("sp_tokens"),
-                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
-            )
-        )
-        prev = _read_state_parquet(spark, f"{state_dir}/fert/batch_id={batch_id - 1}")
-        merged = (
-            batch_sums
-            if prev is None
-            else batch_sums.unionByName(prev)
-            .groupBy("source")
-            .agg(
-                F.sum("n_docs").cast("bigint").alias("n_docs"),
-                F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
-                F.sum("sp_tokens").cast("bigint").alias("sp_tokens"),
-                F.sum("n_chars").cast("bigint").alias("n_chars"),
-            )
-        )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/fert/batch_id={batch_id}"
-        )
-        state = spark.read.parquet(f"{state_dir}/fert/batch_id={batch_id}")
-        state.select(
-            "source",
-            "n_docs",
-            "ws_tokens",
-            "sp_tokens",
-            "n_chars",
-            F.round(
-                F.col("sp_tokens").cast("double") / F.col("ws_tokens"), 6
-            ).alias("fertility"),
-            F.round(
-                F.col("n_chars").cast("double") / F.col("sp_tokens"), 6
-            ).alias("chars_per_token"),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/ratios/batch_id={batch_id}"
+        return occ.join(seg_b, "word").select(
+            "doc_id", "source", "word", F.col("n_pieces").alias("n_syms")
         )
 
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _fertility_monitor_pipeline(
+        stream, state_dir, checkpoint_dir, "sp_tokens", attach
     )
 
 
@@ -3810,28 +3801,17 @@ def wordpiece_fertility_pipeline(
     stream: DataFrame, corpus_docs: DataFrame, state_dir: str, checkpoint_dir: str
 ):
     """E52: the live twin of batch D102 — per-source fertility under
-    the TRAINED WordPiece tokenizer maintained continuously as docs
-    land; with E50 (BPE) and E51 (unigram-LM) this puts ALL THREE
-    published tokenizer families' fertility drift on the same stream,
-    so vocab budgets stay comparable online across every trainer the
-    repo ships. The segmentation table is trained ONCE from the
-    published corpus via the shared D101 chain (``wp_train_frames``
-    over ``_bpe_words_frame`` — the E42/E50 frozen-model convention;
-    a re-train swaps one frame) and persisted before the first
-    trigger. Each micro-batch explodes its tokens, LEFT-joins the
-    frozen vocab (an unseen word falls back to character count + 1 —
-    the E50 at-ingest OOV rule; the published corpus never hits it),
-    and folds per-source (n_docs, ws_tokens, wp_tokens, n_chars)
-    ADDITIVELY into ``{state_dir}/fert/batch_id=N`` (the E19/E35
-    idempotent class); fertility and chars-per-token re-derive per
-    trigger into ``{state_dir}/ratios/batch_id=N`` (ratios cannot
-    fold). After the stream drains the published corpus, the ratio
-    table equals batch D102 bit-for-bit.
-
-    SCALE: training is vocab-bounded and happens once; per trigger the
-    corpus-facing work is one batch-sized token explode joined to the
-    broadcast vocab table + an O(sources) partial agg merged against
-    O(sources) state. Nothing ever re-reads the corpus."""
+    the TRAINED WordPiece tokenizer; with E50 (BPE) and E51
+    (unigram-LM) this puts ALL THREE published tokenizer families'
+    fertility drift on the same stream, so vocab budgets stay
+    comparable online across every trainer the repo ships. The
+    segmentation table is trained ONCE from the published corpus via
+    the shared D101 chain (``wp_train_frames`` over
+    ``_bpe_words_frame`` — the frozen-model convention) and persisted
+    before the first trigger; the fold is the shared
+    ``_fertility_monitor_pipeline`` with the E50 chars+1 OOV rule.
+    After the stream drains the published corpus, the ratio table
+    equals batch D102 bit-for-bit."""
     from ..functions.text import _bpe_words_frame, wp_train_frames
 
     _merges, final = wp_train_frames(_bpe_words_frame(corpus_docs))
@@ -3840,69 +3820,6 @@ def wordpiece_fertility_pipeline(
         F.expr("CAST(size(split(sym_str, ' ')) AS BIGINT)").alias("n_syms"),
     ).persist()
     seg.count()  # freeze the trained segmentation before the first trigger
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        from ..functions.tokenize import TOKENS_SPARK
-
-        spark = batch_df.sparkSession
-        occ = batch_df.select(
-            "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
-        )
-        batch_sums = (
-            occ.join(seg, "word", "left")
-            .select(
-                "doc_id",
-                "source",
-                "word",
-                F.coalesce(
-                    F.col("n_syms"),
-                    (F.length("word") + 1).cast("bigint"),  # OOV: chars + </w>
-                ).alias("n_syms"),
-            )
-            .groupBy("source")
-            .agg(
-                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-                F.count("*").cast("bigint").alias("ws_tokens"),
-                F.sum("n_syms").cast("bigint").alias("wp_tokens"),
-                F.sum(F.length("word")).cast("bigint").alias("n_chars"),
-            )
-        )
-        prev = _read_state_parquet(spark, f"{state_dir}/fert/batch_id={batch_id - 1}")
-        merged = (
-            batch_sums
-            if prev is None
-            else batch_sums.unionByName(prev)
-            .groupBy("source")
-            .agg(
-                F.sum("n_docs").cast("bigint").alias("n_docs"),
-                F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
-                F.sum("wp_tokens").cast("bigint").alias("wp_tokens"),
-                F.sum("n_chars").cast("bigint").alias("n_chars"),
-            )
-        )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/fert/batch_id={batch_id}"
-        )
-        state = spark.read.parquet(f"{state_dir}/fert/batch_id={batch_id}")
-        state.select(
-            "source",
-            "n_docs",
-            "ws_tokens",
-            "wp_tokens",
-            "n_chars",
-            F.round(
-                F.col("wp_tokens").cast("double") / F.col("ws_tokens"), 6
-            ).alias("fertility"),
-            F.round(
-                F.col("n_chars").cast("double") / F.col("wp_tokens"), 6
-            ).alias("chars_per_token"),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/ratios/batch_id={batch_id}"
-        )
-
-    return (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _fertility_monitor_pipeline(
+        stream, state_dir, checkpoint_dir, "wp_tokens", _frozen_seg_attach(seg)
     )
