@@ -4,9 +4,10 @@ functions, no Spark session."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import MC_BAND, SC_BAND, SPARK_WITNESS_PIN, _host_mode, breach_verdict
 

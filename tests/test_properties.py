@@ -2543,8 +2543,6 @@ def test_unigram_lm_replay(spark, sf_dir):
     value-for-value against the Spark operators at both parity SFs.
     Every score is an integer micro-unit BIGINT, so the replay is
     bit-exact, including the (score, last-piece-length) tie-break."""
-    import math
-
     import duckdb
 
     from uforwarder_spark.functions.text import (
@@ -2579,61 +2577,10 @@ def test_unigram_lm_replay(spark, sf_dir):
     )
     con.close()
 
-    def seed(words):
-        cnt: dict = {}
-        for w, f in words.items():
-            for L in range(1, SP_MAXL + 1):
-                for s in range(len(w) - L + 1):
-                    p = w[s : s + L]
-                    cnt[p] = cnt.get(p, 0) + f
-        chars = {p: c for p, c in cnt.items() if len(p) == 1}
-        multi = sorted(
-            ((p, c) for p, c in cnt.items() if len(p) > 1),
-            key=lambda x: (-x[1], x[0]),
-        )[:SP_SEED_MULTI]
-        return dict(chars) | dict(multi)
-
-    def lp_of(cnts, smooth):
-        t = sum(c + smooth for c in cnts.values())
-        return {
-            p: int(round(round(math.log((c + smooth) / t), 8) * 1e8))
-            for p, c in cnts.items()
-        }
-
-    def viterbi(word, lp):
-        n = len(word)
-        best = [(0, 0)] + [None] * n
-        for k in range(1, n + 1):
-            b = None
-            for l in range(1, min(SP_MAXL, k) + 1):
-                v = lp.get(word[k - l : k])
-                if v is None:
-                    continue
-                cand = (best[k - l][0] + v, l)
-                if b is None or cand > b:
-                    b = cand
-            best[k] = b
-        pieces, k = [], n
-        while k > 0:
-            l = best[k][1]
-            pieces.append(word[k - l : k])
-            k -= l
-        return pieces
-
-    kept = seed(words)
-    lp = lp_of(kept, 0)
-    for keep in SP_MULTI_KEEP:
-        cnt = {p: 0 for p in lp}
-        for w, f in words.items():
-            for p in viterbi(w, lp):
-                cnt[p] += f
-        chars = {p: c for p, c in cnt.items() if len(p) == 1}
-        multi = sorted(
-            ((p, c) for p, c in cnt.items() if len(p) > 1),
-            key=lambda x: (-x[1], x[0]),
-        )[:keep]
-        kept = dict(chars) | dict(multi)
-        lp = lp_of(kept, 1)
+    # one shared pure-Python trainer (review r09: this block was an
+    # inline duplicate of _uni_py_train — two 'third implementations'
+    # that could drift; the shared one's docstring promise now holds)
+    kept, lp, viterbi = _uni_py_train(words)
 
     # --- train: piece set, counts, logprobs, ranks ---
     got = {r.piece: r for r in unigram_lm_train(spark, sf_dir).collect()}

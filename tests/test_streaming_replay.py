@@ -3204,3 +3204,35 @@ def test_reorder_last_n_rejects_degenerate_buffer(spark):
             P.funnel_stream(stream, reorder_last_n=bad)
         with pytest.raises(ValueError, match="reorder_last_n must be >= 1"):
             P.asof_stream(stream, reorder_last_n=bad)
+
+
+def test_e45_redelivery_of_carried_event_fails_fast(spark):
+    """Review-pass regression (guard strictness): an at-least-once
+    redelivery of the user's already-folded carried event — EXACTLY
+    equal (ts, event_id) in a later trigger — must trip the contract
+    (the previous >= accepted it and extracted a spurious
+    self-transition, silently double-counting), matching E24/E26's
+    <= max_eid semantics."""
+    import datetime as dt
+
+    import pytest
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    chunks = [
+        pd.DataFrame([(0, t0, 1, "view"), (1, t0, 2, "view")], columns=cols),
+        # user 0's (t0, 1) redelivered verbatim
+        pd.DataFrame([(0, t0, 1, "view"), (1, t0 + dt.timedelta(minutes=1), 3, "click")], columns=cols),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    tmp = tempfile.mkdtemp(prefix="e45dup")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    _write_chunks(spark, chunks, schema, src, _time.time() - 1000)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    with pytest.raises(Exception, match="ordered-delivery contract"):
+        q = P.markov_monitor_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+        q.awaitTermination(timeout=300)

@@ -1607,7 +1607,13 @@ def _funnel_machine(key, pdfs: Iterator, state: GroupState):
     FAILS FAST with this contract's name when a later trigger delivers
     an earlier event — a mis-keyed topic can never silently diverge
     from the proven batch twin
-    (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced)."""
+    (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced).
+
+    STATE SCHEMA v2 (round 9, adds max_eid): a checkpoint written by
+    the pre-contract machine fails Spark's state-schema compatibility
+    check on restart — discard the old checkpoint + state and replay
+    (the batchId-versioned replay guarantees cover exactly this), or
+    stay on the old build; there is no in-place migration."""
     import pandas as pd
 
     rows = []
@@ -1839,7 +1845,10 @@ def _asof_machine(key, pdfs: Iterator, state: GroupState):
     per-partition assumption, AbstractKafkaFetcherThread.java). The
     machine tracks the max folded event_id per user and FAILS FAST on
     a later trigger delivering an earlier event
-    (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced)."""
+    (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced).
+    STATE SCHEMA v2 (round 9, adds max_eid): pre-contract checkpoints
+    fail the state-schema compatibility check on restart — discard and
+    replay; no in-place migration (see _funnel_machine)."""
     import pandas as pd
 
     rows = []
@@ -3232,7 +3241,13 @@ def markov_monitor_pipeline(
                     "event_id",
                     F.when(
                         F.col("carry_key").isNull()
-                        | (F.struct("ts", "event_id") >= F.col("carry_key")),
+                        # STRICT >: an event EQUAL to the carried key is
+                        # an at-least-once redelivery of the already-
+                        # folded event — accepting it would extract a
+                        # spurious self-transition (silent double-count);
+                        # E24/E26 treat the same case (<= max_eid) as a
+                        # violation, so the three twins agree (review r09)
+                        | (F.struct("ts", "event_id") > F.col("carry_key")),
                         F.col("event_id"),
                     ).otherwise(
                         F.raise_error(
@@ -3765,9 +3780,12 @@ def unigram_fertility_pipeline(
         sp_train_frames,
     )
 
-    final = sp_train_frames(_sp_words_frame(corpus_docs))
-    vocab = {r["piece"]: r["lp"] for r in final.select("piece", "lp").collect()}
+    # ONE corpus-sized words frame reused by training and segmentation
+    # (review r09: building it twice doubled the only corpus-sized
+    # startup stage; the batch twin reuses it the same way)
     words = _sp_words_frame(corpus_docs)
+    final = sp_train_frames(words)
+    vocab = {r["piece"]: r["lp"] for r in final.select("piece", "lp").collect()}
     seg = words.mapInPandas(
         _sp_viterbi_kernel(vocab, SP_MAXL, "npieces"),
         schema="word string, n_pieces long",
