@@ -3004,6 +3004,69 @@ def test_wordpiece_apply_equals_python_replay(spark):
         assert r.fertility > 1.0
 
 
+def test_segment_by_span_null_ts_matches_default(spark):
+    """ADVICE r09 regression: `F.least` skips NULLs, so before the fix
+    a NULL-ts row landed in the LAST segment while the flag-off window
+    sort (`orderBy ts asc` = NULLs FIRST) treats it as earliest — the
+    segmented D91 path silently diverged from the default on NULL-ts
+    data. The fix pins NULL ts to segment 0; this asserts both the pin
+    and end-to-end value identity of markov_pairs_frame on a frame
+    containing NULL timestamps."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.operators.skew import segment_by_span
+    from uforwarder_spark.operators.timeseries import markov_pairs_frame
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i in range(30):
+            rows.append((u, 1000 + 60 * i, eid, f"t{eid % 3}"))
+            eid += 1
+        rows.append((u, None, eid, f"t{eid % 3}"))  # NULL ts per user
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_id long, event_type string"
+    ).select(
+        "user_id", F.col("tsec").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    segs = {
+        r.event_id: r.seg
+        for r in segment_by_span(df, 4).select("event_id", "seg").collect()
+    }
+    null_eids = [e for (_, t, e, _) in rows if t is None]
+    for e in null_eids:
+        assert segs[e] == 0, (e, segs[e])
+
+    def cnts(pairs):
+        return sorted(
+            map(
+                tuple,
+                pairs.groupBy("event_from", "event_to")
+                .count()
+                .collect(),
+            )
+        )
+
+    base = cnts(markov_pairs_frame(df))
+    # pure-Python check of the flag-off semantics (NULLs first, then
+    # (ts, event_id) asc) so base itself is pinned, not just compared
+    byu = {}
+    for u, t, e, ty in rows:
+        byu.setdefault(u, []).append((t is not None, t or 0, e, ty))
+    c = Counter()
+    for seq in byu.values():
+        seq.sort()
+        for i in range(len(seq) - 1):
+            c[(seq[i][3], seq[i + 1][3])] += 1
+    assert base == sorted((f, t, n) for (f, t), n in c.items())
+    for k in (2, 4, 7):
+        assert cnts(markov_pairs_frame(df, segments=k)) == base, k
+
+
 def test_hotkey_segments_env_parses_defensively():
     """Review-pass regression: SPARK_GRAFT_HOTKEY_SEGMENTS is an opt-in
     performance flag — a malformed value must fall back to the default

@@ -2544,3 +2544,123 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contamination_rate"),
         "max_jaccard",
     )
+
+
+# --- D103 ----------------------------------------------------------------
+# Domain/URL-level dedup + per-domain caps — the FIRST stage of the
+# published web-corpus curation recipes (FineWeb / RefinedWeb: exact
+# URL dedup, then cap how many documents any single domain may
+# contribute before content-level dedup runs). The synthetic corpus has
+# no URL column, so both keys are DERIVED deterministically (VERDICT
+# r09 "What's missing" #2): a pseudo-domain = source × md5-bucket of
+# doc_id, and a pseudo-URL = domain × md5-bucket of the D1-normalized
+# text — so identical pages "published" on the same domain collide on
+# the URL exactly as crawl re-fetches do.
+DOMAINS_PER_SOURCE = 4
+PAGES_PER_DOMAIN = 5
+DOMAIN_DOC_CAP = 3  # URL-deduped docs any domain may keep
+
+_NORM_TEXT_SPARK = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+_NORM_TEXT_DUCK = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_DOMAIN_SPARK = (
+    "concat(source, '.d', CAST("
+    + H_SPARK.format(col="CAST(doc_id AS STRING)")
+    + f" % {DOMAINS_PER_SOURCE} AS STRING))"
+)
+_DOMAIN_DUCK = (
+    "source || '.d' || CAST("
+    + H_DUCK.format(col="CAST(doc_id AS VARCHAR)")
+    + f" % {DOMAINS_PER_SOURCE} AS VARCHAR)"
+)
+_PAGE_SPARK = H_SPARK.format(col=_NORM_TEXT_SPARK) + f" % {PAGES_PER_DOMAIN}"
+_PAGE_DUCK = H_DUCK.format(col=_NORM_TEXT_DUCK) + f" % {PAGES_PER_DOMAIN}"
+
+DOMAIN_CAPS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {_DOMAIN_DUCK} AS domain,
+         {_DOMAIN_DUCK} || '/p' || CAST({_PAGE_DUCK} AS VARCHAR) AS url
+  FROM documents
+),
+urls AS (
+  SELECT source, domain, url,
+         min(doc_id) AS rep_id,
+         CAST(count(*) AS BIGINT) AS n_docs_url
+  FROM d GROUP BY source, domain, url
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY rep_id) AS rk
+  FROM urls
+)
+SELECT source, domain,
+       CAST(sum(n_docs_url) AS BIGINT)              AS n_docs,
+       CAST(count(*) AS BIGINT)                     AS n_urls,
+       CAST(sum(n_docs_url) - count(*) AS BIGINT)   AS n_url_dups,
+       CAST(sum(CASE WHEN rk <= {DOMAIN_DOC_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rk > {DOMAIN_DOC_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow,
+       min(rep_id) AS first_doc_id
+FROM ranked GROUP BY source, domain
+"""
+
+
+@register("domain_dedup_caps", DOMAIN_CAPS_ORACLE)
+def domain_dedup_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level URL dedup + per-domain document caps — the
+    FineWeb/RefinedWeb first curation stage (exact URL dedup with
+    keep-first-crawled semantics, then a cap on how many URL-deduped
+    documents any single domain contributes, with overflow accounting
+    so the drop is auditable): per pseudo-domain, raw doc count,
+    distinct URLs, URL-level dup count, docs kept under the
+    {DOMAIN_DOC_CAP}-doc cap (lowest-doc_id URL representatives first
+    = first-crawled), and the overflow the cap rejected.
+
+    Exactness: domain and URL keys come from the shared 60-bit md5
+    family (identical cross-engine); keep-first is min(doc_id) per URL
+    then row_number over (domain, rep_id asc) — both total orders on
+    unique integers; every aggregate is exact BIGINT.
+
+    SCALE: the ONLY fact-sized exchange is the (domain, url) group-by
+    (map-side partial dedup first — the D1 shape on a narrower key);
+    the per-domain rank window runs on the URL-DEDUPED frame, whose
+    per-domain row count is bounded by that domain's distinct URLs,
+    not its crawl count (re-fetches collapse before the window). At
+    100 TB a pathological domain (a crawler trap emitting unbounded
+    distinct URLs) would hot-key the window partition — the published
+    mitigation is the same two-level shape: pre-aggregate per
+    (domain, url-bucket), cap within buckets, then merge bucket
+    survivors; the segment-and-carry machinery in operators/skew.py is
+    the implemented fallback for exactly this class.
+
+    Reference analogue: none (training-data pipeline family; published
+    rule per the FineWeb/RefinedWeb curation recipes — PAPERS.md)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(_DOMAIN_SPARK).alias("domain"),
+        F.concat(
+            F.expr(_DOMAIN_SPARK),
+            F.lit("/p"),
+            F.expr(_PAGE_SPARK).cast("string"),
+        ).alias("url"),
+    )
+    urls = d.groupBy("source", "domain", "url").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").cast("bigint").alias("n_docs_url"),
+    )
+    ranked = urls.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("domain").orderBy("rep_id"))
+    )
+    return ranked.groupBy("source", "domain").agg(
+        F.sum("n_docs_url").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_urls"),
+        (F.sum("n_docs_url") - F.count("*")).cast("bigint").alias("n_url_dups"),
+        F.sum(F.when(F.col("rk") <= DOMAIN_DOC_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") > DOMAIN_DOC_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overflow"),
+        F.min("rep_id").alias("first_doc_id"),
+    )

@@ -100,7 +100,12 @@ def segment_by_span(events, segments: int):
     segment, so per-key per-segment (ts, event_id) order concatenates
     to the global per-key order); the upper bound is right-open (+1 s)
     so the max-ts row maps below `segments`; the floor of the double
-    division is monotone non-decreasing in ts and clamped by least().
+    division is monotone non-decreasing in ts and clamped by least();
+    a NULL ts is PINNED to segment 0 — the flag-off path sorts
+    `orderBy(ts asc)` which places NULLs FIRST, so the segmented
+    concatenation must start with them too (without the pin, least()
+    skips the NULL floor and a NULL-ts row would land in the LAST
+    segment, silently diverging from the default path — ADVICE r09).
     Binning is at SECOND granularity (ts cast to long), matching the
     repo's epoch arithmetic."""
     from pyspark.sql import functions as F
@@ -109,12 +114,18 @@ def segment_by_span(events, segments: int):
         F.min("ts").cast("long").alias("t_lo"),
         (F.max("ts").cast("long") + 1).alias("t_hi"),  # right-open
     )
-    seg = F.least(
-        F.lit(segments - 1),
-        F.floor(
-            (F.col("ts").cast("long") - F.col("t_lo"))
-            * segments
-            / (F.col("t_hi") - F.col("t_lo"))
-        ),
-    ).alias("seg")
+    seg = (
+        F.when(F.col("ts").isNull(), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(segments - 1),
+                F.floor(
+                    (F.col("ts").cast("long") - F.col("t_lo"))
+                    * segments
+                    / (F.col("t_hi") - F.col("t_lo"))
+                ),
+            )
+        )
+        .alias("seg")
+    )
     return events.crossJoin(F.broadcast(span)).select(*events.columns, seg)

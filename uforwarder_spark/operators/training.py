@@ -445,6 +445,15 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (training-data pipeline family)."""
     w = importance_sampling_weights(spark, sf_dir).select("source", "target_share")
+    return quota_frame(w)
+
+
+def quota_frame(w: DataFrame) -> DataFrame:
+    """The largest-remainder apportionment over a (source, target_share)
+    weights frame — shared by batch D52 and the D104 multi-epoch
+    accounting so the quota arithmetic can never drift. All numbers
+    follow D52's determinism rules; everything runs on the
+    |sources|-row control-plane frame."""
     raw = w.select(
         "source",
         "target_share",
@@ -763,4 +772,116 @@ def snapshot_diff_hashed(c: DataFrame, p_raw: DataFrame) -> DataFrame:
     return j.groupBy("source", "status").agg(
         F.count("*").alias("n_docs"),
         F.sum("bytes_delta").cast("bigint").alias("bytes_delta"),
+    )
+
+
+# --- D104 ----------------------------------------------------------------
+# Multi-epoch token accounting under a fixed budget (Muennighoff et al.
+# 2023, "Scaling Data-Constrained Language Models"): when a source's
+# D52 quota exceeds its unique-token supply, the loader REPEATS data —
+# this key reports, per source, how many epochs the quota implies, the
+# unique-vs-repeated split of the tokens actually seen, and the paper's
+# effective-data value of the repetition (repeated epochs decay with
+# R_D* ≈ 15.39: D' = U + U·R*·(1 − e^(−(epochs−1)/R*)) — closing the
+# last published mixture-planning artifact (VERDICT r09 "What's
+# missing" #3).
+MULTI_EPOCH_RSTAR = 15.39  # the paper's fitted repetition half-value
+
+MULTI_EPOCH_ORACLE = f"""
+WITH q AS (SELECT source, quota_tokens FROM ({BUDGET_ALLOC_ORACLE})),
+w AS (SELECT source, n_tokens FROM ({IMPORTANCE_ORACLE})),
+j AS (
+  SELECT q.source, w.n_tokens, q.quota_tokens,
+         CAST(quota_tokens AS DOUBLE) / n_tokens AS ep
+  FROM q JOIN w USING (source)
+),
+m AS (
+  SELECT *,
+         CASE WHEN ep <= 1 THEN round(ep, 6)
+              ELSE round(1 + {MULTI_EPOCH_RSTAR} * (1 - round(
+                     exp(-((ep - 1) / {MULTI_EPOCH_RSTAR})), 8)), 6)
+         END AS eff6
+  FROM j
+)
+SELECT source, n_tokens, quota_tokens,
+       round(ep, 6) AS epochs,
+       CAST(floor(ep) AS BIGINT) AS full_epochs,
+       CAST(least(quota_tokens, n_tokens) AS BIGINT) AS unique_tokens_seen,
+       CAST(quota_tokens - least(quota_tokens, n_tokens) AS BIGINT)
+         AS repeated_tokens,
+       eff6 AS effective_epochs,
+       round(CAST(n_tokens AS DOUBLE) * eff6, 2) AS effective_tokens
+FROM m
+"""
+
+
+@register("multi_epoch_token_accounting", MULTI_EPOCH_ORACLE)
+def multi_epoch_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained multi-epoch accounting (Muennighoff et al. 2023)
+    over D52's apportionment: per source, epochs = quota / unique
+    tokens, the floor'd full-epoch count, the unique-vs-repeated split
+    of tokens the loader will actually emit, and the paper's
+    effective-data estimate (repetition decays with R* = 15.39;
+    epochs ≤ 1 means the budget never exhausts the source, so
+    effective = actual). A source with epochs near 1 consumes fresh
+    data; epochs >> 1 flags where the mixture is data-constrained and
+    D93-style reweighting should shift budget instead.
+
+    Exactness: quota and unique counts are exact BIGINTs; epochs is one
+    correctly-rounded double division; the exp term is rounded 8 dp
+    BEFORE the surrounding arithmetic (the D60/D44 ln convention, same
+    expression shape both engines) and the published-constant products
+    are identical IEEE ops; least/floor on exact operands.
+
+    SCALE: ONE corpus scan (the D39 partial agg), localCheckpoint-ed at
+    |sources| rows so the two consumers (weights→quota and the
+    unique-token join) replay the 20-row frame, not the scan;
+    everything downstream is control-plane-sized.
+
+    Reference analogue: none (training-data pipeline family; published
+    rule per Muennighoff et al. 2023 — PAPERS.md)."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source", F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint()  # |sources| rows: both consumers replay this, not the scan
+    )
+    w = weights_from_totals(per_src)
+    q = quota_frame(w.select("source", "target_share")).select("source", "quota_tokens")
+    j = q.join(per_src.select("source", "n_tokens"), "source").withColumn(
+        "ep", F.col("quota_tokens").cast("double") / F.col("n_tokens")
+    )
+    rstar = F.lit(MULTI_EPOCH_RSTAR)
+    eff6 = F.when(F.col("ep") <= 1, F.round(F.col("ep"), 6)).otherwise(
+        F.round(
+            F.lit(1.0)
+            + rstar
+            * (
+                F.lit(1.0)
+                - F.round(F.exp(-((F.col("ep") - F.lit(1.0)) / rstar)), 8)
+            ),
+            6,
+        )
+    )
+    m = j.withColumn("eff6", eff6)
+    return m.select(
+        "source",
+        "n_tokens",
+        "quota_tokens",
+        F.round("ep", 6).alias("epochs"),
+        F.floor("ep").cast("bigint").alias("full_epochs"),
+        F.least("quota_tokens", "n_tokens").cast("bigint").alias("unique_tokens_seen"),
+        (F.col("quota_tokens") - F.least("quota_tokens", "n_tokens"))
+        .cast("bigint")
+        .alias("repeated_tokens"),
+        F.col("eff6").alias("effective_epochs"),
+        F.round(F.col("n_tokens").cast("double") * F.col("eff6"), 2).alias(
+            "effective_tokens"
+        ),
     )

@@ -1764,6 +1764,7 @@ JOIN part ON p_partkey = ps.l_partkey
 WHERE p_brand <> 'Brand#1'
   AND p_type <> 'PROMO'
   AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+  AND ps.l_suppkey IS NOT NULL
   AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
@@ -1783,9 +1784,13 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE: the ONLY fact-sized exchange is the DISTINCT on the pair key
     (map-side partial dedup first); the complaint list is a broadcast
     LEFT ANTI join (s_suppkey is never NULL on the subquery side, and
-    the probe side filters l_suppkey IS NOT NULL because NOT IN drops
-    a NULL probe row while anti join would keep it — both NULL
-    positions handled, so NOT IN == anti join exactly), the
+    BOTH sides drop NULL probes unconditionally: the Spark plan
+    pre-filters l_suppkey IS NOT NULL and the oracle carries the same
+    explicit predicate — necessary because NOT IN over an EMPTY
+    complaint list is TRUE even for a NULL probe (ADVICE r09: with zero
+    negative-balance suppliers the clause-free oracle would keep NULL
+    pairs the anti-join path drops) — so NOT IN == anti join exactly,
+    with no non-empty-subquery assumption), the
     brand/type/size filters push into the broadcast part dim's scan,
     and count(DISTINCT suppkey) is Spark's standard two-shuffle
     expand — both on slice-sized residue, not the fact table."""

@@ -118,8 +118,12 @@ def reorder_gate(
     The held residue is batchId-versioned parquet like every other
     state table (replay-idempotent: batch N re-derives from N−1). The
     final watermark advance releases everything — a drain test appends
-    one sentinel event `watermark_s` past the real max, which is the
-    stream-moved-on condition, not a special flush API.
+    one sentinel event STRICTLY MORE than `watermark_s` past the real
+    max (≥ max + watermark_s + 1 at this second granularity: a sentinel
+    at exactly max + watermark_s gives wm == max, and the strict
+    `ts < wm` release — load-bearing above — would hold every max-ts
+    event forever). That is the stream-moved-on condition, not a
+    special flush API; the drain tests use max + W + 100.
 
     SCALE: O(arrival-rate × watermark_s) held rows, one 1-row
     broadcast max per trigger, no shuffle — the filter is map-side."""
