@@ -3236,3 +3236,248 @@ def test_e45_redelivery_of_carried_event_fails_fast(spark):
     with pytest.raises(Exception, match="ordered-delivery contract"):
         q = P.markov_monitor_pipeline(stream, os.path.join(tmp, "state"), ckpt)
         q.awaitTermination(timeout=300)
+
+
+# --- E24/E26: checkpoint v1->v2 state upgrade -------------------------------
+# Pre-contract (round-8) machines, reproduced verbatim so the tests can
+# WRITE a genuine v1 checkpoint: same folds as today's machines minus
+# the max_eid tracking/guard.
+from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    LongType,
+    StructField,
+    StructType,
+)
+
+_V1_FUNNEL_STATE = StructType(
+    [StructField("e1", LongType()), StructField("e2", LongType()), StructField("e3", LongType())]
+)
+_V1_ASOF_STATE = StructType([StructField("last_view", LongType())])
+
+
+def _v1_funnel_machine(key, pdfs, state):
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip((int(x) for x in pdf["event_id"]), pdf["event_type"]))
+    rows.sort()
+    e1, e2, e3 = state.get if state.exists else (None, None, None)
+    out = []
+    for eid, et in rows:
+        if e1 is None and et == "view":
+            e1 = eid
+            out.append((key[0], 1, eid))
+        elif e1 is not None and e2 is None and et == "click" and eid > e1:
+            e2 = eid
+            out.append((key[0], 2, eid))
+        elif e2 is not None and e3 is None and et == "purchase" and eid > e2:
+            e3 = eid
+            out.append((key[0], 3, eid))
+    state.update((e1, e2, e3))
+    yield pd.DataFrame(out, columns=["user_id", "step", "event_id"])
+
+
+def _v1_funnel_stream(stream):
+    from uforwarder_spark.streaming.pipelines import FUNNEL_OUTPUT_SCHEMA
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _v1_funnel_machine,
+        FUNNEL_OUTPUT_SCHEMA,
+        _V1_FUNNEL_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _v1_asof_machine(key, pdfs, state):
+    rows = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(
+                (int(x) for x in pdf["event_id"]),
+                pdf["event_type"],
+                (float(x) for x in pdf["value"]),
+            )
+        )
+    rows.sort()
+    (last_view,) = state.get if state.exists else (None,)
+    out = []
+    for eid, et, val in rows:
+        if et == "view":
+            last_view = eid
+        elif et == "purchase":
+            out.append(
+                (key[0], eid, val, last_view, None if last_view is None else eid - last_view)
+            )
+    state.update((last_view,))
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "purchase_id", "purchase_value", "prior_view_id", "id_gap"],
+    )
+
+
+def _v1_asof_stream(stream):
+    from uforwarder_spark.streaming.pipelines import ASOF_OUTPUT_SCHEMA
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _v1_asof_machine,
+        ASOF_OUTPUT_SCHEMA,
+        _V1_ASOF_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def test_e24_funnel_checkpoint_upgrade_v1_to_v2(spark):
+    """VERDICT r09 #4: a checkpoint written by the pre-contract funnel
+    machine upgrades IN PLACE (state gains max_eid; no replay from
+    origin) and the production funnel_stream resumes from it — the
+    union of pre- and post-upgrade output equals the pure-Python
+    first-reach model over the whole event history (batch equality),
+    and the enforced ordered-delivery guard is live immediately: a
+    post-upgrade event at/below the upgraded max_eid fails fast."""
+    from uforwarder_spark.streaming.state_upgrade import (
+        upgrade_funnel_checkpoint_v1_to_v2,
+    )
+
+    events = [
+        # (user, eid, type) — user0 full funnel split across phases;
+        # user1 view-only pre-upgrade; user2 appears only post-upgrade;
+        # user3 never progresses (error rows exercise None-state upgrade)
+        [(0, 0, "view"), (1, 1, "view"), (3, 2, "error")],
+        [(0, 3, "click"), (1, 4, "error")],
+        # ---- upgrade happens here ----
+        [(0, 5, "purchase"), (1, 6, "click"), (2, 7, "view")],
+        [(2, 8, "click"), (3, 9, "view")],
+    ]
+    want = set()
+    prog = {}
+    for chunk in events:
+        for u, eid, et in chunk:
+            e1, e2, e3 = prog.get(u, (None, None, None))
+            if e1 is None and et == "view":
+                e1 = eid
+                want.add((u, 1, eid))
+            elif e1 is not None and e2 is None and et == "click" and eid > e1:
+                e2 = eid
+                want.add((u, 2, eid))
+            elif e2 is not None and e3 is None and et == "purchase" and eid > e2:
+                e3 = eid
+                want.add((u, 3, eid))
+            prog[u] = (e1, e2, e3)
+
+    cols = ["user_id", "event_id", "event_type"]
+    schema = "user_id long, event_id long, event_type string"
+    tmp = tempfile.mkdtemp(prefix="e24upg")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+    collected: list = []
+    to_pdf = lambda c: pd.DataFrame(c, columns=cols)  # noqa: E731
+
+    _write_chunks(spark, [to_pdf(c) for c in events[:2]], schema, src, now)
+    _run_phase(spark, _v1_funnel_stream, schema, src, ckpt, "append", collected)
+
+    n = upgrade_funnel_checkpoint_v1_to_v2(spark, ckpt)
+    assert n == 3, n  # users 0, 1, 3 had v1 state
+    assert os.path.isdir(os.path.join(ckpt, "state", "0.v1-backup"))
+    # double-upgrade must refuse (backup present)
+    try:
+        upgrade_funnel_checkpoint_v1_to_v2(spark, ckpt)
+        raise AssertionError("second upgrade did not refuse")
+    except ValueError as exc:
+        assert "v1-backup" in str(exc)
+
+    _write_chunks(
+        spark, [to_pdf(c) for c in events[2:]], schema, src, now, start_idx=2
+    )
+    _run_phase(spark, P.funnel_stream, schema, src, ckpt, "append", collected)
+
+    got = [
+        (int(r.user_id), int(r.step), int(r.event_id))
+        for _, rows in collected
+        for r in rows
+    ]
+    assert len(got) == len(set(got)), "a first-reach row fired twice"
+    assert set(got) == want
+
+    # the upgraded guard is live: user0's max folded id is 5 — replay 3
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _write_chunks(
+        spark, [to_pdf([(0, 3, "click")])], schema, src, now, start_idx=4
+    )
+    try:
+        _run_phase(spark, P.funnel_stream, schema, src, ckpt, "append", collected)
+        raise AssertionError("contract guard did not fire post-upgrade")
+    except StreamingQueryException as exc:
+        assert "ordered-delivery contract violated" in str(exc)
+
+
+def test_e26_asof_checkpoint_upgrade_v1_to_v2(spark):
+    """VERDICT r09 #4, E26 twin: pre-contract as-of checkpoint upgrades
+    in place (last_view gains max_eid = last_view) and the production
+    asof_stream resumes; full output equals the sequential as-of model,
+    and the guard fires on a post-upgrade id at/below the carried
+    last_view."""
+    from uforwarder_spark.streaming.state_upgrade import (
+        upgrade_asof_checkpoint_v1_to_v2,
+    )
+
+    events = [
+        [(0, 0, "view", 0.0), (1, 1, "purchase", 10.0)],  # u1: purchase w/o view
+        [(0, 2, "purchase", 20.0), (1, 3, "view", 0.0)],
+        # ---- upgrade ----
+        [(0, 4, "purchase", 30.0), (1, 5, "purchase", 40.0)],
+        [(2, 6, "purchase", 50.0)],  # post-upgrade-only user, no view
+    ]
+    want = set()
+    last = {}
+    for chunk in events:
+        for u, eid, et, val in chunk:
+            if et == "view":
+                last[u] = eid
+            else:
+                lv = last.get(u)
+                want.add((u, eid, val, lv, None if lv is None else eid - lv))
+
+    cols = ["user_id", "event_id", "event_type", "value"]
+    schema = "user_id long, event_id long, event_type string, value double"
+    tmp = tempfile.mkdtemp(prefix="e26upg")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+    collected: list = []
+    to_pdf = lambda c: pd.DataFrame(c, columns=cols)  # noqa: E731
+
+    _write_chunks(spark, [to_pdf(c) for c in events[:2]], schema, src, now)
+    _run_phase(spark, _v1_asof_stream, schema, src, ckpt, "append", collected)
+
+    n = upgrade_asof_checkpoint_v1_to_v2(spark, ckpt)
+    assert n == 2, n  # users 0 and 1 (user 1's purchase emitted, view stored)
+
+    _write_chunks(
+        spark, [to_pdf(c) for c in events[2:]], schema, src, now, start_idx=2
+    )
+    _run_phase(spark, P.asof_stream, schema, src, ckpt, "append", collected)
+
+    got = {
+        (
+            int(r.user_id),
+            int(r.purchase_id),
+            float(r.purchase_value),
+            None if r.prior_view_id is None else int(r.prior_view_id),
+            None if r.id_gap is None else int(r.id_gap),
+        )
+        for _, rows in collected
+        for r in rows
+    }
+    assert got == want
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _write_chunks(
+        spark, [to_pdf([(1, 3, "purchase", 99.0)])], schema, src, now, start_idx=4
+    )
+    try:
+        _run_phase(spark, P.asof_stream, schema, src, ckpt, "append", collected)
+        raise AssertionError("contract guard did not fire post-upgrade")
+    except StreamingQueryException as exc:
+        assert "ordered-delivery contract violated" in str(exc)

@@ -1615,9 +1615,10 @@ def _funnel_machine(key, pdfs: Iterator, state: GroupState):
 
     STATE SCHEMA v2 (round 9, adds max_eid): a checkpoint written by
     the pre-contract machine fails Spark's state-schema compatibility
-    check on restart — discard the old checkpoint + state and replay
-    (the batchId-versioned replay guarantees cover exactly this), or
-    stay on the old build; there is no in-place migration."""
+    check on restart. Run the one-time in-place upgrader
+    (``state_upgrade.upgrade_funnel_checkpoint_v1_to_v2``) — O(|users|)
+    state rewrite, no replay from origin — then resume this machine on
+    the same checkpoint; full replay remains the fallback."""
     import pandas as pd
 
     rows = []
@@ -1851,8 +1852,9 @@ def _asof_machine(key, pdfs: Iterator, state: GroupState):
     a later trigger delivering an earlier event
     (tests/test_streaming_replay.py::test_ordered_delivery_contract_enforced).
     STATE SCHEMA v2 (round 9, adds max_eid): pre-contract checkpoints
-    fail the state-schema compatibility check on restart — discard and
-    replay; no in-place migration (see _funnel_machine)."""
+    fail the state-schema compatibility check on restart. Run
+    ``state_upgrade.upgrade_asof_checkpoint_v1_to_v2`` for the
+    O(|users|) in-place migration (see _funnel_machine)."""
     import pandas as pd
 
     rows = []
