@@ -343,13 +343,16 @@ def test_embedding_agreement_pairs_join_is_not_cartesian(spark):
 
 
 def test_dsir_selection_is_limit_first_no_window(spark):
-    # D63: the feature model broadcasts (256-row ratio frame), the
-    # selection is TakeOrderedAndProject (never a global Sort or a
-    # rank window over the corpus), and both aggs partial-combine
+    # D63 (round-10 stage cut): the 256-bucket model folds back into
+    # the scoring scan as a LITERAL decimal array — the scoring pass
+    # must carry NO join and NO broadcast exchange at all; selection
+    # stays TakeOrderedAndProject (never a global Sort or a rank
+    # window over the corpus), and both aggs partial-combine
     plan = plan_of(spark, "dsir_selection")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
-    assert "BroadcastHashJoin" in plan  # ratio table onto the token stream
+    assert "Join" not in plan  # model applied map-side via literal lookup
+    assert "BroadcastExchange" not in plan
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
 

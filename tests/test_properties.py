@@ -3089,3 +3089,51 @@ def test_hotkey_segments_env_parses_defensively():
             os.environ.pop("SPARK_GRAFT_HOTKEY_SEGMENTS", None)
         else:
             os.environ["SPARK_GRAFT_HOTKEY_SEGMENTS"] = old
+
+
+def test_dsir_lr_literals_equal_spark_expression(spark):
+    """D63 round-10 stage cut: the driver-side JVM-log evaluation of
+    the bucket log-ratios must equal dsir_ratio_frame's Spark
+    expression bucket-for-bucket (same Math.log, same IEEE shapes,
+    same HALF_UP 8-dp quantize) — on the real corpus counts at both
+    SFs AND on adversarial synthetic counts (zero / huge / skewed)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_MED, SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.training import (
+        dsir_counts_frame,
+        dsir_lr_literals,
+        dsir_ratio_frame,
+        dsir_token_buckets_frame,
+    )
+
+    def check(cnt_rows):
+        want = {
+            int(r.b): str(r.lr)
+            for r in dsir_ratio_frame(
+                spark.createDataFrame(cnt_rows, "b bigint, ct bigint, cr bigint")
+            ).collect()
+        }
+        got = dsir_lr_literals(spark, cnt_rows)
+        assert set(got) == set(want)
+        for b in want:
+            assert Decimal(got[b]) == Decimal(want[b]), (b, got[b], want[b])
+
+    for sf in (SF_SMALL, SF_MED):
+        docs = load_parallel(spark, sf, "documents").select(
+            "doc_id",
+            "text",
+            F.expr("CAST(substring(source, 4) AS INT) % 2").alias("side"),
+        )
+        cnt = [
+            (int(r.b), int(r.ct), int(r.cr))
+            for r in dsir_counts_frame(dsir_token_buckets_frame(docs)).collect()
+        ]
+        check(cnt)
+
+    check([(0, 0, 1), (1, 1, 0), (2, 0, 0), (3, 7, 13)])
+    check([(b, (b * 2654435761) % 10**9, (b * 40503) % 7) for b in range(256)])
+    check([(5, 2**52 + 1, 3), (6, 1, 2**52 - 1)])
