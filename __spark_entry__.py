@@ -20,82 +20,56 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # keys with the OLDEST driver evidence. Keys beyond the window stay
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
-# Round-9 window (round-8 verdict item 1): rotate onto the now-oldest
-# evidence. Slot arithmetic (counted, not estimated): 11 new/changed
-# this round + the 3 r04 leaders + 36 of the 46 r05-cohort keys = 50
-# exactly; nine r05 keys slide just past the line (keeping their r05
-# driver rows + both-SF pytest parity) and lead the r10 window.
+# Round-10 window (round-9 verdict item 1): slot arithmetic (counted,
+# not estimated): 3 new/changed this round + the 9 r05-cohort keys
+# deferred from round 9 + the full 38-key r06-evidence cohort = 50
+# exactly. After this round the oldest evidence is the 46-key r07
+# cohort — r11's window is new/changed + those 46 (4 slots spare).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (11): unigram_lm_train and
-    #    unigram_lm_fertility are NEW (D99/D100, Kudo-2018 unigram-LM
-    #    tokenizer training + its encode/fertility side);
-    #    wordpiece_train_merges and wordpiece_apply_fertility are NEW
-    #    (D101/D102 — the THIRD published tokenizer family, the D97
-    #    chain with the likelihood-gain pick);
-    #    tpch_q12/q21/q16/q11 are NEW (C29–C32, the TPC-H shapes the
-    #    cut-down schema can still express — Q21's EXISTS/NOT-EXISTS
-    #    pair collapsed to per-order counts, Q16's NOT IN as broadcast
-    #    anti join, Q11's HAVING-above-scalar in exact DECIMAL);
-    #    pii_redaction and bpe_apply_fertility had their DuckDB
-    #    oracles moved from strlen (bytes) to length (chars) to match
-    #    Spark F.length semantics (ADVICE r08 — values identical on
-    #    the ASCII-gated corpus, oracle text changed);
-    #    incr_substring_dedup's state side now scans through the
-    #    kernel-identity guard (plan changed, values identical) --
-    "unigram_lm_train", "unigram_lm_fertility",
-    "wordpiece_train_merges", "wordpiece_apply_fertility",
-    "tpch_q12_shipmode_priority", "tpch_q21_waiting_suppliers",
-    "tpch_q16_supplier_part_types", "tpch_q11_important_balances",
-    "pii_redaction", "bpe_apply_fertility", "incr_substring_dedup",
-    # -- (b) the three r04-evidence keys that slid past last round's
-    #    line — the oldest driver rows in the repo --
-    "tokenizer_fertility", "unigram_perplexity", "blocklist_filter",
-    # -- (c) 36 of the 46 r05-evidence keys (pii_redaction above is
-    #    the 46th): the A12/A15/A19/A30 pipeline quartet, the B1-B11
-    #    controller block, then the r01-text/D cohort. The nine
-    #    deferred to lead r10 — token_count, quality_score,
-    #    multimodal_meta, hdr_histogram_quantiles, dsir_selection,
-    #    phash_incremental_dedup, dedup_embedding_agreement,
-    #    bloom_dedup_prefilter, length_bucketing — are the ones whose
-    #    kernels are already pinned by fresher keys (the shared
-    #    tokenizer via tokenizer_fertility above, the QC family via
-    #    quality_classifier_score r07, the multimodal paths via
-    #    multimodal_resize r08 and the r06 phash pair, the HDR/DSIR
-    #    kernels via their r07/r08 streaming twins, the Bloom bitset
-    #    via D36's r08 row, the bucketing window via D33's r07 row) --
-    "latency_percentiles", "adaptive_inflight_vegas",
-    "worker_pipeline_summary", "latency_littles_law",
-    "partition_assignment", "load_balance_stats", "autoscale_decision",
-    "batch_job_offsets", "partition_expansion", "hibernating_jobs",
-    "colocating_assignment", "autoscale_hysteresis",
-    "pod_aware_assignment", "range_assignment",
-    "rebalancer_shadow_compare",
-    "dedup_simhash", "ngram_jaccard_pairs", "embedding_cosine_pairs",
-    "ann_topk_bruteforce", "doc_fingerprint", "ann_topk_ivf",
-    "dedup_representatives", "quality_filter_gopher",
-    "dedup_connected_components", "stratified_sample", "vocab_topk",
-    "minhash_jaccard_estimate", "contamination_check", "tfidf_top_terms",
-    "lang_id_confusion", "corpus_stats", "chunk_dedup",
-    "repetition_stats", "corpus_prep_funnel", "bpe_merge_pairs",
-    "multimodal_frame_sample",
-    # ---------------- 50-slot window ends here ----------------
-    # Past the line (both-SF pytest parity continues to cover every key
-    # with the driver-grade comparator): the nine r05 keys named in
-    # (c) did not fit (11 new/changed + 3 r04 + 36 remaining r05 = 50
-    # exactly) and lead the r10 window together with the r06 cohort
-    # (38 keys).
-    # token_bucket_exact stays last (rows-only by design — no SQL
-    # oracle; its hash-green twin token_bucket_summary pins the shared
-    # applyInPandas kernel).
-    "bloom_dedup_prefilter",
-    "length_bucketing",
-    "hdr_histogram_quantiles",
+    # -- (a) new or changed this round (3 + dsir_selection, which is
+    #    already in the r05 nine below): domain_dedup_caps is NEW
+    #    (D103, the FineWeb/RefinedWeb URL-dedup + per-domain-cap
+    #    first stage); multi_epoch_token_accounting is NEW (D104,
+    #    Muennighoff data-constrained multi-epoch accounting over the
+    #    D52 quotas); tpch_q16's oracle text gained an explicit
+    #    l_suppkey IS NOT NULL so NOT IN == anti join holds even with
+    #    an empty complaint subquery (ADVICE r09 — values identical
+    #    on this data, oracle text changed) --
+    "domain_dedup_caps", "multi_epoch_token_accounting",
+    "tpch_q16_supplier_part_types",
+    # -- (b) the nine r05-evidence keys deferred from round 9's window
+    #    (the oldest oracle-checked driver rows in the repo);
+    #    dsir_selection leads — its plan ALSO changed this round (the
+    #    256-bucket model now folds back as a literal decimal array;
+    #    values identical, parity re-proven at both SFs) --
     "dsir_selection",
-    "phash_incremental_dedup",
-    "dedup_embedding_agreement",
-    "token_count",
-    "quality_score",
+    "bloom_dedup_prefilter", "length_bucketing",
+    "hdr_histogram_quantiles", "phash_incremental_dedup",
+    "dedup_embedding_agreement", "token_count", "quality_score",
     "multimodal_meta",
+    # -- (c) the full r06-evidence cohort (38): the A-pipeline block,
+    #    the r06 relational block, and the two r06 D/similarity keys --
+    "fetch_offset_range", "filter_messages", "route_messages",
+    "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
+    "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
+    "dlq_messages", "dlq_resurrection", "throughput_windows",
+    "consumer_lag", "retry_backoff_eligibility", "log_compaction",
+    "checkpoint_resume", "dlq_purge", "unprocessed_limiter",
+    "delay_process", "dlq_dispatch_tokens", "inflight_bootstrap",
+    "inflight_pending_order", "dlq_produce_batches",
+    "inflight_usage_critical", "job_commands", "workload_assignment",
+    "autoscale_prediction",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "top_customers_window",
+    "orders_without_lineitems", "customer_order_stats",
+    "running_revenue", "rollup_revenue", "tpch_q4_order_priority",
+    "multimodal_phash_dedup", "ann_multiquery_ivf",
+    # ---------------- 50-slot window ends here ----------------
+    # Past the line (both-SF pytest parity continues to cover every
+    # key with the driver-grade comparator): everything else carries
+    # r07+ evidence. token_bucket_exact stays last (rows-only by
+    # design — no SQL oracle; its hash-green twin token_bucket_summary
+    # pins the shared applyInPandas kernel).
     "token_bucket_exact",
 ]
 
