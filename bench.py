@@ -278,6 +278,38 @@ def _host_mode(sc: float, mc: float, sw: float) -> str:
     return "unclassified"
 
 
+AT_PIN_FACTOR = 1.1  # spark-witness factor at/under which the engine is "at pin"
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_normal_history.json"
+)
+
+
+def load_normal_history() -> dict:
+    """Most recent at-pin-engine per-line raw ratios (written by any run
+    whose spark witness read <= AT_PIN_FACTOR). Missing/corrupt file =
+    empty history — the adjudicator then simply lacks corroboration."""
+    try:
+        with open(HISTORY_PATH) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def corroborated_verdict(verdict: str, normal_ratio) -> str:
+    """VERDICT r09 #2 (the engine_slow blind spot): on a slow-engine
+    window, sched-share >= 0.4 is near-universal for sub-3-second
+    lines, so 'host_priced' alone cannot clear a line — it must be
+    corroborated by a NORMAL-window reading of the same line (a
+    same-run late-window re-time after the witness recovers, or the
+    most recent at-pin run's recorded ratio). A line that breaches the
+    1.3x bar ON AN AT-PIN ENGINE TOO is plan work, whatever its sched
+    share; a missing reading leaves host_priced standing but visibly
+    uncorroborated (normal_window_ratios carries null)."""
+    if verdict == "host_priced" and normal_ratio is not None and normal_ratio > 1.3:
+        return "plan_work"
+    return verdict
+
+
 def breach_verdict(raw_ratio, sw_factor, sched_share) -> str:
     """Mechanical per-breach adjudication (VERDICT r08 #4 + the r09
     cal_artifact refinement), unit-tested in tests/test_bench_gate.py:
@@ -557,12 +589,56 @@ def main() -> None:
         # bench_full.json
         stage_compact[name] = ev.get("sched_overhead_share")
 
-    # Mechanical per-breach verdicts (the `breach_verdict` rule above,
-    # unit-tested): the record keeps every breach; the ACTIONABLE list
-    # is the adjudication — zero prose needed.
+    # Normal-window corroboration (VERDICT r09 #2): every host_priced
+    # call must carry a reading of the line on an at-pin engine. Three
+    # sources in priority order: (a) this window IS at pin — the raw
+    # ratio is the reading; (b) late-window retry — the witness is
+    # re-read after the evidence pass (minutes later on a different
+    # scheduler moment) and, if recovered to pin, each breached line
+    # re-times in that window; (c) carry-forward from the most recent
+    # at-pin run recorded in bench_normal_history.json.
+    _pin_by_name = {
+        n: b[n] for _sfx, _names, b, _c in GENERATIONS for n in b
+    }
+    normal_ratios: dict = {}
+    retry_factor = None
+    if breach_names and sf == "0.1":
+        if _sw_factor_pre <= AT_PIN_FACTOR:
+            normal_ratios = {n: _raw_ratio_pre.get(n) for n in breach_names}
+        else:
+            sw2 = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                QUERIES["tpch_q6_forecast_revenue"](spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                sw2 = min(sw2, time.perf_counter() - t0)
+            retry_factor = round(sw2 / SPARK_WITNESS_PIN, 3)
+            history = load_normal_history()
+            for name in breach_names:
+                if retry_factor <= AT_PIN_FACTOR and name in _pin_by_name:
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        best = min(best, time.perf_counter() - t0)
+                        spark.catalog.clearCache()
+                    normal_ratios[name] = round(best / _pin_by_name[name], 2)
+                else:
+                    h = history.get(name)
+                    normal_ratios[name] = h.get("raw_ratio") if h else None
+
+    # Mechanical per-breach verdicts (the `breach_verdict` rule above +
+    # the corroboration rule, both unit-tested): the record keeps every
+    # breach; the ACTIONABLE list is the adjudication — zero prose.
     breach_verdicts = {
-        name: breach_verdict(
-            _raw_ratio_pre.get(name), _sw_factor_pre, stage_compact[name]
+        name: corroborated_verdict(
+            breach_verdict(
+                _raw_ratio_pre.get(name), _sw_factor_pre, stage_compact[name]
+            ),
+            normal_ratios.get(name),
         )
         for name in breach_names
     }
@@ -595,7 +671,30 @@ def main() -> None:
     compact["host_mode"] = _host_mode(cal, mc, spark_witness)
     compact["stage_evidence"] = stage_compact
     compact["breach_verdicts"] = breach_verdicts
+    if normal_ratios:
+        compact["normal_window_ratios"] = normal_ratios
+    if retry_factor is not None:
+        compact["normal_window_retry_factor"] = retry_factor
     compact["actionable_breaches"] = actionable
+
+    # Seed/refresh the at-pin history: a run whose engine witness read
+    # at pin records EVERY line's raw ratio, so future slow-window runs
+    # have a carry-forward corroboration source per line.
+    if sf == "0.1" and _sw_factor_pre <= AT_PIN_FACTOR:
+        hist = load_normal_history()
+        for _sfx, names, baseline, _c in GENERATIONS:
+            for n in names:
+                if n in baseline and n in gens[_sfx]["timings"]:
+                    hist[n] = {
+                        "raw_ratio": round(gens[_sfx]["timings"][n] / baseline[n], 2),
+                        "sw_factor": round(_sw_factor_pre, 3),
+                        "ts": int(time.time()),
+                    }
+        try:
+            with open(HISTORY_PATH, "w") as f:
+                json.dump(hist, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # history is an optimization; never fail the record
     compact["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     full = dict(
         compact,
@@ -615,11 +714,14 @@ def main() -> None:
     # breach_verdicts duplicates stage_evidence + the 0.4 rule, so it
     # sheds first; actionable_breaches is the adjudication itself and
     # sheds dead last (after even the per-line breach name lists)
+    # normal_window_ratios is the host_priced corroboration proof
+    # (VERDICT r09 #2) — it sheds second-to-last, after even the
+    # per-line breach name lists
     shed_order = (
         [f"queries{sfx}" for sfx, *_ in reversed(GENERATIONS)]
         + ["breach_verdicts", "stage_evidence"]
         + [f"per_line_breaches{sfx}" for sfx, *_ in reversed(GENERATIONS)]
-        + ["actionable_breaches"]
+        + ["normal_window_ratios", "actionable_breaches"]
     )
     for shed in shed_order:
         if len(line) <= 1900:

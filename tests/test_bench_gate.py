@@ -49,3 +49,36 @@ def test_host_mode_signatures():
     assert _host_mode(sc_mid, mc_mid, sw_pin * 1.4) == "engine_slow"
     # outside every documented signature → surfaced, not silently normal
     assert _host_mode(SC_BAND[1] * 2.0, mc_mid, sw_pin) == "unclassified"
+
+
+def test_corroborated_verdict_escalation():
+    from bench import corroborated_verdict
+
+    # host_priced + at-pin reading over the bar → plan work (the
+    # engine_slow blind-spot fix: a slow host cannot excuse a line
+    # that also breaches on a normal window)
+    assert corroborated_verdict("host_priced", 1.5) == "plan_work"
+    # at/under the bar → corroborated host pricing stands
+    assert corroborated_verdict("host_priced", 1.3) == "host_priced"
+    assert corroborated_verdict("host_priced", 0.9) == "host_priced"
+    # no reading available → stands, visibly uncorroborated (null in
+    # normal_window_ratios adjudicates as "history not yet seeded")
+    assert corroborated_verdict("host_priced", None) == "host_priced"
+    # other verdicts pass through untouched
+    for v in ("plan_work", "cal_artifact", "no_evidence"):
+        assert corroborated_verdict(v, 2.0) == v
+        assert corroborated_verdict(v, None) == v
+
+
+def test_load_normal_history_robust(tmp_path, monkeypatch):
+    import json as _json
+
+    import bench
+
+    p = tmp_path / "hist.json"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(p))
+    assert bench.load_normal_history() == {}  # missing file
+    p.write_text("{not json")
+    assert bench.load_normal_history() == {}  # corrupt file
+    p.write_text(_json.dumps({"q": {"raw_ratio": 1.1, "sw_factor": 1.0, "ts": 1}}))
+    assert bench.load_normal_history()["q"]["raw_ratio"] == 1.1
