@@ -1273,3 +1273,146 @@ def test_kmv_degrades_to_exact_on_tiny_sources(spark, edge_dir):
     assert r.kmv_jacc == r.exact_jacc and r.jacc_abs_err == 0.0
     assert r.kmv_union_est == float(r.n_a + r.n_b - r.exact_inter)
     assert abs(r.kmv_inter_est - r.exact_inter) <= 0.01
+
+
+def test_multi_epoch_accounting_invariants(spark, tmp_path):
+    """D104: the accounting identities hold under skew, BOTH branches
+    of the effective-epochs formula are exercised (a dominant source
+    the budget cannot exhaust → epochs < 1 → effective == actual; tiny
+    boosted sources → epochs >> 1 → the Muennighoff decay), and the
+    numbers agree with a pure-Python recomputation from the D39/D52
+    frames."""
+    import math
+
+    rows = []
+    # srcBig's token supply (4000 docs x ~400 tokens = 1.6M) exceeds
+    # the 1M budget, so even its near-total flattened share leaves
+    # quota < supply (epochs < 1); the tiny sources repeat heavily
+    big_text = " ".join(["alpha beta gamma delta epsilon zeta"] * 67)
+    sizes = {"srcBig": 4000, "srcT1": 3, "srcT2": 10}
+    i = 0
+    for src, n in sizes.items():
+        text = big_text if src == "srcBig" else "alpha beta gamma delta epsilon zeta"
+        for _ in range(n):
+            rows.append((i, text, "en", src, len(text)))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from uforwarder_spark.operators.training import (
+        MULTI_EPOCH_RSTAR,
+        multi_epoch_token_accounting,
+        token_budget_allocation,
+    )
+
+    got = {r.source: r for r in multi_epoch_token_accounting(spark, str(tmp_path)).collect()}
+    quotas = {r.source: r.quota_tokens for r in token_budget_allocation(spark, str(tmp_path)).collect()}
+    assert set(got) == set(sizes)
+    saw_under = saw_over = False
+    for src, r in got.items():
+        assert r.quota_tokens == quotas[src], src  # D52 composition exact
+        # identities
+        assert r.unique_tokens_seen == min(r.quota_tokens, r.n_tokens)
+        assert r.repeated_tokens == r.quota_tokens - r.unique_tokens_seen
+        assert r.full_epochs == math.floor(r.quota_tokens / r.n_tokens)
+        ep = r.quota_tokens / r.n_tokens
+        assert abs(r.epochs - round(ep, 6)) < 1e-9
+        if ep <= 1:
+            saw_under = True
+            assert r.effective_epochs == round(ep, 6), src
+            assert r.repeated_tokens == 0, src
+        else:
+            saw_over = True
+            want = round(
+                1
+                + MULTI_EPOCH_RSTAR
+                * (1 - round(math.exp(-((ep - 1) / MULTI_EPOCH_RSTAR)), 8)),
+                6,
+            )
+            assert abs(r.effective_epochs - want) < 1e-9, src
+            # repetition is worth less than fresh data, more than one epoch
+            assert 1 < r.effective_epochs < ep, src
+        assert abs(r.effective_tokens - round(r.n_tokens * r.effective_epochs, 2)) < 1e-6
+    assert saw_under and saw_over, (
+        "test corpus must exercise BOTH effective-epochs branches: "
+        + str({s: (got[s].epochs) for s in got})
+    )
+
+
+def test_domain_dedup_caps_model(spark, tmp_path):
+    """D103: keep-first semantics against a pure-Python model on a
+    corpus built to collide — identical texts on the same pseudo-domain
+    share a URL (crawl re-fetch), near-identical whitespace variants
+    normalize together, and one domain overflows its cap."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import (
+        DOMAIN_DOC_CAP,
+        DOMAINS_PER_SOURCE,
+        PAGES_PER_DOMAIN,
+        domain_dedup_caps,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    texts = [
+        "alpha beta gamma",
+        "alpha  beta\tgamma",  # normalizes to the same URL bucket as above
+        "delta epsilon",
+        "zeta eta theta iota",
+        "kappa",
+        "lambda mu nu",
+    ]
+    rows = [
+        (i, texts[i % len(texts)], "en", "srcX", len(texts[i % len(texts)]))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python model
+    import re
+
+    urls = {}
+    for doc_id, text, _, src, _ in rows:
+        dom = f"{src}.d{h60(str(doc_id)) % DOMAINS_PER_SOURCE}"
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        url = f"{dom}/p{h60(norm) % PAGES_PER_DOMAIN}"
+        key = (src, dom, url)
+        if key not in urls or doc_id < urls[key][0]:
+            n = urls.get(key, (doc_id, 0))[1]
+            urls[key] = (min(doc_id, urls.get(key, (doc_id,))[0]), n + 1)
+        else:
+            urls[key] = (urls[key][0], urls[key][1] + 1)
+    doms = {}
+    for (src, dom, url), (rep, n) in urls.items():
+        doms.setdefault((src, dom), []).append((rep, n))
+    want = {}
+    for (src, dom), lst in doms.items():
+        lst.sort()
+        n_urls = len(lst)
+        want[(src, dom)] = dict(
+            n_docs=sum(n for _, n in lst),
+            n_urls=n_urls,
+            n_url_dups=sum(n for _, n in lst) - n_urls,
+            n_kept=min(n_urls, DOMAIN_DOC_CAP),
+            n_overflow=max(0, n_urls - DOMAIN_DOC_CAP),
+            first_doc_id=lst[0][0],
+        )
+
+    got = {
+        (r.source, r.domain): r for r in domain_dedup_caps(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    overflowed = False
+    dup_seen = False
+    for k, w in want.items():
+        r = got[k]
+        for f, v in w.items():
+            assert getattr(r, f) == v, (k, f, getattr(r, f), v)
+        overflowed = overflowed or w["n_overflow"] > 0
+        dup_seen = dup_seen or w["n_url_dups"] > 0
+    assert dup_seen, "corpus must exercise URL-level dups"
