@@ -3481,3 +3481,102 @@ def test_e26_asof_checkpoint_upgrade_v1_to_v2(spark):
         raise AssertionError("contract guard did not fire post-upgrade")
     except StreamingQueryException as exc:
         assert "ordered-delivery contract violated" in str(exc)
+
+
+# --- E53: live domain-cap admission gate ------------------------------------
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    cut_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e53_domain_caps_replay_idempotent_and_converges(
+    spark, n_chunks, cut_seed, restart_at
+):
+    """E53 property: under doc_id-CONTIGUOUS chunking (the arrival
+    order whose first-come admission coincides with batch keep-first),
+    ANY cut points + a mid-stream restart + a replayed batch leave the
+    state bit-identical, the drained per-domain counter table equals
+    batch D103 bit-for-bit, and the admitted doc_id union equals the
+    batch kept set (first CAP URL representatives per domain)."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import (
+        DOMAIN_DOC_CAP,
+        domain_dedup_caps,
+        domain_url_frame,
+        domain_url_groups,
+    )
+
+    docs_pdf = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .toPandas()[DOCS_COLS]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(docs_pdf)
+    cuts = sorted(cut_seed.sample(range(1, n), min(n_chunks - 1, n - 1)))
+    bounds = [0, *cuts, n]
+    chunks = [
+        docs_pdf.iloc[bounds[i] : bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    restart_at = min(restart_at, len(chunks))
+    tmp = tempfile.mkdtemp(prefix="e53rr")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+
+    def make_query(stream):
+        return P.domain_caps_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+
+    _write_chunks(spark, chunks[:restart_at], DOCS_SCHEMA, src, now)
+    _run_monitor_phase(spark, make_query, src)
+    bid = _inject_replay(ckpt)
+    paths = [
+        f"{tmp}/state/urls/batch_id={bid}",
+        f"{tmp}/state/domains/batch_id={bid}",
+        f"{tmp}/state/admitted/batch_id={bid}",
+    ]
+    before = {p: _sorted_pdf(spark, p) for p in paths}
+    if chunks[restart_at:]:
+        _write_chunks(
+            spark, chunks[restart_at:], DOCS_SCHEMA, src, now, start_idx=restart_at
+        )
+    _run_monitor_phase(spark, make_query, src)
+    for p, snap in before.items():
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, p), snap, check_exact=True)
+
+    # drained domains table == batch D103, bit-for-bit
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/domains")
+        if d.startswith("batch_id=")
+    )
+    want = domain_dedup_caps(spark, SF_SMALL).toPandas()
+    cols = want.columns.tolist()
+    got = (
+        spark.read.parquet(f"{tmp}/state/domains/batch_id={last}")
+        .toPandas()[cols]
+        .sort_values(["source", "domain"])
+        .reset_index(drop=True)
+    )
+    want = want.sort_values(["source", "domain"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # admitted union == batch keep-first kept set
+    batch_urls = domain_url_groups(
+        domain_url_frame(load_parallel(spark, SF_SMALL, "documents"))
+    ).collect()
+    by_dom = {}
+    for r in batch_urls:
+        by_dom.setdefault(r.domain, []).append(r.rep_id)
+    want_kept = set()
+    for dom, reps in by_dom.items():
+        want_kept.update(sorted(reps)[:DOMAIN_DOC_CAP])
+    got_kept = set()
+    for d in os.listdir(f"{tmp}/state/admitted"):
+        if d.startswith("batch_id="):
+            for r in spark.read.parquet(f"{tmp}/state/admitted/{d}").collect():
+                got_kept.add(r.doc_id)
+    assert got_kept == want_kept

@@ -2575,6 +2575,34 @@ _DOMAIN_DUCK = (
 _PAGE_SPARK = H_SPARK.format(col=_NORM_TEXT_SPARK) + f" % {PAGES_PER_DOMAIN}"
 _PAGE_DUCK = H_DUCK.format(col=_NORM_TEXT_DUCK) + f" % {PAGES_PER_DOMAIN}"
 
+def domain_url_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, domain, url): the derived pseudo-domain/URL
+    projection — shared by batch D103 and the live admission gate E53
+    so the two keys can never drift. Row-local md5 expressions only
+    (no shuffle); the url string embeds source and domain, so it is a
+    globally unique key on its own."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(_DOMAIN_SPARK).alias("domain"),
+        F.concat(
+            F.expr(_DOMAIN_SPARK),
+            F.lit("/p"),
+            F.expr(_PAGE_SPARK).cast("string"),
+        ).alias("url"),
+    )
+
+
+def domain_url_groups(d: DataFrame) -> DataFrame:
+    """Per-URL keep-first rollup of a domain_url_frame: representative
+    (min doc_id) + crawl count — the D1 shape on the URL key; the only
+    fact-sized exchange in the D103/E53 family."""
+    return d.groupBy("source", "domain", "url").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").cast("bigint").alias("n_docs_url"),
+    )
+
+
 DOMAIN_CAPS_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, source,
@@ -2635,20 +2663,8 @@ def domain_dedup_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (training-data pipeline family; published
     rule per the FineWeb/RefinedWeb curation recipes — PAPERS.md)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.expr(_DOMAIN_SPARK).alias("domain"),
-        F.concat(
-            F.expr(_DOMAIN_SPARK),
-            F.lit("/p"),
-            F.expr(_PAGE_SPARK).cast("string"),
-        ).alias("url"),
-    )
-    urls = d.groupBy("source", "domain", "url").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.count("*").cast("bigint").alias("n_docs_url"),
-    )
+    d = domain_url_frame(_docs(spark, sf_dir))
+    urls = domain_url_groups(d)
     ranked = urls.withColumn(
         "rk", F.row_number().over(Window.partitionBy("domain").orderBy("rep_id"))
     )

@@ -3847,3 +3847,165 @@ def wordpiece_fertility_pipeline(
     return _fertility_monitor_pipeline(
         stream, state_dir, checkpoint_dir, "wp_tokens", _frozen_seg_attach(seg)
     )
+
+
+# --- E53: live domain-cap admission gate ------------------------------------
+def domain_caps_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """E53: the live twin of batch D103 — the FineWeb/RefinedWeb first
+    curation stage as an INGEST GATE: each arriving document batch is
+    URL-deduplicated against everything already seen and admitted only
+    while its domain is under the DOMAIN_DOC_CAP, with the same
+    overflow accounting the batch key reports. This is the shape a streaming
+    crawl actually needs: admission decisions are made ONCE, at
+    arrival, and never revised.
+
+    State layout (batchId-versioned parquet, the E19/E15 conventions):
+    ``{state_dir}/urls/batch_id=N`` — every URL seen through batch N
+    (source, domain, url, rep_id), the dedup ledger; ``{state_dir}/
+    domains/batch_id=N`` — the running per-domain counter table with
+    EXACTLY batch D103's output schema (n_docs / n_urls / n_url_dups /
+    n_kept / n_overflow / first_doc_id); ``{state_dir}/admitted/
+    batch_id=N`` — the (doc_id, source, domain, url) rows batch N
+    admitted. foreachBatch is at-least-once and a replay of batch N
+    re-derives from batch N-1's state into the same directories —
+    idempotent by construction.
+
+    Semantics vs batch: admission is FIRST-COME (the streaming rule —
+    a crawler admits what arrives first); batch D103 keeps the CAP
+    lowest-doc_id representatives. Under doc_id-ordered arrival
+    (contiguous chunking on the id that defines batch keep-first) the
+    two coincide and the drained ``domains`` table equals batch D103
+    bit-for-bit (property-tested with random contiguous chunking,
+    mid-stream restart and replay injection); out-of-order arrival
+    yields first-come admission — a DIFFERENT valid policy, not silent
+    corruption, because every counter still folds additively.
+
+    SCALE: per trigger the fact-sized work is ONE (domain, url) partial
+    agg over the batch plus an ASYMMETRIC batch×seen anti join on the
+    unique url key (the E15/E33/E36 incoming×existing discipline —
+    per-trigger cost scales with the batch, never with history);
+    the cap check joins the |domains|-row counter table; the URL
+    ledger is append-only and bucketable by url hash at 100 TB, the
+    published crawl-dedup ledger shape.
+
+    Reference analogue: none (training-data pipeline family; published
+    rule per the FineWeb/RefinedWeb curation recipes — PAPERS.md)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import (
+        DOMAIN_DOC_CAP,
+        domain_url_frame,
+        domain_url_groups,
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = domain_url_frame(batch_df.select("doc_id", "source", "text"))
+        batch_urls = domain_url_groups(d)
+        prev_urls = _read_state_parquet(
+            spark, f"{state_dir}/urls/batch_id={batch_id - 1}"
+        )
+        new_urls = (
+            batch_urls
+            if prev_urls is None
+            else batch_urls.join(prev_urls.select("url"), "url", "left_anti")
+        )
+        prev_dom = _read_state_parquet(
+            spark, f"{state_dir}/domains/batch_id={batch_id - 1}"
+        )
+        ranked = new_urls.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("domain").orderBy("rep_id")),
+        )
+        kept0 = (
+            prev_dom.select("domain", F.col("n_kept").alias("kept0"))
+            if prev_dom is not None
+            else None
+        )
+        j = (
+            ranked
+            if kept0 is None
+            else ranked.join(kept0, "domain", "left")
+        )
+        if kept0 is None:
+            j = j.withColumn("kept0", F.lit(0).cast("bigint"))
+        adm = j.withColumn(
+            "admitted",
+            (F.coalesce(F.col("kept0"), F.lit(0)) + F.col("rk")) <= DOMAIN_DOC_CAP,
+        )
+
+        # 1. URL ledger: previous ∪ every NEW url (admitted or not — a
+        #    rejected URL is still seen; a re-fetch must not re-rank)
+        url_cols = ["source", "domain", "url", "rep_id"]
+        urls_after = adm.select(*url_cols)
+        if prev_urls is not None:
+            urls_after = urls_after.unionByName(prev_urls.select(*url_cols))
+        urls_after.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/urls/batch_id={batch_id}"
+        )
+
+        # 2. admitted rows of THIS batch (the gate's output)
+        adm.filter("admitted").select(
+            F.col("rep_id").alias("doc_id"), "source", "domain", "url"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/admitted/batch_id={batch_id}"
+        )
+
+        # 3. per-domain counters: additive deltas merged onto the
+        #    previous table; n_url_dups re-derives (n_docs - n_urls)
+        batch_dom = d.groupBy("source", "domain").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        url_dom = adm.groupBy("source", "domain").agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("admitted"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_overflow"),
+        )
+        delta = batch_dom.join(url_dom, ["source", "domain"], "left").select(
+            "source",
+            "domain",
+            "n_docs",
+            F.coalesce("n_urls", F.lit(0)).cast("bigint").alias("n_urls"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("n_overflow", F.lit(0)).cast("bigint").alias("n_overflow"),
+            "first_doc_id",
+        )
+        merged = delta
+        if prev_dom is not None:
+            merged = merged.unionByName(
+                prev_dom.select(
+                    "source", "domain", "n_docs", "n_urls", "n_kept",
+                    "n_overflow", "first_doc_id",
+                )
+            )
+        merged = merged.groupBy("source", "domain").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_urls").cast("bigint").alias("n_urls"),
+            F.sum("n_kept").cast("bigint").alias("n_kept"),
+            F.sum("n_overflow").cast("bigint").alias("n_overflow"),
+            F.min("first_doc_id").alias("first_doc_id"),
+        )
+        merged.select(
+            "source",
+            "domain",
+            "n_docs",
+            "n_urls",
+            (F.col("n_docs") - F.col("n_urls")).cast("bigint").alias("n_url_dups"),
+            "n_kept",
+            "n_overflow",
+            "first_doc_id",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/domains/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
