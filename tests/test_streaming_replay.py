@@ -3580,3 +3580,45 @@ def test_e53_domain_caps_replay_idempotent_and_converges(
             for r in spark.read.parquet(f"{tmp}/state/admitted/{d}").collect():
                 got_kept.add(r.doc_id)
     assert got_kept == want_kept
+
+
+# --- E54: live multi-epoch budget monitor -----------------------------------
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e54_multi_epoch_replay_idempotent_and_converges(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E54 property: additive per-source totals survive ANY chunking +
+    a replayed batch (bit-identical re-write), and the final epochs
+    table equals batch D104's over the whole corpus."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.training import multi_epoch_token_accounting
+
+    docs_pdf = load_parallel(spark, SF_SMALL, "documents").toPandas()[DOCS_COLS]
+
+    def make_query(stream, tmp, ckpt):
+        return P.multi_epoch_monitor_pipeline(stream, os.path.join(tmp, "state"), ckpt)
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, docs_pdf, make_query,
+        ["{tmp}/state/totals/batch_id={bid}", "{tmp}/state/epochs/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e54rr",
+    )
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{tmp}/state/epochs")
+        if d.startswith("batch_id=")
+    )
+    want = multi_epoch_token_accounting(spark, SF_SMALL).toPandas()
+    cols = want.columns.tolist()
+    got = (
+        spark.read.parquet(f"{tmp}/state/epochs/batch_id={last}")
+        .toPandas()[cols].sort_values("source").reset_index(drop=True)
+    )
+    want = want.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

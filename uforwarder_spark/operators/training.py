@@ -902,9 +902,17 @@ def multi_epoch_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # |sources| rows: both consumers replay this, not the scan
     )
-    w = weights_from_totals(per_src)
+    return multi_epoch_frame(per_src)
+
+
+def multi_epoch_frame(totals: DataFrame) -> DataFrame:
+    """The D104 derivation over a (source, n_docs, n_tokens) totals
+    frame — shared by batch D104 and the live monitor E54 so the two
+    can never drift. All numbers follow D104's determinism rules;
+    everything runs on the |sources|-row control-plane frame."""
+    w = weights_from_totals(totals)
     q = quota_frame(w.select("source", "target_share")).select("source", "quota_tokens")
-    j = q.join(per_src.select("source", "n_tokens"), "source").withColumn(
+    j = q.join(totals.select("source", "n_tokens"), "source").withColumn(
         "ep", F.col("quota_tokens").cast("double") / F.col("n_tokens")
     )
     rstar = F.lit(MULTI_EPOCH_RSTAR)

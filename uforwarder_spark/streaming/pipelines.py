@@ -4009,3 +4009,73 @@ def domain_caps_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str)
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E54: live multi-epoch budget monitor -----------------------------------
+def multi_epoch_monitor_pipeline(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """E54: the live twin of batch D104 — as document batches land, the
+    running per-source token totals (E19's additive state, reused
+    verbatim) re-derive the D52 largest-remainder quotas and the
+    Muennighoff multi-epoch accounting, so a mixture planner always
+    sees CURRENT epochs/unique-vs-repeated numbers while the crawl is
+    still running (a source whose epochs climbs is exhausting its
+    supply — the live signal to shift budget before training starts).
+
+    State layout: ``{state_dir}/totals/batch_id=N`` — the running
+    (source, n_docs, n_tokens) totals AFTER batch N (the E19 merge,
+    shared shape); ``{state_dir}/epochs/batch_id=N`` — the D104 table
+    re-derived from them. Totals fold additively so replays re-merge
+    bit-identically (the E19 idempotence argument verbatim); the
+    derivation runs the SAME shared kernels as batch D104
+    (weights_from_totals → quota_frame → the epoch arithmetic), so the
+    drained table equals batch D104 bit-for-bit under any chunking.
+
+    SCALE: per trigger one partial agg over the micro-batch + a
+    |sources|-row merge; everything downstream is control-plane-sized.
+    Nothing ever re-reads the corpus.
+
+    Reference analogue: none (training-data pipeline family; published
+    rule per Muennighoff et al. 2023 — PAPERS.md)."""
+    from ..functions.tokenize import TOKENS_SPARK
+    from ..operators.training import multi_epoch_frame
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_tot = (
+            batch_df.select(
+                "source",
+                F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            )
+        )
+        prev = _read_state_parquet(spark, f"{state_dir}/totals/batch_id={batch_id - 1}")
+        merged = (
+            batch_tot
+            if prev is None
+            else batch_tot.unionByName(prev)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/totals/batch_id={batch_id}"
+        )
+        totals = spark.read.parquet(f"{state_dir}/totals/batch_id={batch_id}")
+        multi_epoch_frame(totals).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/epochs/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
