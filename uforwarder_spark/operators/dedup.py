@@ -1286,6 +1286,22 @@ def decon_grams_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+def decon_eval_grams_frame(eval_docs: DataFrame) -> DataFrame:
+    """(g, eval_doc_id): the eval set's per-doc-distinct gram table —
+    the broadcast side of D67. Deduplication is MAP-SIDE
+    (array_distinct on the per-doc gram array before the explode), so
+    the broadcast build is one shuffle-free scan: the row set is
+    identical to `decon_grams_frame(...).distinct()` — a gram repeated
+    WITHIN a doc collapses in the array, while the same gram in two
+    eval docs keeps both (distinct (g, eval_doc_id)) — but without the
+    exchange the bench adjudicator priced at a third of D67's wall
+    (round-10 plan_work flag on a normal window)."""
+    return eval_docs.select("doc_id", F.expr(TOKENS_SPARK).alias("ts")).select(
+        F.explode(F.array_distinct(F.expr(_DECON_GRAMS_EXPR))).alias("g"),
+        F.col("doc_id").alias("eval_doc_id"),
+    )
+
+
 def decon_eval_filter() -> F.Column:
     """D20's deterministic eval-set membership predicate."""
     return (
@@ -1328,11 +1344,7 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing and D20's eval-set convention."""
     docs = _docs(spark, sf_dir)
     is_eval = decon_eval_filter()
-    eval_grams = (
-        decon_grams_frame(docs.filter(is_eval))
-        .select("g", F.col("doc_id").alias("eval_doc_id"))
-        .distinct()
-    )
+    eval_grams = decon_eval_grams_frame(docs.filter(is_eval))
     hits = (
         decon_grams_frame(docs.filter(~is_eval))
         .join(F.broadcast(eval_grams), "g")
