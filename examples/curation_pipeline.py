@@ -19,6 +19,7 @@ from uforwarder_spark.session import get_spark  # noqa: E402
 
 STAGES = [
     # -- ingest-time dedup ------------------------------------------------
+    ("0. URL dedup + per-domain caps (the FineWeb first stage)", "domain_dedup_caps"),
     ("1. Bloom prefilter: new crawl vs corpus bitset", "bloom_dedup_prefilter"),
     ("2. incremental near-dup vs corpus signatures", "incremental_dedup"),
     ("3. full-corpus MinHash/LSH near-dup pairs", "dedup_minhash_lsh"),
@@ -43,6 +44,7 @@ STAGES = [
     ("16. temperature mixture weights per source", "importance_sampling_weights"),
     # -- export to the loader --------------------------------------------
     ("16b. integer token quotas (largest remainder)", "token_budget_allocation"),
+    ("16b'. multi-epoch accounting under the budget", "multi_epoch_token_accounting"),
     ("16c. tokenizer fertility per (lang, source)", "tokenizer_fertility"),
     ("16d. train a BPE tokenizer on the corpus", "bpe_train_merges"),
     ("16e. fertility under the trained BPE vocab", "bpe_apply_fertility"),
