@@ -284,15 +284,42 @@ HISTORY_PATH = os.path.join(
 )
 
 
+def _query_src_md5(name: str) -> str | None:
+    """Fingerprint of the registered query's SOURCE — the history
+    staleness rule: an at-pin reading taken before a line's
+    implementation changed must not adjudicate the changed line (it
+    would indict or excuse a plan that no longer exists)."""
+    import hashlib
+    import inspect
+
+    try:
+        from uforwarder_spark.registry import QUERIES
+
+        return hashlib.md5(inspect.getsource(QUERIES[name]).encode()).hexdigest()
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def load_normal_history() -> dict:
     """Most recent at-pin-engine per-line raw ratios (written by any run
     whose spark witness read <= AT_PIN_FACTOR). Missing/corrupt file =
-    empty history — the adjudicator then simply lacks corroboration."""
+    empty history; an entry whose recorded src_md5 no longer matches
+    the line's current source is dropped (implementation changed since
+    the reading — carry-forward would be stale)."""
     try:
         with open(HISTORY_PATH) as f:
-            return json.load(f)
+            hist = json.load(f)
     except Exception:  # noqa: BLE001
         return {}
+    out = {}
+    for name, entry in hist.items():
+        rec = entry.get("src_md5")
+        if rec is not None:
+            cur = _query_src_md5(name)
+            if cur is not None and cur != rec:
+                continue
+        out[name] = entry
+    return out
 
 
 def corroborated_verdict(verdict: str, normal_ratio) -> str:
@@ -689,6 +716,7 @@ def main() -> None:
                         "raw_ratio": round(gens[_sfx]["timings"][n] / baseline[n], 2),
                         "sw_factor": round(_sw_factor_pre, 3),
                         "ts": int(time.time()),
+                        "src_md5": _query_src_md5(n),
                     }
         try:
             with open(HISTORY_PATH, "w") as f:

@@ -82,3 +82,31 @@ def test_load_normal_history_robust(tmp_path, monkeypatch):
     assert bench.load_normal_history() == {}  # corrupt file
     p.write_text(_json.dumps({"q": {"raw_ratio": 1.1, "sw_factor": 1.0, "ts": 1}}))
     assert bench.load_normal_history()["q"]["raw_ratio"] == 1.1
+
+
+def test_load_normal_history_drops_stale_src(tmp_path, monkeypatch):
+    """History staleness rule: an entry recorded with a src_md5 that no
+    longer matches the line's current source must NOT adjudicate the
+    changed line; entries without a fingerprint (pre-rule) pass
+    through."""
+    import json as _json
+
+    import bench
+
+    p = tmp_path / "hist.json"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(p))
+    cur = bench._query_src_md5("tpch_q6_forecast_revenue")
+    assert cur  # registry importable, source hashable
+    p.write_text(
+        _json.dumps(
+            {
+                "tpch_q6_forecast_revenue": {"raw_ratio": 1.0, "src_md5": cur},
+                "tpch_q1_pricing_summary": {"raw_ratio": 1.1, "src_md5": "stale0000"},
+                "dedup_simhash": {"raw_ratio": 1.2},  # pre-rule entry
+            }
+        )
+    )
+    h = bench.load_normal_history()
+    assert "tpch_q6_forecast_revenue" in h
+    assert "tpch_q1_pricing_summary" not in h  # source changed -> dropped
+    assert "dedup_simhash" in h

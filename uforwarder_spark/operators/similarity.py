@@ -193,19 +193,24 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate subset, typically orders of magnitude smaller than n. Bands
     come from ONE explode (not a 4-way union re-scanning the signatures),
     and the bucket is a fold over a nested hyperplane literal so the
-    codegen stays small. Candidate dedup is the LEFT SEMI join itself
-    (a vector matching the query in several bands still fetches once) —
-    no separate distinct exchange (round-10 stage cut: the at-pin bench
-    history read this line at 1.69x pin, all stage latency)."""
+    codegen stays small. (Round 10 trialed replacing the candidate
+    distinct + inner join with a LEFT SEMI join — row-set-identical,
+    one less exchange on paper — but two normal-window bench readings
+    and an interleaved A/B measured the semi variant 15-40% SLOWER at
+    this size: the distinct'd candidate list broadcasts smaller and
+    the inner join reuses it; reverted on that evidence.)"""
     e = _emb(spark, sf_dir)
     band_rows = knn_band_frame(e)  # the shared D7/D76/D77/E34 band table
     qrows = band_rows.filter(F.col("vec_id") == 0).select("band", "bv")
-    cand = band_rows.filter(F.col("vec_id") != 0).join(
-        F.broadcast(qrows), ["band", "bv"]
-    ).select("vec_id")
+    cand = (
+        band_rows.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qrows), ["band", "bv"])
+        .select("vec_id")
+        .distinct()
+    )
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
-        e.join(cand, "vec_id", "left_semi")
+        e.join(cand, "vec_id")
         .crossJoin(F.broadcast(q))
         .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
         .orderBy(F.col("cos_raw").desc(), "vec_id")
