@@ -593,16 +593,22 @@ def test_multiquery_ivf_windows_partition_per_query(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_snapshot_diff_joins_copartitioned_not_broadcast(spark):
-    # D70: BOTH snapshot sides are corpus-scale, so the full-outer join
-    # must be a co-partitioned SortMergeJoin (no broadcast assumption),
-    # with text hashed in the project BELOW the exchange (md5 riding
-    # the shuffle, never document bytes)
+def test_snapshot_diff_aligns_by_hash_agg_not_join(spark):
+    # D70 (round-10 shape): BOTH snapshot sides are corpus-scale, so
+    # the alignment is a side-tagged union + ONE hash aggregation on
+    # the unique doc key (map-side combinable, one exchange) — never a
+    # join (the former full-outer SortMergeJoin cost two sort
+    # exchanges plus the merge) and never a broadcast assumption; text
+    # is hashed in the project BELOW the exchange (md5 riding the
+    # shuffle, never document bytes)
     plan = plan_of(spark, "corpus_snapshot_diff")
-    assert "SortMergeJoin" in plan and "FullOuter" in plan
-    assert "BroadcastHashJoin" not in plan
-    seg = plan.split("SortMergeJoin")[0]  # above the join: agg + status
-    assert "md5" not in seg  # hashes computed below, not re-derived above
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    assert "Exchange hashpartitioning(doc_id" in plan
+    # md5 appears only below the alignment exchange: everything above
+    # the doc_id exchange works on 16-byte hashes
+    seg = plan.split("Exchange hashpartitioning(doc_id")[0]
+    assert "md5" not in seg
 
 
 def test_lsh_audit_sample_pairs_are_broadcast_not_cartesian(spark):

@@ -797,21 +797,46 @@ def snapshot_diff_frames(cur: DataFrame, prior: DataFrame) -> DataFrame:
 
 
 def snapshot_diff_hashed(c: DataFrame, p_raw: DataFrame) -> DataFrame:
-    """The join+rollup half of the D70 kernel over two already-hashed
+    """The align+rollup half of the D70 kernel over two already-hashed
     (doc_id, source, h, nb) frames — shared by batch D70 and the live
     E32 ledger fold (which restricts the prior side per micro-batch
     BEFORE calling this, so only touched doc_ids ever reach the
-    join)."""
-    p = p_raw.select(
-        F.col("doc_id").alias("p_doc_id"),
-        F.col("source").alias("p_source"),
-        F.col("h").alias("p_h"),
-        F.col("nb").alias("p_nb"),
+    alignment).
+
+    The alignment is a UNION + ONE hash aggregation on the doc key,
+    not a full outer join: doc_id is unique within each snapshot, so
+    grouping the side-tagged union and picking each side's columns
+    with conditional max() reconstructs exactly the outer join's row —
+    with one map-side-combinable hash-agg exchange where the join
+    needed two sort exchanges plus the merge (round-10 normal-window
+    bench read the join shape at 1.32x pin, half of it stage
+    latency). Equivalence: on unique-per-side keys, FULL OUTER JOIN ==
+    group-by-key with per-side conditional projection — NULL columns
+    arise in the same places (a side absent from the group)."""
+    u = c.select(
+        "doc_id", "source", "h", "nb", F.lit(True).alias("is_cur")
+    ).unionByName(
+        p_raw.select(
+            "doc_id", "source", "h", "nb", F.lit(False).alias("is_cur")
+        )
     )
-    j = c.join(p, c.doc_id == p.p_doc_id, "full_outer").select(
+    side = lambda col, cur: F.max(F.when(F.col("is_cur") == cur, F.col(col)))  # noqa: E731
+    g = u.groupBy("doc_id").agg(
+        side("source", True).alias("source"),
+        side("source", False).alias("p_source"),
+        side("h", True).alias("h"),
+        side("h", False).alias("p_h"),
+        side("nb", True).alias("nb"),
+        side("nb", False).alias("p_nb"),
+        # explicit presence witnesses: NULL-proof (a present row with a
+        # NULL hash/source must not masquerade as an absent side)
+        F.max(F.when(F.col("is_cur"), 1).otherwise(0)).alias("has_c"),
+        F.max(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("has_p"),
+    )
+    j = g.select(
         F.coalesce("source", "p_source").alias("source"),
-        F.when(F.col("p_doc_id").isNull(), "added")
-        .when(F.col("doc_id").isNull(), "removed")
+        F.when(F.col("has_p") == 0, "added")
+        .when(F.col("has_c") == 0, "removed")
         .when(F.col("h") != F.col("p_h"), "changed")
         .otherwise("unchanged")
         .alias("status"),
