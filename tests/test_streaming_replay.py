@@ -3622,3 +3622,88 @@ def test_e54_multi_epoch_replay_idempotent_and_converges(
     )
     want = want.sort_values("source").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e24_e26_checkpoint_upgrade_into_reorder_variant(spark):
+    """VERDICT r09 #4 extension: a v1 checkpoint can upgrade DIRECTLY
+    into the count-bounded reorder machines (empty held buffers +
+    max_eid) — upgrade and buffer-enable in one step. Post-upgrade the
+    buffer genuinely absorbs bounded disorder (a swapped pair inside
+    reorder_last_n) that the plain machine would fail fast on, and the
+    completed-prefix output matches the ordered model."""
+    from uforwarder_spark.streaming.state_upgrade import (
+        upgrade_asof_checkpoint_v1_to_v2,
+        upgrade_funnel_checkpoint_v1_to_v2,
+    )
+
+    B = 2
+    # ---- E24 funnel ----
+    cols = ["user_id", "event_id", "event_type"]
+    schema = "user_id long, event_id long, event_type string"
+    tmp = tempfile.mkdtemp(prefix="e24upgR")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    now = _time.time() - 1000
+    collected: list = []
+    to_pdf = lambda c: pd.DataFrame(c, columns=cols)  # noqa: E731
+    _write_chunks(
+        spark, [to_pdf([(0, 0, "view"), (0, 1, "click")])], schema, src, now
+    )
+    _run_phase(spark, _v1_funnel_stream, schema, src, ckpt, "append", collected)
+    n = upgrade_funnel_checkpoint_v1_to_v2(spark, ckpt, reorder=True)
+    assert n == 1
+    # disorder within the buffer: purchase id 5 lands BEFORE click id 4
+    # (displacement 1 <= B) — the plain machine's guard would trip on a
+    # later trigger delivering 4 after 5 was folded; the buffer absorbs
+    _write_chunks(
+        spark,
+        [to_pdf([(0, 5, "purchase"), (0, 4, "error")]),
+         to_pdf([(0, 6, "error"), (0, 7, "error"), (0, 8, "error")])],
+        schema, src, now, start_idx=1,
+    )
+    _run_phase(
+        spark,
+        lambda s: P.funnel_stream(s, reorder_last_n=B),
+        schema, src, ckpt, "append", collected,
+    )
+    got = [
+        (int(r.user_id), int(r.step), int(r.event_id))
+        for _, rows in collected
+        for r in rows
+    ]
+    # completed prefix: the B newest (7, 8) stay held; purchase 5 released
+    assert got == [(0, 1, 0), (0, 2, 1), (0, 3, 5)], got
+
+    # ---- E26 as-of ----
+    cols_a = ["user_id", "event_id", "event_type", "value"]
+    schema_a = "user_id long, event_id long, event_type string, value double"
+    tmp = tempfile.mkdtemp(prefix="e26upgR")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    collected_a: list = []
+    to_pdf_a = lambda c: pd.DataFrame(c, columns=cols_a)  # noqa: E731
+    _write_chunks(
+        spark, [to_pdf_a([(0, 0, "view", 0.0), (0, 1, "purchase", 10.0)])],
+        schema_a, src, now,
+    )
+    _run_phase(spark, _v1_asof_stream, schema_a, src, ckpt, "append", collected_a)
+    n = upgrade_asof_checkpoint_v1_to_v2(spark, ckpt, reorder=True)
+    assert n == 1
+    # view 4 arrives AFTER purchase 5 within the same trigger set but
+    # displaced <= B: the buffer re-orders so purchase 5 matches view 4
+    _write_chunks(
+        spark,
+        [to_pdf_a([(0, 5, "purchase", 20.0), (0, 4, "view", 0.0)]),
+         to_pdf_a([(0, 6, "error", 0.0), (0, 7, "error", 0.0), (0, 8, "error", 0.0)])],
+        schema_a, src, now, start_idx=1,
+    )
+    _run_phase(
+        spark,
+        lambda s: P.asof_stream(s, reorder_last_n=B),
+        schema_a, src, ckpt, "append", collected_a,
+    )
+    got_a = sorted(
+        (int(r.user_id), int(r.purchase_id), float(r.purchase_value),
+         None if r.prior_view_id is None else int(r.prior_view_id))
+        for _, rows in collected_a
+        for r in rows
+    )
+    assert got_a == [(0, 1, 10.0, 0), (0, 5, 20.0, 4)], got_a

@@ -101,6 +101,31 @@ def _enc_nested_value(vals: list) -> bytes:
     return struct.pack("<q", 0) + struct.pack("<Q", (16 << 32) | len(nested)) + nested
 
 
+def _enc_nested_reorder_value(longs: list, n_arrays: int) -> bytes:
+    """The reorder-machine state layout: the long fields followed by
+    ``n_arrays`` EMPTY held arrays (funnel: eids+types; as-of: eids+
+    types+values) — the shape an upgraded
+    checkpoint needs to resume the count-bounded reorder variant
+    directly (a fresh buffer holds nothing). An empty UnsafeArrayData
+    is exactly its 8-byte numElements=0 header (zero bitset words,
+    zero values — verified against machine-written state bytes); each
+    array field's fixed slot packs ``(offset << 32) | size`` relative
+    to the nested row base."""
+    n = len(longs) + n_arrays
+    bits = 0
+    for i, v in enumerate(longs):
+        if v is None:
+            bits |= 1 << i
+    nested = struct.pack("<Q", bits)
+    for v in longs:
+        nested += struct.pack("<q", 0 if v is None else int(v))
+    var_base = 8 + 8 * n  # bitset + all fixed slots
+    for k in range(n_arrays):  # each empty array: its 8-byte header
+        nested += struct.pack("<Q", ((var_base + 8 * k) << 32) | 8)
+    nested += struct.pack("<q", 0) * n_arrays
+    return struct.pack("<q", 0) + struct.pack("<Q", (16 << 32) | len(nested)) + nested
+
+
 def _last_committed_batch(checkpoint_dir: str) -> int:
     commits = [
         int(os.path.basename(f))
@@ -153,11 +178,17 @@ def _upgrade(
     checkpoint_dir: str,
     v1_fields: list[str],
     derive_max,
+    reorder: bool = False,
 ) -> int:
     """Shared v1→v2 upgrade: read the v1 state (all-long user struct
     ``v1_fields`` keyed by user_id), derive ``max_eid`` per user via
     ``derive_max(row)``, and atomically replace the operator's state
     tree with one v2 snapshot per partition at the restart version.
+    With ``reorder=True`` the written state targets the COUNT-BOUNDED
+    REORDER variant's schema instead (same longs + two empty held
+    buffers), so a deployment can upgrade AND turn the buffer on in
+    one step — the machine the checkpoint resumes must then be
+    ``funnel_stream(reorder_last_n=B)`` / ``asof_stream(...)``.
     Returns the number of upgraded user states."""
     state_dir = os.path.join(checkpoint_dir, "state", _OP_ID)
     if not os.path.isdir(state_dir):
@@ -192,11 +223,19 @@ def _upgrade(
         )
         .collect()  # |users|-sized by design: the whole point is O(users) not O(history)
     )
+    # funnel's buffer holds (eid, type); as-of additionally holds the
+    # purchase value — the array count follows the machine's schema
+    n_arrays = 3 if v1_fields == ["last_view"] else 2
+    enc_value = (
+        (lambda vals: _enc_nested_reorder_value(vals, n_arrays))
+        if reorder
+        else _enc_nested_value
+    )
     by_part: dict = {p: [] for p in range(n_parts)}
     for r in v1:
         vals = [getattr(r, f) for f in v1_fields]
         by_part[r.partition_id].append(
-            (_enc_long_row([r.user_id]), _enc_nested_value(vals + [derive_max(r)]))
+            (_enc_long_row([r.user_id]), enc_value(vals + [derive_max(r)]))
         )
 
     version = _last_committed_batch(checkpoint_dir) + 1
@@ -219,13 +258,16 @@ def _upgrade(
 
 
 def upgrade_funnel_checkpoint_v1_to_v2(
-    spark: SparkSession, checkpoint_dir: str
+    spark: SparkSession, checkpoint_dir: str, reorder: bool = False
 ) -> int:
     """Upgrade a pre-contract E24 ``funnel_stream`` checkpoint in place:
     v1 state (e1, e2, e3) gains ``max_eid`` = the max folded milestone
     id (see module docstring for the under-approximation caveat).
     Returns the number of upgraded user states; the production
-    ``funnel_stream`` then resumes from this checkpoint directly."""
+    ``funnel_stream`` then resumes from this checkpoint directly —
+    with ``reorder=True`` the state is written in the count-bounded
+    buffer variant's schema (empty held buffers) and the resuming
+    pipeline must be ``funnel_stream(reorder_last_n=B)``."""
     return _upgrade(
         spark,
         checkpoint_dir,
@@ -233,12 +275,18 @@ def upgrade_funnel_checkpoint_v1_to_v2(
         lambda r: max(
             (x for x in (r.e1, r.e2, r.e3) if x is not None), default=None
         ),
+        reorder=reorder,
     )
 
 
-def upgrade_asof_checkpoint_v1_to_v2(spark: SparkSession, checkpoint_dir: str) -> int:
+def upgrade_asof_checkpoint_v1_to_v2(
+    spark: SparkSession, checkpoint_dir: str, reorder: bool = False
+) -> int:
     """Upgrade a pre-contract E26 ``asof_stream`` checkpoint in place:
     v1 state (last_view) gains ``max_eid`` = last_view (the only folded
     id v1 retained — purchases were emitted, not stored). Returns the
-    number of upgraded user states."""
-    return _upgrade(spark, checkpoint_dir, ["last_view"], lambda r: r.last_view)
+    number of upgraded user states; ``reorder=True`` targets
+    ``asof_stream(reorder_last_n=B)`` (empty held buffers)."""
+    return _upgrade(
+        spark, checkpoint_dir, ["last_view"], lambda r: r.last_view, reorder=reorder
+    )
