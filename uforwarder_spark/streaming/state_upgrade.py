@@ -185,9 +185,10 @@ def _upgrade(
     ``derive_max(row)``, and atomically replace the operator's state
     tree with one v2 snapshot per partition at the restart version.
     With ``reorder=True`` the written state targets the COUNT-BOUNDED
-    REORDER variant's schema instead (same longs + two empty held
-    buffers), so a deployment can upgrade AND turn the buffer on in
-    one step — the machine the checkpoint resumes must then be
+    REORDER variant's schema instead (same longs + that machine's
+    empty held buffers — two arrays for the funnel, three for as-of),
+    so a deployment can upgrade AND turn the buffer on in one step —
+    the machine the checkpoint resumes must then be
     ``funnel_stream(reorder_last_n=B)`` / ``asof_stream(...)``.
     Returns the number of upgraded user states."""
     state_dir = os.path.join(checkpoint_dir, "state", _OP_ID)
