@@ -3707,3 +3707,71 @@ def test_e24_e26_checkpoint_upgrade_into_reorder_variant(spark):
         for r in rows
     )
     assert got_a == [(0, 1, 10.0, 0), (0, 5, 20.0, 4)], got_a
+
+
+def test_empty_trigger_e54_multi_epoch(spark):
+    """E54 empty-trigger property: totals carry forward and the epochs
+    table re-derives bit-identical from them."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = load_parallel(spark, SF_SMALL, "documents").toPandas()[DOCS_COLS]
+    half = len(docs_pdf) // 2
+    _empty_trigger_check(
+        spark, [docs_pdf.iloc[:half], docs_pdf.iloc[half:]], DOCS_SCHEMA,
+        lambda s, tmp, ckpt: P.multi_epoch_monitor_pipeline(
+            s, os.path.join(tmp, "state"), ckpt
+        ),
+        "et_e54",
+    )
+
+
+def test_empty_trigger_e53_domain_caps(spark):
+    """E53 empty-trigger property: the URL ledger and per-domain
+    counters carry forward bit-identical, and the empty trigger admits
+    NOTHING (its admitted page is empty — unlike the carried state
+    tables, admitted is per-batch OUTPUT, so the standard
+    all-tables-identical harness does not apply)."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+
+    docs_pdf = (
+        load_parallel(spark, SF_SMALL, "documents")
+        .toPandas()[DOCS_COLS]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    half = len(docs_pdf) // 2
+    chunks = [docs_pdf.iloc[:half], docs_pdf.iloc[half:]]
+    tmp = tempfile.mkdtemp(prefix="et_e53")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    state = os.path.join(tmp, "state")
+    now = _time.time() - 1000
+    _write_chunks(spark, chunks, DOCS_SCHEMA, src, now)
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*"))
+        )
+        P.domain_caps_pipeline(stream, state, ckpt).awaitTermination(timeout=300)
+
+    run_phase()
+    carried = [os.path.join(state, t) for t in ("urls", "domains")]
+    last = max(
+        int(d.split("=")[1])
+        for t in carried
+        for d in os.listdir(t)
+        if d.startswith("batch_id=")
+    )
+    before = {t: _sorted_pdf(spark, f"{t}/batch_id={last}") for t in carried}
+    _write_chunks(spark, [docs_pdf.iloc[0:0]], DOCS_SCHEMA, src, now, start_idx=2)
+    run_phase()
+    for t, snap in before.items():
+        new = f"{t}/batch_id={last + 1}"
+        assert os.path.isdir(new), f"empty trigger wrote no state at {new}"
+        pd.testing.assert_frame_equal(_sorted_pdf(spark, new), snap, check_exact=True)
+    adm = os.path.join(state, "admitted", f"batch_id={last + 1}")
+    assert os.path.isdir(adm)
+    assert spark.read.parquet(adm).count() == 0, "empty trigger admitted rows"
