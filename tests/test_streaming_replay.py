@@ -3758,20 +3758,19 @@ def test_empty_trigger_e53_domain_caps(spark):
         P.domain_caps_pipeline(stream, state, ckpt).awaitTermination(timeout=300)
 
     run_phase()
-    carried = [os.path.join(state, t) for t in ("urls", "domains")]
+    dom = os.path.join(state, "domains")
     last = max(
-        int(d.split("=")[1])
-        for t in carried
-        for d in os.listdir(t)
-        if d.startswith("batch_id=")
+        int(d.split("=")[1]) for d in os.listdir(dom) if d.startswith("batch_id=")
     )
-    before = {t: _sorted_pdf(spark, f"{t}/batch_id={last}") for t in carried}
+    before = _sorted_pdf(spark, f"{dom}/batch_id={last}")
     _write_chunks(spark, [docs_pdf.iloc[0:0]], DOCS_SCHEMA, src, now, start_idx=2)
     run_phase()
-    for t, snap in before.items():
-        new = f"{t}/batch_id={last + 1}"
-        assert os.path.isdir(new), f"empty trigger wrote no state at {new}"
-        pd.testing.assert_frame_equal(_sorted_pdf(spark, new), snap, check_exact=True)
-    adm = os.path.join(state, "admitted", f"batch_id={last + 1}")
-    assert os.path.isdir(adm)
-    assert spark.read.parquet(adm).count() == 0, "empty trigger admitted rows"
+    new = f"{dom}/batch_id={last + 1}"
+    assert os.path.isdir(new), f"empty trigger wrote no state at {new}"
+    pd.testing.assert_frame_equal(_sorted_pdf(spark, new), before, check_exact=True)
+    # urls is an APPEND-ONLY per-batch page (not carried state): the
+    # empty trigger's page exists and holds zero newly-seen urls
+    for t in ("urls", "admitted"):
+        page = os.path.join(state, t, f"batch_id={last + 1}")
+        assert os.path.isdir(page)
+        assert spark.read.parquet(page).count() == 0, (t, "rows on empty trigger")

@@ -3859,16 +3859,21 @@ def domain_caps_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str)
     crawl actually needs: admission decisions are made ONCE, at
     arrival, and never revised.
 
-    State layout (batchId-versioned parquet, the E19/E15 conventions):
-    ``{state_dir}/urls/batch_id=N`` — every URL seen through batch N
-    (source, domain, url, rep_id), the dedup ledger; ``{state_dir}/
-    domains/batch_id=N`` — the running per-domain counter table with
-    EXACTLY batch D103's output schema (n_docs / n_urls / n_url_dups /
-    n_kept / n_overflow / first_doc_id); ``{state_dir}/admitted/
-    batch_id=N`` — the (doc_id, source, domain, url) rows batch N
-    admitted. foreachBatch is at-least-once and a replay of batch N
-    re-derives from batch N-1's state into the same directories —
-    idempotent by construction.
+    State layout: ``{state_dir}/urls/batch_id=N`` holds ONLY the URLs
+    batch N saw first (source, domain, url, rep_id) — the dedup ledger
+    is the UNION of all pages ≤ N, written APPEND-ONLY so the
+    per-trigger write is O(batch), never O(history) (rewriting the
+    full ledger each trigger would be quadratic I/O over the stream's
+    life — the E32 rule that corpus-sized state is never re-written,
+    adapted to a ledger that genuinely grows); ``{state_dir}/domains/
+    batch_id=N`` — the running per-domain counter table (batchId-
+    versioned, the E19 shape) with EXACTLY batch D103's output schema
+    (n_docs / n_urls / n_url_dups / n_kept / n_overflow /
+    first_doc_id); ``{state_dir}/admitted/batch_id=N`` — the rows
+    batch N admitted. foreachBatch is at-least-once and a replay of
+    batch N re-derives from pages/state ≤ N-1 ONLY (its own leftover
+    page is excluded by the batch-id filter) and overwrites its own
+    directories — idempotent by construction.
 
     Semantics vs batch: admission is FIRST-COME (the streaming rule —
     a crawler admits what arrives first); batch D103 keeps the CAP
@@ -3898,13 +3903,29 @@ def domain_caps_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str)
         domain_url_groups,
     )
 
+    def _read_url_pages(spark, upto: int):
+        """Union of the append-only ledger pages with batch_id <= upto
+        — a crashed batch's own leftover page is excluded, so replays
+        re-derive from exactly the pre-batch ledger."""
+        import glob as _glob
+
+        dirs = [
+            p
+            for p in _glob.glob(f"{state_dir}/urls/batch_id=*")
+            if p.rsplit("=", 1)[-1].isdigit() and int(p.rsplit("=", 1)[-1]) <= upto
+        ]
+        if not dirs:
+            return None
+        try:
+            return spark.read.parquet(*dirs)
+        except Exception:  # noqa: BLE001 (pages exist but are empty dirs)
+            return None
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         d = domain_url_frame(batch_df.select("doc_id", "source", "text"))
         batch_urls = domain_url_groups(d)
-        prev_urls = _read_state_parquet(
-            spark, f"{state_dir}/urls/batch_id={batch_id - 1}"
-        )
+        prev_urls = _read_url_pages(spark, batch_id - 1)
         new_urls = (
             batch_urls
             if prev_urls is None
@@ -3934,13 +3955,12 @@ def domain_caps_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str)
             (F.coalesce(F.col("kept0"), F.lit(0)) + F.col("rk")) <= DOMAIN_DOC_CAP,
         )
 
-        # 1. URL ledger: previous ∪ every NEW url (admitted or not — a
-        #    rejected URL is still seen; a re-fetch must not re-rank)
+        # 1. URL ledger page: ONLY this batch's newly-seen urls
+        #    (admitted or not — a rejected URL is still seen; a
+        #    re-fetch must not re-rank). Append-only: the full ledger
+        #    is the union of pages, never rewritten.
         url_cols = ["source", "domain", "url", "rep_id"]
-        urls_after = adm.select(*url_cols)
-        if prev_urls is not None:
-            urls_after = urls_after.unionByName(prev_urls.select(*url_cols))
-        urls_after.coalesce(1).write.mode("overwrite").parquet(
+        adm.select(*url_cols).coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/urls/batch_id={batch_id}"
         )
 
