@@ -20,50 +20,49 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # keys with the OLDEST driver evidence. Keys beyond the window stay
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
-# Round-10 window (round-9 verdict item 1): slot arithmetic (counted,
-# not estimated): 3 new/changed this round + the 9 r05-cohort keys
-# deferred from round 9 + the full 38-key r06-evidence cohort = 50
-# exactly. After this round the oldest evidence is the 46-key r07
-# cohort — r11's window is new/changed + those 46 (4 slots spare).
+# Round-11 window (round-10 verdict item 1): slot arithmetic (counted,
+# not estimated): 1 new this round + the full 46-key r07-evidence
+# cohort + token_bucket_summary (verdict item 8: the token-bucket
+# kernel's hash-green twin, due inside every second window, <= r12)
+# + 2 head-start keys from the r08 cohort = 50 exactly. After this
+# round the oldest evidence is the r08 cohort (45 keys remaining) —
+# r12's window is new/changed + those 45 (5 slots spare, before any
+# r12 additions).
 _KEY_PRIORITY = [
-    # -- (a) new or changed this round (3 + dsir_selection, which is
-    #    already in the r05 nine below): domain_dedup_caps is NEW
-    #    (D103, the FineWeb/RefinedWeb URL-dedup + per-domain-cap
-    #    first stage); multi_epoch_token_accounting is NEW (D104,
-    #    Muennighoff data-constrained multi-epoch accounting over the
-    #    D52 quotas); tpch_q16's oracle text gained an explicit
-    #    l_suppkey IS NOT NULL so NOT IN == anti join holds even with
-    #    an empty complaint subquery (ADVICE r09 — values identical
-    #    on this data, oracle text changed) --
-    "domain_dedup_caps", "multi_epoch_token_accounting",
-    "tpch_q16_supplier_part_types",
-    # -- (b) the nine r05-evidence keys deferred from round 9's window
-    #    (the oldest oracle-checked driver rows in the repo);
-    #    dsir_selection leads — its plan ALSO changed this round (the
-    #    256-bucket model now folds back as a literal decimal array;
-    #    values identical, parity re-proven at both SFs) --
-    "dsir_selection",
-    "bloom_dedup_prefilter", "length_bucketing",
-    "hdr_histogram_quantiles", "phash_incremental_dedup",
-    "dedup_embedding_agreement", "token_count", "quality_score",
-    "multimodal_meta",
-    # -- (c) the full r06-evidence cohort (38): the A-pipeline block,
-    #    the r06 relational block, and the two r06 D/similarity keys --
-    "fetch_offset_range", "filter_messages", "route_messages",
-    "dedup_dispatch", "ack_commit_watermark", "head_of_line_blocking",
-    "inflight_limiter", "rate_limit_tokens", "retry_tier_assignment",
-    "dlq_messages", "dlq_resurrection", "throughput_windows",
-    "consumer_lag", "retry_backoff_eligibility", "log_compaction",
-    "checkpoint_resume", "dlq_purge", "unprocessed_limiter",
-    "delay_process", "dlq_dispatch_tokens", "inflight_bootstrap",
-    "inflight_pending_order", "dlq_produce_batches",
-    "inflight_usage_critical", "job_commands", "workload_assignment",
-    "autoscale_prediction",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue", "top_customers_window",
-    "orders_without_lineitems", "customer_order_stats",
-    "running_revenue", "rollup_revenue", "tpch_q4_order_priority",
-    "multimodal_phash_dedup", "ann_multiquery_ivf",
+    # -- (a) new this round (1): sentence_span_dedup is NEW (D105, the
+    #    C4 three-sentence / RefinedWeb line-level keep-one span rule
+    #    — the last published curation-rule variant, VERDICT r10 #5) --
+    "sentence_span_dedup",
+    # -- (b) the full r07-evidence cohort (46) — every key whose latest
+    #    green driver row is CORRECTNESS_r07; the four gen1/gen2 ANN
+    #    keys under this round's perf adjudication (ann_topk_lsh /
+    #    bruteforce is gen1-family / pq / ivf_int8) lead so any plan
+    #    change from that work is driver-checked in the same round --
+    "ann_topk_lsh", "ann_topk_pq", "ann_topk_ivf_int8",
+    "ann_topk_int8_rescore",
+    "audio_silence_segments", "batch_job_completion",
+    "bigram_perplexity", "containment_pairs", "contrastive_triplets",
+    "corpus_shuffle_export", "corpus_snapshot_diff",
+    "cusum_changepoints", "decon_span_removal", "dedup_exact",
+    "dedup_minhash_lsh", "doremi_weights", "embedding_int8_quantize",
+    "flow_control_aggregate", "heaps_vocab_growth",
+    "hybrid_rrf_multiquery", "hybrid_rrf_retrieval", "incr_knn_edges",
+    "incr_triplet_mining", "index_drift_stats", "ivf_index_refresh",
+    "jl_projection_audit", "kmeans_cluster_purity",
+    "kmeans_embedding_assign", "kmv_sketch_overlap", "knn_graph_lsh",
+    "knn_graph_pagerank", "lsh_recall_audit", "markov_transitions",
+    "ngram_decontamination", "pmi_collocations",
+    "pod_assignment_groups", "quality_classifier_score",
+    "reactive_downscale_window", "scale_window_proposal",
+    "semdedup_prune", "sequence_packing", "split_leakage_audit",
+    "system_load_ratio", "user_sessions", "worker_lease_reassignment",
+    "workload_monitor_ttl",
+    # -- (c) 3 spare slots: token_bucket_summary (r08 evidence; the
+    #    rows-only token_bucket_exact's hash-pinned twin, verdict item
+    #    8) + the two alphabetically-first remaining r08 keys as an
+    #    r12 head start --
+    "token_bucket_summary", "aimd_inflight_limiter",
+    "asof_join_purchases",
     # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every
     # key with the driver-grade comparator): everything else carries

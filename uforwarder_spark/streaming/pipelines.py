@@ -3906,20 +3906,29 @@ def domain_caps_pipeline(stream: DataFrame, state_dir: str, checkpoint_dir: str)
     def _read_url_pages(spark, upto: int):
         """Union of the append-only ledger pages with batch_id <= upto
         — a crashed batch's own leftover page is excluded, so replays
-        re-derive from exactly the pre-batch ledger."""
+        re-derive from exactly the pre-batch ledger.
+
+        Only the genuinely-no-pages case returns None: a page dir with
+        no part files is a crashed write's empty leftover (the rename
+        into place never happened) and is skipped, but a dir WITH part
+        files that fails to read (truncated footer, FS corruption) must
+        PROPAGATE — a bare except here would silently empty the whole
+        URL ledger, re-admitting every previously-seen URL and
+        double-counting the per-domain counters with no error surfaced
+        (ADVICE r10). Failing the trigger so it retries is strictly
+        safer than silently dropping dedup history."""
         import glob as _glob
 
         dirs = [
             p
             for p in _glob.glob(f"{state_dir}/urls/batch_id=*")
-            if p.rsplit("=", 1)[-1].isdigit() and int(p.rsplit("=", 1)[-1]) <= upto
+            if p.rsplit("=", 1)[-1].isdigit()
+            and int(p.rsplit("=", 1)[-1]) <= upto
+            and _glob.glob(f"{p}/part-*")
         ]
         if not dirs:
             return None
-        try:
-            return spark.read.parquet(*dirs)
-        except Exception:  # noqa: BLE001 (pages exist but are empty dirs)
-            return None
+        return spark.read.parquet(*dirs)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

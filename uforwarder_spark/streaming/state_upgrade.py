@@ -191,6 +191,23 @@ def _upgrade(
     the machine the checkpoint resumes must then be
     ``funnel_stream(reorder_last_n=B)`` / ``asof_stream(...)``.
     Returns the number of upgraded user states."""
+    # The snapshot files written below are the HDFS-backed provider's
+    # PRIVATE on-disk format; on a RocksDB-provider checkpoint they
+    # would be unreadable and the mismatch would surface only at
+    # restart (recoverable via the .v1-backup, but late — ADVICE r10).
+    # Fail up front with a clear message instead.
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    if not provider.rsplit(".", 1)[-1] == "HDFSBackedStateStoreProvider":
+        raise ValueError(
+            "state upgrade writes the HDFSBackedStateStoreProvider snapshot "
+            f"format, but the session's provider is {provider}; upgrading a "
+            "RocksDB checkpoint requires that provider's SST/changelog "
+            "writer, which this tool does not implement"
+        )
     state_dir = os.path.join(checkpoint_dir, "state", _OP_ID)
     if not os.path.isdir(state_dir):
         raise ValueError(f"no state operator dir at {state_dir}")
