@@ -2432,3 +2432,77 @@ def test_e49_audio_segments_match_batch(spark, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     assert (got.n_segments > 0).any() and (got.n_voiced < got.n_frames).any()
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+# --- Kafka swap point (VERDICT r10 #6) ------------------------------------
+def test_kafka_message_projection_roundtrips_the_contract(spark):
+    """The one-line broker swap is a stated contract, not an
+    implication: a Kafka-shaped frame (key/value binary + broker
+    topic/partition/offset/timestamp — the fixed schema every
+    format('kafka') read yields) whose value is the JSON-serialized
+    payload must project onto EXACTLY MESSAGE_SCHEMA's columns with
+    roundtripped values, so every E-pipeline consumes the same columns
+    whichever source produced them."""
+    msgs = model.messages(spark, SF_SMALL).limit(50)
+    payload_cols = [
+        f.name
+        for f in P.MESSAGE_SCHEMA.fields
+        if f.name not in ("topic", "part_id", "msg_offset", "ts")
+    ]
+    raw = msgs.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct(*payload_cols)).cast("binary").alias("value"),
+        F.col("topic"),
+        F.col("part_id").cast("int").alias("partition"),
+        F.col("msg_offset").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    got = P.kafka_message_projection(raw)
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in P.MESSAGE_SCHEMA.fields
+    ]
+    want = msgs.select([f.name for f in P.MESSAGE_SCHEMA.fields])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_kafka_document_projection_roundtrips_the_contract(spark):
+    docs = model.load_table(spark, SF_SMALL, "documents").limit(30)
+    raw = docs.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct(*[f.name for f in P.DOC_SCHEMA.fields]))
+        .cast("binary")
+        .alias("value"),
+        F.lit("crawl-ingest").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    got = P.kafka_document_projection(raw)
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in P.DOC_SCHEMA.fields
+    ]
+    want = docs.select([f.name for f in P.DOC_SCHEMA.fields])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_kafka_source_end_to_end_template(spark, tmp_path):
+    """End-to-end live-broker template (the D46/PIL treatment): runs
+    only where a broker AND the spark-sql-kafka connector exist —
+    set SPARK_GRAFT_KAFKA_BOOTSTRAP to enable. The projection logic it
+    exercises is covered broker-free by the two tests above."""
+    import os
+
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("no Kafka broker configured (SPARK_GRAFT_KAFKA_BOOTSTRAP unset)")
+    stream = P.message_stream_kafka(spark, bootstrap, "uforwarder-messages")
+    q = (
+        P.route_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kafka_e2e")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("kafka_e2e").count() >= 0
