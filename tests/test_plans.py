@@ -842,3 +842,17 @@ def test_sentence_span_dedup_rowlocal_cut_no_python(spark):
     specs = window_partition_keys(spark, "sentence_span_dedup")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("doc_id" in keys for keys in specs)
+
+
+def test_incr_sentence_span_gate_is_asymmetric_semi_join(spark):
+    # D106: the existing corpus reaches the incoming side as a DISTINCT
+    # hash set probed by a semi join (never corpus x corpus); island
+    # merge windows per doc_id; the cut is row-local; nothing through
+    # Python
+    plan = plan_of(spark, "incr_sentence_span_dedup")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    specs = window_partition_keys(spark, "incr_sentence_span_dedup")
+    assert specs and all(keys for keys in specs), f"global window: {specs}"
+    assert any("doc_id" in keys for keys in specs)

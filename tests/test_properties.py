@@ -3247,3 +3247,83 @@ def test_sentence_span_dedup_equals_python_replay(
         for r in sentence_span_dedup(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_sent_words, min_size=2, max_size=8),
+    plant=st.lists(st.booleans(), min_size=2, max_size=8),
+)
+def test_incr_sentence_span_dedup_equals_python_replay(
+    spark, tmp_path_factory, texts, plant
+):
+    """D106 invariant: the at-ingest form equals a pure-Python replay —
+    incoming (odd-source) sentence windows matching ANY existing
+    (even-source) window get island-merged and cut; existing docs are
+    never touched and incoming-vs-incoming repeats are NOT cut (the
+    corpus is the only canonical)."""
+    import hashlib
+
+    from uforwarder_spark.functions.tokenize import STOPWORDS
+    from uforwarder_spark.operators.dedup import SENT_S, incr_sentence_span_dedup
+
+    sw = set(STOPWORDS)
+    block = "w1 w2 the w3 w4 of w5 w6 in w7 to"
+    docs = [
+        " ".join(t) + (" " + block if i < len(plant) and plant[i] else "")
+        for i, t in enumerate(texts)
+    ]
+    d = tmp_path_factory.mktemp("incr_sent")
+    rows = [(i, t, "en", f"src{i % 4}", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def sents_of(text):
+        out, cur = [], []
+        for t in text.lower().split():
+            cur.append(t)
+            if t in sw:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    sents = {i: sents_of(t) for i, t in enumerate(docs)}
+    sents = {i: s for i, s in sents.items() if len(s) >= SENT_S}
+    wins = {
+        i: ["|".join(s[p : p + SENT_S]) for p in range(len(s) - SENT_S + 1)]
+        for i, s in sents.items()
+    }
+    ex_wins = set()
+    for i, ws in wins.items():
+        if i % 4 in (0, 2):  # even sources = existing corpus
+            ex_wins.update(ws)
+    want = {}
+    for i, s in sents.items():
+        if i % 4 in (0, 2):
+            continue  # only incoming docs emit
+        pos = sorted(p for p, wstr in enumerate(wins[i]) if wstr in ex_wins)
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= SENT_S:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        covered = set()
+        for p0, p1 in spans:
+            covered.update(range(p0, p1 + SENT_S))
+        kept = [x for j, x in enumerate(s) if j not in covered]
+        want[i] = (
+            len(s), len(pos), len(spans), len(kept), len(s) - len(kept),
+            hashlib.md5("|".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (
+            r.n_sentences, r.n_dup_windows, r.n_spans,
+            r.n_sentences_kept, r.n_sentences_cut, r.cleaned_md5,
+        )
+        for r in incr_sentence_span_dedup(spark, str(d)).collect()
+    }
+    assert got == want

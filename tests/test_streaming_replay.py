@@ -3774,3 +3774,50 @@ def test_empty_trigger_e53_domain_caps(spark):
         page = os.path.join(state, t, f"batch_id={last + 1}")
         assert os.path.isdir(page)
         assert spark.read.parquet(page).count() == 0, (t, "rows on empty trigger")
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e55_sentence_gate_replay_idempotent_and_matches_batch(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E55 property: for ANY arrival chunking of the incoming crawl and
+    a replayed batch (re-gated bit-identical against the static corpus
+    sentence-window index), the union of streamed cut verdicts equals
+    batch D106's."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import incr_sentence_span_dedup
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    corpus = all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
+    incoming_pdf = (
+        all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+        .toPandas()[DOCS_COLS]
+    )
+
+    def make_query(stream, tmp, ckpt):
+        return P.sentence_gate_pipeline(stream, corpus, os.path.join(tmp, "out"), ckpt)
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, incoming_pdf, make_query, ["{tmp}/out/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e55rr",
+    )
+    cols = [
+        "doc_id", "n_sentences", "n_dup_windows", "n_spans",
+        "n_sentences_kept", "n_sentences_cut", "cleaned_md5",
+    ]
+    got = (
+        spark.read.parquet(f"{tmp}/out")
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        incr_sentence_span_dedup(spark, SF_SMALL)
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

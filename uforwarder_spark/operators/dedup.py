@@ -2813,20 +2813,8 @@ def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — training-data dedup family (SURVEY §2
     D; C4 / RefinedWeb curation rule, PAPERS.md)."""
-    t = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(SENTS_SPARK).alias("sents"))
-        .filter(F.expr(f"size(sents) >= {SENT_S}"))
-    )
-    w = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(sents) - {SENT_S}), p -> struct(p, "
-                f"md5(concat_ws('|', slice(sents, p + 1, {SENT_S}))) AS h))"
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+    t = sent_frame(_docs(spark, sf_dir))
+    w = sent_window_frame(t)
     cans = (
         w.groupBy("h")
         .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "p")).alias("c"))
@@ -2837,6 +2825,39 @@ def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("doc_id <> c.doc_id OR p <> c.p")
         .select("doc_id", "p")
     )
+    return sent_span_cut(t, pos)
+
+
+def sent_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sents) for docs with >= {SENT_S} sentences under the
+    deterministic splitter — the shared head of D105/D106/E55."""
+    return docs.select("doc_id", F.expr(SENTS_SPARK).alias("sents")).filter(
+        F.expr(f"size(sents) >= {SENT_S}")
+    )
+
+
+def sent_window_frame(t: DataFrame) -> DataFrame:
+    """(doc_id, p, h): one {SENT_S}-sentence window fingerprint per
+    sentence position — the sentence-level analogue of
+    es_window_frame. At 100 TB the existing-corpus output is a
+    persisted DISTINCT-hash table updated per ingest (the D36
+    band-table convention D74/E33 use at token level)."""
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(sents) - {SENT_S}), p -> struct(p, "
+                f"md5(concat_ws('|', slice(sents, p + 1, {SENT_S}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+
+
+def sent_span_cut(t: DataFrame, pos: DataFrame) -> DataFrame:
+    """Island-merge the flagged sentence positions (gap > {SENT_S}
+    starts a new span — es_spans at w={SENT_S}) and cut the covered
+    sentences ROW-LOCALLY from each doc's sentence row — the shared
+    tail of D105 (keep-one pos) and D106/E55 (vs-existing pos)."""
     ranges = (
         es_spans(pos, SENT_S)
         .groupBy("doc_id")
@@ -2872,3 +2893,99 @@ def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("md5(concat_ws('|', kept))").alias("cleaned_md5"),
         )
     )
+
+
+# --- D106 ----------------------------------------------------------------
+INCR_SENT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(substring(source, 4) AS INTEGER) % 2 AS side,
+         {SENTS_DUCK} AS sents
+  FROM documents
+),
+tin AS (
+  SELECT doc_id, sents FROM t WHERE side = 1 AND len(sents) >= {SENT_S}
+),
+w AS (
+  SELECT doc_id, side, p,
+         md5(array_to_string(sents[p + 1 : p + {SENT_S}], '|')) AS h
+  FROM t, unnest(range(len(sents) - {SENT_S} + 1)) AS u(p)
+  WHERE len(sents) >= {SENT_S}
+),
+pos AS (
+  SELECT doc_id, p FROM w
+  WHERE side = 1 AND h IN (SELECT h FROM w WHERE side = 0)
+),
+{_ES_ISLAND_TPL.format(W=SENT_S)},
+ranges AS (
+  SELECT doc_id, list(struct_pack(p0 := p0, p1 := p1)) AS rs,
+         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+outp AS (
+  SELECT s.doc_id, CAST(len(s.sents) AS BIGINT) AS n_sentences,
+         coalesce(r.n_dup_windows, 0) AS n_dup_windows,
+         coalesce(r.n_spans, 0) AS n_spans,
+         list_filter(
+           list_transform(range(len(s.sents)), i ->
+             CASE WHEN r.rs IS NOT NULL AND len(list_filter(r.rs,
+                    x -> i >= x.p0 AND i < x.p1 + {SENT_S})) > 0
+                  THEN NULL ELSE s.sents[i + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM tin s LEFT JOIN ranges r ON s.doc_id = r.doc_id
+)
+SELECT doc_id, n_sentences, n_dup_windows, n_spans,
+       CAST(len(kept) AS BIGINT) AS n_sentences_kept,
+       CAST(n_sentences - len(kept) AS BIGINT) AS n_sentences_cut,
+       md5(coalesce(array_to_string(kept, '|'), '')) AS cleaned_md5
+FROM outp
+"""
+
+
+@register("incr_sentence_span_dedup", INCR_SENT_ORACLE)
+def incr_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sentence-span dedup — D105's C4 rule in D74's
+    production shape: a NEW batch of documents (odd-numbered sources
+    stand in for the fresh crawl) is checked AGAINST the existing
+    corpus (even-numbered sources) for shared {SENT_S}-sentence spans,
+    and matching spans are cut from the INCOMING side only. Keep-one
+    falls out for free at ingest: the existing corpus IS the canonical
+    occurrence (it was admitted first), so no argmin is needed — the
+    check is the pure ASYMMETRIC incoming-probes-existing semi join
+    (the D36/D74 incoming×existing discipline; never corpus×corpus).
+    Matching incoming positions merge into maximal islands and the
+    covered sentences are cut exactly as D105 (shared sent_frame /
+    sent_window_frame / sent_span_cut kernels, so the batch rule and
+    the ingest rule cannot drift).
+
+    SCALE: the existing corpus contributes ONE DISTINCT 16-byte hash
+    per unique sentence window — at 100 TB a persisted, hash-bucketed
+    ledger updated per ingest — so each ingest pays |batch| sentence
+    windowing plus a semi-join whose probe side is batch-sized;
+    survivors only reach the per-doc island windows and the row-local
+    cut. Live E55 runs the identical kernel per micro-batch.
+
+    Reference analogue: none — training-data dedup family (SURVEY §2
+    D; C4 rule, at-ingest form)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "side", F.expr("CAST(substring(source, 4) AS INT) % 2")
+    )
+    t_in = sent_frame(docs.filter(F.col("side") == 1))
+    ex_h = (
+        sent_window_frame(sent_frame(docs.filter(F.col("side") == 0)))
+        .select("h")
+        .distinct()
+    )
+    return incr_sent_span_frame(t_in, ex_h)
+
+
+def incr_sent_span_frame(t_in: DataFrame, ex_h: DataFrame) -> DataFrame:
+    """The D106 gate kernel: incoming sentence frames vs a (persisted)
+    existing-corpus DISTINCT window-hash table — shared by batch D106
+    and the live E55 ingest gate."""
+    pos = (
+        sent_window_frame(t_in)
+        .join(ex_h, "h", "leftsemi")
+        .select("doc_id", "p")
+    )
+    return sent_span_cut(t_in, pos)

@@ -4198,3 +4198,52 @@ def multi_epoch_monitor_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E55: live sentence-span ingest gate -------------------------------------
+def sentence_gate_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E55: the live twin of batch D106 — the C4 three-sentence
+    keep-one rule as an at-ingest gate: each micro-batch of crawled
+    docs is checked for {SENT_S}-sentence spans already present in the
+    PUBLISHED corpus through the shared ``incr_sent_span_frame``
+    kernel (keep-one falls out for free at ingest: the corpus IS the
+    canonical occurrence), and its per-doc cut verdicts — kept/cut
+    sentence accounting plus the cleaned-text identity — land in a
+    batchId-keyed sink. Stateless per batch, so replays overwrite
+    their own batch_id=N directory (idempotent under at-least-once);
+    the union of streamed verdicts equals batch D106 row-for-row (the
+    stream test asserts it).
+
+    SCALE: the corpus index is built ONCE — one DISTINCT 16-byte hash
+    per unique corpus sentence window, persisted before the first
+    trigger (at 100 TB a hash-bucketed index table maintained per
+    publish, the D36 band-table convention; ~an order sparser than
+    E33's per-token window index); each trigger pays |batch| sentence
+    windowing plus a semi-join probed from the batch side, and only
+    matching positions reach the per-doc island merge and the
+    row-local cut. Docs with fewer than {SENT_S} sentences emit
+    nothing, exactly as in batch.
+
+    Reference analogue: none — training-data dedup family (SURVEY §2
+    E; C4 rule, live at-ingest form)."""
+    from ..operators.dedup import incr_sent_span_frame, sent_frame, sent_window_frame
+
+    ex_h = (
+        sent_window_frame(sent_frame(corpus_docs)).select("h").distinct().persist()
+    )
+    ex_h.count()  # materialize the index once, before the first trigger
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t_in = sent_frame(batch_df.select("doc_id", "text"))
+        incr_sent_span_frame(t_in, ex_h).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
