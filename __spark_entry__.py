@@ -21,20 +21,20 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-11 window (round-10 verdict item 1): slot arithmetic (counted,
-# not estimated): 2 new this round + the full 46-key r07-evidence
+# not estimated): 3 new this round + the full 46-key r07-evidence
 # cohort + token_bucket_summary (verdict item 8: the token-bucket
 # kernel's hash-green twin, due inside every second window, <= r12)
-# + 1 head-start key from the r08 cohort = 50 exactly. After this
-# round the oldest evidence is the r08 cohort (46 keys remaining) —
-# r12's window is new/changed + those 46 (4 slots spare, before any
-# r12 additions).
+# = 50 exactly. After this round the oldest evidence is the r08
+# cohort (47 keys remaining) — r12's window is new/changed + those 47
+# (3 slots spare, before any r12 additions).
 _KEY_PRIORITY = [
-    # -- (a) new this round (2): sentence_span_dedup is NEW (D105, the
-    #    C4 three-sentence / RefinedWeb line-level keep-one span rule
-    #    — the last published curation-rule variant, VERDICT r10 #5);
+    # -- (a) new this round (3): sentence_span_dedup is NEW (D105, the
+    #    C4 three-sentence keep-one span rule — VERDICT r10 #5);
     #    incr_sentence_span_dedup is NEW (D106, the same rule in the
-    #    D74 at-ingest asymmetric shape, live twin E55) --
-    "sentence_span_dedup", "incr_sentence_span_dedup",
+    #    D74 at-ingest asymmetric shape, live twin E55); line_dedup is
+    #    NEW (D107, the RefinedWeb exact line rule = the keep-one
+    #    machinery at span 1) --
+    "sentence_span_dedup", "incr_sentence_span_dedup", "line_dedup",
     # -- (b) the full r07-evidence cohort (46) — every key whose latest
     #    green driver row is CORRECTNESS_r07; the four gen1/gen2 ANN
     #    keys under this round's perf adjudication (ann_topk_lsh /
@@ -59,11 +59,10 @@ _KEY_PRIORITY = [
     "semdedup_prune", "sequence_packing", "split_leakage_audit",
     "system_load_ratio", "user_sessions", "worker_lease_reassignment",
     "workload_monitor_ttl",
-    # -- (c) 2 spare slots: token_bucket_summary (r08 evidence; the
-    #    rows-only token_bucket_exact's hash-pinned twin, verdict item
-    #    8) + the alphabetically-first remaining r08 key as an r12
-    #    head start --
-    "token_bucket_summary", "aimd_inflight_limiter",
+    # -- (c) 1 spare slot: token_bucket_summary (r08 evidence; the
+    #    rows-only token_bucket_exact's hash-pinned twin, verdict
+    #    item 8) --
+    "token_bucket_summary",
     # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every
     # key with the driver-grade comparator): everything else carries

@@ -856,3 +856,16 @@ def test_incr_sentence_span_gate_is_asymmetric_semi_join(spark):
     specs = window_partition_keys(spark, "incr_sentence_span_dedup")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("doc_id" in keys for keys in specs)
+
+
+def test_line_dedup_shares_the_sentence_plan_shape(spark):
+    # D107: same scale shape as D105 at span 1 — one count+argmin hash
+    # group-by, survivors-only join, per-doc island windows, row-local
+    # cut, nothing through Python, no cartesian
+    plan = plan_of(spark, "line_dedup")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    specs = window_partition_keys(spark, "line_dedup")
+    assert specs and all(keys for keys in specs), f"global window: {specs}"
+    assert any("doc_id" in keys for keys in specs)

@@ -3327,3 +3327,77 @@ def test_incr_sentence_span_dedup_equals_python_replay(
         for r in incr_sentence_span_dedup(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_sent_words, min_size=2, max_size=8),
+    plant=st.lists(st.booleans(), min_size=2, max_size=8),
+)
+def test_line_dedup_equals_python_replay(spark, tmp_path_factory, texts, plant):
+    """D107 invariant: the RefinedWeb line rule equals a pure-Python
+    replay of D105's keep-one machinery at span 1 — every repeated
+    line keeps its lexicographic-first occurrence, runs of adjacent
+    cut lines collapse into one span."""
+    import hashlib
+    from collections import Counter
+
+    from uforwarder_spark.functions.tokenize import STOPWORDS
+    from uforwarder_spark.operators.dedup import line_dedup
+
+    sw = set(STOPWORDS)
+    block = "w1 w2 the w3 w4 of"
+    docs = [
+        " ".join(t) + (" " + block if i < len(plant) and plant[i] else "")
+        for i, t in enumerate(texts)
+    ]
+    d = tmp_path_factory.mktemp("line_dedup")
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def sents_of(text):
+        out, cur = [], []
+        for t in text.lower().split():
+            cur.append(t)
+            if t in sw:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    sents = {i: s for i, s in ((i, sents_of(t)) for i, t in enumerate(docs)) if s}
+    cnt = Counter()
+    for s in sents.values():
+        cnt.update(s)
+    canon = {}
+    for i in sorted(sents):
+        for p, line in enumerate(sents[i]):
+            if cnt[line] > 1 and line not in canon:
+                canon[line] = (i, p)
+    want = {}
+    for i, s in sents.items():
+        pos = sorted(
+            p for p, line in enumerate(s) if cnt[line] > 1 and canon[line] != (i, p)
+        )
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        kept = [x for j, x in enumerate(s) if j not in set(pos)]
+        want[i] = (
+            len(s), len(pos), len(spans), len(kept), len(pos),
+            hashlib.md5("|".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (
+            r.n_sentences, r.n_dup_windows, r.n_spans,
+            r.n_sentences_kept, r.n_sentences_cut, r.cleaned_md5,
+        )
+        for r in line_dedup(spark, str(d)).collect()
+    }
+    assert got == want

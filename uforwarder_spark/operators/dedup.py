@@ -2828,38 +2828,40 @@ def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sent_span_cut(t, pos)
 
 
-def sent_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, sents) for docs with >= {SENT_S} sentences under the
-    deterministic splitter — the shared head of D105/D106/E55."""
+def sent_frame(docs: DataFrame, s: int = SENT_S) -> DataFrame:
+    """(doc_id, sents) for docs with >= s sentences under the
+    deterministic splitter — the shared head of D105/D106/D107/E55
+    (s=1 for D107's line rule: any doc with a sentence qualifies)."""
     return docs.select("doc_id", F.expr(SENTS_SPARK).alias("sents")).filter(
-        F.expr(f"size(sents) >= {SENT_S}")
+        F.expr(f"size(sents) >= {s}")
     )
 
 
-def sent_window_frame(t: DataFrame) -> DataFrame:
-    """(doc_id, p, h): one {SENT_S}-sentence window fingerprint per
-    sentence position — the sentence-level analogue of
-    es_window_frame. At 100 TB the existing-corpus output is a
-    persisted DISTINCT-hash table updated per ingest (the D36
-    band-table convention D74/E33 use at token level)."""
+def sent_window_frame(t: DataFrame, s: int = SENT_S) -> DataFrame:
+    """(doc_id, p, h): one s-sentence window fingerprint per sentence
+    position — the sentence-level analogue of es_window_frame (s=1
+    degenerates to one fingerprint per sentence, the RefinedWeb line
+    rule). At 100 TB the existing-corpus output is a persisted
+    DISTINCT-hash table updated per ingest (the D36 band-table
+    convention D74/E33 use at token level)."""
     return t.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(sents) - {SENT_S}), p -> struct(p, "
-                f"md5(concat_ws('|', slice(sents, p + 1, {SENT_S}))) AS h))"
+                f"transform(sequence(0, size(sents) - {s}), p -> struct(p, "
+                f"md5(concat_ws('|', slice(sents, p + 1, {s}))) AS h))"
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
 
 
-def sent_span_cut(t: DataFrame, pos: DataFrame) -> DataFrame:
-    """Island-merge the flagged sentence positions (gap > {SENT_S}
-    starts a new span — es_spans at w={SENT_S}) and cut the covered
-    sentences ROW-LOCALLY from each doc's sentence row — the shared
-    tail of D105 (keep-one pos) and D106/E55 (vs-existing pos)."""
+def sent_span_cut(t: DataFrame, pos: DataFrame, s: int = SENT_S) -> DataFrame:
+    """Island-merge the flagged sentence positions (gap > s starts a
+    new span — es_spans at w=s) and cut the covered sentences
+    ROW-LOCALLY from each doc's sentence row — the shared tail of D105
+    (keep-one pos), D106/E55 (vs-existing pos) and D107 (s=1)."""
     ranges = (
-        es_spans(pos, SENT_S)
+        es_spans(pos, s)
         .groupBy("doc_id")
         .agg(
             F.expr("collect_list(struct(p0, p1))").alias("rs"),
@@ -2868,7 +2870,7 @@ def sent_span_cut(t: DataFrame, pos: DataFrame) -> DataFrame:
         )
     )
     kept = F.expr(
-        f"filter(sents, (s, i) -> NOT exists(rs2, x -> i >= x.p0 AND i < x.p1 + {SENT_S}))"
+        f"filter(sents, (s, i) -> NOT exists(rs2, x -> i >= x.p0 AND i < x.p1 + {s}))"
     )
     z = F.lit(0).cast("bigint")
     return (
@@ -2989,3 +2991,93 @@ def incr_sent_span_frame(t_in: DataFrame, ex_h: DataFrame) -> DataFrame:
         .select("doc_id", "p")
     )
     return sent_span_cut(t_in, pos)
+
+
+# --- D107 ----------------------------------------------------------------
+LINE_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {SENTS_DUCK} AS sents FROM documents
+),
+spine AS (
+  SELECT doc_id, sents, CAST(len(sents) AS BIGINT) AS n_sentences
+  FROM t WHERE len(sents) >= 1
+),
+w AS (
+  SELECT doc_id, p, md5(sents[p + 1]) AS h
+  FROM t, unnest(range(len(sents))) AS u(p)
+  WHERE len(sents) >= 1
+),
+cans AS (
+  SELECT h, min(struct_pack(d := doc_id, p := p)) AS c
+  FROM w GROUP BY h HAVING count(*) > 1
+),
+pos AS (
+  SELECT w.doc_id, w.p FROM w JOIN cans ON w.h = cans.h
+  WHERE w.doc_id <> cans.c.d OR w.p <> cans.c.p
+),
+{_ES_ISLAND_TPL.format(W=1)},
+ranges AS (
+  SELECT doc_id, list(struct_pack(p0 := p0, p1 := p1)) AS rs,
+         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+outp AS (
+  SELECT s.doc_id, s.n_sentences,
+         coalesce(r.n_dup_windows, 0) AS n_dup_windows,
+         coalesce(r.n_spans, 0) AS n_spans,
+         list_filter(
+           list_transform(range(len(s.sents)), i ->
+             CASE WHEN r.rs IS NOT NULL AND len(list_filter(r.rs,
+                    x -> i >= x.p0 AND i < x.p1 + 1)) > 0
+                  THEN NULL ELSE s.sents[i + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM spine s LEFT JOIN ranges r ON s.doc_id = r.doc_id
+)
+SELECT doc_id, n_sentences, n_dup_windows, n_spans,
+       CAST(len(kept) AS BIGINT) AS n_sentences_kept,
+       CAST(n_sentences - len(kept) AS BIGINT) AS n_sentences_cut,
+       md5(coalesce(array_to_string(kept, '|'), '')) AS cleaned_md5
+FROM outp
+"""
+
+
+@register("line_dedup", LINE_DEDUP_ORACLE)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact line-level dedup at the published RefinedWeb grade (Penedo
+    et al. 2023's line-wise corrections: a line repeated verbatim
+    across the corpus — boilerplate, navigation chrome — is removed
+    everywhere but its first occurrence): D105's keep-one machinery at
+    span length 1, i.e. the dedup unit is ONE sentence/line under the
+    same deterministic splitter, the canonical occurrence is the
+    lexicographic (doc_id, p) struct-min per repeated line hash, and
+    every other occurrence is cut. Unlike D105, EVERY doc with at
+    least one sentence participates (a 3-sentence span needs 3
+    sentences; a line needs 1). n_spans counts RUNS of consecutive
+    cut lines (adjacent boilerplate collapses into one span — the
+    shared es_spans island kernel at w=1); the cleaned identity is the
+    '|'-joined kept lines, comparable with D105/D106's.
+
+    Exactness and SCALE: identical arguments to D105 — one md5 per
+    LINE (the sparsest fingerprint stream in the dedup family), one
+    count+argmin group-by partial-agged map-side, survivors-only join
+    back, per-doc islands, row-local cut. Shares sent_frame /
+    sent_window_frame / sent_span_cut at s=1 so the three published
+    span rules (Lee token-window D73, C4 three-sentence D105,
+    RefinedWeb line D107) differ ONLY in their declared unit.
+
+    Reference analogue: none — training-data dedup family (SURVEY §2
+    D; RefinedWeb curation rule, PAPERS.md)."""
+    t = sent_frame(_docs(spark, sf_dir), s=1)
+    w = sent_window_frame(t, s=1)
+    cans = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "p")).alias("c"))
+        .filter("n > 1")
+    )
+    pos = (
+        w.join(cans.select("h", "c"), "h")
+        .filter("doc_id <> c.doc_id OR p <> c.p")
+        .select("doc_id", "p")
+    )
+    return sent_span_cut(t, pos, s=1)
