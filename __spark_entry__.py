@@ -21,20 +21,25 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
 # Round-11 window (round-10 verdict item 1): slot arithmetic (counted,
-# not estimated): 3 new this round + the full 46-key r07-evidence
-# cohort + token_bucket_summary (verdict item 8: the token-bucket
-# kernel's hash-green twin, due inside every second window, <= r12)
-# = 50 exactly. After this round the oldest evidence is the r08
-# cohort (47 keys remaining) — r12's window is new/changed + those 47
-# (3 slots spare, before any r12 additions).
+# not estimated): 4 new this round + the full 46-key r07-evidence
+# cohort = 50 exactly. token_bucket_summary (verdict item 8: the
+# token-bucket kernel's hash-green twin, due inside every second
+# window) did not fit once D108 landed — it leads the r12 spares,
+# within its <= r12 due date. After this round the oldest evidence is
+# the r08 cohort (48 keys remaining) — r12's window is new/changed +
+# token_bucket_summary + those 48 (1 slot spare, before any r12
+# additions).
 _KEY_PRIORITY = [
-    # -- (a) new this round (3): sentence_span_dedup is NEW (D105, the
+    # -- (a) new this round (4): sentence_span_dedup is NEW (D105, the
     #    C4 three-sentence keep-one span rule — VERDICT r10 #5);
     #    incr_sentence_span_dedup is NEW (D106, the same rule in the
     #    D74 at-ingest asymmetric shape, live twin E55); line_dedup is
     #    NEW (D107, the RefinedWeb exact line rule = the keep-one
-    #    machinery at span 1) --
+    #    machinery at span 1); contamination_fraction is NEW (D108,
+    #    the Llama-2 covered-token-mass tier rule over D80's shared
+    #    detection head) --
     "sentence_span_dedup", "incr_sentence_span_dedup", "line_dedup",
+    "contamination_fraction",
     # -- (b) the full r07-evidence cohort (46) — every key whose latest
     #    green driver row is CORRECTNESS_r07; the four gen1/gen2 ANN
     #    keys under this round's perf adjudication (ann_topk_lsh /
@@ -59,11 +64,10 @@ _KEY_PRIORITY = [
     "semdedup_prune", "sequence_packing", "split_leakage_audit",
     "system_load_ratio", "user_sessions", "worker_lease_reassignment",
     "workload_monitor_ttl",
-    # -- (c) 1 spare slot: token_bucket_summary (r08 evidence; the
-    #    rows-only token_bucket_exact's hash-pinned twin, verdict
-    #    item 8) --
-    "token_bucket_summary",
     # ---------------- 50-slot window ends here ----------------
+    # token_bucket_summary leads the r12 spares (verdict item 8,
+    # due <= r12; the rows-only token_bucket_exact's hash-pinned twin)
+    "token_bucket_summary",
     # Past the line (both-SF pytest parity continues to cover every
     # key with the driver-grade comparator): everything else carries
     # r07+ evidence. token_bucket_exact stays last (rows-only by

@@ -869,3 +869,16 @@ def test_line_dedup_shares_the_sentence_plan_shape(spark):
     specs = window_partition_keys(spark, "line_dedup")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("doc_id" in keys for keys in specs)
+
+
+def test_contamination_fraction_broadcast_gate_one_agg(spark):
+    # D108: benchmark-sized eval grams broadcast into the corpus gram
+    # stream (D80's detection head, shared); survivors reach one per-doc
+    # partial agg; no rewrite pass, no cartesian, nothing through Python
+    plan = plan_of(spark, "contamination_fraction")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    specs = window_partition_keys(spark, "contamination_fraction")
+    assert specs and all(keys for keys in specs), f"global window: {specs}"
+    assert any("doc_id" in keys for keys in specs)

@@ -3401,3 +3401,91 @@ def test_line_dedup_equals_python_replay(spark, tmp_path_factory, texts, plant):
         for r in line_dedup(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(st.lists(st.sampled_from([f"w{i}" for i in range(9)]),
+                            min_size=13, max_size=40), min_size=3, max_size=8),
+    quote=st.booleans(),
+)
+def test_contamination_fraction_equals_python_replay(
+    spark, tmp_path_factory, texts, quote
+):
+    """D108 invariant: per-doc covered-token mass, fraction and tier
+    equal a pure-Python replay of the Llama-2 rule — eval docs are
+    hash(doc_id)-selected, coverage is the union of matched 13-gram
+    windows, tiers compare on integer cross-multiplication."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import (
+        EVAL_MOD,
+        NGRAM_DECON_N,
+        contamination_fraction,
+    )
+
+    def is_eval(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % EVAL_MOD == 0
+
+    # deterministic ids: the first text lands on the smallest eval id,
+    # the rest on the smallest non-eval ids — at least one eval doc
+    # always exists, whatever hypothesis generated
+    eval_id = next(i for i in range(10_000) if is_eval(i))
+    non_eval_ids = []
+    i = 0
+    while len(non_eval_ids) < len(texts) - 1:
+        if not is_eval(i):
+            non_eval_ids.append(i)
+        i += 1
+    texts_map = {eval_id: texts[0]}
+    for j, t in enumerate(texts[1:]):
+        texts_map[non_eval_ids[j]] = t
+    if quote and non_eval_ids and len(texts_map[eval_id]) >= NGRAM_DECON_N:
+        # quote a 13-gram of the eval doc inside the first non-eval doc
+        texts_map[non_eval_ids[0]] = (
+            texts_map[non_eval_ids[0]] + texts_map[eval_id][:NGRAM_DECON_N]
+        )
+    d = tmp_path_factory.mktemp("contam_frac")
+    rows = [
+        (i, " ".join(t), "en", f"src{i % 3}", len(" ".join(t)))
+        for i, t in sorted(texts_map.items())
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    N = NGRAM_DECON_N
+    eval_grams = set()
+    for i, t in texts_map.items():
+        if is_eval(i):
+            eval_grams.update(
+                " ".join(t[p : p + N]) for p in range(len(t) - N + 1)
+            )
+    want = {}
+    for i, t in texts_map.items():
+        if is_eval(i):
+            continue
+        pos = [
+            p for p in range(max(0, len(t) - N + 1))
+            if " ".join(t[p : p + N]) in eval_grams
+        ]
+        covered = set()
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= N:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        for p0, p1 in spans:
+            covered.update(range(p0, p1 + N))
+        cov, n = len(covered), len(t)
+        tier = "dirty" if cov * 5 >= n * 4 else ("not_clean" if cov * 5 >= n else "clean")
+        want[i] = (n, len(pos), len(spans), cov, round(cov / n, 6), tier)
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.n_matched_windows, r.n_spans,
+            r.n_tokens_contaminated, r.contam_frac, r.verdict,
+        )
+        for r in contamination_fraction(spark, str(d)).collect()
+    }
+    assert got == want

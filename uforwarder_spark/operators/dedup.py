@@ -2125,19 +2125,12 @@ def decon_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decon_span_frame(all_docs.filter(~is_eval), eval_grams)
 
 
-def decon_span_frame(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
-    """Shared kernel of batch D80 and live E37 (one definition, so the
-    batch sweep and the at-ingest gate cannot drift): ``docs`` is a
-    (doc_id, source, text) frame of NON-eval candidates; ``eval_grams``
-    the distinct eval {NGRAM_DECON_N}-gram md5 set (benchmark-sized at
-    any corpus scale, so it is unconditionally broadcast). Emits one
-    row per doc with span/cut accounting + cleaned-text md5."""
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.expr(TOKENS_SPARK).alias("ts"),
-    ).withColumn("n_tokens", F.expr("CAST(size(ts) AS BIGINT)"))
-    pos = (
+def decon_match_positions(t: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """(doc_id, p): candidate token positions whose {NGRAM_DECON_N}-gram
+    hits the broadcast eval-gram set — the shared detection head of
+    D80/E37 (span cut) and D108 (coverage fraction); ``t`` is a
+    (doc_id, ts) tokenized frame."""
+    return (
         t.select(
             "doc_id",
             F.explode(
@@ -2154,6 +2147,21 @@ def decon_span_frame(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
         .join(F.broadcast(eval_grams), "g")
         .select("doc_id", "p")
     )
+
+
+def decon_span_frame(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Shared kernel of batch D80 and live E37 (one definition, so the
+    batch sweep and the at-ingest gate cannot drift): ``docs`` is a
+    (doc_id, source, text) frame of NON-eval candidates; ``eval_grams``
+    the distinct eval {NGRAM_DECON_N}-gram md5 set (benchmark-sized at
+    any corpus scale, so it is unconditionally broadcast). Emits one
+    row per doc with span/cut accounting + cleaned-text md5."""
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.expr(TOKENS_SPARK).alias("ts"),
+    ).withColumn("n_tokens", F.expr("CAST(size(ts) AS BIGINT)"))
+    pos = decon_match_positions(t, eval_grams)
     ranges = (
         es_spans(pos, w=NGRAM_DECON_N)
         .groupBy("doc_id")
@@ -3081,3 +3089,122 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p")
     )
     return sent_span_cut(t, pos, s=1)
+
+
+# --- D108 ----------------------------------------------------------------
+# Llama-2-style contamination tiers on covered-token mass: the sample
+# is 'dirty' when >= 80% of its tokens sit inside eval-matched windows,
+# 'not_clean' at >= 20%, 'clean' below. Verdict compares on INTEGER
+# cross-multiplication (covered*5 vs n_tokens*4 / covered*5 vs
+# n_tokens) so the tier boundary is exact in both engines.
+CONTAM_FRAC_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS ts FROM documents
+),
+ev AS (
+  SELECT doc_id FROM t
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {EVAL_MOD} = 0
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         md5(array_to_string(list_slice(ts, i, i + {NGRAM_DECON_N - 1}), ' ')) AS g
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {NGRAM_DECON_N - 2})) AS i FROM t)
+),
+eg AS (
+  SELECT DISTINCT g FROM grams JOIN ev ON grams.doc_id = ev.doc_id
+),
+pos AS (
+  SELECT c.doc_id, c.p FROM grams c JOIN eg ON c.g = eg.g
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM ev)
+),
+{_ES_ISLAND_TPL.format(W=NGRAM_DECON_N)},
+agg AS (
+  SELECT doc_id,
+         CAST(sum(n_win) AS BIGINT) AS n_matched_windows,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(p1 + {NGRAM_DECON_N} - p0) AS BIGINT) AS n_tokens_contaminated
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tokens
+  FROM t WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+)
+SELECT b.doc_id, b.source, b.n_tokens,
+       coalesce(a.n_matched_windows, 0) AS n_matched_windows,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_tokens_contaminated, 0) AS n_tokens_contaminated,
+       round(CAST(coalesce(a.n_tokens_contaminated, 0) AS DOUBLE) / b.n_tokens, 6)
+         AS contam_frac,
+       CASE WHEN coalesce(a.n_tokens_contaminated, 0) * 5 >= b.n_tokens * 4
+              THEN 'dirty'
+            WHEN coalesce(a.n_tokens_contaminated, 0) * 5 >= b.n_tokens
+              THEN 'not_clean'
+            ELSE 'clean' END AS verdict
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+@register("contamination_fraction", CONTAM_FRAC_ORACLE)
+def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination TIERS by covered-token mass (the Llama 2 appendix
+    A.6 methodology, also the GPT-4 / PaLM 2 eval-contamination
+    analyses): where D67 drops a doc on ANY shared {NGRAM_DECON_N}-gram
+    and D80 cuts the matched spans, the published measurement rule
+    grades each sample by the FRACTION of its tokens covered by
+    eval-matched windows and buckets it — 'dirty' at >= 80% coverage
+    (the sample is essentially the benchmark), 'not_clean' at >= 20%
+    (quotes it substantially), 'clean' below. Covered-token mass is
+    exactly D80's island arithmetic (adjacent matches merge, covered =
+    sum(p1 + N - p0) over disjoint islands — never double-counted);
+    the tier compare is INTEGER cross-multiplication, so the 20%/80%
+    boundaries are bit-exact in both engines. Eval docs are held out
+    (the D67 convention); docs shorter than the window are 'clean' at
+    zero coverage.
+
+    SCALE: identical plan to D80's detection — benchmark-sized eval
+    gram set broadcast, one corpus scan + gram explode, only broadcast
+    -join survivors reach the per-doc islands — then ONE per-doc
+    partial agg; no rewrite, no second corpus pass. Shares
+    decon_match_positions / es_spans with D80/E37 so the three
+    decontamination grades (drop / cut / tier) cannot drift.
+
+    Reference analogue: none — training-data decontamination family
+    (SURVEY §2 D; Llama 2 contamination-analysis rule)."""
+    all_docs = _docs(spark, sf_dir)
+    is_eval = decon_eval_filter()
+    eval_grams = (
+        decon_grams_frame(all_docs.filter(is_eval).select("doc_id", "text"))
+        .select("g")
+        .distinct()
+    )
+    t = (
+        all_docs.filter(~is_eval)
+        .select("doc_id", "source", F.expr(TOKENS_SPARK).alias("ts"))
+        .withColumn("n_tokens", F.expr("CAST(size(ts) AS BIGINT)"))
+    )
+    agg = (
+        es_spans(decon_match_positions(t, eval_grams), w=NGRAM_DECON_N)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_win").cast("bigint").alias("n_matched_windows"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("p1") + NGRAM_DECON_N - F.col("p0"))
+            .cast("bigint")
+            .alias("n_tokens_contaminated"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    cov = F.coalesce("n_tokens_contaminated", z)
+    return t.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce("n_matched_windows", z).alias("n_matched_windows"),
+        F.coalesce("n_spans", z).alias("n_spans"),
+        cov.alias("n_tokens_contaminated"),
+        F.round(cov.cast("double") / F.col("n_tokens"), 6).alias("contam_frac"),
+        F.when(cov * 5 >= F.col("n_tokens") * 4, "dirty")
+        .when(cov * 5 >= F.col("n_tokens"), "not_clean")
+        .otherwise("clean")
+        .alias("verdict"),
+    )
