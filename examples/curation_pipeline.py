@@ -24,6 +24,9 @@ STAGES = [
     ("2. incremental near-dup vs corpus signatures", "incremental_dedup"),
     ("3. full-corpus MinHash/LSH near-dup pairs", "dedup_minhash_lsh"),
     ("4. dedup clusters -> keep one representative", "dedup_representatives"),
+    ("4b. RefinedWeb line dedup (boilerplate lines, keep-first)", "line_dedup"),
+    ("4c. C4 three-sentence span dedup (keep-one)", "sentence_span_dedup"),
+    ("4d. sentence spans at ingest: new crawl vs corpus", "incr_sentence_span_dedup"),
     ("5. semantic dedup in embedding space (SemDeDup)", "semdedup_prune"),
     # -- corpus health ----------------------------------------------------
     ("6. which sources copy from which (overlap matrix)", "source_overlap_matrix"),
@@ -34,6 +37,7 @@ STAGES = [
     ("11. heavy hitters (count-min sketch + audit)", "cms_heavy_hitters"),
     ("12. train/eval contamination check (whole-doc)", "contamination_check"),
     ("12a. train/eval contamination check (any 13-gram)", "ngram_decontamination"),
+    ("12a'. contamination tiers by covered-token mass (Llama 2)", "contamination_fraction"),
     ("12b. cluster purity before cluster-level pruning", "kmeans_cluster_purity"),
     # -- filtering + sampling --------------------------------------------
     ("13. Gopher-style quality gate", "quality_filter_gopher"),

@@ -1416,3 +1416,144 @@ def test_domain_dedup_caps_model(spark, tmp_path):
         overflowed = overflowed or w["n_overflow"] > 0
         dup_seen = dup_seen or w["n_url_dups"] > 0
     assert dup_seen, "corpus must exercise URL-level dups"
+
+
+def test_sentence_span_dedup_keep_one_by_hand(spark, tmp_path):
+    """Non-vacuous D105: on a hand-built corpus the canonical (lowest
+    doc_id, lowest position) occurrence of a repeated three-sentence
+    span survives untouched, every other occurrence is cut — including
+    a doc that is NOTHING BUT the repeated span (cleans to empty) —
+    and unique docs pass through."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import sentence_span_dedup
+
+    # sentences terminate at the stopword; the splitter lowercases and
+    # strips punctuation, so these literals are already normalized
+    S1, S2, S3 = "alpha beta the", "gamma delta of", "eps zeta to"
+    U = "uniq1 uniq2"  # trailing fragment with no terminator
+    V = "vee one and"
+    docs = [
+        (1, f"{S1} {S2} {S3} {U}", "en", "src0", 10),  # canonical holder
+        (2, f"{V} {S1} {S2} {S3}", "en", "src1", 10),  # cuts the span
+        (3, f"{S1} {S2} {S3}", "en", "src2", 10),      # all span -> empty
+        (4, "solo1 solo2 in solo3 solo4 on solo5 for solo6", "en", "src3", 10),
+    ]
+    d = tmp_path / "ssd"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in sentence_span_dedup(spark, str(d)).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1].n_sentences_cut == 0  # canonical survives whole
+    assert got[1].cleaned_md5 == md5("|".join([S1, S2, S3, U]))
+    assert got[2].n_sentences_cut == 3 and got[2].cleaned_md5 == md5(V)
+    assert got[3].n_sentences_kept == 0 and got[3].cleaned_md5 == md5("")
+    assert got[4].n_sentences_cut == 0
+
+
+def test_incr_sentence_gate_cuts_only_corpus_matches(spark, tmp_path):
+    """Non-vacuous D106: only spans present in the EXISTING corpus
+    (even sources) are cut from incoming docs (odd sources); a span
+    shared between two INCOMING docs is not cut (the corpus is the
+    only canonical), and existing docs never appear in the output."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import incr_sentence_span_dedup
+
+    S1, S2, S3 = "alpha beta the", "gamma delta of", "eps zeta to"
+    W = "dub one the dub two of dub three to"  # 3 sentences, incoming-only
+    V = "vee one and"
+    docs = [
+        (1, f"{S1} {S2} {S3}", "en", "src0", 10),      # existing corpus
+        (2, f"{V} {S1} {S2} {S3}", "en", "src1", 10),  # incoming: cut
+        (3, W, "en", "src1", 10),                       # incoming twin A
+        (4, W, "en", "src3", 10),                       # incoming twin B
+    ]
+    d = tmp_path / "isg"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in incr_sentence_span_dedup(spark, str(d)).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert set(got) == {2, 3, 4}  # existing doc 1 emits nothing
+    assert got[2].n_sentences_cut == 3 and got[2].cleaned_md5 == md5(V)
+    # incoming-vs-incoming repeat: NOT in the corpus, so NOT cut
+    assert got[3].n_sentences_cut == 0 and got[4].n_sentences_cut == 0
+
+
+def test_line_dedup_keep_first_and_adjacent_runs(spark, tmp_path):
+    """Non-vacuous D107: a repeated line keeps only its lexicographic-
+    first occurrence — including repeats WITHIN one doc — and adjacent
+    cut lines collapse into one span."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import line_dedup
+
+    L, X, Y = "alpha beta the", "ex one of", "why two to"
+    docs = [
+        (1, f"{L} {X}", "en", "src0", 10),       # canonical holder of L
+        (2, f"{L} {Y} {L}", "en", "src1", 10),   # both copies cut
+        (3, f"{L} {L} solo", "en", "src2", 10),  # adjacent run -> 1 span
+    ]
+    d = tmp_path / "ld"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in line_dedup(spark, str(d)).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1].n_sentences_cut == 0
+    assert got[1].cleaned_md5 == md5("|".join([L, X]))
+    assert got[2].n_sentences_cut == 2 and got[2].cleaned_md5 == md5(Y)
+    assert got[2].n_spans == 2  # positions 0 and 2: non-adjacent runs
+    assert got[3].n_sentences_cut == 2 and got[3].n_spans == 1  # adjacent run
+    assert got[3].cleaned_md5 == md5("solo")
+
+
+def test_contamination_fraction_tiers_by_hand(spark, tmp_path):
+    """Non-vacuous D108: hand-built docs land in each tier — an eval
+    clone reads 'dirty' (100% coverage), a doc quoting one window is
+    'not_clean' or 'clean' by exact integer arithmetic, an untouched
+    doc is 'clean' — and eval docs are held out of the output."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import (
+        EVAL_MOD,
+        NGRAM_DECON_N,
+        contamination_fraction,
+    )
+
+    def is_eval(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % EVAL_MOD == 0
+
+    eval_id = next(i for i in range(10_000) if is_eval(i))
+    non_eval = [i for i in range(10_000) if not is_eval(i)][:3]
+    N = NGRAM_DECON_N
+    eval_toks = [f"ev{i}" for i in range(2 * N)]  # 26 tokens
+    quote = eval_toks[:N]  # one shared window
+    filler = [f"fill{i}" for i in range(3 * N)]
+    docs = [
+        (eval_id, " ".join(eval_toks), "en", "src0", 10),
+        # clone of the eval doc: every window matches -> coverage 100%
+        (non_eval[0], " ".join(eval_toks), "en", "src1", 10),
+        # 13 contaminated of 52 tokens -> exactly 25% -> not_clean
+        (non_eval[1], " ".join(quote + filler), "en", "src2", 10),
+        (non_eval[2], " ".join(filler), "en", "src0", 10),
+    ]
+    d = tmp_path / "cf"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in contamination_fraction(spark, str(d)).collect()}
+
+    assert eval_id not in got  # held out
+    assert got[non_eval[0]].verdict == "dirty"
+    assert got[non_eval[0]].n_tokens_contaminated == 2 * N
+    r = got[non_eval[1]]
+    assert (r.n_tokens_contaminated, r.n_tokens) == (N, N + 3 * N)
+    assert r.verdict == "not_clean"  # 13*5 >= 52 exactly at the 20% line? 65 >= 52 -> yes
+    assert got[non_eval[2]].verdict == "clean"
+    assert got[non_eval[2]].n_tokens_contaminated == 0

@@ -839,6 +839,10 @@ def test_sentence_span_dedup_rowlocal_cut_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    # the packed-bigint argmin keeps the cans group-by hash-aggregable:
+    # a struct-min would plan as SortAggregate — a per-partition sort
+    # of the corpus-wide window stream (measured 1.21x at 10x)
+    assert "SortAggregate" not in plan
     specs = window_partition_keys(spark, "sentence_span_dedup")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("doc_id" in keys for keys in specs)
@@ -866,6 +870,7 @@ def test_line_dedup_shares_the_sentence_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    assert "SortAggregate" not in plan  # packed argmin, not struct-min
     specs = window_partition_keys(spark, "line_dedup")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("doc_id" in keys for keys in specs)

@@ -2732,6 +2732,18 @@ SENTS_DUCK = (
     "s -> trim(s)), s -> s <> '')"
 )
 
+# The canonical pick packs (doc_id, p) into ONE bigint: doc_id * 2^20
+# + p orders identically to the lexicographic struct as long as p <
+# 2^20 (a million sentence positions in one document — far past any
+# real page; beyond it the tie-break degrades gracefully to the packed
+# order, still deterministic and identical in both engines because
+# both compute the same arithmetic). The payoff is the AGGREGATE
+# CLASS: min over a struct is not hash-aggregable in Spark (the cans
+# group-by planned as SortAggregate — a per-partition sort of the
+# corpus-wide window stream); min over a bigint is a plain
+# HashAggregate (measured 1.21x at the 10x worst-case replication).
+SENT_PACK = 1 << 20
+
 SENT_SPAN_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {SENTS_DUCK} AS sents FROM documents
@@ -2746,12 +2758,12 @@ w AS (
   WHERE len(sents) >= {SENT_S}
 ),
 cans AS (
-  SELECT h, min(struct_pack(d := doc_id, p := p)) AS c
+  SELECT h, min(doc_id * {SENT_PACK} + p) AS c
   FROM w GROUP BY h HAVING count(*) > 1
 ),
 pos AS (
   SELECT w.doc_id, w.p FROM w JOIN cans ON w.h = cans.h
-  WHERE w.doc_id <> cans.c.d OR w.p <> cans.c.p
+  WHERE w.doc_id * {SENT_PACK} + w.p <> cans.c
 ),
 {_ES_ISLAND_TPL.format(W=SENT_S)},
 ranges AS (
@@ -2791,7 +2803,8 @@ def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic splitter), any such span occurring >= 2 times
     corpus-wide is cut from every NON-CANONICAL occurrence, and the
     canonical occurrence — lowest doc_id, then lowest position (one
-    argmin struct per repeated span hash) — is KEPT, which is the
+    packed-bigint argmin per repeated span hash, SENT_PACK above) —
+    is KEPT, which is the
     published rule's "all but one" and differs from D73/D78's
     symmetric Lee-et-al. rule that flags every occurrence. Per doc
     with >= {SENT_S} sentences: non-canonical repeated windows merge
@@ -2805,14 +2818,17 @@ def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule, identical in both engines.
 
     Exactness: counts and span arithmetic are integers; the canonical
-    pick is a lexicographic (doc_id, p) struct-min, ordered identically
-    in Spark and DuckDB on non-null ints; both engines md5 the same
+    pick is min(doc_id * SENT_PACK + p) — identical 64-bit arithmetic
+    in Spark and DuckDB, equal to the lexicographic (doc_id, p) min
+    under the documented position bound; both engines md5 the same
     '|'-joined strings.
 
     SCALE: one window fingerprint per sentence position — O(total
     sentences) rows, ~an order sparser than D73's per-token stream —
-    and the only corpus-scale shuffles are the cans group-by (partial
-    agg first: count + one 16-byte struct-min per hash, unique hashes
+    and the only corpus-scale shuffles are the cans group-by (a plain
+    HashAggregate: count + one 8-byte packed argmin per hash — a
+    struct-min would force SortAggregate, a per-partition sort of this
+    whole stream; partial agg first, so unique hashes
     ship one row per partition) and the survivors-only join back;
     island merge runs per-doc on flagged positions only and the cut is
     ROW-LOCAL exactly as D78 (ranges are O(spans) structs joined to
@@ -2823,17 +2839,28 @@ def sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     D; C4 / RefinedWeb curation rule, PAPERS.md)."""
     t = sent_frame(_docs(spark, sf_dir))
     w = sent_window_frame(t)
-    cans = (
-        w.groupBy("h")
-        .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "p")).alias("c"))
-        .filter("n > 1")
-    )
+    cans = sent_canonical_frame(w)
     pos = (
-        w.join(cans.select("h", "c"), "h")
-        .filter("doc_id <> c.doc_id OR p <> c.p")
+        w.join(cans, "h")
+        .filter(F.col("doc_id") * SENT_PACK + F.col("p") != F.col("c"))
         .select("doc_id", "p")
     )
     return sent_span_cut(t, pos)
+
+
+def sent_canonical_frame(w: DataFrame) -> DataFrame:
+    """(h, c): the packed canonical occurrence per REPEATED window hash
+    — c = min(doc_id * SENT_PACK + p), the hash-aggregable argmin (see
+    the SENT_PACK note above) shared by D105 and D107."""
+    return (
+        w.groupBy("h")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("doc_id") * SENT_PACK + F.col("p")).alias("c"),
+        )
+        .filter("n > 1")
+        .select("h", "c")
+    )
 
 
 def sent_frame(docs: DataFrame, s: int = SENT_S) -> DataFrame:
@@ -3016,12 +3043,12 @@ w AS (
   WHERE len(sents) >= 1
 ),
 cans AS (
-  SELECT h, min(struct_pack(d := doc_id, p := p)) AS c
+  SELECT h, min(doc_id * {SENT_PACK} + p) AS c
   FROM w GROUP BY h HAVING count(*) > 1
 ),
 pos AS (
   SELECT w.doc_id, w.p FROM w JOIN cans ON w.h = cans.h
-  WHERE w.doc_id <> cans.c.d OR w.p <> cans.c.p
+  WHERE w.doc_id * {SENT_PACK} + w.p <> cans.c
 ),
 {_ES_ISLAND_TPL.format(W=1)},
 ranges AS (
@@ -3058,7 +3085,8 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere but its first occurrence): D105's keep-one machinery at
     span length 1, i.e. the dedup unit is ONE sentence/line under the
     same deterministic splitter, the canonical occurrence is the
-    lexicographic (doc_id, p) struct-min per repeated line hash, and
+    packed-bigint argmin per repeated line hash (sent_canonical_frame,
+    shared with D105), and
     every other occurrence is cut. Unlike D105, EVERY doc with at
     least one sentence participates (a 3-sentence span needs 3
     sentences; a line needs 1). n_spans counts RUNS of consecutive
@@ -3078,14 +3106,9 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     D; RefinedWeb curation rule, PAPERS.md)."""
     t = sent_frame(_docs(spark, sf_dir), s=1)
     w = sent_window_frame(t, s=1)
-    cans = (
-        w.groupBy("h")
-        .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "p")).alias("c"))
-        .filter("n > 1")
-    )
     pos = (
-        w.join(cans.select("h", "c"), "h")
-        .filter("doc_id <> c.doc_id OR p <> c.p")
+        w.join(sent_canonical_frame(w), "h")
+        .filter(F.col("doc_id") * SENT_PACK + F.col("p") != F.col("c"))
         .select("doc_id", "p")
     )
     return sent_span_cut(t, pos, s=1)
