@@ -165,3 +165,26 @@ def test_retry_stats_best_and_spread():
     assert spread == 3.0  # max/min — the noise witness
     ratio, spread = bench.retry_stats([1.2], 1.0)
     assert (ratio, spread) == (1.2, 1.0)
+
+
+def test_merge_history_entry_keeps_best_at_pin_reading():
+    """Round-11 rule: one noisy at-pin window must not overwrite the
+    best reading for an unchanged source — the history answers 'can
+    this plan run at pin', so the minimum raw ratio is the witness."""
+    import bench
+
+    first = {"raw_ratio": 1.2, "sw_factor": 1.0, "ts": 1, "src_md5": "x"}
+    got = bench.merge_history_entry(None, dict(first))
+    assert got["raw_ratio"] == 1.2 and got["n_windows"] == 1
+    worse = {"raw_ratio": 1.47, "sw_factor": 0.93, "ts": 2, "src_md5": "x"}
+    got = bench.merge_history_entry(got, worse)
+    assert got["raw_ratio"] == 1.2  # outlier does not overwrite
+    assert got["n_windows"] == 2
+    better = {"raw_ratio": 1.1, "sw_factor": 0.96, "ts": 3, "src_md5": "x"}
+    got = bench.merge_history_entry(got, better)
+    assert got["raw_ratio"] == 1.1 and got["n_windows"] == 3
+    # a changed source never reaches merge with the old entry:
+    # load_normal_history drops mismatched fingerprints first, so the
+    # caller passes old=None and the entry restarts
+    fresh = bench.merge_history_entry(None, {"raw_ratio": 2.0, "src_md5": "y"})
+    assert fresh["raw_ratio"] == 2.0 and fresh["n_windows"] == 1
