@@ -188,3 +188,134 @@ def test_merge_history_entry_keeps_best_at_pin_reading():
     # caller passes old=None and the entry restarts
     fresh = bench.merge_history_entry(None, {"raw_ratio": 2.0, "src_md5": "y"})
     assert fresh["raw_ratio"] == 2.0 and fresh["n_windows"] == 1
+
+
+def test_merge_history_entry_best_ages_out():
+    """ADVICE r12: a kept best older than HISTORY_MAX_AGE_SEC yields to
+    the current window's reading (and the corroboration count
+    restarts) — the 'can this plan run at pin' witness must stay
+    current, not historical-best-forever, or a persistent
+    environment-driven slowdown of an unchanged plan never re-surfaces
+    through the corroboration path."""
+    import bench
+
+    old = {"raw_ratio": 1.1, "sw_factor": 1.0, "ts": 1_000, "src_md5": "x"}
+    # within the horizon: best still wins
+    recent = {
+        "raw_ratio": 1.5,
+        "sw_factor": 1.0,
+        "ts": 1_000 + bench.HISTORY_MAX_AGE_SEC,
+        "src_md5": "x",
+    }
+    got = bench.merge_history_entry(dict(old), recent)
+    assert got["raw_ratio"] == 1.1 and got["n_windows"] == 2
+    # past the horizon: the stale best expires in favor of the current
+    # reading, n_windows restarts
+    late = dict(recent, ts=1_001 + bench.HISTORY_MAX_AGE_SEC)
+    got = bench.merge_history_entry(dict(old), late)
+    assert got["raw_ratio"] == 1.5 and got["n_windows"] == 1
+    # ...and a plan still at pin simply renews its witness at the new ts
+    renew = {"raw_ratio": 1.05, "sw_factor": 1.0, "ts": late["ts"], "src_md5": "x"}
+    got = bench.merge_history_entry(dict(old), renew)
+    assert got["raw_ratio"] == 1.05 and got["ts"] == late["ts"]
+
+
+def test_const_repr_plain_data_only_and_sorted():
+    """The fingerprint's constant reprs must be process-stable: sets and
+    dicts sort by element repr (str hash order is randomized per
+    process), and anything non-plain-data (modules, functions, Column
+    exprs) folds to None rather than a memory-address repr."""
+    import bench
+
+    assert bench._const_repr("abc") == repr("abc")
+    assert bench._const_repr(42) == "42"
+    assert bench._const_repr((1, "a")) == "[1,'a']"
+    assert bench._const_repr({"b", "a"}) == "{'a','b'}"
+    assert bench._const_repr({"k2": 2, "k1": 1}) == "{'k1':1,'k2':2}"
+    assert bench._const_repr(bench) is None  # module
+    assert bench._const_repr(bench._const_repr) is None  # function
+    assert bench._const_repr({"k": bench}) is None  # poisoned container
+    deep = [[[[[1]]]]]
+    assert bench._const_repr(deep) is None  # depth-capped
+
+
+def test_query_src_md5_covers_module_constants(monkeypatch):
+    """ADVICE r12 (medium): plans built from module-level expression
+    strings (TOKENS_SPARK, SENT_PACK, ...) must change their composed
+    fingerprint when the constant changes — co_names reaches the name
+    but the old FunctionType/type filter skipped its value, so editing
+    such a constant changed every composed plan without invalidating
+    its at-pin history entry."""
+    import bench
+    import uforwarder_spark.operators.dedup as dmod
+
+    before = bench._query_src_md5("contamination_fraction")
+    assert before is not None
+    assert before == bench._query_src_md5("contamination_fraction")  # stable
+    monkeypatch.setattr(
+        dmod, "TOKENS_SPARK", dmod.TOKENS_SPARK + " /* edited */"
+    )
+    after = bench._query_src_md5("contamination_fraction")
+    assert after is not None and after != before
+    monkeypatch.undo()
+    assert bench._query_src_md5("contamination_fraction") == before
+
+
+def test_jit_episode_candidate_signature():
+    """VERDICT r11 #2: the fresh-JVM re-time fires ONLY on the one-JVM
+    codegen-storm signature — raw > 3x, genuine compute (sched share
+    < 0.4), and an unchanged source whose history reading is in-band.
+    Every other shape keeps its normal verdict path."""
+    import bench
+
+    inband = {"raw_ratio": 1.09, "src_md5": "x"}
+    assert bench.jit_episode_candidate(7.9, 0.319, inband)
+    assert not bench.jit_episode_candidate(2.9, 0.319, inband)  # below 3x
+    assert not bench.jit_episode_candidate(7.9, 0.45, inband)  # host-priced
+    assert not bench.jit_episode_candidate(7.9, None, inband)  # no evidence
+    assert not bench.jit_episode_candidate(7.9, 0.319, None)  # no history
+    assert not bench.jit_episode_candidate(None, 0.319, inband)
+    outband = {"raw_ratio": 1.5, "src_md5": "x"}
+    assert not bench.jit_episode_candidate(7.9, 0.319, outband)  # real drift
+
+
+def test_apply_jit_adjudication_paths():
+    """The episode clears only when the fresh JVM is itself at pin AND
+    reads the line in-band; an out-of-band reading, a slow fresh
+    engine, or a failed retime leaves plan_work standing — the record
+    must never clear a real regression on a technicality."""
+    import bench
+
+    hist = {n: {"raw_ratio": 1.1, "src_md5": "x"} for n in "abcde"}
+    raw = {n: 7.9 for n in "abcde"}
+    sched = {n: 0.3 for n in "abcde"}
+    verdicts = {n: "plan_work" for n in "abcde"}
+    verdicts["e"] = "host_priced"  # never retimed
+    fresh = {
+        "a": {"ratio": 1.09, "sw_factor": 1.0},  # clears
+        "b": {"ratio": 1.6, "sw_factor": 1.0},  # out-of-band: stands
+        "c": {"ratio": 1.05, "sw_factor": 1.4},  # slow fresh JVM: stands
+        "d": None,  # retime failed: stands
+    }
+    calls = []
+
+    def retime(n):
+        calls.append(n)
+        return fresh[n]
+
+    got, retimes = bench.apply_jit_adjudication(verdicts, raw, sched, hist, retime)
+    assert got == {
+        "a": "jit_episode",
+        "b": "plan_work",
+        "c": "plan_work",
+        "d": "plan_work",
+        "e": "host_priced",
+    }
+    assert sorted(calls) == ["a", "b", "c", "d"]  # host_priced skipped
+    assert retimes == fresh
+    # a line whose history is out-of-band is never retimed at all
+    hist2 = {"a": {"raw_ratio": 1.5, "src_md5": "x"}}
+    got2, retimes2 = bench.apply_jit_adjudication(
+        {"a": "plan_work"}, raw, sched, hist2, retime
+    )
+    assert got2 == {"a": "plan_work"} and retimes2 == {}

@@ -1530,7 +1530,7 @@ def test_contamination_fraction_tiers_by_hand(spark, tmp_path):
         return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % EVAL_MOD == 0
 
     eval_id = next(i for i in range(10_000) if is_eval(i))
-    non_eval = [i for i in range(10_000) if not is_eval(i)][:3]
+    non_eval = [i for i in range(10_000) if not is_eval(i)][:4]
     N = NGRAM_DECON_N
     eval_toks = [f"ev{i}" for i in range(2 * N)]  # 26 tokens
     quote = eval_toks[:N]  # one shared window
@@ -1542,6 +1542,9 @@ def test_contamination_fraction_tiers_by_hand(spark, tmp_path):
         # 13 contaminated of 52 tokens -> exactly 25% -> not_clean
         (non_eval[1], " ".join(quote + filler), "en", "src2", 10),
         (non_eval[2], " ".join(filler), "en", "src0", 10),
+        # ZERO tokens after [a-z0-9] tokenization (ADVICE r12): the
+        # 0/0 guard must read frac 0.0 / 'clean', not NULL-vs-NaN
+        (non_eval[3], "!!! ??? ---", "en", "src1", 10),
     ]
     d = tmp_path / "cf"
     spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
@@ -1557,3 +1560,45 @@ def test_contamination_fraction_tiers_by_hand(spark, tmp_path):
     assert r.verdict == "not_clean"  # 13*5 >= 52 exactly at the 20% line? 65 >= 52 -> yes
     assert got[non_eval[2]].verdict == "clean"
     assert got[non_eval[2]].n_tokens_contaminated == 0
+    z = got[non_eval[3]]
+    assert (z.n_tokens, z.contam_frac, z.verdict) == (0, 0.0, "clean")
+
+
+def test_contamination_fraction_zero_token_oracle_parity(spark, duck, tmp_path):
+    """ADVICE r12 (operators/dedup.py contam_frac 0/0): the unguarded
+    fraction reads NULL in Spark (non-ANSI Divide) but NaN in DuckDB
+    (IEEE) on a zero-token doc, breaking the driver's value hash on
+    exactly that row. Both engines now guard on n_tokens = 0 — this
+    runs the REGISTERED oracle SQL against a corpus that contains such
+    a doc, the comparison the stock parity suite can't exercise
+    (driver testdata has no zero-token text)."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import EVAL_MOD
+    from uforwarder_spark.registry import ORACLES, QUERIES
+
+    from .parity import assert_parity
+
+    def is_eval(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % EVAL_MOD == 0
+
+    eval_id = next(i for i in range(10_000) if is_eval(i))
+    non_eval = [i for i in range(10_000) if not is_eval(i)][:2]
+    docs = [
+        (eval_id, "ev one two three four", "en", "src0", 10),
+        (non_eval[0], "plain english words here", "en", "src1", 10),
+        (non_eval[1], "!!! ??? ---", "en", "src2", 10),  # zero tokens
+    ]
+    d = tmp_path / "cfp"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    spark_pdf = QUERIES["contamination_fraction"](spark, str(d)).toPandas()
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    duck_pdf = duck.execute(ORACLES["contamination_fraction"]).fetchdf()
+    assert_parity(spark_pdf, duck_pdf, "contamination_fraction")
+    z = spark_pdf[spark_pdf.doc_id == non_eval[1]].iloc[0]
+    assert (z.n_tokens, z.contam_frac, z.verdict) == (0, 0.0, "clean")

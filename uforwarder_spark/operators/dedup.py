@@ -3156,9 +3156,13 @@ SELECT b.doc_id, b.source, b.n_tokens,
        coalesce(a.n_matched_windows, 0) AS n_matched_windows,
        coalesce(a.n_spans, 0) AS n_spans,
        coalesce(a.n_tokens_contaminated, 0) AS n_tokens_contaminated,
-       round(CAST(coalesce(a.n_tokens_contaminated, 0) AS DOUBLE) / b.n_tokens, 6)
+       CASE WHEN b.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(
+              CAST(coalesce(a.n_tokens_contaminated, 0) AS DOUBLE) / b.n_tokens,
+              6) END
          AS contam_frac,
-       CASE WHEN coalesce(a.n_tokens_contaminated, 0) * 5 >= b.n_tokens * 4
+       CASE WHEN b.n_tokens = 0 THEN 'clean'
+            WHEN coalesce(a.n_tokens_contaminated, 0) * 5 >= b.n_tokens * 4
               THEN 'dirty'
             WHEN coalesce(a.n_tokens_contaminated, 0) * 5 >= b.n_tokens
               THEN 'not_clean'
@@ -3182,7 +3186,11 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tier compare is INTEGER cross-multiplication, so the 20%/80%
     boundaries are bit-exact in both engines. Eval docs are held out
     (the D67 convention); docs shorter than the window are 'clean' at
-    zero coverage.
+    zero coverage, and a ZERO-TOKEN doc is 'clean' at frac 0.0 by an
+    explicit n_tokens = 0 guard in BOTH engines (ADVICE r12: Spark's
+    non-ANSI 0/0 reads NULL while DuckDB's IEEE divide reads NaN, so
+    the unguarded fraction breaks oracle parity exactly on that row —
+    and 0 >= 0 cross-multiplication would tier an empty doc 'dirty').
 
     SCALE: identical plan to D80's detection — benchmark-sized eval
     gram set broadcast, one corpus scan + gram explode, only broadcast
@@ -3225,8 +3233,11 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_matched_windows", z).alias("n_matched_windows"),
         F.coalesce("n_spans", z).alias("n_spans"),
         cov.alias("n_tokens_contaminated"),
-        F.round(cov.cast("double") / F.col("n_tokens"), 6).alias("contam_frac"),
-        F.when(cov * 5 >= F.col("n_tokens") * 4, "dirty")
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.round(cov.cast("double") / F.col("n_tokens"), 6))
+        .alias("contam_frac"),
+        F.when(F.col("n_tokens") == 0, "clean")
+        .when(cov * 5 >= F.col("n_tokens") * 4, "dirty")
         .when(cov * 5 >= F.col("n_tokens"), "not_clean")
         .otherwise("clean")
         .alias("verdict"),
