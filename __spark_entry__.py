@@ -20,57 +20,54 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # keys with the OLDEST driver evidence. Keys beyond the window stay
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
-# Round-11 window (round-10 verdict item 1): slot arithmetic (counted,
-# not estimated): 4 new this round + the full 46-key r07-evidence
-# cohort = 50 exactly. token_bucket_summary (verdict item 8: the
-# token-bucket kernel's hash-green twin, due inside every second
-# window) did not fit once D108 landed — it leads the r12 spares,
-# within its <= r12 due date. After this round the oldest evidence is
-# the r08 cohort (48 keys remaining) — r12's window is new/changed +
-# token_bucket_summary + those 48 (1 slot spare, before any r12
-# additions).
+# Round-12 window (round-11 verdict item 1): slot arithmetic (counted,
+# not estimated): 1 NEW (paragraph_span_dedup, D109 — verdict item 6's
+# spare-slot condition was met because token_bucket_summary sits
+# INSIDE the 48-key r08 cohort, not beside it) + 1 CHANGED
+# (contamination_fraction — the ADVICE r12 zero-token 0/0 guard
+# changed both the plan and the oracle text) + the full 48-key
+# r08-evidence cohort (every key whose latest green driver row is
+# CORRECTNESS_r08, token_bucket_summary among them — its <= r12 due
+# date lands inside the cohort rotation) = 50 exactly, 0 spare.
+# After this round the oldest evidence is the r09 cohort (49 keys) —
+# r13's window is new/changed + those 49 (1 slot spare, before any
+# r13 additions).
 _KEY_PRIORITY = [
-    # -- (a) new this round (4): sentence_span_dedup is NEW (D105, the
-    #    C4 three-sentence keep-one span rule — VERDICT r10 #5);
-    #    incr_sentence_span_dedup is NEW (D106, the same rule in the
-    #    D74 at-ingest asymmetric shape, live twin E55); line_dedup is
-    #    NEW (D107, the RefinedWeb exact line rule = the keep-one
-    #    machinery at span 1); contamination_fraction is NEW (D108,
-    #    the Llama-2 covered-token-mass tier rule over D80's shared
-    #    detection head) --
-    "sentence_span_dedup", "incr_sentence_span_dedup", "line_dedup",
-    "contamination_fraction",
-    # -- (b) the full r07-evidence cohort (46) — every key whose latest
-    #    green driver row is CORRECTNESS_r07; the four gen1/gen2 ANN
-    #    keys under this round's perf adjudication (ann_topk_lsh /
-    #    bruteforce is gen1-family / pq / ivf_int8) lead so any plan
-    #    change from that work is driver-checked in the same round --
-    "ann_topk_lsh", "ann_topk_pq", "ann_topk_ivf_int8",
-    "ann_topk_int8_rescore",
-    "audio_silence_segments", "batch_job_completion",
-    "bigram_perplexity", "containment_pairs", "contrastive_triplets",
-    "corpus_shuffle_export", "corpus_snapshot_diff",
-    "cusum_changepoints", "decon_span_removal", "dedup_exact",
-    "dedup_minhash_lsh", "doremi_weights", "embedding_int8_quantize",
-    "flow_control_aggregate", "heaps_vocab_growth",
-    "hybrid_rrf_multiquery", "hybrid_rrf_retrieval", "incr_knn_edges",
-    "incr_triplet_mining", "index_drift_stats", "ivf_index_refresh",
-    "jl_projection_audit", "kmeans_cluster_purity",
-    "kmeans_embedding_assign", "kmv_sketch_overlap", "knn_graph_lsh",
-    "knn_graph_pagerank", "lsh_recall_audit", "markov_transitions",
-    "ngram_decontamination", "pmi_collocations",
-    "pod_assignment_groups", "quality_classifier_score",
-    "reactive_downscale_window", "scale_window_proposal",
-    "semdedup_prune", "sequence_packing", "split_leakage_audit",
-    "system_load_ratio", "user_sessions", "worker_lease_reassignment",
-    "workload_monitor_ttl",
-    # ---------------- 50-slot window ends here ----------------
-    # token_bucket_summary leads the r12 spares (verdict item 8,
-    # due <= r12; the rows-only token_bucket_exact's hash-pinned twin)
+    # -- (a) new/changed this round (2): paragraph_span_dedup is NEW
+    #    (D109, the MassiveText repeated-paragraph keep-one rule =
+    #    the D105/D107 kernels at a paragraph declared unit);
+    #    contamination_fraction CHANGED (n_tokens = 0 guard in both
+    #    engines, ADVICE r12) --
+    "paragraph_span_dedup", "contamination_fraction",
+    # -- (b) the full r08-evidence cohort (48) — every key whose
+    #    latest green driver row is CORRECTNESS_r08; token_bucket_
+    #    summary (the rows-only A18 kernel's hash-pinned twin, due
+    #    <= r12 per VERDICT r11 item 8) is a member and leads --
     "token_bucket_summary",
+    "aimd_inflight_limiter", "asof_join_purchases", "bm25_topk",
+    "bpe_train_merges", "cdc_chunking", "cms_heavy_hitters",
+    "cube_revenue", "embedding_centroid_outliers",
+    "exact_substring_dedup", "fetcher_throughput", "funnel_conversion",
+    "head_blocking_cancel", "hll_distinct_tokens",
+    "importance_sampling_weights", "incremental_dedup",
+    "kcenter_coreset", "lang_id", "linger_sampler",
+    "mixture_interleave", "multimodal_resize", "ngram_entropy",
+    "ngram_novelty", "pipeline_health", "pivot_priority_revenue",
+    "range_join_error_impact", "resq_routing", "retention_cohorts",
+    "source_lang_kl", "source_overlap_matrix",
+    "substring_span_removal", "timeseries_znorm_topk",
+    "token_budget_allocation", "tpch_q10_returned_revenue",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_filter",
+    "tpch_q1_pricing_summary", "tpch_q22_idle_balances",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "weighted_sample_ares",
+    "window_outliers", "zipf_fit",
+    # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every
     # key with the driver-grade comparator): everything else carries
-    # r07+ evidence. token_bucket_exact stays last (rows-only by
+    # r09+ evidence. token_bucket_exact stays last (rows-only by
     # design — no SQL oracle; its hash-green twin token_bucket_summary
     # pins the shared applyInPandas kernel).
     "token_bucket_exact",

@@ -1602,3 +1602,41 @@ def test_contamination_fraction_zero_token_oracle_parity(spark, duck, tmp_path):
     assert_parity(spark_pdf, duck_pdf, "contamination_fraction")
     z = spark_pdf[spark_pdf.doc_id == non_eval[1]].iloc[0]
     assert (z.n_tokens, z.contam_frac, z.verdict) == (0, 0.0, "clean")
+
+
+def test_paragraph_span_dedup_blocks_by_hand(spark, tmp_path):
+    """Non-vacuous D109: a repeated 4-sentence paragraph block keeps
+    only its first occurrence (including in-doc repeats); a 6-sentence
+    doc splits into one full block plus its 2-sentence tail paragraph;
+    a doc that was ALL duplicate paragraphs keeps nothing."""
+    import hashlib
+
+    from uforwarder_spark.operators.dedup import PARA_G, paragraph_span_dedup
+
+    assert PARA_G == 4  # the hand arithmetic below assumes it
+    P = "p one the p two of p three to p four and"  # one full block
+    Q = "q one the q two of q three to q four and"
+    R = "r one the r two of r three to r four and"
+    tail = "t one the t two of"  # 2 sentences
+    docs = [
+        (1, f"{P} {Q}", "en", "src0", 10),  # canonical holder of P, Q
+        (2, P, "en", "src1", 10),           # all-duplicate: kept empty
+        (3, f"{R} {P}", "en", "src2", 10),  # P cut, R kept
+        (4, f"{P} {tail}", "en", "src0", 10),  # full block + partial tail
+        (5, f"{P} {P}", "en", "src1", 10),  # in-doc repeat: both cut
+    ]
+    d = tmp_path / "pd"
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"]).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in paragraph_span_dedup(spark, str(d)).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1].n_paragraphs == 2 and got[1].n_paragraphs_cut == 0
+    assert got[1].cleaned_md5 == md5("|".join([P, Q]))
+    assert got[2].n_paragraphs_cut == 1 and got[2].cleaned_md5 == md5("")
+    assert got[3].n_paragraphs_cut == 1 and got[3].cleaned_md5 == md5(R)
+    assert got[4].n_paragraphs == 2  # partial tail is its own paragraph
+    assert got[4].n_paragraphs_cut == 1 and got[4].cleaned_md5 == md5(tail)
+    assert got[5].n_paragraphs_cut == 2 and got[5].cleaned_md5 == md5("")
+    assert got[5].n_spans == 1  # adjacent cut paragraphs: one run

@@ -887,3 +887,19 @@ def test_contamination_fraction_broadcast_gate_one_agg(spark):
     specs = window_partition_keys(spark, "contamination_fraction")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("doc_id" in keys for keys in specs)
+
+
+def test_paragraph_span_dedup_shares_the_sentence_plan_shape(spark):
+    # D109: the MassiveText paragraph rule is D107's plan at a
+    # paragraph declared unit — one count+argmin hash group-by,
+    # survivors-only join, per-doc island windows, row-local cut,
+    # nothing through Python, no cartesian (reuses the D105/D107
+    # assertions verbatim per VERDICT r11 #6)
+    plan = plan_of(spark, "paragraph_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    assert "SortAggregate" not in plan  # packed argmin, not struct-min
+    specs = window_partition_keys(spark, "paragraph_span_dedup")
+    assert specs and all(keys for keys in specs), f"global window: {specs}"
+    assert any("doc_id" in keys for keys in specs)

@@ -3489,3 +3489,88 @@ def test_contamination_fraction_equals_python_replay(
         for r in contamination_fraction(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_sent_words, min_size=2, max_size=8),
+    plant=st.lists(st.booleans(), min_size=2, max_size=8),
+)
+def test_paragraph_span_dedup_equals_python_replay(
+    spark, tmp_path_factory, texts, plant
+):
+    """D109 invariant: the MassiveText paragraph rule equals a pure-
+    Python replay of the keep-one machinery at span 1 over PARA_G-
+    sentence paragraph blocks — every repeated paragraph keeps its
+    lexicographic-first occurrence; runs of adjacent cut paragraphs
+    collapse into one span; the trailing partial block is its own
+    paragraph."""
+    import hashlib
+    from collections import Counter
+
+    from uforwarder_spark.functions.tokenize import STOPWORDS
+    from uforwarder_spark.operators.dedup import PARA_G, paragraph_span_dedup
+
+    sw = set(STOPWORDS)
+    # a full PARA_G-sentence block planted verbatim so repeats exist
+    block = "w1 w2 the w3 w4 of w5 w6 to w7 w8 and"
+    docs = [
+        (block + " " if i < len(plant) and plant[i] else "") + " ".join(t)
+        for i, t in enumerate(texts)
+    ]
+    d = tmp_path_factory.mktemp("para_dedup")
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def sents_of(text):
+        out, cur = [], []
+        for t in text.lower().split():
+            cur.append(t)
+            if t in sw:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    def paras_of(text):
+        s = sents_of(text)
+        return [
+            " ".join(s[b : b + PARA_G]) for b in range(0, len(s), PARA_G)
+        ]
+
+    paras = {i: p for i, p in ((i, paras_of(t)) for i, t in enumerate(docs)) if p}
+    cnt = Counter()
+    for p in paras.values():
+        cnt.update(p)
+    canon = {}
+    for i in sorted(paras):
+        for p, para in enumerate(paras[i]):
+            if cnt[para] > 1 and para not in canon:
+                canon[para] = (i, p)
+    want = {}
+    for i, s in paras.items():
+        pos = sorted(
+            p for p, para in enumerate(s) if cnt[para] > 1 and canon[para] != (i, p)
+        )
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        kept = [x for j, x in enumerate(s) if j not in set(pos)]
+        want[i] = (
+            len(s), len(pos), len(spans), len(kept), len(pos),
+            hashlib.md5("|".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (
+            r.n_paragraphs, r.n_dup_windows, r.n_spans,
+            r.n_paragraphs_kept, r.n_paragraphs_cut, r.cleaned_md5,
+        )
+        for r in paragraph_span_dedup(spark, str(d)).collect()
+    }
+    assert got == want

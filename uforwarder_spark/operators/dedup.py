@@ -3242,3 +3242,128 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("clean")
         .alias("verdict"),
     )
+
+
+# --- D109 ----------------------------------------------------------------
+# Paragraph declared unit for the keep-one span family. Real corpora
+# carry '\n\n' paragraph boundaries; this punctuation-free corpus
+# declares a paragraph as a block of PARA_G consecutive sentences
+# under the shared deterministic splitter (the swap point on a real
+# corpus is this ONE expression — everything downstream is the
+# D105/D107 machinery untouched). The trailing partial block is its
+# own paragraph; empty blocks are filtered (guards Spark's
+# sequence(0, -1) on an empty sentence list).
+PARA_G = 4  # sentences per declared paragraph block
+
+_PARA_FROM_SRAW_SPARK = (
+    f"filter(transform(sequence(0, CAST(ceil(size(sraw) / {PARA_G}.0) AS INT)"
+    f" - 1), b -> concat_ws(' ', slice(sraw, b * {PARA_G} + 1, {PARA_G}))), "
+    "x -> x <> '')"
+)
+_PARA_FROM_SRAW_DUCK = (
+    f"list_filter(list_transform(range(CAST(ceil(len(sraw) / {PARA_G}.0) AS "
+    f"INT)), b -> array_to_string(sraw[b * {PARA_G} + 1 : b * {PARA_G} + "
+    f"{PARA_G}], ' ')), x -> x <> '')"
+)
+
+PARA_DEDUP_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, {SENTS_DUCK} AS sraw FROM documents
+),
+t AS (
+  SELECT doc_id, {_PARA_FROM_SRAW_DUCK} AS sents FROM t0
+),
+spine AS (
+  SELECT doc_id, sents, CAST(len(sents) AS BIGINT) AS n_paragraphs
+  FROM t WHERE len(sents) >= 1
+),
+w AS (
+  SELECT doc_id, p, md5(sents[p + 1]) AS h
+  FROM t, unnest(range(len(sents))) AS u(p)
+  WHERE len(sents) >= 1
+),
+cans AS (
+  SELECT h, min(doc_id * {SENT_PACK} + p) AS c
+  FROM w GROUP BY h HAVING count(*) > 1
+),
+pos AS (
+  SELECT w.doc_id, w.p FROM w JOIN cans ON w.h = cans.h
+  WHERE w.doc_id * {SENT_PACK} + w.p <> cans.c
+),
+{_ES_ISLAND_TPL.format(W=1)},
+ranges AS (
+  SELECT doc_id, list(struct_pack(p0 := p0, p1 := p1)) AS rs,
+         CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+outp AS (
+  SELECT s.doc_id, s.n_paragraphs,
+         coalesce(r.n_dup_windows, 0) AS n_dup_windows,
+         coalesce(r.n_spans, 0) AS n_spans,
+         list_filter(
+           list_transform(range(len(s.sents)), i ->
+             CASE WHEN r.rs IS NOT NULL AND len(list_filter(r.rs,
+                    x -> i >= x.p0 AND i < x.p1 + 1)) > 0
+                  THEN NULL ELSE s.sents[i + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM spine s LEFT JOIN ranges r ON s.doc_id = r.doc_id
+)
+SELECT doc_id, n_paragraphs, n_dup_windows, n_spans,
+       CAST(len(kept) AS BIGINT) AS n_paragraphs_kept,
+       CAST(n_paragraphs - len(kept) AS BIGINT) AS n_paragraphs_cut,
+       md5(coalesce(array_to_string(kept, '|'), '')) AS cleaned_md5
+FROM outp
+"""
+
+
+def para_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sents) where each element is one declared PARAGRAPH
+    (a PARA_G-sentence block, partial tail kept) — the paragraph
+    analogue of sent_frame, feeding the same downstream kernels."""
+    s0 = docs.select("doc_id", F.expr(SENTS_SPARK).alias("sraw"))
+    return s0.select(
+        "doc_id", F.expr(_PARA_FROM_SRAW_SPARK).alias("sents")
+    ).filter("size(sents) >= 1")
+
+
+@register("paragraph_span_dedup", PARA_DEDUP_ORACLE)
+def paragraph_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact paragraph-level dedup at the published MassiveText /
+    Gopher grade (Rae et al. 2022's repeated-paragraph removal; the
+    same unit The Pile and RefinedWeb report exact-duplicate chrome
+    at): the keep-one span family (D105/D106/D107) registered at a
+    PARAGRAPH declared unit — SURVEY §2 carry-forward (c), a
+    one-argument call on the shared kernels, not new machinery. A
+    paragraph repeated verbatim corpus-wide keeps only its canonical
+    occurrence (packed-bigint argmin, sent_canonical_frame shared
+    with D105/D107); every other occurrence is cut row-locally.
+    n_spans counts RUNS of consecutive cut paragraphs (es_spans at
+    w=1); cleaned_md5 is the '|'-joined kept paragraphs, comparable
+    with the rest of the family.
+
+    Exactness and SCALE: identical arguments to D107 with a ~PARA_G x
+    sparser fingerprint stream (one md5 per PARAGRAPH — the sparsest
+    in the family): one count+argmin group-by partial-agged map-side,
+    survivors-only join back, per-doc islands, row-local cut. The
+    three published span rules plus this one differ ONLY in their
+    declared unit expression.
+
+    Reference analogue: none — training-data dedup family (SURVEY §2
+    D; MassiveText/Gopher repeated-paragraph rule)."""
+    t = para_frame(_docs(spark, sf_dir))
+    w = sent_window_frame(t, s=1)
+    pos = (
+        w.join(sent_canonical_frame(w), "h")
+        .filter(F.col("doc_id") * SENT_PACK + F.col("p") != F.col("c"))
+        .select("doc_id", "p")
+    )
+    return sent_span_cut(t, pos, s=1).select(
+        "doc_id",
+        F.col("n_sentences").alias("n_paragraphs"),
+        "n_dup_windows",
+        "n_spans",
+        F.col("n_sentences_kept").alias("n_paragraphs_kept"),
+        F.col("n_sentences_cut").alias("n_paragraphs_cut"),
+        "cleaned_md5",
+    )
