@@ -74,6 +74,18 @@ def main() -> None:
     for title, name in STAGES:
         print(f"\n=== {title} [{name}] ===")
         QUERIES[name](spark, sf_dir).show(8, truncate=False)
+    # The COMPOSED funnel (stages chained, not run standalone): exact
+    # dedup -> one span grade -> decon tiers, with per-stage doc/token
+    # accounting — the family-interaction evidence docs/SCALE.md's
+    # round-12 table records at 10x.
+    from uforwarder_spark.operators.funnel import span_family_funnel
+
+    print("\n=== composed span-family funnel (chained stages) ===")
+    acc, _final = span_family_funnel(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    for row in acc:
+        print(f"{row['stage']:>22}: docs={row['docs']:>8} tokens={row['tokens']:>12}")
 
 
 if __name__ == "__main__":
