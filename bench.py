@@ -255,6 +255,18 @@ BASELINE8 = {
 }
 BASELINE8_CAL = 0.105  # single-core witness on the r11 pin window
 
+# gen9 (round 12): the paragraph declared unit of the keep-one span
+# family (D109). Protocol per BASELINE8: pins follow in-bench readings
+# (full warmup) from TWO at-pin windows, pinned at the midpoint —
+# BASELINE.md round-12 addendum records the trail + witnesses.
+HEADLINE9 = [
+    "paragraph_span_dedup",
+]
+BASELINE9 = {
+    "paragraph_span_dedup": 1.10,
+}
+BASELINE9_CAL = 0.105  # single-core witness on the r12 pin windows
+
 GENERATIONS = [
     ("", HEADLINE, BASELINE, BASELINE_CAL),
     ("2", HEADLINE2, BASELINE2, BASELINE2_CAL),
@@ -264,6 +276,7 @@ GENERATIONS = [
     ("6", HEADLINE6, BASELINE6, BASELINE6_CAL),
     ("7", HEADLINE7, BASELINE7, BASELINE7_CAL),
     ("8", HEADLINE8, BASELINE8, BASELINE8_CAL),
+    ("9", HEADLINE9, BASELINE9, BASELINE9_CAL),
 ]
 
 # Pinned Spark-native witness (round 8, VERDICT r07 #7): the engine-
