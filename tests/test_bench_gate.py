@@ -319,3 +319,27 @@ def test_apply_jit_adjudication_paths():
         {"a": "plan_work"}, raw, sched, hist2, retime
     )
     assert got2 == {"a": "plan_work"} and retimes2 == {}
+
+
+def test_corroboration_reading_consults_history_best():
+    """Round-12 rule (the r11 history-merge lesson one layer down): on
+    an at-pin window, the corroboration reading is the BEST of this
+    window's ratio and the recorded best-of-window entry — a line
+    escalates to plan_work only when NO at-pin window has shown it
+    in-band (window 4 of r12 shipped wordpiece_apply_fertility
+    actionable at 1.36 when window 3 had just read the same bytes at
+    0.94)."""
+    import bench
+
+    hist = {"raw_ratio": 0.94, "src_md5": "x"}
+    assert bench.corroboration_reading(1.36, hist) == 0.94
+    assert bench.corroboration_reading(0.91, hist) == 0.91
+    assert bench.corroboration_reading(1.36, None) == 1.36
+    assert bench.corroboration_reading(1.36, {"src_md5": "x"}) == 1.36
+    assert bench.corroboration_reading(None, hist) == 0.94
+    assert bench.corroboration_reading(None, None) is None
+    # end-to-end with the verdict rule: in-band history clears the
+    # escalation; absent history leaves it actionable
+    v = bench.corroborated_verdict
+    assert v("host_priced", bench.corroboration_reading(1.36, hist)) == "host_priced"
+    assert v("host_priced", bench.corroboration_reading(1.36, None)) == "plan_work"
