@@ -2550,3 +2550,61 @@ def test_e55_sentence_gate_matches_batch(spark, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     assert (want.n_sentences_cut > 0).any()  # non-vacuous: real cross-side spans
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e56_paragraph_gate_matches_oneshot(spark, tmp_path):
+    """E56: the union of streamed per-doc paragraph-cut verdicts equals
+    the one-shot gate over the full crawl row-for-row, regardless of
+    how the incoming crawl is chunked into micro-batches (the corpus
+    paragraph index is static) — and carries D109's column names."""
+    import os
+
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import (
+        incr_sent_span_frame,
+        para_frame,
+        sent_window_frame,
+    )
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    corpus = all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
+    incoming = all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+    src = str(tmp_path / "src")
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.paragraph_gate_pipeline(stream, corpus, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    assert len(os.listdir(out)) >= 2  # the gate actually ran per trigger
+    cols = [
+        "doc_id", "n_paragraphs", "n_dup_windows", "n_spans",
+        "n_paragraphs_kept", "n_paragraphs_cut", "cleaned_md5",
+    ]
+    got = (
+        spark.read.parquet(out)
+        .select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    ex_h = sent_window_frame(para_frame(corpus), s=1).select("h").distinct()
+    want = (
+        incr_sent_span_frame(para_frame(incoming), ex_h, s=1)
+        .select(
+            "doc_id",
+            F.col("n_sentences").alias("n_paragraphs"),
+            "n_dup_windows",
+            "n_spans",
+            F.col("n_sentences_kept").alias("n_paragraphs_kept"),
+            F.col("n_sentences_cut").alias("n_paragraphs_cut"),
+            "cleaned_md5",
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (want.n_paragraphs_cut > 0).any()  # non-vacuous: real cross-side cuts
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -3821,3 +3821,67 @@ def test_e55_sentence_gate_replay_idempotent_and_matches_batch(
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e56_paragraph_gate_replay_idempotent_and_matches_oneshot(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E56 property: for ANY arrival chunking of the incoming crawl and
+    a replayed batch (re-gated bit-identical against the static corpus
+    paragraph index), the union of streamed cut verdicts equals the
+    one-shot gate over the full crawl."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import (
+        incr_sent_span_frame,
+        para_frame,
+        sent_window_frame,
+    )
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    corpus = all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
+    incoming_pdf = (
+        all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+        .toPandas()[DOCS_COLS]
+    )
+
+    def make_query(stream, tmp, ckpt):
+        return P.paragraph_gate_pipeline(
+            stream, corpus, os.path.join(tmp, "out"), ckpt
+        )
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, incoming_pdf, make_query, ["{tmp}/out/batch_id={bid}"],
+        n_chunks, assign_seed, restart_at, "e56rr",
+    )
+    cols = [
+        "doc_id", "n_paragraphs", "n_dup_windows", "n_spans",
+        "n_paragraphs_kept", "n_paragraphs_cut", "cleaned_md5",
+    ]
+    got = (
+        spark.read.parquet(f"{tmp}/out")
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    ex_h = sent_window_frame(para_frame(corpus), s=1).select("h").distinct()
+    incoming = all_docs.filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+    want = (
+        incr_sent_span_frame(para_frame(incoming), ex_h, s=1)
+        .select(
+            "doc_id",
+            F.col("n_sentences").alias("n_paragraphs"),
+            "n_dup_windows",
+            "n_spans",
+            F.col("n_sentences_kept").alias("n_paragraphs_kept"),
+            F.col("n_sentences_cut").alias("n_paragraphs_cut"),
+            "cleaned_md5",
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

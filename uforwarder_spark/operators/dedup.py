@@ -3016,16 +3016,20 @@ def incr_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incr_sent_span_frame(t_in, ex_h)
 
 
-def incr_sent_span_frame(t_in: DataFrame, ex_h: DataFrame) -> DataFrame:
+def incr_sent_span_frame(
+    t_in: DataFrame, ex_h: DataFrame, s: int = SENT_S
+) -> DataFrame:
     """The D106 gate kernel: incoming sentence frames vs a (persisted)
     existing-corpus DISTINCT window-hash table — shared by batch D106
-    and the live E55 ingest gate."""
+    and the live E55 ingest gate (and, at s=1 over paragraph frames,
+    the E56 paragraph gate: the declared unit is the only degree of
+    freedom, exactly as across D105/D107/D109)."""
     pos = (
-        sent_window_frame(t_in)
+        sent_window_frame(t_in, s=s)
         .join(ex_h, "h", "leftsemi")
         .select("doc_id", "p")
     )
-    return sent_span_cut(t_in, pos)
+    return sent_span_cut(t_in, pos, s=s)
 
 
 # --- D107 ----------------------------------------------------------------

@@ -4247,3 +4247,68 @@ def sentence_gate_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E56: live paragraph ingest gate -----------------------------------------
+def paragraph_gate_pipeline(
+    stream: DataFrame, corpus_docs: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """E56: the live twin of batch D109's unit — the MassiveText /
+    Gopher repeated-paragraph rule as an at-ingest gate: each
+    micro-batch of crawled docs is checked for declared paragraphs
+    (PARA_G-sentence blocks) already present verbatim in the PUBLISHED
+    corpus through the same ``incr_sent_span_frame`` kernel E55 uses,
+    at span length 1 over paragraph frames (keep-one falls out for
+    free at ingest: the corpus IS the canonical occurrence). Per-doc
+    verdicts — kept/cut paragraph accounting plus the cleaned-text
+    identity, in D109's column names — land in a batchId-keyed sink.
+    Stateless per batch, so replays overwrite their own batch_id=N
+    directory (idempotent under at-least-once); the union of streamed
+    verdicts over ANY chunking equals the one-shot gate over the full
+    crawl (the stream tests assert both).
+
+    SCALE: the corpus index is one DISTINCT 16-byte hash per unique
+    corpus PARAGRAPH — ~PARA_G x sparser than E55's sentence-window
+    index, the sparsest in the gate family — persisted once before the
+    first trigger (at 100 TB a hash-bucketed index table maintained
+    per publish, the D36 band-table convention); each trigger pays
+    |batch| paragraph blocking plus a semi-join probed from the batch
+    side, and only matching positions reach the per-doc island merge
+    and the row-local cut.
+
+    Reference analogue: none — training-data dedup family (SURVEY §2
+    E; MassiveText/Gopher paragraph rule, live at-ingest form)."""
+    from ..operators.dedup import incr_sent_span_frame, para_frame, sent_window_frame
+
+    ex_h = (
+        sent_window_frame(para_frame(corpus_docs), s=1)
+        .select("h")
+        .distinct()
+        .persist()
+    )
+    ex_h.count()  # materialize the index once, before the first trigger
+
+    _PARA_COLS = [
+        ("n_sentences", "n_paragraphs"),
+        ("n_dup_windows", "n_dup_windows"),
+        ("n_spans", "n_spans"),
+        ("n_sentences_kept", "n_paragraphs_kept"),
+        ("n_sentences_cut", "n_paragraphs_cut"),
+        ("cleaned_md5", "cleaned_md5"),
+    ]
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t_in = para_frame(batch_df.select("doc_id", "text"))
+        out = incr_sent_span_frame(t_in, ex_h, s=1).select(
+            "doc_id", *[F.col(a).alias(b) for a, b in _PARA_COLS]
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
