@@ -181,3 +181,58 @@ def test_span_family_funnel_accounting_monotone(spark):
     assert all(a >= b for a, b in zip(toks, toks[1:]))
     assert docs[-1] > 0
     assert final.columns == ["doc_id", "text"]
+
+
+PARA_SEED = [
+    # doc 10/11 share an identical 4-sentence block at block position
+    # 0 (the declared-paragraph unit); doc 12 shares the SENTENCES but
+    # not at a block boundary, so the paragraph grade must NOT cut it
+    (10, "w1 the w2 of w3 a w4 to tail one and epsilon", "en", "src0", 10),
+    (11, "w1 the w2 of w3 a w4 to other end here and", "en", "src1", 10),
+    (12, "shift the w1 the w2 of w3 a w4 to end and", "en", "src2", 10),
+    (13, "plain words without any repeats and", "en", "src0", 10),
+]
+
+
+def test_paragraph_grade_drift_locked_to_d109(spark, tmp_path):
+    """The funnel's span stage at the paragraph grade (unit='paragraph',
+    s=1) must rebuild EXACTLY the kept paragraph blocks D109 hashes:
+    re-splitting the rebuilt text and re-BLOCKING by PARA_G reproduces
+    the operator's cleaned_md5 per doc (re-blocking is idempotent —
+    every block except the doc-final partial tail is exactly PARA_G
+    sentences and cuts preserve order), and a repeated sentence run
+    that is NOT block-aligned survives untouched."""
+    from uforwarder_spark.operators.dedup import PARA_G, paragraph_span_dedup
+    from uforwarder_spark.operators.funnel import span_dedup_stage
+
+    def paras_of(text):
+        ss = sents_of(text)
+        return [
+            " ".join(ss[i : i + PARA_G]) for i in range(0, len(ss), PARA_G)
+        ]
+
+    d = _write(spark, tmp_path, PARA_SEED, name="pfc")
+    want = {r.doc_id: r.cleaned_md5 for r in paragraph_span_dedup(spark, d).collect()}
+    got = {
+        r.doc_id: hashlib.md5("|".join(paras_of(r.text)).encode()).hexdigest()
+        for r in span_dedup_stage(
+            _docs_frame(spark, d).select("doc_id", "text"), 1, unit="paragraph"
+        ).collect()
+    }
+    empty = hashlib.md5(b"").hexdigest()
+    assert len(want) > 0
+    for doc_id, md5 in want.items():
+        if md5 == empty:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == md5, f"doc {doc_id} drifted at paragraph grade"
+    # the cut actually fired cross-doc (11 lost its block-0 paragraph)
+    # and the non-block-aligned repeat (12) survived whole
+    texts = {
+        r.doc_id: r.text
+        for r in span_dedup_stage(
+            _docs_frame(spark, d).select("doc_id", "text"), 1, unit="paragraph"
+        ).collect()
+    }
+    assert "w1 the" not in texts[11] and "other end here and" in texts[11]
+    assert texts[12] == PARA_SEED[2][1]

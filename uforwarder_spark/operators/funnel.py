@@ -57,6 +57,7 @@ from .dedup import (
     decon_match_positions,
     es_spans,
     sent_canonical_frame,
+    para_frame,
     sent_frame,
     sent_window_frame,
 )
@@ -96,16 +97,26 @@ def exact_dedup_stage(docs: DataFrame) -> DataFrame:
     return n.join(keep, ["h", "doc_id"], "leftsemi").select("doc_id", "text")
 
 
-def span_dedup_stage(docs: DataFrame, s: int) -> DataFrame:
-    """D107 (s=1) / D105 (s=SENT_S) keep-one cut as a funnel stage:
-    repeated s-sentence windows are cut from every non-canonical
-    occurrence and the text is rebuilt from the kept sentences
-    (' '-join — the deterministic splitter re-derives exactly the kept
-    sentences from the rebuild, so the representation is idempotent;
-    from this stage on the funnel carries the NORMALIZED token
-    stream). Docs with < s sentences pass through untouched; docs cut
-    to nothing drop out of the funnel."""
-    t = sent_frame(docs, s=s)
+def span_dedup_stage(
+    docs: DataFrame, s: int, unit: str = "sentence"
+) -> DataFrame:
+    """D107 (s=1) / D105 (s=SENT_S) / D109 (unit='paragraph', s=1)
+    keep-one cut as a funnel stage: repeated s-unit windows are cut
+    from every non-canonical occurrence and the text is rebuilt from
+    the kept units (' '-join — the deterministic splitter re-derives
+    exactly the kept sentences from the rebuild, so the representation
+    is idempotent; for the paragraph unit re-BLOCKING is also
+    idempotent, because every block except the doc-final partial tail
+    is exactly PARA_G sentences and cuts preserve order, so regrouping
+    the kept blocks reproduces the same blocks — drift-locked in
+    tests). From this stage on the funnel carries the NORMALIZED token
+    stream. Docs below the unit threshold pass through untouched; docs
+    cut to nothing drop out of the funnel."""
+    if unit == "paragraph":
+        assert s == 1, "the paragraph grade windows at span length 1 (D109)"
+        t = para_frame(docs)
+    else:
+        t = sent_frame(docs, s=s)
     w = sent_window_frame(t, s=s)
     pos = (
         w.join(sent_canonical_frame(w), "h")
@@ -181,15 +192,16 @@ FUNNEL_ORDER = ["exact_dedup", "span_dedup", "decon_tiers"]
 
 
 def span_family_funnel(
-    docs: DataFrame, span_s: int = SENT_S
+    docs: DataFrame, span_s: int = SENT_S, span_unit: str = "sentence"
 ) -> tuple[list[dict], DataFrame]:
     """Run the composed funnel in CONTRACT ORDER over a (doc_id, text,
-    ...) documents frame; ``span_s`` picks the span GRADE (SENT_S =
-    the C4 three-sentence rule, 1 = the RefinedWeb line rule — grades
-    are alternatives, see the module docstring). Eval docs
-    (decon_eval_filter) are held out as the decon reference and never
-    enter the funnel. Returns (per-stage accounting rows
-    [{stage, docs, tokens}], final cleaned frame)."""
+    ...) documents frame; (``span_s``, ``span_unit``) pick the span
+    GRADE (SENT_S/'sentence' = the C4 three-sentence rule,
+    1/'sentence' = the RefinedWeb line rule, 1/'paragraph' = the
+    MassiveText/Gopher D109 rule — grades are alternatives, see the
+    module docstring). Eval docs (decon_eval_filter) are held out as
+    the decon reference and never enter the funnel. Returns (per-stage
+    accounting rows [{stage, docs, tokens}], final cleaned frame)."""
     is_eval = decon_eval_filter()
     eval_grams = (
         decon_grams_frame(docs.filter(is_eval).select("doc_id", "text"))
@@ -198,7 +210,7 @@ def span_family_funnel(
     )
     stage_fns = {
         "exact_dedup": exact_dedup_stage,
-        "span_dedup": lambda d: span_dedup_stage(d, span_s),
+        "span_dedup": lambda d: span_dedup_stage(d, span_s, span_unit),
         "decon_tiers": lambda d: decon_tier_stage(d, eval_grams),
     }
     cur = docs.filter(~is_eval).select("doc_id", "text")
