@@ -2608,3 +2608,107 @@ def test_e56_paragraph_gate_matches_oneshot(spark, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     assert (want.n_paragraphs_cut > 0).any()  # non-vacuous: real cross-side cuts
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_e57_curation_gate_matches_oneshot_under_ordered_arrival(spark, tmp_path):
+    """E57: under doc_id-ordered arrival, the union of admitted pages
+    equals the ONE-SHOT composed gate (exact vs corpus+self -> span cut
+    vs corpus index -> decon tiers) over the full crawl — the chunked
+    ledger machinery composes to the one-shot semantics — and the
+    per-batch accounting pages carry consistent stage rows."""
+    import os
+
+    import pandas as pd
+
+    from tests.test_streaming_replay import DOCS_COLS, DOCS_SCHEMA, _write_chunks
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import (
+        SENT_S,
+        decon_eval_filter,
+        decon_grams_frame,
+        sent_frame,
+        sent_window_frame,
+    )
+    from uforwarder_spark.operators.funnel import (
+        _kept_units,
+        decon_tier_stage,
+        exact_norm_hash,
+    )
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    is_eval = decon_eval_filter()
+    eval_docs = all_docs.filter(is_eval)
+    corpus = all_docs.filter(~is_eval).filter(
+        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+    )
+    incoming = all_docs.filter(~is_eval).filter(
+        F.expr("CAST(substring(source, 4) AS INT) % 2 = 1")
+    )
+    inc_pdf = incoming.toPandas()[DOCS_COLS].sort_values("doc_id")
+    n_chunks = 3
+    bounds = [len(inc_pdf) * k // n_chunks for k in range(n_chunks + 1)]
+    chunks = [
+        inc_pdf.iloc[bounds[k] : bounds[k + 1]].reset_index(drop=True)
+        for k in range(n_chunks)
+    ]
+    import time as _time
+
+    src = str(tmp_path / "src")
+    _write_chunks(spark, chunks, DOCS_SCHEMA, src, _time.time() - 1000)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    q = P.curation_gate_pipeline(stream, corpus, eval_docs, state, str(tmp_path / "ck"))
+    q.awaitTermination(timeout=300)
+
+    got = (
+        spark.read.parquet(f"{state}/admitted")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # one-shot reference from the same kernels (the spec)
+    corpus_h = corpus.select(exact_norm_hash().alias("h")).distinct()
+    ex_h = sent_window_frame(sent_frame(corpus)).select("h").distinct()
+    eval_grams = decon_grams_frame(eval_docs.select("doc_id", "text")).select("g").distinct()
+    b = incoming.select("doc_id", "text").withColumn("h", exact_norm_hash())
+    keep = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    cur = (
+        b.join(keep, ["h", "doc_id"], "leftsemi")
+        .join(corpus_h, "h", "left_anti")
+        .select("doc_id", "text")
+    )
+    t = sent_frame(cur)
+    pos = sent_window_frame(t).join(ex_h, "h", "leftsemi").select("doc_id", "p")
+    kept = _kept_units(t, pos, SENT_S)
+    rebuilt = F.when(
+        F.col("kept").isNotNull(), F.expr("concat_ws(' ', kept)")
+    ).otherwise(F.col("text"))
+    after_span = (
+        cur.join(kept, "doc_id", "left")
+        .select("doc_id", rebuilt.alias("text"))
+        .filter("text <> ''")
+    )
+    want = (
+        decon_tier_stage(after_span, eval_grams)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # accounting pages: 4 contract-ordered stages per batch; inputs sum
+    # to the crawl; the final stage sums to the admitted union; and the
+    # span gate genuinely cut (cross-side spans exist at this SF)
+    acc = spark.read.parquet(f"{state}/accounting").toPandas()
+    assert set(acc.stage) == {"input", "exact_gate", "span_gate", "decon_gate"}
+    assert acc[acc.stage == "input"].docs.sum() == len(inc_pdf)
+    assert acc[acc.stage == "decon_gate"].docs.sum() == len(got)
+    tok = acc.groupby("stage").tokens.sum()
+    assert tok["span_gate"] < tok["exact_gate"]  # the span cut fired

@@ -3885,3 +3885,52 @@ def test_e56_paragraph_gate_replay_idempotent_and_matches_oneshot(
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@settings(**MONITOR_SETTINGS)
+@given(
+    n_chunks=st.integers(2, 5),
+    assign_seed=st.randoms(use_true_random=False),
+    restart_at=st.integers(1, 3),
+)
+def test_e57_curation_gate_replay_idempotent_ledger_disjoint(
+    spark, n_chunks, assign_seed, restart_at
+):
+    """E57 property: for ANY arrival chunking with a mid-stream restart
+    and a replayed batch, the replayed batch's ledger page, admitted
+    page and accounting page re-materialize bit-identical (the replay
+    re-derives from exactly the pre-batch ledger), and the ledger pages
+    stay DISJOINT (a hash appears in exactly one page — the append-only
+    union is a set)."""
+    from tests.conftest import SF_SMALL
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import decon_eval_filter
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    is_eval = decon_eval_filter()
+    eval_docs = all_docs.filter(is_eval)
+    corpus = all_docs.filter(~is_eval).filter(
+        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+    )
+    incoming_pdf = (
+        all_docs.filter(~is_eval)
+        .filter(F.expr("CAST(substring(source, 4) AS INT) % 2 = 1"))
+        .toPandas()[DOCS_COLS]
+    )
+
+    def make_query(stream, tmp, ckpt):
+        return P.curation_gate_pipeline(
+            stream, corpus, eval_docs, os.path.join(tmp, "state"), ckpt
+        )
+
+    tmp, _, _ = _monitor_replay_run(
+        spark, incoming_pdf, make_query,
+        [
+            "{tmp}/state/hashes/batch_id={bid}",
+            "{tmp}/state/admitted/batch_id={bid}",
+            "{tmp}/state/accounting/batch_id={bid}",
+        ],
+        n_chunks, assign_seed, restart_at, "e57rr",
+    )
+    ledger = spark.read.parquet(f"{tmp}/state/hashes")
+    assert ledger.count() == ledger.select("h").distinct().count() > 0

@@ -85,14 +85,17 @@ def _kept_units(t: DataFrame, pos: DataFrame, s: int) -> DataFrame:
     )
 
 
+def exact_norm_hash():
+    """The D1 normalized-text identity (lowercase, whitespace-folded,
+    trimmed — one md5 per exact-dup class): shared by the batch funnel
+    stage and the E57 live gate so the two exact rules cannot drift."""
+    return F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))"))
+
+
 def exact_dedup_stage(docs: DataFrame) -> DataFrame:
     """D1's keep-first rule as a funnel stage: one doc per
     normalized-text hash (min doc_id keeps)."""
-    n = docs.select(
-        "doc_id",
-        "text",
-        F.md5(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")).alias("h"),
-    )
+    n = docs.select("doc_id", "text", exact_norm_hash().alias("h"))
     keep = n.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     return n.join(keep, ["h", "doc_id"], "leftsemi").select("doc_id", "text")
 

@@ -4312,3 +4312,181 @@ def paragraph_gate_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- E57: composed live curation gate ----------------------------------------
+def curation_gate_pipeline(
+    stream: DataFrame,
+    corpus_docs: DataFrame,
+    eval_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """E57: the composed span-family funnel (operators/funnel.py) as an
+    at-ingest gate — the three contract-ordered stages chained PER
+    MICRO-BATCH, so a crawler admits only text that survives the whole
+    published curation recipe:
+
+      1. EXACT gate (D1 rule at ingest): a doc whose normalized-text
+         hash is in the published corpus, in the seen-hash ledger, or
+         repeated within the batch (min doc_id keeps) is dropped.
+         The ledger is APPEND-ONLY per-batch pages of newly-seen
+         hashes (the E53 URL-ledger convention: full ledger = union of
+         pages, per-trigger write O(batch), never a history-sized
+         rewrite) — recorded for EVERY new hash, survivor or not, so a
+         re-crawl of a doc that a later stage cut is still caught at
+         the exact stage.
+      2. SPAN gate (E55's grade): surviving docs' sentence windows
+         probe the once-persisted corpus index; matched spans are cut
+         row-locally and the text is REBUILT from the kept sentences
+         (the funnel's materializing cut); docs cut to nothing drop.
+      3. DECON tier gate (D108 rule): the shared decon_tier_stage —
+         'dirty' drops, 'not_clean' cuts the matched token spans,
+         'clean' passes.
+
+    Stage order is the funnel's CONTRACT ORDER, and the same proofs
+    carry: exact-first is efficiency (it commutes with the decon drop
+    — proven in tests/test_curation_funnel.py), decon-last is
+    semantics (it grades the text that will be trained on). Admitted
+    (doc_id, text) and a one-row per-stage accounting land in
+    batchId-keyed pages; replays re-derive from exactly the pre-batch
+    ledger (their own leftover page is excluded) and overwrite their
+    own pages bit-identically (proven: replay injection + mid-stream
+    restart + random chunking). Under doc_id-ordered arrival the union
+    of admitted pages equals the ONE-SHOT composed gate over the full
+    crawl (proven — the chunked ledger machinery composes to the
+    one-shot semantics).
+
+    SCALE: the three reference sets are built ONCE (exact-hash set,
+    sentence-window index, eval-gram set — at 100 TB: hash-bucketed
+    tables maintained per publish); each trigger pays |batch| hashing/
+    windowing/gramming plus three batch-side-probed joins; the ledger
+    read is the union of O(#batches) small pages (at scale: a
+    compacted bucketed table, the E53 note). No stage shuffles more
+    than the batch.
+
+    Reference analogue: none — training-data curation family (SURVEY
+    §2 E; the C4/RefinedWeb/Llama-2 composed recipe, live at-ingest
+    form)."""
+    import glob as _glob
+
+    from ..functions.tokenize import TOKENS_SPARK
+    from ..operators.dedup import decon_grams_frame, sent_frame, sent_window_frame
+    from ..operators.funnel import _kept_units, decon_tier_stage, exact_norm_hash
+
+    corpus_h = (
+        corpus_docs.select(exact_norm_hash().alias("h")).distinct().persist()
+    )
+    ex_h = (
+        sent_window_frame(sent_frame(corpus_docs)).select("h").distinct().persist()
+    )
+    eval_grams = (
+        decon_grams_frame(eval_docs.select("doc_id", "text"))
+        .select("g")
+        .distinct()
+        .persist()
+    )
+    # materialize all three reference sets before the first trigger
+    corpus_h.count(), ex_h.count(), eval_grams.count()
+
+    def _read_hash_pages(spark, upto: int):
+        """Union of ledger pages with batch_id <= upto — a crashed
+        batch's empty leftover dir is skipped, but a page WITH part
+        files that fails to read must propagate (the E53/ADVICE r10
+        rule: silently emptying the ledger re-admits every seen doc)."""
+        dirs = [
+            p
+            for p in _glob.glob(f"{state_dir}/hashes/batch_id=*")
+            if p.rsplit("=", 1)[-1].isdigit()
+            and int(p.rsplit("=", 1)[-1]) <= upto
+            and _glob.glob(f"{p}/part-*")
+        ]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    _tok_n = F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)")
+
+    def _acct(frame: DataFrame, stage: str):
+        row = frame.agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.coalesce(F.sum(_tok_n), F.lit(0)).cast("bigint").alias("tokens"),
+        ).collect()[0]
+        return {"stage": stage, "docs": row.docs, "tokens": row.tokens}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            "doc_id", "text", exact_norm_hash().alias("h")
+        ).localCheckpoint()
+        prev = _read_hash_pages(spark, batch_id - 1)
+
+        # 1. exact gate: within-batch keep-min, then corpus + ledger
+        keep = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        cur = (
+            b.join(keep, ["h", "doc_id"], "leftsemi")
+            .join(corpus_h, "h", "left_anti")
+        )
+        if prev is not None:
+            cur = cur.join(prev.select("h"), "h", "left_anti")
+        cur = cur.localCheckpoint()
+
+        # ledger page: this batch's newly-seen hashes (survivors AND
+        # within-batch dups of them — one row per new hash class)
+        new_h = keep.select("h").join(corpus_h, "h", "left_anti")
+        if prev is not None:
+            new_h = new_h.join(prev.select("h"), "h", "left_anti")
+        new_h.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/hashes/batch_id={batch_id}"
+        )
+
+        # 2. span gate (E55 grade) with the funnel's materializing cut
+        after_exact = cur.select("doc_id", "text")
+        t = sent_frame(after_exact)
+        pos = (
+            sent_window_frame(t)
+            .join(ex_h, "h", "leftsemi")
+            .select("doc_id", "p")
+        )
+        from ..operators.dedup import SENT_S
+
+        kept = _kept_units(t, pos, SENT_S)
+        rebuilt = F.when(
+            F.col("kept").isNotNull(), F.expr("concat_ws(' ', kept)")
+        ).otherwise(F.col("text"))
+        after_span = (
+            after_exact.join(kept, "doc_id", "left")
+            .select("doc_id", rebuilt.alias("text"))
+            .filter("text <> ''")
+            .localCheckpoint()
+        )
+
+        # 3. decon tier gate (shared stage — D67 drop / D80 cut / D108
+        # tier on one detection head)
+        admitted = decon_tier_stage(after_span, eval_grams).localCheckpoint()
+
+        admitted.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/admitted/batch_id={batch_id}"
+        )
+        acct = [
+            _acct(batch_df.select("doc_id", "text"), "input"),
+            _acct(after_exact, "exact_gate"),
+            _acct(after_span, "span_gate"),
+            _acct(admitted, "decon_gate"),
+        ]
+        spark.createDataFrame(
+            [
+                (batch_id, a["stage"], i, a["docs"], a["tokens"])
+                for i, a in enumerate(acct)
+            ],
+            "batch_id long, stage string, stage_idx long, docs long, tokens long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/accounting/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
