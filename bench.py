@@ -528,6 +528,13 @@ def merge_history_entry(old, new):
         old is not None
         and new.get("ts", 0) - old.get("ts", 0) > HISTORY_MAX_AGE_SEC
     )
+    # units-fix migration (r12 lesson #2): an entry without a recorded
+    # window host factor predates calibrated corroboration — its raw
+    # reading is not comparable under the new bar (for gen1 lines it
+    # over-escalates by the ~1.37x epoch factor), so it yields to the
+    # current at-pin reading and the corroboration count restarts.
+    if old is not None and "hf" not in old:
+        stale = True
     if old is None or stale:
         fresh = dict(new)
         fresh["n_windows"] = 1
@@ -538,24 +545,42 @@ def merge_history_entry(old, new):
     return best
 
 
-def corroboration_reading(window_ratio, hist_entry):
+def corroboration_reading(window_ratio, hist_entry, hf: float = 1.0):
     """The at-pin reading that corroborates (or escalates) a
-    host_priced breach: the BEST of this window's own ratio and the
-    history's best-of-window entry for the line's unchanged source
-    (load_normal_history already dropped changed-source entries).
-    Round-12 lesson, same shape as the r11 history-merge lesson one
-    layer down: the corroboration question is "can this plan run at
+    host_priced breach, in HOST-CALIBRATED units: the BEST of this
+    window's own ratio and the history's best-of-window entry for the
+    line's unchanged source (load_normal_history already dropped
+    changed-source entries), each divided by its window's generation
+    host factor before comparing.
+
+    Round-12 lesson #1 (same shape as the r11 history-merge lesson one
+    layer down): the corroboration question is "can this plan run at
     pin", and on checkpoint-chain lines (sched share ~0.9) a single
     at-pin window's reading swings 0.94-1.36 on identical code —
     window 4 of r12 shipped wordpiece_apply_fertility as actionable
     plan_work at 1.36 when window 3 had just read the same bytes at
-    0.94. A line only escalates when NO at-pin window (this one or
-    any recorded) has shown it in-band."""
-    if window_ratio is None:
-        return hist_entry.get("raw_ratio") if hist_entry else None
+    0.94. A line only escalates when NO at-pin window (this one or any
+    recorded) has shown it in-band.
+
+    Round-12 lesson #2 (the units bug): the escalation bar compared
+    RAW ratios against 1.3, while the main breach rule is CALIBRATED —
+    for gen1 lines pinned on the r03-era host (1.37x faster
+    single-core than the r12 epoch, BASELINE.md host-normalization
+    section) an at-pin raw reading of 1.34 is ~0.98 CALIBRATED, i.e.
+    at pin, yet the raw bar shipped dedup_simhash actionable plan_work
+    on a healthy plan (six at-pin windows, best raw 1.34 = best
+    calibrated ~0.98). `hf` is THIS window's generation host factor;
+    history entries carry the factor of the window that wrote them
+    (older entries without one degrade to raw — conservative)."""
+    wr = window_ratio / hf if window_ratio is not None else None
+    hr = None
     if hist_entry and hist_entry.get("raw_ratio") is not None:
-        return min(window_ratio, hist_entry["raw_ratio"])
-    return window_ratio
+        hr = hist_entry["raw_ratio"] / hist_entry.get("hf", 1.0)
+    if wr is None:
+        return round(hr, 2) if hr is not None else None
+    if hr is not None:
+        return round(min(wr, hr), 2)
+    return round(wr, 2)
 
 
 def corroborated_verdict(verdict: str, normal_ratio) -> str:
@@ -567,7 +592,9 @@ def corroborated_verdict(verdict: str, normal_ratio) -> str:
     most recent at-pin run's recorded ratio). A line that breaches the
     1.3x bar ON AN AT-PIN ENGINE TOO is plan work, whatever its sched
     share; a missing reading leaves host_priced standing but visibly
-    uncorroborated (normal_window_ratios carries null)."""
+    uncorroborated (normal_window_ratios carries null). The reading is
+    HOST-CALIBRATED (corroboration_reading r12 lesson #2) — the same
+    units as the main per-line rule."""
     if verdict == "host_priced" and normal_ratio is not None and normal_ratio > 1.3:
         return "plan_work"
     return verdict
@@ -587,7 +614,9 @@ def jit_episode_candidate(raw_ratio, sched_share, hist_entry) -> bool:
     produces (> 3x), genuine-compute stage evidence (sched share
     < 0.4), an UNCHANGED source (load_normal_history already dropped
     entries whose fingerprint mismatches, so a surviving entry proves
-    it) whose history reading is in-band (<= 1.3). Such a line earns
+    it) whose history reading is in-band (<= 1.3 CALIBRATED via the
+    entry's recorded window host factor — r12 units lesson). Such a
+    line earns
     ONE fresh-JVM re-time before the verdict ships."""
     return (
         raw_ratio is not None
@@ -596,20 +625,24 @@ def jit_episode_candidate(raw_ratio, sched_share, hist_entry) -> bool:
         and sched_share < 0.4
         and hist_entry is not None
         and hist_entry.get("raw_ratio") is not None
-        and hist_entry["raw_ratio"] <= 1.3
+        and hist_entry["raw_ratio"] / hist_entry.get("hf", 1.0) <= 1.3
     )
 
 
-def apply_jit_adjudication(verdicts, raw_ratios, sched_shares, history, retime_fn):
+def apply_jit_adjudication(
+    verdicts, raw_ratios, sched_shares, history, retime_fn, hfs=None
+):
     """Re-adjudicate plan_work verdicts that match the JIT-episode
     signature against ONE fresh-JVM reading (retime_fn -> dict with
     'ratio' = best_sec/pin and 'sw_factor' = that JVM's own engine
     witness factor, or None on failure). The episode clears ONLY if
-    the fresh JVM is itself at pin AND reads the line in-band — an
-    out-of-band fresh reading, a slow fresh engine, or a failed retime
-    leaves plan_work standing (the record must never clear a real
-    regression on a technicality). Returns (new_verdicts, retimes);
-    pure so tests drive it with a fake retime_fn."""
+    the fresh JVM is itself at pin AND reads the line in-band (<= 1.3
+    CALIBRATED by the line's current-window generation host factor,
+    `hfs` — r12 units lesson) — an out-of-band fresh reading, a slow
+    fresh engine, or a failed retime leaves plan_work standing (the
+    record must never clear a real regression on a technicality).
+    Returns (new_verdicts, retimes); pure so tests drive it with a
+    fake retime_fn."""
     out = dict(verdicts)
     retimes = {}
     for name, v in verdicts.items():
@@ -621,12 +654,13 @@ def apply_jit_adjudication(verdicts, raw_ratios, sched_shares, history, retime_f
             continue
         fresh = retime_fn(name)
         retimes[name] = fresh
+        hf = (hfs or {}).get(name, 1.0)
         if (
             fresh is not None
             and fresh.get("sw_factor") is not None
             and fresh["sw_factor"] <= AT_PIN_FACTOR
             and fresh.get("ratio") is not None
-            and fresh["ratio"] <= 1.3
+            and fresh["ratio"] / hf <= 1.3
         ):
             out[name] = "jit_episode"
     return out, retimes
@@ -999,6 +1033,13 @@ def main() -> None:
     _pin_by_name = {
         n: b[n] for _sfx, _names, b, _c in GENERATIONS for n in b
     }
+    # this window's generation host factor per line — the calibrated
+    # units every corroboration reading is expressed in (r12 lesson #2)
+    _hf_by_name = {
+        n: gens[sfx]["host_factor"]
+        for sfx, _names, b, _c in GENERATIONS
+        for n in b
+    }
     normal_ratios: dict = {}
     retry_spread: dict = {}  # per-line max/min across retry samples
     retry_factor = None
@@ -1009,7 +1050,9 @@ def main() -> None:
             # the whole story for scheduler-priced lines: consult the
             # best recorded at-pin reading too (corroboration_reading)
             normal_ratios = {
-                n: corroboration_reading(_raw_ratio_pre.get(n), history.get(n))
+                n: corroboration_reading(
+                    _raw_ratio_pre.get(n), history.get(n), _hf_by_name.get(n, 1.0)
+                )
                 for n in breach_names
             }
         else:
@@ -1036,11 +1079,14 @@ def main() -> None:
                         samples, pin
                     )
                     normal_ratios[name] = corroboration_reading(
-                        normal_ratios[name], history.get(name)
+                        normal_ratios[name],
+                        history.get(name),
+                        _hf_by_name.get(name, 1.0),
                     )
                 else:
-                    h = history.get(name)
-                    normal_ratios[name] = h.get("raw_ratio") if h else None
+                    normal_ratios[name] = corroboration_reading(
+                        None, history.get(name)
+                    )
 
     # Mechanical per-breach verdicts (the `breach_verdict` rule above +
     # the corroboration rule, both unit-tested): the record keeps every
@@ -1071,6 +1117,7 @@ def main() -> None:
             stage_compact,
             history,
             lambda n: _fresh_jvm_retime(n, sf_dir),
+            _hf_by_name,
         )
         for n, fresh in jit_retimes.items():
             if (
@@ -1081,7 +1128,10 @@ def main() -> None:
             ):
                 # the fresh JVM was at pin: its reading IS a
                 # normal-window corroboration for this line
-                normal_ratios[n] = fresh["ratio"]
+                # (calibrated like every corroboration reading)
+                normal_ratios[n] = round(
+                    fresh["ratio"] / _hf_by_name.get(n, 1.0), 2
+                )
     actionable = sorted(
         n
         for n, v in breach_verdicts.items()
@@ -1136,6 +1186,7 @@ def main() -> None:
                 if n in baseline and n in gens[_sfx]["timings"]:
                     new = {
                         "raw_ratio": round(gens[_sfx]["timings"][n] / baseline[n], 2),
+                        "hf": gens[_sfx]["host_factor"],
                         "sw_factor": round(_sw_factor_pre, 3),
                         "ts": int(time.time()),
                         "src_md5": _query_src_md5(n),

@@ -173,10 +173,10 @@ def test_merge_history_entry_keeps_best_at_pin_reading():
     this plan run at pin', so the minimum raw ratio is the witness."""
     import bench
 
-    first = {"raw_ratio": 1.2, "sw_factor": 1.0, "ts": 1, "src_md5": "x"}
+    first = {"raw_ratio": 1.2, "hf": 1.0, "sw_factor": 1.0, "ts": 1, "src_md5": "x"}
     got = bench.merge_history_entry(None, dict(first))
     assert got["raw_ratio"] == 1.2 and got["n_windows"] == 1
-    worse = {"raw_ratio": 1.47, "sw_factor": 0.93, "ts": 2, "src_md5": "x"}
+    worse = {"raw_ratio": 1.47, "hf": 1.0, "sw_factor": 0.93, "ts": 2, "src_md5": "x"}
     got = bench.merge_history_entry(got, worse)
     assert got["raw_ratio"] == 1.2  # outlier does not overwrite
     assert got["n_windows"] == 2
@@ -199,10 +199,11 @@ def test_merge_history_entry_best_ages_out():
     through the corroboration path."""
     import bench
 
-    old = {"raw_ratio": 1.1, "sw_factor": 1.0, "ts": 1_000, "src_md5": "x"}
+    old = {"raw_ratio": 1.1, "hf": 1.0, "sw_factor": 1.0, "ts": 1_000, "src_md5": "x"}
     # within the horizon: best still wins
     recent = {
         "raw_ratio": 1.5,
+        "hf": 1.0,
         "sw_factor": 1.0,
         "ts": 1_000 + bench.HISTORY_MAX_AGE_SEC,
         "src_md5": "x",
@@ -215,7 +216,7 @@ def test_merge_history_entry_best_ages_out():
     got = bench.merge_history_entry(dict(old), late)
     assert got["raw_ratio"] == 1.5 and got["n_windows"] == 1
     # ...and a plan still at pin simply renews its witness at the new ts
-    renew = {"raw_ratio": 1.05, "sw_factor": 1.0, "ts": late["ts"], "src_md5": "x"}
+    renew = {"raw_ratio": 1.05, "hf": 1.0, "sw_factor": 1.0, "ts": late["ts"], "src_md5": "x"}
     got = bench.merge_history_entry(dict(old), renew)
     assert got["raw_ratio"] == 1.05 and got["ts"] == late["ts"]
 
@@ -343,3 +344,67 @@ def test_corroboration_reading_consults_history_best():
     v = bench.corroborated_verdict
     assert v("host_priced", bench.corroboration_reading(1.36, hist)) == "host_priced"
     assert v("host_priced", bench.corroboration_reading(1.36, None)) == "plan_work"
+
+
+def test_corroboration_reading_is_host_calibrated():
+    """Round-12 units lesson: the escalation bar is CALIBRATED, like
+    the main per-line rule. A gen1 line pinned on the r03-era host
+    (1.372x faster single-core than the r12 epoch) reading 1.34 raw on
+    an at-pin engine is ~0.98 calibrated — at pin, not plan work (the
+    dedup_simhash false-actionable class: six at-pin windows, best raw
+    1.34, every one of them in-band once calibrated)."""
+    import bench
+
+    hist = {"raw_ratio": 1.34, "hf": 1.372, "src_md5": "x"}
+    # window reading 1.9 raw at hf 1.372 -> 1.385 cal; history best
+    # 1.34 raw at its window's hf 1.372 -> 0.98 cal; best wins
+    got = bench.corroboration_reading(1.9, hist, 1.372)
+    assert got == 0.98
+    assert bench.corroborated_verdict("host_priced", got) == "host_priced"
+    # entries without a recorded hf degrade to raw (conservative)
+    assert bench.corroboration_reading(None, {"raw_ratio": 1.34, "src_md5": "x"}) == 1.34
+    # a genuinely out-of-band calibrated reading still escalates
+    bad = bench.corroboration_reading(1.9, {"raw_ratio": 1.9, "hf": 1.0}, 1.0)
+    assert bench.corroborated_verdict("host_priced", bad) == "plan_work"
+
+
+def test_jit_candidate_history_band_is_calibrated():
+    """The JIT-episode candidate's 'history in-band' check uses the
+    entry's own window host factor: a gen1 entry at raw 1.34 / hf
+    1.372 is in-band (0.98 cal) and qualifies; the same raw without a
+    factor (1.34 > 1.3) does not."""
+    import bench
+
+    base = dict(raw_ratio=1.34, src_md5="x")
+    assert bench.jit_episode_candidate(7.9, 0.3, {**base, "hf": 1.372})
+    assert not bench.jit_episode_candidate(7.9, 0.3, base)
+    # and the fresh-JVM clear bar calibrates through hfs
+    v, _ = bench.apply_jit_adjudication(
+        {"a": "plan_work"}, {"a": 7.9}, {"a": 0.3},
+        {"a": {**base, "hf": 1.372}},
+        lambda n: {"ratio": 1.34, "sw_factor": 1.0},
+        {"a": 1.372},
+    )
+    assert v == {"a": "jit_episode"}
+    v2, _ = bench.apply_jit_adjudication(
+        {"a": "plan_work"}, {"a": 7.9}, {"a": 0.3},
+        {"a": {**base, "hf": 1.372}},
+        lambda n: {"ratio": 1.34, "sw_factor": 1.0},
+    )
+    assert v2 == {"a": "plan_work"}  # no hfs -> raw bar stands
+
+
+def test_merge_migrates_hf_less_entries():
+    """Units-fix migration: a pre-fix history entry (no recorded window
+    host factor) yields to the current at-pin reading even when its raw
+    ratio looks better — its raw number is not comparable under the
+    calibrated bar."""
+    import bench
+
+    old = {"raw_ratio": 1.34, "n_windows": 6, "ts": 100, "src_md5": "x"}
+    new = {"raw_ratio": 1.4, "hf": 1.372, "ts": 200, "src_md5": "x"}
+    got = bench.merge_history_entry(old, new)
+    assert got["hf"] == 1.372 and got["n_windows"] == 1
+    # post-fix entries keep best-of-window semantics
+    got2 = bench.merge_history_entry(dict(got, ts=200), {"raw_ratio": 1.5, "hf": 1.37, "ts": 300, "src_md5": "x"})
+    assert got2["raw_ratio"] == 1.4 and got2["n_windows"] == 2
