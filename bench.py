@@ -1023,8 +1023,12 @@ def main() -> None:
         stage_compact[name] = ev.get("sched_overhead_share")
 
     # Normal-window corroboration (VERDICT r09 #2): every host_priced
-    # call must carry a reading of the line on an at-pin engine. Three
-    # sources in priority order: (a) this window IS at pin — the raw
+    # call must carry an at-pin reading. From r12 the recorded
+    # normal_window_ratios are HOST-CALIBRATED (reading / the line's
+    # generation host factor at the window that produced it) — the
+    # same units as the per-line breach rule; see
+    # corroboration_reading's r12 lesson #2. Three
+    # sources in priority order: (a) this window IS at pin — its own
     # ratio is the reading; (b) late-window retry — the witness is
     # re-read after the evidence pass (minutes later on a different
     # scheduler moment) and, if recovered to pin, each breached line
