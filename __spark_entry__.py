@@ -31,7 +31,11 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # date lands inside the cohort rotation) = 50 exactly, 0 spare.
 # After this round the oldest evidence is the r09 cohort (49 keys) —
 # r13's window is new/changed + those 49 (1 slot spare, before any
-# r13 additions).
+# r13 additions). One CHANGED key is already known for r13:
+# incr_sentence_span_dedup's kernel gained a span-length parameter
+# late in r12 (default-arg only — hash-exact re-verified by driver
+# sim + both-SF parity the same session — but the composed source
+# changed after its r11 driver row, so it re-windows first in r13).
 _KEY_PRIORITY = [
     # -- (a) new/changed this round (2): paragraph_span_dedup is NEW
     #    (D109, the MassiveText repeated-paragraph keep-one rule =
