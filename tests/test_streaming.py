@@ -2712,3 +2712,40 @@ def test_e57_curation_gate_matches_oneshot_under_ordered_arrival(spark, tmp_path
     assert acc[acc.stage == "decon_gate"].docs.sum() == len(got)
     tok = acc.groupby("stage").tokens.sum()
     assert tok["span_gate"] < tok["exact_gate"]  # the span cut fired
+
+
+def test_e57_curation_gate_all_dropped_writes_empty_pages(spark, tmp_path):
+    """E57 edge: a crawl that is ENTIRELY known (every doc's normalized
+    text already in the published corpus) must drain cleanly — empty
+    admitted pages and empty ledger pages (no new hashes), with the
+    accounting recording the full drop at the exact gate — not blow up
+    on empty frames in the span/decon stages."""
+    import os
+
+    from uforwarder_spark.model import load_parallel
+    from uforwarder_spark.operators.dedup import decon_eval_filter
+
+    all_docs = load_parallel(spark, SF_SMALL, "documents")
+    eval_docs = all_docs.filter(decon_eval_filter())
+    corpus = all_docs.filter(~decon_eval_filter())
+    # the crawl IS the corpus (re-crawl of published docs)
+    incoming = corpus.limit(40)
+    src = str(tmp_path / "src")
+    incoming.repartition(2).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = P.curation_gate_pipeline(stream, corpus, eval_docs, state, str(tmp_path / "ck"))
+    q.awaitTermination(timeout=300)
+
+    assert spark.read.parquet(f"{state}/admitted").count() == 0
+    assert spark.read.parquet(f"{state}/hashes").count() == 0
+    acc = spark.read.parquet(f"{state}/accounting").toPandas()
+    assert acc[acc.stage == "input"].docs.sum() == 40
+    assert acc[acc.stage == "exact_gate"].docs.sum() == 0
+    assert acc[acc.stage == "decon_gate"].docs.sum() == 0
