@@ -86,6 +86,16 @@ def main() -> None:
     )
     for row in acc:
         print(f"{row['stage']:>22}: docs={row['docs']:>8} tokens={row['tokens']:>12}")
+    # same funnel at the D109 paragraph grade (grades are alternatives,
+    # not stages — docs/SCALE.md round-12 second table)
+    print("\n=== composed funnel, paragraph grade (D109 unit) ===")
+    acc_p, _ = span_family_funnel(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        span_s=1,
+        span_unit="paragraph",
+    )
+    for row in acc_p:
+        print(f"{row['stage']:>22}: docs={row['docs']:>8} tokens={row['tokens']:>12}")
 
 
 if __name__ == "__main__":
