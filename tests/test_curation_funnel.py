@@ -236,3 +236,25 @@ def test_paragraph_grade_drift_locked_to_d109(spark, tmp_path):
     }
     assert "w1 the" not in texts[11] and "other end here and" in texts[11]
     assert texts[12] == PARA_SEED[2][1]
+
+
+@pytest.mark.parametrize("unit,s", [("sentence", 1), ("paragraph", 1)], ids=["lines", "paragraphs"])
+def test_single_unit_grades_are_fixed_points(spark, tmp_path, unit, s):
+    """The keep-one cut at a SINGLE-unit grade (RefinedWeb lines,
+    MassiveText paragraphs) is idempotent: after the cut, every
+    surviving unit is unique corpus-wide and no NEW units form (cutting
+    removes whole units without changing the survivors), so a second
+    pass is a no-op. This is NOT claimed for the 3-sentence grade —
+    cutting can make previously-separated sentences adjacent, forming
+    new windows — which is one more reason the published rules are
+    single-pass."""
+    from uforwarder_spark.operators.funnel import span_dedup_stage
+
+    d = _write(spark, tmp_path, SEED + PARA_SEED, name=f"fix{unit}")
+    once = span_dedup_stage(
+        _docs_frame(spark, d).select("doc_id", "text"), s, unit=unit
+    )
+    a = {r.doc_id: r.text for r in once.collect()}
+    twice = span_dedup_stage(once, s, unit=unit)
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert len(a) > 0 and a == b
