@@ -258,3 +258,55 @@ def test_single_unit_grades_are_fixed_points(spark, tmp_path, unit, s):
     twice = span_dedup_stage(once, s, unit=unit)
     b = {r.doc_id: r.text for r in twice.collect()}
     assert len(a) > 0 and a == b
+
+
+def test_paragraph_reblocking_idempotent_under_any_cut_pattern():
+    """The combinatorial fact the paragraph drift-lock relies on,
+    proven over random docs and ALL cut patterns (pure mirror logic,
+    no Spark — Spark-vs-mirror agreement is the drift-lock test):
+    rebuilding a doc from any kept subset of its PARA_G-sentence
+    blocks, re-splitting, and re-blocking reproduces exactly the kept
+    blocks. Holds because every block except the doc-final partial
+    tail is exactly PARA_G sentences, cuts preserve order, and only
+    the doc-final sentence may lack a terminating stopword (so it can
+    only ever sit at the end of the rebuilt text)."""
+    import itertools
+    import random
+
+    from uforwarder_spark.operators.dedup import PARA_G
+
+    rng = random.Random(12)
+    words = ["alpha", "beta", "gamma", "delta", "w1", "w2", "zz"]
+    stops = sorted(SW)[:5]
+
+    def rand_doc(n_sents, terminated_last):
+        sents = []
+        for i in range(n_sents):
+            body = [rng.choice(words) for _ in range(rng.randint(1, 3))]
+            last = i == n_sents - 1 and not terminated_last
+            sents.append(" ".join(body + ([] if last else [rng.choice(stops)])))
+        return sents
+
+    def blocks_of(sents):
+        return [
+            " ".join(sents[i : i + PARA_G])
+            for i in range(0, len(sents), PARA_G)
+        ]
+
+    checked = 0
+    for n_sents in range(1, 22):
+        for terminated in (True, False):
+            sents = rand_doc(n_sents, terminated)
+            blocks = blocks_of(sents)
+            assert sents_of(" ".join(sents)) == sents  # splitter round-trip
+            n = len(blocks)
+            for mask in itertools.product((0, 1), repeat=n):
+                kept = [b for b, m in zip(blocks, mask) if m]
+                if not kept:
+                    continue
+                rebuilt = " ".join(kept)
+                assert blocks_of(sents_of(rebuilt)) == kept, (
+                    sents, mask
+                )
+                checked += 1
+    assert checked > 400  # the sweep genuinely enumerated patterns
