@@ -3144,16 +3144,58 @@ _MERGE_FOLD = (
 )
 
 
-def _merge_train_frames(words: DataFrame, steps: int, pick_best, emit, empty_schema: str):
+def _merge_fold_col(l: str, r: str):
+    """_MERGE_FOLD with the winning pair bound as LITERALS (F.lit —
+    never interpolated into SQL text): after the 1-row winner is
+    collected, the re-segmentation no longer needs the broadcast
+    crossJoin that carried (l, r) as columns. Op-for-op the same
+    leftmost-greedy non-overlapping fold as _MERGE_FOLD, so the
+    segmentations are bit-identical to the oracle's CTE walk."""
+    la, ra, lra = F.lit(l), F.lit(r), F.lit(l + r)
+
+    def step(acc, x):
+        hit = (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == ra)
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)), F.array(lra)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.concat_ws(
+        " ",
+        F.aggregate(
+            F.split(F.col("sym_str"), " "),
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            step,
+        ),
+    )
+
+
+def _merge_train_frames(words: DataFrame, steps: int, pick_best, emit_row, out_schema: str):
     """Shared K-step merge-training loop (D97 BPE / D101 WordPiece)
     over a (word, freq, sym_str) frame: per step build the exact
     pair-count frame, pick the 1-row winner via `pick_best(pairs,
-    cur)` (MUST return a localCheckpoint-ed frame — the emptiness
-    check and the re-segmentation both read it), emit the winner row
-    via `emit(best, i)`, re-segment with the canonical leftmost-greedy
-    non-overlapping fold (_MERGE_FOLD — one definition, review r09).
-    Returns (merges_df, final_words_df)."""
-    merges = []
+    cur)` (a LAZY limit-1 plan) and COLLECT it, emit the winner via
+    `emit_row(row, i)` (a plain tuple), re-segment with the canonical
+    leftmost-greedy non-overlapping fold with the winner bound as
+    literals (_merge_fold_col — the _MERGE_FOLD semantics, review
+    r09). Returns (merges_df, final_words_df); the merge table is a
+    local relation built from the collected winners.
+
+    OPTIMIZATION r12 (guide §1.2 step 1 + §2.4): each step previously
+    paid FOUR actions/exchanges — winner localCheckpoint, emptiness
+    take(1), the winner's BroadcastExchange, and the words-frame
+    localCheckpoint — and the wall of both trainers was pure job-launch
+    latency (measured sched_overhead_share 0.95/0.96 with 56/80 stages
+    per run). Collecting the 1-row winner (bounded O(1) rows — the
+    model row every published trainer holds in memory; the D99
+    model-collect convention) makes each step exactly TWO jobs (winner
+    collect + re-segment checkpoint) with zero broadcast exchanges,
+    and the K-row merge table materializes for free. The emptiness
+    check is the same collect (merge exhaustion, review r08: fewer
+    supportable merges than `steps` must break, not annihilate the
+    vocabulary). At 100 TB the per-step frames are vocab-sized either
+    way; this halves the number of vocab passes AND the job count."""
+    merges_rows = []
     cur = words
     for i in range(1, steps + 1):
         pairs = (
@@ -3170,27 +3212,16 @@ def _merge_train_frames(words: DataFrame, steps: int, pick_best, emit, empty_sch
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
         )
-        best = pick_best(pairs, cur)
-        # Merge exhaustion (review r08): a corpus can support fewer than
-        # `steps` merges (every word fully merged). The winner frame is
-        # already checkpointed, so the emptiness check is a free read —
-        # without it the crossJoin below would annihilate the entire
-        # vocabulary frame, silently emptying the final segmentations
-        # while the oracle's NULL scalar subquery passes words through.
-        if not best.take(1):
+        best = pick_best(pairs, cur).collect()
+        if not best:
             break
-        merges.append(emit(best, i))
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("l", "r")))
-            .select("word", "freq", F.expr(_MERGE_FOLD).alias("sym_str"))
-            .localCheckpoint()
-        )
-    if not merges:  # zero-pair corpus (e.g. the zero-row sweep)
-        return words.sparkSession.createDataFrame([], empty_schema), cur
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out, cur
+        merges_rows.append(emit_row(best[0], i))
+        cur = cur.select(
+            "word",
+            "freq",
+            _merge_fold_col(best[0]["l"], best[0]["r"]).alias("sym_str"),
+        ).localCheckpoint()
+    return words.sparkSession.createDataFrame(merges_rows, out_schema), cur
 
 
 def bpe_train_frames(words: DataFrame):
@@ -3200,18 +3231,13 @@ def bpe_train_frames(words: DataFrame):
     (merges_df, final_words_df)."""
 
     def pick(pairs, _cur):
-        return pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).localCheckpoint()
+        return pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
 
-    def emit(best, i):
-        return best.select(
-            F.lit(i).alias("step"),
-            F.col("l").alias("tok_l"),
-            F.col("r").alias("tok_r"),
-            F.col("cnt").alias("pair_freq"),
-        )
+    def emit_row(row, i):
+        return (i, row["l"], row["r"], row["cnt"])
 
     return _merge_train_frames(
-        words, BPE_STEPS, pick, emit,
+        words, BPE_STEPS, pick, emit_row,
         "step int, tok_l string, tok_r string, pair_freq bigint",
     )
 
@@ -3340,21 +3366,13 @@ def wp_train_frames(words: DataFrame):
                 "r",
             )
             .limit(1)
-            .localCheckpoint()
         )
 
-    def emit(best, i):
-        return best.select(
-            F.lit(i).alias("step"),
-            F.col("l").alias("tok_l"),
-            F.col("r").alias("tok_r"),
-            F.col("cnt").alias("pair_freq"),
-            F.col("lcnt").alias("l_freq"),
-            F.col("rcnt").alias("r_freq"),
-        )
+    def emit_row(row, i):
+        return (i, row["l"], row["r"], row["cnt"], row["lcnt"], row["rcnt"])
 
     return _merge_train_frames(
-        words, WP_STEPS, pick, emit,
+        words, WP_STEPS, pick, emit_row,
         "step int, tok_l string, tok_r string, pair_freq bigint, "
         "l_freq bigint, r_freq bigint",
     )
@@ -3763,7 +3781,16 @@ def sp_train_frames(words: DataFrame):
     the Viterbi kernel's closure), E-step Viterbi counts with map-side
     partial aggregation, prune multi-char pieces to the round's budget
     (chars always kept — coverage), +1-smoothed M-step. Each round
-    localCheckpoints (the D96/D97 unrolled-loop rule)."""
+    localCheckpoints (the D96/D97 unrolled-loop rule).
+
+    OPTIMIZATION r12 note (measured, kept AS-IS): replacing the
+    per-round localCheckpoint+collect pair with a single collect that
+    re-enters the model as a local relation looked like a 1-job-per-
+    round saving but measured 2.4x SLOWER (exec 7.9 s → 133 s): the
+    checkpoint boundary is what lets ReuseExchange dedupe the E-step
+    subtree across its four references in the prune/M-step chain;
+    without it the mapInPandas E-step re-executed per reference. The
+    interleaved A/B is recorded in OPTIMIZATION_r12.md."""
     v = _sp_lp_frame(sp_seed_frame(words), 0).localCheckpoint()
     for keep in SP_MULTI_KEEP:
         vocab = {r["piece"]: r["lp"] for r in v.select("piece", "lp").collect()}
