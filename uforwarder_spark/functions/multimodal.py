@@ -630,10 +630,22 @@ def phash_bands_frame(hashes: DataFrame) -> DataFrame:
     return bands.join(band_df, ["b", "bv"])
 
 
+# Hamming distance between two {PHASH_BITS}-char bit strings as
+# popcount-of-XOR on the two 32-bit halves — OPTIMIZATION r12 (guide
+# §1.2 step 2): the previous form materialized a 64-element array and
+# ran 128 substr() calls per candidate pair; this one is 4 conv()
+# parses + 2 XORs + 2 bit_count()s. Exactly equal: the per-position
+# mismatch count of two equal-length '0'/'1' strings is the popcount
+# of the XOR of their numeric values, split in halves so each fits a
+# BIGINT without touching the sign bit (the docstring's "2^63 trap":
+# the HASH stays a bit string everywhere — only this comparison ever
+# converts, and only 32 bits at a time).
+_PH_HALF = PHASH_BITS // 2
 _PHASH_HAM = (
-    f"aggregate(transform(sequence(0, {PHASH_BITS - 1}), "
-    "i -> CASE WHEN substr(pa, i + 1, 1) <> substr(pb, i + 1, 1) "
-    "THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+    f"bit_count(CAST(conv(substr(pa, 1, {_PH_HALF}), 2, 10) AS BIGINT) ^ "
+    f"CAST(conv(substr(pb, 1, {_PH_HALF}), 2, 10) AS BIGINT)) + "
+    f"bit_count(CAST(conv(substr(pa, {_PH_HALF + 1}, {PHASH_BITS - _PH_HALF}), 2, 10) AS BIGINT) ^ "
+    f"CAST(conv(substr(pb, {_PH_HALF + 1}, {PHASH_BITS - _PH_HALF}), 2, 10) AS BIGINT))"
 )
 
 

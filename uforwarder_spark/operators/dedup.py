@@ -454,30 +454,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diameter of a near-dup graph is tiny (clusters are cliques-ish);
     # the cap turns a pathological chain into a loud failure instead of
     # an unbounded driver loop
+    # OPTIMIZATION r12 (guide §1.2 step 1): the fixpoint test was a
+    # separate per-iteration job — a self-join of the new labels
+    # against the old plus a full count. The old label is already on
+    # the row before the checkpoint, so carry a `changed` flag through
+    # the SAME checkpoint job and test it with take(1) (early-exit on
+    # the first changed row) — one job per iteration instead of two,
+    # and the convergence check stops at the first witness instead of
+    # counting all of them. Interleaved A/B in OPTIMIZATION_r12.md.
     for _ in range(64):
         nbr_min = (
             sym.join(labels, sym.doc_b == labels.node)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.doc_a, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
+                    "new_label"
                 ),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if not stepped.filter(F.col("new_label") != F.col("old_label")).take(1):
             break
     else:
         raise RuntimeError("connected components did not converge in 64 rounds")

@@ -1228,13 +1228,29 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode explode (n·M rows) + (m, code) join + per-vec_id
     # collect_list re-aggregation — a full corpus shuffle — with zero
     # exchanges; the m-ascending fold keeps the ADC sum bit-identical.
-    cbe = cent2.join(dtab, ["m", "code"]).agg(
-        F.expr("array_sort(collect_list(struct(m, code, c, dval))) AS cbe")
+    # OPTIMIZATION r12 (guide §1.2 step 2): group the broadcast
+    # codebook BY SUBSPACE once on the static side — the fold then
+    # indexes its subspace with element_at instead of re-filtering the
+    # full {PQ_M}·{PQ_K}-entry array per subspace per vector (the
+    # filter cost was {PQ_M}²·{PQ_K} predicate evals per corpus row;
+    # the per-code distance folds, which ARE the ADC encode, stay).
+    # array_sort before the per-m filter keeps each bucket m-ascending
+    # and code-ascending, so fold order — and the argmin tie to the
+    # lower code — is bit-identical to the flat form.
+    cbe = (
+        cent2.join(dtab, ["m", "code"])
+        .agg(F.expr("array_sort(collect_list(struct(m, code, c, dval))) AS cbe0"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                "filter(cbe0, e0 -> e0.m = m)) AS cbe"
+            )
+        )
     )
     dist_m = _SQD_SPARK.format(v=f"slice(u, m * {PQ_SUB} + 1, {PQ_SUB})", c="cent.c")
     adc_expr = F.expr(
         f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, (acc, m) -> "
-        "acc + array_min(transform(filter(cbe, e0 -> e0.m = m), "
+        "acc + array_min(transform(element_at(cbe, m + 1), "
         f"cent -> struct({dist_m} AS dist, cent.code AS code, cent.dval AS dval)"
         ")).dval)"
     )
