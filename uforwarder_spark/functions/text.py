@@ -3242,6 +3242,37 @@ def bpe_train_frames(words: DataFrame):
     )
 
 
+def _fertility_rollup(j: DataFrame, n_col: str, tokens_alias: str) -> DataFrame:
+    """Per-source fertility report over a joined (doc_id, source, word,
+    {n_col}) occurrence frame — ONE definition shared by the D98/D100/
+    D102 apply sides.
+
+    OPTIMIZATION r12 (guide §2.3): the previous single groupBy with
+    countDistinct(doc_id) planned as planAggregateWithOneDistinct's
+    Expand — every exploded corpus token duplicated through the
+    map-side hash agg just to carry the distinct-doc branch. Two-level
+    aggregation instead: per-(source, doc) integer partials first (the
+    distinct-doc count is then a plain count of groups), then the
+    per-source rollup. Integer sums are associative, so the totals —
+    and the two final rounded divisions, which divide identical
+    integers — are bit-identical to the one-level form."""
+    per_doc = j.groupBy("source", "doc_id").agg(
+        F.count("*").alias("_w"),
+        F.sum(n_col).alias("_t"),
+        F.sum(F.length("word")).alias("_c"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_w").cast("bigint").alias("ws_tokens"),
+        F.sum("_t").cast("bigint").alias(tokens_alias),
+        F.sum("_c").cast("bigint").alias("n_chars"),
+        F.round(F.sum("_t").cast("double") / F.sum("_w"), 6).alias("fertility"),
+        F.round(F.sum("_c").cast("double") / F.sum("_t"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 @register("bpe_apply_fertility", BPE_APPLY_ORACLE)
 def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENCODE side of D97 — the trained tokenizer applied back to
@@ -3277,18 +3308,7 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
     )
     j = occ.join(seg, "word")
-    return j.groupBy("source").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.count("*").cast("bigint").alias("ws_tokens"),
-        F.sum("n_syms").cast("bigint").alias("bpe_tokens"),
-        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
-        F.round(
-            F.sum("n_syms").cast("double") / F.count("*"), 6
-        ).alias("fertility"),
-        F.round(
-            F.sum(F.length("word")).cast("double") / F.sum("n_syms"), 6
-        ).alias("chars_per_token"),
-    )
+    return _fertility_rollup(j, "n_syms", "bpe_tokens")
 
 
 # --- D101 / D102 ---------------------------------------------------------
@@ -3434,18 +3454,7 @@ def wordpiece_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
     )
     j = occ.join(seg, "word")
-    return j.groupBy("source").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.count("*").cast("bigint").alias("ws_tokens"),
-        F.sum("n_syms").cast("bigint").alias("wp_tokens"),
-        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
-        F.round(
-            F.sum("n_syms").cast("double") / F.count("*"), 6
-        ).alias("fertility"),
-        F.round(
-            F.sum(F.length("word")).cast("double") / F.sum("n_syms"), 6
-        ).alias("chars_per_token"),
-    )
+    return _fertility_rollup(j, "n_syms", "wp_tokens")
 
 
 # --- D99 / D100 ----------------------------------------------------------
@@ -3899,15 +3908,4 @@ def unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("word")
     )
     j = occ.join(seg, "word")
-    return j.groupBy("source").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.count("*").cast("bigint").alias("ws_tokens"),
-        F.sum("n_pieces").cast("bigint").alias("sp_tokens"),
-        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
-        F.round(F.sum("n_pieces").cast("double") / F.count("*"), 6).alias(
-            "fertility"
-        ),
-        F.round(
-            F.sum(F.length("word")).cast("double") / F.sum("n_pieces"), 6
-        ).alias("chars_per_token"),
-    )
+    return _fertility_rollup(j, "n_pieces", "sp_tokens")

@@ -653,10 +653,16 @@ SEMDEDUP_COS = 0.3
 SEMDEDUP_ORACLE = (
     _KM_CTES
     + f""",
+a2n AS (
+  SELECT vec_id, cluster,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_transform(v, y -> y * y), (p, q) -> p + q))) AS u
+  FROM a2
+),
 pairs AS (
   SELECT a.vec_id AS vid, min(b.vec_id) AS dup_of
-  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-  WHERE {_cos_expr('duck', 'a.v', 'b.v')} >= {SEMDEDUP_COS}
+  FROM a2n a JOIN a2n b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE {_DOT_DUCK.format(a='a.u', b='b.u')} >= {SEMDEDUP_COS}
   GROUP BY a.vec_id
 )
 SELECT a.vec_id, a.label, a.cluster,
@@ -686,21 +692,36 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster is exactly the AQE skew-join case (session enables it), and
     the cosine fold is bit-stable, so the threshold cut is
     engine-identical. Everything downstream of the (tiny) pairs frame
-    is a broadcast-back left join."""
-    a2 = _kmeans_a2(spark, sf_dir).persist()
+    is a broadcast-back left join.
+
+    OPTIMIZATION r12 (guide §1.2 step 2 — the same normalized-dot
+    rewrite the kNN family took in r07): the pair filter computed the
+    3-fold cosine (dot + two self-dots) per candidate pair — on the
+    O(n²/k) within-cluster pair set that was the single largest CPU
+    sink in the bench (32 executor-CPU s). Unit vectors are now
+    computed ONCE per vector on the persisted assignment frame and
+    each pair pays one dot fold; the oracle normalizes identically
+    (same per-element op order), so the thresholded pair set stays
+    engine-identical. Per-pair float work drops 3x."""
+    a2 = (
+        _kmeans_a2(spark, sf_dir)
+        .withColumn("u", F.expr(_UNIT_SPARK))
+        .persist()
+    )
     # persisted: both sides of the pair self-join and the final left join
-    # reference a2; freed by LRU / bench clearCache between queries.
+    # reference a2 (unit vectors included, computed once); freed by LRU /
+    # bench clearCache between queries.
     b = a2.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cluster"),
-        F.col("v").alias("b_v"),
+        F.col("u").alias("b_u"),
     )
     pairs = (
         a2.join(
             b,
             (F.col("cluster") == F.col("b_cluster")) & (F.col("b_id") < F.col("vec_id")),
         )
-        .filter(F.expr(_cos_expr("spark", "v", "b_v")) >= SEMDEDUP_COS)
+        .filter(F.expr(_DOT_SPARK.format(a="u", b="b_u")) >= SEMDEDUP_COS)
         .groupBy("vec_id")
         .agg(F.min("b_id").alias("dup_of"))
     )
