@@ -903,3 +903,15 @@ def test_paragraph_span_dedup_shares_the_sentence_plan_shape(spark):
     specs = window_partition_keys(spark, "paragraph_span_dedup")
     assert specs and all(keys for keys in specs), f"global window: {specs}"
     assert any("doc_id" in keys for keys in specs)
+
+
+def test_token_bucket_summary_rollup_hash_aggregates(spark):
+    # A35 (r12): final_tokens comes from the kernel's is_last marker
+    # through a fixed-width conditional max — the former
+    # max_by(tokens_after, struct(ts, msg_offset)) buffer is not
+    # UnsafeRow-mutable and silently planned Sort + SortAggregate over
+    # the message-scale verdict frame (caught by the r12 all-keys plan
+    # sweep; plans/r12/token_bucket_summary_{before,after}.txt)
+    plan = plan_of(spark, "token_bucket_summary")
+    assert "SortAggregate" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -62,11 +62,24 @@ def token_bucket_frame(
             toks[i] = tokens
         pdf["admitted"] = admitted
         pdf["tokens_after"] = toks
-        return pdf[["topic", "part_id", "msg_offset", "ts", "admitted", "tokens_after"]]
+        # the group arrives whole and sorted (ts, msg_offset), so the
+        # kernel knows its own final row — emitting the marker lets the
+        # A35 rollup take final_tokens with a fixed-width conditional
+        # max instead of max_by over a struct key, which is not
+        # UnsafeRow-mutable and silently forced a SortAggregate over
+        # the message-scale verdict frame (OPTIMIZATION r12, found by
+        # the all-keys plan sweep).
+        is_last = np.zeros(len(t), dtype=bool)
+        if len(t):
+            is_last[-1] = True
+        pdf["is_last"] = is_last
+        return pdf[
+            ["topic", "part_id", "msg_offset", "ts", "admitted", "tokens_after", "is_last"]
+        ]
 
     out_schema = (
         "topic string, part_id long, msg_offset long, ts timestamp, "
-        "admitted boolean, tokens_after double"
+        "admitted boolean, tokens_after double, is_last boolean"
     )
     return (
         m.select("topic", "part_id", "msg_offset", "ts")
@@ -221,5 +234,9 @@ def token_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_msgs"),
         F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
         F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("n_throttled"),
-        F.expr("max_by(tokens_after, struct(ts, msg_offset))").alias("final_tokens"),
+        # the kernel marks each shard's final row (one per group), so
+        # this is a plain fixed-width max — HashAggregate, where the
+        # former max_by(tokens_after, struct(ts, msg_offset)) planned a
+        # SortAggregate over the whole verdict frame (r12 plan sweep)
+        F.max(F.when(F.col("is_last"), F.col("tokens_after"))).alias("final_tokens"),
     )
