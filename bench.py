@@ -867,6 +867,42 @@ def _calibration_mc_sec() -> float:
     return round(best, 4)
 
 
+# The driver parses the LAST 2000 chars of output (BENCH_r*.json
+# "tail"), so the compact line must stay under 1900 chars to survive
+# whole. If some addition pushes past the window, shed the least
+# essential fields rather than lose parseability.
+#
+# Shed order (belt-and-braces):
+# - the queries2..9 dicts duplicate bench_full.json, so they go first;
+#   the PRIMARY "queries" dict is the driver contract's required field
+#   ({"metric", "value", "unit", "queries", "sf"}) and NEVER sheds —
+#   round 12's line grew past 1900 and the old order silently dropped
+#   it, which reads as "every query removed" to a contract check.
+# - breach_verdicts duplicates stage_evidence + the 0.4 rule, so it
+#   sheds next; then stage_evidence (full copy in bench_full.json).
+# - the per-line breach NAME lists shed before normal_window_ratios:
+#   the ratios are the host_priced corroboration proof (VERDICT r09
+#   #2); actionable_breaches is the adjudication itself and sheds
+#   dead last.
+SHED_FLOOR = 1900
+
+
+def shed_to_fit(compact: dict) -> str:
+    shed_order = (
+        [f"queries{sfx}" for sfx, *_ in reversed(GENERATIONS) if sfx]
+        + ["breach_verdicts", "stage_evidence"]
+        + [f"per_line_breaches{sfx}" for sfx, *_ in reversed(GENERATIONS)]
+        + ["normal_window_ratios", "actionable_breaches"]
+    )
+    line = json.dumps(compact)
+    for shed in shed_order:
+        if len(line) <= SHED_FLOOR:
+            break
+        compact.pop(shed, None)
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1215,29 +1251,7 @@ def main() -> None:
         },
         **{f"ratios{sfx}": gens[sfx]["ratios"] for sfx, *_ in GENERATIONS},
     )
-    line = json.dumps(compact)
-    # belt-and-braces: if some future addition pushes past the window,
-    # shed the least essential fields rather than lose parseability
-    # shed order: the queries dicts duplicate bench_full.json, so they
-    # go before stage_evidence — the breach verdicts are the one thing
-    # the driver's truncated record must keep (VERDICT r07 #2)
-    # breach_verdicts duplicates stage_evidence + the 0.4 rule, so it
-    # sheds first; actionable_breaches is the adjudication itself and
-    # sheds dead last (after even the per-line breach name lists)
-    # normal_window_ratios is the host_priced corroboration proof
-    # (VERDICT r09 #2) — it sheds second-to-last, after even the
-    # per-line breach name lists
-    shed_order = (
-        [f"queries{sfx}" for sfx, *_ in reversed(GENERATIONS)]
-        + ["breach_verdicts", "stage_evidence"]
-        + [f"per_line_breaches{sfx}" for sfx, *_ in reversed(GENERATIONS)]
-        + ["normal_window_ratios", "actionable_breaches"]
-    )
-    for shed in shed_order:
-        if len(line) <= 1900:
-            break
-        compact.pop(shed, None)
-        line = json.dumps(compact)
+    line = shed_to_fit(compact)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)

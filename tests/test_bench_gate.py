@@ -408,3 +408,65 @@ def test_merge_migrates_hf_less_entries():
     # post-fix entries keep best-of-window semantics
     got2 = bench.merge_history_entry(dict(got, ts=200), {"raw_ratio": 1.5, "hf": 1.37, "ts": 300, "src_md5": "x"})
     assert got2["raw_ratio"] == 1.4 and got2["n_windows"] == 2
+
+
+def test_shed_never_drops_primary_queries():
+    """The driver contract pins the compact line's shape: {"metric",
+    "value", "unit", "queries", "sf"}. Round 12's real line grew past
+    the 1900-char tail floor and the old shed order dropped the primary
+    queries dict — which a contract check reads as "every query
+    removed". shed_to_fit must drain every other sheddable field first
+    and keep "queries" even if the line stays over the floor."""
+    import json as _json
+
+    from bench import GENERATIONS, SHED_FLOOR, shed_to_fit
+
+    big = {"x" * 40: 1.234 for _ in range(1)}  # noqa: F841 (shape doc)
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {f"q{i:02d}_{'n' * 30}": 1.234 for i in range(12)},
+    }
+    for sfx, *_ in GENERATIONS[1:]:
+        compact[f"queries{sfx}"] = dict(compact["queries"])
+    for sfx, *_ in GENERATIONS:
+        compact[f"per_line_breaches{sfx}"] = [f"q{i:02d}_{'n' * 30}" for i in range(6)]
+    compact["breach_verdicts"] = {f"q{i:02d}_{'n' * 30}": "host_priced" for i in range(8)}
+    compact["stage_evidence"] = {f"q{i:02d}_{'n' * 30}": 0.5 for i in range(8)}
+    compact["normal_window_ratios"] = {f"q{i:02d}_{'n' * 30}": 1.1 for i in range(12)}
+    compact["actionable_breaches"] = []
+    compact["sf"] = 0.1
+    assert len(_json.dumps(compact)) > SHED_FLOOR  # the test is real
+    line = shed_to_fit(compact)
+    parsed = _json.loads(line)
+    assert len(line) <= SHED_FLOOR
+    assert len(parsed["queries"]) == 12  # primary dict intact
+    for k in ("metric", "value", "unit", "sf", "actionable_breaches"):
+        assert k in parsed
+
+
+def test_shed_order_prefers_ratios_over_name_lists():
+    """normal_window_ratios (the host_priced corroboration proof,
+    VERDICT r09 #2) outlives the per-line breach NAME lists: when the
+    line only needs a small trim, the name lists go first."""
+    import json as _json
+
+    from bench import SHED_FLOOR, shed_to_fit
+
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {f"q{i:02d}": 1.234 for i in range(12)},
+        "pad": "x" * (SHED_FLOOR - 500),
+        "per_line_breaches": ["a" * 120],
+        "normal_window_ratios": {"a" * 120: 1.1},
+        "actionable_breaches": ["a" * 30],
+        "sf": 0.1,
+    }
+    parsed = _json.loads(shed_to_fit(compact))
+    assert "per_line_breaches" not in parsed
+    assert "normal_window_ratios" in parsed
+    assert "actionable_breaches" in parsed
+    assert len(parsed["queries"]) == 12
