@@ -1135,14 +1135,19 @@ LIMIT 10
 def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
     """PQ E-step: nearest sub-codebook entry per (vec_id, m), as a
     STATELESS row-local fold — the (m, code, c) codebook collapses to
-    ONE sorted array row (static-side agg), broadcasts, and each
-    subvector folds over its own subspace's entries keeping the
-    strictly-smaller distance (array sorted by (m, code) ⇒ lower-code
-    tiebreak, the same order as min(struct(dist, code))). No sub×k
-    fan-out, no per-row aggregation, no shuffle — the D40
-    _kmeans_assign argument, per subspace."""
+    ONE array row grouped BY SUBSPACE (static-side agg; each bucket
+    (m, code)-sorted), broadcasts, and each subvector folds over its
+    own subspace's bucket (element_at — the r12 ADC-fold trick; a flat
+    array re-filtered M·K entries per row) keeping the strictly-smaller
+    distance (bucket sorted by code ⇒ lower-code tiebreak, the same
+    order as min(struct(dist, code))). No sub×k fan-out, no per-row
+    aggregation, no shuffle — the D40 _kmeans_assign argument, per
+    subspace."""
     packed = cents.agg(
-        F.expr("array_sort(collect_list(struct(m, code, c))) AS cbook")
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), mm -> "
+            "filter(array_sort(collect_list(struct(m, code, c))), e0 -> e0.m = mm)) AS cbm"
+        )
     )
     dist = _SQD_SPARK.format(v="sub", c="cent.c")
     # array_min over (dist, code) structs = lexicographic min = smallest
@@ -1150,7 +1155,7 @@ def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
     # (a CASE-based fold would compute it twice per entry: condition +
     # kept struct)
     pick = F.expr(
-        "array_min(transform(filter(cbook, e0 -> e0.m = m), "
+        "array_min(transform(element_at(cbm, m + 1), "
         f"cent -> struct({dist} AS dist, cent.code AS code)))"
     )
     return (
@@ -1185,18 +1190,25 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq8_codebook argument) and the stored table is the 4-byte code —
     16× smaller than SQ8's 64 bytes, the reason PQ exists; both E-steps
     are shuffle-free row-local folds over a broadcast codebook
-    (_pq_assign); the M-step shuffles only (m, code, d) partial aggs —
-    {PQ_M}·{PQ_K}·{PQ_SUB} groups regardless of corpus size; the ADC
-    scan is one map over the codes + a limit-first
+    (_pq_assign); the M-step shuffles only (m, code) partial aggs with
+    {PQ_SUB} decimal-sum buffers — {PQ_M}·{PQ_K} groups regardless of
+    corpus size; the ADC scan is one map over the codes + a limit-first
     TakeOrderedAndProject; rescore touches {PQ_RESCORE} rows.
 
     Reference analogue: none — training-data similarity family
     (completes the LSH / IVF / SQ8 / IVF-SQ8 / PQ set)."""
     e = _emb(spark, sf_dir)
+    # OPTIMIZATION r12 (norm hoist): array_repeat(norm, size(v)) sits in
+    # ARGUMENT position of zip_with, so the 64-mult norm fold evaluates
+    # once per row even after CollapseProject inlines it — the previous
+    # transform-lambda form (x -> x / sqrt(aggregate(v, ...))) recomputed
+    # the full fold per ELEMENT (64x). x / norm per element is
+    # IEEE-identical either way.
     nrm = e.withColumn(
         "u",
         F.expr(
-            "transform(v, x -> x / sqrt(aggregate(v, 0.0D, (a, y) -> a + y * y)))"
+            "zip_with(v, array_repeat(sqrt(aggregate(v, 0.0D, (a, y) -> a + y * y)), "
+            "size(v)), (x, n) -> x / n)"
         ),
     )
     subs = (
@@ -1223,24 +1235,34 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "code", F.col("sub").alias("c")
     )
     a1 = _pq_assign(subs, seeds)
-    comp = a1.select("m", "code", F.posexplode("sub").alias("d", "x"))
-    per_dim = comp.groupBy("m", "code", "d").agg(
-        (
-            F.sum(F.expr("CAST(round(x, 7) AS DECIMAL(20,7))")).cast("double")
-            / F.count("*")
-        ).alias("mean")
-    )
+    # OPTIMIZATION r12 (fused M-step): ONE hash agg over (m, code) with
+    # PQ_SUB decimal-sum buffers replaces posexplode (8x row fan-out) +
+    # two grouped aggs (incl. an ObjectHashAggregate collect_list).
+    # Decimal sums are order-free exact and array(d=0..7) is the
+    # d-sorted collect, so every mean — and its double division — is
+    # bit-identical to the exploded form.
     cent2 = (
-        per_dim.groupBy("m", "code")
-        .agg(F.expr("array_sort(collect_list(struct(d, mean)))").alias("dm"))
-        .select("m", "code", F.expr("transform(dm, s -> s.mean)").alias("c"))
+        a1.groupBy("m", "code")
+        .agg(
+            *[
+                F.sum(F.expr(f"CAST(round(sub[{d}], 7) AS DECIMAL(20,7))")).alias(
+                    f"s{d}"
+                )
+                for d in range(PQ_SUB)
+            ],
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "m",
+            "code",
+            F.expr(
+                "array("
+                + ", ".join(f"CAST(s{d} AS DOUBLE) / cnt" for d in range(PQ_SUB))
+                + ") AS c"
+            ),
+        )
     )
     qsubs = subs.filter(F.col("vec_id") == 0).select("m", F.col("sub").alias("qsub"))
-    dtab = (
-        qsubs.join(F.broadcast(cent2), "m")
-        .withColumn("dval", F.expr(_SQD_SPARK.format(v="qsub", c="c")))
-        .select("m", "code", "dval")
-    )
     # Encode + ADC fused into ONE shuffle-free map over the corpus scan:
     # the trained codebook entries carry their own ADC term (dval joined
     # in — {PQ_M}·{PQ_K} rows, static side), collapse to one sorted
@@ -1258,8 +1280,15 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_sort before the per-m filter keeps each bucket m-ascending
     # and code-ascending, so fold order — and the argmin tie to the
     # lower code — is bit-identical to the flat form.
+    # OPTIMIZATION r12 (dtab folded into the cbe build): the ADC table
+    # was cent2 x qsubs joined back onto cent2 by (m, code) — but qsubs
+    # has every m exactly once, so one broadcast join on m computes dval
+    # inline on the cent2 rows themselves: one join and one broadcast
+    # fewer, identical (m, code, c, dval) rows into the same sorted
+    # collect.
     cbe = (
-        cent2.join(dtab, ["m", "code"])
+        cent2.join(F.broadcast(qsubs), "m")
+        .withColumn("dval", F.expr(_SQD_SPARK.format(v="qsub", c="c")))
         .agg(F.expr("array_sort(collect_list(struct(m, code, c, dval))) AS cbe0"))
         .select(
             F.expr(
@@ -1268,7 +1297,14 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    dist_m = _SQD_SPARK.format(v=f"slice(u, m * {PQ_SUB} + 1, {PQ_SUB})", c="cent.c")
+    # OPTIMIZATION r12 (slice hoist): su precomputes the PQ_M subvectors
+    # once per row in its own projection below the broadcast join; the
+    # fold indexes element_at(su, m+1) instead of slicing u per codebook
+    # entry (PQ_M·PQ_K slice allocations per row -> PQ_M).
+    su_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> slice(u, m * {PQ_SUB} + 1, {PQ_SUB}))"
+    )
+    dist_m = _SQD_SPARK.format(v="element_at(su, m + 1)", c="cent.c")
     adc_expr = F.expr(
         f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, (acc, m) -> "
         "acc + array_min(transform(element_at(cbe, m + 1), "
@@ -1277,6 +1313,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = (
         nrm.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.expr(su_expr).alias("su"))
         .crossJoin(F.broadcast(cbe))
         .select("vec_id", adc_expr.alias("adc"))
     )
