@@ -579,6 +579,17 @@ def test_pq_estep_is_rowlocal_and_topk_limit_first(spark):
     assert "pythonUDF" not in plan
 
 
+def test_pq_hoists_hold_in_plan(spark):
+    # r12 D2 locks: the vector norm must sit in ARGUMENT position
+    # (array_repeat under zip_with — the transform-lambda form
+    # recomputes the 64-mult fold per element), and the M-step must be
+    # the fused (m, code) hash agg — the exploded form's per-dim
+    # collect_list(struct(d, mean)) regroup must not reappear
+    plan = plan_of(spark, "ann_topk_pq")
+    assert "array_repeat" in plan
+    assert "collect_list(struct(d" not in plan
+
+
 def test_multiquery_ivf_windows_partition_per_query(spark):
     # D69: both rank windows must carry the per-query partition key — a
     # global (empty-partition-spec) window would funnel every query's
