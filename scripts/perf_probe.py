@@ -47,6 +47,9 @@ def main() -> None:
     spark = get_spark("uforwarder-perf-probe")
     spark.sparkContext.setLogLevel("ERROR")
     warm_dir = "/root/testdata/sf0.001"
+    # per-invocation stages log (ADVICE r12: the append-mode log grew
+    # unboundedly across runs)
+    open("/tmp/perf_probe_stages.jsonl", "w").close()
 
     for name in names:
         fn = QUERIES[name]

@@ -3247,15 +3247,17 @@ def _fertility_rollup(j: DataFrame, n_col: str, tokens_alias: str) -> DataFrame:
     {n_col}) occurrence frame — ONE definition shared by the D98/D100/
     D102 apply sides.
 
-    OPTIMIZATION r12 (guide §2.3): the previous single groupBy with
-    countDistinct(doc_id) planned as planAggregateWithOneDistinct's
-    Expand — every exploded corpus token duplicated through the
-    map-side hash agg just to carry the distinct-doc branch. Two-level
-    aggregation instead: per-(source, doc) integer partials first (the
-    distinct-doc count is then a plain count of groups), then the
-    per-source rollup. Integer sums are associative, so the totals —
-    and the two final rounded divisions, which divide identical
-    integers — are bit-identical to the one-level form."""
+    OPTIMIZATION r12 (unification only — NO perf claim): the previous
+    single groupBy with countDistinct(doc_id) LOOKED like
+    planAggregateWithOneDistinct's Expand, but the captured before-plan
+    shows Spark 4 already rewrites a single distinct aggregate to this
+    two-level (source, doc_id) → (source) shape — plans identical
+    before/after (ex=6, hashagg=8; OPTIMIZATION_r12.md §F). The explicit
+    two-level form makes the shape source-visible and shares one
+    definition across the three apply sides. Integer sums are
+    associative, so the totals — and the two final rounded divisions,
+    which divide identical integers — are bit-identical to the
+    one-level form."""
     per_doc = j.groupBy("source", "doc_id").agg(
         F.count("*").alias("_w"),
         F.sum(n_col).alias("_t"),

@@ -69,6 +69,14 @@ def token_bucket_frame(
         # UnsafeRow-mutable and silently forced a SortAggregate over
         # the message-scale verdict frame (OPTIMIZATION r12, found by
         # the all-keys plan sweep).
+        # INVARIANT (ADVICE r12): is_last marks the final row PER
+        # (topic, part_id) GROUP — max(when(is_last, …)) is only the
+        # "latest row's value" for a consumer grouping by exactly
+        # (topic, part_id). A coarser rollup (e.g. per-topic, like
+        # token_bucket_exact's counters) must NOT use is_last that way:
+        # it would take the max over several shards' final balances,
+        # where the grain-independent max_by(…, struct(ts, msg_offset))
+        # would pick the single latest row.
         is_last = np.zeros(len(t), dtype=bool)
         if len(t):
             is_last[-1] = True

@@ -702,7 +702,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed ONCE per vector on the persisted assignment frame and
     each pair pays one dot fold; the oracle normalizes identically
     (same per-element op order), so the thresholded pair set stays
-    engine-identical. Per-pair float work drops 3x."""
+    engine-identical BETWEEN Spark and DuckDB — not bit-identical to
+    the pre-r12 dot/sqrt(dot·dot) form (a pair within ~1 ulp of
+    SEMDEDUP_COS could classify differently across rounds; the r12
+    builder cross-checked NEW Spark vs OLD oracle row-identical at
+    sf0.001/0.01/0.1, so no such pair exists in the declared data).
+    Per-pair float work drops 3x."""
     a2 = (
         _kmeans_a2(spark, sf_dir)
         .withColumn("u", F.expr(_UNIT_SPARK))
