@@ -634,9 +634,38 @@ def test_ivf_refresh_rowlocal_no_corpus_join(spark):
     # D72: both E-steps must be row-local folds over broadcast centroid
     # rows (the chained pass-through means no corpus-sized vec_id
     # re-join exists anywhere), the per-cell joins broadcast, and
-    # nothing goes cartesian or through Python
+    # nothing goes cartesian or through Python. Since r13 the corpus
+    # chain runs inside the seeds/cent2/transition checkpoint jobs, so
+    # the E-step BNLJ shape is asserted on the transition frame's OWN
+    # plan (pre-checkpoint), and the closed plan must only read the
+    # checkpointed k/k²-row frames.
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.operators.similarity import (
+        K_CLUSTERS,
+        _emb,
+        _kmeans_assign,
+        _kmeans_mstep,
+    )
+    from pyspark.sql import Window
+
+    e = _emb(spark, SF_SMALL)
+    w = Window.orderBy("vec_id")
+    seeds = e.orderBy("vec_id").limit(K_CLUSTERS).select(
+        (F.row_number().over(w) - 1).cast("int").alias("cluster"),
+        F.col("v").alias("c"),
+    )
+    a1 = _kmeans_assign(e, seeds)
+    t = _kmeans_assign(
+        a1.select("vec_id", "v", F.col("cluster").alias("old_cell")),
+        _kmeans_mstep(a1),
+    )
+    chain = t._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in chain  # packed centroid rows
+    assert "SortMergeJoin" not in chain
+    assert "CartesianProduct" not in chain
+    assert "pythonUDF" not in chain
     plan = plan_of(spark, "ivf_index_refresh")
-    assert "BroadcastNestedLoopJoin" in plan  # packed centroid rows
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan
@@ -926,3 +955,48 @@ def test_token_bucket_summary_rollup_hash_aggregates(spark):
     plan = plan_of(spark, "token_bucket_summary")
     assert "SortAggregate" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pagerank_lineage_checkpoint_bounded(spark):
+    # D82 (r13): the edge and node frames localCheckpoint, so the
+    # unrolled PR_ITERS power-iteration lineage stays bounded — the
+    # pre-r13 plan embedded the whole D76 band-join subtree at every
+    # edges/nodes reference (297 Exchange / 157 scans in the r12 sweep;
+    # executors re-ran the band join per reference). Bounded = the plan
+    # reads its base frames from checkpointed RDDs and the exchange
+    # count is per-iteration work only, not per-reference plan copies.
+    plan = plan_of(spark, "knn_graph_pagerank")
+    assert "Scan ExistingRDD" in plan  # checkpointed edges/nodes
+    assert plan.count("Exchange") <= 40  # was 297+ unrolled
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_refresh_checkpoint_bounded(spark):
+    # D72 (r13): seeds/cent2/transition are k- to k²-row frames each
+    # referenced by 2+ branches; localCheckpoint keeps every reference
+    # from re-running the corpus chain (54 executor-run s for 13.6 CPU
+    # s before; plans/r13/ivf_index_refresh_{before,after}.txt)
+    plan = plan_of(spark, "ivf_index_refresh")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange") <= 16  # was 54 in the unrolled plan
+
+
+def test_bm25_plan_single_tokenize(spark):
+    # D57 (r13): bm25_doc_stats computes dl + per-term tf in ONE
+    # tokenize — the token array is built once in the lower projection
+    # (CollapseProject leaves multiply-referenced non-cheap expressions
+    # uncollapsed), so the regexp split appears exactly once in the
+    # stats plan, and the closed bm25_topk plan reads the checkpointed
+    # stats proxy with no posting explode / corpus-keyed shuffle.
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.functions.text import bm25_doc_stats
+    from uforwarder_spark.model import load_parallel
+
+    docs = load_parallel(spark, SF_SMALL, "documents").select("doc_id", "text")
+    stats_plan = bm25_doc_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert stats_plan.count("split(lower(") == 1, stats_plan
+    topk_plan = plan_of(spark, "bm25_topk")
+    assert "Scan ExistingRDD" in topk_plan  # the checkpointed stats proxy
+    assert "Generate" not in topk_plan  # no posting explode downstream
+    assert "TakeOrderedAndProject" in topk_plan

@@ -1788,16 +1788,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one double division each. The top-K cut compares the exact DECIMAL
     sums, so ranking ties break identically.
 
-    SCALE: the query-term filter cuts the posting explode to |terms|
-    rows per doc BEFORE any shuffle; df and the N/avdl scalars are
-    tiny broadcasts; the per-doc score agg is map-side partial and the
-    top-K is TakeOrderedAndProject. The inverted-index analogue: at
-    100 TB the tf frame IS the posting list table, built once.
+    SCALE (OPTIMIZATION r13, guide §8 / §1.2 step 1): the old batch
+    shape tokenized the corpus TWICE (once for the tf explode, once
+    for the dl lengths) and shuffled the exploded posting rows through
+    a (doc_id, term) agg plus a doc_id join of tf against dl. The
+    one-pass shape computes (dl, tf per query term) row-locally in a
+    single tokenize (bm25_doc_stats), localCheckpoints that |docs|×5-
+    integer proxy (the doc-length table any BM25 index maintains), and
+    scores it against ONE broadcast row of global stats — no posting
+    explode, no corpus-keyed shuffle, top-K is TakeOrderedAndProject.
+    Streaming E25 keeps the additive tf/dl index frames (its state IS
+    the incremental posting table); results are bit-identical — see
+    bm25_topk_onepass.
 
     Reference analogue: none (training-data pipeline family — corpus
     search / hard-negative mining)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return bm25_topk_from(bm25_tf_frame(docs), bm25_doclen_frame(docs))
+    return bm25_topk_onepass(docs)
 
 
 def bm25_tf_frame(docs: DataFrame) -> DataFrame:
@@ -1817,10 +1824,81 @@ def bm25_doclen_frame(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(f"size({TOKENS_SPARK})").alias("dl"))
 
 
+def bm25_doc_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf0..tf{|terms|-1}): doc length plus one per-query-
+    term frequency per document, in ONE tokenize pass — the small-row
+    proxy of guide §8 (every BM25 decision depends only on these
+    integers, never on the text again). tf_i = size(filter(ts, x =
+    term_i)) equals the explode + groupBy count for that (doc, term);
+    docs whose every tf_i is 0 are exactly the docs absent from
+    bm25_tf_frame. The token array is built once in the lower
+    projection and referenced by the four consumers above it —
+    CollapseProject leaves multiply-referenced non-cheap expressions
+    uncollapsed, so the regexp tokenize is NOT duplicated per column
+    (locked by test_bm25_plan_single_tokenize)."""
+    tf_cols = [
+        F.expr(f"size(filter(ts, x -> x = '{t}'))").cast("long").alias(f"tf{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    return docs.select("doc_id", F.expr(TOKENS_SPARK).alias("ts")).select(
+        "doc_id", F.expr("size(ts)").alias("dl"), *tf_cols
+    )
+
+
+def bm25_topk_onepass(docs: DataFrame, k: int = BM25_TOPK) -> DataFrame:
+    """Batch BM25 top-k in one corpus pass: localCheckpoint the
+    bm25_doc_stats proxy (|docs| rows of 5 integers — the index's
+    doc-length table), fold n/avdl/df into ONE broadcast row, and
+    score row-locally. Bit-identical to bm25_topk_from over
+    bm25_tf_frame/bm25_doclen_frame: per term, idf and the saturation
+    run the same double ops on the same values; each (doc, term)
+    contribution is round(·, 8)::DECIMAL(18,8) exactly as before, and
+    a zero-tf term contributes round(0.0, 8) = 0 exactly, so the
+    per-doc DECIMAL sum — order-free exact — is the same number; docs
+    with no query term are filtered out, matching their absence from
+    the tf frame."""
+    stats = bm25_doc_stats(docs).localCheckpoint()
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avdl"),
+    ]
+    aggs += [
+        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"df{i}")
+        for i in range(len(BM25_QUERY))
+    ]
+    g = stats.agg(*aggs)
+
+    def contrib(i: int):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        sat = (F.col(f"tf{i}") * (BM25_K1 + 1)) / (
+            F.col(f"tf{i}")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avdl"))
+        )
+        return F.round(idf * sat, 8).cast("decimal(18,8)")
+
+    sc = contrib(0)
+    for i in range(1, len(BM25_QUERY)):
+        sc = sc + contrib(i)
+    any_term = F.expr(" + ".join(f"tf{i}" for i in range(len(BM25_QUERY)))) > 0
+    return (
+        stats.filter(any_term)
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", sc.alias("sc"))
+        .orderBy(F.col("sc").desc(), "doc_id")
+        .limit(k)
+        .select("doc_id", F.col("sc").cast("double").alias("bm25_score"))
+    )
+
+
 def bm25_topk_from(tf: DataFrame, dl: DataFrame, k: int = BM25_TOPK) -> DataFrame:
-    """Close the BM25 ranking from index frames — shared with E25 and
-    the D83 hybrid-retrieval lexical arm (which widens the cut to its
-    per-arm depth)."""
+    """Close the BM25 ranking from index frames — the streaming E25
+    close (its state IS the additive tf/dl posting table, so it scores
+    from the maintained frames; batch D57/D83 use the one-pass
+    bm25_topk_onepass instead, bit-identical — see its docstring)."""
     n_av = dl.agg(
         F.count("*").cast("bigint").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avdl"),

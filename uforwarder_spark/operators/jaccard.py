@@ -46,8 +46,19 @@ def prefix_tokens(t: DataFrame, threshold: float = JACCARD_T) -> DataFrame:
     prefix via sort_array over a collected (df, tok) list — no windows
     (a windowed formulation measured 9× slower, docs/SCALE.md).
 
+    OPTIMIZATION r13 (exact prune): a prefix member with df = 1 exists
+    in exactly ONE doc of its source, so it can never match the
+    equi-join's other side — a shared token implies df >= 2. The slice
+    is taken over the FULL ordered token set first (the PPJoin prefix
+    definition needs every token), then df-1 members are dropped from
+    the emitted join input — provably identical candidate pair set,
+    strictly fewer self-join/DISTINCT input rows. Measured a WASH at
+    sf0.1 (the index build dominates; OPTIMIZATION_r13.md §E) — kept
+    as a structural, zero-risk prune.
+
     Input: t(doc_id, source, ts) with ts distinct. Output: one row per
-    (doc_id, source, n, tok) prefix member."""
+    (doc_id, source, n, tok) prefix member that at least one OTHER doc
+    of the source also contains — join input, not the full prefix."""
     toks = t.select(
         "doc_id", "source", F.expr("size(ts)").cast("long").alias("n"), F.explode("ts").alias("tok")
     )
@@ -59,7 +70,12 @@ def prefix_tokens(t: DataFrame, threshold: float = JACCARD_T) -> DataFrame:
         .agg(F.expr("slice(sort_array(collect_list(struct(df, tok))), 1, "
                     f"CAST(n - ceil({threshold} * n) + 1 AS INT))").alias("prefix"))
         .withColumn("plen", plen)
-        .select("doc_id", "source", "n", F.explode("prefix.tok").alias("tok"))
+        .select(
+            "doc_id",
+            "source",
+            "n",
+            F.explode(F.expr("transform(filter(prefix, p -> p.df > 1), p -> p.tok)")).alias("tok"),
+        )
     )
 
 

@@ -1521,9 +1521,15 @@ def ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables collapse to broadcast array rows; _kmeans_assign passes the
     prior cell through, so there is no corpus-sized vec_id re-join),
     then ONE partial agg to the <= k^2-row transition table; everything
-    downstream is O(k) arithmetic. Two corpus scans total (M-step
-    branch + transition branch), zero corpus shuffles beyond the
-    M-step's (cluster, dim) agg.
+    downstream is O(k) arithmetic. OPTIMIZATION r13 (guide §1.2 step 1,
+    VERDICT r12 item 6): seeds, cent2 and the transition table are each
+    referenced by 2+ downstream branches, and as lazy subtrees every
+    reference re-ran the whole corpus chain (measured 54 executor-run s
+    for 13.6 CPU s at sf0.1). All three are k- or k²-row frames, so
+    they localCheckpoint (the D16 lineage rule): the corpus is now
+    touched exactly three times — the seed TakeOrdered, the M-step agg,
+    and the transition agg — and every churn branch reads <= 64
+    materialized rows.
 
     Reference analogue: none — training-data pipeline family (FAISS
     day-2 index maintenance)."""
@@ -1536,13 +1542,20 @@ def ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) - 1).cast("int").alias("cluster"),
             F.col("v").alias("c"),
         )
+        .localCheckpoint()  # k rows; read by the first E-step AND shift
     )
     a1 = _kmeans_assign(e, seeds)
-    cent2 = _kmeans_mstep(a1)
+    cent2 = _kmeans_mstep(a1).localCheckpoint()  # k rows; read by the
+    # second E-step AND shift — unchecked, each reference re-ran the
+    # full E+M corpus chain
     t = _kmeans_assign(
         a1.select("vec_id", "v", F.col("cluster").alias("old_cell")), cent2
     ).select("old_cell", F.col("cluster").alias("new_cell"))
-    g = t.groupBy("old_cell", "new_cell").agg(F.count("*").alias("n"))
+    g = (
+        t.groupBy("old_cell", "new_cell")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # <= k² rows; read by before AND after
+    )
     before = g.groupBy(F.col("old_cell").alias("cell")).agg(
         F.sum("n").cast("bigint").alias("n_before"),
         F.sum(F.when(F.col("old_cell") == F.col("new_cell"), F.col("n")).otherwise(0))
@@ -1591,8 +1604,16 @@ KNN_K = 5  # neighbors kept per vector in the kNN graph
 # cosine: mathematically the same number, 3x less per-pair float work
 # on the ~n*hundreds candidate set, and both engines run the identical
 # normalize-then-fold op order so results stay bit-comparable.
+# OPTIMIZATION r13 (the r12 D68 norm hoist applied to the shared
+# constant): array_repeat(norm, size(v)) sits in ARGUMENT position of
+# zip_with, so the 64-mult norm fold evaluates once per row; the
+# previous transform-lambda form (x -> x / sqrt(aggregate(v, ...)))
+# recomputed the full fold per ELEMENT (64x). x / norm per element is
+# IEEE-identical either way, so every consumer's scores — and the
+# DuckDB oracles, which were always one-fold-per-row — are unchanged.
 _UNIT_SPARK = (
-    f"transform(v, x -> x / sqrt({_DOT_SPARK.format(a='v', b='v')}))"
+    f"zip_with(v, array_repeat(sqrt({_DOT_SPARK.format(a='v', b='v')}), "
+    "size(v)), (x, n) -> x / n)"
 )
 _UNIT_DUCK = (
     f"list_transform(v, x -> x / sqrt({_DOT_DUCK.format(a='v', b='v')}))"
@@ -2022,19 +2043,28 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     term; isolated vectors (no band-mates) are outside the graph by
     definition.
 
-    SCALE: the edge set is O(n*k) rows and is persisted ONCE (the
-    release_operator_caches contract) so the {PR_ITERS} iterations
-    re-read a materialized frame instead of re-running the band join;
-    each iteration is one co-partitioned hash join on the edge key plus
-    one map-side-combinable integer partial agg — at 100 TB both sides
+    SCALE: the edge set is O(n*k) rows and is localCheckpoint-ed ONCE
+    (the D16 lineage rule) so the {PR_ITERS} iterations re-read a
+    materialized frame instead of embedding the whole band-join plan at
+    every reference — before the r13 checkpoint this operator's single
+    unrolled lineage planned 297 Exchange / 157 scan nodes (5x any
+    other key: edges is referenced 3+4 times, each reference carrying
+    the full D76 subtree) and the executors re-ran the band join
+    per reference (123 executor-run s for 37 CPU s at sf0.1). Each
+    iteration is one co-partitioned hash join on the edge key plus one
+    map-side-combinable integer partial agg — at 100 TB both sides
     bucket by vec_id and the per-iteration shuffle carries only
-    (vec_id, BIGINT) pairs. The node count rides a 1-row broadcast; the
-    global top-{PR_TOPK} plans limit-first (TakeOrderedAndProject),
-    never a global window over n rows.
+    (vec_id, BIGINT) pairs. The node count is ONE bounded driver
+    scalar (the D97 winner-collect class: a count over the
+    checkpointed node frame) re-entering as a literal, so the
+    PR_SCALE/PR_BASE divisions constant-fold instead of riding a
+    broadcast-nested-loop join per iteration; the global top-{PR_TOPK}
+    plans limit-first (TakeOrderedAndProject), never a global window
+    over n rows.
 
     Reference analogue: none — training-data graph/curation family
     (SURVEY §2 D; composes D76's edges)."""
-    edges = knn_graph_lsh(spark, sf_dir).select("src", "dst").persist()
+    edges = knn_graph_lsh(spark, sf_dir).select("src", "dst").localCheckpoint()
     outd = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("od"))
     ind = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("idg"))
     ids = (
@@ -2050,16 +2080,20 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("od", F.lit(0)).cast("bigint").alias("out_deg"),
             F.coalesce("idg", F.lit(0)).cast("bigint").alias("in_deg"),
         )
-        .persist()
+        .localCheckpoint()
     )
-    n_row = nodes.agg(F.count("*").cast("bigint").alias("n"))
-    pr = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .select(
-            "vec_id",
-            "out_deg",
-            F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("p"),
-        )
+    # bounded driver scalar (one BIGINT); PR_SCALE DIV n and PR_BASE
+    # DIV n on positive BIGINTs are exactly Python's // on exact ints,
+    # so the folded literals are bit-identical to the column form. An
+    # empty graph (n = 0) keeps the frame empty, so the literal value
+    # is never observed — 0 only avoids the driver-side division.
+    n = nodes.count()
+    p0 = PR_SCALE // n if n else 0
+    base = PR_BASE // n if n else 0
+    pr = nodes.select(
+        "vec_id",
+        "out_deg",
+        F.lit(p0).cast("bigint").alias("p"),
     )
     for _ in range(PR_ITERS):
         contrib = (
@@ -2073,12 +2107,11 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = (
             nodes.select("vec_id", "out_deg")
             .join(contrib, "vec_id", "left")
-            .crossJoin(F.broadcast(n_row))
             .select(
                 "vec_id",
                 "out_deg",
                 F.expr(
-                    f"CAST(({PR_BASE} DIV n) + ({PR_D_NUM} * "
+                    f"CAST({base} + ({PR_D_NUM} * "
                     f"coalesce(s, CAST(0 AS BIGINT))) DIV {PR_D_DEN} AS BIGINT)"
                 ).alias("p"),
             )
@@ -2213,14 +2246,17 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (training-data pipeline family — hybrid
     corpus search / hard-negative mining)."""
-    from ..functions.text import bm25_doclen_frame, bm25_tf_frame, bm25_topk_from
+    from ..functions.text import bm25_topk_onepass
 
     docs = (
         load_parallel(spark, sf_dir, "documents")
         .filter(F.col("doc_id") != 0)
         .select("doc_id", "text")
     )
-    lex = bm25_topk_from(bm25_tf_frame(docs), bm25_doclen_frame(docs), k=RRF_ARM_K)
+    # OPTIMIZATION r13: the lexical arm scores through the one-pass
+    # bm25_doc_stats proxy (bit-identical to the tf/dl-frame close —
+    # see bm25_topk_onepass) instead of tokenizing the corpus twice.
+    lex = bm25_topk_onepass(docs, k=RRF_ARM_K)
     wl = Window.orderBy(F.col("bm25_score").desc(), "doc_id")
     lexr = lex.withColumn("lex_rank", F.row_number().over(wl).cast("int"))
 
