@@ -20,60 +20,49 @@ from uforwarder_spark.registry import ORACLES, QUERIES
 # keys with the OLDEST driver evidence. Keys beyond the window stay
 # verified by tests/test_oracle_parity.py — the identical row-count +
 # schema + value-hash comparison — at sf0.001 and sf0.01.
-# Round-12 window (round-11 verdict item 1): slot arithmetic (counted,
-# not estimated): 1 NEW (paragraph_span_dedup, D109 — verdict item 6's
-# spare-slot condition was met because token_bucket_summary sits
-# INSIDE the 48-key r08 cohort, not beside it) + 1 CHANGED
-# (contamination_fraction — the ADVICE r12 zero-token 0/0 guard
-# changed both the plan and the oracle text) + the full 48-key
-# r08-evidence cohort (every key whose latest green driver row is
-# CORRECTNESS_r08, token_bucket_summary among them — its <= r12 due
-# date lands inside the cohort rotation) = 50 exactly, 0 spare.
-# After this round the oldest evidence is the r09 cohort (49 keys) —
-# r13's window is new/changed + those 49 (1 slot spare, before any
-# r13 additions). One CHANGED key is already known for r13:
-# incr_sentence_span_dedup's kernel gained a span-length parameter
-# late in r12 (default-arg only — hash-exact re-verified by driver
-# sim + both-SF parity the same session — but the composed source
-# changed after its r11 driver row, so it re-windows first in r13).
+# Round-13 window (optimization round 2): slot arithmetic (counted,
+# not estimated): 18 CHANGED keys — the r13 optimizations, every one
+# re-proven result-identical in-repo (both-SF parity + where the
+# change was materialization-only, OLD-vs-NEW row-identity at sf0.1)
+# before landing: 17 from this round (pagerank lineage checkpoint,
+# one-pass BM25 pair, norm hoist/factorization family, ivf/jaccard/
+# containment/phash/hybrid materialization fixes, lsh-audit union
+# identity) + incr_sentence_span_dedup (kernel default-arg changed
+# late in r12 after its r11 driver row; flagged for r13 re-window in
+# the r12 ordering note) = 18, + the 32 OLDEST r09-evidence-cohort
+# keys (the cohort is 50; ngram_jaccard_pairs is already in (a); the
+# remaining 17 r09 keys carry pytest-parity evidence and rotate next)
+# = 50 exactly, 0 spare.
 _KEY_PRIORITY = [
-    # -- (a) new/changed this round (2): paragraph_span_dedup is NEW
-    #    (D109, the MassiveText repeated-paragraph keep-one rule =
-    #    the D105/D107 kernels at a paragraph declared unit);
-    #    contamination_fraction CHANGED (n_tokens = 0 guard in both
-    #    engines, ADVICE r12) --
-    "paragraph_span_dedup", "contamination_fraction",
-    # -- (b) the full r08-evidence cohort (48) — every key whose
-    #    latest green driver row is CORRECTNESS_r08; token_bucket_
-    #    summary (the rows-only A18 kernel's hash-pinned twin, due
-    #    <= r12 per VERDICT r11 item 8) is a member and leads --
-    "token_bucket_summary",
-    "aimd_inflight_limiter", "asof_join_purchases", "bm25_topk",
-    "bpe_train_merges", "cdc_chunking", "cms_heavy_hitters",
-    "cube_revenue", "embedding_centroid_outliers",
-    "exact_substring_dedup", "fetcher_throughput", "funnel_conversion",
-    "head_blocking_cancel", "hll_distinct_tokens",
-    "importance_sampling_weights", "incremental_dedup",
-    "kcenter_coreset", "lang_id", "linger_sampler",
-    "mixture_interleave", "multimodal_resize", "ngram_entropy",
-    "ngram_novelty", "pipeline_health", "pivot_priority_revenue",
-    "range_join_error_impact", "resq_routing", "retention_cohorts",
-    "source_lang_kl", "source_overlap_matrix",
-    "substring_span_removal", "timeseries_znorm_topk",
-    "token_budget_allocation", "tpch_q10_returned_revenue",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_filter",
-    "tpch_q1_pricing_summary", "tpch_q22_idle_balances",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "weighted_sample_ares",
-    "window_outliers", "zipf_fit",
+    # -- (a) changed this round (18) --
+    "knn_graph_pagerank", "knn_graph_lsh", "incr_knn_edges",
+    "semdedup_prune", "contrastive_triplets", "incr_triplet_mining",
+    "kcenter_coreset", "bm25_topk", "hybrid_rrf_retrieval",
+    "hybrid_rrf_multiquery", "ann_multiquery_ivf", "ivf_index_refresh",
+    "ngram_jaccard_pairs", "containment_pairs",
+    "multimodal_phash_dedup", "phash_incremental_dedup",
+    "lsh_recall_audit", "incr_sentence_span_dedup",
+    # -- (b) the 32 oldest r09-evidence keys (CORRECTNESS_r09 order) --
+    "unigram_lm_train", "unigram_lm_fertility", "wordpiece_train_merges",
+    "wordpiece_apply_fertility", "tpch_q12_shipmode_priority",
+    "tpch_q21_waiting_suppliers", "tpch_q16_supplier_part_types",
+    "tpch_q11_important_balances", "pii_redaction",
+    "bpe_apply_fertility", "incr_substring_dedup", "tokenizer_fertility",
+    "unigram_perplexity", "blocklist_filter", "latency_percentiles",
+    "adaptive_inflight_vegas", "worker_pipeline_summary",
+    "latency_littles_law", "partition_assignment", "load_balance_stats",
+    "autoscale_decision", "batch_job_offsets", "partition_expansion",
+    "hibernating_jobs", "colocating_assignment", "autoscale_hysteresis",
+    "pod_aware_assignment", "range_assignment",
+    "rebalancer_shadow_compare", "dedup_simhash",
+    "embedding_cosine_pairs", "ann_topk_bruteforce",
     # ---------------- 50-slot window ends here ----------------
     # Past the line (both-SF pytest parity continues to cover every
-    # key with the driver-grade comparator): everything else carries
-    # r09+ evidence. token_bucket_exact stays last (rows-only by
-    # design — no SQL oracle; its hash-green twin token_bucket_summary
-    # pins the shared applyInPandas kernel).
+    # key with the driver-grade comparator): the 17 remaining r09-
+    # cohort keys rotate first next round, then r10+. token_bucket_
+    # exact stays last (rows-only by design — no SQL oracle; its
+    # hash-green twin token_bucket_summary pins the shared
+    # applyInPandas kernel).
     "token_bucket_exact",
 ]
 

@@ -3,7 +3,8 @@
 # simulation, and the headline benchmark. Run before every round handoff.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-python -m pytest tests/ -q
+python -m pytest tests/ -q          # driver profile (pytest.ini: -m "not slow")
+python -m pytest tests/ -m slow -q  # the slow set (sf0.01 parity, replay, 10x skew)
 python - <<'PY'
 # driver-contract simulation (same check the round driver performs)
 import sys, hashlib

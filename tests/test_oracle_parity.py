@@ -19,7 +19,17 @@ def _pairs():
 KEYS, _ = _pairs()
 
 
-@pytest.mark.parametrize("sf_dir", [SF_MED, SF_SMALL], ids=["sf0.01", "sf0.001"])
+# Driver profile (VERDICT r12 item 2): the sf0.001 comparator for every
+# key stays in the default run; the sf0.01 pass — which the driver's own
+# 50-key correctness window re-checks at the same SF — runs behind
+# `-m slow` so the driver-window pytest completes.
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        pytest.param(SF_MED, marks=pytest.mark.slow, id="sf0.01"),
+        pytest.param(SF_SMALL, id="sf0.001"),
+    ],
+)
 @pytest.mark.parametrize("name", KEYS)
 def test_parity(name, sf_dir, spark, duck):
     from uforwarder_spark.registry import ORACLES, QUERIES

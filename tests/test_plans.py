@@ -310,14 +310,30 @@ def test_int8_rescore_is_top_c_merge_not_full_sort(spark):
 
 def test_phash_dedup_payload_stays_in_map_stage(spark):
     # D64: the binary payload must never enter an exchange — only the
-    # 64-char hash shuffles; band join is an equi-join, not a cartesian
-    plan = plan_of(spark, "multimodal_phash_dedup")
-    assert "CartesianProduct" not in plan
+    # 64-char hash shuffles; band join is an equi-join, not a cartesian.
+    # Since r13 the Python fingerprint pass runs inside the ph/g
+    # localCheckpoint jobs (the §F cache-race fix), so the Python-node
+    # and payload assertions run on the PRE-checkpoint fingerprint
+    # frame's own plan, and the closed plan must read the checkpointed
+    # hash frames.
     import re
 
+    from pyspark.sql import functions as F
+
+    from uforwarder_spark.functions.multimodal import phash_frame
+    from uforwarder_spark.model import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    ph_plan = phash_frame(bins)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in ph_plan or "MapInPandas" in ph_plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", ph_plan):
+        assert "payload" not in m.group(1)
+    plan = plan_of(spark, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed fingerprint frames
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "payload" not in m.group(1)
-    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
 def test_phash_incremental_payload_stays_local_and_no_self_join(spark):

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from uforwarder_spark.functions.multimodal import _PHASH_HAM, PHASH_BITS
@@ -46,6 +47,7 @@ def test_phash_hamming_popcount_equals_positional(spark):
     assert bad == 0
 
 
+@pytest.mark.slow  # ADVICE r12: one Spark job per distinct winner pair
 def test_merge_fold_literal_form_equals_column_form(spark):
     """_merge_fold_col(l, r) (winner as literals, r12) must re-segment
     exactly like _MERGE_FOLD with (l, r) as columns — including the

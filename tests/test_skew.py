@@ -21,6 +21,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# Driver profile (VERDICT r12 item 2): the 10×-replicated hot-shard
+# fixtures are the named slow-set member; run with `-m slow`.
+pytestmark = pytest.mark.slow
+
 from tests.conftest import SF_SMALL
 from uforwarder_spark import model
 from uforwarder_spark.operators.skew import DEFAULT_SALTS, salted_agg

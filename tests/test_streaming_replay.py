@@ -36,6 +36,14 @@ from pyspark.sql import functions as F
 
 from uforwarder_spark.streaming import pipelines as P
 
+import pytest
+
+# Driver profile (VERDICT r12 item 2): the replay/at-least-once sweeps
+# re-run whole pipelines per hypothesis example — the single largest
+# block of the suite. Behind `-m slow`; the per-pipeline batch-equality
+# coverage stays in the default run (tests/test_streaming.py).
+pytestmark = pytest.mark.slow
+
 SETTINGS = dict(
     max_examples=3, deadline=None, derandomize=True,
     suppress_health_check=list(HealthCheck),

@@ -529,14 +529,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement cannot drift (ADVICE r05)."""
     docs = load_table(spark, sf_dir, "documents")
     bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    ph = phash_frame(bins).persist()  # intentionally not unpersisted: the returned plan is
-    # lazy, so the frame must stay cached until the caller materializes
-    # it (the Python fingerprint pass would otherwise re-run for every
-    # plan branch); session hygiene is the runner's job, the _emb rule.
+    ph = phash_frame(bins).localCheckpoint()  # the Python fingerprint
+    # pass feeds several plan branches; a lazily-populated persist()
+    # let CONCURRENT branch stages race the cache and re-run the Arrow
+    # kernel per reference (CPU 11.0 -> 8.7 s med interleaved at sf0.1,
+    # OPTIMIZATION_r13.md §F) — the checkpoint materializes it once
     g = ph.groupBy("phash").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count("*").cast("bigint").alias("n_exact"),
-    ).persist()  # both the band pipeline and the final join read g
+    ).localCheckpoint()  # both the band pipeline and the final join read g
     # EVERYTHING pairwise below runs on DISTINCT hashes (g), never docs:
     # same-hash neighbors are Hamming-0 near-dups BY DEFINITION, so a
     # doc's near count = (n_exact - 1) + Σ n_exact over verified near
@@ -799,9 +800,10 @@ def phash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = phash_frame(d.filter(F.col("side") == 1).select("doc_id", "payload"))
     g = corpus_ph.groupBy("phash").agg(
         F.count("*").cast("bigint").alias("n_exact")
-    ).persist()
-    # persisted: the band index and both decision joins read g; the
-    # returned plan is lazy — the _emb rule applies.
+    ).localCheckpoint()
+    # checkpointed: the band index and both decision joins read g from
+    # CONCURRENT stages — persist() raced (CPU 5.4 -> 5.0 s med
+    # interleaved at sf0.1, OPTIMIZATION_r13.md §F)
     bands = phash_bands_frame(g.select("phash"))
     return phash_match_frame(inc, g, bands)
 

@@ -1047,8 +1047,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"i -> md5(concat_ws(' ', slice(ts, i * {C_CHUNK} + 1, {C_CHUNK})))))"
             )
         ).alias("h"),
-    ).persist()  # reused by sizes, df filter, and both self-join sides;
-    # freed by LRU / bench clearCache between queries.
+    ).localCheckpoint()  # reused by sizes, df filter, and both
+    # self-join sides — four CONCURRENT readers; a lazily-populated
+    # persist() let the racing stages re-run the chunk-hash pass per
+    # reference (CPU 13.8 -> 12.0 s interleaved at sf0.1,
+    # OPTIMIZATION_r13.md §F)
     sizes = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks_a"))
     df_ok = (
         chunks.groupBy("h")

@@ -1452,9 +1452,17 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the pair stage is a BroadcastNestedLoopJoin over bounded rows,
     never a partitioned cartesian."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % AUDIT_MOD == 0)
+    # OPTIMIZATION r13: shingles distinct ONCE per doc (n rows) instead
+    # of set-deduping per PAIR. array_intersect/array_union are already
+    # set-semantics (parity-green against the oracle's distinct-set
+    # Jaccard), so on distinct arrays |union| = n_a + n_b − inter — an
+    # exact integer identity that replaces the per-pair array_union
+    # hash build (the second of two per-pair set constructions on the
+    # O(sample²) stage) with two adds. The minhash sigs are unaffected:
+    # min over duplicated hashes = min over distinct.
     sh3 = (
         docs.withColumn("ts", F.expr(TOKENS_SPARK))
-        .select("doc_id", F.expr(_shingle3_spark()).alias("g3"))
+        .select("doc_id", F.expr(f"array_distinct({_shingle3_spark()})").alias("g3"))
         .withColumn(
             "hs", F.expr(f"transform(g3, sh -> {H_SPARK.format(col='sh')} % {P})")
         )
@@ -1464,32 +1472,46 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides = sh3.select(
         "doc_id",
         "g3",
+        F.expr("size(g3)").alias("n3"),
         F.expr(
             f"transform(sequence(0, {N_PERM - 1}), k -> "
             f"array_min(transform(hs, h -> (h * {a_lit}[k] + {b_lit}[k]) % {P})))"
         ).alias("sig"),
     ).persist()  # both pair sides read this frame; bounded sample size
     left = sides.select(
-        F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a"), F.col("sig").alias("sig_a")
+        F.col("doc_id").alias("doc_a"),
+        F.col("g3").alias("g3_a"),
+        F.col("n3").alias("n3_a"),
+        F.col("sig").alias("sig_a"),
     )
     right = sides.select(
-        F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b"), F.col("sig").alias("sig_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("g3").alias("g3_b"),
+        F.col("n3").alias("n3_b"),
+        F.col("sig").alias("sig_b"),
     )
     coll = F.expr(
         f"exists(sequence(0, {N_BANDS - 1}), b -> "
         "sig_a[4*b] = sig_b[4*b] AND sig_a[4*b+1] = sig_b[4*b+1] "
         "AND sig_a[4*b+2] = sig_b[4*b+2] AND sig_a[4*b+3] = sig_b[4*b+3])"
     )
-    jac = F.expr(
-        "CAST(size(array_intersect(g3_a, g3_b)) AS DOUBLE)"
-        " / size(array_union(g3_a, g3_b))"
-    )
     pairs = (
         left.crossJoin(F.broadcast(right))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             F.when(coll, 1).otherwise(0).alias("collided"),
-            jac.alias("j"),
+            # the ONE per-pair set build; referenced twice above, so
+            # CollapseProject keeps it in this lower projection —
+            # computed once per pair
+            F.expr("size(array_intersect(g3_a, g3_b))").alias("inter"),
+            "n3_a",
+            "n3_b",
+        )
+        .select(
+            "collided",
+            # same integers as size(intersect)/size(union) on the
+            # distinct arrays ⇒ bit-identical double
+            F.expr("CAST(inter AS DOUBLE) / (n3_a + n3_b - inter)").alias("j"),
         )
     )
     return (

@@ -99,15 +99,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         docs.withColumn("ts", F.expr(f"array_distinct({TOKENS_SPARK})"))
         .select("doc_id", "source", "ts")
-        .persist()  # reused by prefix build + both verification probes;
-        # freed by LRU / bench clearCache between queries.
+        .localCheckpoint()  # reused by prefix build + both verification
+        # probes — CONCURRENT stages of one action, which race a
+        # lazily-populated cache and re-run the tokenize per branch
+        # (persist -> localCheckpoint measured CPU 23.3 -> 7.8 s
+        # interleaved at sf0.1, OPTIMIZATION r13)
     )
-    pref = prefix_tokens(t, JACCARD_T).persist()
-    # persist: the self-join below references pref on BOTH sides; without
-    # a materialization barrier the whole df-count + prefix regroup
-    # subtree executes twice (exchange reuse does not survive AQE's
-    # broadcast conversion here). pref is ~(1-t)·|tokens| rows — tiny.
-    # Freed by LRU / bench clearCache between queries.
+    pref = prefix_tokens(t, JACCARD_T).localCheckpoint()
+    # materialization barrier: the self-join below references pref on
+    # BOTH sides; without it the whole df-count + prefix regroup subtree
+    # executes twice (exchange reuse does not survive AQE's broadcast
+    # conversion here). pref is ~(1-t)·|tokens| rows — tiny.
     a, b = pref.alias("a"), pref.alias("b")
     cands = (
         a.join(

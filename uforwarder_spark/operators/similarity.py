@@ -711,11 +711,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = (
         _kmeans_a2(spark, sf_dir)
         .withColumn("u", F.expr(_UNIT_SPARK))
-        .persist()
+        .localCheckpoint()
     )
-    # persisted: both sides of the pair self-join and the final left join
-    # reference a2 (unit vectors included, computed once); freed by LRU /
-    # bench clearCache between queries.
+    # localCheckpoint, not persist (OPTIMIZATION r13): both sides of the
+    # pair self-join and the final left join reference a2 from
+    # concurrent stages, and the lazily-populated cache let them race
+    # it and re-run the Lloyd chain (CPU 15.4 -> 11.9 s interleaved at
+    # sf0.1); the checkpoint materializes the assignment frame — unit
+    # vectors included, computed once — before any branch plans.
     b = a2.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cluster"),
@@ -1411,10 +1414,31 @@ def ivf_multiquery_topk(queries: DataFrame, corpus: DataFrame, reps: DataFrame) 
         .select("qid", "label")
     )
     wrank = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.col("vec_id"))
+    # OPTIMIZATION r13 (norm factorization — bit-identical, the D85
+    # pattern): the self-dots of the 3-fold cosine depend on one side
+    # only, so nv hoists to the corpus projection (once per candidate
+    # row) and nq to the broadcast query frame (once per query); each
+    # (candidate, query) pair pays ONE fold + sqrt(nv * nq) — the same
+    # double as dot / sqrt(dot(v,v) * dot(qv,qv)), no oracle change.
     return (
-        corpus.join(F.broadcast(probed), "label")
-        .join(F.broadcast(queries), "qid")
-        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        corpus.select(
+            "vec_id",
+            "label",
+            "v",
+            F.expr(_DOT_SPARK.format(a="v", b="v")).alias("nv"),
+        )
+        .join(F.broadcast(probed), "label")
+        .join(
+            F.broadcast(
+                queries.select(
+                    "qid", "qv", F.expr(_DOT_SPARK.format(a="qv", b="qv")).alias("nq")
+                )
+            ),
+            "qid",
+        )
+        .withColumn(
+            "cos_raw", F.expr(f"{_DOT_SPARK.format(a='v', b='qv')} / sqrt(nv * nq)")
+        )
         .withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= MQ_TOPK)
         .select(
@@ -2360,9 +2384,25 @@ def rrf_multiquery_frame(
         .select("qid", "doc_id", F.col("sc").cast("double").alias("bm25_score"), "lex_rank")
     )
     ws = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "doc_id")
+    # OPTIMIZATION r13 (norm factorization — bit-identical): the 3-fold
+    # _cos_expr paid dot(v,v) and dot(qv,qv) PER PAIR on the
+    # |corpus|×|queries| cross stage. The self-dots depend on one side
+    # only, so they hoist below the join (nv once per corpus row, nq
+    # once per query row — projections under a join are never collapsed
+    # up through it) and each pair pays ONE fold + sqrt(nv * nq):
+    # identical operations on identical values ⇒ the same double as
+    # dot / sqrt(dot(v,v) * dot(qv,qv)), no oracle change.
+    self_dot = _DOT_SPARK.format(a="v", b="v")
+    q_self_dot = _DOT_SPARK.format(a="qv", b="qv")
     semr = (
-        corpus_vecs.crossJoin(F.broadcast(qvecs))
-        .withColumn("cos_raw", F.expr(_cos_expr("spark", "v", "qv")))
+        corpus_vecs.select("doc_id", "v", F.expr(self_dot).alias("nv"))
+        .crossJoin(
+            F.broadcast(qvecs.select("qid", "qv", F.expr(q_self_dot).alias("nq")))
+        )
+        .withColumn(
+            "cos_raw",
+            F.expr(f"{_DOT_SPARK.format(a='v', b='qv')} / sqrt(nv * nq)"),
+        )
         .withColumn("sem_rank", F.row_number().over(ws).cast("int"))
         .filter(F.col("sem_rank") <= RRF_ARM_K)
         .select("qid", "doc_id", "cos_raw", "sem_rank")
@@ -2505,8 +2545,10 @@ def hybrid_rrf_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         load_parallel(spark, sf_dir, "documents")
         .select("doc_id", F.expr(TOKENS_SPARK).alias("ts"))
-        .persist()  # shared by the query- and corpus-side derivations;
-        # released by release_operator_caches (the documented contract)
+        .localCheckpoint()  # shared by FOUR concurrent derivations
+        # (qterms, tf, dl, qids) — a lazily-populated persist() let the
+        # racing branch stages re-tokenize per reference (CPU 27.0 ->
+        # 23.3 s interleaved at sf0.1, OPTIMIZATION r13 §F)
     )
     qids = toks.filter(F.col("doc_id") % _RRF_QUERY_MOD == 0).select(
         F.col("doc_id").alias("qid"), "ts"
@@ -2742,9 +2784,13 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — training-data similarity family
     (SURVEY §2 D; composes D76's candidates)."""
-    scored = _knn_scored_frame(_emb(spark, sf_dir)).persist()
-    # persisted: read by both the positive and hard-negative branches
-    # (release_operator_caches contract)
+    scored = _knn_scored_frame(_emb(spark, sf_dir)).localCheckpoint()
+    # localCheckpoint, not persist (OPTIMIZATION r13): the positive and
+    # hard-negative branches read this frame from CONCURRENT stages of
+    # one action, and a lazily-populated cache lets both race it and
+    # re-run the whole band-join pipeline (measured CPU 47.5 -> 17.0 s
+    # interleaved at sf0.1); the checkpoint materializes once,
+    # synchronously, before either branch plans.
     return triplets_from_scored(scored)
 
 
@@ -2784,7 +2830,9 @@ def incr_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = e.filter(F.col("vec_id") % 2 == 0)
     scored = _incr_scored_frame(
         incoming, knn_band_frame(existing), existing
-    ).persist()
+    ).localCheckpoint()
+    # localCheckpoint, not persist (OPTIMIZATION r13): same concurrent-
+    # branch cache race as D89 — CPU 12.9 -> 6.0 s interleaved at sf0.1.
     return triplets_from_scored(scored)
 
 
