@@ -1016,3 +1016,28 @@ def test_bm25_plan_single_tokenize(spark):
     assert "Scan ExistingRDD" in topk_plan  # the checkpointed stats proxy
     assert "Generate" not in topk_plan  # no posting explode downstream
     assert "TakeOrderedAndProject" in topk_plan
+
+
+@pytest.mark.parametrize(
+    ("name", "max_parquet_scans"),
+    [
+        ("doremi_weights", 0),          # was 24 corpus scans / 62 Exchange
+        ("token_budget_allocation", 0),  # was 16 / 48
+        ("kmv_sketch_overlap", 0),       # was 14 / 42
+        ("bigram_perplexity", 4),        # was 16 / 36 (scoring pass remains)
+        ("unigram_perplexity", 0),       # was 12 / 30
+        ("pmi_collocations", 0),         # was 10 / 24
+        ("importance_sampling_weights", 0),  # was 8 / 22
+    ],
+)
+def test_fanout_frames_checkpoint_bounded(spark, name, max_parquet_scans):
+    # r13 §J: control-plane / vocab-sized frames referenced 2-4 times by
+    # their consumers localCheckpoint at the fan-out point (the D104
+    # rule), so the closed plan replays the materialized frame instead
+    # of re-embedding the corpus tokenize/hash/agg chain per reference.
+    # The corpus passes run ONCE inside the eager checkpoint jobs;
+    # bench/probe timing includes construction, so nothing leaves the
+    # timed region. Before/after dumps: plans/r13/<name>_{before,after}.
+    plan = plan_of(spark, name)
+    assert "Scan ExistingRDD" in plan  # the checkpointed fan-out frame
+    assert plan.count("Scan parquet") <= max_parquet_scans, plan

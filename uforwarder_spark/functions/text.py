@@ -2036,7 +2036,14 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (training-data pipeline family)."""
     docs = _docs(spark, sf_dir)
-    return perplexity_bands_frame(unigram_ce_frame(docs, docs))
+    # (doc_id, n_tok, ce) barrier: perplexity_bands_frame reads the
+    # score frame twice (moment agg + banding join) — un-materialized,
+    # the whole CE chain (corpus tokenize + LM join) replays per
+    # reference; the checkpoint holds 3 narrow columns per doc, the
+    # same blocks a persist would hold
+    return perplexity_bands_frame(
+        unigram_ce_frame(docs, docs).localCheckpoint()
+    )
 
 
 def unigram_ce_frame(docs: DataFrame, lm_docs: DataFrame) -> DataFrame:
@@ -2050,7 +2057,14 @@ def unigram_ce_frame(docs: DataFrame, lm_docs: DataFrame) -> DataFrame:
     floor p = 1/(n + |V|) (left join, count 0 — OOV-safe)."""
     toks = docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("t"))
     lm_toks = lm_docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("t"))
-    cnt = lm_toks.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    # vocab-bounded barrier (the D104 rule): tot derives from cnt and
+    # the scoring join reads cnt again — un-materialized, each
+    # reference replays the LM-corpus tokenize+agg
+    cnt = (
+        lm_toks.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
     tot = cnt.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("vsize"),
@@ -2657,7 +2671,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (per micro-batch there), pmi_topk_from re-derives the
     top-K."""
     uni, pc = pmi_count_frames(_docs(spark, sf_dir))
-    return pmi_topk_from(uni, pc)
+    # vocab-bounded barriers: pmi_topk_from references uni three times
+    # (N total + two broadcast joins) and pc twice (M total + scoring)
+    # — un-materialized, each reference replays the corpus count pass.
+    # E43 is untouched: its per-tick pmi_topk_from inputs are
+    # parquet-read state, already cheap to re-reference.
+    return pmi_topk_from(uni.localCheckpoint(), pc.localCheckpoint())
 
 
 # --- D88 -----------------------------------------------------------------
@@ -2757,15 +2776,29 @@ def bigram_lm_frames(
     these ONCE from the published corpus and persists them as the
     serving index."""
     toks, pairs = _bigram_streams(docs)
-    uni = toks.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    # vocab-bounded barriers (the D104 rule): tot derives from uni, ctx
+    # from pc, and the scorer joins uni twice more — un-materialized,
+    # each reference replays the corpus token/pair stream (the batch
+    # plan read 16 corpus scans before these)
+    uni = (
+        toks.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
     tot = uni.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("vsize"),
     )
-    pc = pairs.groupBy("tok_l", "tok_r").agg(
-        F.count("*").cast("bigint").alias("pf")
+    pc = (
+        pairs.groupBy("tok_l", "tok_r")
+        .agg(F.count("*").cast("bigint").alias("pf"))
+        .localCheckpoint()
     )
-    ctx = pairs.groupBy("tok_l").agg(F.count("*").cast("bigint").alias("cx"))
+    # ctx folds from the materialized pair table instead of re-counting
+    # the corpus pair stream: sum(pf) grouped by tok_l is the same exact
+    # BIGINT as count(*) over pairs grouped by tok_l — one corpus pass
+    # fewer, bit-identical values
+    ctx = pc.groupBy("tok_l").agg(F.sum("pf").cast("bigint").alias("cx"))
     return uni, pc, ctx, tot
 
 
@@ -2943,7 +2976,14 @@ def unigram_loss_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     E47 freezes these once from the published corpus (the E42 LM
     convention) and persists them as the scoring model."""
     tok = docs.select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tk"))
-    uni = tok.groupBy("tk").agg(F.count("*").cast("bigint").alias("c"))
+    # vocab-bounded barrier: tot derives from uni and the scorer joins
+    # uni again — un-materialized, each reference replays the corpus
+    # tokenize+agg (the D104 |sources|-row rule, applied at vocab size)
+    uni = (
+        tok.groupBy("tk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
     tot = uni.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("vsize"),
@@ -3052,7 +3092,13 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none (training-data pipeline family)."""
     docs = _docs(spark, sf_dir).select("source", "text")
     uni, tot = unigram_loss_frames(docs)
-    return doremi_weights_from(source_loss_frame(docs, uni, tot))
+    # |sources|-row barrier: doremi_weights_from references loss twice
+    # and its `e` frame twice more — un-materialized, the whole scoring
+    # pass (corpus tokenize + LM join) replays per reference (the plan
+    # read 24 corpus scans / 62 exchanges before this and the kernel
+    # checkpoint above; 2 scans / 6 exchanges after)
+    loss = source_loss_frame(docs, uni, tot).localCheckpoint()
+    return doremi_weights_from(loss)
 
 
 # --- D97 -----------------------------------------------------------------

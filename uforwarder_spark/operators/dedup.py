@@ -2331,7 +2331,12 @@ def kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none — training-data corpus-profiling family
     (SURVEY §2 D; completes the sketch set D48/D49/D54)."""
     docs = _docs(spark, sf_dir)
-    hs = kmv_hash_frame(docs)
+    # barrier on the distinct (source, hash) set: FOUR references below
+    # (exact cardinalities, BOTH sides of the exact-intersection
+    # self-join, and the bottom-k sketch) — un-materialized, each
+    # replays the corpus tokenize+shingle+md5+distinct chain (the plan
+    # read 14 corpus scans / 42 exchanges before this)
+    hs = kmv_hash_frame(docs).localCheckpoint()
     n_exact = hs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     inter = (
         hs.select(F.col("source").alias("src_a"), "h")

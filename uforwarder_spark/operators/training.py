@@ -295,6 +295,10 @@ def importance_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("n_tokens"))
+        # |sources| rows (the D104 rule): weights_from_totals references
+        # this frame twice and quota_frame twice more downstream; without
+        # the barrier every reference replays the corpus scan+agg
+        .localCheckpoint()
     )
     return weights_from_totals(per_src)
 
