@@ -1028,6 +1028,7 @@ def test_bm25_plan_single_tokenize(spark):
         ("unigram_perplexity", 0),       # was 12 / 30
         ("pmi_collocations", 0),         # was 10 / 24
         ("importance_sampling_weights", 0),  # was 8 / 22
+        ("source_lang_kl", 0),               # was 8 / 22
     ],
 )
 def test_fanout_frames_checkpoint_bounded(spark, name, max_parquet_scans):

@@ -529,11 +529,17 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement cannot drift (ADVICE r05)."""
     docs = load_table(spark, sf_dir, "documents")
     bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    ph = phash_frame(bins).localCheckpoint()  # the Python fingerprint
-    # pass feeds several plan branches; a lazily-populated persist()
-    # let CONCURRENT branch stages race the cache and re-run the Arrow
-    # kernel per reference (CPU 11.0 -> 8.7 s med interleaved at sf0.1,
-    # OPTIMIZATION_r13.md §F) — the checkpoint materializes it once
+    # ph persists LAZILY and g checkpoints EAGERLY, in this order on
+    # purpose: g's checkpoint job is ph's only consumer at that moment,
+    # so it populates ph's cache race-free as a side effect (one job,
+    # one Arrow-kernel pass), and the final action then cache-hits ph
+    # while every other branch reads the materialized g. Both-persist
+    # raced (concurrent branch stages re-ran the kernel per reference:
+    # CPU med 8.6 vs 1.0 s interleaved at sf0.1); both-checkpoint paid
+    # a SECOND serialized job + block write for the same safety (the
+    # r13 bench's one normal-window breach, 1.7x pin). Not unpersisted:
+    # the returned plan is lazy — the _emb rule.
+    ph = phash_frame(bins).persist()
     g = ph.groupBy("phash").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count("*").cast("bigint").alias("n_exact"),

@@ -1199,10 +1199,19 @@ def source_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none (training-data pipeline family)."""
     docs = _docs(spark, sf_dir)
-    cell = docs.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    # |sources|x|langs| barrier (the D104 rule): src/lng/contrib each
+    # reference cell — un-materialized, every reference replays the
+    # corpus scan+agg; tot folds from the materialized cells (sum of
+    # group counts == count(*), exact BIGINT), so the corpus is read
+    # once instead of four times
+    cell = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_sl"))
+        .localCheckpoint()
+    )
     src = cell.groupBy("source").agg(F.sum("n_sl").cast("bigint").alias("n_s"))
     lng = cell.groupBy("lang").agg(F.sum("n_sl").cast("bigint").alias("n_l"))
-    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    tot = cell.agg(F.sum("n_sl").cast("bigint").alias("n"))
     p_sl = F.col("n_sl").cast("double") / F.col("n_s")
     p_l = F.col("n_l").cast("double") / F.col("n")
     contrib = (
